@@ -1,38 +1,368 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` smoke-runs the flagship hybrid-retrieval query at
+sf0.001. ``queries()`` maps every implemented operator from SURVEY.md §2
+to a (spark, sf_dir) -> DataFrame callable; ``oracle_sql()`` holds the
+DuckDB-equivalent SQL the driver hash-compares against at sf0.01.
 """
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from memfuse_spark.catalog import load_table
+from memfuse_spark.operators import keyword as kw_ops
+from memfuse_spark.operators.similarity import (
+    neighbors_of_item,
+    similarity_topk,
+)
+from memfuse_spark.operators.fusion import (
+    normalized_weighted_sum_fusion,
+    rrf_fusion,
+    tag_store,
+    union_results,
+    weighted_sum_fusion,
+)
+from memfuse_spark.plans.pipeline import anchor_vector, hybrid_retrieval
+
+# ---------------------------------------------------------------------------
+# fixed query parameters (deterministic; shared by Spark and oracle sides)
+# ---------------------------------------------------------------------------
+QUERY_TEXT = "spark table scan query"
+ANCHOR_VEC_ID = 0
+KNN_ANCHOR_ID = 7
+TOP_K = 15
+FIRST_STAGE_K = 30
+HYBRID_WEIGHTS = {"vector": 0.5, "keyword": 0.2}
+RRF_K = 60.0
+
+# DuckDB cosine-vs-anchor CTE fragment (embeddings table pre-registered).
+_COS_SQL = (
+    "round(list_dot_product(CAST(e.embedding AS DOUBLE[]), q.qv) / "
+    "(sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[]))) * "
+    "sqrt(list_dot_product(q.qv, q.qv))), 6)"
+)
+
+
+def _q(anchor: int) -> str:
+    return (
+        f"q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings "
+        f"WHERE vec_id = {anchor})"
+    )
+
+
+def _vector_topk_sql(anchor: int, k: int, exclude_self: bool = False) -> str:
+    where = f"WHERE e.vec_id <> {anchor}" if exclude_self else ""
+    return f"""
+WITH {_q(anchor)}
+SELECT e.vec_id, {_COS_SQL} AS score
+FROM embeddings e, q {where}
+ORDER BY score DESC, e.vec_id ASC
+LIMIT {k}
+"""
+
+
+def _tables(spark: SparkSession, sf_dir: str, *names: str) -> list[DataFrame]:
+    return [load_table(spark, sf_dir, n) for n in names]
+
+
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
+
+def q_vector_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1/T1: exact cosine top-k scan (SURVEY §2.3 J1, §2.5 T1)."""
+    (emb,) = _tables(spark, sf_dir, "embeddings")
+    qvec = anchor_vector(spark, emb, ANCHOR_VEC_ID)
+    return similarity_topk(emb, qvec, TOP_K)
+
+
+def q_vector_knn_of_item(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T7: nearest neighbors of a stored item, self excluded."""
+    (emb,) = _tables(spark, sf_dir, "embeddings")
+    return neighbors_of_item(emb, KNN_ANCHOR_ID, 10)
+
+
+def q_vector_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F4: similarity-threshold predicate before top-k."""
+    (emb,) = _tables(spark, sf_dir, "embeddings")
+    qvec = anchor_vector(spark, emb, ANCHOR_VEC_ID)
+    return similarity_topk(emb, qvec, 50, threshold=0.2)
+
+
+def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X1+A2+A3+X2+T3: tokenize → postings → BM25 → top-k."""
+    (docs,) = _tables(spark, sf_dir, "documents")
+    return kw_ops.bm25_topk(docs, QUERY_TEXT, TOP_K)
+
+
+def q_like_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4: LIKE-fallback OR-chain, constant score."""
+    (docs,) = _tables(spark, sf_dir, "documents")
+    return kw_ops.like_search(docs, ["vector", "merge"]).orderBy("doc_id")
+
+
+def _hybrid_branches(spark: SparkSession, sf_dir: str):
+    docs, emb = _tables(spark, sf_dir, "documents", "embeddings")
+    qvec = anchor_vector(spark, emb, ANCHOR_VEC_ID)
+    vec = tag_store(
+        similarity_topk(emb, qvec, FIRST_STAGE_K).withColumnRenamed("vec_id", "doc_id"),
+        "vector",
+    )
+    kw = tag_store(kw_ops.bm25_topk(docs, QUERY_TEXT, FIRST_STAGE_K), "keyword")
+    return docs, union_results(vec, kw)
+
+
+def q_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship (SURVEY §3.2): vector ∪ keyword → RRF → hydrate → top-k."""
+    docs, emb = _tables(spark, sf_dir, "documents", "embeddings")
+    qvec = anchor_vector(spark, emb, ANCHOR_VEC_ID)
+    return hybrid_retrieval(
+        docs, emb, QUERY_TEXT, qvec, k=TOP_K, first_stage_k=FIRST_STAGE_K,
+        weights=HYBRID_WEIGHTS, rrf_k=RRF_K,
+    )
+
+
+def q_fusion_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U3 SimpleWeightedSum over the two retrieval branches."""
+    _, unioned = _hybrid_branches(spark, sf_dir)
+    return weighted_sum_fusion(unioned, HYBRID_WEIGHTS).orderBy(
+        F.desc("score"), F.asc("doc_id")
+    )
+
+
+def q_fusion_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U4 NormalizedWeightedSum (per-store min-max window A8)."""
+    _, unioned = _hybrid_branches(spark, sf_dir)
+    return normalized_weighted_sum_fusion(unioned, HYBRID_WEIGHTS).orderBy(
+        F.desc("score"), F.asc("doc_id")
+    )
+
+
+def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A-ops on lineitem: TPC-H Q1 pricing summary (groupBy + 8 aggs)."""
+    (li,) = _tables(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.round(
+                F.sum(
+                    F.col("l_extendedprice")
+                    * (1 - F.col("l_discount"))
+                    * (1 + F.col("l_tax"))
+                ),
+                2,
+            ).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def q_orders_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5/T6: generic sort + limit with total tie order."""
+    (orders,) = _tables(spark, sf_dir, "orders")
+    return (
+        orders.select("o_orderkey", "o_totalprice", "o_orderdate")
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(20)
+    )
+
+
+def q_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4-style hydration chain: lineitem→orders→customer→nation→region,
+    dims broadcast (SURVEY §2.3 J4; TPC-H Q5 shape)."""
+    li, orders, cust, nation, region = _tables(
+        spark, sf_dir, "lineitem", "orders", "customer", "nation", "region"
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+        .orderBy(F.desc("revenue"), F.asc("n_name"))
+    )
+
+
+def q_events_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed event-time aggregation (streaming-shaped batch query)."""
+    (events,) = _tables(spark, sf_dir, "events")
+    return (
+        events.groupBy(
+            F.date_trunc("hour", "ts").alias("hour"), F.col("event_type")
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+        )
+        .orderBy("hour", "event_type")
+    )
 
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    return q_hybrid_rrf(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "vector_topk": q_vector_topk,
+        "vector_knn_of_item": q_vector_knn_of_item,
+        "vector_threshold": q_vector_threshold,
+        "bm25_topk": q_bm25_topk,
+        "like_search": q_like_search,
+        "hybrid_rrf": q_hybrid_rrf,
+        "fusion_weighted": q_fusion_weighted,
+        "fusion_normalized": q_fusion_normalized,
+        "tpch_q1": q_tpch_q1,
+        "orders_topk": q_orders_topk,
+        "revenue_by_nation": q_revenue_by_nation,
+        "events_window_agg": q_events_window_agg,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ---------------------------------------------------------------------------
+# oracle SQL (DuckDB dialect; tables pre-registered as views)
+# ---------------------------------------------------------------------------
+
+def _fusion_ctes() -> str:
+    """Shared CTE block: vec/kw first-stage branches + union."""
+    bm25 = kw_ops.bm25_topk_sql(QUERY_TEXT, FIRST_STAGE_K)
+    return f"""
+WITH {_q(ANCHOR_VEC_ID)},
+vec AS (
+  SELECT e.vec_id AS doc_id, {_COS_SQL} AS score
+  FROM embeddings e, q
+  ORDER BY score DESC, e.vec_id ASC
+  LIMIT {FIRST_STAGE_K}
+),
+kw AS (SELECT * FROM ({bm25})),
+unioned AS (
+  SELECT doc_id, score, 'vector' AS store_type FROM vec
+  UNION ALL
+  SELECT doc_id, score, 'keyword' AS store_type FROM kw
+)
+"""
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    w_vec, w_kw = HYBRID_WEIGHTS["vector"], HYBRID_WEIGHTS["keyword"]
+    weight_case = (
+        f"CASE WHEN store_type = 'vector' THEN {w_vec} ELSE {w_kw} END"
+    )
+    return {
+        "vector_topk": _vector_topk_sql(ANCHOR_VEC_ID, TOP_K),
+        "vector_knn_of_item": _vector_topk_sql(KNN_ANCHOR_ID, 10, exclude_self=True),
+        "vector_threshold": f"""
+WITH {_q(ANCHOR_VEC_ID)},
+scored AS (
+  SELECT e.vec_id, {_COS_SQL} AS score FROM embeddings e, q
+)
+SELECT vec_id, score FROM scored WHERE score >= 0.2
+ORDER BY score DESC, vec_id ASC LIMIT 50
+""",
+        "bm25_topk": kw_ops.bm25_topk_sql(QUERY_TEXT, TOP_K),
+        "like_search": """
+SELECT doc_id, CAST(0.6 AS DOUBLE) AS score FROM documents
+WHERE lower(text) LIKE '%vector%' OR lower(text) LIKE '%merge%'
+ORDER BY doc_id
+""",
+        "hybrid_rrf": _fusion_ctes()
+        + f""",
+ranked AS (
+  SELECT doc_id, store_type,
+         row_number() OVER (PARTITION BY store_type
+                            ORDER BY score DESC, doc_id ASC) AS rnk
+  FROM unioned
+),
+fused AS (
+  SELECT doc_id,
+         round(sum({weight_case} / ({RRF_K} + rnk)), 6) AS score
+  FROM ranked GROUP BY doc_id
+)
+SELECT f.doc_id, f.score, d.text
+FROM fused f JOIN documents d USING (doc_id)
+ORDER BY f.score DESC, f.doc_id ASC
+LIMIT {TOP_K}
+""",
+        "fusion_weighted": _fusion_ctes()
+        + f"""
+SELECT doc_id, round(sum(score * {weight_case}), 6) AS score
+FROM unioned GROUP BY doc_id
+ORDER BY score DESC, doc_id ASC
+""",
+        "fusion_normalized": _fusion_ctes()
+        + f""",
+normed AS (
+  SELECT doc_id, store_type,
+         CASE WHEN max(score) OVER (PARTITION BY store_type)
+                   > min(score) OVER (PARTITION BY store_type)
+              THEN (score - min(score) OVER (PARTITION BY store_type))
+                   / (max(score) OVER (PARTITION BY store_type)
+                      - min(score) OVER (PARTITION BY store_type))
+              ELSE 1.0 END AS nscore
+  FROM unioned
+)
+SELECT doc_id, round(sum(nscore * {weight_case}), 6) AS score
+FROM normed GROUP BY doc_id
+ORDER BY score DESC, doc_id ASC
+""",
+        "tpch_q1": """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+       round(avg(l_quantity), 6) AS avg_qty,
+       round(avg(l_extendedprice), 6) AS avg_price,
+       round(avg(l_discount), 6) AS avg_disc,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+""",
+        "orders_topk": """
+SELECT o_orderkey, o_totalprice, o_orderdate FROM orders
+ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 20
+""",
+        "revenue_by_nation": """
+SELECT n_name,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       count(*) AS n_items
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY n_name
+ORDER BY revenue DESC, n_name ASC
+""",
+        "events_window_agg": """
+SELECT date_trunc('hour', ts) AS hour, event_type,
+       count(*) AS n_events, round(sum(value), 6) AS sum_value
+FROM events
+GROUP BY 1, 2
+ORDER BY hour, event_type
+""",
+    }

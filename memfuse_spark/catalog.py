@@ -1,0 +1,61 @@
+"""Table catalog: loads the driver's parquet tables and registers views.
+
+The driver's testdata (TESTDATA.md) is a TPC-H-ish star schema plus
+``events`` (stream-shaped), ``documents`` (text corpus) and ``embeddings``
+(vector corpus). These are the inputs for every declared query.
+
+At 100 TB these would be partitioned/bucketed catalog tables; reading
+plain parquet paths keeps the same Catalyst pushdown/pruning behavior.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """One parquet table; Catalyst handles pushdown/pruning on it."""
+    try:
+        # runtime-settable; needed because the driver testdata's `events`
+        # table has TIMESTAMP(NANOS) which Spark rejects by default
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    except Exception:
+        pass
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    # TIMESTAMP(NANOS) columns arrive as long (see session.py nanosAsLong);
+    # convert to microsecond timestamps (floor, matching DuckDB's ns→µs).
+    from pyspark.sql import functions as F  # local import to avoid cycles
+
+    for col, dtype in df.dtypes:
+        if dtype == "bigint" and col in ("ts",):
+            df = df.withColumn(col, F.timestamp_micros(F.expr(f"{col} div 1000")))
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> dict[str, DataFrame]:
+    return {t: load_table(spark, sf_dir, t) for t in TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> dict[str, DataFrame]:
+    """Register each table as a temp view so spark.sql(...) can use it."""
+    dfs = load_tables(spark, sf_dir)
+    for name, df in dfs.items():
+        df.createOrReplaceTempView(name)
+    return dfs

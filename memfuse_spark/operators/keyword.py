@@ -1,0 +1,168 @@
+"""Keyword retrieval: inverted index + BM25 (SURVEY.md §2 X1-X4, A2, A3,
+J3, T3).
+
+The reference builds an in-memory ``Counter`` index per document and
+scores BM25 in a Python loop (memfuse `store/keyword_store/bm25_store.py:
+145-249`, params k1=1.5 b=0.75 at :28-29) or delegates to SQLite FTS5
+(`keyword_store/sqlite_store.py:360-431`). Spark-first re-expression:
+
+- the inverted index IS a DataFrame: ``explode(tokenize(text))`` →
+  ``groupBy(doc, term).count()`` — one shuffle, map-side combined.
+- corpus stats (N, avgdl, df) are tiny aggregates, broadcast into the
+  scoring join.
+- scoring a query = equi-join of the postings table with the (broadcast)
+  query-term list + pure column arithmetic + top-k. At 100 TB the
+  postings table would be bucketed by term so query joins touch only
+  matching buckets; filters push into the parquet scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from memfuse_spark.functions.text import tokenize
+
+BM25_K1 = 1.5
+BM25_B = 0.75
+
+
+def build_postings(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Inverted-index postings: (doc_id, term, tf, dl).
+
+    dl (document token length) is carried on each posting row so scoring
+    needs no extra join back to the documents table.
+    """
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"), tokenize(text_col).alias("tokens")
+    ).select("doc_id", F.size("tokens").alias("dl"), F.explode("tokens").alias("term"))
+    return toks.groupBy("doc_id", "term", "dl").agg(F.count("*").alias("tf"))
+
+
+def corpus_stats(postings: DataFrame) -> DataFrame:
+    """(n_docs, avgdl) — one tiny row, reference bm25_store.py:145-152."""
+    per_doc = postings.groupBy("doc_id").agg(F.first("dl").alias("dl"))
+    return per_doc.agg(
+        F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+
+
+def document_frequency(postings: DataFrame) -> DataFrame:
+    """(term, df) — reference bm25_store.py:200-207."""
+    return postings.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+
+
+def bm25_topk(
+    docs: DataFrame,
+    query: str,
+    k: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+    score_decimals: int = 6,
+) -> DataFrame:
+    """BM25 top-k over a document table (X2 + T3).
+
+    idf = ln((N - df + 0.5)/(df + 0.5) + 1)
+    score = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1 - b + b·dl/avgdl))
+    (reference: bm25_store.py:212-249)
+    """
+    q_terms = sorted({t for t in _py_tokenize(query)})
+    postings = build_postings(docs, id_col, text_col)
+    stats = corpus_stats(postings)
+    df_tbl = document_frequency(postings)
+
+    matched = (
+        postings.filter(F.col("term").isin(q_terms))
+        .join(F.broadcast(df_tbl.filter(F.col("term").isin(q_terms))), "term")
+        .crossJoin(F.broadcast(stats))
+    )
+    idf = F.log(
+        (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+    )
+    tf_part = (F.col("tf") * (k1 + 1)) / (
+        F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.col("avgdl"))
+    )
+    scored = matched.select("doc_id", (idf * tf_part).alias("term_score"))
+    return (
+        scored.groupBy("doc_id")
+        .agg(F.round(F.sum("term_score"), score_decimals).alias("score"))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+    )
+
+
+def like_search(
+    docs: DataFrame,
+    terms: list[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    constant_score: float = 0.6,
+) -> DataFrame:
+    """LIKE-fallback OR-chain with constant score (X4; reference
+    sqlite_store.py:424-431)."""
+    cond = None
+    for t in terms:
+        c = F.lower(F.col(text_col)).contains(t.lower())
+        cond = c if cond is None else (cond | c)
+    return docs.filter(cond).select(
+        F.col(id_col).alias("doc_id"), F.lit(constant_score).alias("score")
+    )
+
+
+def _py_tokenize(text: str) -> list[str]:
+    """Driver-side tokenizer — must match functions.text.tokenize."""
+    import re
+
+    return [t for t in re.split(r"[^a-z0-9]+", text.lower()) if t]
+
+
+def bm25_topk_sql(
+    query: str,
+    k: int,
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+    score_decimals: int = 6,
+) -> str:
+    """DuckDB oracle twin of :func:`bm25_topk` (same math, same tokenizer)."""
+    q_terms = sorted({t for t in _py_tokenize(query)})
+    terms_sql = ", ".join(f"('{t}')" for t in q_terms)
+    return f"""
+WITH toks AS (
+  SELECT {id_col} AS doc_id,
+         list_filter(string_split_regex(lower({text_col}), '[^a-z0-9]+'),
+                     t -> len(t) > 0) AS tokens
+  FROM {table}
+),
+postings AS (
+  SELECT doc_id, len(tokens) AS dl, t.term, count(*) AS tf
+  FROM toks, unnest(tokens) AS t(term)
+  GROUP BY doc_id, dl, t.term
+),
+stats AS (
+  SELECT count(*) AS n_docs, avg(dl) AS avgdl
+  FROM (SELECT doc_id, any_value(dl) AS dl FROM postings GROUP BY doc_id)
+),
+dfs AS (
+  SELECT term, count(DISTINCT doc_id) AS df FROM postings GROUP BY term
+),
+qterms(term) AS (VALUES {terms_sql}),
+matched AS (
+  SELECT p.doc_id, p.tf, p.dl, d.df, s.n_docs, s.avgdl
+  FROM postings p JOIN dfs d USING (term) JOIN qterms q USING (term), stats s
+)
+SELECT doc_id,
+       round(sum(ln((n_docs - df + 0.5)/(df + 0.5) + 1.0)
+                 * tf*({k1}+1) / (tf + {k1}*(1 - {b} + {b}*dl/avgdl))),
+             {score_decimals}) AS score
+FROM matched
+GROUP BY doc_id
+ORDER BY score DESC, doc_id ASC
+LIMIT {k}
+"""

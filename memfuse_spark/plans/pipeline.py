@@ -1,0 +1,75 @@
+"""The flagship query: multi-path retrieval → fusion → hydration → top-k.
+
+Reproduces the reference's query lifecycle (SURVEY.md §3.2:
+`POST /users/{id}/query` → HybridRetrieval → fusion → hydration →
+rerank/top-k, memfuse `services/memory_service.py:1508-1820`,
+`rag/retrieve/hybrid.py:99-164`) as ONE lazy DataFrame expression:
+
+    fuse(vector_topk, bm25_topk).join(documents).orderBy(score).limit(k)
+
+Differences by design (SURVEY.md §4): tenant/type filters apply BEFORE
+top-k (the reference post-filters after top-k and can return < k rows —
+a known wart); ties are totally ordered.
+
+Scale shape: both retrieval branches are corpus scans producing k-row
+results (TakeOrderedAndProject / partial-agg top-k); fusion operates on
+k-scale data; hydration is a broadcast join of the k ids back to the
+documents table. Nothing here shuffles the corpus.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from memfuse_spark.operators.fusion import (
+    DEFAULT_RRF_K,
+    rrf_fusion,
+    tag_store,
+    union_results,
+)
+from memfuse_spark.operators.keyword import bm25_topk
+from memfuse_spark.operators.similarity import similarity_topk
+
+
+def hybrid_retrieval(
+    documents: DataFrame,
+    embeddings: DataFrame,
+    query_text: str,
+    qvec: Sequence[float],
+    k: int = 15,
+    first_stage_k: int | None = None,
+    weights: dict[str, float] | None = None,
+    rrf_k: float = DEFAULT_RRF_K,
+) -> DataFrame:
+    """Vector ∪ keyword retrieval fused with RRF, hydrated with content.
+
+    first_stage_k defaults to 2×k (reference memory_service.py:1553-1555).
+    Returns (doc_id, score, text) ordered by score desc, doc_id asc.
+    """
+    fsk = first_stage_k or 2 * k
+    vec = tag_store(
+        similarity_topk(embeddings, qvec, fsk, id_col="vec_id").withColumnRenamed(
+            "vec_id", "doc_id"
+        ),
+        "vector",
+    )
+    kw = tag_store(bm25_topk(documents, query_text, fsk), "keyword")
+    fused = rrf_fusion(
+        union_results(vec, kw),
+        weights=weights or {"vector": 0.5, "keyword": 0.2},
+        rrf_k=rrf_k,
+    )
+    hydrated = fused.join(F.broadcast(documents.select("doc_id", "text")), "doc_id")
+    return hydrated.select("doc_id", "score", "text").orderBy(
+        F.desc("score"), F.asc("doc_id")
+    ).limit(k)
+
+
+def anchor_vector(spark: SparkSession, embeddings: DataFrame, vec_id: int = 0) -> list[float]:
+    """Fetch one stored embedding to use as the query vector (driver-side
+    query parameter, k·dim floats — not a data move)."""
+    row = embeddings.filter(F.col("vec_id") == vec_id).select("embedding").first()
+    return list(row["embedding"])

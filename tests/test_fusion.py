@@ -1,0 +1,89 @@
+"""Fusion strategies vs hand-computed expectations (mirrors memfuse
+rag/fusion/strategies.py semantics)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from memfuse_spark.operators.fusion import (
+    dedup_by_priority,
+    normalized_weighted_sum_fusion,
+    rrf_fusion,
+    tag_store,
+    union_results,
+    weighted_sum_fusion,
+)
+
+# (doc_id, score, store_type)
+ROWS = [
+    (1, 0.9, "vector"),
+    (2, 0.5, "vector"),
+    (3, 0.1, "vector"),
+    (1, 2.0, "keyword"),
+    (4, 1.0, "keyword"),
+]
+W = {"vector": 0.5, "keyword": 0.2}
+
+
+@pytest.fixture(scope="module")
+def results(spark):
+    return spark.createDataFrame(ROWS, "doc_id bigint, score double, store_type string")
+
+
+def test_weighted_sum(results):
+    got = {r.doc_id: r.score for r in weighted_sum_fusion(results, W).collect()}
+    assert got[1] == pytest.approx(0.9 * 0.5 + 2.0 * 0.2)
+    assert got[2] == pytest.approx(0.25)
+    assert got[4] == pytest.approx(0.2)
+
+
+def test_normalized_weighted_sum(results):
+    got = {
+        r.doc_id: r.score
+        for r in normalized_weighted_sum_fusion(results, W).collect()
+    }
+    # vector min 0.1 max 0.9 → doc1 = 1.0, doc2 = 0.5, doc3 = 0.0
+    # keyword min 1 max 2 → doc1 = 1.0, doc4 = 0.0
+    assert got[1] == pytest.approx(1.0 * 0.5 + 1.0 * 0.2)
+    assert got[2] == pytest.approx(0.5 * 0.5)
+    assert got[3] == pytest.approx(0.0)
+    assert got[4] == pytest.approx(0.0)
+
+
+def test_normalized_all_equal_gives_one(spark):
+    df = spark.createDataFrame(
+        [(1, 0.4, "vector"), (2, 0.4, "vector")],
+        "doc_id bigint, score double, store_type string",
+    )
+    got = {r.doc_id: r.score for r in normalized_weighted_sum_fusion(df, W).collect()}
+    assert got == {1: pytest.approx(0.5), 2: pytest.approx(0.5)}
+
+
+def test_rrf(results):
+    got = {r.doc_id: r.score for r in rrf_fusion(results, W, rrf_k=60.0).collect()}
+    # vector ranks: 1→1, 2→2, 3→3; keyword ranks: 1→1, 4→2
+    assert got[1] == pytest.approx(round(0.5 / 61 + 0.2 / 61, 6))
+    assert got[2] == pytest.approx(round(0.5 / 62, 6))
+    assert got[4] == pytest.approx(round(0.2 / 62, 6))
+
+
+def test_union_and_dedup_priority(spark):
+    buf = spark.createDataFrame(
+        [(1, 0.3), (5, 0.8)], "doc_id bigint, score double"
+    ).withColumn("source_priority", F.lit(0))
+    store = spark.createDataFrame(
+        [(1, 0.99), (6, 0.4)], "doc_id bigint, score double"
+    ).withColumn("source_priority", F.lit(1))
+    merged = dedup_by_priority(buf.unionByName(store))
+    got = {r.doc_id: (r.score, r.source_priority) for r in merged.collect()}
+    # buffer wins for doc 1 despite lower score (read-your-writes priority)
+    assert got[1] == (pytest.approx(0.3), 0)
+    assert set(got) == {1, 5, 6}
+
+
+def test_tag_store_and_union(spark):
+    a = tag_store(spark.createDataFrame([(1, 0.5)], "doc_id bigint, score double"), "vector")
+    b = tag_store(spark.createDataFrame([(2, 0.7)], "doc_id bigint, score double"), "keyword")
+    got = union_results(a, b).collect()
+    assert {(r.doc_id, r.store_type) for r in got} == {(1, "vector"), (2, "keyword")}

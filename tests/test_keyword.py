@@ -1,0 +1,77 @@
+"""BM25 / keyword path vs a pure-Python reference implementation
+(mirrors memfuse store/keyword_store/bm25_store.py semantics)."""
+
+from __future__ import annotations
+
+import math
+import re
+from collections import Counter
+
+import pytest
+from pyspark.sql import functions as F
+
+from memfuse_spark.operators.keyword import (
+    bm25_topk,
+    build_postings,
+    corpus_stats,
+    document_frequency,
+    like_search,
+)
+
+DOCS = [
+    (0, "spark table scan is fast"),
+    (1, "slow table scan and merge join"),
+    (2, "the query planner picks a hash join"),
+    (3, "spark spark spark"),
+    (4, "unrelated words entirely"),
+]
+
+
+def _py_bm25(docs, query, k1=1.5, b=0.75):
+    tok = lambda s: [t for t in re.split(r"[^a-z0-9]+", s.lower()) if t]
+    toks = {i: tok(t) for i, t in docs}
+    n = len(docs)
+    avgdl = sum(len(v) for v in toks.values()) / n
+    scores = {}
+    for term in set(tok(query)):
+        df = sum(1 for v in toks.values() if term in v)
+        if df == 0:
+            continue
+        idf = math.log((n - df + 0.5) / (df + 0.5) + 1)
+        for i, v in toks.items():
+            tf = Counter(v)[term]
+            if tf == 0:
+                continue
+            s = idf * tf * (k1 + 1) / (tf + k1 * (1 - b + b * len(v) / avgdl))
+            scores[i] = scores.get(i, 0.0) + s
+    return scores
+
+
+@pytest.fixture(scope="module")
+def docs_df(spark):
+    return spark.createDataFrame(DOCS, "doc_id bigint, text string")
+
+
+def test_postings_and_stats(docs_df):
+    postings = build_postings(docs_df)
+    row = postings.filter("doc_id = 3 and term = 'spark'").first()
+    assert row.tf == 3 and row.dl == 3
+    stats = corpus_stats(postings).first()
+    assert stats.n_docs == 5
+    assert stats.avgdl == pytest.approx(sum(len(t[1].split()) for t in DOCS) / 5)
+    dfs = {r.term: r.df for r in document_frequency(postings).collect()}
+    assert dfs["spark"] == 2 and dfs["table"] == 2
+
+
+def test_bm25_matches_python_reference(docs_df):
+    expected = _py_bm25(DOCS, "spark table join")
+    got = {r.doc_id: r.score for r in bm25_topk(docs_df, "spark table join", 10).collect()}
+    assert set(got) == set(expected)
+    for i, s in expected.items():
+        assert got[i] == pytest.approx(s, abs=1e-6)
+
+
+def test_like_search_constant_score(docs_df):
+    got = like_search(docs_df, ["spark", "merge"]).collect()
+    assert {r.doc_id for r in got} == {0, 1, 3}
+    assert all(r.score == pytest.approx(0.6) for r in got)
