@@ -28,6 +28,9 @@ from memfuse_spark.operators.fusion import (
     weighted_sum_fusion,
 )
 from memfuse_spark.plans.pipeline import anchor_vector, hybrid_retrieval
+from memfuse_spark import oracles
+from memfuse_spark.operators import dedup as dedup_ops
+from memfuse_spark.operators import textanalysis as ta_ops
 
 # ---------------------------------------------------------------------------
 # fixed query parameters (deterministic; shared by Spark and oracle sides)
@@ -219,6 +222,78 @@ def q_events_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- dedup suite ---------------------------------------------------------
+
+def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: hash-groupBy, keep lowest id per content group."""
+    (docs,) = _tables(spark, sf_dir, "documents")
+    return dedup_ops.exact_dedup(docs)
+
+
+def q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup pairs verified by exact shingle jaccard."""
+    (docs,) = _tables(spark, sf_dir, "documents")
+    return dedup_ops.minhash_lsh_pairs(docs)
+
+
+def q_minhash_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Documents surviving near-dup removal (drop higher id of pair)."""
+    (docs,) = _tables(spark, sf_dir, "documents")
+    return dedup_ops.minhash_dedup_keep(docs)
+
+
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document 32-bit tf-weighted simhash."""
+    (docs,) = _tables(spark, sf_dir, "documents")
+    return dedup_ops.simhash(docs).orderBy("doc_id")
+
+
+def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simhash near-dup pairs (byte-banded candidates, hamming ≤ 3)."""
+    (docs,) = _tables(spark, sf_dir, "documents")
+    return dedup_ops.simhash_pairs(docs)
+
+
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Char-5-gram jaccard over LSH candidate pairs."""
+    (docs,) = _tables(spark, sf_dir, "documents")
+    sh = dedup_ops.shingle_sets(docs)
+    cands = dedup_ops.lsh_candidate_pairs(dedup_ops.minhash_signature(sh))
+    return dedup_ops.ngram_jaccard_pairs(docs, cands)
+
+
+def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-50 most similar embedding pairs (brute-force baseline)."""
+    (emb,) = _tables(spark, sf_dir, "embeddings")
+    return dedup_ops.embedding_neardup_topk(emb, 50)
+
+
+# --- text analysis ---------------------------------------------------------
+
+def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting per document."""
+    (docs,) = _tables(spark, sf_dir, "documents")
+    return ta_ops.token_stats(docs).orderBy("doc_id")
+
+
+def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic document quality heuristic."""
+    (docs,) = _tables(spark, sf_dir, "documents")
+    return ta_ops.quality_score(docs).orderBy("doc_id")
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID heuristic (CJK + marker-token voting)."""
+    (docs,) = _tables(spark, sf_dir, "documents")
+    return ta_ops.lang_id(docs).orderBy("doc_id")
+
+
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bottom-k char-ngram-hash document fingerprint."""
+    (docs,) = _tables(spark, sf_dir, "documents")
+    return ta_ops.fingerprint(docs).orderBy("doc_id")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_hybrid_rrf(spark, "/root/testdata/sf0.001")
@@ -238,6 +313,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orders_topk": q_orders_topk,
         "revenue_by_nation": q_revenue_by_nation,
         "events_window_agg": q_events_window_agg,
+        "exact_dedup": q_exact_dedup,
+        "minhash_pairs": q_minhash_pairs,
+        "minhash_dedup_keep": q_minhash_dedup_keep,
+        "simhash": q_simhash,
+        "simhash_pairs": q_simhash_pairs,
+        "ngram_jaccard": q_ngram_jaccard,
+        "embedding_neardup": q_embedding_neardup,
+        "token_stats": q_token_stats,
+        "quality_score": q_quality_score,
+        "lang_id": q_lang_id,
+        "fingerprint": q_fingerprint,
     }
 
 
@@ -365,4 +451,15 @@ FROM events
 GROUP BY 1, 2
 ORDER BY hour, event_type
 """,
+        "exact_dedup": oracles.exact_dedup_sql(),
+        "minhash_pairs": oracles.minhash_pairs_sql(),
+        "minhash_dedup_keep": oracles.minhash_dedup_keep_sql(),
+        "simhash": oracles.simhash_sql(),
+        "simhash_pairs": oracles.simhash_pairs_sql(),
+        "ngram_jaccard": oracles.ngram_jaccard_sql(),
+        "embedding_neardup": oracles.embedding_neardup_sql(),
+        "token_stats": oracles.token_stats_sql(),
+        "quality_score": oracles.quality_score_sql(),
+        "lang_id": oracles.lang_id_sql(),
+        "fingerprint": oracles.fingerprint_sql(),
     }

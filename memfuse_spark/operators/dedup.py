@@ -1,0 +1,318 @@
+"""Deduplication suite for large-scale training-data pipelines.
+
+Beyond the reference's result-dedup (memfuse `buffer/query_buffer.py:
+351-374` dedups retrieval results by id — SURVEY.md J8), a 100 TB corpus
+needs document-level dedup. Five strategies, all shuffle-conscious:
+
+- exact_dedup        — hash-groupBy on normalized content; one shuffle.
+- minhash_lsh_pairs  — shingle → minhash signature → banded LSH buckets
+                       → candidate pairs → exact-jaccard verify. The
+                       classic near-dup pipeline (Broder '97); only
+                       bucket-mates are ever paired, so cost is
+                       O(sum of bucket^2), not O(n^2).
+- simhash            — 32-bit simhash (Charikar '02) + byte-banded
+                       candidate pairing on hamming distance.
+- ngram_jaccard_pairs— exact char/word n-gram jaccard for candidates.
+- embedding_neardup  — cosine-threshold / top-k pairs over embeddings
+                       (brute force baseline; the LSH scale path lives
+                       in operators/ann.py).
+
+Determinism contract: every hash is md5-based (identical in Spark and
+DuckDB), so each operator has an exact SQL oracle twin.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from memfuse_spark.functions.text import tokenize, word_shingles
+from memfuse_spark.functions.vector import cosine_similarity
+
+NUM_HASHES = 12
+BANDS = 6  # rows per band = NUM_HASHES // BANDS = 2
+SHINGLE_N = 3
+JACCARD_THRESHOLD = 0.8
+SIMHASH_BITS = 32
+
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+def exact_dedup(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Keep the lowest id per exact-content group (hash-groupBy; the md5
+    key keeps shuffle rows narrow — content never shuffles)."""
+    keyed = docs.select(
+        F.col(id_col).alias("doc_id"), F.md5(F.lower(F.col(text_col))).alias("content_hash")
+    )
+    return (
+        keyed.groupBy("content_hash")
+        .agg(F.min("doc_id").alias("keep_id"), F.count("*").alias("group_size"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# minhash + LSH
+# ---------------------------------------------------------------------------
+
+def shingle_sets(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = SHINGLE_N
+) -> DataFrame:
+    """(doc_id, shingles: array<string>) — distinct word n-gram shingles."""
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.array_distinct(word_shingles(tokenize(text_col), n)).alias("shingles"),
+    )
+
+
+def minhash_signature(shingled: DataFrame, num_hashes: int = NUM_HASHES) -> DataFrame:
+    """(doc_id, h0..h{H-1}) — per-seed min of md5(seed|shingle).
+
+    One explode + one groupBy with H min-aggregates: map-side combined,
+    a single narrow shuffle of (doc_id, H×32B) rows regardless of
+    document size.
+    """
+    exploded = shingled.select("doc_id", F.explode("shingles").alias("sh"))
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{h}|"), F.col("sh")))).alias(f"h{h}")
+        for h in range(num_hashes)
+    ]
+    return exploded.groupBy("doc_id").agg(*aggs)
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame,
+    bands: int = BANDS,
+    num_hashes: int = NUM_HASHES,
+) -> DataFrame:
+    """(doc_a, doc_b) candidate pairs sharing ≥1 LSH band bucket.
+
+    Buckets are md5(band hashes) so the self-join key is a fixed-width
+    string; the join is an equi-join on (band, bucket) — Catalyst
+    shuffles both sides by the bucket key, and only same-bucket rows
+    ever meet.
+    """
+    rows_per_band = num_hashes // bands
+    band_rows = None
+    for b in range(bands):
+        cols = [F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)]
+        one = signatures.select(
+            "doc_id",
+            F.lit(b).alias("band"),
+            F.md5(F.concat_ws("|", *cols)).alias("bucket"),
+        )
+        band_rows = one if band_rows is None else band_rows.unionByName(one)
+    a = band_rows.select(F.col("doc_id").alias("doc_a"), "band", "bucket")
+    b_ = band_rows.select(F.col("doc_id").alias("doc_b"), "band", "bucket")
+    return (
+        a.join(b_, ["band", "bucket"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+
+
+def jaccard(a: Column, b: Column) -> Column:
+    """Exact Jaccard of two (distinct) string arrays."""
+    return F.size(F.array_intersect(a, b)) / F.size(F.array_union(a, b))
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = JACCARD_THRESHOLD,
+    n: int = SHINGLE_N,
+    num_hashes: int = NUM_HASHES,
+    bands: int = BANDS,
+    score_decimals: int = 6,
+) -> DataFrame:
+    """Full near-dup pipeline: LSH candidates verified by exact jaccard.
+
+    Returns (doc_a, doc_b, jaccard) for pairs ≥ threshold. The verify
+    join rehydrates shingle sets only for candidate ids (a tiny set),
+    so full documents are never pairwise-shuffled.
+    """
+    sh = shingle_sets(docs, id_col, text_col, n)
+    cands = lsh_candidate_pairs(minhash_signature(sh, num_hashes), bands, num_hashes)
+    verified = (
+        cands.join(sh.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("shingles", "sh_a"), "doc_a")
+        .join(sh.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("shingles", "sh_b"), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(jaccard(F.col("sh_a"), F.col("sh_b")), score_decimals).alias("jaccard"),
+        )
+    )
+    return verified.filter(F.col("jaccard") >= threshold).orderBy("doc_a", "doc_b")
+
+
+def minhash_dedup_keep(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = JACCARD_THRESHOLD,
+) -> DataFrame:
+    """Docs surviving near-dup removal: drop the higher id of each
+    verified pair ("keep first" — deterministic, no iterative
+    connected components; matches common pipeline practice)."""
+    pairs = minhash_lsh_pairs(docs, id_col, text_col, threshold)
+    drop = pairs.select(F.col("doc_b").alias("doc_id")).distinct()
+    return (
+        docs.select(F.col(id_col).alias("doc_id"))
+        .join(drop, "doc_id", "left_anti")
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# simhash
+# ---------------------------------------------------------------------------
+
+def _token_hash32(col: Column) -> Column:
+    """Stable 32-bit token hash: first 8 hex chars of md5 → BIGINT.
+    (Identical via CAST('0x'||… AS BIGINT) in DuckDB.)"""
+    return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("bigint")
+
+
+def simhash(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bits: int = SIMHASH_BITS,
+) -> DataFrame:
+    """(doc_id, simhash) — tf-weighted Charikar simhash over tokens.
+
+    explode → per-(doc,token) tf → for each bit, signed tf sum → bit.
+    All column arithmetic; one narrow shuffle on doc_id.
+    """
+    tf = (
+        docs.select(F.col(id_col).alias("doc_id"), F.explode(tokenize(text_col)).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").alias("tf"))
+        .withColumn("th", _token_hash32(F.col("tok")))
+    )
+    bit_sums = [
+        F.sum(
+            F.when(F.shiftright(F.col("th"), i).bitwiseAND(F.lit(1)) == 1, F.col("tf")).otherwise(
+                -F.col("tf")
+            )
+        ).alias(f"s{i}")
+        for i in range(bits)
+    ]
+    sums = tf.groupBy("doc_id").agg(*bit_sums)
+    sim = None
+    for i in range(bits):
+        term = F.when(F.col(f"s{i}") > 0, F.lit(2 ** i)).otherwise(F.lit(0))
+        sim = term if sim is None else sim + term
+    return sums.select("doc_id", sim.cast("bigint").alias("simhash"))
+
+
+def simhash_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+    bits: int = SIMHASH_BITS,
+) -> DataFrame:
+    """Near-dup pairs by simhash hamming distance ≤ max_hamming.
+
+    Scale path: band the hash into 4 bytes — pairs within hamming ≤ 3
+    must agree on ≥1 whole byte (pigeonhole), so candidates come from
+    4 equi-joins on (byte_index, byte_value), never a cross join.
+    """
+    sh = simhash(docs, id_col, text_col, bits)
+    n_bytes = bits // 8
+    banded = None
+    for i in range(n_bytes):
+        one = sh.select(
+            "doc_id",
+            "simhash",
+            F.lit(i).alias("byte_idx"),
+            F.shiftright(F.col("simhash"), i * 8).bitwiseAND(F.lit(255)).alias("byte_val"),
+        )
+        banded = one if banded is None else banded.unionByName(one)
+    a = banded.select(
+        F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sim_a"), "byte_idx", "byte_val"
+    )
+    b = banded.select(
+        F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sim_b"), "byte_idx", "byte_val"
+    )
+    cands = (
+        a.join(b, ["byte_idx", "byte_val"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "sim_a", "sim_b")
+        .distinct()
+    )
+    ham = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
+    return (
+        cands.withColumn("hamming", ham)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+# ---------------------------------------------------------------------------
+# n-gram jaccard (char level)
+# ---------------------------------------------------------------------------
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    candidates: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 5,
+    score_decimals: int = 6,
+) -> DataFrame:
+    """Exact char-n-gram jaccard for given (doc_a, doc_b) candidates."""
+    from memfuse_spark.functions.text import char_ngrams
+
+    grams = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.array_distinct(char_ngrams(F.col(text_col), n)).alias("grams"),
+    )
+    return (
+        candidates.join(grams.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("grams", "g_a"), "doc_a")
+        .join(grams.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("grams", "g_b"), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(jaccard(F.col("g_a"), F.col("g_b")), score_decimals).alias("jaccard"),
+        )
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+# ---------------------------------------------------------------------------
+# embedding near-dup
+# ---------------------------------------------------------------------------
+
+def embedding_neardup_topk(
+    embeddings: DataFrame,
+    k: int = 50,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    score_decimals: int = 6,
+) -> DataFrame:
+    """Top-k most-similar embedding pairs (brute-force baseline).
+
+    O(n²) scoring — correct at correctness-tier scale; at 100 TB use
+    operators/ann.py LSH buckets as the candidate generator and feed
+    pairs through the same cosine verify.
+    """
+    a = embeddings.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("v_a"))
+    b = embeddings.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("v_b"))
+    pairs = a.join(b, F.col("id_a") < F.col("id_b"))
+    return (
+        pairs.select(
+            "id_a",
+            "id_b",
+            F.round(cosine_similarity(F.col("v_a"), F.col("v_b")), score_decimals).alias("cosine"),
+        )
+        .orderBy(F.desc("cosine"), F.asc("id_a"), F.asc("id_b"))
+        .limit(k)
+    )

@@ -1,0 +1,124 @@
+"""Text analysis for training-data pipelines: token stats, quality
+scoring, language ID, document fingerprinting.
+
+Extends the reference's text handling (token counting memfuse
+`buffer/round_buffer.py:113` / `memory/m0.py:109-126`, CJK-aware word
+count `rag/chunk/contextual.py:197-261`, quality score
+`memory/m1.py:196-229`) to corpus-scale operators. Everything is column
+arithmetic inside whole-stage codegen; each has an exact DuckDB twin.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from memfuse_spark.functions.text import CJK_RE, char_ngrams, tokenize
+
+STOPWORDS = ("the", "a", "and", "of", "to", "in", "is", "it")
+
+# tiny marker lexicons for the language-ID heuristic (stopword-hit voting;
+# CJK characters short-circuit to zh)
+LANG_MARKERS = {
+    "de": ("der", "die", "das", "und", "ist", "nicht", "de"),
+    "fr": ("le", "la", "les", "et", "est", "une", "fr"),
+    "es": ("el", "los", "las", "y", "es", "una", "es"),
+    "zh": ("zh",),
+}
+
+
+def token_stats(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(doc_id, n_tokens, n_unique_tokens, avg_token_len)."""
+    toks = docs.select(F.col(id_col).alias("doc_id"), tokenize(text_col).alias("tk"))
+    total_len = F.aggregate(
+        F.transform(F.col("tk"), lambda t: F.length(t)), F.lit(0), lambda a, x: a + x
+    )
+    return toks.select(
+        "doc_id",
+        F.size("tk").alias("n_tokens"),
+        F.size(F.array_distinct("tk")).alias("n_unique_tokens"),
+        F.round(
+            F.when(F.size("tk") > 0, total_len / F.size("tk")).otherwise(F.lit(0.0)), 6
+        ).alias("avg_token_len"),
+    )
+
+
+def quality_score(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Deterministic quality heuristic in [0,1]:
+
+        0.3·min(n_tokens/100, 1)          (length)
+      + 0.3·(1 − stopword_ratio)          (information density)
+      + 0.2·min(avg_token_len/8, 1)       (lexical richness)
+      + 0.2·(alnum_chars/chars)           (cleanliness)
+    """
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"), tokenize(text_col).alias("tk")
+    )
+    n = F.size("tk")
+    stop_hits = F.size(F.filter(F.col("tk"), lambda t: t.isin(*STOPWORDS)))
+    total_len = F.aggregate(
+        F.transform(F.col("tk"), lambda t: F.length(t)), F.lit(0), lambda a, x: a + x
+    )
+    avg_len = F.when(n > 0, total_len / n).otherwise(F.lit(0.0))
+    alnum = F.length(F.regexp_replace(F.col("text"), "[^a-zA-Z0-9]", ""))
+    chars = F.length("text")
+    alnum_ratio = F.when(chars > 0, alnum / chars).otherwise(F.lit(0.0))
+    stop_ratio = F.when(n > 0, stop_hits / n).otherwise(F.lit(0.0))
+    q = (
+        0.3 * F.least(n / F.lit(100.0), F.lit(1.0))
+        + 0.3 * (1.0 - stop_ratio)
+        + 0.2 * F.least(avg_len / F.lit(8.0), F.lit(1.0))
+        + 0.2 * alnum_ratio
+    )
+    return toks.select("doc_id", F.round(q, 6).alias("quality"))
+
+
+def lang_id(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(doc_id, lang_pred) — n-gram/stopword-voting language heuristic.
+
+    CJK characters → zh; otherwise the language with the most marker-
+    token hits (ties and zero hits → en; fixed vote order de,fr,es,zh).
+    """
+    toks = docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"), tokenize(text_col).alias("tk"))
+    def _hits(markers: tuple[str, ...]):
+        return F.size(F.filter(F.col("tk"), lambda t: t.isin(*markers)))
+
+    hits = {lang: _hits(markers) for lang, markers in LANG_MARKERS.items()}
+    cjk_chars = F.length("text") - F.length(F.regexp_replace("text", CJK_RE, ""))
+    mx = F.greatest(*hits.values())
+    pred = (
+        F.when(cjk_chars > 0, F.lit("zh"))
+        .when(mx == 0, F.lit("en"))
+        .when(hits["de"] == mx, F.lit("de"))
+        .when(hits["fr"] == mx, F.lit("fr"))
+        .when(hits["es"] == mx, F.lit("es"))
+        .otherwise(F.lit("zh"))
+    )
+    return toks.select("doc_id", pred.alias("lang_pred"))
+
+
+def fingerprint(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+    k: int = 4,
+) -> DataFrame:
+    """(doc_id, fingerprint) — bottom-k sketch of char-n-gram hashes.
+
+    The k smallest md5 hashes of the document's char n-grams, joined.
+    Robust to local edits (winnowing-style), fixed-width output, exact
+    SQL twin. Entirely array expressions — no shuffle at all.
+    """
+    grams = F.array_distinct(char_ngrams(F.col(text_col), n))
+    hashes = F.array_sort(F.transform(grams, lambda g: F.md5(g)))
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.concat_ws("", F.slice(hashes, 1, k)).alias("fingerprint"),
+    )

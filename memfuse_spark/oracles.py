@@ -1,0 +1,299 @@
+"""DuckDB oracle SQL twins for the dedup and text-analysis operators.
+
+Each generator mirrors its Spark operator parameter-for-parameter; shared
+constants come from the operator modules so the two sides cannot drift.
+Hashes are md5 (identical in Spark and DuckDB); float outputs are rounded
+to 6 decimals on both sides.
+"""
+
+from __future__ import annotations
+
+from memfuse_spark.operators.dedup import (
+    BANDS,
+    JACCARD_THRESHOLD,
+    NUM_HASHES,
+    SHINGLE_N,
+    SIMHASH_BITS,
+)
+from memfuse_spark.operators.textanalysis import LANG_MARKERS, STOPWORDS
+
+# --- shared CTE fragments --------------------------------------------------
+
+TOKS_CTE = """
+toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                     t -> len(t) > 0) AS tk
+  FROM documents
+)"""
+
+
+def _shingles_cte(n: int = SHINGLE_N) -> str:
+    return f"""
+shingles AS (
+  SELECT doc_id, list_distinct(
+    CASE WHEN len(tk) >= {n}
+         THEN [array_to_string(tk[i:i+{n - 1}], ' ')
+               for i in range(1, len(tk) - {n - 1} + 1)]
+         ELSE [array_to_string(tk, ' ')]
+    END) AS s
+  FROM toks
+)"""
+
+
+def _sig_cte(num_hashes: int = NUM_HASHES) -> str:
+    mins = ", ".join(
+        f"min(md5('{h}|' || sh)) AS h{h}" for h in range(num_hashes)
+    )
+    return f"""
+sigs AS (
+  SELECT doc_id, {mins}
+  FROM (SELECT doc_id, unnest(s) AS sh FROM shingles)
+  GROUP BY doc_id
+)"""
+
+
+def _bands_cte(bands: int = BANDS, num_hashes: int = NUM_HASHES) -> str:
+    rows = num_hashes // bands
+    parts = []
+    for b in range(bands):
+        cols = " || '|' || ".join(f"h{b * rows + r}" for r in range(rows))
+        parts.append(
+            f"SELECT doc_id, {b} AS band, md5({cols}) AS bucket FROM sigs"
+        )
+    return "bands AS (\n" + "\n  UNION ALL\n".join(parts) + "\n)"
+
+
+def _cands_cte() -> str:
+    return """
+cands AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+)"""
+
+
+def _minhash_prefix(n: int = SHINGLE_N) -> str:
+    return (
+        "WITH "
+        + TOKS_CTE
+        + ","
+        + _shingles_cte(n)
+        + ","
+        + _sig_cte()
+        + ","
+        + _bands_cte()
+        + ","
+        + _cands_cte()
+    )
+
+
+# --- dedup oracles ----------------------------------------------------------
+
+def exact_dedup_sql() -> str:
+    return """
+SELECT md5(lower(text)) AS content_hash,
+       min(doc_id) AS keep_id, count(*) AS group_size
+FROM documents GROUP BY 1
+"""
+
+
+def minhash_pairs_sql(threshold: float = JACCARD_THRESHOLD) -> str:
+    return (
+        _minhash_prefix()
+        + f"""
+SELECT doc_a, doc_b,
+       round(len(list_intersect(sa.s, sb.s))::DOUBLE
+             / len(list_distinct(list_concat(sa.s, sb.s))), 6) AS jaccard
+FROM cands
+JOIN shingles sa ON sa.doc_id = doc_a
+JOIN shingles sb ON sb.doc_id = doc_b
+WHERE len(list_intersect(sa.s, sb.s))::DOUBLE
+      / len(list_distinct(list_concat(sa.s, sb.s))) >= {threshold}
+ORDER BY doc_a, doc_b
+"""
+    )
+
+
+def minhash_dedup_keep_sql(threshold: float = JACCARD_THRESHOLD) -> str:
+    return (
+        _minhash_prefix()
+        + f""",
+dropped AS (
+  SELECT DISTINCT doc_b AS doc_id
+  FROM cands
+  JOIN shingles sa ON sa.doc_id = doc_a
+  JOIN shingles sb ON sb.doc_id = doc_b
+  WHERE round(len(list_intersect(sa.s, sb.s))::DOUBLE
+        / len(list_distinct(list_concat(sa.s, sb.s))), 6) >= {threshold}
+)
+SELECT d.doc_id FROM documents d
+LEFT JOIN dropped USING (doc_id)
+WHERE dropped.doc_id IS NULL
+ORDER BY d.doc_id
+"""
+    )
+
+
+def simhash_sql(bits: int = SIMHASH_BITS) -> str:
+    bit_sums = ", ".join(
+        f"sum(CASE WHEN (th >> {i}) & 1 = 1 THEN tf ELSE -tf END) AS s{i}"
+        for i in range(bits)
+    )
+    bit_terms = " + ".join(
+        f"CASE WHEN s{i} > 0 THEN {2 ** i} ELSE 0 END" for i in range(bits)
+    )
+    return f"""
+WITH {TOKS_CTE.strip()},
+tf AS (
+  SELECT doc_id, tok, count(*) AS tf,
+         CAST('0x' || substring(md5(tok), 1, 8) AS BIGINT) AS th
+  FROM (SELECT doc_id, unnest(tk) AS tok FROM toks)
+  GROUP BY doc_id, tok
+),
+sums AS (SELECT doc_id, {bit_sums} FROM tf GROUP BY doc_id)
+SELECT doc_id, CAST({bit_terms} AS BIGINT) AS simhash
+FROM sums ORDER BY doc_id
+"""
+
+
+def simhash_pairs_sql(max_hamming: int = 3, bits: int = SIMHASH_BITS) -> str:
+    n_bytes = bits // 8
+    band_parts = "\n  UNION ALL\n".join(
+        f"SELECT doc_id, simhash, {i} AS byte_idx, (simhash >> {i * 8}) & 255 AS byte_val FROM sim"
+        for i in range(n_bytes)
+    )
+    inner = simhash_sql(bits).strip().removesuffix("ORDER BY doc_id\n").rstrip()
+    # wrap the per-doc simhash as a CTE
+    return f"""
+WITH sim AS ({inner}),
+banded AS (
+{band_parts}
+),
+cands AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                  a.simhash AS sim_a, b.simhash AS sim_b
+  FROM banded a JOIN banded b
+    ON a.byte_idx = b.byte_idx AND a.byte_val = b.byte_val
+   AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, CAST(bit_count(xor(sim_a, sim_b)) AS INT) AS hamming
+FROM cands
+WHERE bit_count(xor(sim_a, sim_b)) <= {max_hamming}
+ORDER BY doc_a, doc_b
+"""
+
+
+def ngram_jaccard_sql(n: int = 5) -> str:
+    """Char-n-gram jaccard over minhash-LSH candidate pairs."""
+    return (
+        _minhash_prefix()
+        + f""",
+grams AS (
+  SELECT doc_id, list_distinct(
+    [substring(lower(text), i, {n})
+     for i in range(1, greatest(len(lower(text)) - {n - 1}, 1) + 1)]) AS g
+  FROM documents
+)
+SELECT doc_a, doc_b,
+       round(len(list_intersect(ga.g, gb.g))::DOUBLE
+             / len(list_distinct(list_concat(ga.g, gb.g))), 6) AS jaccard
+FROM cands
+JOIN grams ga ON ga.doc_id = doc_a
+JOIN grams gb ON gb.doc_id = doc_b
+ORDER BY doc_a, doc_b
+"""
+    )
+
+
+def embedding_neardup_sql(k: int = 50) -> str:
+    cos = (
+        "round(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))"
+        " / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))"
+        " * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))), 6)"
+    )
+    return f"""
+SELECT a.vec_id AS id_a, b.vec_id AS id_b, {cos} AS cosine
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+ORDER BY cosine DESC, id_a ASC, id_b ASC
+LIMIT {k}
+"""
+
+
+# --- text-analysis oracles ---------------------------------------------------
+
+def token_stats_sql() -> str:
+    return f"""
+WITH {TOKS_CTE.strip()}
+SELECT doc_id,
+       len(tk) AS n_tokens,
+       len(list_distinct(tk)) AS n_unique_tokens,
+       round(CASE WHEN len(tk) > 0
+                  THEN list_sum(list_transform(tk, t -> len(t)))::DOUBLE / len(tk)
+                  ELSE 0.0 END, 6) AS avg_token_len
+FROM toks ORDER BY doc_id
+"""
+
+
+def quality_score_sql() -> str:
+    stop_list = ", ".join(f"'{s}'" for s in STOPWORDS)
+    return f"""
+WITH {TOKS_CTE.strip()},
+base AS (
+  SELECT d.doc_id, d.text, t.tk,
+         len(t.tk) AS n,
+         len(list_filter(t.tk, x -> x IN ({stop_list}))) AS stop_hits,
+         list_sum(list_transform(t.tk, x -> len(x))) AS total_len,
+         len(regexp_replace(d.text, '[^a-zA-Z0-9]', '', 'g')) AS alnum,
+         len(d.text) AS chars
+  FROM documents d JOIN toks t USING (doc_id)
+)
+SELECT doc_id,
+       round(0.3 * least(n / 100.0, 1.0)
+           + 0.3 * (1.0 - CASE WHEN n > 0 THEN stop_hits::DOUBLE / n ELSE 0.0 END)
+           + 0.2 * least((CASE WHEN n > 0 THEN total_len::DOUBLE / n ELSE 0.0 END) / 8.0, 1.0)
+           + 0.2 * (CASE WHEN chars > 0 THEN alnum::DOUBLE / chars ELSE 0.0 END), 6)
+       AS quality
+FROM base ORDER BY doc_id
+"""
+
+
+def lang_id_sql() -> str:
+    def hits(lang: str) -> str:
+        lst = ", ".join(f"'{m}'" for m in LANG_MARKERS[lang])
+        return f"len(list_filter(tk, x -> x IN ({lst})))"
+
+    # RE2 syntax (DuckDB) — the Spark side uses Java \uXXXX escapes
+    cjk = "[\\x{4e00}-\\x{9fff}\\x{3040}-\\x{30ff}\\x{ac00}-\\x{d7af}]"
+    return f"""
+WITH {TOKS_CTE.strip()},
+scored AS (
+  SELECT d.doc_id,
+         {hits('de')} AS h_de, {hits('fr')} AS h_fr,
+         {hits('es')} AS h_es, {hits('zh')} AS h_zh,
+         len(d.text) - len(regexp_replace(d.text, '{cjk}', '', 'g')) AS cjk_chars
+  FROM documents d JOIN toks t USING (doc_id)
+)
+SELECT doc_id,
+       CASE WHEN cjk_chars > 0 THEN 'zh'
+            WHEN greatest(h_de, h_fr, h_es, h_zh) = 0 THEN 'en'
+            WHEN h_de = greatest(h_de, h_fr, h_es, h_zh) THEN 'de'
+            WHEN h_fr = greatest(h_de, h_fr, h_es, h_zh) THEN 'fr'
+            WHEN h_es = greatest(h_de, h_fr, h_es, h_zh) THEN 'es'
+            ELSE 'zh' END AS lang_pred
+FROM scored ORDER BY doc_id
+"""
+
+
+def fingerprint_sql(n: int = 8, k: int = 4) -> str:
+    return f"""
+WITH grams AS (
+  SELECT doc_id, list_distinct(
+    [substring(lower(text), i, {n})
+     for i in range(1, greatest(len(lower(text)) - {n - 1}, 1) + 1)]) AS g
+  FROM documents
+)
+SELECT doc_id,
+       array_to_string(list_sort(list_transform(g, x -> md5(x)))[1:{k}], '') AS fingerprint
+FROM grams ORDER BY doc_id
+"""

@@ -1,0 +1,76 @@
+"""Dedup operators on synthetic corpora with planted duplicates."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from memfuse_spark.operators import dedup
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while the cat watches "
+    "from a warm windowsill in the late afternoon sun"
+)
+DOCS = [
+    (0, BASE),
+    (1, BASE),  # exact dup of 0
+    (2, BASE.replace("lazy", "sleepy")),  # near dup of 0
+    (3, "completely different content about distributed query engines and shuffles"),
+    (4, "spark catalyst optimizer pushes filters below joins for scan pruning"),
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(DOCS, "doc_id bigint, text string")
+
+
+def test_exact_dedup(docs):
+    got = dedup.exact_dedup(docs).collect()
+    groups = {r.keep_id: r.group_size for r in got}
+    assert groups[0] == 2  # docs 0 and 1 collapse, keep id 0
+    assert groups[2] == 1 and groups[3] == 1 and groups[4] == 1
+
+
+def test_minhash_finds_planted_neardups(docs):
+    pairs = dedup.minhash_lsh_pairs(docs, threshold=0.5).collect()
+    got = {(r.doc_a, r.doc_b): r.jaccard for r in pairs}
+    assert got[(0, 1)] == pytest.approx(1.0)  # exact dup
+    assert (0, 2) in got and got[(0, 2)] > 0.5  # near dup
+    assert all(3 not in p and 4 not in p for p in got)  # unrelated never paired
+
+
+def test_minhash_dedup_keep_drops_higher_ids(docs):
+    kept = {r.doc_id for r in dedup.minhash_dedup_keep(docs, threshold=0.5).collect()}
+    assert 0 in kept and 1 not in kept and 2 not in kept
+    assert {3, 4} <= kept
+
+
+def test_simhash_identical_docs_equal(docs):
+    sh = {r.doc_id: r.simhash for r in dedup.simhash(docs).collect()}
+    assert sh[0] == sh[1]
+    assert 0 <= sh[0] < 2**32
+    pairs = {(r.doc_a, r.doc_b): r.hamming for r in dedup.simhash_pairs(docs, max_hamming=3).collect()}
+    assert pairs[(0, 1)] == 0
+
+
+def test_ngram_jaccard_on_candidates(spark, docs):
+    cands = spark.createDataFrame([(0, 1), (0, 3)], "doc_a bigint, doc_b bigint")
+    got = {(r.doc_a, r.doc_b): r.jaccard for r in dedup.ngram_jaccard_pairs(docs, cands).collect()}
+    assert got[(0, 1)] == pytest.approx(1.0)
+    assert got[(0, 3)] < 0.1
+
+
+def test_embedding_neardup_topk(spark):
+    emb = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0, 0.0]),
+            (1, [0.999, 0.01, 0.0]),
+            (2, [0.0, 1.0, 0.0]),
+            (3, [-1.0, 0.0, 0.0]),
+        ],
+        "vec_id bigint, embedding array<double>",
+    )
+    got = dedup.embedding_neardup_topk(emb, 2).collect()
+    assert (got[0].id_a, got[0].id_b) == (0, 1)
+    assert got[0].cosine > 0.99

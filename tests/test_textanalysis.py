@@ -1,0 +1,63 @@
+"""Text-analysis operators vs hand-computed expectations."""
+
+from __future__ import annotations
+
+import pytest
+
+from memfuse_spark.functions.text import word_count_cjk
+from memfuse_spark.operators import textanalysis as ta
+
+DOCS = [
+    (0, "The quick brown fox"),
+    (1, "the the the a of to in is it"),  # all stopwords
+    (2, "zh window merge spark"),  # marker-token zh
+    (3, "der hund und die katze"),  # marker-token de
+    (4, "plain english text with no markers"),
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(DOCS, "doc_id bigint, text string")
+
+
+def test_token_stats(docs):
+    got = {r.doc_id: r for r in ta.token_stats(docs).collect()}
+    assert got[0].n_tokens == 4
+    assert got[0].n_unique_tokens == 4
+    assert got[0].avg_token_len == pytest.approx((3 + 5 + 5 + 3) / 4, abs=1e-6)
+    assert got[1].n_unique_tokens == 7
+
+
+def test_quality_scores_order(docs):
+    got = {r.doc_id: r.quality for r in ta.quality_score(docs).collect()}
+    # all-stopword doc scores lower than plain english doc
+    assert got[1] < got[4]
+    assert all(0.0 <= q <= 1.0 for q in got.values())
+
+
+def test_lang_id_markers(docs):
+    got = {r.doc_id: r.lang_pred for r in ta.lang_id(docs).collect()}
+    assert got[2] == "zh"
+    assert got[3] == "de"
+    assert got[4] == "en"
+    assert got[0] == "en"
+
+
+def test_lang_id_cjk(spark):
+    df = spark.createDataFrame([(0, "你好 世界 hello")], "doc_id bigint, text string")
+    assert ta.lang_id(df).first().lang_pred == "zh"
+
+
+def test_word_count_cjk(spark):
+    df = spark.createDataFrame([("hello 世界 there",)], "t string")
+    # 2 whitespace words + 2 CJK chars
+    assert df.select(word_count_cjk("t").alias("n")).first().n == 4
+
+
+def test_fingerprint_stability(spark, docs):
+    fp1 = {r.doc_id: r.fingerprint for r in ta.fingerprint(docs).collect()}
+    fp2 = {r.doc_id: r.fingerprint for r in ta.fingerprint(docs).collect()}
+    assert fp1 == fp2
+    assert len(set(fp1.values())) == len(fp1)  # distinct docs → distinct prints
+    assert all(len(v) == 4 * 32 for v in fp1.values())
