@@ -43,6 +43,8 @@ FIRST_STAGE_K = 30
 HYBRID_WEIGHTS = {"vector": 0.5, "keyword": 0.2}
 RRF_K = 60.0
 
+from memfuse_spark.operators.graph import SIM_EDGE_THRESHOLD as _SIM_T  # noqa: E402
+
 # DuckDB cosine-vs-anchor CTE fragment (embeddings table pre-registered).
 _COS_SQL = (
     "round(list_dot_product(CAST(e.embedding AS DOUBLE[]), q.qv) / "
@@ -268,6 +270,105 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_ops.embedding_neardup_topk(emb, 50)
 
 
+# --- hierarchy M0 -> M1 -> M2 ------------------------------------------------
+
+def q_m0_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M0 raw records with per-conversation sequence numbers."""
+    from memfuse_spark.operators import hierarchy as h
+
+    (events,) = _tables(spark, sf_dir, "events")
+    return (
+        h.m0_from_events(events)
+        .select("message_id", "conversation_id", "role", "content", "sequence_number")
+        .orderBy("message_id")
+    )
+
+
+def q_m1_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M1 episodic chunks: C1 concat + lineage + hash embedding (X8)."""
+    from memfuse_spark.operators import hierarchy as h
+
+    (events,) = _tables(spark, sf_dir, "events")
+    return h.m1_from_m0(h.m0_from_events(events)).orderBy("chunk_id")
+
+
+def q_m2_facts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M2 semantic facts: rule-based extraction + confidence >= 0.7."""
+    from memfuse_spark.operators import hierarchy as h
+
+    (events,) = _tables(spark, sf_dir, "events")
+    m1 = h.m1_from_m0(h.m0_from_events(events))
+    return h.m2_facts_from_m1(m1).orderBy("chunk_id")
+
+
+def q_m0_m1_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J7 lineage join: chunk -> member messages via array explode."""
+    from memfuse_spark.operators import hierarchy as h
+
+    (events,) = _tables(spark, sf_dir, "events")
+    m0 = h.m0_from_events(events)
+    m1 = h.m1_from_m0(m0)
+    return h.lineage_join(m1, m0).orderBy("chunk_id", "message_id")
+
+
+def q_fixed_char_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C2 fixed-window character chunking (size 200, overlap 20)."""
+    from memfuse_spark.operators.chunking import fixed_char_chunks
+
+    (docs,) = _tables(spark, sf_dir, "documents")
+    return fixed_char_chunks(docs, size=200, overlap=20).orderBy(
+        "doc_id", "chunk_index"
+    )
+
+
+# --- graph path ------------------------------------------------------------
+
+def _graph_edges(spark: SparkSession, sf_dir: str):
+    from memfuse_spark.operators import graph as g
+
+    (emb,) = _tables(spark, sf_dir, "embeddings")
+    return emb, g.build_similarity_edges(emb).unionByName(g.build_follows_edges(emb))
+
+
+def q_graph_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Similarity-edge construction (reference graphml flush behavior)."""
+    _, edges = _graph_edges(spark, sf_dir)
+    return edges.select("src", "dst", "weight", "relation").orderBy("src", "dst", "relation")
+
+
+def q_graph_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J5: 1-hop neighbors of node 0, weight-desc."""
+    from memfuse_spark.operators import graph as g
+
+    _, edges = _graph_edges(spark, sf_dir)
+    return g.neighbors(edges, 0)
+
+
+def q_graph_edges_between(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J6: edge lookup for the (0, 1) pair."""
+    from memfuse_spark.operators import graph as g
+
+    _, edges = _graph_edges(spark, sf_dir)
+    return g.edges_between(edges, 0, 1)
+
+
+def q_graph_2hop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-hop neighborhood expansion from node 0 (frontier joins)."""
+    from memfuse_spark.operators import graph as g
+
+    _, edges = _graph_edges(spark, sf_dir)
+    return g.k_hop(edges, [0], 2).orderBy("node_id")
+
+
+def q_graph_contextual(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U7 three-layer contextual retrieval (similar/connected/rescored)."""
+    from memfuse_spark.operators import graph as g
+
+    emb, edges = _graph_edges(spark, sf_dir)
+    qvec = anchor_vector(spark, emb, ANCHOR_VEC_ID)
+    return g.contextual_retrieval(emb, edges, qvec, k=10)
+
+
 # --- text analysis ---------------------------------------------------------
 
 def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -320,6 +421,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_pairs": q_simhash_pairs,
         "ngram_jaccard": q_ngram_jaccard,
         "embedding_neardup": q_embedding_neardup,
+        "m0_records": q_m0_records,
+        "m1_chunks": q_m1_chunks,
+        "m2_facts": q_m2_facts,
+        "m0_m1_lineage": q_m0_m1_lineage,
+        "fixed_char_chunks": q_fixed_char_chunks,
+        "graph_edges": q_graph_edges,
+        "graph_neighbors": q_graph_neighbors,
+        "graph_edges_between": q_graph_edges_between,
+        "graph_2hop": q_graph_2hop,
+        "graph_contextual": q_graph_contextual,
         "token_stats": q_token_stats,
         "quality_score": q_quality_score,
         "lang_id": q_lang_id,
@@ -458,6 +569,28 @@ ORDER BY hour, event_type
         "simhash_pairs": oracles.simhash_pairs_sql(),
         "ngram_jaccard": oracles.ngram_jaccard_sql(),
         "embedding_neardup": oracles.embedding_neardup_sql(),
+        "m0_records": oracles.m0_records_sql(),
+        "m1_chunks": oracles.m1_chunks_sql(),
+        "m2_facts": oracles.m2_facts_sql(),
+        "m0_m1_lineage": oracles.lineage_sql(),
+        "fixed_char_chunks": """
+WITH chunks AS (
+  SELECT doc_id,
+         [{'idx': i, 'part': substring(text, i * 180 + 1, 200)}
+          for i in range(0, greatest(CAST(ceil((len(text) - 20) / 180.0) AS INT), 1))]
+           AS parts
+  FROM documents
+)
+SELECT doc_id, CAST(t.s.idx AS INT) AS chunk_index, t.s.part AS chunk_text,
+       len(t.s.part) AS chunk_len
+FROM chunks, unnest(parts) AS t(s)
+ORDER BY doc_id, chunk_index
+""",
+        "graph_edges": oracles.graph_edges_sql(_SIM_T),
+        "graph_neighbors": oracles.graph_neighbors_sql(0, _SIM_T),
+        "graph_edges_between": oracles.graph_edges_between_sql(0, 1, _SIM_T),
+        "graph_2hop": oracles.graph_2hop_sql(0, _SIM_T),
+        "graph_contextual": oracles.graph_contextual_sql(ANCHOR_VEC_ID, 10, _SIM_T),
         "token_stats": oracles.token_stats_sql(),
         "quality_score": oracles.quality_score_sql(),
         "lang_id": oracles.lang_id_sql(),

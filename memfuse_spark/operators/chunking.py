@@ -1,0 +1,196 @@
+"""Chunking strategies (SURVEY.md §2.9 C1-C3).
+
+The reference chunks message batches in Python loops (memfuse
+`rag/chunk/message.py:7-60` one-chunk-per-batch; `rag/chunk/character.py:
+15-140` fixed 1000-char windows with 100 overlap snapped to sentence/space
+boundaries; `rag/chunk/contextual.py:30-263` 800-word greedy groups with
+`[role]` formatting). Spark-first:
+
+- C1 message-batch chunk  → groupBy + ordered array_agg + concat (pure SQL).
+- C2 fixed windows        → sequence + substring explode (pure SQL);
+  the boundary-snapping variant is inherently sequential per document →
+  arrow-batched pandas UDF, tested against a Python reference.
+- C3 word-budget grouping → greedy stateful scan per session →
+  applyInPandas per session group (each session fits a worker by
+  construction; sessions parallelize across executors).
+"""
+
+from __future__ import annotations
+
+import math
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+CHAR_CHUNK_SIZE = 1000
+CHAR_CHUNK_OVERLAP = 100
+WORD_BUDGET = 800
+
+
+def message_chunks(
+    messages: DataFrame,
+    group_cols: list[str],
+    order_cols: list[str],
+    role_col: str = "role",
+    content_col: str = "content",
+    id_col: str = "message_id",
+) -> DataFrame:
+    """C1: one chunk per message group; '[role]: content' lines joined by
+    blank lines, members ordered; lineage array carried (J7 source).
+
+    One shuffle on the group key; the ordered concat is an array_sort of
+    collected structs — no window, no second shuffle.
+    """
+    ordered = F.array_sort(
+        F.collect_list(F.struct(*[F.col(c) for c in order_cols], F.col(role_col).alias("__role"), F.col(content_col).alias("__content"), F.col(id_col).alias("__id")))
+    )
+    lines = F.transform(
+        ordered, lambda s: F.format_string("[%s]: %s", s["__role"], s["__content"])
+    )
+    member_ids = F.transform(ordered, lambda s: s["__id"])
+    content = F.concat_ws("\n\n", lines)
+    return (
+        messages.groupBy(*group_cols)
+        .agg(content.alias("content"), member_ids.alias("m0_raw_ids"))
+        .withColumn("token_count", F.ceil(F.length("content") / 4).cast("int"))
+    )
+
+
+def fixed_char_chunks(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    size: int = CHAR_CHUNK_SIZE,
+    overlap: int = CHAR_CHUNK_OVERLAP,
+) -> DataFrame:
+    """C2 (exact-window variant): windows of `size` chars advancing by
+    `size - overlap`. Pure column arithmetic: sequence → substring →
+    explode. No shuffle at all — chunking is embarrassingly parallel.
+    """
+    step = size - overlap
+    s = F.col(text_col)
+    n_chunks = F.greatest(
+        F.ceil((F.length(s) - overlap) / step).cast("int"), F.lit(1)
+    )
+    starts = F.sequence(F.lit(0), n_chunks - 1)
+    chunks = F.transform(starts, lambda i: s.substr(i * step + 1, F.lit(size)))
+    out = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(chunks).alias("chunk_index", "chunk_text"),
+    )
+    return out.withColumn("chunk_len", F.length("chunk_text"))
+
+
+def character_chunks_py(text: str, size: int = CHAR_CHUNK_SIZE, overlap: int = CHAR_CHUNK_OVERLAP) -> list[str]:
+    """Boundary-snapping character chunker (reference rag/chunk/
+    character.py:15-140): cut at the last sentence end ('. ', '! ', '? ')
+    or space before `size`; fall back to a hard cut; next window starts
+    `overlap` chars back from the cut."""
+    chunks = []
+    start = 0
+    n = len(text)
+    while start < n:
+        end = min(start + size, n)
+        if end < n:
+            window = text[start:end]
+            cut = -1
+            for sep in (". ", "! ", "? "):
+                cut = max(cut, window.rfind(sep) + (len(sep) - 1) if window.rfind(sep) >= 0 else cut)
+            if cut <= 0:
+                sp = window.rfind(" ")
+                cut = sp if sp > 0 else -1
+            if cut > 0:
+                end = start + cut + 1
+        chunks.append(text[start:end])
+        if end >= n:
+            break
+        start = max(end - overlap, start + 1)
+    return chunks
+
+
+def character_chunks(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    size: int = CHAR_CHUNK_SIZE,
+    overlap: int = CHAR_CHUNK_OVERLAP,
+) -> DataFrame:
+    """C2 (boundary-snapping): per-document sequential logic → Arrow-
+    batched mapInPandas; schema (doc_id, chunk_index, chunk_text)."""
+    out_schema = f"{id_col} long, chunk_index int, chunk_text string"
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                for idx, ch in enumerate(character_chunks_py(r[text_col], size, overlap)):
+                    rows.append((r[id_col], idx, ch))
+            yield pd.DataFrame(rows, columns=[id_col, "chunk_index", "chunk_text"])
+
+    return docs.select(id_col, text_col).mapInPandas(gen, out_schema)
+
+
+def word_budget_groups_py(counts: list[int], budget: int = WORD_BUDGET) -> list[int]:
+    """Greedy grouping: assign each message a group id, starting a new
+    group when adding the message would exceed the word budget
+    (reference rag/chunk/contextual.py grouping; oversized messages get
+    their own group, matching round_buffer.py:116-129)."""
+    groups = []
+    gid, acc = 0, 0
+    for c in counts:
+        if acc > 0 and acc + c > budget:
+            gid += 1
+            acc = 0
+        groups.append(gid)
+        acc += c
+    return groups
+
+
+def contextual_chunks(
+    messages: DataFrame,
+    session_col: str = "session_id",
+    order_col: str = "sequence_number",
+    role_col: str = "role",
+    content_col: str = "content",
+    id_col: str = "message_id",
+    budget: int = WORD_BUDGET,
+) -> DataFrame:
+    """C3: per-session greedy word-budget grouping then C1-style concat.
+
+    applyInPandas keyed by session: each group is one session's messages
+    (bounded by construction); sessions fan out across executors. Output:
+    (session_id, group_id, content, m0_raw_ids, word_count).
+    """
+    from memfuse_spark.functions.text import word_count_cjk
+
+    with_wc = messages.withColumn("__wc", word_count_cjk(content_col))
+    out_schema = (
+        f"{session_col} string, group_id int, content string, "
+        f"m0_raw_ids array<string>, word_count int"
+    )
+
+    def per_session(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(order_col, kind="mergesort")
+        gids = word_budget_groups_py(list(pdf["__wc"]), budget)
+        pdf = pdf.assign(__gid=gids)
+        rows = []
+        for gid, grp in pdf.groupby("__gid", sort=True):
+            content = "\n\n".join(
+                f"[{r[role_col]}]: {r[content_col]}" for _, r in grp.iterrows()
+            )
+            rows.append(
+                (
+                    str(grp[session_col].iloc[0]),
+                    int(gid),
+                    content,
+                    [str(x) for x in grp[id_col]],
+                    int(grp["__wc"].sum()),
+                )
+            )
+        return pd.DataFrame(
+            rows, columns=[session_col, "group_id", "content", "m0_raw_ids", "word_count"]
+        )
+
+    return with_wc.groupBy(session_col).applyInPandas(per_session, out_schema)

@@ -1,0 +1,152 @@
+"""Graph retrieval path (SURVEY.md §2.3 J5/J6, §2.6 U7).
+
+The reference keeps an igraph/NetworkX graph per user and answers 1-hop
+neighbor queries sorted by edge weight (memfuse `store/graph_store/
+igraph_store.py:437-568`, `graphml_store.py:488-566`), building
+similarity edges between chunks at flush time (`graphml_store.py:
+770-830`). Spark-first: the graph IS two DataFrames (nodes, edges);
+neighbor expansion is an equi-join, k-hop is k chained joins (each a
+shuffle on the frontier only, never the full edge set when the frontier
+is small enough to broadcast).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from memfuse_spark.functions.vector import cosine_similarity
+
+SIM_EDGE_THRESHOLD = 0.35
+
+
+def build_similarity_edges(
+    embeddings: DataFrame,
+    threshold: float = SIM_EDGE_THRESHOLD,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    score_decimals: int = 6,
+) -> DataFrame:
+    """SIMILAR_TO edges between items with cosine ≥ threshold, both
+    directions (the reference graph is undirected; we store both arcs).
+
+    Brute-force pair scoring here (correctness tier); at scale generate
+    candidates with operators/ann.py LSH buckets and verify with the
+    same cosine expression.
+    """
+    a = embeddings.select(F.col(id_col).alias("src"), F.col(vec_col).alias("v_a"))
+    b = embeddings.select(F.col(id_col).alias("dst"), F.col(vec_col).alias("v_b"))
+    pairs = a.join(b, F.col("src") < F.col("dst")).select(
+        "src",
+        "dst",
+        F.round(cosine_similarity(F.col("v_a"), F.col("v_b")), score_decimals).alias("weight"),
+    ).filter(F.col("weight") >= threshold)
+    sym = pairs.unionByName(
+        pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "weight")
+    )
+    return sym.withColumn("relation", F.lit("SIMILAR_TO"))
+
+
+def build_follows_edges(
+    embeddings: DataFrame, id_col: str = "vec_id"
+) -> DataFrame:
+    """FOLLOWS edges between consecutive ids (the reference links
+    consecutive chunks of a session; weight 1.0)."""
+    ids = embeddings.select(F.col(id_col).alias("src"))
+    return ids.select(
+        "src",
+        (F.col("src") + 1).alias("dst"),
+        F.lit(1.0).alias("weight"),
+        F.lit("FOLLOWS").alias("relation"),
+    ).join(
+        embeddings.select(F.col(id_col).alias("dst")), "dst", "left_semi"
+    ).select("src", "dst", "weight", "relation")
+
+
+def neighbors(
+    edges: DataFrame,
+    node_id,
+    relation: str | None = None,
+    limit: int | None = None,
+) -> DataFrame:
+    """J5: 1-hop out-neighbors, optional relation filter, weight-desc
+    order (reference igraph_store.py:437-523)."""
+    out = edges.filter(F.col("src") == node_id)
+    if relation is not None:
+        out = out.filter(F.col("relation") == relation)
+    out = out.select("dst", "relation", "weight").orderBy(
+        F.desc("weight"), F.asc("dst"), F.asc("relation")
+    )
+    return out.limit(limit) if limit else out
+
+
+def edges_between(edges: DataFrame, src, dst, relation: str | None = None) -> DataFrame:
+    """J6: theta-lookup on a (src, dst[, relation]) pair
+    (reference igraph_store.py:523-568)."""
+    out = edges.filter((F.col("src") == src) & (F.col("dst") == dst))
+    if relation is not None:
+        out = out.filter(F.col("relation") == relation)
+    return out.select("src", "dst", "relation", "weight").orderBy("relation")
+
+
+def k_hop(edges: DataFrame, start_ids: list, k: int) -> DataFrame:
+    """k-hop reachable set (distinct node ids with min hop count).
+
+    k chained frontier joins. The frontier is usually tiny → Spark
+    auto-broadcasts it against the (large) edge table, so each hop is a
+    map-side join over the edges; no edge-table shuffle.
+    """
+    spark = edges.sparkSession
+    frontier = spark.createDataFrame([(i,) for i in start_ids], ["node_id"]).withColumn(
+        "hop", F.lit(0)
+    )
+    visited = frontier
+    for hop in range(1, k + 1):
+        nxt = (
+            frontier.join(edges, frontier.node_id == edges.src)
+            .select(F.col("dst").alias("node_id"))
+            .distinct()
+            .withColumn("hop", F.lit(hop))
+        )
+        nxt = nxt.join(visited.select("node_id"), "node_id", "left_anti")
+        visited = visited.unionByName(nxt)
+        frontier = nxt
+    return visited.groupBy("node_id").agg(F.min("hop").alias("hop"))
+
+
+def contextual_retrieval(
+    embeddings: DataFrame,
+    edges: DataFrame,
+    qvec,
+    k: int = 10,
+    id_col: str = "vec_id",
+    score_decimals: int = 6,
+) -> DataFrame:
+    """U7 three-layer contextual retrieval (reference rag/retrieve/
+    hybrid.py:166-249): (1) items similar to the query, (2) items
+    connected to those, (3) connected items re-scored by similarity.
+    Returns (vec_id, score, layer) — one union, layer-tagged.
+    """
+    from memfuse_spark.operators.similarity import similarity_topk
+
+    l1 = similarity_topk(embeddings, qvec, k, id_col=id_col).withColumn(
+        "layer", F.lit("similar")
+    )
+    connected = (
+        l1.select(F.col(id_col).alias("src"))
+        .join(edges, "src")
+        .select(F.col("dst").alias(id_col), F.col("weight").alias("score"))
+        .groupBy(id_col)
+        .agg(F.round(F.max("score"), score_decimals).alias("score"))
+        .join(l1.select(id_col), id_col, "left_anti")
+        .withColumn("layer", F.lit("connected"))
+    )
+    rescored = (
+        connected.select(id_col)
+        .join(embeddings, id_col)
+        .transform(lambda df: similarity_topk(df, qvec, k, id_col=id_col))
+        .withColumn("layer", F.lit("similar_contextual"))
+    )
+    return l1.unionByName(connected).unionByName(rescored).orderBy(
+        "layer", F.desc("score"), F.asc(id_col)
+    )

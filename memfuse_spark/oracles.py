@@ -285,6 +285,214 @@ FROM scored ORDER BY doc_id
 """
 
 
+# --- hierarchy oracles (events as M0) ----------------------------------------
+
+M0_CTE = """
+m0 AS (
+  SELECT event_id AS message_id, user_id AS conversation_id,
+         event_type AS role, props AS content,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS sequence_number
+  FROM events
+)"""
+
+
+def _m1_cte(batch_size: int, dim: int) -> str:
+    from memfuse_spark.functions.vector import hash_embedding_sql
+
+    emb = hash_embedding_sql("content", dim)
+    return f"""
+batched AS (
+  SELECT *, CAST(floor((sequence_number - 1) / {batch_size}) AS INT) AS batch_id
+  FROM m0
+),
+chunks AS (
+  SELECT conversation_id, batch_id,
+         string_agg('[' || role || ']: ' || content, e'\\n\\n'
+                    ORDER BY sequence_number) AS content,
+         list(message_id ORDER BY sequence_number) AS m0_raw_ids
+  FROM batched GROUP BY conversation_id, batch_id
+),
+m1 AS (
+  SELECT conversation_id || '-' || batch_id AS chunk_id,
+         conversation_id, batch_id, content, m0_raw_ids,
+         CAST(ceil(len(content) / 4.0) AS INT) AS token_count,
+         round(least(CAST(ceil(len(content) / 4.0) AS INT) / 200.0, 1.0), 6)
+           AS chunk_quality_score,
+         list_transform({emb}, x -> round(x, 6)) AS embedding
+  FROM chunks
+)"""
+
+
+def m0_records_sql() -> str:
+    return f"WITH {M0_CTE.strip()}\nSELECT message_id, conversation_id, role, content, sequence_number FROM m0 ORDER BY message_id"
+
+
+def m1_chunks_sql(batch_size: int = 5, dim: int = 16) -> str:
+    return (
+        f"WITH {M0_CTE.strip()},{_m1_cte(batch_size, dim)}\n"
+        "SELECT chunk_id, conversation_id, batch_id, content, m0_raw_ids,\n"
+        "       token_count, chunk_quality_score, embedding\n"
+        "FROM m1 ORDER BY chunk_id"
+    )
+
+
+def m2_facts_sql(
+    batch_size: int = 5, dim: int = 16, confidence_threshold: float = 0.7
+) -> str:
+    stop_list = ", ".join(f"'{s}'" for s in STOPWORDS)
+    return (
+        f"WITH {M0_CTE.strip()},{_m1_cte(batch_size, dim)},"
+        + f"""
+toks AS (
+  SELECT chunk_id, conversation_id, t.tok
+  FROM m1, unnest(list_filter(string_split_regex(lower(content), '[^a-z0-9]+'),
+                              x -> len(x) > 0)) AS t(tok)
+  WHERE t.tok NOT IN ({stop_list})
+),
+tf AS (
+  SELECT chunk_id, conversation_id, tok, count(*) AS tf
+  FROM toks GROUP BY chunk_id, conversation_id, tok
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY chunk_id
+                               ORDER BY tf DESC, tok ASC) AS rnk
+  FROM tf
+),
+n_tok AS (SELECT chunk_id, count(*) AS n_tok FROM toks GROUP BY chunk_id),
+agg AS (
+  SELECT r.chunk_id, r.conversation_id,
+         max(CASE WHEN rnk = 1 THEN tok END) AS entity_a,
+         max(CASE WHEN rnk = 2 THEN tok END) AS entity_b,
+         sum(tf) AS top_tf
+  FROM ranked r WHERE rnk <= 2 GROUP BY r.chunk_id, r.conversation_id
+)
+SELECT a.chunk_id, a.conversation_id,
+       entity_a || ' co_occurs_with ' || entity_b AS fact_content,
+       [entity_a, entity_b] AS entities,
+       round(least(0.5 + top_tf::DOUBLE / n.n_tok, 1.0), 6) AS confidence
+FROM agg a JOIN n_tok n ON a.chunk_id = n.chunk_id
+WHERE entity_b IS NOT NULL
+  AND round(least(0.5 + top_tf::DOUBLE / n.n_tok, 1.0), 6) >= {confidence_threshold}
+ORDER BY a.chunk_id
+"""
+    )
+
+
+def lineage_sql(batch_size: int = 5, dim: int = 16) -> str:
+    return (
+        f"WITH {M0_CTE.strip()},{_m1_cte(batch_size, dim)}\n"
+        + """
+SELECT m1.chunk_id, u.message_id, m0.role, m0.sequence_number
+FROM m1, unnest(m0_raw_ids) AS u(message_id)
+JOIN m0 ON m0.message_id = u.message_id
+ORDER BY m1.chunk_id, u.message_id
+"""
+    )
+
+
+# --- graph oracles -----------------------------------------------------------
+
+_PAIR_COS = (
+    "round(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))"
+    " / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))"
+    " * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))), 6)"
+)
+
+
+def edges_cte(threshold: float) -> str:
+    """Edge-table CTE block: symmetric SIMILAR_TO + sequential FOLLOWS."""
+    return f"""
+pairs AS (
+  SELECT a.vec_id AS src, b.vec_id AS dst, {_PAIR_COS} AS weight
+  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+),
+sim AS (SELECT src, dst, weight FROM pairs WHERE weight >= {threshold}),
+edges AS (
+  SELECT src, dst, weight, 'SIMILAR_TO' AS relation FROM sim
+  UNION ALL
+  SELECT dst AS src, src AS dst, weight, 'SIMILAR_TO' AS relation FROM sim
+  UNION ALL
+  SELECT a.vec_id AS src, b.vec_id AS dst, CAST(1.0 AS DOUBLE) AS weight,
+         'FOLLOWS' AS relation
+  FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 1
+)"""
+
+
+def graph_edges_sql(threshold: float) -> str:
+    return f"WITH {edges_cte(threshold).strip()}\nSELECT src, dst, weight, relation FROM edges ORDER BY src, dst, relation"
+
+
+def graph_neighbors_sql(node_id: int, threshold: float, limit: int | None = None) -> str:
+    lim = f"LIMIT {limit}" if limit else ""
+    return f"""
+WITH {edges_cte(threshold).strip()}
+SELECT dst, relation, weight FROM edges WHERE src = {node_id}
+ORDER BY weight DESC, dst ASC, relation ASC {lim}
+"""
+
+
+def graph_edges_between_sql(src: int, dst: int, threshold: float) -> str:
+    return f"""
+WITH {edges_cte(threshold).strip()}
+SELECT src, dst, relation, weight FROM edges
+WHERE src = {src} AND dst = {dst} ORDER BY relation
+"""
+
+
+def graph_2hop_sql(start_id: int, threshold: float) -> str:
+    return f"""
+WITH {edges_cte(threshold).strip()},
+h0 AS (SELECT {start_id} AS node_id, 0 AS hop),
+h1 AS (
+  SELECT DISTINCT e.dst AS node_id, 1 AS hop
+  FROM edges e JOIN h0 ON e.src = h0.node_id
+  WHERE e.dst NOT IN (SELECT node_id FROM h0)
+),
+h2 AS (
+  SELECT DISTINCT e.dst AS node_id, 2 AS hop
+  FROM edges e JOIN h1 ON e.src = h1.node_id
+  WHERE e.dst NOT IN (SELECT node_id FROM h0 UNION ALL SELECT node_id FROM h1)
+)
+SELECT node_id, min(hop) AS hop
+FROM (SELECT * FROM h0 UNION ALL SELECT * FROM h1 UNION ALL SELECT * FROM h2)
+GROUP BY node_id ORDER BY node_id
+"""
+
+
+def graph_contextual_sql(anchor: int, k: int, threshold: float) -> str:
+    cos_q = (
+        "round(list_dot_product(CAST(e.embedding AS DOUBLE[]), q.qv)"
+        " / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])))"
+        " * sqrt(list_dot_product(q.qv, q.qv))), 6)"
+    )
+    return f"""
+WITH {edges_cte(threshold).strip()},
+q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = {anchor}),
+l1 AS (
+  SELECT e.vec_id, {cos_q} AS score
+  FROM embeddings e, q ORDER BY score DESC, e.vec_id ASC LIMIT {k}
+),
+connected AS (
+  SELECT ed.dst AS vec_id, round(max(ed.weight), 6) AS score
+  FROM edges ed JOIN l1 ON ed.src = l1.vec_id
+  WHERE ed.dst NOT IN (SELECT vec_id FROM l1)
+  GROUP BY ed.dst
+),
+rescored AS (
+  SELECT e.vec_id, {cos_q} AS score
+  FROM embeddings e JOIN connected c ON e.vec_id = c.vec_id, q
+  ORDER BY score DESC, e.vec_id ASC LIMIT {k}
+)
+SELECT vec_id, score, 'similar' AS layer FROM l1
+UNION ALL
+SELECT vec_id, score, 'connected' AS layer FROM connected
+UNION ALL
+SELECT vec_id, score, 'similar_contextual' AS layer FROM rescored
+ORDER BY layer, score DESC, vec_id ASC
+"""
+
+
 def fingerprint_sql(n: int = 8, k: int = 4) -> str:
     return f"""
 WITH grams AS (

@@ -1,0 +1,79 @@
+"""Chunking strategies vs Python references (mirrors memfuse
+rag/chunk/{message,character,contextual}.py semantics)."""
+
+from __future__ import annotations
+
+import pytest
+
+from memfuse_spark.operators import chunking as ch
+
+
+def test_fixed_char_chunks_cover_text(spark):
+    text = "x" * 450
+    df = spark.createDataFrame([(1, text)], "doc_id bigint, text string")
+    got = ch.fixed_char_chunks(df, size=200, overlap=20).collect()
+    # step=180 → ceil((450-20)/180)=3 chunks
+    assert [r.chunk_index for r in got] == [0, 1, 2]
+    assert got[0].chunk_len == 200
+    assert got[2].chunk_text == text[360:450]
+
+
+def test_fixed_char_chunks_short_doc_single_chunk(spark):
+    df = spark.createDataFrame([(1, "tiny")], "doc_id bigint, text string")
+    got = ch.fixed_char_chunks(df, size=200, overlap=20).collect()
+    assert len(got) == 1 and got[0].chunk_text == "tiny"
+
+
+def test_character_chunks_py_boundary_snap():
+    text = ("word " * 50 + ". ") * 5  # sentence boundaries every ~252 chars
+    chunks = ch.character_chunks_py(text, size=300, overlap=30)
+    assert all(len(c) <= 300 for c in chunks)
+    # every char of the original text appears (overlap allows dup coverage)
+    joined = "".join(chunks)
+    assert text[:250] in joined and text[-100:] in joined
+
+
+def test_character_chunks_spark_matches_python(spark):
+    texts = [
+        (0, "alpha beta. " * 100),
+        (1, "short"),
+        (2, "nospacehere" * 60),
+    ]
+    df = spark.createDataFrame(texts, "doc_id bigint, text string")
+    got = ch.character_chunks(df, size=150, overlap=15).collect()
+    by_doc: dict[int, list[tuple[int, str]]] = {}
+    for r in got:
+        by_doc.setdefault(r.doc_id, []).append((r.chunk_index, r.chunk_text))
+    for doc_id, text in texts:
+        expected = ch.character_chunks_py(text, size=150, overlap=15)
+        actual = [t for _, t in sorted(by_doc[doc_id])]
+        assert actual == expected, f"doc {doc_id}"
+
+
+def test_word_budget_groups():
+    assert ch.word_budget_groups_py([100, 100, 100], budget=250) == [0, 0, 1]
+    assert ch.word_budget_groups_py([300], budget=250) == [0]  # oversize alone
+    assert ch.word_budget_groups_py([200, 300, 10], budget=250) == [0, 1, 2]
+
+
+def test_contextual_chunks_group_per_session(spark):
+    rows = [
+        ("s1", 1, "user", "w " * 100, "m1"),
+        ("s1", 2, "assistant", "w " * 100, "m2"),
+        ("s1", 3, "user", "w " * 100, "m3"),
+        ("s2", 1, "user", "hello", "m4"),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "session_id string, sequence_number int, role string, content string, message_id string",
+    )
+    got = ch.contextual_chunks(df, budget=250).collect()
+    by_sess: dict[str, list] = {}
+    for r in got:
+        by_sess.setdefault(r.session_id, []).append(r)
+    assert len(by_sess["s1"]) == 2  # 100+100 then 100
+    g0 = next(r for r in by_sess["s1"] if r.group_id == 0)
+    assert g0.m0_raw_ids == ["m1", "m2"]
+    assert g0.content.startswith("[user]: ")
+    assert "[assistant]: " in g0.content
+    assert by_sess["s2"][0].m0_raw_ids == ["m4"]

@@ -1,0 +1,66 @@
+"""Graph operators on a small hand-built graph."""
+
+from __future__ import annotations
+
+import pytest
+
+from memfuse_spark.operators import graph as g
+
+# src, dst, weight, relation
+EDGES = [
+    (0, 1, 0.9, "SIMILAR_TO"),
+    (0, 2, 0.5, "SIMILAR_TO"),
+    (0, 1, 1.0, "FOLLOWS"),
+    (1, 3, 0.7, "SIMILAR_TO"),
+    (3, 4, 0.6, "SIMILAR_TO"),
+]
+
+
+@pytest.fixture(scope="module")
+def edges(spark):
+    return spark.createDataFrame(
+        EDGES, "src bigint, dst bigint, weight double, relation string"
+    )
+
+
+def test_neighbors_sorted_by_weight(edges):
+    got = g.neighbors(edges, 0).collect()
+    assert [(r.dst, r.relation) for r in got] == [
+        (1, "FOLLOWS"),
+        (1, "SIMILAR_TO"),
+        (2, "SIMILAR_TO"),
+    ]
+
+
+def test_neighbors_relation_filter(edges):
+    got = g.neighbors(edges, 0, relation="FOLLOWS").collect()
+    assert [(r.dst, r.weight) for r in got] == [(1, 1.0)]
+
+
+def test_edges_between(edges):
+    got = g.edges_between(edges, 0, 1).collect()
+    assert {r.relation for r in got} == {"SIMILAR_TO", "FOLLOWS"}
+
+
+def test_k_hop(edges):
+    got = {r.node_id: r.hop for r in g.k_hop(edges, [0], 2).collect()}
+    assert got == {0: 0, 1: 1, 2: 1, 3: 2}
+
+
+def test_similarity_edges_symmetric(spark):
+    emb = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.9, 0.1]), (2, [0.0, 1.0])],
+        "vec_id bigint, embedding array<double>",
+    )
+    got = g.build_similarity_edges(emb, threshold=0.9).collect()
+    pairs = {(r.src, r.dst) for r in got}
+    assert (0, 1) in pairs and (1, 0) in pairs
+    assert all(2 not in p for p in pairs)
+
+
+def test_follows_edges_skip_gaps(spark):
+    emb = spark.createDataFrame(
+        [(0, [1.0]), (1, [1.0]), (5, [1.0])], "vec_id bigint, embedding array<double>"
+    )
+    got = {(r.src, r.dst) for r in g.build_follows_edges(emb).collect()}
+    assert got == {(0, 1)}  # 1→2 and 5→6 have no target node

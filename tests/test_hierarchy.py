@@ -1,0 +1,65 @@
+"""M0 → M1 → M2 hierarchy on a tiny synthetic event stream."""
+
+from __future__ import annotations
+
+import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from memfuse_spark.operators import hierarchy as h
+
+
+@pytest.fixture(scope="module")
+def events(spark):
+    t0 = datetime.datetime(2025, 1, 1)
+    rows = [
+        (i, t0 + datetime.timedelta(seconds=i), 100 + (i % 2), "click", f"payload word{i % 3} word{i % 3}")
+        for i in range(12)
+    ]
+    return spark.createDataFrame(
+        rows, "event_id bigint, ts timestamp, user_id bigint, event_type string, props string"
+    )
+
+
+def test_m0_sequence_numbers(events):
+    m0 = h.m0_from_events(events)
+    seqs = {
+        (r.conversation_id, r.sequence_number)
+        for r in m0.select("conversation_id", "sequence_number").collect()
+    }
+    # 6 events per user → sequences 1..6 per conversation
+    for uid in (100, 101):
+        assert {(uid, i) for i in range(1, 7)} <= seqs
+
+
+def test_m1_batches_and_lineage(events):
+    m1 = h.m1_from_m0(h.m0_from_events(events), batch_size=5)
+    rows = m1.collect()
+    # 6 messages per conversation → batches of 5 and 1
+    sizes = sorted(len(r.m0_raw_ids) for r in rows)
+    assert sizes == [1, 1, 5, 5]
+    r0 = next(r for r in rows if r.batch_id == 0 and r.conversation_id == 100)
+    assert r0.content.startswith("[click]: ")
+    assert len(r0.embedding) == 16
+    assert r0.chunk_id == "100-0"
+
+
+def test_m2_facts_confidence_filter(events):
+    m1 = h.m1_from_m0(h.m0_from_events(events), batch_size=5)
+    facts = h.m2_facts_from_m1(m1, confidence_threshold=0.0).collect()
+    assert all(f.fact_content.split(" ")[1] == "co_occurs_with" for f in facts)
+    assert all(0.0 <= f.confidence <= 1.0 for f in facts)
+    assert all(len(f.entities) == 2 for f in facts)
+    # threshold filters strictly
+    hi = h.m2_facts_from_m1(m1, confidence_threshold=0.99).count()
+    assert hi <= len(facts)
+
+
+def test_lineage_join_roundtrip(events):
+    m0 = h.m0_from_events(events)
+    m1 = h.m1_from_m0(m0, batch_size=5)
+    lin = h.lineage_join(m1, m0)
+    # every m0 message appears exactly once in the lineage
+    assert lin.count() == 12
+    assert lin.select("message_id").distinct().count() == 12
