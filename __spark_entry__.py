@@ -270,6 +270,36 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_ops.embedding_neardup_topk(emb, 50)
 
 
+# --- ANN scale path ----------------------------------------------------------
+
+def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-LSH bucketed approximate top-k (scale path for J1/J2)."""
+    from memfuse_spark.operators.ann import ann_lsh_topk
+
+    (emb,) = _tables(spark, sf_dir, "embeddings")
+    qvec = anchor_vector(spark, emb, ANCHOR_VEC_ID)
+    # 4 planes ≈ 16 buckets for the 500-vector corpus; at 100 TB you'd
+    # raise planes so buckets stay ~partition-sized
+    return ann_lsh_topk(emb, qvec, 10, num_planes=4)
+
+
+def q_ivf_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF coarse-quantizer centroids (element-wise mean per cell)."""
+    from memfuse_spark.operators.ann import ivf_centroids
+
+    (emb,) = _tables(spark, sf_dir, "embeddings")
+    return ivf_centroids(emb).orderBy("cell")
+
+
+def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF nprobe=2 approximate top-k."""
+    from memfuse_spark.operators.ann import ann_ivf_topk
+
+    (emb,) = _tables(spark, sf_dir, "embeddings")
+    qvec = anchor_vector(spark, emb, ANCHOR_VEC_ID)
+    return ann_ivf_topk(emb, qvec, 10, nprobe=2)
+
+
 # --- hierarchy M0 -> M1 -> M2 ------------------------------------------------
 
 def q_m0_records(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -421,6 +451,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_pairs": q_simhash_pairs,
         "ngram_jaccard": q_ngram_jaccard,
         "embedding_neardup": q_embedding_neardup,
+        "ann_lsh_topk": q_ann_lsh_topk,
+        "ivf_centroids": q_ivf_centroids,
+        "ann_ivf_topk": q_ann_ivf_topk,
         "m0_records": q_m0_records,
         "m1_chunks": q_m1_chunks,
         "m2_facts": q_m2_facts,
@@ -569,6 +602,9 @@ ORDER BY hour, event_type
         "simhash_pairs": oracles.simhash_pairs_sql(),
         "ngram_jaccard": oracles.ngram_jaccard_sql(),
         "embedding_neardup": oracles.embedding_neardup_sql(),
+        "ann_lsh_topk": oracles.ann_lsh_topk_sql(ANCHOR_VEC_ID, 10, num_planes=4),
+        "ivf_centroids": oracles.ivf_centroids_sql(),
+        "ann_ivf_topk": oracles.ann_ivf_topk_sql(ANCHOR_VEC_ID, 10, 2),
         "m0_records": oracles.m0_records_sql(),
         "m1_chunks": oracles.m1_chunks_sql(),
         "m2_facts": oracles.m2_facts_sql(),

@@ -1,0 +1,77 @@
+"""Driver bench contract: run the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and print ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query is timed end-to-end (plan + execute + collect). The suite
+covers every operator family: vector top-k, BM25, hybrid fusion
+(flagship), relational joins/aggs, dedup (minhash + simhash), hierarchy
+materialization, ANN, windowed events.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    "hybrid_rrf",
+    "vector_topk",
+    "bm25_topk",
+    "fusion_normalized",
+    "tpch_q1",
+    "revenue_by_nation",
+    "events_window_agg",
+    "minhash_pairs",
+    "simhash_pairs",
+    "embedding_neardup",
+    "m1_chunks",
+    "m2_facts",
+    "ann_ivf_topk",
+    "graph_contextual",
+    "token_stats",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    from memfuse_spark.session import get_spark
+
+    import __spark_entry__ as entrymod
+
+    spark = get_spark("memfuse-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    qs = entrymod.queries()
+    # JVM + parquet-footer warmup (not counted): tiny scan of each table
+    from memfuse_spark.catalog import load_tables
+
+    for df in load_tables(spark, sf_dir).values():
+        df.limit(1).count()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = qs[name]
+        t0 = time.perf_counter()
+        rows = fn(spark, sf_dir).collect()
+        timings[name] = round(time.perf_counter() - t0, 3)
+        assert rows is not None
+
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    out = {
+        "metric": "headline_suite_total_runtime",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

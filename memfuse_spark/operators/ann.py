@@ -1,0 +1,188 @@
+"""Approximate nearest-neighbor search — the scale path for similarity
+top-k (SURVEY.md §4: the reference uses HNSW/StreamingDiskANN indexes,
+`schemas/m1_episodic.sql:56-60`, `pgvectorscale_store.py:238-260`; Spark
+has no vector index, so we prune the search space instead).
+
+Two pruning strategies, both pure DataFrame ops:
+
+- **Sign LSH** (random hyperplanes, Charikar '02): bucket = sign bits of
+  B hyperplane dot products. A query scans only its bucket → expected
+  n/2^B of the corpus. Hyperplanes are derived from md5 so Spark and the
+  DuckDB oracle generate bit-identical planes (no RNG state to ship).
+- **IVF** (inverted file / coarse quantizer): assign each vector to its
+  nearest centroid; a query probes the nprobe nearest centroids and
+  scans only those cells. Centroids here come from the corpus's label
+  column (k-means would slot in identically via MLlib KMeans — the
+  assignment/probe dataflow is the same).
+
+At 100 TB: write the corpus partitioned by bucket/cell
+(`partitionBy("bucket")`), so a query's scan prunes to matching parquet
+partitions — Catalyst partition pruning turns top-k into an index probe.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from memfuse_spark.functions.vector import cosine_similarity, dot
+
+NUM_HYPERPLANES = 8
+
+
+def _hyperplane(j: int, dim: int) -> Column:
+    """Deterministic hyperplane j: component i = md5-hash of "j|i" mapped
+    to [-1, 1] (same derivation as functions.vector.hash_embedding)."""
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda i: (
+            F.conv(
+                F.substring(F.md5(F.concat(F.lit(f"{j}|"), i.cast("string"))), 1, 8),
+                16,
+                10,
+            ).cast("double")
+            / F.lit(float(0xFFFFFFFF))
+        )
+        * 2.0
+        - 1.0,
+    )
+
+
+def lsh_bucket(vec_col: Column | str, dim: int, num_planes: int = NUM_HYPERPLANES) -> Column:
+    """Sign-bit bucket string for a vector column."""
+    v = F.col(vec_col) if isinstance(vec_col, str) else vec_col
+    bits = [
+        F.when(dot(v, _hyperplane(j, dim)) > 0, F.lit("1")).otherwise(F.lit("0"))
+        for j in range(num_planes)
+    ]
+    return F.concat(*bits)
+
+
+def lsh_bucket_sql(vec_expr: str, dim: int, num_planes: int = NUM_HYPERPLANES) -> str:
+    """DuckDB twin of :func:`lsh_bucket`."""
+    bits = []
+    for j in range(num_planes):
+        plane = (
+            f"list_transform(range({dim}), i -> "
+            f"(CAST('0x' || substring(md5('{j}|' || i::VARCHAR), 1, 8) AS BIGINT)"
+            f" / 4294967295.0) * 2.0 - 1.0)"
+        )
+        bits.append(
+            f"CASE WHEN list_dot_product(CAST({vec_expr} AS DOUBLE[]), {plane}) > 0"
+            f" THEN '1' ELSE '0' END"
+        )
+    return " || ".join(bits)
+
+
+def ann_lsh_topk(
+    embeddings: DataFrame,
+    qvec: Sequence[float],
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    num_planes: int = NUM_HYPERPLANES,
+    score_decimals: int = 6,
+) -> DataFrame:
+    """Approximate top-k: score only vectors in the query's LSH bucket.
+
+    The bucket filter is a plain predicate → at scale, with the corpus
+    written partitioned by bucket, this prunes to one partition before
+    any scoring happens.
+    """
+    dim = len(qvec)
+    qdf = embeddings.sparkSession.createDataFrame(
+        [(list(map(float, qvec)),)], f"qv array<double>"
+    )
+    qbucket = qdf.select(lsh_bucket("qv", dim, num_planes).alias("b")).first()["b"]
+    q = F.array(*[F.lit(float(x)) for x in qvec])
+    bucketed = embeddings.withColumn("bucket", lsh_bucket(vec_col, dim, num_planes))
+    return (
+        bucketed.filter(F.col("bucket") == qbucket)
+        .select(
+            id_col,
+            F.round(cosine_similarity(F.col(vec_col), q), score_decimals).alias("score"),
+        )
+        .orderBy(F.desc("score"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+def ivf_centroids(
+    embeddings: DataFrame,
+    cell_col: str = "label",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    decimals: int = 6,
+) -> DataFrame:
+    """(cell, centroid) — element-wise mean per cell.
+
+    posexplode → groupBy(cell, pos) avg → re-assemble ordered array.
+    Two narrow shuffles over (cells × dim) rows — independent of corpus
+    row count after the partial agg.
+    """
+    exploded = embeddings.select(
+        F.col(cell_col).alias("cell"), F.posexplode(vec_col).alias("pos", "x")
+    ).withColumn("x", F.col("x").cast("double"))
+    means = exploded.groupBy("cell", "pos").agg(F.avg("x").alias("m"))
+    assembled = means.groupBy("cell").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "m"))), lambda s: F.round(s["m"], decimals)
+        ).alias("centroid")
+    )
+    return assembled
+
+
+def ivf_assign(
+    embeddings: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Assign each vector to its nearest centroid by cosine (broadcast
+    the tiny centroid table; one pass over the corpus)."""
+    scored = embeddings.crossJoin(F.broadcast(centroids)).withColumn(
+        "__sim", cosine_similarity(F.col(vec_col), F.col("centroid"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(id_col).orderBy(F.desc("__sim"), F.asc("cell"))
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(id_col, vec_col, "cell")
+    )
+
+
+def ann_ivf_topk(
+    embeddings: DataFrame,
+    qvec: Sequence[float],
+    k: int,
+    nprobe: int = 2,
+    cell_col: str = "label",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    score_decimals: int = 6,
+) -> DataFrame:
+    """IVF probe: rank centroids by query similarity, exact-search the
+    nprobe best cells only."""
+    cents = ivf_centroids(embeddings, cell_col, id_col, vec_col)
+    q = F.array(*[F.lit(float(x)) for x in qvec])
+    probed = (
+        cents.withColumn("__sim", cosine_similarity(F.col("centroid"), q))
+        .orderBy(F.desc("__sim"), F.asc("cell"))
+        .limit(nprobe)
+        .select("cell")
+    )
+    candidates = embeddings.join(
+        F.broadcast(probed), embeddings[cell_col] == probed["cell"], "left_semi"
+    )
+    return (
+        candidates.select(
+            id_col,
+            F.round(cosine_similarity(F.col(vec_col), q), score_decimals).alias("score"),
+        )
+        .orderBy(F.desc("score"), F.asc(id_col))
+        .limit(k)
+    )

@@ -27,7 +27,6 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from memfuse_spark.functions.text import tokenize, word_shingles
-from memfuse_spark.functions.vector import cosine_similarity
 
 NUM_HASHES = 12
 BANDS = 6  # rows per band = NUM_HASHES // BANDS = 2
@@ -298,21 +297,20 @@ def embedding_neardup_topk(
     vec_col: str = "embedding",
     score_decimals: int = 6,
 ) -> DataFrame:
-    """Top-k most-similar embedding pairs (brute-force baseline).
+    """Top-k most-similar embedding pairs.
 
-    O(n²) scoring — correct at correctness-tier scale; at 100 TB use
-    operators/ann.py LSH buckets as the candidate generator and feed
-    pairs through the same cosine verify.
+    Blocked-matmul pair scoring (similarity.pairwise_scores_blocked),
+    each block pre-truncated to its local top-k so only k·blocks rows
+    reach the final TakeOrdered. At 100 TB use operators/ann.py LSH
+    buckets as the candidate generator and the same cosine verify.
     """
-    a = embeddings.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("v_a"))
-    b = embeddings.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("v_b"))
-    pairs = a.join(b, F.col("id_a") < F.col("id_b"))
+    from memfuse_spark.operators.similarity import pairwise_scores_blocked
+
+    pairs = pairwise_scores_blocked(
+        embeddings, id_col, vec_col, per_block_topk=k, score_decimals=score_decimals
+    )
     return (
-        pairs.select(
-            "id_a",
-            "id_b",
-            F.round(cosine_similarity(F.col("v_a"), F.col("v_b")), score_decimals).alias("cosine"),
-        )
+        pairs.withColumnRenamed("score", "cosine")
         .orderBy(F.desc("cosine"), F.asc("id_a"), F.asc("id_b"))
         .limit(k)
     )

@@ -15,8 +15,6 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from memfuse_spark.functions.vector import cosine_similarity
-
 SIM_EDGE_THRESHOLD = 0.35
 
 
@@ -30,17 +28,19 @@ def build_similarity_edges(
     """SIMILAR_TO edges between items with cosine ≥ threshold, both
     directions (the reference graph is undirected; we store both arcs).
 
-    Brute-force pair scoring here (correctness tier); at scale generate
-    candidates with operators/ann.py LSH buckets and verify with the
-    same cosine expression.
+    Blocked-matmul pair scoring with the threshold pushed into the
+    NumPy kernel (similarity.pairwise_scores_blocked) — only passing
+    pairs ever materialize as rows. At larger-than-broadcast scale,
+    generate candidates with operators/ann.py LSH buckets and verify
+    with the same cosine expression.
     """
-    a = embeddings.select(F.col(id_col).alias("src"), F.col(vec_col).alias("v_a"))
-    b = embeddings.select(F.col(id_col).alias("dst"), F.col(vec_col).alias("v_b"))
-    pairs = a.join(b, F.col("src") < F.col("dst")).select(
-        "src",
-        "dst",
-        F.round(cosine_similarity(F.col("v_a"), F.col("v_b")), score_decimals).alias("weight"),
-    ).filter(F.col("weight") >= threshold)
+    from memfuse_spark.operators.similarity import pairwise_scores_blocked
+
+    pairs = pairwise_scores_blocked(
+        embeddings, id_col, vec_col, threshold=threshold, score_decimals=score_decimals
+    ).select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst"), F.col("score").alias("weight")
+    )
     sym = pairs.unionByName(
         pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "weight")
     )

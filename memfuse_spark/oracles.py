@@ -391,6 +391,80 @@ ORDER BY m1.chunk_id, u.message_id
     )
 
 
+# --- ANN oracles --------------------------------------------------------------
+
+def ann_lsh_topk_sql(anchor: int, k: int, dim: int = 64, num_planes: int = 8) -> str:
+    from memfuse_spark.operators.ann import lsh_bucket_sql
+
+    cos = (
+        "round(list_dot_product(CAST(e.embedding AS DOUBLE[]), q.qv)"
+        " / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])))"
+        " * sqrt(list_dot_product(q.qv, q.qv))), 6)"
+    )
+    return f"""
+WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = {anchor}),
+qb AS (SELECT {lsh_bucket_sql('qv', dim, num_planes)} AS b FROM q),
+bucketed AS (
+  SELECT e.vec_id, e.embedding,
+         {lsh_bucket_sql('e.embedding', dim, num_planes)} AS bucket
+  FROM embeddings e
+)
+SELECT e.vec_id, {cos} AS score
+FROM bucketed e, q, qb
+WHERE e.bucket = qb.b
+ORDER BY score DESC, e.vec_id ASC
+LIMIT {k}
+"""
+
+
+IVF_CENTROIDS_CTE = """
+exploded AS (
+  SELECT label AS cell, t.i AS pos, CAST(embedding[t.i + 1] AS DOUBLE) AS x
+  FROM embeddings, range(0, {dim}) AS t(i)
+),
+means AS (SELECT cell, pos, avg(x) AS m FROM exploded GROUP BY cell, pos),
+cents AS (
+  SELECT cell, list(round(m, 6) ORDER BY pos) AS centroid
+  FROM means GROUP BY cell
+)"""
+
+
+def ivf_centroids_sql(dim: int = 64) -> str:
+    return (
+        "WITH "
+        + IVF_CENTROIDS_CTE.format(dim=dim).strip()
+        + "\nSELECT cell, centroid FROM cents ORDER BY cell"
+    )
+
+
+def ann_ivf_topk_sql(anchor: int, k: int, nprobe: int = 2, dim: int = 64) -> str:
+    cos_c = (
+        "list_dot_product(c.centroid, q.qv)"
+        " / (sqrt(list_dot_product(c.centroid, c.centroid))"
+        " * sqrt(list_dot_product(q.qv, q.qv)))"
+    )
+    cos_e = (
+        "round(list_dot_product(CAST(e.embedding AS DOUBLE[]), q.qv)"
+        " / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])))"
+        " * sqrt(list_dot_product(q.qv, q.qv))), 6)"
+    )
+    return (
+        "WITH "
+        + IVF_CENTROIDS_CTE.format(dim=dim).strip()
+        + f""",
+q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = {anchor}),
+probed AS (
+  SELECT c.cell FROM cents c, q
+  ORDER BY {cos_c} DESC, c.cell ASC LIMIT {nprobe}
+)
+SELECT e.vec_id, {cos_e} AS score
+FROM embeddings e JOIN probed p ON e.label = p.cell, q
+ORDER BY score DESC, e.vec_id ASC
+LIMIT {k}
+"""
+    )
+
+
 # --- graph oracles -----------------------------------------------------------
 
 _PAIR_COS = (

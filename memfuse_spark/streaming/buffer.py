@@ -1,0 +1,201 @@
+"""Streaming buffer semantics (SURVEY.md §2.10 B1-B4, §3.3).
+
+The reference hand-rolls a streaming pipeline: RoundBuffer accumulates
+message batches per session and flushes on token/size/session triggers
+(memfuse `buffer/round_buffer.py:78-163`), HybridBuffer chunks+embeds and
+flushes to stores (`buffer/hybrid_buffer.py:27-360`), FlushManager runs
+async workers (`buffer/flush_manager.py`), QueryBuffer unions un-flushed
+rows with storage for read-your-writes (`buffer/query_buffer.py:331-389`).
+
+Spark-first mapping:
+- B1 RoundBuffer  → ``applyInPandasWithState`` keyed by session. Token
+  (800) / size (5) / oversize triggers are per-key state transitions; the
+  reference's "session changed" trigger is an artifact of its single
+  serial buffer — per-key state makes it unnecessary (each session has
+  its own buffer), which is also the only shape that scales: state is
+  sharded across executors by key.
+- B2/B3 Hybrid+FlushManager → ``foreachBatch``: chunk → embed → append
+  all sinks inside one exactly-once micro-batch function; Spark's own
+  micro-batch machinery replaces the worker pool.
+- B4 read-your-writes → union of the un-flushed (stream) table with the
+  persisted table, buffer rows winning on id collision.
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    IntegerType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+MAX_TOKENS = 800  # config/buffer/default.yaml:27-29
+MAX_SIZE = 5
+
+FLUSH_SCHEMA = StructType(
+    [
+        StructField("session_id", StringType()),
+        StructField("flush_seq", IntegerType()),
+        StructField("content", StringType()),
+        StructField("message_ids", ArrayType(StringType())),
+        StructField("n_messages", IntegerType()),
+        StructField("token_count", IntegerType()),
+        StructField("trigger", StringType()),
+    ]
+)
+
+STATE_SCHEMA = StructType(
+    [
+        StructField("contents", ArrayType(StringType())),
+        StructField("ids", ArrayType(StringType())),
+        StructField("tokens", IntegerType()),
+        StructField("flush_seq", IntegerType()),
+    ]
+)
+
+
+def _round_buffer_fn(key: tuple, pdfs: Iterator[pd.DataFrame], state: Any) -> Iterator[pd.DataFrame]:
+    """Per-session buffer state machine (reference round_buffer.py:78-163):
+
+    - oversized message (alone > MAX_TOKENS): current buffer flushes,
+      the message passes straight through as its own flush (:116-129)
+    - token trigger: flush BEFORE adding when the running count would
+      exceed MAX_TOKENS (:134-138)
+    - size trigger: flush AFTER adding when count reaches MAX_SIZE (:141-145)
+    Buffered leftovers stay in state across micro-batches.
+    """
+    session_id = key[0]
+    if state.exists:
+        contents, ids, tokens, flush_seq = state.get
+        contents, ids = list(contents), list(ids)
+    else:
+        contents, ids, tokens, flush_seq = [], [], 0, 0
+
+    out = []
+
+    def flush(trigger: str) -> None:
+        nonlocal contents, ids, tokens, flush_seq
+        if not contents:
+            return
+        out.append(
+            (
+                session_id,
+                flush_seq,
+                "\n\n".join(contents),
+                list(ids),
+                len(contents),
+                tokens,
+                trigger,
+            )
+        )
+        contents, ids, tokens = [], [], 0
+        flush_seq += 1
+
+    for pdf in pdfs:
+        pdf = pdf.sort_values(["sequence_number"], kind="mergesort")
+        for _, r in pdf.iterrows():
+            mtok = int(r["token_count"])
+            if mtok > MAX_TOKENS:
+                flush("pre_oversize")
+                contents, ids, tokens = [str(r["content"])], [str(r["message_id"])], mtok
+                flush("oversize")
+                continue
+            if tokens + mtok > MAX_TOKENS:
+                flush("tokens")
+            contents.append(str(r["content"]))
+            ids.append(str(r["message_id"]))
+            tokens += mtok
+            if len(contents) >= MAX_SIZE:
+                flush("size")
+
+    state.update((contents, ids, tokens, flush_seq))
+    if out:
+        yield pd.DataFrame(out, columns=[f.name for f in FLUSH_SCHEMA.fields])
+
+
+def round_buffer_stream(messages: DataFrame) -> DataFrame:
+    """Apply the B1 round-buffer to a *streaming* messages DataFrame
+    keyed by session_id. Input columns: session_id, message_id,
+    sequence_number, content, token_count."""
+    return messages.groupBy("session_id").applyInPandasWithState(
+        _round_buffer_fn,
+        FLUSH_SCHEMA,
+        STATE_SCHEMA,
+        "append",
+        "NoTimeout",
+    )
+
+
+def ingest_stream(
+    events_stream: DataFrame,
+    out_base: str,
+    trigger_seconds: int | None = None,
+) -> "StreamingQuery":
+    """B2/B9 micro-batch ingest: each batch writes M0, M1 chunks and M2
+    facts in one exactly-once ``foreachBatch`` (the reference's parallel
+    layer fan-out, hierarchy/parallel_manager.py:93-360 — Spark writes
+    the three tables from one batch closure; idempotent by epoch).
+    """
+    from memfuse_spark.operators import hierarchy as h
+
+    def write_batch(batch: DataFrame, epoch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        m0 = h.m0_from_events(batch)
+        m0.write.mode("append").parquet(os.path.join(out_base, "m0"))
+        m1 = h.m1_from_m0(m0)
+        m1.write.mode("append").parquet(os.path.join(out_base, "m1"))
+        m2 = h.m2_facts_from_m1(m1)
+        m2.write.mode("append").parquet(os.path.join(out_base, "m2"))
+
+    writer = events_stream.writeStream.foreachBatch(write_batch).option(
+        "checkpointLocation", os.path.join(out_base, "_checkpoint")
+    )
+    if trigger_seconds:
+        writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
+    else:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def read_your_writes(
+    persisted: DataFrame, unflushed: DataFrame, id_col: str = "message_id"
+) -> DataFrame:
+    """B4/§3.4: union of storage and the un-flushed buffer, buffer rows
+    winning on id collision (priority 0 beats 1), as one lazy view."""
+    from memfuse_spark.operators.fusion import dedup_by_priority
+
+    buf = unflushed.withColumn("source_priority", F.lit(0))
+    store = persisted.withColumn("source_priority", F.lit(1))
+    merged = buf.unionByName(store)
+    # dedup_by_priority needs a score column; rank purely by priority
+    if "score" not in merged.columns:
+        merged = merged.withColumn("score", F.lit(0.0))
+        return dedup_by_priority(merged, id_col=id_col).drop("score")
+    return dedup_by_priority(merged, id_col=id_col)
+
+
+def windowed_event_counts(
+    events_stream: DataFrame,
+    window: str = "5 minutes",
+    slide: str | None = None,
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Watermarked event-time windowed aggregation (late data handled by
+    the watermark; the reference has no event-time semantics — this is
+    the Spark-native upgrade, SURVEY.md §2.10)."""
+    win = F.window("ts", window, slide) if slide else F.window("ts", window)
+    return (
+        events_stream.withWatermark("ts", watermark)
+        .groupBy(win, "event_type")
+        .agg(F.count("*").alias("n_events"), F.sum("value").alias("sum_value"))
+    )

@@ -1,0 +1,61 @@
+"""ANN operators: bucket determinism, probe behavior, recall vs exact."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from memfuse_spark.operators.ann import (
+    ann_ivf_topk,
+    ann_lsh_topk,
+    ivf_assign,
+    ivf_centroids,
+    lsh_bucket,
+)
+from memfuse_spark.operators.similarity import similarity_topk
+from memfuse_spark.plans.pipeline import anchor_vector
+
+
+def test_lsh_bucket_deterministic(spark, tables):
+    emb = tables["embeddings"]
+    dim = len(emb.select("embedding").first()["embedding"])
+    b1 = emb.select("vec_id", lsh_bucket("embedding", dim, 4).alias("b")).collect()
+    b2 = emb.select("vec_id", lsh_bucket("embedding", dim, 4).alias("b")).collect()
+    assert {r.vec_id: r.b for r in b1} == {r.vec_id: r.b for r in b2}
+    assert all(len(r.b) == 4 and set(r.b) <= {"0", "1"} for r in b1)
+
+
+def test_lsh_query_bucket_contains_query(spark, tables):
+    emb = tables["embeddings"]
+    qvec = anchor_vector(spark, emb, 0)
+    got = ann_lsh_topk(emb, qvec, 10, num_planes=4).collect()
+    # the anchor itself always lands in its own bucket at score 1.0
+    assert got[0].vec_id == 0 and got[0].score == pytest.approx(1.0)
+
+
+def test_ivf_centroids_shape(tables):
+    cents = ivf_centroids(tables["embeddings"]).collect()
+    assert len(cents) == 10
+    assert all(len(r.centroid) == 64 for r in cents)
+
+
+def test_ivf_assign_covers_all(tables):
+    emb = tables["embeddings"]
+    cents = ivf_centroids(emb)
+    assigned = ivf_assign(emb, cents)
+    assert assigned.count() == emb.count()
+    assert assigned.select("cell").distinct().count() <= 10
+
+
+def test_ann_recall_vs_exact(spark, tables):
+    emb = tables["embeddings"]
+    qvec = anchor_vector(spark, emb, 0)
+    exact = {r.vec_id for r in similarity_topk(emb, qvec, 10).collect()}
+    ivf = {r.vec_id for r in ann_ivf_topk(emb, qvec, 10, nprobe=3).collect()}
+    lsh = {r.vec_id for r in ann_lsh_topk(emb, qvec, 10, num_planes=4).collect()}
+    ivf_recall = len(exact & ivf) / 10
+    lsh_recall = len(exact & lsh) / 10
+    print(f"recall@10: ivf(nprobe=3)={ivf_recall} lsh(4 planes)={lsh_recall}")
+    # random 64-dim corpus: approximate methods must at least find the anchor
+    assert 0 in ivf and 0 in lsh
+    assert ivf_recall >= 0.2

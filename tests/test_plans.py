@@ -1,0 +1,68 @@
+"""Physical-plan shape assertions: the optimizations we rely on at scale
+must actually appear in the plan (SURVEY.md §4)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_DIR
+
+
+def _plan(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def test_filter_pushdown_reaches_parquet(spark, tables):
+    df = tables["orders"].filter(F.col("o_orderkey") == 42).select("o_totalprice")
+    plan = _plan(df)
+    assert "PushedFilters: [IsNotNull(o_orderkey), EqualTo(o_orderkey,42)]" in plan
+
+
+def test_column_pruning_reaches_parquet(spark, tables):
+    df = tables["lineitem"].select("l_orderkey", "l_quantity")
+    plan = _plan(df)
+    assert "ReadSchema" in plan
+    read_schema = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "l_orderkey" in read_schema and "l_quantity" in read_schema
+    assert "l_comment" not in read_schema and "l_extendedprice" not in read_schema
+
+
+def test_topk_plans_take_ordered(spark, tables):
+    """ORDER BY + LIMIT must plan as TakeOrderedAndProject (per-partition
+    heaps + driver merge), never a global sort."""
+    from memfuse_spark.operators.similarity import similarity_topk
+    from memfuse_spark.plans.pipeline import anchor_vector
+
+    emb = tables["embeddings"]
+    qvec = anchor_vector(spark, emb, 0)
+    plan = _plan(similarity_topk(emb, qvec, 10))
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange rangepartitioning" not in plan  # no global sort shuffle
+
+
+def test_dim_joins_broadcast(spark, tables):
+    """The hydration join chain must broadcast every dimension table."""
+    import __spark_entry__ as m
+
+    df = m.q_revenue_by_nation(spark, SF_DIR)
+    plan = _plan(df)
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "SortMergeJoin" not in plan
+
+
+def test_scoring_stays_jvm_side(spark, tables):
+    """Vector scoring must stay JVM-side: no Python eval nodes in the
+    plan, and the scan feeds codegen. (Higher-order-function lambdas run
+    interpreted-but-JVM in Spark — that's expected; what we forbid is a
+    BatchEvalPython/ArrowEvalPython stage in the scoring path.)"""
+    from memfuse_spark.operators.similarity import similarity_topk
+    from memfuse_spark.plans.pipeline import anchor_vector
+
+    emb = tables["embeddings"]
+    qvec = anchor_vector(spark, emb, 0)
+    plan = _plan(similarity_topk(emb, qvec, 10))
+    assert "codegen id" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

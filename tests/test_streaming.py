@@ -1,0 +1,142 @@
+"""Structured Streaming buffer semantics (B1/B2/B4) driven end-to-end
+with file sources + memory/parquet sinks."""
+
+from __future__ import annotations
+
+import datetime
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from memfuse_spark.streaming import buffer as sb
+
+
+def _write_messages(spark, path, rows):
+    spark.createDataFrame(
+        rows,
+        "session_id string, message_id string, sequence_number int, "
+        "content string, token_count int",
+    ).coalesce(1).write.mode("append").parquet(path)
+
+
+MSG_SCHEMA = (
+    "session_id string, message_id string, sequence_number int, "
+    "content string, token_count int"
+)
+
+
+def test_round_buffer_triggers(spark, tmp_path):
+    src = str(tmp_path / "msgs")
+    # batch 1: 4 small messages (no flush yet) + token-trigger message
+    _write_messages(
+        spark,
+        src,
+        [("s1", f"m{i}", i, f"msg {i}", 100) for i in range(1, 5)]
+        + [("s1", "m5", 5, "big one", 500)],
+    )
+    stream = spark.readStream.schema(MSG_SCHEMA).parquet(src)
+    flushed = sb.round_buffer_stream(stream)
+    q = (
+        flushed.writeStream.format("memory")
+        .queryName("flushes")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.processAllAvailable()
+    got = spark.sql("select * from flushes").collect()
+    # 4*100 + 500 would exceed 800 → flush of first 4 on 'tokens'; the
+    # 500-token message stays buffered in state
+    assert len(got) == 1
+    assert got[0].trigger == "tokens"
+    assert got[0].n_messages == 4
+    assert got[0].token_count == 400
+    assert got[0].message_ids == ["m1", "m2", "m3", "m4"]
+
+    # batch 2: oversized message → buffered 500 flushes first, then the
+    # oversized one passes straight through
+    _write_messages(spark, src, [("s1", "m6", 6, "x" * 4000, 1000)])
+    q.processAllAvailable()
+    got = spark.sql("select * from flushes order by flush_seq").collect()
+    assert [r.trigger for r in got] == ["tokens", "pre_oversize", "oversize"]
+    assert got[1].message_ids == ["m5"]
+    assert got[2].message_ids == ["m6"] and got[2].token_count == 1000
+
+    # batch 3: size trigger — 5 tiny messages flush immediately
+    _write_messages(
+        spark, src, [("s2", f"n{i}", i, f"tiny {i}", 10) for i in range(1, 6)]
+    )
+    q.processAllAvailable()
+    s2 = spark.sql("select * from flushes where session_id = 's2'").collect()
+    assert len(s2) == 1 and s2[0].trigger == "size" and s2[0].n_messages == 5
+    q.stop()
+
+
+def test_ingest_stream_builds_hierarchy(spark, tmp_path):
+    src = str(tmp_path / "events")
+    t0 = datetime.datetime(2025, 1, 1)
+    rows = [
+        (i, t0 + datetime.timedelta(seconds=i), 1 + (i % 2), "click", f"payload {i}")
+        for i in range(20)
+    ]
+    spark.createDataFrame(
+        rows, "event_id bigint, ts timestamp, user_id bigint, event_type string, props string"
+    ).coalesce(1).write.parquet(src)
+
+    out = str(tmp_path / "out")
+    stream = spark.readStream.schema(
+        "event_id bigint, ts timestamp, user_id bigint, event_type string, props string"
+    ).parquet(src)
+    q = sb.ingest_stream(stream, out)
+    q.awaitTermination(120)
+
+    m0 = spark.read.parquet(os.path.join(out, "m0"))
+    m1 = spark.read.parquet(os.path.join(out, "m1"))
+    m2 = spark.read.parquet(os.path.join(out, "m2"))
+    assert m0.count() == 20
+    # 10 events per user → batches of 5 → 2 chunks/user
+    assert m1.count() == 4
+    assert m2.count() > 0
+    # lineage arrays cover every event
+    covered = m1.select(F.explode("m0_raw_ids")).distinct().count()
+    assert covered == 20
+
+
+def test_read_your_writes_buffer_wins(spark):
+    store = spark.createDataFrame(
+        [("m1", "old content"), ("m2", "stored")], "message_id string, content string"
+    )
+    buf = spark.createDataFrame(
+        [("m1", "fresh content"), ("m3", "unflushed")], "message_id string, content string"
+    )
+    got = {r.message_id: r.content for r in sb.read_your_writes(store, buf).collect()}
+    assert got == {"m1": "fresh content", "m2": "stored", "m3": "unflushed"}
+
+
+def test_windowed_event_counts_stream(spark, tmp_path):
+    src = str(tmp_path / "wevents")
+    t0 = datetime.datetime(2025, 1, 1)
+    rows = [
+        (i, t0 + datetime.timedelta(minutes=i), 1, "click" if i % 2 else "view", 1.0)
+        for i in range(10)
+    ]
+    spark.createDataFrame(
+        rows, "event_id bigint, ts timestamp, user_id bigint, event_type string, value double"
+    ).coalesce(1).write.parquet(src)
+    stream = spark.readStream.schema(
+        "event_id bigint, ts timestamp, user_id bigint, event_type string, value double"
+    ).parquet(src)
+    agg = sb.windowed_event_counts(stream, window="5 minutes")
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("wincounts")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "wckpt"))
+        .start()
+    )
+    q.processAllAvailable()
+    got = spark.sql("select * from wincounts").collect()
+    q.stop()
+    assert sum(r.n_events for r in got) == 10
+    assert all(r.window.end > r.window.start for r in got)
