@@ -209,6 +209,165 @@ def q_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: selective join + agg + top-10 (shipping priority)."""
+    li, orders, cust = _tables(spark, sf_dir, "lineitem", "orders", "customer")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .filter(
+            (F.col("c_mktsegment") == "BUILDING")
+            & (F.col("o_orderdate") < F.lit("1998-03-15"))
+            & (F.col("l_shipdate") > F.lit("1998-03-15"))
+        )
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), F.asc("o_orderdate"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+def q_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: pure filter + single agg (forecast revenue)."""
+    (li,) = _tables(spark, sf_dir, "lineitem")
+    return li.filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01"))
+        & (F.col("l_discount").between(0.05, 0.07))
+        & (F.col("l_quantity") < 24)
+    ).agg(
+        F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias(
+            "revenue"
+        ),
+        F.count("*").alias("n_items"),
+    )
+
+
+def q_window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """True window frame: per-customer running order total + order rank."""
+    from pyspark.sql import Window
+
+    (orders,) = _tables(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return (
+        orders.filter(F.col("o_custkey") <= 100)
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            F.row_number().over(w).alias("order_seq"),
+            F.round(
+                F.sum("o_totalprice").over(
+                    w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+                ),
+                2,
+            ).alias("running_total"),
+        )
+        .orderBy("o_custkey", "order_seq")
+    )
+
+
+def q_rollup_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP aggregation: order counts by (status, priority) hierarchy."""
+    (orders,) = _tables(spark, sf_dir, "orders")
+    return (
+        orders.rollup("o_orderstatus", "o_orderpriority")
+        .agg(F.count("*").alias("n_orders"), F.round(F.sum("o_totalprice"), 2).alias("total"))
+        .orderBy("o_orderstatus", "o_orderpriority")
+    )
+
+
+def q_set_ops_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT/EXCEPT: customers with BUILDING segment vs with orders > 300k."""
+    orders, cust = _tables(spark, sf_dir, "orders", "customer")
+    building = cust.filter(F.col("c_mktsegment") == "BUILDING").select(
+        F.col("c_custkey").alias("custkey")
+    )
+    big = (
+        orders.filter(F.col("o_totalprice") > 300000)
+        .select(F.col("o_custkey").alias("custkey"))
+        .distinct()
+    )
+    both = building.intersect(big).withColumn("bucket", F.lit("both"))
+    only_building = building.exceptAll(big).withColumn("bucket", F.lit("building_only"))
+    return both.unionByName(only_building).orderBy("bucket", "custkey")
+
+
+def q_session_listing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§3.4 session message listing: newest-first, capped at 100
+    (reference api/messages.py:233-390 via buffer_service)."""
+    from memfuse_spark.operators import hierarchy as h
+
+    (events,) = _tables(spark, sf_dir, "events")
+    m0 = h.m0_from_events(events)
+    conv = m0.select("conversation_id").orderBy("conversation_id").limit(1)
+    return (
+        m0.join(F.broadcast(conv), "conversation_id")
+        .select("message_id", "role", "content", "sequence_number")
+        .orderBy(F.desc("sequence_number"), F.asc("message_id"))
+        .limit(100)
+    )
+
+
+def q_tenant_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F2 tenant isolation BEFORE top-k (the reference post-filters after
+    top-k and can return < k rows, vector_store/base.py:462-474 — we
+    push the filter below the limit, SURVEY.md §4)."""
+    from memfuse_spark.operators import hierarchy as h
+
+    (events,) = _tables(spark, sf_dir, "events")
+    m0 = h.m0_from_events(events)
+    return (
+        m0.filter(F.col("conversation_id") % 10 == 3)
+        .select("message_id", "conversation_id", "sequence_number")
+        .orderBy(F.desc("sequence_number"), F.asc("message_id"))
+        .limit(15)
+    )
+
+
+def q_chunk_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4 chunk-stats rollup: per-conversation chunk counts + token stats."""
+    from memfuse_spark.operators import hierarchy as h
+
+    (events,) = _tables(spark, sf_dir, "events")
+    m1 = h.m1_from_m0(h.m0_from_events(events))
+    return (
+        m1.groupBy("conversation_id")
+        .agg(
+            F.count("*").alias("n_chunks"),
+            F.sum("token_count").alias("total_tokens"),
+            F.round(F.avg("token_count"), 6).alias("avg_tokens"),
+            F.round(F.max("chunk_quality_score"), 6).alias("max_quality"),
+        )
+        .orderBy("conversation_id")
+    )
+
+
+def q_buffer_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5 buffer quality gate: avg(score)*0.6 + recency_ratio*0.4 per
+    event_type (reference buffer/query_buffer.py:217-255)."""
+    (events,) = _tables(spark, sf_dir, "events")
+    cutoff = "2024-01-15"
+    return (
+        events.groupBy("event_type")
+        .agg(
+            F.round(
+                F.avg("value") * 0.6
+                + F.avg(
+                    F.when(F.col("ts") >= F.lit(cutoff), 1.0).otherwise(0.0)
+                )
+                * 0.4,
+                6,
+            ).alias("quality"),
+            F.count("*").alias("n"),
+        )
+        .orderBy("event_type")
+    )
+
+
 def q_events_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Windowed event-time aggregation (streaming-shaped batch query)."""
     (events,) = _tables(spark, sf_dir, "events")
@@ -268,6 +427,16 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-50 most similar embedding pairs (brute-force baseline)."""
     (emb,) = _tables(spark, sf_dir, "embeddings")
     return dedup_ops.embedding_neardup_topk(emb, 50)
+
+
+def q_rerank_two_stage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T8/M2 two-stage retrieval: hybrid RRF top-2k → rerank → top-k
+    (deterministic stub cross-encoder; pandas_udf path tested in CI)."""
+    from memfuse_spark.operators.rerank import two_stage_retrieval
+
+    docs, emb = _tables(spark, sf_dir, "documents", "embeddings")
+    qvec = anchor_vector(spark, emb, ANCHOR_VEC_ID)
+    return two_stage_retrieval(docs, emb, QUERY_TEXT, qvec, k=TOP_K)
 
 
 # --- ANN scale path ----------------------------------------------------------
@@ -441,6 +610,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fusion_weighted": q_fusion_weighted,
         "fusion_normalized": q_fusion_normalized,
         "tpch_q1": q_tpch_q1,
+        "tpch_q3": q_tpch_q3,
+        "tpch_q6": q_tpch_q6,
+        "window_running_sum": q_window_running_sum,
+        "rollup_orders": q_rollup_orders,
+        "set_ops_customers": q_set_ops_customers,
+        "session_listing": q_session_listing,
+        "tenant_filtered_topk": q_tenant_filtered_topk,
+        "chunk_stats": q_chunk_stats,
+        "buffer_quality": q_buffer_quality,
         "orders_topk": q_orders_topk,
         "revenue_by_nation": q_revenue_by_nation,
         "events_window_agg": q_events_window_agg,
@@ -451,6 +629,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_pairs": q_simhash_pairs,
         "ngram_jaccard": q_ngram_jaccard,
         "embedding_neardup": q_embedding_neardup,
+        "rerank_two_stage": q_rerank_two_stage,
         "ann_lsh_topk": q_ann_lsh_topk,
         "ivf_centroids": q_ivf_centroids,
         "ann_ivf_topk": q_ann_ivf_topk,
@@ -475,16 +654,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # oracle SQL (DuckDB dialect; tables pre-registered as views)
 # ---------------------------------------------------------------------------
 
-def _fusion_ctes() -> str:
+def _fusion_ctes(fsk: int = FIRST_STAGE_K) -> str:
     """Shared CTE block: vec/kw first-stage branches + union."""
-    bm25 = kw_ops.bm25_topk_sql(QUERY_TEXT, FIRST_STAGE_K)
+    bm25 = kw_ops.bm25_topk_sql(QUERY_TEXT, fsk)
     return f"""
 WITH {_q(ANCHOR_VEC_ID)},
 vec AS (
   SELECT e.vec_id AS doc_id, {_COS_SQL} AS score
   FROM embeddings e, q
   ORDER BY score DESC, e.vec_id ASC
-  LIMIT {FIRST_STAGE_K}
+  LIMIT {fsk}
 ),
 kw AS (SELECT * FROM ({bm25})),
 unioned AS (
@@ -493,6 +672,40 @@ unioned AS (
   SELECT doc_id, score, 'keyword' AS store_type FROM kw
 )
 """
+
+
+def _rerank_two_stage_sql() -> str:
+    """Two-stage oracle: hybrid RRF (first-stage 60 → fused top-30,
+    matching hybrid_retrieval(k=30)) then stub-rerank to 15."""
+    from memfuse_spark.operators.rerank import stub_pair_score_sql
+
+    w_vec, w_kw = HYBRID_WEIGHTS["vector"], HYBRID_WEIGHTS["keyword"]
+    weight_case = f"CASE WHEN store_type = 'vector' THEN {w_vec} ELSE {w_kw} END"
+    return (
+        _fusion_ctes(fsk=2 * 2 * TOP_K)
+        + f""",
+ranked AS (
+  SELECT doc_id, store_type,
+         row_number() OVER (PARTITION BY store_type
+                            ORDER BY score DESC, doc_id ASC) AS rnk
+  FROM unioned
+),
+fused AS (
+  SELECT doc_id, round(sum({weight_case} / ({RRF_K} + rnk)), 6) AS score
+  FROM ranked GROUP BY doc_id
+),
+hydrated AS (
+  SELECT f.doc_id, f.score, d.text
+  FROM fused f JOIN documents d USING (doc_id)
+  ORDER BY f.score DESC, f.doc_id ASC
+  LIMIT {2 * TOP_K}
+)
+SELECT doc_id, {stub_pair_score_sql(QUERY_TEXT, 'text')} AS rerank_score, text
+FROM hydrated
+ORDER BY rerank_score DESC, doc_id ASC
+LIMIT {TOP_K}
+"""
+    )
 
 
 def oracle_sql() -> dict[str, str]:
@@ -556,6 +769,85 @@ normed AS (
 SELECT doc_id, round(sum(nscore * {weight_case}), 6) AS score
 FROM normed GROUP BY doc_id
 ORDER BY score DESC, doc_id ASC
+""",
+        "rerank_two_stage": _rerank_two_stage_sql(),
+        "tpch_q3": """
+SELECT l_orderkey, o_orderdate, o_orderpriority,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-03-15'
+  AND l_shipdate > TIMESTAMP '1998-03-15'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, o_orderdate ASC, l_orderkey ASC
+LIMIT 10
+""",
+        "tpch_q6": """
+SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+       count(*) AS n_items
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+""",
+        "window_running_sum": """
+SELECT o_custkey, o_orderkey,
+       row_number() OVER w AS order_seq,
+       round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+             ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
+         AS running_total
+FROM orders
+WHERE o_custkey <= 100
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+ORDER BY o_custkey, order_seq
+""",
+        "rollup_orders": """
+SELECT o_orderstatus, o_orderpriority,
+       count(*) AS n_orders, round(sum(o_totalprice), 2) AS total
+FROM orders
+GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+ORDER BY o_orderstatus, o_orderpriority
+""",
+        "set_ops_customers": """
+WITH building AS (
+  SELECT c_custkey AS custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+),
+big AS (
+  SELECT DISTINCT o_custkey AS custkey FROM orders WHERE o_totalprice > 300000
+)
+SELECT custkey, 'both' AS bucket FROM (SELECT * FROM building INTERSECT SELECT * FROM big)
+UNION ALL
+SELECT custkey, 'building_only' AS bucket
+FROM (SELECT * FROM building EXCEPT ALL SELECT * FROM big)
+ORDER BY bucket, custkey
+""",
+        "session_listing": f"""
+WITH {oracles.M0_CTE.strip()},
+conv AS (SELECT min(conversation_id) AS conversation_id FROM m0)
+SELECT message_id, role, content, sequence_number
+FROM m0 JOIN conv USING (conversation_id)
+ORDER BY sequence_number DESC, message_id ASC
+LIMIT 100
+""",
+        "tenant_filtered_topk": f"""
+WITH {oracles.M0_CTE.strip()}
+SELECT message_id, conversation_id, sequence_number
+FROM m0 WHERE conversation_id % 10 = 3
+ORDER BY sequence_number DESC, message_id ASC
+LIMIT 15
+""",
+        "chunk_stats": oracles.chunk_stats_sql(),
+        "buffer_quality": """
+SELECT event_type,
+       round(avg(value) * 0.6
+             + avg(CASE WHEN ts >= TIMESTAMP '2024-01-15' THEN 1.0 ELSE 0.0 END) * 0.4,
+             6) AS quality,
+       count(*) AS n
+FROM events GROUP BY event_type ORDER BY event_type
 """,
         "tpch_q1": """
 SELECT l_returnflag, l_linestatus,

@@ -379,6 +379,20 @@ ORDER BY a.chunk_id
     )
 
 
+def chunk_stats_sql(batch_size: int = 5, dim: int = 16) -> str:
+    return (
+        f"WITH {M0_CTE.strip()},{_m1_cte(batch_size, dim)}\n"
+        + """
+SELECT conversation_id,
+       count(*) AS n_chunks,
+       sum(token_count) AS total_tokens,
+       round(avg(token_count), 6) AS avg_tokens,
+       round(max(chunk_quality_score), 6) AS max_quality
+FROM m1 GROUP BY conversation_id ORDER BY conversation_id
+"""
+    )
+
+
 def lineage_sql(batch_size: int = 5, dim: int = 16) -> str:
     return (
         f"WITH {M0_CTE.strip()},{_m1_cte(batch_size, dim)}\n"

@@ -1,0 +1,107 @@
+"""Mutable table semantics over parquet (SURVEY.md §2.1 S3/S4).
+
+The reference's control plane is SQLite CRUD with FK cascade deletes
+(memfuse `database/sqlite.py:188-326`, cascade :97-98,110,123,135,149).
+Spark-first: inserts are appends; update/delete are set-based rewrites
+(anti-join + union — the MERGE-emulation pattern; on a lakehouse table
+format this becomes a real `MERGE INTO`/`DELETE FROM`, same logical
+plan). Rewrites go through a temp directory + atomic swap so a crashed
+job never leaves a half-written table.
+
+Scale note: rewriting a 100 TB table to delete a few rows is wrong —
+there you'd partition by the delete key's prefix (or use Delta deletion
+vectors) so a delete touches only matching partitions. The API here is
+the semantic contract; the storage strategy swaps underneath.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import uuid
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+class ParquetTable:
+    """A named, parquet-backed table with CRUD semantics."""
+
+    def __init__(self, spark: SparkSession, path: str, key_col: str = "id") -> None:
+        self.spark = spark
+        self.path = path
+        self.key_col = key_col
+
+    def exists(self) -> bool:
+        return os.path.isdir(self.path)
+
+    def read(self) -> DataFrame:
+        return self.spark.read.parquet(self.path)
+
+    def append(self, df: DataFrame) -> None:
+        """S3: insert rows."""
+        df.write.mode("append").parquet(self.path)
+
+    def _rewrite(self, df: DataFrame) -> None:
+        tmp = f"{self.path}__tmp_{uuid.uuid4().hex[:8]}"
+        df.write.mode("overwrite").parquet(tmp)
+        old = f"{self.path}__old_{uuid.uuid4().hex[:8]}"
+        if os.path.isdir(self.path):
+            os.rename(self.path, old)
+        os.rename(tmp, self.path)
+        if os.path.isdir(old):
+            shutil.rmtree(old)
+
+    def upsert(self, df: DataFrame) -> None:
+        """S4 update/insert: new rows win on key collision (MERGE
+        emulation: current ⟕anti new, then union)."""
+        if not self.exists():
+            self.append(df)
+            return
+        current = self.read()
+        keys = df.select(self.key_col)
+        kept = current.join(keys, self.key_col, "left_anti")
+        self._rewrite(kept.unionByName(df))
+
+    def delete(self, condition: Column) -> int:
+        """S4 delete by predicate; returns removed-row count."""
+        current = self.read()
+        before = current.count()
+        remaining = current.filter(~condition)
+        after = remaining.count()  # count BEFORE the swap invalidates the scan
+        self._rewrite(remaining)
+        return before - after
+
+
+def cascade_delete(
+    tables: dict[str, ParquetTable],
+    fks: list[tuple[str, str, str]],
+    root_table: str,
+    root_condition: Column,
+) -> dict[str, int]:
+    """FK cascade: delete root rows, then every (child, fk_col, parent)
+    edge removes child rows whose fk no longer resolves — transitively
+    (the reference's ON DELETE CASCADE chain users→sessions→rounds→
+    messages). Each wave is one anti-join; waves repeat until no table
+    changes.
+    """
+    removed = {root_table: tables[root_table].delete(root_condition)}
+    changed = {root_table}
+    while changed:
+        next_changed: set[str] = set()
+        for child, fk_col, parent in fks:
+            if parent not in changed:
+                continue
+            child_tbl, parent_tbl = tables[child], tables[parent]
+            parent_keys = parent_tbl.read().select(
+                F.col(parent_tbl.key_col).alias(fk_col)
+            )
+            orphans = child_tbl.read().join(parent_keys, fk_col, "left_anti")
+            n = orphans.count()
+            if n:
+                orphan_keys = [r[0] for r in orphans.select(child_tbl.key_col).collect()]
+                child_tbl.delete(F.col(child_tbl.key_col).isin(orphan_keys))
+                removed[child] = removed.get(child, 0) + n
+                next_changed.add(child)
+        changed = next_changed
+    return removed

@@ -1,0 +1,76 @@
+"""CRUD + cascading-delete semantics over parquet-backed tables."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from memfuse_spark.sources.tables import ParquetTable, cascade_delete
+
+
+def test_append_and_read(spark, tmp_path):
+    t = ParquetTable(spark, str(tmp_path / "users"), "id")
+    t.append(spark.createDataFrame([("u1", "alice")], "id string, name string"))
+    t.append(spark.createDataFrame([("u2", "bob")], "id string, name string"))
+    assert {r.id for r in t.read().collect()} == {"u1", "u2"}
+
+
+def test_upsert_new_wins(spark, tmp_path):
+    t = ParquetTable(spark, str(tmp_path / "users"), "id")
+    t.append(spark.createDataFrame([("u1", "alice"), ("u2", "bob")], "id string, name string"))
+    t.upsert(spark.createDataFrame([("u1", "ALICE"), ("u3", "carol")], "id string, name string"))
+    got = {r.id: r.name for r in t.read().collect()}
+    assert got == {"u1": "ALICE", "u2": "bob", "u3": "carol"}
+
+
+def test_delete_by_predicate(spark, tmp_path):
+    t = ParquetTable(spark, str(tmp_path / "users"), "id")
+    t.append(
+        spark.createDataFrame(
+            [("u1", 10), ("u2", 20), ("u3", 30)], "id string, age int"
+        )
+    )
+    n = t.delete(F.col("age") >= 20)
+    assert n == 2
+    assert [r.id for r in t.read().collect()] == ["u1"]
+
+
+def test_cascade_delete_chain(spark, tmp_path):
+    """users → sessions → rounds → messages (the reference's FK chain)."""
+    users = ParquetTable(spark, str(tmp_path / "users"), "id")
+    sessions = ParquetTable(spark, str(tmp_path / "sessions"), "id")
+    rounds = ParquetTable(spark, str(tmp_path / "rounds"), "id")
+    messages = ParquetTable(spark, str(tmp_path / "messages"), "id")
+
+    users.append(spark.createDataFrame([("u1",), ("u2",)], "id string"))
+    sessions.append(
+        spark.createDataFrame(
+            [("s1", "u1"), ("s2", "u1"), ("s3", "u2")], "id string, user_id string"
+        )
+    )
+    rounds.append(
+        spark.createDataFrame(
+            [("r1", "s1"), ("r2", "s3")], "id string, session_id string"
+        )
+    )
+    messages.append(
+        spark.createDataFrame(
+            [("m1", "r1"), ("m2", "r1"), ("m3", "r2")], "id string, round_id string"
+        )
+    )
+
+    removed = cascade_delete(
+        tables={"users": users, "sessions": sessions, "rounds": rounds, "messages": messages},
+        fks=[
+            ("sessions", "user_id", "users"),
+            ("rounds", "session_id", "sessions"),
+            ("messages", "round_id", "rounds"),
+        ],
+        root_table="users",
+        root_condition=F.col("id") == "u1",
+    )
+    assert removed == {"users": 1, "sessions": 2, "rounds": 1, "messages": 2}
+    assert [r.id for r in users.read().collect()] == ["u2"]
+    assert [r.id for r in sessions.read().collect()] == ["s3"]
+    assert [r.id for r in rounds.read().collect()] == ["r2"]
+    assert [r.id for r in messages.read().collect()] == ["m3"]
