@@ -368,6 +368,45 @@ def q_buffer_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization: gap-based session assignment + rollup."""
+    from memfuse_spark.operators.temporal import session_stats
+
+    (events,) = _tables(spark, sf_dir, "events")
+    return session_stats(events, gap_minutes=480)
+
+
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each purchase gets the user's latest prior view
+    (custom operator — Spark has no native as-of join; union+window)."""
+    from memfuse_spark.operators.temporal import asof_join
+
+    (events,) = _tables(spark, sf_dir, "events")
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("event_id").alias("purchase_id")
+    )
+    views = events.filter(F.col("event_type") == "view").select(
+        "user_id",
+        "ts",
+        F.col("event_id").alias("view_id"),
+        F.col("value").alias("view_value"),
+    )
+    out = asof_join(
+        purchases,
+        views,
+        key_col="user_id",
+        ts_col="ts",
+        right_value_cols=["view_id", "view_value"],
+        left_id_col="purchase_id",
+    )
+    return out.select(
+        "purchase_id",
+        "user_id",
+        "view_id",
+        F.round("view_value", 6).alias("view_value"),
+    ).orderBy("purchase_id")
+
+
 def q_events_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Windowed event-time aggregation (streaming-shaped batch query)."""
     (events,) = _tables(spark, sf_dir, "events")
@@ -622,6 +661,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orders_topk": q_orders_topk,
         "revenue_by_nation": q_revenue_by_nation,
         "events_window_agg": q_events_window_agg,
+        "sessionize": q_sessionize,
+        "asof_join": q_asof_join,
         "exact_dedup": q_exact_dedup,
         "minhash_pairs": q_minhash_pairs,
         "minhash_dedup_keep": q_minhash_dedup_keep,
@@ -886,6 +927,44 @@ SELECT date_trunc('hour', ts) AS hour, event_type,
 FROM events
 GROUP BY 1, 2
 ORDER BY hour, event_type
+""",
+        "sessionize": """
+WITH s AS (
+  SELECT user_id, ts, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR floor(epoch(ts))::BIGINT - floor(epoch(lag(ts) OVER w))::BIGINT > 480 * 60
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+assigned AS (
+  SELECT user_id, ts, value,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS session_seq
+  FROM s
+)
+SELECT user_id, session_seq,
+       count(*) AS n_events,
+       floor(epoch(max(ts)))::BIGINT - floor(epoch(min(ts)))::BIGINT AS span_seconds,
+       round(sum(value), 6) AS sum_value
+FROM assigned GROUP BY user_id, session_seq
+ORDER BY user_id, session_seq
+""",
+        "asof_join": """
+WITH purchases AS (
+  SELECT user_id, ts, event_id AS purchase_id FROM events
+  WHERE event_type = 'purchase'
+),
+views AS (
+  SELECT user_id, ts, event_id AS view_id, value AS view_value FROM events
+  WHERE event_type = 'view'
+)
+SELECT p.purchase_id, p.user_id, v.view_id,
+       round(v.view_value, 6) AS view_value
+FROM purchases p
+ASOF LEFT JOIN views v ON p.user_id = v.user_id AND p.ts >= v.ts
+ORDER BY p.purchase_id
 """,
         "exact_dedup": oracles.exact_dedup_sql(),
         "minhash_pairs": oracles.minhash_pairs_sql(),

@@ -95,6 +95,9 @@ def lsh_candidate_pairs(
     ever meet.
     """
     rows_per_band = num_hashes // bands
+    # the banded union selects from the signature table `bands` times —
+    # persist so the md5-min aggregation runs once, not per band
+    signatures = signatures.persist()
     band_rows = None
     for b in range(bands):
         cols = [F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)]
@@ -135,7 +138,9 @@ def minhash_lsh_pairs(
     join rehydrates shingle sets only for candidate ids (a tiny set),
     so full documents are never pairwise-shuffled.
     """
-    sh = shingle_sets(docs, id_col, text_col, n)
+    # persist: the shingle sets feed the signature build AND both sides
+    # of the verify join — without it Spark re-tokenizes the corpus 3×
+    sh = shingle_sets(docs, id_col, text_col, n).persist()
     cands = lsh_candidate_pairs(minhash_signature(sh, num_hashes), bands, num_hashes)
     verified = (
         cands.join(sh.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("shingles", "sh_a"), "doc_a")
@@ -223,7 +228,8 @@ def simhash_pairs(
     must agree on ≥1 whole byte (pigeonhole), so candidates come from
     4 equi-joins on (byte_index, byte_value), never a cross join.
     """
-    sh = simhash(docs, id_col, text_col, bits)
+    # persisted: the byte-band union selects from it n_bytes times
+    sh = simhash(docs, id_col, text_col, bits).persist()
     n_bytes = bits // 8
     banded = None
     for i in range(n_bytes):

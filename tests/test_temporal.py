@@ -1,0 +1,75 @@
+"""Sessionization + as-of join vs hand-computed expectations."""
+
+from __future__ import annotations
+
+import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from memfuse_spark.operators.temporal import asof_join, session_stats, sessionize
+
+T0 = datetime.datetime(2025, 1, 1, 12, 0, 0)
+
+
+def _ev(i, minutes, uid=1, etype="click", value=1.0):
+    return (i, T0 + datetime.timedelta(minutes=minutes), uid, etype, value)
+
+
+@pytest.fixture(scope="module")
+def events(spark):
+    rows = [
+        _ev(1, 0), _ev(2, 5), _ev(3, 10),      # session 1 (gaps < 30m)
+        _ev(4, 60), _ev(5, 65),                 # session 2 (50m gap)
+        _ev(6, 0, uid=2), _ev(7, 200, uid=2),  # user 2: two sessions
+    ]
+    return spark.createDataFrame(
+        rows, "event_id bigint, ts timestamp, user_id bigint, event_type string, value double"
+    )
+
+
+def test_sessionize_gap_splits(events):
+    got = sessionize(events, gap_minutes=30).collect()
+    sess = {r.event_id: (r.user_id, r.session_seq) for r in got}
+    assert sess[1] == (1, 1) and sess[2] == (1, 1) and sess[3] == (1, 1)
+    assert sess[4] == (1, 2) and sess[5] == (1, 2)
+    assert sess[6] == (2, 1) and sess[7] == (2, 2)
+
+
+def test_session_stats(events):
+    got = {(r.user_id, r.session_seq): r for r in session_stats(events, gap_minutes=30).collect()}
+    assert got[(1, 1)].n_events == 3
+    assert got[(1, 1)].span_seconds == 600
+    assert got[(1, 2)].n_events == 2
+    assert got[(2, 2)].span_seconds == 0
+
+
+def test_asof_join_latest_prior(spark):
+    left = spark.createDataFrame(
+        [(1, T0 + datetime.timedelta(minutes=10), "p1"),
+         (1, T0 + datetime.timedelta(minutes=30), "p2"),
+         (2, T0, "p3")],
+        "user_id bigint, ts timestamp, purchase_id string",
+    )
+    right = spark.createDataFrame(
+        [(1, T0, "v1", 1.0),
+         (1, T0 + datetime.timedelta(minutes=20), "v2", 2.0),
+         (1, T0 + datetime.timedelta(minutes=40), "v3", 3.0)],
+        "user_id bigint, ts timestamp, view_id string, view_value double",
+    )
+    got = {r.purchase_id: r.view_id for r in asof_join(
+        left, right, "user_id", "ts", ["view_id", "view_value"], "purchase_id"
+    ).collect()}
+    assert got == {"p1": "v1", "p2": "v2", "p3": None}  # no view for user 2
+
+
+def test_asof_join_equal_ts_matches(spark):
+    """rhs.ts == lhs.ts counts as 'prior or equal' (right sorts first)."""
+    left = spark.createDataFrame(
+        [(1, T0, "p1")], "user_id bigint, ts timestamp, purchase_id string"
+    )
+    right = spark.createDataFrame(
+        [(1, T0, "v1", 1.0)], "user_id bigint, ts timestamp, view_id string, view_value double"
+    )
+    got = asof_join(left, right, "user_id", "ts", ["view_id", "view_value"], "purchase_id").first()
+    assert got.view_id == "v1"
