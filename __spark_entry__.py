@@ -368,6 +368,41 @@ def q_buffer_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF top-k (length-normalized; BM25 sibling)."""
+    (docs,) = _tables(spark, sf_dir, "documents")
+    return kw_ops.tfidf_topk(docs, QUERY_TEXT, TOP_K)
+
+
+def q_event_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: event counts per user-decile × event_type."""
+    (events,) = _tables(spark, sf_dir, "events")
+    types = ["click", "error", "purchase", "signup", "view"]
+    return (
+        events.withColumn("user_decile", (F.col("user_id") % 10).cast("int"))
+        .groupBy("user_decile")
+        .pivot("event_type", types)
+        .count()
+        .na.fill(0)
+        .orderBy("user_decile")
+    )
+
+
+def q_event_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentiles (linear interpolation) of value per event type."""
+    (events,) = _tables(spark, sf_dir, "events")
+    return (
+        events.groupBy("event_type")
+        .agg(
+            F.round(F.expr("percentile(value, 0.25)"), 6).alias("p25"),
+            F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50"),
+            F.round(F.expr("percentile(value, 0.75)"), 6).alias("p75"),
+            F.round(F.expr("percentile(value, 0.99)"), 6).alias("p99"),
+        )
+        .orderBy("event_type")
+    )
+
+
 def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch sessionization: gap-based session assignment + rollup."""
     from memfuse_spark.operators.temporal import session_stats
@@ -661,6 +696,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orders_topk": q_orders_topk,
         "revenue_by_nation": q_revenue_by_nation,
         "events_window_agg": q_events_window_agg,
+        "tfidf_topk": q_tfidf_topk,
+        "event_pivot": q_event_pivot,
+        "event_percentiles": q_event_percentiles,
         "sessionize": q_sessionize,
         "asof_join": q_asof_join,
         "exact_dedup": q_exact_dedup,
@@ -927,6 +965,24 @@ SELECT date_trunc('hour', ts) AS hour, event_type,
 FROM events
 GROUP BY 1, 2
 ORDER BY hour, event_type
+""",
+        "tfidf_topk": kw_ops.tfidf_topk_sql(QUERY_TEXT, TOP_K),
+        "event_pivot": """
+SELECT CAST(user_id % 10 AS INT) AS user_decile,
+       sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS click,
+       sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS error,
+       sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS purchase,
+       sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS signup,
+       sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS view
+FROM events GROUP BY 1 ORDER BY 1
+""",
+        "event_percentiles": """
+SELECT event_type,
+       round(quantile_cont(value, 0.25), 6) AS p25,
+       round(quantile_cont(value, 0.5), 6) AS p50,
+       round(quantile_cont(value, 0.75), 6) AS p75,
+       round(quantile_cont(value, 0.99), 6) AS p99
+FROM events GROUP BY event_type ORDER BY event_type
 """,
         "sessionize": """
 WITH s AS (

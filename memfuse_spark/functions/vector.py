@@ -55,24 +55,39 @@ def hash_embedding(text: Column | str, dim: int = 16) -> Column:
     expressible in DuckDB, so oracle tests can embed on both sides.
     """
     text = F.col(text) if isinstance(text, str) else text
+    return normalize(hash_embedding_raw(F.md5(text), dim))
+
+
+def hash_embedding_raw(digest: Column, dim: int = 16) -> Column:
+    """Unnormalized components from a precomputed md5 digest column.
+
+    Spark does NOT common-subexpression-eliminate across the `dim`
+    component expressions, so callers on a hot path should materialize
+    the digest (and this raw array) as real columns first — column
+    references are free, repeated expressions are not:
+
+        df.withColumn("__d", F.md5("content"))
+          .withColumn("__raw", hash_embedding_raw(F.col("__d")))
+          .withColumn("embedding", normalize(F.col("__raw")))
+    """
     comps = [
         (
-            F.conv(F.substring(F.md5(F.concat(F.lit(f"{i}|"), text)), 1, 8), 16, 10).cast("double")
+            F.conv(
+                F.substring(F.md5(F.concat(F.lit(f"{i}|"), digest)), 1, 8), 16, 10
+            ).cast("double")
             / F.lit(float(0xFFFFFFFF))
         )
         * 2.0
         - 1.0
         for i in range(dim)
     ]
-    vec = F.array(*comps)
-    norm = F.sqrt(F.aggregate(F.transform(vec, lambda x: x * x), F.lit(0.0), lambda s, x: s + x))
-    return F.transform(vec, lambda x: x / norm)
+    return F.array(*comps)
 
 
 def hash_embedding_sql(text_expr: str, dim: int = 16) -> str:
     """DuckDB-SQL twin of :func:`hash_embedding` for oracle queries."""
     comps = ", ".join(
-        f"(CAST('0x' || substring(md5('{i}|' || {text_expr}), 1, 8) AS BIGINT)"
+        f"(CAST('0x' || substring(md5('{i}|' || md5({text_expr})), 1, 8) AS BIGINT)"
         f" / 4294967295.0) * 2.0 - 1.0"
         for i in range(dim)
     )

@@ -109,6 +109,104 @@ def ann_lsh_topk(
     )
 
 
+def write_bucketed_corpus(
+    embeddings: DataFrame,
+    path: str,
+    dim: int,
+    num_planes: int = NUM_HYPERPLANES,
+    vec_col: str = "embedding",
+) -> None:
+    """Materialize the corpus partitioned by LSH bucket.
+
+    This is the 100 TB layout: `partitionBy("bucket")` makes each bucket
+    its own parquet directory, so a query's bucket predicate becomes
+    Catalyst PARTITION PRUNING — the scan never opens non-matching
+    buckets. (At real scale you'd also bucket-by-hash within partitions
+    for co-located joins.)
+    """
+    bucketed = embeddings.withColumn("bucket", lsh_bucket(vec_col, dim, num_planes))
+    bucketed.write.mode("overwrite").partitionBy("bucket").parquet(path)
+
+
+def bucketed_topk(
+    spark,
+    path: str,
+    qvec: Sequence[float],
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    num_planes: int = NUM_HYPERPLANES,
+    score_decimals: int = 6,
+) -> DataFrame:
+    """Query the bucketed corpus: the bucket equality predicate prunes
+    partitions before any IO; scoring touches one directory."""
+    dim = len(qvec)
+    qdf = spark.createDataFrame([(list(map(float, qvec)),)], "qv array<double>")
+    qbucket = qdf.select(lsh_bucket("qv", dim, num_planes).alias("b")).first()["b"]
+    corpus = spark.read.parquet(path).filter(F.col("bucket") == qbucket)
+    q = F.array(*[F.lit(float(x)) for x in qvec])
+    return (
+        corpus.select(
+            id_col,
+            F.round(cosine_similarity(F.col(vec_col), q), score_decimals).alias("score"),
+        )
+        .orderBy(F.desc("score"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+def ivf_kmeans_centroids(
+    embeddings: DataFrame,
+    n_cells: int = 10,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """MLlib KMeans coarse quantizer — the learned alternative to the
+    label-derived cells in :func:`ivf_centroids`. Returns (model,
+    assigned DataFrame with a `cell` column). Seeded for reproducibility
+    within a Spark version (k-means±± init is seed-deterministic)."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+
+    feats = embeddings.withColumn("features", array_to_vector(F.col(vec_col).cast("array<double>")))
+    model = KMeans(k=n_cells, seed=seed, featuresCol="features", predictionCol="cell").fit(feats)
+    assigned = model.transform(feats).drop("features")
+    return model, assigned
+
+
+def mllib_lsh_topk(
+    embeddings: DataFrame,
+    qvec: Sequence[float],
+    k: int,
+    bucket_length: float = 2.0,
+    num_tables: int = 3,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """MLlib BucketedRandomProjectionLSH approximate NN (the built-in
+    alternative to our md5-derived sign LSH; euclidean-distance based).
+    Returns (id, distCol) for the approx k nearest."""
+    from pyspark.ml.feature import BucketedRandomProjectionLSH
+    from pyspark.ml.functions import array_to_vector
+    from pyspark.ml.linalg import Vectors
+
+    feats = embeddings.withColumn(
+        "features", array_to_vector(F.col(vec_col).cast("array<double>"))
+    )
+    lsh = BucketedRandomProjectionLSH(
+        inputCol="features",
+        outputCol="hashes",
+        bucketLength=bucket_length,
+        numHashTables=num_tables,
+        seed=seed,
+    )
+    model = lsh.fit(feats)
+    key = Vectors.dense([float(x) for x in qvec])
+    return model.approxNearestNeighbors(feats, key, k).select(id_col, "distCol")
+
+
 def ivf_centroids(
     embeddings: DataFrame,
     cell_col: str = "label",

@@ -19,7 +19,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from memfuse_spark.functions.text import tokenize
-from memfuse_spark.functions.vector import hash_embedding
+from memfuse_spark.functions.vector import hash_embedding_raw, normalize
 from memfuse_spark.operators.textanalysis import STOPWORDS
 
 M1_BATCH_SIZE = 5
@@ -76,9 +76,11 @@ def m1_from_m0(m0: DataFrame, batch_size: int = M1_BATCH_SIZE, dim: int = EMBED_
             "chunk_quality_score",
             F.round(F.least(F.col("token_count") / F.lit(200.0), F.lit(1.0)), 6),
         )
+        .withColumn("__digest", F.md5("content"))
+        .withColumn("__raw", hash_embedding_raw(F.col("__digest"), dim))
         .withColumn(
             "embedding",
-            F.transform(hash_embedding(F.col("content"), dim), lambda x: F.round(x, 6)),
+            F.transform(normalize(F.col("__raw")), lambda x: F.round(x, 6)),
         )
     )
     return chunks.select(

@@ -71,7 +71,9 @@ def bm25_topk(
     (reference: bm25_store.py:212-249)
     """
     q_terms = sorted({t for t in _py_tokenize(query)})
-    postings = build_postings(docs, id_col, text_col)
+    # persisted: feeds corpus stats, document frequencies AND the match
+    # join — without it the tokenize+explode+agg runs three times
+    postings = build_postings(docs, id_col, text_col).persist()
     stats = corpus_stats(postings)
     df_tbl = document_frequency(postings)
 
@@ -93,6 +95,76 @@ def bm25_topk(
         .orderBy(F.desc("score"), F.asc("doc_id"))
         .limit(k)
     )
+
+
+def tfidf_topk(
+    docs: DataFrame,
+    query: str,
+    k: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    score_decimals: int = 6,
+) -> DataFrame:
+    """Length-normalized TF-IDF top-k (the BM25 sibling without
+    saturation): score = Σ_t (tf/dl) · ln((N+1)/(df+1))."""
+    q_terms = sorted({t for t in _py_tokenize(query)})
+    postings = build_postings(docs, id_col, text_col).persist()
+    stats = corpus_stats(postings)
+    df_tbl = document_frequency(postings)
+    matched = (
+        postings.filter(F.col("term").isin(q_terms))
+        .join(F.broadcast(df_tbl.filter(F.col("term").isin(q_terms))), "term")
+        .crossJoin(F.broadcast(stats))
+    )
+    score = (F.col("tf") / F.col("dl")) * F.log(
+        (F.col("n_docs") + 1.0) / (F.col("df") + 1.0)
+    )
+    return (
+        matched.select("doc_id", score.alias("term_score"))
+        .groupBy("doc_id")
+        .agg(F.round(F.sum("term_score"), score_decimals).alias("score"))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+    )
+
+
+def tfidf_topk_sql(
+    query: str,
+    k: int,
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    score_decimals: int = 6,
+) -> str:
+    """DuckDB twin of :func:`tfidf_topk`."""
+    q_terms = sorted({t for t in _py_tokenize(query)})
+    terms_sql = ", ".join(f"('{t}')" for t in q_terms)
+    return f"""
+WITH toks AS (
+  SELECT {id_col} AS doc_id,
+         list_filter(string_split_regex(lower({text_col}), '[^a-z0-9]+'),
+                     t -> len(t) > 0) AS tokens
+  FROM {table}
+),
+postings AS (
+  SELECT doc_id, len(tokens) AS dl, t.term, count(*) AS tf
+  FROM toks, unnest(tokens) AS t(term)
+  GROUP BY doc_id, dl, t.term
+),
+stats AS (
+  SELECT count(*) AS n_docs
+  FROM (SELECT DISTINCT doc_id FROM postings)
+),
+dfs AS (SELECT term, count(DISTINCT doc_id) AS df FROM postings GROUP BY term),
+qterms(term) AS (VALUES {terms_sql})
+SELECT p.doc_id,
+       round(sum((p.tf::DOUBLE / p.dl) * ln((s.n_docs + 1.0) / (d.df + 1.0))),
+             {score_decimals}) AS score
+FROM postings p JOIN dfs d USING (term) JOIN qterms q USING (term), stats s
+GROUP BY p.doc_id
+ORDER BY score DESC, doc_id ASC
+LIMIT {k}
+"""
 
 
 def like_search(
