@@ -368,6 +368,45 @@ def q_buffer_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_read_your_writes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B4/U6: buffer ∪ storage merge — un-flushed buffer rows win on id
+    collision (reference buffer/query_buffer.py:331-389). The 'buffer'
+    is a deterministic slice of m0 with edited content + one new row."""
+    from memfuse_spark.operators import hierarchy as h
+    from memfuse_spark.streaming.buffer import read_your_writes
+
+    (events,) = _tables(spark, sf_dir, "events")
+    m0 = h.m0_from_events(events).select("message_id", "conversation_id", "content")
+    buffer = m0.filter(F.col("message_id") % 97 == 0).withColumn(
+        "content", F.concat(F.col("content"), F.lit(" [buffered-edit]"))
+    )
+    merged = read_your_writes(m0, buffer, id_col="message_id")
+    return merged.select(
+        "message_id", "conversation_id", "content", "source_priority"
+    ).orderBy("message_id")
+
+
+def q_round_buffer_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B1 batch twin: greedy token-budget grouping of m0 messages per
+    conversation (token 800 trigger semantics; applyInPandas). Stateful
+    greedy accumulation is not SQL-expressible → rows-only check; the
+    streaming variant is exercised in tests/test_streaming.py."""
+    from memfuse_spark.operators import hierarchy as h
+    from memfuse_spark.operators.chunking import contextual_chunks
+
+    (events,) = _tables(spark, sf_dir, "events")
+    m0 = h.m0_from_events(events).withColumn(
+        "session_id", F.col("conversation_id").cast("string")
+    )
+    # events props are ~2 words each; budget 20 ≈ 10-message rounds so
+    # the token trigger actually fires (800 would make every
+    # conversation a single group on this corpus)
+    out = contextual_chunks(m0, budget=20)
+    return out.select(
+        "session_id", "group_id", F.size("m0_raw_ids").alias("n_messages"), "word_count"
+    ).orderBy("session_id", "group_id")
+
+
 def q_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TF-IDF top-k (length-normalized; BM25 sibling)."""
     (docs,) = _tables(spark, sf_dir, "documents")
@@ -696,6 +735,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orders_topk": q_orders_topk,
         "revenue_by_nation": q_revenue_by_nation,
         "events_window_agg": q_events_window_agg,
+        "read_your_writes": q_read_your_writes,
+        "round_buffer_batch": q_round_buffer_batch,
         "tfidf_topk": q_tfidf_topk,
         "event_pivot": q_event_pivot,
         "event_percentiles": q_event_percentiles,
@@ -965,6 +1006,26 @@ SELECT date_trunc('hour', ts) AS hour, event_type,
 FROM events
 GROUP BY 1, 2
 ORDER BY hour, event_type
+""",
+        # round_buffer_batch: greedy stateful grouping, not SQL-expressible
+        # (driver records rows-only) — streaming twin tested in pytest.
+        "read_your_writes": f"""
+WITH {oracles.M0_CTE.strip()},
+m0s AS (SELECT message_id, conversation_id, content FROM m0),
+buffer AS (
+  SELECT message_id, conversation_id, content || ' [buffered-edit]' AS content,
+         0 AS source_priority
+  FROM m0s WHERE message_id % 97 = 0
+),
+store AS (SELECT *, 1 AS source_priority FROM m0s),
+unioned AS (SELECT * FROM buffer UNION ALL SELECT * FROM store),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY message_id
+                               ORDER BY source_priority ASC, message_id ASC) AS rn
+  FROM unioned
+)
+SELECT message_id, conversation_id, content, source_priority
+FROM ranked WHERE rn = 1 ORDER BY message_id
 """,
         "tfidf_topk": kw_ops.tfidf_topk_sql(QUERY_TEXT, TOP_K),
         "event_pivot": """
