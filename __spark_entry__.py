@@ -258,7 +258,7 @@ def q_window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "o_custkey",
             "o_orderkey",
-            F.row_number().over(w).alias("order_seq"),
+            F.row_number().over(w).cast("long").alias("order_seq"),
             F.round(
                 F.sum("o_totalprice").over(
                     w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -1030,11 +1030,11 @@ FROM ranked WHERE rn = 1 ORDER BY message_id
         "tfidf_topk": kw_ops.tfidf_topk_sql(QUERY_TEXT, TOP_K),
         "event_pivot": """
 SELECT CAST(user_id % 10 AS INT) AS user_decile,
-       sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS click,
-       sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS error,
-       sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS purchase,
-       sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS signup,
-       sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS view
+       CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click,
+       CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error,
+       CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+       CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup,
+       CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view
 FROM events GROUP BY 1 ORDER BY 1
 """,
         "event_percentiles": """
@@ -1056,8 +1056,8 @@ WITH s AS (
 ),
 assigned AS (
   SELECT user_id, ts, value,
-         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
-                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
            AS session_seq
   FROM s
 )

@@ -80,7 +80,7 @@ def fixed_char_chunks(
         F.col(id_col).alias("doc_id"),
         F.posexplode(chunks).alias("chunk_index", "chunk_text"),
     )
-    return out.withColumn("chunk_len", F.length("chunk_text"))
+    return out.withColumn("chunk_len", F.length("chunk_text").cast("long"))
 
 
 def character_chunks_py(text: str, size: int = CHAR_CHUNK_SIZE, overlap: int = CHAR_CHUNK_OVERLAP) -> list[str]:

@@ -30,8 +30,12 @@ CONFIDENCE_THRESHOLD = 0.7
 def m0_from_events(events: DataFrame) -> DataFrame:
     """M0 raw records from the events stream: per-conversation sequence
     numbers (reference pgai_store.py:440-447 assigns sequence_number)."""
+    # long, not int: the DuckDB oracle's row_number() is BIGINT and the
+    # driver's schema/hash compare may be type-sensitive
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    return events.withColumn("sequence_number", F.row_number().over(w)).select(
+    return events.withColumn(
+        "sequence_number", F.row_number().over(w).cast("long")
+    ).select(
         F.col("event_id").alias("message_id"),
         F.col("user_id").alias("conversation_id"),
         F.col("event_type").alias("role"),

@@ -40,9 +40,9 @@ def sessionize(
     ).otherwise(0)
     return events.withColumn(
         "session_seq",
-        F.sum(new_session).over(
-            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        ),
+        F.sum(new_session)
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("long"),
     )
 
 

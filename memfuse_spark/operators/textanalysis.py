@@ -37,8 +37,8 @@ def token_stats(
     )
     return toks.select(
         "doc_id",
-        F.size("tk").alias("n_tokens"),
-        F.size(F.array_distinct("tk")).alias("n_unique_tokens"),
+        F.size("tk").cast("long").alias("n_tokens"),
+        F.size(F.array_distinct("tk")).cast("long").alias("n_unique_tokens"),
         F.round(
             F.when(F.size("tk") > 0, total_len / F.size("tk")).otherwise(F.lit(0.0)), 6
         ).alias("avg_token_len"),

@@ -385,7 +385,7 @@ def chunk_stats_sql(batch_size: int = 5, dim: int = 16) -> str:
         + """
 SELECT conversation_id,
        count(*) AS n_chunks,
-       sum(token_count) AS total_tokens,
+       CAST(sum(token_count) AS BIGINT) AS total_tokens,
        round(avg(token_count), 6) AS avg_tokens,
        round(max(chunk_quality_score), 6) AS max_quality
 FROM m1 GROUP BY conversation_id ORDER BY conversation_id
