@@ -623,6 +623,28 @@ def q_m0_m1_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
     return h.lineage_join(m1, m0).orderBy("chunk_id", "message_id")
 
 
+def q_m3_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M3 procedural patterns mined from recurring M2 facts (completes
+    the 4-level hierarchy M0→M1→M2→M3)."""
+    from memfuse_spark.operators import hierarchy as h
+
+    (events,) = _tables(spark, sf_dir, "events")
+    m2 = h.m2_facts_from_m1(h.m1_from_m0(h.m0_from_events(events)))
+    return h.m3_patterns_from_m2(m2).orderBy("pattern_id")
+
+
+def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-unigram LM scoring (perplexity proxy for data quality)."""
+    (docs,) = _tables(spark, sf_dir, "documents")
+    return ta_ops.unigram_logprob(docs).orderBy("doc_id")
+
+
+def q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style corpus filter rules as flag columns + keep verdict."""
+    (docs,) = _tables(spark, sf_dir, "documents")
+    return ta_ops.gopher_quality_flags(docs).orderBy("doc_id")
+
+
 def q_fixed_char_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C2 fixed-window character chunking (size 200, overlap 20)."""
     from memfuse_spark.operators.chunking import fixed_char_chunks
@@ -753,6 +775,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": q_ann_lsh_topk,
         "ivf_centroids": q_ivf_centroids,
         "ann_ivf_topk": q_ann_ivf_topk,
+        "m3_patterns": q_m3_patterns,
+        "unigram_logprob": q_unigram_logprob,
+        "gopher_quality": q_gopher_quality,
         "m0_records": q_m0_records,
         "m1_chunks": q_m1_chunks,
         "m2_facts": q_m2_facts,
@@ -1093,6 +1118,9 @@ ORDER BY p.purchase_id
         "ann_lsh_topk": oracles.ann_lsh_topk_sql(ANCHOR_VEC_ID, 10, num_planes=4),
         "ivf_centroids": oracles.ivf_centroids_sql(),
         "ann_ivf_topk": oracles.ann_ivf_topk_sql(ANCHOR_VEC_ID, 10, 2),
+        "m3_patterns": oracles.m3_patterns_sql(),
+        "unigram_logprob": oracles.unigram_logprob_sql(),
+        "gopher_quality": oracles.gopher_quality_sql(),
         "m0_records": oracles.m0_records_sql(),
         "m1_chunks": oracles.m1_chunks_sql(),
         "m2_facts": oracles.m2_facts_sql(),

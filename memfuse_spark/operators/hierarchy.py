@@ -139,6 +139,42 @@ def m2_facts_from_m1(
     return facts.filter(F.col("confidence") >= confidence_threshold)
 
 
+def m3_patterns_from_m2(
+    m2: DataFrame, min_support: int = 2
+) -> DataFrame:
+    """M3 procedural patterns — rule-based mining over M2 facts
+    (reference schema `store/pgai_store/schemas/m3_procedural.sql:10-50`:
+    pattern_content, steps, execution_count, success_rate).
+
+    Deterministic rule: an entity pair recurring across ≥ min_support
+    chunks of the same conversation becomes a procedural pattern; its
+    execution_count is the recurrence, success_rate the mean confidence
+    of the supporting facts, steps the ordered supporting chunk ids.
+    One groupBy — pattern mining as aggregation, not iteration.
+    """
+    return (
+        m2.groupBy("conversation_id", "fact_content")
+        .agg(
+            F.count("*").cast("long").alias("execution_count"),
+            F.round(F.avg("confidence"), 6).alias("success_rate"),
+            F.array_sort(F.collect_list("chunk_id")).alias("steps"),
+            F.first("entities").alias("entities"),
+        )
+        .filter(F.col("execution_count") >= min_support)
+        .select(
+            F.concat_ws("-", "conversation_id", F.md5("fact_content")).alias(
+                "pattern_id"
+            ),
+            "conversation_id",
+            F.col("fact_content").alias("pattern_content"),
+            "entities",
+            "steps",
+            "execution_count",
+            "success_rate",
+        )
+    )
+
+
 def lineage_join(m1: DataFrame, m0: DataFrame) -> DataFrame:
     """J7: M1 chunk → member M0 messages through the lineage array
     (reference schemas/m1_episodic.sql:28,81 GIN-indexed TEXT[]).

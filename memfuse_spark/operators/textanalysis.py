@@ -103,6 +103,72 @@ def lang_id(
     return toks.select("doc_id", pred.alias("lang_pred"))
 
 
+def unigram_logprob(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(doc_id, avg_logprob) — mean corpus-unigram log-probability per
+    token: the cheap LM-perplexity proxy used to rank corpus quality.
+    Two aggregations (corpus LM + per-doc score); the LM table is tiny
+    and broadcast into the scoring join.
+    """
+    toks = docs.select(F.col(id_col).alias("doc_id"), F.explode(tokenize(text_col)).alias("tok"))
+    lm = toks.groupBy("tok").agg(F.count("*").alias("ctf"))
+    total = lm.agg(F.sum("ctf").alias("total"))
+    scored = toks.join(F.broadcast(lm), "tok").crossJoin(F.broadcast(total))
+    return (
+        scored.groupBy("doc_id")
+        .agg(F.round(F.avg(F.log(F.col("ctf") / F.col("total"))), 6).alias("avg_logprob"))
+    )
+
+
+def gopher_quality_flags(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_tokens: int = 10,
+    max_tokens: int = 100000,
+    max_repetition: float = 0.20,
+    min_avg_token_len: float = 2.0,
+    max_avg_token_len: float = 12.0,
+) -> DataFrame:
+    """Gopher-style corpus filter rules as boolean flag columns
+    (Rae et al. '21 §A1.1 heuristics, re-expressed as one pass of
+    column arithmetic): length bounds, single-token repetition share,
+    mean token length bounds. `keep` is the conjunction.
+    """
+    toks = docs.select(F.col(id_col).alias("doc_id"), tokenize(text_col).alias("tk"))
+    exploded = toks.select("doc_id", F.explode("tk").alias("tok"))
+    tf = exploded.groupBy("doc_id", "tok").agg(F.count("*").alias("tf"))
+    top_share = tf.groupBy("doc_id").agg(
+        (F.max("tf") / F.sum("tf")).alias("top_token_share")
+    )
+    n = F.size("tk")
+    total_len = F.aggregate(
+        F.transform(F.col("tk"), lambda t: F.length(t)), F.lit(0), lambda a, x: a + x
+    )
+    base = toks.select(
+        "doc_id",
+        n.cast("long").alias("n_tokens"),
+        F.when(n > 0, total_len / n).otherwise(F.lit(0.0)).alias("avg_tok_len"),
+    )
+    joined = base.join(top_share, "doc_id", "left").na.fill({"top_token_share": 0.0})
+    flags = joined.select(
+        "doc_id",
+        "n_tokens",
+        F.round("top_token_share", 6).alias("top_token_share"),
+        (F.col("n_tokens") >= min_tokens).alias("len_ok_low"),
+        (F.col("n_tokens") <= max_tokens).alias("len_ok_high"),
+        (F.col("top_token_share") <= max_repetition).alias("repetition_ok"),
+        ((F.col("avg_tok_len") >= min_avg_token_len) & (F.col("avg_tok_len") <= max_avg_token_len)).alias(
+            "token_len_ok"
+        ),
+    )
+    return flags.withColumn(
+        "keep",
+        F.col("len_ok_low") & F.col("len_ok_high") & F.col("repetition_ok") & F.col("token_len_ok"),
+    )
+
+
 def fingerprint(
     docs: DataFrame,
     id_col: str = "doc_id",

@@ -393,6 +393,74 @@ FROM m1 GROUP BY conversation_id ORDER BY conversation_id
     )
 
 
+def m3_patterns_sql(min_support: int = 2) -> str:
+    m2 = m2_facts_sql()
+    return f"""
+WITH m2 AS (SELECT * FROM ({m2}))
+SELECT conversation_id || '-' || md5(fact_content) AS pattern_id,
+       conversation_id,
+       fact_content AS pattern_content,
+       arg_min(entities, chunk_id) AS entities,
+       list_sort(list(chunk_id)) AS steps,
+       CAST(count(*) AS BIGINT) AS execution_count,
+       round(avg(confidence), 6) AS success_rate
+FROM m2
+GROUP BY conversation_id, fact_content
+HAVING count(*) >= {min_support}
+ORDER BY pattern_id
+"""
+
+
+def unigram_logprob_sql() -> str:
+    return f"""
+WITH {TOKS_CTE.strip()},
+t AS (SELECT doc_id, u.tok FROM toks, unnest(tk) AS u(tok)),
+lm AS (SELECT tok, count(*) AS ctf FROM t GROUP BY tok),
+total AS (SELECT CAST(sum(ctf) AS DOUBLE) AS total FROM lm)
+SELECT doc_id, round(avg(ln(ctf / total)), 6) AS avg_logprob
+FROM t JOIN lm USING (tok), total
+GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+def gopher_quality_sql(
+    min_tokens: int = 10,
+    max_tokens: int = 100000,
+    max_repetition: float = 0.20,
+    min_avg_token_len: float = 2.0,
+    max_avg_token_len: float = 12.0,
+) -> str:
+    return f"""
+WITH {TOKS_CTE.strip()},
+t AS (SELECT doc_id, u.tok FROM toks, unnest(tk) AS u(tok)),
+tf AS (SELECT doc_id, tok, count(*) AS tf FROM t GROUP BY doc_id, tok),
+share AS (
+  SELECT doc_id, CAST(max(tf) AS DOUBLE) / sum(tf) AS top_share
+  FROM tf GROUP BY doc_id
+),
+base AS (
+  SELECT doc_id, CAST(len(tk) AS BIGINT) AS n_tokens,
+         CASE WHEN len(tk) > 0
+              THEN list_sum(list_transform(tk, x -> len(x)))::DOUBLE / len(tk)
+              ELSE 0.0 END AS avg_tok_len
+  FROM toks
+)
+SELECT b.doc_id, b.n_tokens,
+       round(coalesce(s.top_share, 0.0), 6) AS top_token_share,
+       b.n_tokens >= {min_tokens} AS len_ok_low,
+       b.n_tokens <= {max_tokens} AS len_ok_high,
+       coalesce(s.top_share, 0.0) <= {max_repetition} AS repetition_ok,
+       (b.avg_tok_len >= {min_avg_token_len}
+        AND b.avg_tok_len <= {max_avg_token_len}) AS token_len_ok,
+       (b.n_tokens >= {min_tokens} AND b.n_tokens <= {max_tokens}
+        AND coalesce(s.top_share, 0.0) <= {max_repetition}
+        AND b.avg_tok_len >= {min_avg_token_len}
+        AND b.avg_tok_len <= {max_avg_token_len}) AS keep
+FROM base b LEFT JOIN share s USING (doc_id)
+ORDER BY b.doc_id
+"""
+
+
 def lineage_sql(batch_size: int = 5, dim: int = 16) -> str:
     return (
         f"WITH {M0_CTE.strip()},{_m1_cte(batch_size, dim)}\n"
