@@ -407,6 +407,35 @@ def q_round_buffer_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("session_id", "group_id")
 
 
+def q_bm25_wrapped_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3: FTS5-style score wrapper 1/(1+|bm25|) on the BM25 top-k
+    (reference keyword_store/sqlite_store.py:406-417)."""
+    (docs,) = _tables(spark, sf_dir, "documents")
+    raw = kw_ops.bm25_topk(docs, QUERY_TEXT, TOP_K)
+    return raw.select(
+        "doc_id",
+        F.round(1.0 / (1.0 + F.abs(F.col("score"))), 6).alias("wrapped_score"),
+    ).orderBy(F.desc("wrapped_score"), F.asc("doc_id"))
+
+
+def q_props_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X13: JSON metadata decode — parse the events props JSON column
+    and aggregate the extracted field (reference stores metadata as JSON
+    blobs, database/sqlite.py:198-204)."""
+    (events,) = _tables(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    return (
+        events.withColumn("k", k)
+        .groupBy("event_type")
+        .agg(
+            F.round(F.avg("k"), 6).alias("avg_k"),
+            F.max("k").alias("max_k"),
+            F.count(F.col("k")).alias("n_with_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
 def q_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TF-IDF top-k (length-normalized; BM25 sibling)."""
     (docs,) = _tables(spark, sf_dir, "documents")
@@ -759,6 +788,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_window_agg": q_events_window_agg,
         "read_your_writes": q_read_your_writes,
         "round_buffer_batch": q_round_buffer_batch,
+        "bm25_wrapped_score": q_bm25_wrapped_score,
+        "props_json_extract": q_props_json_extract,
         "tfidf_topk": q_tfidf_topk,
         "event_pivot": q_event_pivot,
         "event_percentiles": q_event_percentiles,
@@ -1051,6 +1082,18 @@ ranked AS (
 )
 SELECT message_id, conversation_id, content, source_priority
 FROM ranked WHERE rn = 1 ORDER BY message_id
+""",
+        "bm25_wrapped_score": f"""
+SELECT doc_id, round(1.0 / (1.0 + abs(score)), 6) AS wrapped_score
+FROM ({kw_ops.bm25_topk_sql(QUERY_TEXT, TOP_K)})
+ORDER BY wrapped_score DESC, doc_id ASC
+""",
+        "props_json_extract": """
+SELECT event_type,
+       round(avg(CAST(json_extract_string(props, '$.k') AS BIGINT)), 6) AS avg_k,
+       max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k,
+       count(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS n_with_k
+FROM events GROUP BY event_type ORDER BY event_type
 """,
         "tfidf_topk": kw_ops.tfidf_topk_sql(QUERY_TEXT, TOP_K),
         "event_pivot": """

@@ -138,13 +138,17 @@ def word_budget_groups_py(counts: list[int], budget: int = WORD_BUDGET) -> list[
     (reference rag/chunk/contextual.py grouping; oversized messages get
     their own group, matching round_buffer.py:116-129)."""
     groups = []
-    gid, acc = 0, 0
+    gid, acc, cur_n = 0, 0, 0
     for c in counts:
-        if acc > 0 and acc + c > budget:
+        # flush when the CURRENT GROUP IS NON-EMPTY (message-count, not
+        # token-count — a zero-token message must not let an oversized
+        # follower join its group; found by hypothesis)
+        if cur_n > 0 and acc + c > budget:
             gid += 1
-            acc = 0
+            acc, cur_n = 0, 0
         groups.append(gid)
         acc += c
+        cur_n += 1
     return groups
 
 

@@ -62,10 +62,14 @@ def similarity_topk(
         # does 2 array folds per row instead of 4
         q = _query_vec_lit(qvec)
         if metric == "cosine":
+            import math
+
             qn = 0.0
             for x in qvec:
                 qn += float(x) * float(x)
-            qn = qn ** 0.5
+            # math.sqrt, not **0.5: pow can differ from SQRT by 1 ulp,
+            # and the Spark expression side uses SQRT (hypothesis-found)
+            qn = math.sqrt(qn)
             if qn == 0.0:
                 score = F.lit(0.0)
             else:

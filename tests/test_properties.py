@@ -82,7 +82,7 @@ def test_python_norm_matches_sequential_fold(vec):
     qn = 0.0
     for x in vec:
         qn += float(x) * float(x)
-    qn = qn ** 0.5
+    qn = math.sqrt(qn)
     acc = 0.0
     for x in vec:
         acc = acc + float(x) * float(x)
