@@ -471,6 +471,47 @@ def q_event_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct aggregation (absent in the reference; SURVEY §2.4):
+    exact distinct users + events per type."""
+    (events,) = _tables(spark, sf_dir, "events")
+    return (
+        events.groupBy("event_type")
+        .agg(
+            F.countDistinct("user_id").alias("n_users"),
+            F.count("*").alias("n_events"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def q_hierarchy_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end hierarchy materialization: one pipeline builds
+    M0→M1→M2→M3 and reports per-level row/entity counts."""
+    from memfuse_spark.operators import hierarchy as h
+
+    (events,) = _tables(spark, sf_dir, "events")
+    m0 = h.m0_from_events(events)
+    m1 = h.m1_from_m0(m0)
+    m2 = h.m2_facts_from_m1(m1)
+    m3 = h.m3_patterns_from_m2(m2)
+
+    def level(df: DataFrame, name: str, conv_col: str) -> DataFrame:
+        return df.agg(
+            F.lit(name).alias("level"),
+            F.count("*").alias("n_rows"),
+            F.countDistinct(conv_col).alias("n_conversations"),
+        )
+
+    return (
+        level(m0, "m0_raw", "conversation_id")
+        .unionByName(level(m1, "m1_episodic", "conversation_id"))
+        .unionByName(level(m2, "m2_semantic", "conversation_id"))
+        .unionByName(level(m3, "m3_procedural", "conversation_id"))
+        .orderBy("level")
+    )
+
+
 def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch sessionization: gap-based session assignment + rollup."""
     from memfuse_spark.operators.temporal import session_stats
@@ -793,6 +834,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_topk": q_tfidf_topk,
         "event_pivot": q_event_pivot,
         "event_percentiles": q_event_percentiles,
+        "distinct_users": q_distinct_users,
+        "hierarchy_summary": q_hierarchy_summary,
         "sessionize": q_sessionize,
         "asof_join": q_asof_join,
         "exact_dedup": q_exact_dedup,
@@ -847,6 +890,26 @@ unioned AS (
   UNION ALL
   SELECT doc_id, score, 'keyword' AS store_type FROM kw
 )
+"""
+
+
+def _hierarchy_summary_sql() -> str:
+    m2 = oracles.m2_facts_sql()
+    m3 = oracles.m3_patterns_sql()
+    return f"""
+WITH {oracles.M0_CTE.strip()},
+m1c AS (SELECT * FROM ({oracles.m1_chunks_sql()})),
+m2c AS (SELECT * FROM ({m2})),
+m3c AS (SELECT * FROM ({m3}))
+SELECT 'm0_raw' AS level, count(*) AS n_rows,
+       count(DISTINCT conversation_id) AS n_conversations FROM m0
+UNION ALL
+SELECT 'm1_episodic', count(*), count(DISTINCT conversation_id) FROM m1c
+UNION ALL
+SELECT 'm2_semantic', count(*), count(DISTINCT conversation_id) FROM m2c
+UNION ALL
+SELECT 'm3_procedural', count(*), count(DISTINCT conversation_id) FROM m3c
+ORDER BY level
 """
 
 
@@ -1113,6 +1176,13 @@ SELECT event_type,
        round(quantile_cont(value, 0.99), 6) AS p99
 FROM events GROUP BY event_type ORDER BY event_type
 """,
+        "distinct_users": """
+SELECT event_type,
+       count(DISTINCT user_id) AS n_users,
+       count(*) AS n_events
+FROM events GROUP BY event_type ORDER BY event_type
+""",
+        "hierarchy_summary": _hierarchy_summary_sql(),
         "sessionize": """
 WITH s AS (
   SELECT user_id, ts, value,
