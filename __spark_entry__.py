@@ -209,6 +209,67 @@ def q_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_vector_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1 batch variant: top-5 per query for a query batch (broadcast
+    nested-loop similarity join + per-query rank window)."""
+    from memfuse_spark.operators.similarity import similarity_join
+
+    (emb,) = _tables(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id").isin([0, 1, 2])).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    return similarity_join(queries, emb, 5).orderBy(
+        "query_id", F.desc("score"), F.asc("vec_id")
+    )
+
+
+def q_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding window frame: 7-row moving average of value per user."""
+    from pyspark.sql import Window
+
+    (events,) = _tables(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-6, 0)
+    )
+    return (
+        events.filter(F.col("user_id") <= 20)
+        .select(
+            "user_id",
+            "event_id",
+            F.round(F.avg("value").over(w), 6).alias("moving_avg_7"),
+        )
+        .orderBy("user_id", "event_id")
+    )
+
+
+def q_semi_join_late_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-join (TPC-H Q4 shape): orders having >= 1 late lineitem,
+    counted by priority."""
+    li, orders = _tables(spark, sf_dir, "lineitem", "orders")
+    late = li.filter(F.col("l_returnflag") == "R").select("l_orderkey")
+    return (
+        orders.join(late, orders.o_orderkey == late.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n_orders"))
+        .orderBy("o_orderpriority")
+    )
+
+
+def q_anti_join_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti-join: customers who never placed an order above 400k."""
+    orders, cust = _tables(spark, sf_dir, "orders", "customer")
+    big = orders.filter(F.col("o_totalprice") > 400000).select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    return (
+        cust.join(big, "c_custkey", "left_anti")
+        .select("c_custkey", "c_name", "c_mktsegment")
+        .orderBy("c_custkey")
+    )
+
+
 def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q3 shape: selective join + agg + top-10 (shipping priority)."""
     li, orders, cust = _tables(spark, sf_dir, "lineitem", "orders", "customer")
@@ -815,6 +876,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fusion_weighted": q_fusion_weighted,
         "fusion_normalized": q_fusion_normalized,
         "tpch_q1": q_tpch_q1,
+        "vector_batch_topk": q_vector_batch_topk,
+        "moving_avg": q_moving_avg,
+        "semi_join_late_orders": q_semi_join_late_orders,
+        "anti_join_customers": q_anti_join_customers,
         "tpch_q3": q_tpch_q3,
         "tpch_q6": q_tpch_q6,
         "window_running_sum": q_window_running_sum,
@@ -1008,6 +1073,48 @@ normed AS (
 SELECT doc_id, round(sum(nscore * {weight_case}), 6) AS score
 FROM normed GROUP BY doc_id
 ORDER BY score DESC, doc_id ASC
+""",
+        "vector_batch_topk": f"""
+WITH qset AS (
+  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qvec
+  FROM embeddings WHERE vec_id IN (0, 1, 2)
+),
+scored AS (
+  SELECT q.query_id, e.vec_id,
+         round(list_dot_product(CAST(e.embedding AS DOUBLE[]), q.qvec)
+           / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                    CAST(e.embedding AS DOUBLE[])))
+              * sqrt(list_dot_product(q.qvec, q.qvec))), 6) AS score
+  FROM embeddings e, qset q
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY score DESC, vec_id ASC) AS rn
+  FROM scored
+)
+SELECT query_id, vec_id, score FROM ranked WHERE rn <= 5
+ORDER BY query_id, score DESC, vec_id
+""",
+        "moving_avg": """
+SELECT user_id, event_id,
+       round(avg(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 6) AS moving_avg_7
+FROM events WHERE user_id <= 20
+ORDER BY user_id, event_id
+""",
+        "semi_join_late_orders": """
+SELECT o_orderpriority, count(*) AS n_orders
+FROM orders
+WHERE EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+GROUP BY o_orderpriority ORDER BY o_orderpriority
+""",
+        "anti_join_customers": """
+SELECT c_custkey, c_name, c_mktsegment
+FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_totalprice > 400000)
+ORDER BY c_custkey
 """,
         "rerank_two_stage": _rerank_two_stage_sql(),
         "tpch_q3": """
