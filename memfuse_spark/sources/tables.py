@@ -73,6 +73,30 @@ class ParquetTable:
         return before - after
 
 
+def compact(
+    spark: SparkSession, path: str, target_files: int = 1
+) -> tuple[int, int]:
+    """Small-files compaction: rewrite a parquet table into
+    `target_files` files (atomic swap). Streaming appends (foreachBatch
+    epochs) accumulate one file per micro-batch per partition — at
+    100 TB that's the classic small-files problem; a periodic compaction
+    job keeps scans row-group-efficient. Returns (files_before,
+    files_after).
+    """
+    before = sum(
+        1 for f in os.listdir(path) if f.endswith(".parquet")
+    )
+    df = spark.read.parquet(path)
+    tmp = f"{path}__tmp_{uuid.uuid4().hex[:8]}"
+    df.coalesce(target_files).write.mode("overwrite").parquet(tmp)
+    old = f"{path}__old_{uuid.uuid4().hex[:8]}"
+    os.rename(path, old)
+    os.rename(tmp, path)
+    shutil.rmtree(old)
+    after = sum(1 for f in os.listdir(path) if f.endswith(".parquet"))
+    return before, after
+
+
 def cascade_delete(
     tables: dict[str, ParquetTable],
     fks: list[tuple[str, str, str]],

@@ -74,3 +74,16 @@ def test_cascade_delete_chain(spark, tmp_path):
     assert [r.id for r in sessions.read().collect()] == ["s3"]
     assert [r.id for r in rounds.read().collect()] == ["r2"]
     assert [r.id for r in messages.read().collect()] == ["m3"]
+
+
+def test_compact_reduces_files_preserves_rows(spark, tmp_path):
+    from memfuse_spark.sources.tables import compact
+
+    t = ParquetTable(spark, str(tmp_path / "frag"), "id")
+    # simulate micro-batch appends → many small files
+    for i in range(6):
+        t.append(spark.createDataFrame([(f"r{i}", i)], "id string, v int"))
+    before_rows = sorted(map(tuple, t.read().collect()))
+    nb, na = compact(spark, t.path, target_files=1)
+    assert nb >= 6 and na == 1
+    assert sorted(map(tuple, t.read().collect())) == before_rows
