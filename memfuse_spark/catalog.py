@@ -53,6 +53,22 @@ def load_tables(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> dict[str, 
     return {t: load_table(spark, sf_dir, t) for t in TABLES}
 
 
+def ensure_parallelism(df: DataFrame, min_parts: int | None = None) -> DataFrame:
+    """Repartition iff the input has fewer partitions than cores.
+
+    Small single-file tables (e.g. the 5000-row documents parquet)
+    arrive as ONE partition, serializing every downstream explode/HOF
+    on one core. The guard is a no-op on well-partitioned input, so at
+    100 TB (thousands of input splits) it never fires — it only fixes
+    the small-input degenerate case.
+    """
+    sc = df.sparkSession.sparkContext
+    target = min_parts or sc.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def register_views(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> dict[str, DataFrame]:
     """Register each table as a temp view so spark.sql(...) can use it."""
     dfs = load_tables(spark, sf_dir)

@@ -61,6 +61,9 @@ def shingle_sets(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = SHINGLE_N
 ) -> DataFrame:
     """(doc_id, shingles: array<string>) — distinct word n-gram shingles."""
+    from memfuse_spark.catalog import ensure_parallelism
+
+    docs = ensure_parallelism(docs)
     return docs.select(
         F.col(id_col).alias("doc_id"),
         F.array_distinct(word_shingles(tokenize(text_col), n)).alias("shingles"),
@@ -74,11 +77,27 @@ def minhash_signature(shingled: DataFrame, num_hashes: int = NUM_HASHES) -> Data
     a single narrow shuffle of (doc_id, H×32B) rows regardless of
     document size.
     """
-    exploded = shingled.select("doc_id", F.explode("shingles").alias("sh"))
-    aggs = [
-        F.min(F.md5(F.concat(F.lit(f"{h}|"), F.col("sh")))).alias(f"h{h}")
-        for h in range(num_hashes)
-    ]
+    # 4 hash values per md5 call: slice each 32-hex digest into 8-hex
+    # windows (md5 bits are uniform; slices serve as independent
+    # hashes). Digests are materialized as columns BEFORE the agg —
+    # Spark does not CSE repeated expressions, so putting md5 inside
+    # each min() would compute it num_hashes times per shingle.
+    n_digests = (num_hashes + 3) // 4
+    exploded = shingled.select(
+        "doc_id", F.explode("shingles").alias("sh")
+    ).select(
+        "doc_id",
+        *[
+            F.md5(F.concat(F.lit(f"{a}|"), F.col("sh"))).alias(f"__d{a}")
+            for a in range(n_digests)
+        ],
+    )
+    aggs = []
+    for h in range(num_hashes):
+        a, b = divmod(h, 4)
+        aggs.append(
+            F.min(F.substring(F.col(f"__d{a}"), b * 8 + 1, 8)).alias(f"h{h}")
+        )
     return exploded.groupBy("doc_id").agg(*aggs)
 
 
@@ -193,8 +212,11 @@ def simhash(
     explode → per-(doc,token) tf → for each bit, signed tf sum → bit.
     All column arithmetic; one narrow shuffle on doc_id.
     """
+    from memfuse_spark.catalog import ensure_parallelism
+
     tf = (
-        docs.select(F.col(id_col).alias("doc_id"), F.explode(tokenize(text_col)).alias("tok"))
+        ensure_parallelism(docs)
+        .select(F.col(id_col).alias("doc_id"), F.explode(tokenize(text_col)).alias("tok"))
         .groupBy("doc_id", "tok")
         .agg(F.count("*").alias("tf"))
         .withColumn("th", _token_hash32(F.col("tok")))

@@ -35,6 +35,9 @@ def build_postings(
     dl (document token length) is carried on each posting row so scoring
     needs no extra join back to the documents table.
     """
+    from memfuse_spark.catalog import ensure_parallelism
+
+    docs = ensure_parallelism(docs)
     toks = docs.select(
         F.col(id_col).alias("doc_id"), tokenize(text_col).alias("tokens")
     ).select("doc_id", F.size("tokens").alias("dl"), F.explode("tokens").alias("term"))

@@ -42,8 +42,11 @@ shingles AS (
 
 
 def _sig_cte(num_hashes: int = NUM_HASHES) -> str:
+    # keep in lockstep with dedup.minhash_signature: hash h = 8-hex
+    # slice (h mod 4) of digest md5('(h div 4)|' || shingle)
     mins = ", ".join(
-        f"min(md5('{h}|' || sh)) AS h{h}" for h in range(num_hashes)
+        f"min(substring(md5('{h // 4}|' || sh), {(h % 4) * 8 + 1}, 8)) AS h{h}"
+        for h in range(num_hashes)
     )
     return f"""
 sigs AS (
