@@ -713,6 +713,22 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_ivf_topk(emb, qvec, 10, nprobe=2)
 
 
+def q_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8-quantized similarity top-k: normalize → quantize to int8
+    (the 4×-smaller storage tier) → dequantize → exact top-k. Scores
+    are the quantized-corpus scores; rank quality vs full precision is
+    probed in tests."""
+    from memfuse_spark.functions.vector import dequantize_int8, normalize, quantize_int8
+
+    (emb,) = _tables(spark, sf_dir, "embeddings")
+    quant = emb.select(
+        "vec_id",
+        dequantize_int8(quantize_int8(normalize("embedding"))).alias("embedding"),
+    )
+    qvec = anchor_vector(spark, emb, ANCHOR_VEC_ID)
+    return similarity_topk(quant, qvec, TOP_K)
+
+
 # --- hierarchy M0 -> M1 -> M2 ------------------------------------------------
 
 def q_m0_records(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -910,6 +926,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_pairs": q_simhash_pairs,
         "ngram_jaccard": q_ngram_jaccard,
         "embedding_neardup": q_embedding_neardup,
+        "quantized_topk": q_quantized_topk,
         "rerank_two_stage": q_rerank_two_stage,
         "ann_lsh_topk": q_ann_lsh_topk,
         "ivf_centroids": q_ivf_centroids,
@@ -1073,6 +1090,29 @@ normed AS (
 SELECT doc_id, round(sum(nscore * {weight_case}), 6) AS score
 FROM normed GROUP BY doc_id
 ORDER BY score DESC, doc_id ASC
+""",
+        "quantized_topk": f"""
+WITH {_q(ANCHOR_VEC_ID)},
+normed AS (
+  SELECT vec_id,
+         list_transform(CAST(embedding AS DOUBLE[]),
+           x -> x / sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                          CAST(embedding AS DOUBLE[])))) AS nv
+  FROM embeddings
+),
+quant AS (
+  SELECT vec_id,
+         list_transform(nv,
+           x -> round(greatest(least(x, 1.0), -1.0) * 127.0, 0) / 127.0) AS qv2
+  FROM normed
+)
+SELECT e.vec_id,
+       round(list_dot_product(e.qv2, q.qv)
+         / (sqrt(list_dot_product(e.qv2, e.qv2))
+            * sqrt(list_dot_product(q.qv, q.qv))), 6) AS score
+FROM quant e, q
+ORDER BY score DESC, e.vec_id ASC
+LIMIT {TOP_K}
 """,
         "vector_batch_topk": f"""
 WITH qset AS (

@@ -59,3 +59,28 @@ def test_ann_recall_vs_exact(spark, tables):
     # random 64-dim corpus: approximate methods must at least find the anchor
     assert 0 in ivf and 0 in lsh
     assert ivf_recall >= 0.2
+
+
+def test_quantized_topk_preserves_ranking(spark, tables):
+    """int8 quantization keeps top-10 ranking close to full precision."""
+    from memfuse_spark.functions.vector import dequantize_int8, normalize, quantize_int8
+
+    emb = tables["embeddings"]
+    qvec = anchor_vector(spark, emb, 0)
+    exact = [r.vec_id for r in similarity_topk(emb, qvec, 10).collect()]
+    quant = emb.select(
+        "vec_id", dequantize_int8(quantize_int8(normalize("embedding"))).alias("embedding")
+    )
+    approx = [r.vec_id for r in similarity_topk(quant, qvec, 10).collect()]
+    overlap = len(set(exact) & set(approx)) / 10
+    assert approx[0] == 0  # self still first
+    assert overlap >= 0.8, f"quantization overlap {overlap}"
+
+
+def test_quantize_roundtrip_error_bounded(spark):
+    from memfuse_spark.functions.vector import dequantize_int8, quantize_int8
+    import numpy as np
+
+    df = spark.createDataFrame([([0.5, -0.25, 1.0, -1.0, 0.0],)], "v array<double>")
+    out = df.select(dequantize_int8(quantize_int8("v")).alias("r")).first().r
+    assert np.allclose(out, [0.5, -0.25, 1.0, -1.0, 0.0], atol=1 / 127)
