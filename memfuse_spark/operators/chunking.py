@@ -132,6 +132,37 @@ def character_chunks(
     return docs.select(id_col, text_col).mapInPandas(gen, out_schema)
 
 
+def contextual_enhance(
+    chunks: DataFrame,
+    group_col: str = "conversation_id",
+    order_col: str = "batch_id",
+    content_col: str = "content",
+    n_prev: int = 2,
+    sep: str = "\n---\n",
+) -> DataFrame:
+    """M6 (deterministic part): prepend the previous `n_prev` chunks of
+    the same group as a context window (reference rag/chunk/
+    contextual.py:30-67 assembles exactly this window before the LLM
+    call; the LLM paraphrase itself is skipped in deterministic mode,
+    SURVEY §7).
+
+    One window (lag) per previous chunk over the existing group
+    partitioning — a single shuffle on the group key; no self-join.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(group_col).orderBy(order_col)
+    prevs = [F.lag(content_col, i).over(w) for i in range(n_prev, 0, -1)]
+    ctx = F.concat_ws(sep, *prevs)  # concat_ws drops NULL lags
+    enhanced = F.when(
+        ctx != F.lit(""),
+        F.concat(F.lit("[CTX]\n"), ctx, F.lit("\n[CHUNK]\n"), F.col(content_col)),
+    ).otherwise(F.col(content_col))
+    return chunks.withColumn("context", ctx).withColumn(
+        "enhanced_content", enhanced
+    )
+
+
 def word_budget_groups_py(counts: list[int], budget: int = WORD_BUDGET) -> list[int]:
     """Greedy grouping: assign each message a group id, starting a new
     group when adding the message would exceed the word budget

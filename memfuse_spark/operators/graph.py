@@ -89,12 +89,17 @@ def edges_between(edges: DataFrame, src, dst, relation: str | None = None) -> Da
     return out.select("src", "dst", "relation", "weight").orderBy("relation")
 
 
-def k_hop(edges: DataFrame, start_ids: list, k: int) -> DataFrame:
+def k_hop(
+    edges: DataFrame, start_ids: list, k: int, checkpoint_every: int = 3
+) -> DataFrame:
     """k-hop reachable set (distinct node ids with min hop count).
 
-    k chained frontier joins. The frontier is usually tiny → Spark
-    auto-broadcasts it against the (large) edge table, so each hop is a
-    map-side join over the edges; no edge-table shuffle.
+    k chained frontier joins. The frontier is explicitly broadcast
+    against the (large) edge table — each hop is a map-side join over
+    the edges, never an edge-table shuffle. Every `checkpoint_every`
+    hops the frontier is localCheckpoint'ed to truncate the lineage
+    chain (iterative plans otherwise re-derive every prior hop at each
+    action and blow up the optimizer at large k).
     """
     spark = edges.sparkSession
     frontier = spark.createDataFrame([(i,) for i in start_ids], ["node_id"]).withColumn(
@@ -103,12 +108,17 @@ def k_hop(edges: DataFrame, start_ids: list, k: int) -> DataFrame:
     visited = frontier
     for hop in range(1, k + 1):
         nxt = (
-            frontier.join(edges, frontier.node_id == edges.src)
+            F.broadcast(frontier)
+            .join(edges, frontier.node_id == edges.src)
             .select(F.col("dst").alias("node_id"))
             .distinct()
             .withColumn("hop", F.lit(hop))
         )
-        nxt = nxt.join(visited.select("node_id"), "node_id", "left_anti")
+        nxt = nxt.join(
+            F.broadcast(visited.select("node_id")), "node_id", "left_anti"
+        )
+        if hop % checkpoint_every == 0 and hop < k:
+            nxt = nxt.localCheckpoint(eager=True)
         visited = visited.unionByName(nxt)
         frontier = nxt
     return visited.groupBy("node_id").agg(F.min("hop").alias("hop"))

@@ -332,10 +332,16 @@ def m0_records_sql() -> str:
 
 
 def m1_chunks_sql(batch_size: int = 5, dim: int = 16) -> str:
+    # list columns serialized to CSV strings at the query boundary
+    # (harness-safe); inner CTEs keep the raw lists
     return (
         f"WITH {M0_CTE.strip()},{_m1_cte(batch_size, dim)}\n"
-        "SELECT chunk_id, conversation_id, batch_id, content, m0_raw_ids,\n"
-        "       token_count, chunk_quality_score, embedding\n"
+        "SELECT chunk_id, conversation_id, batch_id, content,\n"
+        "       array_to_string(list_transform(m0_raw_ids,"
+        " x -> CAST(x AS VARCHAR)), ',') AS m0_raw_ids_csv,\n"
+        "       token_count, chunk_quality_score,\n"
+        "       array_to_string(list_transform(embedding,"
+        " x -> printf('%.6f', x)), ',') AS embedding_csv\n"
         "FROM m1 ORDER BY chunk_id"
     )
 
@@ -372,7 +378,7 @@ agg AS (
 )
 SELECT a.chunk_id, a.conversation_id,
        entity_a || ' co_occurs_with ' || entity_b AS fact_content,
-       [entity_a, entity_b] AS entities,
+       entity_a || ',' || entity_b AS entities_csv,
        round(least(0.5 + top_tf::DOUBLE / n.n_tok, 1.0), 6) AS confidence
 FROM agg a JOIN n_tok n ON a.chunk_id = n.chunk_id
 WHERE entity_b IS NOT NULL
@@ -403,8 +409,8 @@ WITH m2 AS (SELECT * FROM ({m2}))
 SELECT conversation_id || '-' || md5(fact_content) AS pattern_id,
        conversation_id,
        fact_content AS pattern_content,
-       arg_min(entities, chunk_id) AS entities,
-       list_sort(list(chunk_id)) AS steps,
+       arg_min(entities_csv, chunk_id) AS entities_csv,
+       array_to_string(list_sort(list(chunk_id)), ',') AS steps_csv,
        CAST(count(*) AS BIGINT) AS execution_count,
        round(avg(confidence), 6) AS success_rate
 FROM m2
@@ -412,6 +418,33 @@ GROUP BY conversation_id, fact_content
 HAVING count(*) >= {min_support}
 ORDER BY pattern_id
 """
+
+
+def contextual_chunks_sql(
+    batch_size: int = 5, dim: int = 16, n_prev: int = 2
+) -> str:
+    """M6 deterministic context assembly: previous-n chunk window."""
+    lags = ",\n           ".join(
+        f"lag(content, {i}) OVER (PARTITION BY conversation_id ORDER BY batch_id)"
+        for i in range(n_prev, 0, -1)
+    )
+    return (
+        f"WITH {M0_CTE.strip()},{_m1_cte(batch_size, dim)},"
+        + f"""
+ctx AS (
+  SELECT chunk_id, conversation_id, batch_id, content,
+         concat_ws(e'\\n---\\n',
+           {lags}) AS context
+  FROM m1
+)
+SELECT chunk_id, conversation_id, batch_id,
+       CAST(len(context) AS BIGINT) AS context_len,
+       CASE WHEN context <> ''
+            THEN '[CTX]' || chr(10) || context || chr(10) || '[CHUNK]' || chr(10) || content
+            ELSE content END AS enhanced_content
+FROM ctx ORDER BY chunk_id
+"""
+    )
 
 
 def unigram_logprob_sql() -> str:
@@ -515,10 +548,14 @@ cents AS (
 
 
 def ivf_centroids_sql(dim: int = 64) -> str:
+    # centroid serialized as fixed %.6f CSV — the driver's pandas
+    # canonicalizer cannot hash/sort raw list columns
     return (
         "WITH "
         + IVF_CENTROIDS_CTE.format(dim=dim).strip()
-        + "\nSELECT cell, centroid FROM cents ORDER BY cell"
+        + "\nSELECT cell, array_to_string(list_transform(centroid,"
+        " x -> printf('%.6f', x)), ',') AS centroid_csv"
+        "\nFROM cents ORDER BY cell"
     )
 
 
@@ -611,6 +648,34 @@ h1 AS (
 h2 AS (
   SELECT DISTINCT e.dst AS node_id, 2 AS hop
   FROM edges e JOIN h1 ON e.src = h1.node_id
+  WHERE e.dst NOT IN (SELECT node_id FROM h0 UNION ALL SELECT node_id FROM h1)
+)
+SELECT node_id, min(hop) AS hop
+FROM (SELECT * FROM h0 UNION ALL SELECT * FROM h1 UNION ALL SELECT * FROM h2)
+GROUP BY node_id ORDER BY node_id
+"""
+
+
+def graph_weighted_2hop_sql(
+    start_id: int, threshold: float, relation: str, min_weight: float
+) -> str:
+    """Weighted/relationship-filtered k-hop: only `relation` edges with
+    weight >= min_weight participate in the expansion."""
+    return f"""
+WITH {edges_cte(threshold).strip()},
+fe AS (
+  SELECT src, dst FROM edges
+  WHERE relation = '{relation}' AND weight >= {min_weight}
+),
+h0 AS (SELECT {start_id} AS node_id, 0 AS hop),
+h1 AS (
+  SELECT DISTINCT e.dst AS node_id, 1 AS hop
+  FROM fe e JOIN h0 ON e.src = h0.node_id
+  WHERE e.dst NOT IN (SELECT node_id FROM h0)
+),
+h2 AS (
+  SELECT DISTINCT e.dst AS node_id, 2 AS hop
+  FROM fe e JOIN h1 ON e.src = h1.node_id
   WHERE e.dst NOT IN (SELECT node_id FROM h0 UNION ALL SELECT node_id FROM h1)
 )
 SELECT node_id, min(hop) AS hop
