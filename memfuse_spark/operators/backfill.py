@@ -32,8 +32,11 @@ def backfill_embeddings(
     table (`PARTITION BY needs_embedding`-style layout or a partial
     z-order) the scan prunes to the pending partition only.
     """
-    pending = table.filter(F.col(needs_col))
-    done = table.filter(~F.col(needs_col))
+    # NULL needs_embedding means "not pending": such rows must pass
+    # through untouched, so the split is TRUE vs not-TRUE (a bare
+    # ~col(needs) would drop NULL rows from both sides)
+    pending = table.filter(F.col(needs_col) == F.lit(True))
+    done = table.filter(~F.coalesce(F.col(needs_col), F.lit(False)))
     if embedder is None:
         embedded = pending.withColumn(vec_col, hash_embedding(F.col(text_col), dim))
     else:

@@ -327,10 +327,12 @@ def embedding_neardup_topk(
 ) -> DataFrame:
     """Top-k most-similar embedding pairs.
 
-    Blocked-matmul pair scoring (similarity.pairwise_scores_blocked),
-    each block pre-truncated to its local top-k so only k·blocks rows
-    reach the final TakeOrdered. At 100 TB use operators/ann.py LSH
-    buckets as the candidate generator and the same cosine verify.
+    Distributed block-pair matmul scoring (similarity.
+    pairwise_scores_blocked — no driver collect, no corpus broadcast),
+    each block pair pre-truncated to its local top-k so only k·pairs
+    rows reach the final TakeOrdered. For approximate near-dup at
+    extreme scale use operators/ann.py LSH buckets as the candidate
+    generator and the same cosine verify.
     """
     from memfuse_spark.operators.similarity import pairwise_scores_blocked
 

@@ -28,11 +28,12 @@ def build_similarity_edges(
     """SIMILAR_TO edges between items with cosine ≥ threshold, both
     directions (the reference graph is undirected; we store both arcs).
 
-    Blocked-matmul pair scoring with the threshold pushed into the
-    NumPy kernel (similarity.pairwise_scores_blocked) — only passing
-    pairs ever materialize as rows. At larger-than-broadcast scale,
-    generate candidates with operators/ann.py LSH buckets and verify
-    with the same cosine expression.
+    Distributed block-pair matmul scoring with the threshold pushed
+    into the NumPy kernel (similarity.pairwise_scores_blocked) — only
+    passing pairs ever materialize as rows; no driver collect, no
+    corpus broadcast. For approximate edges at extreme scale, generate
+    candidates with operators/ann.py LSH buckets and verify with the
+    same cosine expression.
     """
     from memfuse_spark.operators.similarity import pairwise_scores_blocked
 

@@ -148,6 +148,16 @@ def neighbors_of_item(
     )
 
 
+def _round_half_away(a, decimals: int):
+    """Round half away from zero — the tie behavior of Spark F.round and
+    DuckDB round() for doubles. np.round is banker's (half-to-even) and
+    diverges from the oracles exactly at 5e-7 boundaries."""
+    import numpy as np
+
+    m = 10.0 ** decimals
+    return np.copysign(np.floor(np.abs(a) * m + 0.5) / m, a)
+
+
 def pairwise_scores_blocked(
     embeddings: DataFrame,
     id_col: str = "vec_id",
@@ -155,61 +165,101 @@ def pairwise_scores_blocked(
     threshold: float | None = None,
     per_block_topk: int | None = None,
     score_decimals: int = 6,
+    block_rows: int = 1024,
+    num_blocks: int | None = None,
 ) -> DataFrame:
-    """All-pairs cosine (id_a < id_b) via blocked matrix multiply.
+    """All-pairs cosine (id_a < id_b), exact and fully distributed.
 
-    The corpus matrix is L2-normalized once, broadcast, and each task
-    scores its partition block against it with one float64 matmul —
-    ~100× the throughput of per-pair fold expressions. Emits only pairs
-    passing `threshold`, or each block's top `per_block_topk` (a global
-    top-k is a subset of the union of block top-ks, so downstream
-    ORDER BY ... LIMIT k stays exact).
+    Block-pair decomposition: the corpus is hashed into B row-blocks
+    (xxhash64 of the id — even regardless of id distribution); every
+    unordered block pair (i <= j) becomes one group of a single shuffle
+    (an EQUI-grouping on the pair key — no cross join), and each group
+    scores its two blocks with one L2-normalized float64 matmul. There
+    is NO driver collect and NO corpus broadcast: executor memory holds
+    at most 2×`block_rows` vectors per task regardless of corpus size,
+    and the O(n²) work spreads over B(B+1)/2 independent tasks — the
+    shape that survives a 1000-executor 100 TB corpus, vs the
+    reference's single-machine matrix (numpy_store.py:580-600).
 
-    Scale note: broadcasting the corpus caps this at ~10M×384 floats
-    (the same envelope as the reference's NumPy store,
-    numpy_store.py:580-600). Past that, generate candidates with
-    operators/ann.py LSH/IVF buckets instead — same verify expression.
+    Each vector shuffles ~B/2 times (once per block pair it joins), so
+    shuffle volume is ~B/2 × corpus — the unavoidable replication cost
+    of exact all-pairs. Emits only pairs passing `threshold`, or each
+    block pair's top `per_block_topk` (any globally-top-k pair is also
+    top-k within its single owning block pair, so downstream
+    ORDER BY ... LIMIT k stays exact). For approximate near-dup at
+    larger scale, generate candidates with operators/ann.py LSH buckets
+    and verify with the same cosine expression.
     """
     import numpy as np
-
-    rows = embeddings.select(id_col, vec_col).collect()
-    ids_all = np.array([r[0] for r in rows])
-    mat = np.array([r[1] for r in rows], dtype=np.float64)
-    norms = np.linalg.norm(mat, axis=1, keepdims=True)
-    norms[norms == 0] = 1.0
-    mat_n = mat / norms
-    order = np.argsort(ids_all)
-    ids_all, mat_n = ids_all[order], mat_n[order]
-    bc = embeddings.sparkSession.sparkContext.broadcast((ids_all, mat_n))
-
     import pandas as pd
 
-    def gen(batches):
-        ids_full, mat_full = bc.value
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            bids = pdf[id_col].to_numpy()
-            bmat = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
-            bnorm = np.linalg.norm(bmat, axis=1, keepdims=True)
-            bnorm[bnorm == 0] = 1.0
-            bmat = bmat / bnorm
-            sims = np.round(bmat @ mat_full.T, score_decimals)
-            mask = bids[:, None] < ids_full[None, :]
-            if threshold is not None:
-                mask &= sims >= threshold
-            ai, bi = np.where(mask)
-            out = pd.DataFrame(
-                {"id_a": bids[ai], "id_b": ids_full[bi], "score": sims[ai, bi]}
-            )
-            if per_block_topk is not None and len(out) > per_block_topk:
-                out = out.sort_values(
-                    ["score", "id_a", "id_b"], ascending=[False, True, True]
-                ).head(per_block_topk)
-            yield out
+    if num_blocks is None:
+        n = embeddings.count()
+        num_blocks = max(1, -(-n // block_rows))
+    nb = num_blocks
 
-    return embeddings.select(id_col, vec_col).mapInPandas(
-        gen, "id_a long, id_b long, score double"
+    base = embeddings.select(
+        F.col(id_col).alias("__id"), F.col(vec_col).alias("__vec")
+    ).withColumn("__blk", F.pmod(F.xxhash64("__id"), F.lit(nb)).cast("int"))
+    # role 'a' feeds pairs (blk, j) for j >= blk; role 'b' feeds (i, blk)
+    # for i < blk. The diagonal (i == j) uses the 'a' rows for both sides.
+    a_side = base.withColumn(
+        "__bj", F.explode(F.sequence("__blk", F.lit(nb - 1)))
+    ).select(
+        F.col("__blk").alias("__bi"), "__bj", F.lit("a").alias("__role"),
+        "__id", "__vec",
+    )
+    b_side = (
+        base.filter(F.col("__blk") > 0)
+        .withColumn("__bi", F.explode(F.sequence(F.lit(0), F.col("__blk") - 1)))
+        .select(
+            "__bi", F.col("__blk").alias("__bj"), F.lit("b").alias("__role"),
+            "__id", "__vec",
+        )
+    )
+    tagged = a_side.unionByName(b_side)
+
+    def _norm_mat(pdf: pd.DataFrame):
+        ids = pdf["__id"].to_numpy()
+        mat = np.stack(pdf["__vec"].to_numpy()).astype(np.float64)
+        norms = np.linalg.norm(mat, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        return ids, mat / norms
+
+    def score_pair(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        bi, bj = key
+        a = pdf[pdf["__role"] == "a"]
+        b = a if bi == bj else pdf[pdf["__role"] == "b"]
+        if len(a) == 0 or len(b) == 0:
+            return pd.DataFrame({"id_a": [], "id_b": [], "score": []})
+        ids_a, mat_a = _norm_mat(a)
+        ids_b, mat_b = (ids_a, mat_a) if bi == bj else _norm_mat(b)
+        sims = _round_half_away(mat_a @ mat_b.T, score_decimals)
+        if bi == bj:
+            # within one block: upper triangle only
+            mask = ids_a[:, None] < ids_b[None, :]
+        else:
+            # across blocks: every (a, b) combination is a distinct pair;
+            # orientation is normalized to (min, max) below
+            mask = np.ones((len(ids_a), len(ids_b)), dtype=bool)
+        if threshold is not None:
+            mask &= sims >= threshold
+        ai, bix = np.where(mask)
+        out = pd.DataFrame(
+            {
+                "id_a": np.minimum(ids_a[ai], ids_b[bix]),
+                "id_b": np.maximum(ids_a[ai], ids_b[bix]),
+                "score": sims[ai, bix],
+            }
+        )
+        if per_block_topk is not None and len(out) > per_block_topk:
+            out = out.sort_values(
+                ["score", "id_a", "id_b"], ascending=[False, True, True]
+            ).head(per_block_topk)
+        return out
+
+    return tagged.groupBy("__bi", "__bj").applyInPandas(
+        score_pair, "id_a long, id_b long, score double"
     )
 
 

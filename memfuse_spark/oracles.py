@@ -111,8 +111,8 @@ SELECT doc_a, doc_b,
 FROM cands
 JOIN shingles sa ON sa.doc_id = doc_a
 JOIN shingles sb ON sb.doc_id = doc_b
-WHERE len(list_intersect(sa.s, sb.s))::DOUBLE
-      / len(list_distinct(list_concat(sa.s, sb.s))) >= {threshold}
+WHERE round(len(list_intersect(sa.s, sb.s))::DOUBLE
+      / len(list_distinct(list_concat(sa.s, sb.s))), 6) >= {threshold}
 ORDER BY doc_a, doc_b
 """
     )

@@ -64,10 +64,15 @@ class ParquetTable:
         self._rewrite(kept.unionByName(df))
 
     def delete(self, condition: Column) -> int:
-        """S4 delete by predicate; returns removed-row count."""
+        """S4 delete by predicate; returns removed-row count.
+
+        SQL DELETE semantics: only rows where the predicate is TRUE are
+        removed — rows where it evaluates to NULL (nullable columns)
+        must survive, hence the coalesce rather than a bare negation.
+        """
         current = self.read()
         before = current.count()
-        remaining = current.filter(~condition)
+        remaining = current.filter(~F.coalesce(condition, F.lit(False)))
         after = remaining.count()  # count BEFORE the swap invalidates the scan
         self._rewrite(remaining)
         return before - after

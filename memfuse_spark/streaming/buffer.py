@@ -100,9 +100,19 @@ def _round_buffer_fn(key: tuple, pdfs: Iterator[pd.DataFrame], state: Any) -> It
         contents, ids, tokens = [], [], 0
         flush_seq += 1
 
-    for pdf in pdfs:
-        pdf = pdf.sort_values(["sequence_number"], kind="mergesort")
-        for _, r in pdf.iterrows():
+    # A key's micro-batch data may arrive as MULTIPLE pandas chunks;
+    # sorting each chunk independently would process rows out of global
+    # sequence order (wrong flush grouping). Concatenate, then sort once.
+    chunks = list(pdfs)
+    batch = (
+        pd.concat(chunks, ignore_index=True).sort_values(
+            ["sequence_number"], kind="mergesort"
+        )
+        if chunks
+        else pd.DataFrame()
+    )
+    if len(batch):
+        for _, r in batch.iterrows():
             mtok = int(r["token_count"])
             if mtok > MAX_TOKENS:
                 flush("pre_oversize")
@@ -135,6 +145,33 @@ def round_buffer_stream(messages: DataFrame) -> DataFrame:
     )
 
 
+def write_hierarchy_epoch(batch: DataFrame, epoch_id: int, out_base: str) -> None:
+    """Write one micro-batch's M0/M1/M2 fan-out, idempotently per epoch:
+    output is partitioned by ``epoch_id`` and written with dynamic
+    partition overwrite, so replaying an epoch REPLACES its partition
+    instead of double-appending."""
+    from memfuse_spark.operators import hierarchy as h
+
+    if batch.isEmpty():
+        return
+
+    def write_epoch(df: DataFrame, name: str) -> None:
+        (
+            df.withColumn("epoch_id", F.lit(epoch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("epoch_id")
+            .parquet(os.path.join(out_base, name))
+        )
+
+    m0 = h.m0_from_events(batch)
+    write_epoch(m0, "m0")
+    m1 = h.m1_from_m0(m0)
+    write_epoch(m1, "m1")
+    m2 = h.m2_facts_from_m1(m1)
+    write_epoch(m2, "m2")
+
+
 def ingest_stream(
     events_stream: DataFrame,
     out_base: str,
@@ -143,19 +180,16 @@ def ingest_stream(
     """B2/B9 micro-batch ingest: each batch writes M0, M1 chunks and M2
     facts in one exactly-once ``foreachBatch`` (the reference's parallel
     layer fan-out, hierarchy/parallel_manager.py:93-360 — Spark writes
-    the three tables from one batch closure; idempotent by epoch).
-    """
-    from memfuse_spark.operators import hierarchy as h
+    the three tables from one batch closure).
 
+    Exactly-once: output is PARTITIONED BY epoch_id and written with
+    dynamic partition overwrite, so a retried epoch (checkpoint replay
+    after a crash mid-batch) REPLACES its own partition instead of
+    double-appending — idempotent without relying on the checkpoint
+    alone. Readers just scan the table; `epoch_id` is metadata.
+    """
     def write_batch(batch: DataFrame, epoch_id: int) -> None:
-        if batch.isEmpty():
-            return
-        m0 = h.m0_from_events(batch)
-        m0.write.mode("append").parquet(os.path.join(out_base, "m0"))
-        m1 = h.m1_from_m0(m0)
-        m1.write.mode("append").parquet(os.path.join(out_base, "m1"))
-        m2 = h.m2_facts_from_m1(m1)
-        m2.write.mode("append").parquet(os.path.join(out_base, "m2"))
+        write_hierarchy_epoch(batch, epoch_id, out_base)
 
     writer = events_stream.writeStream.foreachBatch(write_batch).option(
         "checkpointLocation", os.path.join(out_base, "_checkpoint")

@@ -74,3 +74,44 @@ def test_embedding_neardup_topk(spark):
     got = dedup.embedding_neardup_topk(emb, 2).collect()
     assert (got[0].id_a, got[0].id_b) == (0, 1)
     assert got[0].cosine > 0.99
+
+
+def test_pairwise_blocked_multiblock_exact(spark):
+    """Block-pair decomposition must equal single-block brute force for
+    every pair regardless of which blocks ids hash into, and its plan
+    must be a distributed grouping (no driver collect / no broadcast of
+    the corpus)."""
+    import itertools
+    import math
+
+    from memfuse_spark.operators.similarity import pairwise_scores_blocked
+
+    vecs = [
+        (i, [math.cos(0.37 * i + 0.1 * j) for j in range(8)]) for i in range(23)
+    ]
+    emb = spark.createDataFrame(vecs, "vec_id bigint, embedding array<double>")
+
+    multi = pairwise_scores_blocked(emb, num_blocks=4, threshold=0.3)
+    single = pairwise_scores_blocked(emb, num_blocks=1, threshold=0.3)
+    as_dict = lambda df: {
+        (r.id_a, r.id_b): r.score for r in df.collect()
+    }
+    got, want = as_dict(multi), as_dict(single)
+    assert got == want
+    # every pair appears exactly once and covers the full upper triangle
+    # above threshold: spot-check against a python brute force
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in b))
+        return d / (na * nb)
+
+    brute = {
+        (a[0], b[0])
+        for a, b in itertools.combinations(vecs, 2)
+        if round(cos(a[1], b[1]), 6) >= 0.3
+    }
+    assert set(got) == brute
+    # plan shape: grouped pandas apply, not a collect-and-broadcast
+    plan = multi._jdf.queryExecution().executedPlan().toString()
+    assert "FlatMapGroupsInPandas" in plan

@@ -140,3 +140,50 @@ def test_windowed_event_counts_stream(spark, tmp_path):
     q.stop()
     assert sum(r.n_events for r in got) == 10
     assert all(r.window.end > r.window.start for r in got)
+
+
+def test_epoch_replay_is_idempotent(spark, tmp_path):
+    """Exactly-once: replaying an epoch (checkpoint recovery re-runs the
+    last foreachBatch) must REPLACE its partition, not double-append."""
+    import datetime as dt
+
+    t0 = dt.datetime(2025, 1, 1)
+    rows = [
+        (i, t0 + dt.timedelta(seconds=i), 1 + (i % 2), "click", f"payload {i}")
+        for i in range(10)
+    ]
+    batch = spark.createDataFrame(
+        rows,
+        "event_id bigint, ts timestamp, user_id bigint, event_type string, props string",
+    )
+    out = str(tmp_path / "epoch_out")
+    sb.write_hierarchy_epoch(batch, 0, out)
+    first = {
+        name: spark.read.parquet(os.path.join(out, name)).orderBy("epoch_id").collect()
+        for name in ("m0", "m1", "m2")
+    }
+    # simulate a retried epoch 0 (same data, same epoch id)
+    sb.write_hierarchy_epoch(batch, 0, out)
+    # then a genuine new epoch with different rows
+    rows2 = [
+        (100 + i, t0 + dt.timedelta(seconds=100 + i), 3, "view", f"p {i}")
+        for i in range(5)
+    ]
+    batch2 = spark.createDataFrame(
+        rows2,
+        "event_id bigint, ts timestamp, user_id bigint, event_type string, props string",
+    )
+    sb.write_hierarchy_epoch(batch2, 1, out)
+
+    m0 = spark.read.parquet(os.path.join(out, "m0"))
+    assert m0.filter(F.col("epoch_id") == 0).count() == len(first["m0"])  # no dupes
+    assert m0.count() == 15
+    replayed = {
+        name: spark.read.parquet(os.path.join(out, name))
+        .filter(F.col("epoch_id") == 0)
+        .orderBy("epoch_id")
+        .collect()
+        for name in ("m0", "m1", "m2")
+    }
+    for name in ("m0", "m1", "m2"):
+        assert sorted(map(repr, replayed[name])) == sorted(map(repr, first[name]))

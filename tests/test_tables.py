@@ -87,3 +87,35 @@ def test_compact_reduces_files_preserves_rows(spark, tmp_path):
     nb, na = compact(spark, t.path, target_files=1)
     assert nb >= 6 and na == 1
     assert sorted(map(tuple, t.read().collect())) == before_rows
+
+
+def test_delete_null_predicate_rows_survive(spark, tmp_path):
+    """SQL DELETE semantics: rows where the predicate evaluates to NULL
+    are NOT deleted (a bare filter(~cond) would silently drop them)."""
+    t = ParquetTable(spark, str(tmp_path / "nulls"), "id")
+    t.append(
+        spark.createDataFrame(
+            [("a", 1), ("b", None), ("c", 3)], "id string, v int"
+        )
+    )
+    removed = t.delete(F.col("v") > 2)
+    assert removed == 1
+    assert sorted(r.id for r in t.read().collect()) == ["a", "b"]
+
+
+def test_backfill_null_needs_passes_through(spark):
+    from memfuse_spark.operators.backfill import backfill_embeddings
+
+    tbl = spark.createDataFrame(
+        [
+            ("r1", "text one", None, True),
+            ("r2", "text two", [0.5] * 4, False),
+            ("r3", "text three", None, None),  # NULL = not pending
+        ],
+        "id string, content string, embedding array<double>, needs_embedding boolean",
+    )
+    out = backfill_embeddings(tbl, dim=4)
+    rows = {r.id: r for r in out.collect()}
+    assert set(rows) == {"r1", "r2", "r3"}  # nothing vanishes
+    assert rows["r1"].embedding is not None and rows["r1"].needs_embedding is False
+    assert rows["r3"].embedding is None  # untouched
