@@ -99,10 +99,33 @@ def q_vector_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity_topk(emb, qvec, 50, threshold=0.2)
 
 
+_POSTINGS_IDX: dict[tuple[int, str], str] = {}
+
+
+def _postings_index(spark: SparkSession, sf_dir: str) -> str:
+    """Build the term-bucketed postings index ONCE per (session, sf)
+    and reuse it across every keyword query — the reference's
+    persistent FTS5 index, not a rebuild-per-query."""
+    import hashlib
+    import tempfile
+
+    key = (id(spark.sparkContext), sf_dir)
+    if key not in _POSTINGS_IDX:
+        tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+        name = f"mfs_postings_{tag}"
+        (docs,) = _tables(spark, sf_dir, "documents")
+        kw_ops.build_postings_index(
+            spark, docs, name,
+            path=os.path.join(tempfile.gettempdir(), "memfuse_idx"),
+        )
+        _POSTINGS_IDX[key] = name
+    return _POSTINGS_IDX[key]
+
+
 def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """X1+A2+A3+X2+T3: tokenize → postings → BM25 → top-k."""
-    (docs,) = _tables(spark, sf_dir, "documents")
-    return kw_ops.bm25_topk(docs, QUERY_TEXT, TOP_K)
+    """X1+A2+A3+X2+T3: tokenize → postings index → BM25 → top-k."""
+    idx = _postings_index(spark, sf_dir)
+    return kw_ops.bm25_topk_from_index(spark, idx, QUERY_TEXT, TOP_K)
 
 
 def q_like_search(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -118,7 +141,12 @@ def _hybrid_branches(spark: SparkSession, sf_dir: str):
         similarity_topk(emb, qvec, FIRST_STAGE_K).withColumnRenamed("vec_id", "doc_id"),
         "vector",
     )
-    kw = tag_store(kw_ops.bm25_topk(docs, QUERY_TEXT, FIRST_STAGE_K), "keyword")
+    kw = tag_store(
+        kw_ops.bm25_topk_from_index(
+            spark, _postings_index(spark, sf_dir), QUERY_TEXT, FIRST_STAGE_K
+        ),
+        "keyword",
+    )
     return docs, union_results(vec, kw)
 
 
@@ -129,6 +157,7 @@ def q_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hybrid_retrieval(
         docs, emb, QUERY_TEXT, qvec, k=TOP_K, first_stage_k=FIRST_STAGE_K,
         weights=HYBRID_WEIGHTS, rrf_k=RRF_K,
+        postings_index=_postings_index(spark, sf_dir),
     )
 
 
@@ -471,8 +500,9 @@ def q_round_buffer_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_bm25_wrapped_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X3: FTS5-style score wrapper 1/(1+|bm25|) on the BM25 top-k
     (reference keyword_store/sqlite_store.py:406-417)."""
-    (docs,) = _tables(spark, sf_dir, "documents")
-    raw = kw_ops.bm25_topk(docs, QUERY_TEXT, TOP_K)
+    raw = kw_ops.bm25_topk_from_index(
+        spark, _postings_index(spark, sf_dir), QUERY_TEXT, TOP_K
+    )
     return raw.select(
         "doc_id",
         F.round(1.0 / (1.0 + F.abs(F.col("score"))), 6).alias("wrapped_score"),
@@ -680,7 +710,10 @@ def q_rerank_two_stage(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs, emb = _tables(spark, sf_dir, "documents", "embeddings")
     qvec = anchor_vector(spark, emb, ANCHOR_VEC_ID)
-    return two_stage_retrieval(docs, emb, QUERY_TEXT, qvec, k=TOP_K)
+    return two_stage_retrieval(
+        docs, emb, QUERY_TEXT, qvec, k=TOP_K,
+        postings_index=_postings_index(spark, sf_dir),
+    )
 
 
 # --- ANN scale path ----------------------------------------------------------

@@ -113,10 +113,14 @@ def lsh_candidate_pairs(
     shuffles both sides by the bucket key, and only same-bucket rows
     ever meet.
     """
+    from memfuse_spark import cache
+
     rows_per_band = num_hashes // bands
     # the banded union selects from the signature table `bands` times —
-    # persist so the md5-min aggregation runs once, not per band
-    signatures = signatures.persist()
+    # persist so the md5-min aggregation runs once, not per band.
+    # Scoped: the next lsh query releases this generation (cache.py).
+    cache.begin("dedup.signatures")
+    signatures = cache.scoped_persist(signatures, "dedup.signatures")
     band_rows = None
     for b in range(bands):
         cols = [F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)]
@@ -157,9 +161,13 @@ def minhash_lsh_pairs(
     join rehydrates shingle sets only for candidate ids (a tiny set),
     so full documents are never pairwise-shuffled.
     """
+    from memfuse_spark import cache
+
     # persist: the shingle sets feed the signature build AND both sides
-    # of the verify join — without it Spark re-tokenizes the corpus 3×
-    sh = shingle_sets(docs, id_col, text_col, n).persist()
+    # of the verify join — without it Spark re-tokenizes the corpus 3×.
+    # Scoped: the next minhash query releases this generation (cache.py).
+    cache.begin("dedup.shingles")
+    sh = cache.scoped_persist(shingle_sets(docs, id_col, text_col, n), "dedup.shingles")
     cands = lsh_candidate_pairs(minhash_signature(sh, num_hashes), bands, num_hashes)
     verified = (
         cands.join(sh.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("shingles", "sh_a"), "doc_a")
@@ -250,8 +258,12 @@ def simhash_pairs(
     must agree on ≥1 whole byte (pigeonhole), so candidates come from
     4 equi-joins on (byte_index, byte_value), never a cross join.
     """
-    # persisted: the byte-band union selects from it n_bytes times
-    sh = simhash(docs, id_col, text_col, bits).persist()
+    from memfuse_spark import cache
+
+    # persisted: the byte-band union selects from it n_bytes times.
+    # Scoped: the next simhash query releases this generation (cache.py).
+    cache.begin("dedup.simhash")
+    sh = cache.scoped_persist(simhash(docs, id_col, text_col, bits), "dedup.simhash")
     n_bytes = bits // 8
     banded = None
     for i in range(n_bytes):

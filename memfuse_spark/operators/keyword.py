@@ -57,34 +57,57 @@ def document_frequency(postings: DataFrame) -> DataFrame:
     return postings.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
 
 
-def bm25_topk(
+def build_postings_index(
+    spark,
     docs: DataFrame,
-    query: str,
-    k: int,
+    name: str,
     id_col: str = "doc_id",
     text_col: str = "text",
-    k1: float = BM25_K1,
-    b: float = BM25_B,
-    score_decimals: int = 6,
+    num_buckets: int = 16,
+    path: str | None = None,
+) -> None:
+    """Materialize the inverted index ONCE as a term-bucketed warehouse
+    table (+ a 1-row ``{name}_stats`` table), the Spark analog of the
+    reference's persistent FTS5 index (keyword_store/sqlite_store.py:
+    376-421).
+
+    df (document frequency) is joined onto each posting row at BUILD
+    time — the join shuffles on `term`, which is exactly the bucket key
+    the write needs, so it costs nothing extra — and query-time scoring
+    becomes: bucket-pruned scan → broadcast stats → arithmetic → top-k.
+    At 100 TB the per-query cost is O(postings of the query terms), not
+    O(corpus): the isin(term) predicate prunes buckets AND pushes into
+    the parquet scan.
+    """
+    postings = build_postings(docs, id_col, text_col)
+    with_df = postings.join(document_frequency(postings), "term")
+    writer = with_df.write.mode("overwrite").format("parquet")
+    if path is not None:
+        writer = writer.option("path", f"{path}/{name}")
+    writer.bucketBy(num_buckets, "term").sortBy("term").saveAsTable(name)
+
+    stats_writer = corpus_stats(spark.table(name)).write.mode("overwrite").format(
+        "parquet"
+    )
+    if path is not None:
+        stats_writer = stats_writer.option("path", f"{path}/{name}_stats")
+    stats_writer.saveAsTable(f"{name}_stats")
+
+
+def _bm25_score(
+    matched: DataFrame,
+    k: int,
+    k1: float,
+    b: float,
+    score_decimals: int,
 ) -> DataFrame:
-    """BM25 top-k over a document table (X2 + T3).
+    """Shared BM25 arithmetic over matched postings carrying
+    (doc_id, tf, dl, df, n_docs, avgdl).
 
     idf = ln((N - df + 0.5)/(df + 0.5) + 1)
     score = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1 - b + b·dl/avgdl))
     (reference: bm25_store.py:212-249)
     """
-    q_terms = sorted({t for t in _py_tokenize(query)})
-    # persisted: feeds corpus stats, document frequencies AND the match
-    # join — without it the tokenize+explode+agg runs three times
-    postings = build_postings(docs, id_col, text_col).persist()
-    stats = corpus_stats(postings)
-    df_tbl = document_frequency(postings)
-
-    matched = (
-        postings.filter(F.col("term").isin(q_terms))
-        .join(F.broadcast(df_tbl.filter(F.col("term").isin(q_terms))), "term")
-        .crossJoin(F.broadcast(stats))
-    )
     idf = F.log(
         (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
     )
@@ -100,6 +123,62 @@ def bm25_topk(
     )
 
 
+def bm25_topk_from_index(
+    spark,
+    index_name: str,
+    query: str,
+    k: int,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+    score_decimals: int = 6,
+) -> DataFrame:
+    """T3/X2 against a prebuilt index (build_postings_index): scans the
+    postings table only — never the documents table — with bucket
+    pruning on the query terms."""
+    q_terms = sorted({t for t in _py_tokenize(query)})
+    postings = spark.table(index_name).filter(F.col("term").isin(q_terms))
+    stats = spark.table(f"{index_name}_stats")
+    matched = postings.crossJoin(F.broadcast(stats))
+    return _bm25_score(matched, k, k1, b, score_decimals)
+
+
+def bm25_topk(
+    docs: DataFrame,
+    query: str,
+    k: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+    score_decimals: int = 6,
+) -> DataFrame:
+    """BM25 top-k over a raw document table (X2 + T3), ad-hoc path.
+
+    Builds the postings for THIS query only; for repeated queries use
+    build_postings_index + bm25_topk_from_index (the postings build is a
+    full corpus tokenize+shuffle you don't want per query). The postings
+    are persisted for the three uses inside the query (stats, dfs,
+    match), the ≤k-row result is materialized eagerly, and the cache is
+    ALWAYS released — repeated ad-hoc queries leave no cached RDDs.
+    """
+    spark = docs.sparkSession
+    q_terms = sorted({t for t in _py_tokenize(query)})
+    postings = build_postings(docs, id_col, text_col).persist()
+    try:
+        stats = corpus_stats(postings)
+        df_tbl = document_frequency(postings)
+        matched = (
+            postings.filter(F.col("term").isin(q_terms))
+            .join(F.broadcast(df_tbl.filter(F.col("term").isin(q_terms))), "term")
+            .crossJoin(F.broadcast(stats))
+        )
+        result = _bm25_score(matched, k, k1, b, score_decimals)
+        rows = result.collect()  # ≤ k rows — driver-safe at any scale
+        return spark.createDataFrame(rows, schema=result.schema)
+    finally:
+        postings.unpersist()
+
+
 def tfidf_topk(
     docs: DataFrame,
     query: str,
@@ -110,25 +189,31 @@ def tfidf_topk(
 ) -> DataFrame:
     """Length-normalized TF-IDF top-k (the BM25 sibling without
     saturation): score = Σ_t (tf/dl) · ln((N+1)/(df+1))."""
+    spark = docs.sparkSession
     q_terms = sorted({t for t in _py_tokenize(query)})
     postings = build_postings(docs, id_col, text_col).persist()
-    stats = corpus_stats(postings)
-    df_tbl = document_frequency(postings)
-    matched = (
-        postings.filter(F.col("term").isin(q_terms))
-        .join(F.broadcast(df_tbl.filter(F.col("term").isin(q_terms))), "term")
-        .crossJoin(F.broadcast(stats))
-    )
-    score = (F.col("tf") / F.col("dl")) * F.log(
-        (F.col("n_docs") + 1.0) / (F.col("df") + 1.0)
-    )
-    return (
-        matched.select("doc_id", score.alias("term_score"))
-        .groupBy("doc_id")
-        .agg(F.round(F.sum("term_score"), score_decimals).alias("score"))
-        .orderBy(F.desc("score"), F.asc("doc_id"))
-        .limit(k)
-    )
+    try:
+        stats = corpus_stats(postings)
+        df_tbl = document_frequency(postings)
+        matched = (
+            postings.filter(F.col("term").isin(q_terms))
+            .join(F.broadcast(df_tbl.filter(F.col("term").isin(q_terms))), "term")
+            .crossJoin(F.broadcast(stats))
+        )
+        score = (F.col("tf") / F.col("dl")) * F.log(
+            (F.col("n_docs") + 1.0) / (F.col("df") + 1.0)
+        )
+        result = (
+            matched.select("doc_id", score.alias("term_score"))
+            .groupBy("doc_id")
+            .agg(F.round(F.sum("term_score"), score_decimals).alias("score"))
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+            .limit(k)
+        )
+        rows = result.collect()  # ≤ k rows
+        return spark.createDataFrame(rows, schema=result.schema)
+    finally:
+        postings.unpersist()
 
 
 def tfidf_topk_sql(

@@ -90,12 +90,16 @@ def two_stage_retrieval(
     qvec: Sequence[float],
     k: int = 15,
     scorer: Callable | None = None,
+    postings_index: str | None = None,
 ) -> DataFrame:
     """First stage: hybrid RRF top-2k; second stage: rerank to k
     (the reference's 2×top_k → cross-encoder → top_k shape)."""
     from memfuse_spark.plans.pipeline import hybrid_retrieval
 
-    first = hybrid_retrieval(documents, embeddings, query_text, qvec, k=2 * k)
+    first = hybrid_retrieval(
+        documents, embeddings, query_text, qvec, k=2 * k,
+        postings_index=postings_index,
+    )
     return rerank(first, query_text, k, content_col="text", id_col="doc_id", scorer=scorer).select(
         "doc_id", "rerank_score", "text"
     )

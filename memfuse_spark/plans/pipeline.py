@@ -30,7 +30,7 @@ from memfuse_spark.operators.fusion import (
     tag_store,
     union_results,
 )
-from memfuse_spark.operators.keyword import bm25_topk
+from memfuse_spark.operators.keyword import bm25_topk, bm25_topk_from_index
 from memfuse_spark.operators.similarity import similarity_topk
 
 
@@ -43,10 +43,13 @@ def hybrid_retrieval(
     first_stage_k: int | None = None,
     weights: dict[str, float] | None = None,
     rrf_k: float = DEFAULT_RRF_K,
+    postings_index: str | None = None,
 ) -> DataFrame:
     """Vector ∪ keyword retrieval fused with RRF, hydrated with content.
 
     first_stage_k defaults to 2×k (reference memory_service.py:1553-1555).
+    With `postings_index` set, the keyword branch scans the prebuilt
+    term-bucketed index instead of re-tokenizing the corpus per query.
     Returns (doc_id, score, text) ordered by score desc, doc_id asc.
     """
     fsk = first_stage_k or 2 * k
@@ -56,7 +59,13 @@ def hybrid_retrieval(
         ),
         "vector",
     )
-    kw = tag_store(bm25_topk(documents, query_text, fsk), "keyword")
+    if postings_index is not None:
+        kw_raw = bm25_topk_from_index(
+            documents.sparkSession, postings_index, query_text, fsk
+        )
+    else:
+        kw_raw = bm25_topk(documents, query_text, fsk)
+    kw = tag_store(kw_raw, "keyword")
     fused = rrf_fusion(
         union_results(vec, kw),
         weights=weights or {"vector": 0.5, "keyword": 0.2},

@@ -115,3 +115,23 @@ def test_pairwise_blocked_multiblock_exact(spark):
     # plan shape: grouped pandas apply, not a collect-and-broadcast
     plan = multi._jdf.queryExecution().executedPlan().toString()
     assert "FlatMapGroupsInPandas" in plan
+
+
+def test_repeated_queries_bound_cached_rdds(spark, docs):
+    """Repeated minhash/simhash queries must not accumulate cached RDDs:
+    each generation releases the previous one, and release_all() clears
+    the last."""
+    from memfuse_spark import cache
+
+    cache.release_all()
+    for _ in range(3):
+        dedup.minhash_lsh_pairs(docs, threshold=0.5).collect()
+    after_minhash = spark.sparkContext._jsc.getPersistentRDDs().size()
+    for _ in range(3):
+        dedup.simhash_pairs(docs, max_hamming=3).collect()
+    after_simhash = spark.sparkContext._jsc.getPersistentRDDs().size()
+    # one generation = shingles + signatures (minhash) + simhash table
+    assert after_minhash <= 2
+    assert after_simhash <= 3
+    cache.release_all()
+    assert spark.sparkContext._jsc.getPersistentRDDs().size() == 0

@@ -75,3 +75,52 @@ def test_like_search_constant_score(docs_df):
     got = like_search(docs_df, ["spark", "merge"]).collect()
     assert {r.doc_id for r in got} == {0, 1, 3}
     assert all(r.score == pytest.approx(0.6) for r in got)
+
+
+def test_postings_index_matches_adhoc(spark, tmp_path):
+    from memfuse_spark.operators.keyword import (
+        bm25_topk,
+        bm25_topk_from_index,
+        build_postings_index,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (0, "spark shuffles data between stages"),
+            (1, "a table scan reads parquet row groups"),
+            (2, "the query planner reorders joins"),
+            (3, "spark query execution uses whole stage codegen"),
+            (4, "scan scan scan"),
+        ],
+        "doc_id bigint, text string",
+    )
+    build_postings_index(spark, docs, "t_idx", path=str(tmp_path / "wh"))
+    adhoc = {(r.doc_id, r.score) for r in bm25_topk(docs, "spark query scan", 5).collect()}
+    via_idx = {
+        (r.doc_id, r.score)
+        for r in bm25_topk_from_index(spark, "t_idx", "spark query scan", 5).collect()
+    }
+    assert adhoc == via_idx and len(adhoc) > 0
+
+    # the query side scans the postings table with bucket pruning,
+    # never the documents table
+    plan = bm25_topk_from_index(spark, "t_idx", "spark query scan", 5)._jdf.queryExecution().executedPlan().toString()
+    assert "t_idx" in plan
+    assert "SelectedBucketsCount" in plan
+    assert "documents" not in plan
+
+
+def test_adhoc_bm25_leaves_no_cached_rdds(spark):
+    from memfuse_spark import cache
+    from memfuse_spark.operators.keyword import bm25_topk, tfidf_topk
+
+    cache.release_all()  # clear other modules' scoped generations
+
+    docs = spark.createDataFrame(
+        [(i, f"doc number {i} about spark") for i in range(10)],
+        "doc_id bigint, text string",
+    )
+    bm25_topk(docs, "spark doc", 3).collect()
+    tfidf_topk(docs, "spark doc", 3).collect()
+    cached = spark.sparkContext._jsc.getPersistentRDDs()
+    assert cached.size() == 0
