@@ -1,0 +1,129 @@
+"""Deterministic batch "models" that exercise the real-model slots
+(SURVEY.md §2.8 M1/M2) end-to-end.
+
+sentence-transformers is not in this container (ROADMAP), so these
+stand-ins reproduce the exact operational shape of the reference's
+MiniLM encode / cross-encoder predict (memfuse `rag/encode/MiniLM.py:
+139-221`, `rag/rerank/MiniLM.py:141-260`):
+
+- heavyweight init (a seeded projection matrix) happens ONCE per worker
+  process, lazily, inside the Arrow batch iterator — the pattern a real
+  model download/load needs;
+- text batches travel Arrow-batched (mapInPandas / pandas_udf), never
+  row-at-a-time;
+- encoding deduplicates identical content FIRST and joins the vectors
+  back by content hash — the distributed equivalent of the reference's
+  embedding cache (SURVEY §4);
+- outputs are deterministic floats, so the whole path stays testable.
+
+A real model drops in by replacing :func:`_get_projection` /
+:func:`_hash_features` with tokenizer+forward — nothing else changes.
+"""
+
+from __future__ import annotations
+
+import zlib
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# process-global model cache: one init per (shape, seed) per worker
+# process, shared across partitions the worker executes
+_PROJECTIONS: dict = {}
+
+
+def _get_projection(n_features: int, dim: int, seed: int, init_acc=None):
+    import numpy as np
+
+    key = (n_features, dim, seed)
+    if key not in _PROJECTIONS:
+        rng = np.random.default_rng(seed)
+        _PROJECTIONS[key] = rng.standard_normal((n_features, dim))
+        if init_acc is not None:
+            init_acc.add(1)
+    return _PROJECTIONS[key]
+
+
+def _hash_features(texts: Sequence[str], n_features: int):
+    """Deterministic char-3-gram hashing featurizer (crc32 buckets)."""
+    import numpy as np
+
+    out = np.zeros((len(texts), n_features), dtype=np.float64)
+    for i, t in enumerate(texts):
+        s = (t or "").lower()
+        if len(s) < 3:
+            s = s + "   "
+        for j in range(len(s) - 2):
+            out[i, zlib.crc32(s[j : j + 3].encode()) % n_features] += 1.0
+    return out
+
+
+def make_batch_embedder(
+    dim: int = 16,
+    n_features: int = 256,
+    seed: int = 7,
+    vec_col: str = "embedding",
+    init_acc=None,
+    encoded_acc=None,
+):
+    """Return an ``embedder(pending_df, text_col) -> df + vec_col`` for
+    backfill_embeddings(embedder=).
+
+    Pipeline: md5(content) → dropDuplicates (encode each distinct text
+    once, the embedding-cache equivalent) → mapInPandas encode (model
+    loaded once per worker, Arrow batches) → join vectors back on the
+    content hash. `init_acc`/`encoded_acc` are optional Spark
+    accumulators for tests: model-init events and encoded-row counts.
+    """
+    import numpy as np
+    import pandas as pd
+
+    def embedder(pending: DataFrame, text_col: str) -> DataFrame:
+        cid = F.md5(F.coalesce(F.col(text_col), F.lit("")))
+        with_id = pending.withColumn("__cid", cid)
+        uniq = with_id.select("__cid", text_col).dropDuplicates(["__cid"])
+
+        def encode(batches):
+            for pdf in batches:
+                proj = _get_projection(n_features, dim, seed, init_acc)
+                texts = pdf[text_col].tolist()
+                if encoded_acc is not None:
+                    encoded_acc.add(len(texts))
+                feats = _hash_features(texts, n_features)
+                mat = feats @ proj
+                norms = np.linalg.norm(mat, axis=1, keepdims=True)
+                norms[norms == 0] = 1.0
+                mat = np.round(mat / norms, 6)
+                yield pd.DataFrame(
+                    {"__cid": pdf["__cid"], vec_col: list(map(list, mat))}
+                )
+
+        vecs = uniq.mapInPandas(encode, f"__cid string, {vec_col} array<double>")
+        out = with_id.drop(vec_col) if vec_col in pending.columns else with_id
+        return out.join(vecs, "__cid").drop("__cid")
+
+    return embedder
+
+
+def make_batch_cross_encoder(
+    dim: int = 32, n_features: int = 256, seed: int = 11, init_acc=None
+):
+    """Return a ``scorer(queries, contents) -> scores`` for
+    rerank(scorer=): both sides featurize + project through the
+    once-per-worker matrix; score is the projected cosine mapped to
+    [0, 1] and rounded to 6 decimals."""
+    import numpy as np
+
+    def scorer(queries: Sequence[str], contents: Sequence[str]):
+        proj = _get_projection(n_features, dim, seed, init_acc)
+        q = _hash_features(queries, n_features) @ proj
+        c = _hash_features(contents, n_features) @ proj
+        qn = np.linalg.norm(q, axis=1)
+        cn = np.linalg.norm(c, axis=1)
+        denom = qn * cn
+        denom[denom == 0] = 1.0
+        cos = (q * c).sum(axis=1) / denom
+        return list(np.round((cos + 1.0) / 2.0, 6))
+
+    return scorer

@@ -78,3 +78,74 @@ def test_backfill_idempotent(spark):
     a = once.collect()[0]
     b = twice.collect()[0]
     assert a.embedding == b.embedding and b.needs_embedding is False
+
+
+def test_backfill_real_model_slot(spark):
+    """M1 real-model path: batch embedder through backfill_embeddings -
+    dedup-before-encode (each distinct text encoded once), one model
+    init per worker process, deterministic output."""
+    from memfuse_spark.models import make_batch_embedder
+
+    sc = spark.sparkContext
+    init_acc, encoded_acc = sc.accumulator(0), sc.accumulator(0)
+    # 60 pending rows but only 3 distinct contents
+    rows = [
+        (f"c{i}", ["alpha text", "beta text", "gamma text"][i % 3], None, True)
+        for i in range(60)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "chunk_id string, content string, embedding array<double>, needs_embedding boolean",
+    ).repartition(8)
+    emb = make_batch_embedder(dim=8, init_acc=init_acc, encoded_acc=encoded_acc)
+    out = backfill_embeddings(df, embedder=emb, dim=8).collect()
+    assert len(out) == 60
+    by_content = {}
+    for r in out:
+        assert r.embedding is not None and len(r.embedding) == 8
+        by_content.setdefault(r.content, set()).add(tuple(r.embedding))
+    # same content -> identical vector (cache semantics)
+    assert all(len(v) == 1 for v in by_content.values())
+    # dedup-before-encode: 3 distinct texts -> exactly 3 encoded rows
+    assert encoded_acc.value == 3
+    # model init happens at most once per worker process touched
+    assert 1 <= init_acc.value <= 8
+
+    # determinism across invocations
+    out2 = backfill_embeddings(df, embedder=emb, dim=8).collect()
+    v1 = {r.chunk_id: tuple(r.embedding) for r in out}
+    v2 = {r.chunk_id: tuple(r.embedding) for r in out2}
+    assert v1 == v2
+
+
+def test_backfill_dedup_before_encode_in_plan(spark):
+    """The backfill plan must contain the distinct-then-join shape, not
+    a per-row encode."""
+    from memfuse_spark.models import make_batch_embedder
+
+    df = spark.createDataFrame(
+        [("c1", "t", None, True)],
+        "chunk_id string, content string, embedding array<double>, needs_embedding boolean",
+    )
+    out = backfill_embeddings(df, embedder=make_batch_embedder(dim=8), dim=8)
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    assert "Deduplicate" in plan or "Aggregate" in plan
+    assert "MapInPandas" in plan
+
+
+def test_rerank_real_cross_encoder(candidates):
+    """M2 real-model path: batch cross-encoder through rerank(scorer=),
+    deterministic and semantically sane (self-similarity wins)."""
+    from memfuse_spark.models import make_batch_cross_encoder
+
+    scorer = make_batch_cross_encoder(dim=16)
+    q = "catalyst optimizer rules"
+    got = rerank(candidates, q, 4, scorer=scorer).collect()
+    scores = {r.doc_id: r.rerank_score for r in got}
+    assert len(scores) == 4
+    assert all(0.0 <= s <= 1.0 for s in scores.values())
+    # doc 3 IS the query text - a (projected-cosine) cross-encoder must
+    # rank it first
+    assert got[0].doc_id == 3
+    again = {r.doc_id: r.rerank_score for r in rerank(candidates, q, 4, scorer=scorer).collect()}
+    assert again == scores
