@@ -960,6 +960,18 @@ def q_graph_contextual(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- text analysis ---------------------------------------------------------
 
+SPEC_RECENT_IDS = [0, 7, 13]
+
+
+def q_speculative_prefetch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B5 SpeculativeBuffer semantic-similarity prefetch: mean of the
+    recent items' embeddings → top-k similar, recent excluded."""
+    from memfuse_spark.streaming.buffer import speculative_prefetch
+
+    (emb,) = _tables(spark, sf_dir, "embeddings")
+    return speculative_prefetch(emb, SPEC_RECENT_IDS, k=10)
+
+
 def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counting per document."""
     (docs,) = _tables(spark, sf_dir, "documents")
@@ -1076,6 +1088,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_pivot": q_event_pivot,
         "event_percentiles": q_event_percentiles,
         "distinct_users": q_distinct_users,
+        "speculative_prefetch": q_speculative_prefetch,
     }
 
 
@@ -1526,6 +1539,9 @@ SELECT doc_id, CAST(t.s.idx AS INT) AS chunk_index, t.s.part AS chunk_text,
 FROM chunks, unnest(parts) AS t(s)
 ORDER BY doc_id, chunk_index
 """,
+        "speculative_prefetch": oracles.speculative_prefetch_sql(
+            SPEC_RECENT_IDS, 10
+        ),
         "contextual_chunks": oracles.contextual_chunks_sql(),
         "graph_weighted_2hop": oracles.graph_weighted_2hop_sql(
             KNN_ANCHOR_ID, _SIM_T, "SIMILAR_TO", GRAPH_MIN_WEIGHT

@@ -587,6 +587,38 @@ LIMIT {k}
     )
 
 
+def speculative_prefetch_sql(recent_ids: list, k: int, dim: int = 64) -> str:
+    """B5 semantic-similarity prefetch: mean of recent embeddings (id
+    order, left-assoc sum — matches the Spark fold) → cosine top-k
+    excluding the recent set."""
+    n = len(recent_ids)
+    ids = ", ".join(str(i) for i in recent_ids)
+    terms = "embs[1][i + 1]"
+    for j in range(2, n + 1):
+        terms = f"({terms} + embs[{j}][i + 1])"
+    cos = (
+        "round(list_dot_product(CAST(e.embedding AS DOUBLE[]), c.v)"
+        " / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])))"
+        " * sqrt(list_dot_product(c.v, c.v))), 6)"
+    )
+    return f"""
+WITH recent AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS embedding
+  FROM embeddings WHERE vec_id IN ({ids})
+),
+ctx AS (SELECT list(embedding ORDER BY vec_id) AS embs FROM recent),
+ctxv AS (
+  SELECT [{terms} / CAST({n} AS DOUBLE) for i in range(0, {dim})] AS v
+  FROM ctx
+)
+SELECT e.vec_id, {cos} AS score
+FROM embeddings e, ctxv c
+WHERE e.vec_id NOT IN ({ids})
+ORDER BY score DESC, e.vec_id ASC
+LIMIT {k}
+"""
+
+
 # --- graph oracles -----------------------------------------------------------
 
 _PAIR_COS = (

@@ -78,6 +78,72 @@ class ParquetTable:
         return before - after
 
 
+class PartitionedParquetTable(ParquetTable):
+    """S4 at scale: CRUD over a table partitioned by a prefix/tenant
+    column. Deletes and upserts REWRITE ONLY the partitions that
+    contain affected rows (dynamic partition overwrite) — the plain
+    ParquetTable's full-table rewrite is wrong at 100 TB; this is the
+    deletion-vector-free equivalent of a lakehouse MERGE INTO, and the
+    API is shaped so a Delta/Iceberg backend can swap underneath.
+    """
+
+    def __init__(
+        self, spark: SparkSession, path: str, key_col: str = "id",
+        part_col: str = "tenant",
+    ) -> None:
+        super().__init__(spark, path, key_col)
+        self.part_col = part_col
+
+    def append(self, df: DataFrame) -> None:
+        df.write.mode("append").partitionBy(self.part_col).parquet(self.path)
+
+    def _overwrite_partitions(self, df: DataFrame) -> None:
+        (
+            df.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy(self.part_col)
+            .parquet(self.path)
+        )
+
+    def delete(self, condition: Column) -> int:
+        """Delete rows where `condition` is TRUE, touching only the
+        partitions that contain such rows (partition pruning pushes the
+        isin filter into the scan)."""
+        current = self.read()
+        hit = F.coalesce(condition, F.lit(False))
+        affected = [
+            r[0] for r in current.filter(hit).select(self.part_col).distinct().collect()
+        ]
+        if not affected:
+            return 0
+        scoped = current.filter(F.col(self.part_col).isin(affected))
+        removed = scoped.filter(hit).count()
+        remaining = scoped.filter(~hit)
+        keep_parts = {
+            r[0] for r in remaining.select(self.part_col).distinct().collect()
+        }
+        self._overwrite_partitions(remaining)
+        # dynamic overwrite only replaces partitions PRESENT in the
+        # output — a partition emptied by the delete must be removed
+        # explicitly or its old files survive
+        for v in set(affected) - keep_parts:
+            d = os.path.join(self.path, f"{self.part_col}={v}")
+            if os.path.isdir(d):
+                shutil.rmtree(d)
+        return removed
+
+    def upsert(self, df: DataFrame) -> None:
+        """MERGE: new rows win on key collision; only the partitions
+        present in `df` are rewritten."""
+        if not self.exists():
+            self.append(df)
+            return
+        affected = [r[0] for r in df.select(self.part_col).distinct().collect()]
+        current = self.read().filter(F.col(self.part_col).isin(affected))
+        kept = current.join(df.select(self.key_col), self.key_col, "left_anti")
+        self._overwrite_partitions(kept.unionByName(df))
+
+
 def compact(
     spark: SparkSession, path: str, target_files: int = 1
 ) -> tuple[int, int]:

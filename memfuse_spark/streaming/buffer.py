@@ -218,6 +218,99 @@ def read_your_writes(
     return dedup_by_priority(merged, id_col=id_col)
 
 
+def speculative_prefetch(
+    corpus: DataFrame,
+    recent_ids: list,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int | None = None,
+    score_decimals: int = 6,
+) -> DataFrame:
+    """B5 SpeculativeBuffer prediction (reference buffer/
+    speculative_buffer.py:43-199 — a PLACEHOLDER there; this implements
+    its declared ``semantic_similarity`` strategy): the prefetch
+    context is the mean embedding of the recent items (summed in id
+    order so the float fold is deterministic), and the prefetch set is
+    the top-k most similar corpus items excluding the recent ones.
+
+    Plan shape: the context is a 1-row aggregate broadcast into the
+    corpus scan; the result is TakeOrderedAndProject — no corpus
+    shuffle, same scale envelope as similarity_topk.
+    """
+    n = len(recent_ids)
+    recent = corpus.filter(F.col(id_col).isin(list(recent_ids)))
+    if dim is None:
+        dim = len(recent.select(vec_col).first()[0])  # schema probe, 1 row
+    arr = F.array_sort(
+        F.collect_list(F.struct(F.col(id_col).alias("i"), F.col(vec_col).alias("v")))
+    )
+    ctx_df = recent.agg(arr.alias("__a"))
+
+    def elem(i: int):
+        expr = F.element_at(F.col("__a"), 1)["v"][i]
+        for j in range(2, n + 1):
+            expr = expr + F.element_at(F.col("__a"), j)["v"][i]
+        return expr / F.lit(float(n))
+
+    ctx = F.array(*[elem(i) for i in range(dim)])
+    from memfuse_spark.functions.vector import cosine_similarity
+
+    scored = corpus.filter(~F.col(id_col).isin(list(recent_ids))).crossJoin(
+        F.broadcast(ctx_df)
+    )
+    score = F.round(cosine_similarity(F.col(vec_col), ctx), score_decimals)
+    return (
+        scored.select(id_col, score.alias("score"))
+        .orderBy(F.desc("score"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+class SpeculativeCache:
+    """B5 cache bookkeeping around :func:`speculative_prefetch`
+    (reference speculative_buffer.py interface: update / get_prefetched
+    / stats with hit tracking; max_size + context_window semantics)."""
+
+    def __init__(self, corpus: DataFrame, max_size: int = 10, context_window: int = 3):
+        self.corpus = corpus
+        self.max_size = max_size
+        self.context_window = context_window
+        self._recent: list = []
+        self._cache: dict = {}
+        self.total_hits = 0
+        self.total_misses = 0
+
+    def update(self, recent_ids: list) -> None:
+        """Record recent accesses and refresh the prefetch cache from
+        the last `context_window` of them."""
+        self._recent = (self._recent + list(recent_ids))[-self.context_window :]
+        rows = speculative_prefetch(
+            self.corpus, self._recent, k=self.max_size
+        ).collect()
+        self._cache = {r[0]: r[1] for r in rows}
+
+    def get(self, item_id):
+        if item_id in self._cache:
+            self.total_hits += 1
+            return self._cache[item_id]
+        self.total_misses += 1
+        return None
+
+    def stats(self) -> dict:
+        total = self.total_hits + self.total_misses
+        return {
+            "cache_size": len(self._cache),
+            "max_size": self.max_size,
+            "context_window": self.context_window,
+            "total_hits": self.total_hits,
+            "total_misses": self.total_misses,
+            "hit_rate_percent": round(100.0 * self.total_hits / total, 2)
+            if total
+            else 0.0,
+        }
+
+
 def windowed_event_counts(
     events_stream: DataFrame,
     window: str = "5 minutes",

@@ -187,3 +187,26 @@ def test_epoch_replay_is_idempotent(spark, tmp_path):
     }
     for name in ("m0", "m1", "m2"):
         assert sorted(map(repr, replayed[name])) == sorted(map(repr, first[name]))
+
+
+def test_speculative_cache_hit_tracking(spark):
+    """B5 cache semantics: prefetched = top similar to the recent
+    context; hits/misses tracked; bounded by max_size."""
+    emb = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0, 0.0, 0.0]),
+            (1, [0.9, 0.1, 0.0, 0.0]),
+            (2, [0.8, 0.2, 0.0, 0.0]),
+            (3, [0.0, 0.0, 1.0, 0.0]),
+            (4, [0.0, 0.0, 0.9, 0.1]),
+        ],
+        "vec_id bigint, embedding array<double>",
+    )
+    cache = sb.SpeculativeCache(emb, max_size=1, context_window=2)
+    cache.update([0, 1])
+    # most similar to mean([e0, e1]) excluding {0, 1} is 2
+    assert cache.get(2) is not None
+    assert cache.get(3) is None  # orthogonal cluster → miss
+    stats = cache.stats()
+    assert stats["total_hits"] == 1 and stats["total_misses"] == 1
+    assert stats["cache_size"] <= 1

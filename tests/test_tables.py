@@ -119,3 +119,61 @@ def test_backfill_null_needs_passes_through(spark):
     assert set(rows) == {"r1", "r2", "r3"}  # nothing vanishes
     assert rows["r1"].embedding is not None and rows["r1"].needs_embedding is False
     assert rows["r3"].embedding is None  # untouched
+
+
+def test_partitioned_delete_touches_only_affected_partitions(spark, tmp_path):
+    import os
+    import time
+
+    from memfuse_spark.sources.tables import PartitionedParquetTable
+
+    t = PartitionedParquetTable(spark, str(tmp_path / "pt"), "id", "tenant")
+    t.append(
+        spark.createDataFrame(
+            [("a", "t1", 1), ("b", "t1", 9), ("c", "t2", 9), ("d", "t3", 1)],
+            "id string, tenant string, v int",
+        )
+    )
+    t3_dir = os.path.join(t.path, "tenant=t3")
+    before = {f: os.path.getmtime(os.path.join(t3_dir, f)) for f in os.listdir(t3_dir)}
+    time.sleep(1.05)
+
+    removed = t.delete(F.col("v") > 5)  # hits t1 and t2, never t3
+    assert removed == 2
+    got = sorted((r.id, r.tenant) for r in t.read().collect())
+    assert got == [("a", "t1"), ("d", "t3")]
+    # the untouched partition's files were not rewritten
+    after = {f: os.path.getmtime(os.path.join(t3_dir, f)) for f in os.listdir(t3_dir)}
+    assert after == before
+
+
+def test_partitioned_upsert_merges_by_key(spark, tmp_path):
+    from memfuse_spark.sources.tables import PartitionedParquetTable
+
+    t = PartitionedParquetTable(spark, str(tmp_path / "pu"), "id", "tenant")
+    t.append(
+        spark.createDataFrame(
+            [("a", "t1", 1), ("b", "t2", 2)], "id string, tenant string, v int"
+        )
+    )
+    t.upsert(
+        spark.createDataFrame(
+            [("a", "t1", 100), ("c", "t1", 3)], "id string, tenant string, v int"
+        )
+    )
+    got = {r.id: r.v for r in t.read().collect()}
+    assert got == {"a": 100, "b": 2, "c": 3}
+
+
+def test_partitioned_delete_null_predicate_rows_survive(spark, tmp_path):
+    from memfuse_spark.sources.tables import PartitionedParquetTable
+
+    t = PartitionedParquetTable(spark, str(tmp_path / "pn"), "id", "tenant")
+    t.append(
+        spark.createDataFrame(
+            [("a", "t1", 1), ("b", "t1", None), ("c", "t1", 9)],
+            "id string, tenant string, v int",
+        )
+    )
+    assert t.delete(F.col("v") > 5) == 1
+    assert sorted(r.id for r in t.read().collect()) == ["a", "b"]
