@@ -758,6 +758,19 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_ivf_topk(emb, qvec, 10, nprobe=2)
 
 
+def q_ivf_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch kNN join through IVF probing (scale path for query-batch ×
+    corpus similarity joins)."""
+    from memfuse_spark.operators.ann import ivf_knn_join
+
+    (emb,) = _tables(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id").isin(SPEC_RECENT_IDS)).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").cast("array<double>").alias("qvec"),
+    )
+    return ivf_knn_join(queries, emb, k=5, nprobe=2)
+
+
 def q_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Int8-quantized similarity top-k: normalize → quantize to int8
     (the 4×-smaller storage tier) → dequantize → exact top-k. Scores
@@ -1089,6 +1102,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_percentiles": q_event_percentiles,
         "distinct_users": q_distinct_users,
         "speculative_prefetch": q_speculative_prefetch,
+        "ivf_knn_join": q_ivf_knn_join,
     }
 
 
@@ -1542,6 +1556,7 @@ ORDER BY doc_id, chunk_index
         "speculative_prefetch": oracles.speculative_prefetch_sql(
             SPEC_RECENT_IDS, 10
         ),
+        "ivf_knn_join": oracles.ivf_knn_join_sql(SPEC_RECENT_IDS, 5, 2),
         "contextual_chunks": oracles.contextual_chunks_sql(),
         "graph_weighted_2hop": oracles.graph_weighted_2hop_sql(
             KNN_ANCHOR_ID, _SIM_T, "SIMILAR_TO", GRAPH_MIN_WEIGHT

@@ -207,6 +207,62 @@ def mllib_lsh_topk(
     return model.approxNearestNeighbors(feats, key, k).select(id_col, "distCol")
 
 
+def ivf_knn_join(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int,
+    nprobe: int = 2,
+    cell_col: str = "label",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "qvec",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    score_decimals: int = 6,
+) -> DataFrame:
+    """Batch kNN join through IVF probing — the scale path for
+    many-queries × huge-corpus similarity joins (`similarity.
+    similarity_join` is the exact/broadcast-NL baseline).
+
+    Each query ranks the (tiny, broadcast) centroid table and probes its
+    `nprobe` best cells; candidates come from an equi-join of the corpus
+    with the broadcast (query, cell) probe list, so scoring touches only
+    probed cells — expected nprobe/n_cells of the corpus per query, and
+    the corpus is never shuffled. Returns (query_id, vec_id, score),
+    top-k per query.
+    """
+    from pyspark.sql import Window
+
+    cents = ivf_centroids(corpus, cell_col, id_col, vec_col)
+    probe_scored = queries.crossJoin(F.broadcast(cents)).withColumn(
+        "__sim", cosine_similarity(F.col(query_vec_col), F.col("centroid"))
+    )
+    w_probe = Window.partitionBy(query_id_col).orderBy(
+        F.desc("__sim"), F.asc("cell")
+    )
+    probed = (
+        probe_scored.withColumn("__rn", F.row_number().over(w_probe))
+        .filter(F.col("__rn") <= nprobe)
+        .select(query_id_col, query_vec_col, "cell")
+    )
+    cand = corpus.join(
+        F.broadcast(probed), corpus[cell_col] == probed["cell"]
+    )
+    scored = cand.select(
+        F.col(query_id_col),
+        F.col(id_col),
+        F.round(
+            cosine_similarity(F.col(vec_col), F.col(query_vec_col)), score_decimals
+        ).alias("score"),
+    )
+    w_k = Window.partitionBy(query_id_col).orderBy(F.desc("score"), F.asc(id_col))
+    return (
+        scored.withColumn("__rn", F.row_number().over(w_k))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+        .orderBy(query_id_col, F.desc("score"), F.asc(id_col))
+    )
+
+
 def ivf_centroids(
     embeddings: DataFrame,
     cell_col: str = "label",

@@ -587,6 +587,54 @@ LIMIT {k}
     )
 
 
+def ivf_knn_join_sql(
+    query_ids: list, k: int, nprobe: int = 2, dim: int = 64
+) -> str:
+    """Batch IVF kNN join: queries are the anchor embeddings; each
+    probes its nprobe best cells, candidates ranked per query."""
+    ids = ", ".join(str(i) for i in query_ids)
+    cos_c = (
+        "list_dot_product(c.centroid, q.qv)"
+        " / (sqrt(list_dot_product(c.centroid, c.centroid))"
+        " * sqrt(list_dot_product(q.qv, q.qv)))"
+    )
+    cos_e = (
+        "round(list_dot_product(CAST(e.embedding AS DOUBLE[]), q.qv)"
+        " / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])))"
+        " * sqrt(list_dot_product(q.qv, q.qv))), 6)"
+    )
+    return (
+        "WITH "
+        + IVF_CENTROIDS_CTE.format(dim=dim).strip()
+        + f""",
+q AS (
+  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+  FROM embeddings WHERE vec_id IN ({ids})
+),
+probe AS (
+  SELECT query_id, cell, qv FROM (
+    SELECT q.query_id, c.cell, q.qv,
+           row_number() OVER (PARTITION BY q.query_id
+                              ORDER BY {cos_c} DESC, c.cell ASC) AS rn
+    FROM cents c, q
+  ) WHERE rn <= {nprobe}
+),
+cand AS (
+  SELECT p.query_id, e.vec_id, {cos_e} AS score
+  FROM embeddings e
+  JOIN probe p ON e.label = p.cell
+  JOIN q ON q.query_id = p.query_id
+)
+SELECT query_id, vec_id, score FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY score DESC, vec_id ASC) AS rn
+  FROM cand
+) WHERE rn <= {k}
+ORDER BY query_id, score DESC, vec_id
+"""
+    )
+
+
 def speculative_prefetch_sql(recent_ids: list, k: int, dim: int = 64) -> str:
     """B5 semantic-similarity prefetch: mean of recent embeddings (id
     order, left-assoc sum — matches the Spark fold) → cosine top-k

@@ -311,6 +311,24 @@ class SpeculativeCache:
         }
 
 
+def stream_dedup(
+    events_stream: DataFrame,
+    id_cols: list[str] | None = None,
+    ts_col: str = "ts",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Streaming exact dedup: duplicate keys arriving within the
+    watermark horizon are dropped (dropDuplicatesWithinWatermark), and —
+    unlike a plain dropDuplicates on a stream — the dedup state is
+    EVICTED once the watermark passes, so state size is bounded by the
+    duplicate-arrival window rather than the whole stream history. The
+    streaming twin of dedup.exact_dedup for at-least-once sources
+    (e.g. Kafka redeliveries)."""
+    return events_stream.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        id_cols or ["event_id"]
+    )
+
+
 def windowed_event_counts(
     events_stream: DataFrame,
     window: str = "5 minutes",

@@ -210,3 +210,36 @@ def test_speculative_cache_hit_tracking(spark):
     stats = cache.stats()
     assert stats["total_hits"] == 1 and stats["total_misses"] == 1
     assert stats["cache_size"] <= 1
+
+
+def test_stream_dedup_within_watermark(spark, tmp_path):
+    """Duplicate event ids delivered again within the watermark are
+    dropped; state is watermark-bounded (at-least-once source twin of
+    exact_dedup)."""
+    import datetime as dt
+
+    src = str(tmp_path / "dup_events")
+    t0 = dt.datetime(2025, 1, 1)
+    rows = [(i, t0 + dt.timedelta(seconds=i), f"payload {i}") for i in range(5)]
+    dupes = [(1, t0 + dt.timedelta(seconds=61), "payload 1 redelivered"),
+             (3, t0 + dt.timedelta(seconds=63), "payload 3 redelivered")]
+    spark.createDataFrame(
+        rows + dupes, "event_id bigint, ts timestamp, props string"
+    ).coalesce(1).write.parquet(src)
+
+    stream = spark.readStream.schema(
+        "event_id bigint, ts timestamp, props string"
+    ).parquet(src)
+    deduped = sb.stream_dedup(stream, ["event_id"], watermark="5 minutes")
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName("dedup_sink")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "dckpt"))
+        .start()
+    )
+    q.processAllAvailable()
+    got = spark.sql("select event_id from dedup_sink").collect()
+    q.stop()
+    ids = sorted(r.event_id for r in got)
+    assert ids == [0, 1, 2, 3, 4]  # each id exactly once
