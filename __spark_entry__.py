@@ -1003,6 +1003,39 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ta_ops.lang_id(docs).orderBy("doc_id")
 
 
+QUALITY_KEEP_THRESHOLD = 0.5
+
+
+def q_corpus_filter_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-data filter pipeline: Gopher flags + quality
+    score + language ID + minhash near-dup survival composed into one
+    keep verdict — the shape a real 100 TB corpus-prep job has."""
+    (docs,) = _tables(spark, sf_dir, "documents")
+    g = ta_ops.gopher_quality_flags(docs).select(
+        "doc_id", F.col("keep").alias("gopher_ok")
+    )
+    qs = ta_ops.quality_score(docs)
+    l = ta_ops.lang_id(docs)
+    kept = dedup_ops.minhash_dedup_keep(docs).withColumn("__k", F.lit(True))
+    base = (
+        g.join(qs, "doc_id")
+        .join(l, "doc_id")
+        .join(kept, "doc_id", "left")
+        .withColumn("not_dup", F.coalesce(F.col("__k"), F.lit(False)))
+        .drop("__k")
+    )
+    keep = (
+        F.col("gopher_ok")
+        & (F.col("quality") >= QUALITY_KEEP_THRESHOLD)
+        & (F.col("lang_pred") == "en")
+        & F.col("not_dup")
+    )
+    return base.select(
+        "doc_id", "gopher_ok", "quality", "lang_pred", "not_dup",
+        keep.alias("keep"),
+    ).orderBy("doc_id")
+
+
 def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bottom-k char-ngram-hash document fingerprint."""
     (docs,) = _tables(spark, sf_dir, "documents")
@@ -1103,6 +1136,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "distinct_users": q_distinct_users,
         "speculative_prefetch": q_speculative_prefetch,
         "ivf_knn_join": q_ivf_knn_join,
+        "corpus_filter_pipeline": q_corpus_filter_pipeline,
     }
 
 
@@ -1557,6 +1591,9 @@ ORDER BY doc_id, chunk_index
             SPEC_RECENT_IDS, 10
         ),
         "ivf_knn_join": oracles.ivf_knn_join_sql(SPEC_RECENT_IDS, 5, 2),
+        "corpus_filter_pipeline": oracles.corpus_filter_pipeline_sql(
+            QUALITY_KEEP_THRESHOLD
+        ),
         "contextual_chunks": oracles.contextual_chunks_sql(),
         "graph_weighted_2hop": oracles.graph_weighted_2hop_sql(
             KNN_ANCHOR_ID, _SIM_T, "SIMILAR_TO", GRAPH_MIN_WEIGHT

@@ -497,6 +497,22 @@ ORDER BY b.doc_id
 """
 
 
+def corpus_filter_pipeline_sql(quality_threshold: float = 0.5) -> str:
+    """Composed keep verdict: gopher ∧ quality ∧ lang ∧ not-near-dup."""
+    return f"""
+WITH g AS (SELECT doc_id, keep AS gopher_ok FROM ({gopher_quality_sql()})),
+qs AS (SELECT doc_id, quality FROM ({quality_score_sql()})),
+l AS (SELECT doc_id, lang_pred FROM ({lang_id_sql()})),
+kd AS (SELECT doc_id FROM ({minhash_dedup_keep_sql()}))
+SELECT g.doc_id, g.gopher_ok, qs.quality, l.lang_pred,
+       kd.doc_id IS NOT NULL AS not_dup,
+       (g.gopher_ok AND qs.quality >= {quality_threshold}
+        AND l.lang_pred = 'en' AND kd.doc_id IS NOT NULL) AS keep
+FROM g JOIN qs USING (doc_id) JOIN l USING (doc_id) LEFT JOIN kd USING (doc_id)
+ORDER BY g.doc_id
+"""
+
+
 def lineage_sql(batch_size: int = 5, dim: int = 16) -> str:
     return (
         f"WITH {M0_CTE.strip()},{_m1_cte(batch_size, dim)}\n"
