@@ -1009,17 +1009,28 @@ QUALITY_KEEP_THRESHOLD = 0.5
 def q_corpus_filter_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end training-data filter pipeline: Gopher flags + quality
     score + language ID + minhash near-dup survival composed into one
-    keep verdict — the shape a real 100 TB corpus-prep job has."""
+    keep verdict — the shape a real 100 TB corpus-prep job has.
+
+    Plan shape: quality and lang_pred are PER-ROW expressions computed
+    in the same projection as the gopher per-row stats — no extra scans
+    or doc_id joins for them; the only shuffles are gopher's
+    top-token-share aggregate and the minhash near-dup pipeline."""
+    from memfuse_spark.functions.text import tokenize
+
     (docs,) = _tables(spark, sf_dir, "documents")
+    per_row = docs.select(
+        F.col("doc_id"), F.col("text"), tokenize("text").alias("tk")
+    ).select(
+        "doc_id",
+        ta_ops.quality_expr().alias("quality"),
+        ta_ops.lang_pred_expr().alias("lang_pred"),
+    )
     g = ta_ops.gopher_quality_flags(docs).select(
         "doc_id", F.col("keep").alias("gopher_ok")
     )
-    qs = ta_ops.quality_score(docs)
-    l = ta_ops.lang_id(docs)
     kept = dedup_ops.minhash_dedup_keep(docs).withColumn("__k", F.lit(True))
     base = (
-        g.join(qs, "doc_id")
-        .join(l, "doc_id")
+        g.join(per_row, "doc_id")
         .join(kept, "doc_id", "left")
         .withColumn("not_dup", F.coalesce(F.col("__k"), F.lit(False)))
         .drop("__k")

@@ -45,27 +45,23 @@ def token_stats(
     )
 
 
-def quality_score(
-    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
-) -> DataFrame:
-    """Deterministic quality heuristic in [0,1]:
+def quality_expr(tk_col: str = "tk", text_col: str = "text"):
+    """Quality-score COLUMN over a (text, tokens) projection — per-row
+    arithmetic, no shuffle; reusable inside wider single-pass plans:
 
         0.3·min(n_tokens/100, 1)          (length)
       + 0.3·(1 − stopword_ratio)          (information density)
       + 0.2·min(avg_token_len/8, 1)       (lexical richness)
       + 0.2·(alnum_chars/chars)           (cleanliness)
     """
-    toks = docs.select(
-        F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"), tokenize(text_col).alias("tk")
-    )
-    n = F.size("tk")
-    stop_hits = F.size(F.filter(F.col("tk"), lambda t: t.isin(*STOPWORDS)))
+    n = F.size(tk_col)
+    stop_hits = F.size(F.filter(F.col(tk_col), lambda t: t.isin(*STOPWORDS)))
     total_len = F.aggregate(
-        F.transform(F.col("tk"), lambda t: F.length(t)), F.lit(0), lambda a, x: a + x
+        F.transform(F.col(tk_col), lambda t: F.length(t)), F.lit(0), lambda a, x: a + x
     )
     avg_len = F.when(n > 0, total_len / n).otherwise(F.lit(0.0))
-    alnum = F.length(F.regexp_replace(F.col("text"), "[^a-zA-Z0-9]", ""))
-    chars = F.length("text")
+    alnum = F.length(F.regexp_replace(F.col(text_col), "[^a-zA-Z0-9]", ""))
+    chars = F.length(text_col)
     alnum_ratio = F.when(chars > 0, alnum / chars).otherwise(F.lit(0.0))
     stop_ratio = F.when(n > 0, stop_hits / n).otherwise(F.lit(0.0))
     q = (
@@ -74,25 +70,31 @@ def quality_score(
         + 0.2 * F.least(avg_len / F.lit(8.0), F.lit(1.0))
         + 0.2 * alnum_ratio
     )
-    return toks.select("doc_id", F.round(q, 6).alias("quality"))
+    return F.round(q, 6)
 
 
-def lang_id(
+def quality_score(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
-    """(doc_id, lang_pred) — n-gram/stopword-voting language heuristic.
+    """(doc_id, quality) — see :func:`quality_expr`."""
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"), tokenize(text_col).alias("tk")
+    )
+    return toks.select("doc_id", quality_expr().alias("quality"))
 
-    CJK characters → zh; otherwise the language with the most marker-
-    token hits (ties and zero hits → en; fixed vote order de,fr,es,zh).
+
+def lang_pred_expr(tk_col: str = "tk", text_col: str = "text"):
+    """Language-ID COLUMN over a (text, tokens) projection (per-row, no
+    shuffle): CJK characters → zh; otherwise the language with the most
+    marker-token hits (ties and zero hits → en; vote order de,fr,es,zh).
     """
-    toks = docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"), tokenize(text_col).alias("tk"))
     def _hits(markers: tuple[str, ...]):
-        return F.size(F.filter(F.col("tk"), lambda t: t.isin(*markers)))
+        return F.size(F.filter(F.col(tk_col), lambda t: t.isin(*markers)))
 
     hits = {lang: _hits(markers) for lang, markers in LANG_MARKERS.items()}
-    cjk_chars = F.length("text") - F.length(F.regexp_replace("text", CJK_RE, ""))
+    cjk_chars = F.length(text_col) - F.length(F.regexp_replace(text_col, CJK_RE, ""))
     mx = F.greatest(*hits.values())
-    pred = (
+    return (
         F.when(cjk_chars > 0, F.lit("zh"))
         .when(mx == 0, F.lit("en"))
         .when(hits["de"] == mx, F.lit("de"))
@@ -100,7 +102,14 @@ def lang_id(
         .when(hits["es"] == mx, F.lit("es"))
         .otherwise(F.lit("zh"))
     )
-    return toks.select("doc_id", pred.alias("lang_pred"))
+
+
+def lang_id(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(doc_id, lang_pred) — see :func:`lang_pred_expr`."""
+    toks = docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"), tokenize(text_col).alias("tk"))
+    return toks.select("doc_id", lang_pred_expr().alias("lang_pred"))
 
 
 def unigram_logprob(

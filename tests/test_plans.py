@@ -66,3 +66,29 @@ def test_scoring_stays_jvm_side(spark, tables):
     plan = _plan(similarity_topk(emb, qvec, 10))
     assert "codegen id" in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_speculative_prefetch_no_corpus_shuffle(spark, tables):
+    """The prefetch context is a broadcast 1-row aggregate; the corpus
+    scan ends in TakeOrderedAndProject with no corpus exchange."""
+    from memfuse_spark.streaming.buffer import speculative_prefetch
+
+    df = speculative_prefetch(tables["embeddings"], [0, 7, 13], k=10, dim=64)
+    plan = _plan(df)
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastExchange" in plan
+    assert "Exchange rangepartitioning" not in plan
+
+
+def test_ivf_knn_join_corpus_never_shuffles(spark, tables):
+    """Batch kNN join: probe list broadcasts into the corpus scan; the
+    only exchanges are over query-scale data (probe ranking, per-query
+    top-k windows), never hashpartitioning of the corpus by join key."""
+    import __spark_entry__ as m
+
+    df = m.q_ivf_knn_join(spark, SF_DIR)
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan
+    # the corpus side of the candidate join must be broadcast-joined,
+    # not sort-merge-joined
+    assert "SortMergeJoin" not in plan
