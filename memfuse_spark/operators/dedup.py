@@ -217,27 +217,29 @@ def simhash(
 ) -> DataFrame:
     """(doc_id, simhash) — tf-weighted Charikar simhash over tokens.
 
-    explode → per-(doc,token) tf → for each bit, signed tf sum → bit.
-    All column arithmetic; one narrow shuffle on doc_id.
+    The tf-weighted signed sum over DISTINCT tokens equals the signed
+    sum over raw token occurrences (each occurrence contributes ±1), so
+    no per-(doc,token) tf aggregation is needed: explode → per-
+    occurrence hash → one groupBy(doc_id) whose map-side combine
+    reduces every document to 32 longs before the only (narrow)
+    shuffle. All column arithmetic, JVM-side.
     """
     from memfuse_spark.catalog import ensure_parallelism
 
-    tf = (
+    occ = (
         ensure_parallelism(docs)
         .select(F.col(id_col).alias("doc_id"), F.explode(tokenize(text_col)).alias("tok"))
-        .groupBy("doc_id", "tok")
-        .agg(F.count("*").alias("tf"))
         .withColumn("th", _token_hash32(F.col("tok")))
     )
     bit_sums = [
         F.sum(
-            F.when(F.shiftright(F.col("th"), i).bitwiseAND(F.lit(1)) == 1, F.col("tf")).otherwise(
-                -F.col("tf")
+            F.when(F.shiftright(F.col("th"), i).bitwiseAND(F.lit(1)) == 1, F.lit(1)).otherwise(
+                F.lit(-1)
             )
         ).alias(f"s{i}")
         for i in range(bits)
     ]
-    sums = tf.groupBy("doc_id").agg(*bit_sums)
+    sums = occ.groupBy("doc_id").agg(*bit_sums)
     sim = None
     for i in range(bits):
         term = F.when(F.col(f"s{i}") > 0, F.lit(2 ** i)).otherwise(F.lit(0))
