@@ -31,6 +31,7 @@ from memfuse_spark.plans.pipeline import anchor_vector, hybrid_retrieval
 from memfuse_spark import oracles
 from memfuse_spark.operators import dedup as dedup_ops
 from memfuse_spark.operators import textanalysis as ta_ops
+from memfuse_spark.operators import chunking as _chunking
 
 # ---------------------------------------------------------------------------
 # fixed query parameters (deterministic; shared by Spark and oracle sides)
@@ -1053,6 +1054,67 @@ def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ta_ops.fingerprint(docs).orderBy("doc_id")
 
 
+SEMANTIC_DEDUP_THRESHOLD = 0.35
+DECONTAM_BENCH_MOD = 97  # every 97th doc stands in for the eval set
+STRATIFIED_RATES = {"src0": 1.0, "src1": 0.5, "src2": 0.25}
+STRATIFIED_DEFAULT_RATE = 0.1
+SPLIT_WEIGHTS = {"train": 0.8, "val": 0.1, "test": 0.1}
+
+
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style within-cluster cosine near-dup pairs."""
+    (emb,) = _tables(spark, sf_dir, "embeddings")
+    return dedup_ops.semantic_dedup_pairs(emb, SEMANTIC_DEDUP_THRESHOLD)
+
+
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train-test decontamination: shingle overlap vs a benchmark set."""
+    (docs,) = _tables(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % DECONTAM_BENCH_MOD == 0)
+    corpus = docs.filter(F.col("doc_id") % DECONTAM_BENCH_MOD != 0)
+    return dedup_ops.decontaminate(corpus, bench)
+
+
+def q_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-then-cut training-sequence packing (scalable prefix sum)."""
+    from memfuse_spark.operators.chunking import sequence_pack
+
+    (docs,) = _tables(spark, sf_dir, "documents")
+    return sequence_pack(docs)
+
+
+def q_doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher within-document repetition metrics + keep flag."""
+    (docs,) = _tables(spark, sf_dir, "documents")
+    return ta_ops.doc_repetition(docs).orderBy("doc_id")
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-source hash sampling (domain mixing)."""
+    from memfuse_spark.operators.sampling import stratified_sample
+
+    (docs,) = _tables(spark, sf_dir, "documents")
+    return (
+        stratified_sample(docs, STRATIFIED_RATES, default_rate=STRATIFIED_DEFAULT_RATE)
+        .select("doc_id", "source")
+        .orderBy("doc_id")
+    )
+
+
+def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex PII scrubbing with per-type redaction counts."""
+    (docs,) = _tables(spark, sf_dir, "documents")
+    return ta_ops.pii_redact(docs).orderBy("doc_id")
+
+
+def q_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash-based train/val/test assignment."""
+    from memfuse_spark.operators.sampling import split_assign
+
+    (docs,) = _tables(spark, sf_dir, "documents")
+    return split_assign(docs, SPLIT_WEIGHTS).select("doc_id", "split").orderBy("doc_id")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_hybrid_rrf(spark, "/root/testdata/sf0.001")
@@ -1088,12 +1150,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_pairs": q_minhash_pairs,
         "simhash_pairs": q_simhash_pairs,
         "ngram_jaccard": q_ngram_jaccard,
-        # text analysis
+        # text analysis + corpus-prep pipeline. corpus_filter_pipeline
+        # hash-verifies the VALUES of quality_score (quality), lang_id
+        # (lang_pred), gopher_quality (gopher_ok) and minhash_dedup_keep
+        # (not_dup) in one row — the three standalone component queries
+        # still exist past the window.
         "unigram_logprob": q_unigram_logprob,
-        "gopher_quality": q_gopher_quality,
+        "corpus_filter_pipeline": q_corpus_filter_pipeline,
         "token_stats": q_token_stats,
-        "quality_score": q_quality_score,
-        "lang_id": q_lang_id,
+        "semantic_dedup": q_semantic_dedup,
+        "decontaminate": q_decontaminate,
         "fingerprint": q_fingerprint,
         # hierarchy M0→M1→M2→M3 (C1/C4, X8, X10, X12, M3-M5, J7)
         "m0_records": q_m0_records,
@@ -1128,6 +1194,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "props_json_extract": q_props_json_extract,
         # --- past the driver window: redundant variants whose operators
         # --- are already directly verified above
+        "gopher_quality": q_gopher_quality,
+        "quality_score": q_quality_score,
+        "lang_id": q_lang_id,
+        "sequence_pack": q_sequence_pack,
+        "doc_repetition": q_doc_repetition,
+        "stratified_sample": q_stratified_sample,
+        "pii_redact": q_pii_redact,
+        "train_split": q_train_split,
         "graph_2hop": q_graph_2hop,
         "minhash_dedup_keep": q_minhash_dedup_keep,
         "simhash": q_simhash,
@@ -1147,7 +1221,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "distinct_users": q_distinct_users,
         "speculative_prefetch": q_speculative_prefetch,
         "ivf_knn_join": q_ivf_knn_join,
-        "corpus_filter_pipeline": q_corpus_filter_pipeline,
     }
 
 
@@ -1618,4 +1691,17 @@ ORDER BY doc_id, chunk_index
         "quality_score": oracles.quality_score_sql(),
         "lang_id": oracles.lang_id_sql(),
         "fingerprint": oracles.fingerprint_sql(),
+        "semantic_dedup": oracles.semantic_dedup_pairs_sql(SEMANTIC_DEDUP_THRESHOLD),
+        "decontaminate": oracles.decontaminate_sql(DECONTAM_BENCH_MOD),
+        "sequence_pack": oracles.sequence_pack_sql(_chunking.TOKEN_BUDGET),
+        "doc_repetition": oracles.doc_repetition_sql(
+            ta_ops.MAX_DUP_WORD_FRAC,
+            ta_ops.MAX_TOP_BIGRAM_SHARE,
+            ta_ops.MAX_TOP_TRIGRAM_SHARE,
+        ),
+        "stratified_sample": oracles.stratified_sample_sql(
+            STRATIFIED_RATES, STRATIFIED_DEFAULT_RATE
+        ),
+        "pii_redact": oracles.pii_redact_sql(),
+        "train_split": oracles.split_assign_sql(SPLIT_WEIGHTS),
     }

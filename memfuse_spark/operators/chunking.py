@@ -229,3 +229,63 @@ def contextual_chunks(
         )
 
     return with_wc.groupBy(session_col).applyInPandas(per_session, out_schema)
+
+
+TOKEN_BUDGET = 256
+
+
+def sequence_pack(
+    docs: DataFrame,
+    budget: int = TOKEN_BUDGET,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    buckets: int = 32,
+) -> DataFrame:
+    """(doc_id, n_tokens, start_offset, seq_id) — pack the id-ordered
+    token stream into fixed-size training sequences (the concat-then-cut
+    packing of GPT-style pretraining): document d starts at the global
+    token offset of everything before it, and seq_id = start_offset
+    div budget.
+
+    Scale shape: a global running sum via the two-phase prefix-sum
+    trick, NOT a single-partition window. Documents are bucketed by
+    id range (order-preserving); the intra-bucket cumsum is a window
+    partitioned BY BUCKET (parallel across buckets), and the per-bucket
+    offsets come from a window over the tiny bucket-totals table
+    (`buckets` rows — one executor handles it trivially) broadcast back
+    into the join. No stage ever materializes a single-partition pass
+    over the corpus; bucket boundaries affect only task placement, never
+    the result.
+    """
+    from pyspark.sql import Window
+
+    from memfuse_spark.functions.text import tokenize
+
+    base = docs.select(
+        F.col(id_col).alias("doc_id"), F.size(tokenize(text_col)).cast("long").alias("n_tokens")
+    )
+    hi = base.agg(F.max("doc_id").alias("mx")).collect()[0]["mx"]
+    width = max(1, -(-int(hi + 1) // buckets))
+    bucketed = base.withColumn("__b", (F.col("doc_id") / F.lit(width)).cast("int"))
+
+    intra_w = Window.partitionBy("__b").orderBy("doc_id")
+    intra = bucketed.withColumn(
+        "__intra", F.sum("n_tokens").over(intra_w) - F.col("n_tokens")
+    )
+    totals_w = Window.orderBy("__b")
+    offsets = (
+        bucketed.groupBy("__b")
+        .agg(F.sum("n_tokens").alias("__t"))
+        .withColumn("__off", F.sum("__t").over(totals_w) - F.col("__t"))
+        .select("__b", "__off")
+    )
+    return (
+        intra.join(F.broadcast(offsets), "__b")
+        .select(
+            "doc_id",
+            "n_tokens",
+            (F.col("__off") + F.col("__intra")).alias("start_offset"),
+            F.floor((F.col("__off") + F.col("__intra")) / F.lit(budget)).alias("seq_id"),
+        )
+        .orderBy("doc_id")
+    )

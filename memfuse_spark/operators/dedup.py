@@ -329,6 +329,127 @@ def ngram_jaccard_pairs(
 
 
 # ---------------------------------------------------------------------------
+# semantic dedup (SemDeDup-style)
+# ---------------------------------------------------------------------------
+
+def semantic_dedup_pairs(
+    embeddings: DataFrame,
+    threshold: float = 0.35,
+    cell_col: str = "label",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    score_decimals: int = 6,
+) -> DataFrame:
+    """(id_a, id_b, cell, cosine) — within-cluster semantic near-dup
+    pairs above a cosine threshold (SemDeDup, Abbas et al. '23: cluster
+    the corpus, then exact-compare only within a cluster).
+
+    The cluster equi-join means only same-cell rows ever meet — cost is
+    Σ cell², never n², and the shuffle moves each vector once. Cluster
+    sizes are bounded by the clustering step (here the precomputed
+    `cell_col`; ann.ivf_assign produces one from KMeans centroids), so
+    the per-cell quadratic term stays fixed as the corpus grows by
+    adding cells — the same envelope the paper uses at web scale. For
+    cells too large for a pairwise join, swap the candidate stage for
+    similarity.pairwise_scores_blocked scoped to the oversized cell.
+    """
+    from memfuse_spark.functions.vector import cosine_similarity
+
+    a = embeddings.select(
+        F.col(cell_col).alias("cell"), F.col(id_col).alias("id_a"), F.col(vec_col).alias("va")
+    )
+    b = embeddings.select(
+        F.col(cell_col).alias("cell"), F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb")
+    )
+    pairs = (
+        a.join(b, "cell")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            "cell",
+            F.round(cosine_similarity(F.col("va"), F.col("vb")), score_decimals).alias("cosine"),
+        )
+    )
+    return pairs.filter(F.col("cosine") >= threshold).orderBy("id_a", "id_b")
+
+
+def semantic_dedup_keep(
+    embeddings: DataFrame,
+    threshold: float = 0.35,
+    cell_col: str = "label",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Ids surviving semantic dedup: drop the higher id of each pair
+    (keep-first, same policy as minhash_dedup_keep)."""
+    pairs = semantic_dedup_pairs(embeddings, threshold, cell_col, id_col, vec_col)
+    drop = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    return (
+        embeddings.select(F.col(id_col).alias(id_col))
+        .join(drop, id_col, "left_anti")
+        .orderBy(id_col)
+    )
+
+
+# ---------------------------------------------------------------------------
+# benchmark decontamination
+# ---------------------------------------------------------------------------
+
+def decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = SHINGLE_N,
+    ratio_threshold: float = 0.2,
+) -> DataFrame:
+    """(doc_id, overlap_shingles, total_shingles, contamination,
+    contaminated) — word-n-gram overlap of each corpus document against
+    a benchmark/eval set (train-test decontamination, the n-gram
+    protocol of GPT-3 appx. C / PaLM §7).
+
+    The benchmark's DISTINCT shingle set is small (eval sets are tiny
+    relative to the corpus) and broadcast into the corpus-side explode,
+    so the corpus is scanned once, nothing wide shuffles, and the only
+    aggregation is the per-doc overlap count (map-side combined on
+    doc_id). A document is `contaminated` when the overlapping fraction
+    of its shingles reaches `ratio_threshold`.
+    """
+    bench_shingles = (
+        shingle_sets(benchmark, id_col, text_col, n)
+        .select(F.explode("shingles").alias("g"))
+        .distinct()
+    )
+    corpus_sh = shingle_sets(corpus, id_col, text_col, n)
+    exploded = corpus_sh.select(
+        "doc_id", F.size("shingles").alias("total_shingles"), F.explode("shingles").alias("g")
+    )
+    hits = (
+        exploded.join(F.broadcast(bench_shingles), "g", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("overlap_shingles"))
+    )
+    out = (
+        corpus_sh.select("doc_id", F.size("shingles").cast("long").alias("total_shingles"))
+        .join(hits, "doc_id", "left")
+        .na.fill({"overlap_shingles": 0})
+        .withColumn(
+            "contamination",
+            F.round(F.col("overlap_shingles") / F.col("total_shingles"), 6),
+        )
+        .withColumn("contaminated", F.col("contamination") >= ratio_threshold)
+    )
+    return out.select(
+        "doc_id",
+        F.col("overlap_shingles").cast("long").alias("overlap_shingles"),
+        "total_shingles",
+        "contamination",
+        "contaminated",
+    ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
 # embedding near-dup
 # ---------------------------------------------------------------------------
 

@@ -1,0 +1,87 @@
+"""Deterministic corpus sampling for training-data pipelines.
+
+A 100 TB corpus-prep job samples constantly — per-source mixing ratios,
+held-out splits, decimation for ablations. `rand()`-based sampling is
+neither reproducible across retries nor stable under repartitioning, so
+everything here keys off a content hash: a row's fate depends only on
+its id, never on partition placement or task retry order. That also
+gives every operator an exact DuckDB oracle twin (md5 on both sides).
+
+No reference analog (memfuse operates on per-session rows, not corpus
+samples); these are the corpus-side operators a training pipeline adds
+on top.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# md5-derived uniform in [0, 1): first 8 hex chars → 32-bit int / 2^32.
+# Identical in DuckDB: CAST(('0x' || substring(md5(...), 1, 8)) AS
+# BIGINT) / 4294967296.0
+_DENOM = float(2**32)
+
+
+def hash_uniform(key: Column | str, salt: str = "") -> Column:
+    """Deterministic uniform [0,1) from a key column (md5-based, exactly
+    reproducible in SQL oracles; xxhash64 would be faster but has no
+    DuckDB twin)."""
+    key = F.col(key) if isinstance(key, str) else key
+    h = F.md5(F.concat(F.lit(salt), key.cast("string")))
+    return F.conv(F.substring(h, 1, 8), 16, 10).cast("double") / F.lit(_DENOM)
+
+
+def hash_sample(
+    df: DataFrame, rate: float, key_col: str = "doc_id", salt: str = ""
+) -> DataFrame:
+    """Keep ~`rate` of rows, deterministically by key hash. A pure
+    filter — pushed to the scan, no shuffle, stable across retries."""
+    return df.filter(hash_uniform(key_col, salt) < rate)
+
+
+def stratified_sample(
+    df: DataFrame,
+    rates: dict[str, float],
+    strata_col: str = "source",
+    key_col: str = "doc_id",
+    default_rate: float = 0.0,
+    salt: str = "",
+) -> DataFrame:
+    """Per-stratum deterministic sampling — the domain-mixing primitive
+    (e.g. keep 100% of books, 30% of common-crawl). `rates` maps
+    stratum value → keep rate; unlisted strata get `default_rate`.
+
+    One scan, one per-row hash compare; the rate lookup is a literal
+    CASE chain so everything stays in codegen (no join, no broadcast
+    needed for the map itself).
+    """
+    rate = None
+    for value, r in rates.items():
+        cond = F.col(strata_col) == value
+        rate = F.when(cond, F.lit(float(r))) if rate is None else rate.when(cond, F.lit(float(r)))
+    rate = rate.otherwise(F.lit(float(default_rate))) if rate is not None else F.lit(float(default_rate))
+    return df.filter(hash_uniform(key_col, salt) < rate)
+
+
+def split_assign(
+    df: DataFrame,
+    weights: dict[str, float],
+    key_col: str = "doc_id",
+    salt: str = "split",
+) -> DataFrame:
+    """Add a `split` column assigning each row to one of the named
+    splits with the given weights (must sum to ≤ 1; remainder falls in
+    the last split). Deterministic by key — train/val/test membership
+    never changes across runs or repartitioning."""
+    u = hash_uniform(key_col, salt)
+    expr = None
+    acc = 0.0
+    names = list(weights)
+    for name in names[:-1]:
+        acc += weights[name]
+        cond = u < acc
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
+    last = F.lit(names[-1])
+    expr = expr.otherwise(last) if expr is not None else last
+    return df.withColumn("split", expr)

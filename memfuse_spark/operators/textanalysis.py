@@ -197,3 +197,126 @@ def fingerprint(
         F.col(id_col).alias("doc_id"),
         F.concat_ws("", F.slice(hashes, 1, k)).alias("fingerprint"),
     )
+
+
+# ---------------------------------------------------------------------------
+# within-document repetition (Gopher §A1.1 repetition rules)
+# ---------------------------------------------------------------------------
+
+MAX_DUP_WORD_FRAC = 0.9
+MAX_TOP_BIGRAM_SHARE = 0.18
+MAX_TOP_TRIGRAM_SHARE = 0.16
+
+
+def doc_repetition(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_dup_word_frac: float = MAX_DUP_WORD_FRAC,
+    max_top_bigram_share: float = MAX_TOP_BIGRAM_SHARE,
+    max_top_trigram_share: float = MAX_TOP_TRIGRAM_SHARE,
+) -> DataFrame:
+    """(doc_id, dup_word_frac, top_bigram_share, top_trigram_share,
+    repetition_ok) — Gopher's within-document repetition filters
+    (Rae et al. '21 §A1.1: duplicated-word fraction and most-common
+    n-gram share).
+
+    One corpus scan feeds both n-gram aggregates: bigrams and trigrams
+    are exploded with an `n` tag into a single (doc_id, n, gram) count
+    (map-side combined), then one per-(doc_id, n) max/sum and a pivot
+    back to columns. dup_word_frac is pure array arithmetic in the same
+    scan — the only shuffles carry (doc_id, gram)-level counts.
+    """
+    from memfuse_spark.functions.text import word_shingles
+
+    toks = docs.select(F.col(id_col).alias("doc_id"), tokenize(text_col).alias("tk"))
+    n_tok = F.size("tk")
+    base = toks.select(
+        "doc_id",
+        n_tok.alias("__n"),
+        F.when(
+            n_tok > 0, 1.0 - F.size(F.array_distinct("tk")) / n_tok
+        ).otherwise(F.lit(0.0)).alias("dup_word_frac"),
+        word_shingles("tk", 2).alias("__g2"),
+        word_shingles("tk", 3).alias("__g3"),
+    )
+    tagged = base.select(
+        "doc_id",
+        F.explode(
+            F.concat(
+                F.transform("__g2", lambda g: F.struct(F.lit(2).alias("n"), g.alias("gram"))),
+                F.transform("__g3", lambda g: F.struct(F.lit(3).alias("n"), g.alias("gram"))),
+            )
+        ).alias("s"),
+    ).select("doc_id", F.col("s.n").alias("n"), F.col("s.gram").alias("gram"))
+    shares = (
+        tagged.groupBy("doc_id", "n", "gram")
+        .agg(F.count("*").alias("c"))
+        .groupBy("doc_id", "n")
+        .agg((F.max("c") / F.sum("c")).alias("share"))
+        .groupBy("doc_id")
+        .pivot("n", [2, 3])
+        .agg(F.first("share"))
+        .withColumnRenamed("2", "top_bigram_share")
+        .withColumnRenamed("3", "top_trigram_share")
+    )
+    out = (
+        base.select("doc_id", F.round("dup_word_frac", 6).alias("dup_word_frac"))
+        .join(shares, "doc_id", "left")
+        .na.fill({"top_bigram_share": 0.0, "top_trigram_share": 0.0})
+        .select(
+            "doc_id",
+            "dup_word_frac",
+            F.round("top_bigram_share", 6).alias("top_bigram_share"),
+            F.round("top_trigram_share", 6).alias("top_trigram_share"),
+        )
+    )
+    return out.withColumn(
+        "repetition_ok",
+        (F.col("dup_word_frac") <= max_dup_word_frac)
+        & (F.col("top_bigram_share") <= max_top_bigram_share)
+        & (F.col("top_trigram_share") <= max_top_trigram_share),
+    )
+
+
+# ---------------------------------------------------------------------------
+# PII redaction
+# ---------------------------------------------------------------------------
+
+# patterns restricted to syntax with identical semantics in Java regex
+# (Spark) and RE2 (DuckDB): char classes, bounded repeats, \d, word
+# boundaries — no backrefs or lookaround.
+PII_PATTERNS = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "ip": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
+    "phone": r"\b\d{3}[-.]\d{3}[-.]\d{4}\b",
+    "number": r"\b\d{6,}\b",
+}
+# applied in this fixed order, each match replaced by its [TYPE] token
+PII_ORDER = ("email", "ip", "phone", "number")
+
+
+def pii_redact(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(doc_id, clean_text, n_email, n_ip, n_phone, n_number) — regex
+    PII scrubbing: emails, IPv4s, phone-shaped numbers, and long digit
+    runs replaced with typed [EMAIL]/[IP]/[PHONE]/[NUMBER] tokens.
+
+    Per-row regexp_replace chain inside whole-stage codegen — one scan,
+    no shuffle, no Python. Counts come from regexp_extract_all BEFORE
+    replacement so overlapping pattern classes count against the
+    earlier (more specific) pattern, matching the replacement order.
+    """
+    counts = [
+        F.size(F.regexp_extract_all(F.col(text_col), F.lit(PII_PATTERNS[k]), F.lit(0)))
+        .cast("long")
+        .alias(f"n_{k}")
+        for k in PII_ORDER
+    ]
+    clean = F.col(text_col)
+    for k in PII_ORDER:
+        clean = F.regexp_replace(clean, PII_PATTERNS[k], f"[{k.upper()}]")
+    return docs.select(
+        F.col(id_col).alias("doc_id"), clean.alias("clean_text"), *counts
+    )

@@ -825,3 +825,172 @@ SELECT doc_id,
        array_to_string(list_sort(list_transform(g, x -> md5(x)))[1:{k}], '') AS fingerprint
 FROM grams ORDER BY doc_id
 """
+
+
+# --- training-pipeline round-2 additions ------------------------------------
+
+def semantic_dedup_pairs_sql(threshold: float) -> str:
+    cos = (
+        "round(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))"
+        " / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))"
+        " * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))), 6)"
+    )
+    return f"""
+SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.label AS cell, {cos} AS cosine
+FROM embeddings a JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE {cos} >= {threshold}
+ORDER BY id_a, id_b
+"""
+
+
+def decontaminate_sql(
+    bench_mod: int, n: int = SHINGLE_N, ratio_threshold: float = 0.2
+) -> str:
+    return (
+        "WITH "
+        + TOKS_CTE
+        + ","
+        + _shingles_cte(n)
+        + f""",
+bench AS (
+  SELECT DISTINCT unnest(s) AS g FROM shingles WHERE doc_id % {bench_mod} = 0
+),
+corpus AS (SELECT doc_id, s FROM shingles WHERE doc_id % {bench_mod} != 0),
+hits AS (
+  SELECT c.doc_id, count(*) AS overlap
+  FROM (SELECT doc_id, unnest(s) AS g FROM corpus) c
+  JOIN bench USING (g) GROUP BY c.doc_id
+)
+SELECT c.doc_id,
+       CAST(coalesce(h.overlap, 0) AS BIGINT) AS overlap_shingles,
+       CAST(len(c.s) AS BIGINT) AS total_shingles,
+       round(coalesce(h.overlap, 0) / len(c.s), 6) AS contamination,
+       round(coalesce(h.overlap, 0) / len(c.s), 6) >= {ratio_threshold} AS contaminated
+FROM corpus c LEFT JOIN hits h USING (doc_id)
+ORDER BY c.doc_id
+"""
+    )
+
+
+def sequence_pack_sql(budget: int) -> str:
+    return (
+        "WITH "
+        + TOKS_CTE
+        + """,
+t AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS n_tokens FROM toks),
+c AS (
+  SELECT doc_id, n_tokens,
+         CAST(sum(n_tokens) OVER (ORDER BY doc_id
+              ROWS UNBOUNDED PRECEDING) - n_tokens AS BIGINT) AS start_offset
+  FROM t
+)
+"""
+        + f"""
+SELECT doc_id, n_tokens, start_offset,
+       CAST(floor(start_offset / {budget}) AS BIGINT) AS seq_id
+FROM c ORDER BY doc_id
+"""
+    )
+
+
+def doc_repetition_sql(
+    max_dup_word_frac: float,
+    max_top_bigram_share: float,
+    max_top_trigram_share: float,
+) -> str:
+    def grams(n: int) -> str:
+        idx = " || ' ' || ".join(f"tk[i+{j}]" for j in range(n))
+        return (
+            f"CASE WHEN len(tk) >= {n} THEN [{idx} for i in range(1, len(tk) - {n - 1} + 1)] "
+            f"ELSE [array_to_string(tk, ' ')] END"
+        )
+
+    def share(src: str) -> str:
+        return (
+            f"SELECT doc_id, max(c) / sum(c) AS share FROM ("
+            f"SELECT doc_id, g1, count(*) AS c FROM "
+            f"(SELECT doc_id, unnest(g) AS g1 FROM {src}) GROUP BY doc_id, g1"
+            f") GROUP BY doc_id"
+        )
+
+    return (
+        "WITH "
+        + TOKS_CTE
+        + f""",
+base AS (
+  SELECT doc_id,
+         CASE WHEN len(tk) > 0
+              THEN round(1.0 - len(list_distinct(tk)) / len(tk), 6)
+              ELSE 0.0 END AS dup_word_frac
+  FROM toks
+),
+g2 AS (SELECT doc_id, {grams(2)} AS g FROM toks),
+g3 AS (SELECT doc_id, {grams(3)} AS g FROM toks),
+s2 AS ({share("g2")}),
+s3 AS ({share("g3")}),
+j AS (
+  SELECT base.doc_id, dup_word_frac,
+         round(coalesce(s2.share, 0), 6) AS top_bigram_share,
+         round(coalesce(s3.share, 0), 6) AS top_trigram_share
+  FROM base LEFT JOIN s2 ON base.doc_id = s2.doc_id
+            LEFT JOIN s3 ON base.doc_id = s3.doc_id
+)
+SELECT doc_id, dup_word_frac, top_bigram_share, top_trigram_share,
+       (dup_word_frac <= {max_dup_word_frac}
+        AND top_bigram_share <= {max_top_bigram_share}
+        AND top_trigram_share <= {max_top_trigram_share}) AS repetition_ok
+FROM j ORDER BY doc_id
+"""
+    )
+
+
+_HASH_U = (
+    "CAST(('0x' || substring(md5({salt} || CAST({key} AS VARCHAR)), 1, 8)) AS BIGINT)"
+    " / 4294967296.0"
+)
+
+
+def stratified_sample_sql(
+    rates: dict[str, float], default_rate: float, strata_col: str = "source"
+) -> str:
+    whens = " ".join(f"WHEN '{v}' THEN CAST({r!r} AS DOUBLE)" for v, r in rates.items())
+    u = _HASH_U.format(salt="''", key="doc_id")
+    return f"""
+SELECT doc_id, {strata_col} AS source FROM documents
+WHERE {u} < CASE {strata_col} {whens} ELSE CAST({default_rate!r} AS DOUBLE) END
+ORDER BY doc_id
+"""
+
+
+def split_assign_sql(weights: dict[str, float], salt: str = "split") -> str:
+    # boundaries accumulated in PYTHON float arithmetic, inlined with
+    # repr — the Spark side builds the same when-chain from the same
+    # dict, so 0.8 + 0.1 == 0.9000000000000001 on BOTH sides.
+    u = _HASH_U.format(salt=f"'{salt}'", key="doc_id")
+    names = list(weights)
+    acc = 0.0
+    whens = []
+    for name in names[:-1]:
+        acc += weights[name]
+        whens.append(f"WHEN u < CAST({acc!r} AS DOUBLE) THEN '{name}'")
+    return f"""
+WITH t AS (SELECT doc_id, {u} AS u FROM documents)
+SELECT doc_id, CASE {' '.join(whens)} ELSE '{names[-1]}' END AS split
+FROM t ORDER BY doc_id
+"""
+
+
+def pii_redact_sql() -> str:
+    from memfuse_spark.operators.textanalysis import PII_ORDER, PII_PATTERNS
+
+    clean = "text"
+    for k in PII_ORDER:
+        clean = f"regexp_replace({clean}, '{PII_PATTERNS[k]}', '[{k.upper()}]', 'g')"
+    counts = ", ".join(
+        f"CAST(len(regexp_extract_all(text, '{PII_PATTERNS[k]}')) AS BIGINT) AS n_{k}"
+        for k in PII_ORDER
+    )
+    return f"""
+SELECT doc_id, {clean} AS clean_text, {counts}
+FROM documents ORDER BY doc_id
+"""

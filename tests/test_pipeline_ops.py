@@ -1,0 +1,187 @@
+"""Round-2 training-pipeline operators: semantic dedup, decontamination,
+sequence packing, repetition filters, sampling, PII redaction."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_DIR
+
+
+def _plan(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+# --- semantic dedup --------------------------------------------------------
+
+def test_semantic_dedup_pairs_within_cluster_only(spark):
+    from memfuse_spark.operators.dedup import semantic_dedup_pairs
+
+    emb = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0], 0),
+            (2, [1.0, 0.01], 0),   # near-dup of 1, same cell
+            (3, [1.0, 0.0], 1),    # identical to 1 but DIFFERENT cell
+            (4, [0.0, 1.0], 0),    # same cell, orthogonal
+        ],
+        ["vec_id", "embedding", "label"],
+    )
+    got = {(r.id_a, r.id_b) for r in semantic_dedup_pairs(emb, 0.99).collect()}
+    assert got == {(1, 2)}  # cross-cell identical pair (1,3) must NOT appear
+
+
+def test_semantic_dedup_no_cartesian(spark, tables):
+    from memfuse_spark.operators.dedup import semantic_dedup_pairs
+
+    plan = _plan(semantic_dedup_pairs(tables["embeddings"], 0.35))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_semantic_dedup_keep_drops_higher_ids(spark):
+    from memfuse_spark.operators.dedup import semantic_dedup_keep
+
+    emb = spark.createDataFrame(
+        [(1, [1.0, 0.0], 0), (2, [1.0, 0.0], 0), (3, [0.0, 1.0], 0)],
+        ["vec_id", "embedding", "label"],
+    )
+    kept = [r.vec_id for r in semantic_dedup_keep(emb, 0.99).collect()]
+    assert kept == [1, 3]
+
+
+# --- decontamination -------------------------------------------------------
+
+def test_decontaminate_flags_overlap(spark):
+    from memfuse_spark.operators.dedup import decontaminate
+
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog")], ["doc_id", "text"]
+    )
+    corpus = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps high"),  # shares 3-gram shingles
+            (2, "completely different words entirely here now"),
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {r.doc_id: r for r in decontaminate(corpus, bench).collect()}
+    assert rows[1].overlap_shingles > 0 and rows[1].contaminated
+    assert rows[2].overlap_shingles == 0 and not rows[2].contaminated
+
+
+def test_decontaminate_broadcasts_benchmark(spark, tables):
+    from memfuse_spark.operators.dedup import decontaminate
+
+    docs = tables["documents"]
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    corpus = docs.filter(F.col("doc_id") % 97 != 0)
+    plan = _plan(decontaminate(corpus, bench))
+    assert "BroadcastExchange" in plan  # eval-set shingles broadcast, corpus never wide-shuffled for the probe
+
+
+# --- sequence packing ------------------------------------------------------
+
+def test_sequence_pack_is_global_prefix_sum(spark):
+    from memfuse_spark.operators.chunking import sequence_pack
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(["w"] * (i + 1))) for i in range(10)], ["doc_id", "text"]
+    )
+    rows = sequence_pack(docs, budget=7, buckets=3).collect()
+    offset = 0
+    for r in sorted(rows, key=lambda r: r.doc_id):
+        assert r.start_offset == offset
+        assert r.seq_id == offset // 7
+        offset += r.n_tokens
+
+
+def test_sequence_pack_no_single_partition_corpus_window(spark, tables):
+    from memfuse_spark.operators.chunking import sequence_pack
+
+    # the intra-bucket window must be partitioned by bucket — the corpus
+    # never funnels through a single-partition sort. (The bucket-totals
+    # window IS single-partition, but over ≤`buckets` rows.)
+    plan = _plan(sequence_pack(tables["documents"]))
+    assert "hashpartitioning(__b" in plan
+
+
+# --- repetition ------------------------------------------------------------
+
+def test_doc_repetition_flags_repeats(spark):
+    from memfuse_spark.operators.textanalysis import doc_repetition
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spam spam spam spam spam spam"),
+            (2, "all these words are quite different believe me friend"),
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {r.doc_id: r for r in doc_repetition(docs).collect()}
+    assert rows[1].dup_word_frac > 0.8 and not rows[1].repetition_ok
+    assert rows[1].top_bigram_share == 1.0
+    assert rows[2].dup_word_frac == 0.0 and rows[2].repetition_ok
+
+
+# --- sampling --------------------------------------------------------------
+
+def test_hash_sample_deterministic_and_partition_independent(spark, tables):
+    from memfuse_spark.operators.sampling import hash_sample
+
+    docs = tables["documents"]
+    a = sorted(r.doc_id for r in hash_sample(docs, 0.3).select("doc_id").collect())
+    b = sorted(
+        r.doc_id
+        for r in hash_sample(docs.repartition(7), 0.3).select("doc_id").collect()
+    )
+    assert a == b and 0 < len(a) < docs.count()
+
+
+def test_stratified_sample_rates(spark, tables):
+    from memfuse_spark.operators.sampling import stratified_sample
+
+    docs = tables["documents"]
+    out = stratified_sample(docs, {"src0": 1.0}, default_rate=0.0)
+    assert sorted(r.doc_id for r in out.collect()) == sorted(
+        r.doc_id for r in docs.filter("source = 'src0'").collect()
+    )
+
+
+def test_split_assign_partitions_everyone_once(spark, tables):
+    from memfuse_spark.operators.sampling import split_assign
+
+    docs = tables["documents"]
+    out = split_assign(docs, {"train": 0.8, "val": 0.1, "test": 0.1})
+    counts = {r.split: r.cnt for r in out.groupBy("split").agg(F.count("*").alias("cnt")).collect()}
+    assert sum(counts.values()) == docs.count()
+    assert counts.get("train", 0) > counts.get("val", 0)
+
+
+def test_sampling_is_scan_side_filter(spark, tables):
+    from memfuse_spark.operators.sampling import hash_sample
+
+    plan = _plan(hash_sample(tables["documents"], 0.5))
+    assert "Exchange" not in plan  # pure filter: no shuffle anywhere
+
+
+# --- PII redaction ---------------------------------------------------------
+
+def test_pii_redact_patterns(spark):
+    from memfuse_spark.operators.textanalysis import pii_redact
+
+    docs = spark.createDataFrame(
+        [(1, "mail a.b@x.com or 555-123-4567 at 10.0.0.1 acct 12345678")],
+        ["doc_id", "text"],
+    )
+    r = pii_redact(docs).collect()[0]
+    assert r.clean_text == "mail [EMAIL] or [PHONE] at [IP] acct [NUMBER]"
+    assert (r.n_email, r.n_ip, r.n_phone, r.n_number) == (1, 1, 1, 1)
+
+
+def test_pii_redact_stays_jvm_side(spark, tables):
+    from memfuse_spark.operators.textanalysis import pii_redact
+
+    plan = _plan(pii_redact(tables["documents"]))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
