@@ -253,13 +253,30 @@ def speculative_prefetch(
             expr = expr + F.element_at(F.col("__a"), j)["v"][i]
         return expr / F.lit(float(n))
 
-    ctx = F.array(*[elem(i) for i in range(dim)])
-    from memfuse_spark.functions.vector import cosine_similarity
+    from memfuse_spark.functions.vector import dot, l2_norm
+
+    # materialize the mean-context array AND its norm on the 1-row side
+    # BEFORE the join: Spark does not CSE, so inlining this expression
+    # into the per-row cosine would re-evaluate the full n-term
+    # element_at chain (×dim ×3 for dot/norm) for every corpus row.
+    ctx_df = ctx_df.select(
+        F.array(*[elem(i) for i in range(dim)]).alias("__ctx")
+    ).select("__ctx", l2_norm("__ctx").alias("__ctxn"))
 
     scored = corpus.filter(~F.col(id_col).isin(list(recent_ids))).crossJoin(
         F.broadcast(ctx_df)
     )
-    score = F.round(cosine_similarity(F.col(vec_col), ctx), score_decimals)
+    # identical operation tree to functions.vector.cosine_similarity
+    # (dot / (||a||·||b||), zero-guard) — bit-identical scores, but the
+    # context side's fold ran once on the 1-row table.
+    na = l2_norm(F.col(vec_col))
+    score = F.round(
+        F.when(
+            (na > 0) & (F.col("__ctxn") > 0),
+            dot(F.col(vec_col), F.col("__ctx")) / (na * F.col("__ctxn")),
+        ).otherwise(F.lit(0.0)),
+        score_decimals,
+    )
     return (
         scored.select(id_col, score.alias("score"))
         .orderBy(F.desc("score"), F.asc(id_col))
