@@ -1121,15 +1121,19 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    # Ordered so that every SURVEY §2 operator has a DIRECT oracle row
-    # inside the driver's checked window (first ~50): one query per
-    # distinct operator first, redundant variants demoted to the tail.
+    # The driver oracle-checks the FIRST 50 declared queries per round.
+    # With 77 declared, the window ROTATES across rounds to maximize the
+    # union of direct driver rows: queries never yet driver-checked (or
+    # whose implementation changed since their last green row) come
+    # first; queries with a green CORRECTNESS_r01 row and an unchanged
+    # implementation are demoted past the window (their r1 row + pytest
+    # coverage remains the evidence; see COVERAGE.md rotation table).
     return {
-        # vector / retrieval core (J1, T1/T2, T7, F4, X5)
+        # vector / retrieval core (J1, T1/T2, F4, X5)
         "vector_topk": q_vector_topk,
-        "vector_knn_of_item": q_vector_knn_of_item,
         "vector_threshold": q_vector_threshold,
-        # keyword (X1, A2, A3, X2, T3, J3, X4)
+        # keyword (X1, A2, A3, X2, T3, J3, X4) — bm25 now reads the
+        # materialized term-bucketed postings index (changed since r1)
         "bm25_topk": q_bm25_topk,
         "like_search": q_like_search,
         # fusion (U1, U3, U4, U5, T4, J4)
@@ -1140,11 +1144,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # quantization + rerank (M2/T8)
         "quantized_topk": q_quantized_topk,
         "rerank_two_stage": q_rerank_two_stage,
-        # ANN scale path (J2)
+        # ANN scale path (J2): LSH, IVF, IVF batch join
         "ann_lsh_topk": q_ann_lsh_topk,
         "ivf_centroids": q_ivf_centroids,
         "ann_ivf_topk": q_ann_ivf_topk,
-        # dedup suite (X6 + LLM-pipeline operators)
+        "ivf_knn_join": q_ivf_knn_join,
+        # dedup suite (X6 + LLM-pipeline operators) — embedding_neardup
+        # and simhash_pairs changed since r1 (block-pair kernel, tf-
+        # shuffle elimination)
         "embedding_neardup": q_embedding_neardup,
         "exact_dedup": q_exact_dedup,
         "minhash_pairs": q_minhash_pairs,
@@ -1153,7 +1160,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # text analysis + corpus-prep pipeline. corpus_filter_pipeline
         # hash-verifies the VALUES of quality_score (quality), lang_id
         # (lang_pred), gopher_quality (gopher_ok) and minhash_dedup_keep
-        # (not_dup) in one row — the three standalone component queries
+        # (not_dup) in one row — those standalone component queries
         # still exist past the window.
         "unigram_logprob": q_unigram_logprob,
         "corpus_filter_pipeline": q_corpus_filter_pipeline,
@@ -1161,47 +1168,50 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_dedup": q_semantic_dedup,
         "decontaminate": q_decontaminate,
         "fingerprint": q_fingerprint,
+        # training-data pipeline ops, never driver-checked before
+        "sequence_pack": q_sequence_pack,
+        "doc_repetition": q_doc_repetition,
+        "stratified_sample": q_stratified_sample,
+        "pii_redact": q_pii_redact,
+        "train_split": q_train_split,
         # hierarchy M0→M1→M2→M3 (C1/C4, X8, X10, X12, M3-M5, J7)
         "m0_records": q_m0_records,
         "m1_chunks": q_m1_chunks,
         "m2_facts": q_m2_facts,
         "m3_patterns": q_m3_patterns,
         "m0_m1_lineage": q_m0_m1_lineage,
-        # chunking (C2, C3, M6, A4)
+        # chunking (C2, C3, M6)
         "fixed_char_chunks": q_fixed_char_chunks,
         "contextual_chunks": q_contextual_chunks,
-        "chunk_stats": q_chunk_stats,
         "round_buffer_batch": q_round_buffer_batch,
-        # buffer / session semantics (B4, U6, J8, A5, F5, T6, F2, S1)
+        # buffer / session semantics (B4, B5, U6, J8, F2, S1) —
+        # read_your_writes + speculative_prefetch changed since r1
         "read_your_writes": q_read_your_writes,
-        "buffer_quality": q_buffer_quality,
-        "session_listing": q_session_listing,
         "tenant_filtered_topk": q_tenant_filtered_topk,
+        "speculative_prefetch": q_speculative_prefetch,
         # graph path (S7, J5, J6, U7)
         "graph_edges": q_graph_edges,
         "graph_neighbors": q_graph_neighbors,
         "graph_edges_between": q_graph_edges_between,
         "graph_contextual": q_graph_contextual,
         "graph_weighted_2hop": q_graph_weighted_2hop,
-        # temporal
-        "sessionize": q_sessionize,
+        # temporal + relational representatives
         "asof_join": q_asof_join,
         "events_window_agg": q_events_window_agg,
-        # relational coverage (J4, T5, F3, X13)
         "revenue_by_nation": q_revenue_by_nation,
-        "orders_topk": q_orders_topk,
         "set_ops_customers": q_set_ops_customers,
+        # --- past the driver window (position 51+): green CORRECTNESS
+        # --- r01 rows, implementation unchanged since — see COVERAGE.md
+        "vector_knn_of_item": q_vector_knn_of_item,
+        "chunk_stats": q_chunk_stats,
+        "buffer_quality": q_buffer_quality,
+        "session_listing": q_session_listing,
+        "sessionize": q_sessionize,
+        "orders_topk": q_orders_topk,
         "props_json_extract": q_props_json_extract,
-        # --- past the driver window: redundant variants whose operators
-        # --- are already directly verified above
         "gopher_quality": q_gopher_quality,
         "quality_score": q_quality_score,
         "lang_id": q_lang_id,
-        "sequence_pack": q_sequence_pack,
-        "doc_repetition": q_doc_repetition,
-        "stratified_sample": q_stratified_sample,
-        "pii_redact": q_pii_redact,
-        "train_split": q_train_split,
         "graph_2hop": q_graph_2hop,
         "minhash_dedup_keep": q_minhash_dedup_keep,
         "simhash": q_simhash,
@@ -1219,8 +1229,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_pivot": q_event_pivot,
         "event_percentiles": q_event_percentiles,
         "distinct_users": q_distinct_users,
-        "speculative_prefetch": q_speculative_prefetch,
-        "ivf_knn_join": q_ivf_knn_join,
     }
 
 
