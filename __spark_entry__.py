@@ -1115,6 +1115,38 @@ def q_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return split_assign(docs, SPLIT_WEIGHTS).select("doc_id", "split").orderBy("doc_id")
 
 
+def q_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-corpus span-level dedup (paragraph/line-dedup analog)."""
+    from memfuse_spark.operators.dedup import span_dedup
+
+    (docs,) = _tables(spark, sf_dir, "documents")
+    return span_dedup(docs, span_words=10).orderBy("doc_id")
+
+
+def q_top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide top-k word trigrams (boilerplate sweep)."""
+    (docs,) = _tables(spark, sf_dir, "documents")
+    return ta_ops.top_ngrams(docs, n=3, k=20)
+
+
+def q_global_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic training-order shuffle; first 100 docs with rank."""
+    from pyspark.sql import Window
+
+    from memfuse_spark.operators.sampling import global_shuffle
+
+    (docs,) = _tables(spark, sf_dir, "documents")
+    head = (
+        global_shuffle(docs)
+        .select("doc_id", "shuffle_key")
+        .orderBy("shuffle_key")
+        .limit(100)
+    )
+    return head.withColumn(
+        "position", F.row_number().over(Window.orderBy("shuffle_key")).cast("long")
+    ).orderBy("position")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_hybrid_rrf(spark, "/root/testdata/sf0.001")
@@ -1229,6 +1261,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_pivot": q_event_pivot,
         "event_percentiles": q_event_percentiles,
         "distinct_users": q_distinct_users,
+        "span_dedup": q_span_dedup,
+        "top_ngrams": q_top_ngrams,
+        "global_shuffle": q_global_shuffle,
     }
 
 
@@ -1712,4 +1747,7 @@ ORDER BY doc_id, chunk_index
         ),
         "pii_redact": oracles.pii_redact_sql(),
         "train_split": oracles.split_assign_sql(SPLIT_WEIGHTS),
+        "span_dedup": oracles.span_dedup_sql(span_words=10),
+        "top_ngrams": oracles.top_ngrams_sql(n=3, k=20),
+        "global_shuffle": oracles.global_shuffle_sql(limit=100),
     }

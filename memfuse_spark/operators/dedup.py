@@ -450,6 +450,73 @@ def decontaminate(
 
 
 # ---------------------------------------------------------------------------
+# span-level (paragraph/line analog) dedup
+# ---------------------------------------------------------------------------
+
+def span_dedup(
+    docs: DataFrame,
+    span_words: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Cross-corpus span-level dedup (the paragraph/line dedup of C4/
+    RefinedWeb/Dolma): segment each document, drop every segment whose
+    exact content already appeared earlier in the corpus (first
+    occurrence wins, ordered by (doc_id, position)), and reassemble.
+
+    Here a segment is a fixed `span_words`-word window over the shared
+    tokenizer; splitting on a paragraph/newline regex is the identical
+    plan with `split(text, sep)` as the segmenter — the testdata corpus
+    has no newlines, so the word-window segmenter is the exercised path.
+
+    Returns (doc_id, n_spans, n_kept, kept_hash) where kept_hash is
+    md5 of the space-joined surviving spans in document order —
+    verifying the reassembly exactly without shipping full text to the
+    result.
+
+    Shape at scale: two shuffles — a window over span_hash (narrow key;
+    the span text rides along once) for global first-occurrence, then a
+    groupBy(doc_id) to reassemble. The global min-(doc_id, idx) per
+    span_hash is exactly a window rank, so Spark's partial aggregation
+    and AQE skew splitting both apply; no all-pairs, no driver state.
+    """
+    from pyspark.sql import Window
+
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"), tokenize(text_col).alias("tk")
+    )
+    n_spans = F.ceil(F.size("tk") / F.lit(span_words)).cast("int")
+    span_arr = F.when(
+        F.size("tk") > 0,
+        F.transform(
+            F.sequence(F.lit(0), n_spans - 1),
+            lambda i: F.array_join(
+                F.slice(F.col("tk"), i * span_words + 1, span_words), " "
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    spans = toks.select("doc_id", F.posexplode(span_arr).alias("idx", "span"))
+    w = Window.partitionBy(F.md5(F.col("span"))).orderBy("doc_id", "idx")
+    ranked = spans.withColumn("keep", F.row_number().over(w) == 1)
+    kept_struct = F.when(F.col("keep"), F.struct("idx", "span"))
+    return (
+        ranked.groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_spans"),
+            F.sum(F.col("keep").cast("int")).cast("long").alias("n_kept"),
+            F.md5(
+                F.concat_ws(
+                    " ",
+                    F.transform(
+                        F.array_sort(F.collect_list(kept_struct)), lambda x: x["span"]
+                    ),
+                )
+            ).alias("kept_hash"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # embedding near-dup
 # ---------------------------------------------------------------------------
 

@@ -64,6 +64,32 @@ def stratified_sample(
     return df.filter(hash_uniform(key_col, salt) < rate)
 
 
+def global_shuffle(
+    df: DataFrame,
+    key_col: str = "doc_id",
+    salt: str = "shuffle",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Deterministic global shuffle for training-order randomization.
+
+    Adds `shuffle_key` = md5(salt || key) and returns the frame totally
+    ordered by it: `repartitionByRange` (sampled range boundaries, one
+    shuffle) + `sortWithinPartitions`. The concatenation of the output
+    partitions IS the shuffled order — no global window, no single-task
+    sort, so the plan holds at 100 TB (Spark's range partitioner is the
+    same machinery a terasort uses). Re-salting gives a fresh epoch
+    order; determinism means a retried job reproduces the same order.
+    """
+    keyed = df.withColumn(
+        "shuffle_key",
+        F.md5(F.concat(F.lit(salt), F.col(key_col).cast("string"))),
+    )
+    parts = num_partitions or keyed.sparkSession.sparkContext.defaultParallelism
+    return keyed.repartitionByRange(parts, "shuffle_key").sortWithinPartitions(
+        "shuffle_key"
+    )
+
+
 def split_assign(
     df: DataFrame,
     weights: dict[str, float],

@@ -199,6 +199,39 @@ def fingerprint(
     )
 
 
+def top_ngrams(
+    docs: DataFrame,
+    n: int = 3,
+    k: int = 20,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus-wide top-k word n-grams with counts — the boilerplate /
+    contamination-analysis sweep (which exact phrases dominate the
+    corpus). Documents shorter than n words contribute nothing.
+
+    Shape at scale: n-gram generation is a per-row array expression in
+    codegen; the only shuffle carries (gram, partial_count) after
+    map-side combine, then TakeOrdered for the top-k — the wordcount
+    plan, which is as good as this computation gets.
+    """
+    toks = docs.select(tokenize(text_col).alias("tk"))
+    grams = F.when(
+        F.size("tk") >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size("tk") - (n - 1)),
+            lambda i: F.array_join(F.slice(F.col("tk"), i, n), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        toks.select(F.explode(grams).alias("gram"))
+        .groupBy("gram")
+        .agg(F.count("*").cast("long").alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("gram"))
+        .limit(k)
+    )
+
+
 # ---------------------------------------------------------------------------
 # within-document repetition (Gopher §A1.1 repetition rules)
 # ---------------------------------------------------------------------------

@@ -994,3 +994,63 @@ def pii_redact_sql() -> str:
 SELECT doc_id, {clean} AS clean_text, {counts}
 FROM documents ORDER BY doc_id
 """
+
+
+def span_dedup_sql(span_words: int = 10) -> str:
+    """Twin of dedup.span_dedup: fixed word-window segments, global
+    first-occurrence-wins, md5 of the reassembled survivor text."""
+    w = span_words
+    return f"""
+WITH {TOKS_CTE.strip()},
+spans AS (
+  SELECT doc_id, u.idx AS idx, u.s AS s
+  FROM (
+    SELECT doc_id,
+           unnest([{{'idx': i,
+                    's': array_to_string(tk[(i*{w}+1):(i*{w}+{w})], ' ')}}
+                   for i in range(0, CAST(ceil(len(tk) / {w}.0) AS INT))]) AS u
+    FROM toks
+  )
+),
+ranked AS (
+  SELECT doc_id, idx, s,
+         ROW_NUMBER() OVER (PARTITION BY md5(s) ORDER BY doc_id, idx) = 1 AS keep
+  FROM spans
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_spans,
+       CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       md5(coalesce(string_agg(s, ' ' ORDER BY idx) FILTER (WHERE keep), ''))
+         AS kept_hash
+FROM ranked GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+def top_ngrams_sql(n: int = 3, k: int = 20) -> str:
+    """Twin of textanalysis.top_ngrams."""
+    return f"""
+WITH {TOKS_CTE.strip()},
+grams AS (
+  SELECT unnest(CASE WHEN len(tk) >= {n}
+                THEN [array_to_string(tk[i:i+{n - 1}], ' ')
+                      for i in range(1, len(tk) - {n - 1} + 1)]
+                ELSE CAST([] AS VARCHAR[]) END) AS gram
+  FROM toks
+)
+SELECT gram, CAST(count(*) AS BIGINT) AS cnt
+FROM grams GROUP BY gram
+ORDER BY cnt DESC, gram ASC LIMIT {k}
+"""
+
+
+def global_shuffle_sql(limit: int = 100, salt: str = "shuffle") -> str:
+    """Twin of sampling.global_shuffle head: deterministic md5 order."""
+    return f"""
+WITH t AS (
+  SELECT doc_id, md5('{salt}' || CAST(doc_id AS VARCHAR)) AS shuffle_key
+  FROM documents ORDER BY shuffle_key LIMIT {limit}
+)
+SELECT doc_id, shuffle_key,
+       CAST(ROW_NUMBER() OVER (ORDER BY shuffle_key) AS BIGINT) AS position
+FROM t ORDER BY position
+"""

@@ -185,3 +185,69 @@ def test_pii_redact_stays_jvm_side(spark, tables):
 
     plan = _plan(pii_redact(tables["documents"]))
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+# --- span dedup ------------------------------------------------------------
+
+def test_span_dedup_first_occurrence_wins(spark):
+    from memfuse_spark.operators.dedup import span_dedup
+
+    # W=2: doc 1 = [a b | c d], doc 2 = [c d | e f] — "c d" repeats and
+    # must survive only in doc 1; doc 3 is entirely doc 1's content.
+    docs = spark.createDataFrame(
+        [(1, "a b c d"), (2, "c d e f"), (3, "a b")],
+        ["doc_id", "text"],
+    )
+    rows = {r.doc_id: r for r in span_dedup(docs, span_words=2).collect()}
+    assert rows[1].n_spans == 2 and rows[1].n_kept == 2
+    assert rows[2].n_spans == 2 and rows[2].n_kept == 1  # "c d" deduped
+    assert rows[3].n_spans == 1 and rows[3].n_kept == 0  # fully dup
+    import hashlib
+
+    assert rows[2].kept_hash == hashlib.md5(b"e f").hexdigest()
+    assert rows[3].kept_hash == hashlib.md5(b"").hexdigest()
+
+
+def test_span_dedup_ragged_tail_and_empty(spark):
+    from memfuse_spark.operators.dedup import span_dedup
+
+    docs = spark.createDataFrame(
+        [(1, "a b c"), (2, "...")], ["doc_id", "text"]
+    )  # doc 1: [a b | c]; doc 2 tokenizes to nothing -> no output row
+    rows = {r.doc_id: r for r in span_dedup(docs, span_words=2).collect()}
+    assert rows[1].n_spans == 2 and rows[1].n_kept == 2
+    assert 2 not in rows
+
+
+# --- top n-grams -----------------------------------------------------------
+
+def test_top_ngrams_counts(spark):
+    from memfuse_spark.operators.textanalysis import top_ngrams
+
+    docs = spark.createDataFrame(
+        [(1, "x y z x y z"), (2, "x y"), (3, "x y z")],
+        ["doc_id", "text"],
+    )  # "x y z": doc1 has 2 occurrences + doc3 has 1; doc2 too short
+    top = top_ngrams(docs, n=3, k=2).collect()
+    assert top[0].gram == "x y z" and top[0].cnt == 3
+    # tie between "y z x" and "z x y" (1 each) broken lexicographically
+    assert top[1].gram == "y z x" and top[1].cnt == 1
+
+
+# --- global shuffle --------------------------------------------------------
+
+def test_global_shuffle_deterministic_and_scalable(spark, tables):
+    from memfuse_spark.operators.sampling import global_shuffle
+
+    docs = tables["documents"]
+    a = [r.doc_id for r in global_shuffle(docs).select("doc_id").collect()]
+    b = [r.doc_id for r in global_shuffle(docs).select("doc_id").collect()]
+    assert a == b and len(a) == docs.count()
+    assert a != sorted(a)  # actually shuffled
+    # different salt -> different epoch order
+    c = [r.doc_id for r in global_shuffle(docs, salt="epoch2").select("doc_id").collect()]
+    assert c != a
+    # scale shape: range exchange, NOT a global single-partition window
+    plan = _plan(global_shuffle(docs))
+    assert "rangepartitioning" in plan.lower()
+    assert "Window" not in plan
