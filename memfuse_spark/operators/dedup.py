@@ -34,6 +34,25 @@ SHINGLE_N = 3
 JACCARD_THRESHOLD = 0.8
 SIMHASH_BITS = 32
 
+# Universal-hash family for the minhash signature: ONE md5 per shingle
+# yields a 32-bit x, then h_i = (a_i·x + b_i) mod P — 2-universal over
+# the prime field, and 12 integer mixes replace 12 digest slices (3 md5
+# calls) per shingle. a_i < 2^28 keeps a_i·x < 2^60 (no signed-64
+# overflow on either engine). Constants derive from md5 of the index —
+# deterministic forever, no RNG, reproducible in the SQL oracle.
+MINHASH_PRIME = 4294967311  # smallest prime > 2^32
+
+
+def minhash_mix_constants(num_hashes: int = NUM_HASHES) -> list[tuple[int, int]]:
+    import hashlib
+
+    out = []
+    for i in range(num_hashes):
+        a = int(hashlib.md5(f"a{i}".encode()).hexdigest()[:7], 16) | 1
+        b = int(hashlib.md5(f"b{i}".encode()).hexdigest()[:8], 16)
+        out.append((a, b))
+    return out
+
 
 # ---------------------------------------------------------------------------
 # exact dedup
@@ -71,33 +90,25 @@ def shingle_sets(
 
 
 def minhash_signature(shingled: DataFrame, num_hashes: int = NUM_HASHES) -> DataFrame:
-    """(doc_id, h0..h{H-1}) — per-seed min of md5(seed|shingle).
+    """(doc_id, h0..h{H-1}) — per-mix min of (a_i·md5_32(shingle)+b_i) mod P.
 
-    One explode + one groupBy with H min-aggregates: map-side combined,
-    a single narrow shuffle of (doc_id, H×32B) rows regardless of
-    document size.
+    One md5 per shingle (materialized as a column BEFORE the agg —
+    Spark does not CSE, so inlining it into each min() would hash
+    num_hashes times), then H integer mixes + H long-min aggregates:
+    map-side combined, a single narrow shuffle of (doc_id, H×8B) rows
+    regardless of document size. The integer mins also make the band
+    bucket keys cheap (decimal strings, not 32-hex digests).
     """
-    # 4 hash values per md5 call: slice each 32-hex digest into 8-hex
-    # windows (md5 bits are uniform; slices serve as independent
-    # hashes). Digests are materialized as columns BEFORE the agg —
-    # Spark does not CSE repeated expressions, so putting md5 inside
-    # each min() would compute it num_hashes times per shingle.
-    n_digests = (num_hashes + 3) // 4
+    x = F.conv(F.substring(F.md5(F.col("sh")), 1, 8), 16, 10).cast("bigint")
     exploded = shingled.select(
         "doc_id", F.explode("shingles").alias("sh")
-    ).select(
-        "doc_id",
-        *[
-            F.md5(F.concat(F.lit(f"{a}|"), F.col("sh"))).alias(f"__d{a}")
-            for a in range(n_digests)
-        ],
-    )
-    aggs = []
-    for h in range(num_hashes):
-        a, b = divmod(h, 4)
-        aggs.append(
-            F.min(F.substring(F.col(f"__d{a}"), b * 8 + 1, 8)).alias(f"h{h}")
+    ).select("doc_id", x.alias("__x"))
+    aggs = [
+        F.min((F.lit(a) * F.col("__x") + F.lit(b)) % F.lit(MINHASH_PRIME)).alias(
+            f"h{h}"
         )
+        for h, (a, b) in enumerate(minhash_mix_constants(num_hashes))
+    ]
     return exploded.groupBy("doc_id").agg(*aggs)
 
 

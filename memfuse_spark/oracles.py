@@ -42,16 +42,20 @@ shingles AS (
 
 
 def _sig_cte(num_hashes: int = NUM_HASHES) -> str:
-    # keep in lockstep with dedup.minhash_signature: hash h = 8-hex
-    # slice (h mod 4) of digest md5('(h div 4)|' || shingle)
+    # keep in lockstep with dedup.minhash_signature: one 32-bit md5 per
+    # shingle, then h_i = (a_i·x + b_i) mod P over the shared constants
+    from memfuse_spark.operators.dedup import MINHASH_PRIME, minhash_mix_constants
+
     mins = ", ".join(
-        f"min(substring(md5('{h // 4}|' || sh), {(h % 4) * 8 + 1}, 8)) AS h{h}"
-        for h in range(num_hashes)
+        f"min(({a} * xv + {b}) % {MINHASH_PRIME}) AS h{h}"
+        for h, (a, b) in enumerate(minhash_mix_constants(num_hashes))
     )
     return f"""
 sigs AS (
   SELECT doc_id, {mins}
-  FROM (SELECT doc_id, unnest(s) AS sh FROM shingles)
+  FROM (SELECT doc_id,
+               CAST(('0x' || substring(md5(sh), 1, 8)) AS BIGINT) AS xv
+        FROM (SELECT doc_id, unnest(s) AS sh FROM shingles))
   GROUP BY doc_id
 )"""
 
@@ -60,7 +64,9 @@ def _bands_cte(bands: int = BANDS, num_hashes: int = NUM_HASHES) -> str:
     rows = num_hashes // bands
     parts = []
     for b in range(bands):
-        cols = " || '|' || ".join(f"h{b * rows + r}" for r in range(rows))
+        cols = " || '|' || ".join(
+            f"CAST(h{b * rows + r} AS VARCHAR)" for r in range(rows)
+        )
         parts.append(
             f"SELECT doc_id, {b} AS band, md5({cols}) AS bucket FROM sigs"
         )
