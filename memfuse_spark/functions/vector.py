@@ -41,9 +41,18 @@ def normalize(a: Column | str) -> Column:
 
 
 def cosine_similarity(a: Column | str, b: Column | str) -> Column:
-    """dot/(||a||*||b||), zero-norm → 0.0 (reference: utils/embeddings.py:262-274)."""
-    na, nb = l2_norm(a), l2_norm(b)
-    return F.when((na > 0) & (nb > 0), dot(a, b) / (na * nb)).otherwise(F.lit(0.0))
+    """dot/(||a||*||b||), zero-norm → 0.0 (reference: utils/embeddings.py:262-274).
+
+    Written as try_divide + coalesce rather than a when() guard: array
+    folds are interpreted (not codegen'd) and Spark does not CSE, so a
+    guard that repeats the norms would evaluate 5 folds per row — this
+    form evaluates exactly 3 (dot, ||a||, ||b||). A zero norm makes the
+    divisor 0, try_divide yields NULL, coalesce restores 0.0 — the same
+    zero-guard semantics.
+    """
+    return F.coalesce(
+        F.try_divide(dot(a, b), l2_norm(a) * l2_norm(b)), F.lit(0.0)
+    )
 
 
 def hash_embedding(text: Column | str, dim: int = 16) -> Column:

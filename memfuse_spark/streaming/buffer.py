@@ -267,14 +267,17 @@ def speculative_prefetch(
         F.broadcast(ctx_df)
     )
     # identical operation tree to functions.vector.cosine_similarity
-    # (dot / (||a||·||b||), zero-guard) — bit-identical scores, but the
-    # context side's fold ran once on the 1-row table.
-    na = l2_norm(F.col(vec_col))
+    # (try_divide + coalesce zero-guard) — bit-identical scores, but the
+    # context side's fold ran once on the 1-row table, so each corpus
+    # row evaluates exactly 2 interpreted folds (dot + own norm).
     score = F.round(
-        F.when(
-            (na > 0) & (F.col("__ctxn") > 0),
-            dot(F.col(vec_col), F.col("__ctx")) / (na * F.col("__ctxn")),
-        ).otherwise(F.lit(0.0)),
+        F.coalesce(
+            F.try_divide(
+                dot(F.col(vec_col), F.col("__ctx")),
+                l2_norm(F.col(vec_col)) * F.col("__ctxn"),
+            ),
+            F.lit(0.0),
+        ),
         score_decimals,
     )
     return (
