@@ -237,31 +237,40 @@ def speculative_prefetch(
     Plan shape: the context is a 1-row aggregate broadcast into the
     corpus scan; the result is TakeOrderedAndProject — no corpus
     shuffle, same scale envelope as similarity_topk.
+
+    ``dim`` is accepted for API compatibility and ignored — the context
+    expression sizes itself from the data.
     """
     n = len(recent_ids)
     recent = corpus.filter(F.col(id_col).isin(list(recent_ids)))
-    if dim is None:
-        dim = len(recent.select(vec_col).first()[0])  # schema probe, 1 row
     arr = F.array_sort(
         F.collect_list(F.struct(F.col(id_col).alias("i"), F.col(vec_col).alias("v")))
     )
     ctx_df = recent.agg(arr.alias("__a"))
 
-    def elem(i: int):
-        expr = F.element_at(F.col("__a"), 1)["v"][i]
-        for j in range(2, n + 1):
-            expr = expr + F.element_at(F.col("__a"), j)["v"][i]
-        return expr / F.lit(float(n))
-
     from memfuse_spark.functions.vector import dot, l2_norm
 
-    # materialize the mean-context array AND its norm on the 1-row side
-    # BEFORE the join: Spark does not CSE, so inlining this expression
-    # into the per-row cosine would re-evaluate the full n-term
-    # element_at chain (×dim ×3 for dot/norm) for every corpus row.
-    ctx_df = ctx_df.select(
-        F.array(*[elem(i) for i in range(dim)]).alias("__ctx")
-    ).select("__ctx", l2_norm("__ctx").alias("__ctxn"))
+    # Mean context as ONE constant-size expression: transform over the
+    # dimension indices, summing the n recent vectors left-to-right in
+    # id order (deterministic float fold, same order as the oracle).
+    # Dynamic element indexing keeps the expression tree O(n) regardless
+    # of dim — a per-dimension tree made query CONSTRUCTION (driver-side
+    # py4j + analysis) the dominant cost at dim=64 — and removes the
+    # need for a dim probe job. Materialized with its norm on the 1-row
+    # side BEFORE the join (Spark does not CSE).
+    def term(j: int):
+        return F.element_at(F.col("__a"), j + 1)["v"]
+
+    def mean_elem(i):
+        expr = term(0)[i]
+        for j in range(1, n):
+            expr = expr + term(j)[i]
+        return expr / F.lit(float(n))
+
+    ctx = F.transform(F.sequence(F.lit(0), F.size(term(0)) - 1), mean_elem)
+    ctx_df = ctx_df.select(ctx.alias("__ctx")).select(
+        "__ctx", l2_norm("__ctx").alias("__ctxn")
+    )
 
     scored = corpus.filter(~F.col(id_col).isin(list(recent_ids))).crossJoin(
         F.broadcast(ctx_df)
