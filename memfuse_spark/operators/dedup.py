@@ -103,10 +103,11 @@ def minhash_signature(shingled: DataFrame, num_hashes: int = NUM_HASHES) -> Data
     exploded = shingled.select(
         "doc_id", F.explode("shingles").alias("sh")
     ).select("doc_id", x.alias("__x"))
+    # single-string expressions: one py4j round-trip per aggregate
+    # instead of one per operator node (query construction is driver-
+    # side latency that repeats per query, unlike codegen which caches)
     aggs = [
-        F.min((F.lit(a) * F.col("__x") + F.lit(b)) % F.lit(MINHASH_PRIME)).alias(
-            f"h{h}"
-        )
+        F.expr(f"min(({a} * __x + {b}) % {MINHASH_PRIME})").alias(f"h{h}")
         for h, (a, b) in enumerate(minhash_mix_constants(num_hashes))
     ]
     return exploded.groupBy("doc_id").agg(*aggs)
@@ -242,20 +243,15 @@ def simhash(
         .select(F.col(id_col).alias("doc_id"), F.explode(tokenize(text_col)).alias("tok"))
         .withColumn("th", _token_hash32(F.col("tok")))
     )
+    # single-string expressions: one py4j round-trip per aggregate /
+    # one for the whole reconstruction, instead of one per operator node
     bit_sums = [
-        F.sum(
-            F.when(F.shiftright(F.col("th"), i).bitwiseAND(F.lit(1)) == 1, F.lit(1)).otherwise(
-                F.lit(-1)
-            )
-        ).alias(f"s{i}")
+        F.expr(f"sum(IF((shiftright(th, {i}) & 1) = 1, 1, -1))").alias(f"s{i}")
         for i in range(bits)
     ]
     sums = occ.groupBy("doc_id").agg(*bit_sums)
-    sim = None
-    for i in range(bits):
-        term = F.when(F.col(f"s{i}") > 0, F.lit(2 ** i)).otherwise(F.lit(0))
-        sim = term if sim is None else sim + term
-    return sums.select("doc_id", sim.cast("bigint").alias("simhash"))
+    sim = " + ".join(f"IF(s{i} > 0, {2 ** i}, 0)" for i in range(bits))
+    return sums.select("doc_id", F.expr(f"CAST({sim} AS BIGINT)").alias("simhash"))
 
 
 def simhash_pairs(
