@@ -1147,6 +1147,16 @@ def q_global_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("position")
 
 
+def q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected-components duplicate clusters over minhash near-dup
+    pairs (iterative min-label propagation; Spark side graph.
+    connected_components, oracle side WITH RECURSIVE reachability)."""
+    from memfuse_spark.operators.dedup import dup_clusters
+
+    (docs,) = _tables(spark, sf_dir, "documents")
+    return dup_clusters(docs)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_hybrid_rrf(spark, "/root/testdata/sf0.001")
@@ -1264,6 +1274,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "span_dedup": q_span_dedup,
         "top_ngrams": q_top_ngrams,
         "global_shuffle": q_global_shuffle,
+        "dup_clusters": q_dup_clusters,
     }
 
 
@@ -1750,4 +1761,5 @@ ORDER BY doc_id, chunk_index
         "span_dedup": oracles.span_dedup_sql(span_words=10),
         "top_ngrams": oracles.top_ngrams_sql(n=3, k=20),
         "global_shuffle": oracles.global_shuffle_sql(limit=100),
+        "dup_clusters": oracles.dup_clusters_sql(),
     }

@@ -524,6 +524,49 @@ def span_dedup(
 
 
 # ---------------------------------------------------------------------------
+# dup clusters (connected components over near-dup pairs)
+# ---------------------------------------------------------------------------
+
+def dup_clusters(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = JACCARD_THRESHOLD,
+) -> DataFrame:
+    """(doc_id, component, cluster_size) — full duplicate clusters.
+
+    Keep-first pair dropping (minhash_dedup_keep) under-merges: if A~B
+    and B~C but A≁C, dropping only pair-wise leaves the cluster split.
+    Production pipelines (Gopher/RefinedWeb/Dolma) take CONNECTED
+    COMPONENTS over the verified near-dup pair graph and keep one
+    representative per component; the component id here is the min
+    doc_id reachable, so "keep doc_id == component" is the dedup rule.
+    Singleton documents (no near-dup pair) are their own component.
+
+    Scale shape: pairs come from the banded-LSH pipeline (never
+    all-pairs); the component step is iterative min-label propagation
+    over the tiny pair graph (graph.connected_components) — each round
+    a narrow two-id shuffle, lineage checkpoint-truncated.
+    """
+    from pyspark.sql import Window
+
+    from memfuse_spark.operators.graph import connected_components
+
+    pairs = minhash_lsh_pairs(docs, id_col, text_col, threshold)
+    comp = connected_components(pairs, "doc_a", "doc_b")
+    out = (
+        docs.select(F.col(id_col).alias("doc_id"))
+        .join(comp.withColumnRenamed("node", "doc_id"), "doc_id", "left")
+        .select(
+            "doc_id", F.coalesce("component", F.col("doc_id")).alias("component")
+        )
+    )
+    return out.withColumn(
+        "cluster_size", F.count("*").over(Window.partitionBy("component"))
+    ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
 # embedding near-dup
 # ---------------------------------------------------------------------------
 

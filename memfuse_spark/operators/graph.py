@@ -125,6 +125,59 @@ def k_hop(
     return visited.groupBy("node_id").agg(F.min("hop").alias("hop"))
 
 
+def connected_components(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    max_iter: int = 25,
+    checkpoint_every: int = 1,
+) -> DataFrame:
+    """(node, component) — connected components by min-label propagation.
+
+    Each iteration joins the label table with the symmetrized edge list
+    (shuffle on node id, narrow rows: two ids), takes the per-neighbor
+    min, and lowers each node's label to the least label seen. Converges
+    in O(diameter) iterations; near-dup clusters are small and dense, so
+    diameter is tiny in practice. Labels are localCheckpoint'ed each
+    iteration — without it the iterative plan re-derives every prior
+    round per action and the optimizer blows up (same lineage trick as
+    k_hop). Convergence is detected by counting lowered labels (an
+    action per iteration, each over the checkpointed — hence cheap —
+    label table). For graphs whose diameter is itself at cluster scale,
+    swap the inner step for the large-star/small-star pair (Kiveris et
+    al. '14) — same join shape, O(log n) rounds.
+    """
+    sym = edges.select(F.col(src_col).alias("a"), F.col(dst_col).alias("b"))
+    sym = sym.unionByName(
+        sym.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).distinct()
+    labels = (
+        sym.select(F.col("a").alias("node")).distinct().withColumn("label", F.col("node"))
+    ).localCheckpoint(eager=True)
+    for it in range(1, max_iter + 1):
+        nbr_min = (
+            labels.join(sym, labels.node == sym.a)
+            .select(F.col("b").alias("node"), "label")
+            .groupBy("node")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new = labels.join(nbr_min, "node", "left").select(
+            "node",
+            F.least(F.col("label"), F.coalesce("nbr_label", "label")).alias("label"),
+        )
+        if it % checkpoint_every == 0:
+            new = new.localCheckpoint(eager=True)
+        changed = (
+            new.join(labels.withColumnRenamed("label", "old"), "node")
+            .filter(F.col("label") < F.col("old"))
+            .count()
+        )
+        labels = new
+        if changed == 0:
+            break
+    return labels.select("node", F.col("label").alias("component"))
+
+
 def contextual_retrieval(
     embeddings: DataFrame,
     edges: DataFrame,

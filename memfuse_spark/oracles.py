@@ -144,6 +144,42 @@ ORDER BY d.doc_id
     )
 
 
+def dup_clusters_sql(threshold: float = JACCARD_THRESHOLD) -> str:
+    """Connected components over verified near-dup pairs: WITH RECURSIVE
+    min-label reachability (component = min doc_id reachable), every
+    document a node (singletons form their own component)."""
+    prefix = _minhash_prefix().replace("WITH ", "WITH RECURSIVE ", 1)
+    return (
+        prefix
+        + f""",
+pairs AS (
+  SELECT doc_a, doc_b
+  FROM cands
+  JOIN shingles sa ON sa.doc_id = doc_a
+  JOIN shingles sb ON sb.doc_id = doc_b
+  WHERE round(len(list_intersect(sa.s, sb.s))::DOUBLE
+        / len(list_distinct(list_concat(sa.s, sb.s))), 6) >= {threshold}
+),
+sym AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION
+  SELECT doc_b AS a, doc_a AS b FROM pairs
+),
+reach(node, label) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT s.b, r.label FROM reach r JOIN sym s ON s.a = r.node
+),
+comp AS (
+  SELECT node AS doc_id, min(label) AS component FROM reach GROUP BY node
+)
+SELECT doc_id, component,
+       count(*) OVER (PARTITION BY component) AS cluster_size
+FROM comp ORDER BY doc_id
+"""
+    )
+
+
 def simhash_sql(bits: int = SIMHASH_BITS) -> str:
     bit_sums = ", ".join(
         f"sum(CASE WHEN (th >> {i}) & 1 = 1 THEN tf ELSE -tf END) AS s{i}"

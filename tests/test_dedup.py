@@ -135,3 +135,34 @@ def test_repeated_queries_bound_cached_rdds(spark, docs):
     assert after_simhash <= 3
     cache.release_all()
     assert spark.sparkContext._jsc.getPersistentRDDs().size() == 0
+
+
+def test_connected_components_transitive_chain(spark):
+    """A-B, B-C, D-E: components merge transitively (min label wins),
+    disjoint chains stay separate."""
+    from memfuse_spark.operators.graph import connected_components
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "src bigint, dst bigint"
+    )
+    got = {
+        (r.node, r.component)
+        for r in connected_components(edges).collect()
+    }
+    assert got == {(1, 1), (2, 1), (3, 1), (10, 10), (11, 10)}
+
+
+def test_dup_clusters_singletons_and_merge(spark):
+    """dup_clusters: near-identical docs share a component; unrelated
+    docs are singleton components of size 1."""
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog again today"),
+            (2, "the quick brown fox jumps over the lazy dog again today"),
+            (3, "completely different content about spark adaptive execution"),
+        ],
+        "doc_id bigint, text string",
+    )
+    rows = {r.doc_id: (r.component, r.cluster_size) for r in dedup.dup_clusters(docs).collect()}
+    assert rows[1] == (1, 2) and rows[2] == (1, 2)
+    assert rows[3] == (3, 1)
