@@ -1147,6 +1147,22 @@ def q_global_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("position")
 
 
+def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fastText-style hashed-BoW linear quality classifier (derived
+    deterministic weights; trained-weight array is the same plan via
+    element_at over a broadcast literal)."""
+    (docs,) = _tables(spark, sf_dir, "documents")
+    return ta_ops.quality_classifier(docs).orderBy("doc_id")
+
+
+def q_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance log-ratios of the corpus against the eval-set
+    stand-in (same doc_id % mod split as decontaminate)."""
+    (docs,) = _tables(spark, sf_dir, "documents")
+    target = docs.filter(F.col("doc_id") % DECONTAM_BENCH_MOD == 0)
+    return ta_ops.importance_weights(docs, target).orderBy("doc_id")
+
+
 def q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Connected-components duplicate clusters over minhash near-dup
     pairs (iterative min-label propagation; Spark side graph.
@@ -1275,6 +1291,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_ngrams": q_top_ngrams,
         "global_shuffle": q_global_shuffle,
         "dup_clusters": q_dup_clusters,
+        "quality_classifier": q_quality_classifier,
+        "importance_weights": q_importance_weights,
     }
 
 
@@ -1762,4 +1780,6 @@ ORDER BY doc_id, chunk_index
         "top_ngrams": oracles.top_ngrams_sql(n=3, k=20),
         "global_shuffle": oracles.global_shuffle_sql(limit=100),
         "dup_clusters": oracles.dup_clusters_sql(),
+        "quality_classifier": oracles.quality_classifier_sql(),
+        "importance_weights": oracles.importance_weights_sql(DECONTAM_BENCH_MOD),
     }

@@ -353,3 +353,126 @@ def pii_redact(
     return docs.select(
         F.col(id_col).alias("doc_id"), clean.alias("clean_text"), *counts
     )
+
+
+# ---------------------------------------------------------------------------
+# fastText-style quality classifier
+# ---------------------------------------------------------------------------
+
+# Hashed bag-of-words linear classifier (the fastText architecture used
+# as the quality gate in CCNet / LLaMA / RedPajama pipelines): token →
+# hash bucket, mean of bucket weights → sigmoid. Weights here are a
+# deterministic 2-universal mix over the bucket id (same trick as
+# dedup.minhash_mix_constants) standing in for trained parameters — the
+# operational shape (hashing trick, JVM-side arithmetic, no lookup
+# table) is exactly what a broadcast trained-weight array would use.
+CLASSIFIER_BUCKETS = 4096
+CLASSIFIER_MIX = (178956983, 1859775393)  # a (odd, <2^28), b — fixed
+CLASSIFIER_PRIME = 4294967311
+
+
+def classifier_weight_expr(bucket):
+    """Deterministic weight in [-1, 1] for a bucket id column."""
+    a, b = CLASSIFIER_MIX
+    mixed = (bucket * F.lit(a) + F.lit(b)) % F.lit(CLASSIFIER_PRIME)
+    return ((mixed % F.lit(2001)) - F.lit(1000)) / F.lit(1000.0)
+
+
+def quality_classifier(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    buckets: int = CLASSIFIER_BUCKETS,
+    weights: list[float] | None = None,
+) -> DataFrame:
+    """(doc_id, clf_score, clf_keep) — hashed-BoW linear classifier.
+
+    score = sigmoid(mean over token occurrences of w[hash(tok) mod B]).
+    With `weights` (a trained model), w is an `element_at` over an
+    inline array literal — broadcast once into codegen, no join. With
+    the default derived weights, w is pure integer arithmetic (exactly
+    reproducible in the SQL oracle). Either way: explode → project →
+    one map-side-combined groupBy(doc_id); the classifier adds zero
+    shuffles beyond the token aggregation.
+    """
+    from memfuse_spark.operators.dedup import _token_hash32
+
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"), F.explode(tokenize(text_col)).alias("tok")
+    )
+    bucket = _token_hash32(F.col("tok")) % F.lit(buckets)
+    if weights is not None:
+        assert len(weights) == buckets
+        arr = F.array(*[F.lit(float(w)) for w in weights])
+        w = F.element_at(arr, (bucket + 1).cast("int"))
+    else:
+        w = classifier_weight_expr(bucket)
+    z = toks.select("doc_id", w.alias("w")).groupBy("doc_id").agg(
+        F.avg("w").alias("z")
+    )
+    score = F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("z")))
+    return z.select(
+        "doc_id",
+        F.round(score, 6).alias("clf_score"),
+        (score >= 0.5).alias("clf_keep"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# DSIR importance weights
+# ---------------------------------------------------------------------------
+
+DSIR_ALPHA = 0.5
+
+
+def importance_weights(
+    corpus: DataFrame,
+    target: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    alpha: float = DSIR_ALPHA,
+) -> DataFrame:
+    """(doc_id, n_tokens, log_ratio) — Data Selection via Importance
+    Resampling (DSIR, Xie et al. '23): per-document log importance
+    weight log p_target(doc) − log p_corpus(doc) under additive-
+    smoothed unigram LMs. Documents with high log_ratio look like the
+    target domain; sampling ∝ exp(log_ratio) reweights the corpus
+    toward it.
+
+    Both LM tables are token→count aggregates (map-side combined);
+    smoothing uses the corpus vocabulary size so unseen-in-target
+    tokens get mass α/(N_t + αV). The scoring join broadcasts the LMs
+    into the corpus token stream — vocabulary is corpus-sublinear, and
+    were it ever too large to broadcast, the same plan with a shuffled
+    equi-join on `tok` is what AQE falls back to.
+    """
+    ctoks = corpus.select(
+        F.col(id_col).alias("doc_id"), F.explode(tokenize(text_col)).alias("tok")
+    )
+    ttoks = target.select(F.explode(tokenize(text_col)).alias("tok"))
+    clm = ctoks.groupBy("tok").agg(F.count("*").alias("cc"))
+    tlm = ttoks.groupBy("tok").agg(F.count("*").alias("tc"))
+    stats = clm.agg(
+        F.sum("cc").alias("cn"), F.count("*").cast("double").alias("vocab")
+    ).crossJoin(tlm.agg(F.sum("tc").alias("tn")))
+    scored = (
+        ctoks.join(F.broadcast(clm), "tok")
+        .join(F.broadcast(tlm), "tok", "left")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "doc_id",
+            (
+                F.log(
+                    (F.coalesce(F.col("tc"), F.lit(0)) + F.lit(alpha))
+                    / (F.col("tn") + F.lit(alpha) * F.col("vocab"))
+                )
+                - F.log(
+                    (F.col("cc") + F.lit(alpha))
+                    / (F.col("cn") + F.lit(alpha) * F.col("vocab"))
+                )
+            ).alias("lr"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count("*").alias("n_tokens"), F.round(F.sum("lr"), 6).alias("log_ratio")
+    )

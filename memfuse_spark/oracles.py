@@ -1096,3 +1096,51 @@ SELECT doc_id, shuffle_key,
        CAST(ROW_NUMBER() OVER (ORDER BY shuffle_key) AS BIGINT) AS position
 FROM t ORDER BY position
 """
+
+
+def quality_classifier_sql(buckets: int | None = None) -> str:
+    from memfuse_spark.operators.textanalysis import (
+        CLASSIFIER_BUCKETS,
+        CLASSIFIER_MIX,
+        CLASSIFIER_PRIME,
+    )
+
+    b = buckets or CLASSIFIER_BUCKETS
+    a, c = CLASSIFIER_MIX
+    sig = "CAST(1.0 AS DOUBLE)/(CAST(1.0 AS DOUBLE)+exp(-z))"
+    return f"""
+WITH {TOKS_CTE.strip()},
+occ AS (
+  SELECT doc_id,
+         CAST('0x' || substring(md5(u.tok), 1, 8) AS BIGINT) % {b} AS bkt
+  FROM toks, unnest(tk) AS u(tok)
+),
+z AS (
+  SELECT doc_id,
+         avg(CAST((((bkt * {a} + {c}) % {CLASSIFIER_PRIME}) % 2001) - 1000
+                  AS DOUBLE) / CAST(1000.0 AS DOUBLE)) AS z
+  FROM occ GROUP BY doc_id
+)
+SELECT doc_id, round({sig}, 6) AS clf_score, {sig} >= CAST(0.5 AS DOUBLE) AS clf_keep
+FROM z ORDER BY doc_id
+"""
+
+
+def importance_weights_sql(target_mod: int, alpha: float = 0.5) -> str:
+    al = f"CAST({alpha} AS DOUBLE)"
+    return f"""
+WITH {TOKS_CTE.strip()},
+t AS (SELECT doc_id, u.tok FROM toks, unnest(tk) AS u(tok)),
+clm AS (SELECT tok, count(*) AS cc FROM t GROUP BY tok),
+tlm AS (SELECT tok, count(*) AS tc FROM t WHERE doc_id % {target_mod} = 0 GROUP BY tok),
+stats AS (
+  SELECT (SELECT sum(cc) FROM clm) AS cn,
+         (SELECT CAST(count(*) AS DOUBLE) FROM clm) AS vocab,
+         (SELECT sum(tc) FROM tlm) AS tn
+)
+SELECT doc_id, count(*) AS n_tokens,
+       round(sum(ln((coalesce(tc, 0) + {al}) / (tn + {al} * vocab))
+               - ln((cc + {al}) / (cn + {al} * vocab))), 6) AS log_ratio
+FROM t JOIN clm USING (tok) LEFT JOIN tlm USING (tok), stats
+GROUP BY doc_id ORDER BY doc_id
+"""

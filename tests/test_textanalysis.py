@@ -61,3 +61,40 @@ def test_fingerprint_stability(spark, docs):
     assert fp1 == fp2
     assert len(set(fp1.values())) == len(fp1)  # distinct docs → distinct prints
     assert all(len(v) == 4 * 32 for v in fp1.values())
+
+
+def test_quality_classifier_trained_weights_path(spark):
+    """With an explicit weight array every bucket scores the same
+    constant, so score == sigmoid(w) for every doc — exercises the
+    element_at-over-literal-array (broadcast trained model) path."""
+    import math
+
+    from memfuse_spark.operators.textanalysis import CLASSIFIER_BUCKETS, quality_classifier
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "delta")], "doc_id bigint, text string"
+    )
+    out = quality_classifier(docs, weights=[2.0] * CLASSIFIER_BUCKETS).collect()
+    want = round(1.0 / (1.0 + math.exp(-2.0)), 6)
+    assert {(r.doc_id, r.clf_score, r.clf_keep) for r in out} == {
+        (1, want, True),
+        (2, want, True),
+    }
+
+
+def test_importance_weights_prefers_target_like_docs(spark):
+    """Docs sharing the target domain's vocabulary get a higher DSIR
+    log-ratio than out-of-domain docs."""
+    from memfuse_spark.operators.textanalysis import importance_weights
+
+    corpus = spark.createDataFrame(
+        [
+            (1, "quantum physics entanglement superposition qubits"),
+            (2, "quantum entanglement decoherence qubits measurement"),
+            (3, "football soccer goal referee penalty kick offside"),
+        ],
+        "doc_id bigint, text string",
+    )
+    target = corpus.filter("doc_id = 1")
+    rows = {r.doc_id: r.log_ratio for r in importance_weights(corpus, target).collect()}
+    assert rows[2] > rows[3]
