@@ -59,24 +59,38 @@ def decode_features(
         "media_id string, mime string, feature array<double>, pixel_mean double"
     )
 
+    cols = ["media_id", "mime", "feature", "pixel_mean"]
+
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            rows = []
-            for _, r in pdf.iterrows():
-                decoder = DECODERS.get(r["mime"])
-                if decoder is None:
-                    raise NotImplementedError(
-                        f"no decoder for mime {r['mime']!r} in this container; "
-                        "register one in multimodal.DECODERS"
-                    )
-                img = decoder(bytes(r["payload"]), int(r["width"]), int(r["height"]))
-                pooled = img.reshape(-1, 3).mean(axis=0)
-                feat = np.resize(pooled / 255.0, feature_dim)
-                rows.append(
-                    (r["media_id"], r["mime"], [float(x) for x in feat], float(img.mean()))
+            if len(pdf) == 0:
+                yield pd.DataFrame(columns=cols)
+                continue
+            unknown = set(pdf["mime"]) - DECODERS.keys()
+            if unknown:
+                raise NotImplementedError(
+                    f"no decoder for mime {sorted(unknown)!r} in this container; "
+                    "register one in multimodal.DECODERS"
                 )
+            # the codec call is inherently per-item (a real decoder takes
+            # one payload at a time); everything around it is batch-
+            # vectorized numpy over the whole Arrow chunk
+            imgs = [
+                DECODERS[m](bytes(p), int(w), int(h))
+                for m, p, w, h in zip(
+                    pdf["mime"], pdf["payload"], pdf["width"], pdf["height"]
+                )
+            ]
+            pooled = np.stack([im.reshape(-1, 3).mean(axis=0) for im in imgs])
+            reps = -(-feature_dim // 3)  # np.resize cycle, batch-wide
+            feats = np.tile(pooled / 255.0, (1, reps))[:, :feature_dim]
             yield pd.DataFrame(
-                rows, columns=["media_id", "mime", "feature", "pixel_mean"]
+                {
+                    "media_id": pdf["media_id"].to_numpy(),
+                    "mime": pdf["mime"].to_numpy(),
+                    "feature": list(feats),
+                    "pixel_mean": [float(im.mean()) for im in imgs],
+                }
             )
 
     return media.select("media_id", "mime", "payload", "width", "height").mapInPandas(
