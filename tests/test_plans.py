@@ -92,3 +92,20 @@ def test_ivf_knn_join_corpus_never_shuffles(spark, tables):
     # the corpus side of the candidate join must be broadcast-joined,
     # not sort-merge-joined
     assert "SortMergeJoin" not in plan
+
+
+def test_all_queries_no_cartesian_no_rowwise_python(spark):
+    """Repo-wide scale lint: every declared query's physical plan is free
+    of (a) CartesianProduct — an all-pairs shuffle that cannot survive a
+    100× scale-up — and (b) BatchEvalPython, the row-at-a-time Python
+    UDF path (Python is allowed only Arrow-batched: ArrowEvalPython /
+    FlatMapGroupsInPandas / MapInPandas)."""
+    import __spark_entry__ as m
+
+    failures = []
+    for name, fn in m.queries().items():
+        plan = _plan(fn(spark, SF_DIR))
+        for bad in ("CartesianProduct", "BatchEvalPython"):
+            if bad in plan:
+                failures.append(f"{name}: {bad}")
+    assert not failures, failures
