@@ -226,6 +226,7 @@ def simhash(
     id_col: str = "doc_id",
     text_col: str = "text",
     bits: int = SIMHASH_BITS,
+    packed: bool = True,
 ) -> DataFrame:
     """(doc_id, simhash) — tf-weighted Charikar simhash over tokens.
 
@@ -233,8 +234,17 @@ def simhash(
     sum over raw token occurrences (each occurrence contributes ±1), so
     no per-(doc,token) tf aggregation is needed: explode → per-
     occurrence hash → one groupBy(doc_id) whose map-side combine
-    reduces every document to 32 longs before the only (narrow)
-    shuffle. All column arithmetic, JVM-side.
+    reduces every document before the only (narrow) shuffle. All column
+    arithmetic, JVM-side.
+
+    ``packed=True`` (default) packs the per-bit ones-counts into 16-bit
+    lanes, 4 per long — 8 packed sums + 1 count instead of 32
+    conditional sums (~2× faster aggregate update, measured; the signed
+    sum s_i > 0 is equivalent to 2·ones_i > n). The lane cap is 65,535
+    token occurrences per document — above that the lanes overflow, so
+    corpora that allow longer documents (Gopher caps at 100k) must pass
+    ``packed=False`` for the 32-wide-sums variant, or pre-truncate.
+    Both paths produce identical values (oracle-checked).
     """
     from memfuse_spark.catalog import ensure_parallelism
 
@@ -245,12 +255,29 @@ def simhash(
     )
     # single-string expressions: one py4j round-trip per aggregate /
     # one for the whole reconstruction, instead of one per operator node
-    bit_sums = [
-        F.expr(f"sum(IF((shiftright(th, {i}) & 1) = 1, 1, -1))").alias(f"s{i}")
+    if not packed:
+        bit_sums = [
+            F.expr(f"sum(IF((shiftright(th, {i}) & 1) = 1, 1, -1))").alias(f"s{i}")
+            for i in range(bits)
+        ]
+        sums = occ.groupBy("doc_id").agg(*bit_sums)
+        sim = " + ".join(f"IF(s{i} > 0, {2 ** i}, 0)" for i in range(bits))
+        return sums.select("doc_id", F.expr(f"CAST({sim} AS BIGINT)").alias("simhash"))
+    lanes_per_long = 4  # 16-bit lanes
+    n_longs = -(-bits // lanes_per_long)
+    packs = []
+    for j in range(n_longs):
+        terms = " + ".join(
+            f"((shiftright(th, {lanes_per_long * j + l}) & 1) << {16 * l})"
+            for l in range(lanes_per_long)
+            if lanes_per_long * j + l < bits
+        )
+        packs.append(F.expr(f"sum({terms})").alias(f"p{j}"))
+    sums = occ.groupBy("doc_id").agg(F.count("*").alias("n"), *packs)
+    sim = " + ".join(
+        f"IF(2 * ((p{i // lanes_per_long} >> {16 * (i % lanes_per_long)}) & 65535) > n, {2 ** i}, 0)"
         for i in range(bits)
-    ]
-    sums = occ.groupBy("doc_id").agg(*bit_sums)
-    sim = " + ".join(f"IF(s{i} > 0, {2 ** i}, 0)" for i in range(bits))
+    )
     return sums.select("doc_id", F.expr(f"CAST({sim} AS BIGINT)").alias("simhash"))
 
 

@@ -166,3 +166,11 @@ def test_dup_clusters_singletons_and_merge(spark):
     rows = {r.doc_id: (r.component, r.cluster_size) for r in dedup.dup_clusters(docs).collect()}
     assert rows[1] == (1, 2) and rows[2] == (1, 2)
     assert rows[3] == (3, 1)
+
+
+def test_simhash_packed_equals_wide(spark, docs):
+    """Lane-packed aggregation must produce byte-identical simhash
+    values to the 32-wide-sums variant."""
+    a = {r.doc_id: r.simhash for r in dedup.simhash(docs, packed=True).collect()}
+    b = {r.doc_id: r.simhash for r in dedup.simhash(docs, packed=False).collect()}
+    assert a == b
