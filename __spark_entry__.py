@@ -1253,13 +1253,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_edges_between": q_graph_edges_between,
         "graph_contextual": q_graph_contextual,
         "graph_weighted_2hop": q_graph_weighted_2hop,
-        # temporal + relational representatives
-        "asof_join": q_asof_join,
+        # events representative (X11 TIMESTAMP(NANOS) handling)
         "events_window_agg": q_events_window_agg,
-        "revenue_by_nation": q_revenue_by_nation,
-        "set_ops_customers": q_set_ops_customers,
+        # round-2 additions, never driver-checked
+        "dup_clusters": q_dup_clusters,
+        "quality_classifier": q_quality_classifier,
+        "importance_weights": q_importance_weights,
         # --- past the driver window (position 51+): green CORRECTNESS
         # --- r01 rows, implementation unchanged since — see COVERAGE.md
+        "asof_join": q_asof_join,
+        "revenue_by_nation": q_revenue_by_nation,
+        "set_ops_customers": q_set_ops_customers,
         "vector_knn_of_item": q_vector_knn_of_item,
         "chunk_stats": q_chunk_stats,
         "buffer_quality": q_buffer_quality,
@@ -1290,9 +1294,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "span_dedup": q_span_dedup,
         "top_ngrams": q_top_ngrams,
         "global_shuffle": q_global_shuffle,
-        "dup_clusters": q_dup_clusters,
-        "quality_classifier": q_quality_classifier,
-        "importance_weights": q_importance_weights,
     }
 
 
