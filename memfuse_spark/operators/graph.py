@@ -15,6 +15,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from memfuse_spark import cache
+
 SIM_EDGE_THRESHOLD = 0.35
 
 
@@ -100,8 +102,12 @@ def k_hop(
     the edges, never an edge-table shuffle. Every `checkpoint_every`
     hops the frontier is localCheckpoint'ed to truncate the lineage
     chain (iterative plans otherwise re-derive every prior hop at each
-    action and blow up the optimizer at large k).
+    action and blow up the optimizer at large k). Checkpoints stay
+    referenced by the returned plan, so they are registered in the
+    scoped cache registry: the next k_hop call (or cache.release_all)
+    unpersists the previous generation.
     """
+    cache.begin("graph.k_hop")
     spark = edges.sparkSession
     frontier = spark.createDataFrame([(i,) for i in start_ids], ["node_id"]).withColumn(
         "hop", F.lit(0)
@@ -119,7 +125,7 @@ def k_hop(
             F.broadcast(visited.select("node_id")), "node_id", "left_anti"
         )
         if hop % checkpoint_every == 0 and hop < k:
-            nxt = nxt.localCheckpoint(eager=True)
+            nxt, _ = cache.tracked_local_checkpoint(nxt, "graph.k_hop")
         visited = visited.unionByName(nxt)
         frontier = nxt
     return visited.groupBy("node_id").agg(F.min("hop").alias("hop"))
@@ -151,9 +157,12 @@ def connected_components(
     sym = sym.unionByName(
         sym.select(F.col("b").alias("a"), F.col("a").alias("b"))
     ).distinct()
-    labels = (
-        sym.select(F.col("a").alias("node")).distinct().withColumn("label", F.col("node"))
-    ).localCheckpoint(eager=True)
+    cache.begin("graph.cc")
+    spark = edges.sparkSession
+    labels, prev_ids = cache.tracked_local_checkpoint(
+        sym.select(F.col("a").alias("node")).distinct().withColumn("label", F.col("node")),
+        "graph.cc",
+    )
     for it in range(1, max_iter + 1):
         nbr_min = (
             labels.join(sym, labels.node == sym.a)
@@ -165,16 +174,26 @@ def connected_components(
             "node",
             F.least(F.col("label"), F.coalesce("nbr_label", "label")).alias("label"),
         )
-        if it % checkpoint_every == 0:
-            new = new.localCheckpoint(eager=True)
+        is_ckpt = it % checkpoint_every == 0
+        if is_ckpt:
+            new, new_ids = cache.tracked_local_checkpoint(new, "graph.cc")
         changed = (
             new.join(labels.withColumnRenamed("label", "old"), "node")
             .filter(F.col("label") < F.col("old"))
             .count()
         )
+        if is_ckpt:
+            # `new` is eagerly materialized and `changed` is computed, so
+            # the superseded checkpoint's blocks are no longer reachable
+            # from any live plan — drop them now instead of holding one
+            # generation per iteration.
+            cache.unpersist_rdd_ids(spark, prev_ids)
+            prev_ids = new_ids
         labels = new
         if changed == 0:
             break
+    # The final checkpoint backs the returned plan; the next cc call (or
+    # cache.release_all) unpersists it.
     return labels.select("node", F.col("label").alias("component"))
 
 

@@ -64,3 +64,23 @@ def test_follows_edges_skip_gaps(spark):
     )
     got = {(r.src, r.dst) for r in g.build_follows_edges(emb).collect()}
     assert got == {(0, 1)}  # 1→2 and 5→6 have no target node
+
+
+def test_checkpoint_hygiene_zero_rdds_after_release(spark):
+    """localCheckpoint blocks are RDD-level persists that
+    DataFrame.unpersist() cannot release; the scoped tracker must. After
+    cc (in-loop supersede drop) + k_hop (deep enough to checkpoint) +
+    release_all, the session holds zero persistent RDDs."""
+    from memfuse_spark import cache
+
+    cache.release_all()
+    chain = spark.createDataFrame(
+        [(i, i + 1, 1.0, "SIMILAR_TO") for i in range(8)],
+        "src bigint, dst bigint, weight double, relation string",
+    )
+    comps = {r.node: r.component for r in g.connected_components(chain).collect()}
+    assert set(comps.values()) == {0}
+    hops = {r.node_id: r.hop for r in g.k_hop(chain, [0], 7).collect()}
+    assert hops[7] == 7
+    cache.release_all()
+    assert spark.sparkContext._jsc.getPersistentRDDs().size() == 0
