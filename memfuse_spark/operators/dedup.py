@@ -559,6 +559,7 @@ def dup_clusters(
     id_col: str = "doc_id",
     text_col: str = "text",
     threshold: float = JACCARD_THRESHOLD,
+    algorithm: str = "min_label",
 ) -> DataFrame:
     """(doc_id, component, cluster_size) — full duplicate clusters.
 
@@ -571,16 +572,25 @@ def dup_clusters(
     Singleton documents (no near-dup pair) are their own component.
 
     Scale shape: pairs come from the banded-LSH pipeline (never
-    all-pairs); the component step is iterative min-label propagation
-    over the tiny pair graph (graph.connected_components) — each round
-    a narrow two-id shuffle, lineage checkpoint-truncated.
+    all-pairs); the component step runs over the tiny pair graph only.
+    `algorithm="min_label"` (default) is O(diameter) rounds — right for
+    dense near-dup clusters; `algorithm="two_phase"` is the
+    large-star/small-star O(log n)-rounds path for pathological chain
+    topologies. Both converge to component = min reachable doc_id, so
+    the output (and the oracle) is algorithm-independent.
     """
     from pyspark.sql import Window
 
-    from memfuse_spark.operators.graph import connected_components
+    from memfuse_spark.operators.graph import (
+        connected_components,
+        connected_components_twophase,
+    )
 
+    cc = {"min_label": connected_components, "two_phase": connected_components_twophase}[
+        algorithm
+    ]
     pairs = minhash_lsh_pairs(docs, id_col, text_col, threshold)
-    comp = connected_components(pairs, "doc_a", "doc_b")
+    comp = cc(pairs, "doc_a", "doc_b")
     out = (
         docs.select(F.col(id_col).alias("doc_id"))
         .join(comp.withColumnRenamed("node", "doc_id"), "doc_id", "left")

@@ -197,6 +197,93 @@ def connected_components(
     return labels.select("node", F.col("label").alias("component"))
 
 
+def connected_components_twophase(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    max_rounds: int = 20,
+) -> DataFrame:
+    """(node, component) — connected components by alternating
+    large-star / small-star contraction (Kiveris et al., "Connected
+    Components in MapReduce and Beyond", SoCC '14).
+
+    The scale path promised by :func:`connected_components`'s docstring:
+    min-label propagation needs O(diameter) rounds, which is fine for
+    dense near-dup clusters but degenerate for chain-shaped graphs
+    (reply threads, citation chains) whose diameter grows with the data.
+    Each round here HALVES tree heights — O(log n) rounds regardless of
+    diameter — at the same per-round cost shape (two groupBy-min
+    shuffles over narrow (int, int) edge rows, never the payloads).
+
+    large-star(u): every neighbor v > u re-points to
+    m = min(N(u) ∪ {u}); small-star(u): u and its smaller neighbors all
+    re-point to their minimum. At the fixed point the edge set is a
+    union of stars whose centers are the component minima, so labels are
+    identical to min-label propagation's (component = min node id) —
+    the two algorithms are interchangeable under the same oracle.
+    Per-round convergence check and lineage truncation follow the same
+    tracked-localCheckpoint discipline as min-label.
+    """
+    spark = edges.sparkSession
+    sym0 = edges.select(F.col(src_col).alias("a"), F.col(dst_col).alias("b")).filter(
+        F.col("a") != F.col("b")
+    )
+    nodes = (
+        sym0.select("a")
+        .unionByName(sym0.select(F.col("b").alias("a")))
+        .distinct()
+        .select(F.col("a").alias("node"))
+    )
+    cache.begin("graph.cc2")
+    # directed big → small; self-loops dropped
+    cur, prev_ids = cache.tracked_local_checkpoint(
+        sym0.select(
+            F.greatest("a", "b").alias("a"), F.least("a", "b").alias("b")
+        ).distinct(),
+        "graph.cc2",
+    )
+    for _ in range(max_rounds):
+        # large-star: per node u over the FULL neighborhood (symmetrize),
+        # m = min(N(u) ∪ {u}); emit (v, m) for v > u. Output stays
+        # directed big → small because m ≤ u < v.
+        sym = cur.unionByName(
+            cur.select(F.col("b").alias("a"), F.col("a").alias("b"))
+        )
+        mins = sym.groupBy("a").agg(F.least(F.min("b"), F.first("a")).alias("m"))
+        large = (
+            sym.join(mins, "a")
+            .filter(F.col("b") > F.col("a"))
+            .select(F.col("b").alias("a"), F.col("m").alias("b"))
+            .distinct()
+        )
+        # small-star: neighbors of u are now all smaller; u and every
+        # neighbor except the minimum re-point to m = min(N(u)).
+        smins = large.groupBy("a").agg(F.min("b").alias("m"))
+        nxt = (
+            large.join(smins, "a")
+            .filter(F.col("b") != F.col("m"))
+            .select(F.col("b").alias("a"), F.col("m").alias("b"))
+            .unionByName(smins.select("a", F.col("m").alias("b")))
+            .distinct()
+        )
+        nxt, new_ids = cache.tracked_local_checkpoint(nxt, "graph.cc2")
+        changed = (
+            nxt.join(cur, ["a", "b"], "left_anti").count()
+            + cur.join(nxt, ["a", "b"], "left_anti").count()
+        )
+        cache.unpersist_rdd_ids(spark, prev_ids)
+        prev_ids = new_ids
+        cur = nxt
+        if changed == 0:
+            break
+    # fixed point = stars rooted at component minima
+    return nodes.join(
+        cur.groupBy("a").agg(F.min("b").alias("root")),
+        nodes.node == F.col("a"),
+        "left",
+    ).select("node", F.coalesce("root", "node").alias("component"))
+
+
 def contextual_retrieval(
     embeddings: DataFrame,
     edges: DataFrame,

@@ -174,3 +174,18 @@ def test_simhash_packed_equals_wide(spark, docs):
     a = {r.doc_id: r.simhash for r in dedup.simhash(docs, packed=True).collect()}
     b = {r.doc_id: r.simhash for r in dedup.simhash(docs, packed=False).collect()}
     assert a == b
+
+
+def test_dup_clusters_algorithm_independent(spark):
+    """min_label and two_phase produce identical clusters."""
+    from memfuse_spark.operators import dedup
+
+    base = "the quick brown fox jumps over the lazy dog again and again "
+    docs = spark.createDataFrame(
+        [(0, base * 4), (1, base * 4 + "tail one"), (2, base * 4 + "tail one two"),
+         (3, "completely unrelated text about spark dataframes and shuffles " * 3)],
+        "doc_id bigint, text string",
+    )
+    a = sorted(map(tuple, dedup.dup_clusters(docs).collect()))
+    b = sorted(map(tuple, dedup.dup_clusters(docs, algorithm="two_phase").collect()))
+    assert a == b

@@ -84,3 +84,34 @@ def test_checkpoint_hygiene_zero_rdds_after_release(spark):
     assert hops[7] == 7
     cache.release_all()
     assert spark.sparkContext._jsc.getPersistentRDDs().size() == 0
+
+
+def test_twophase_cc_matches_minlabel_random(spark):
+    """Large-star/small-star must produce exactly min-label's labeling
+    (component = min node id) on an arbitrary graph."""
+    import random
+
+    rng = random.Random(7)
+    e = [(rng.randrange(60), rng.randrange(60)) for _ in range(70)]
+    edges = spark.createDataFrame(e, "src bigint, dst bigint")
+    a = {r.node: r.component for r in g.connected_components(edges).collect()}
+    b = {r.node: r.component for r in g.connected_components_twophase(edges).collect()}
+    # min-label keeps self-loop-only nodes; twophase drops self loops, so
+    # compare on the union domain with identity fallback
+    assert b == {n: a.get(n, n) for n in b}
+    assert set(a) >= set(b)
+
+
+def test_twophase_cc_chain_and_hygiene(spark):
+    """A 40-node chain (diameter 39) — the min-label worst case — and
+    zero persistent RDDs after release."""
+    from memfuse_spark import cache
+
+    cache.release_all()
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(39)], "src bigint, dst bigint"
+    )
+    got = {r.node: r.component for r in g.connected_components_twophase(chain).collect()}
+    assert got == {i: 0 for i in range(40)}
+    cache.release_all()
+    assert spark.sparkContext._jsc.getPersistentRDDs().size() == 0
