@@ -111,3 +111,42 @@ def split_assign(
     last = F.lit(names[-1])
     expr = expr.otherwise(last) if expr is not None else last
     return df.withColumn("split", expr)
+
+
+def domain_mixture(
+    df: DataFrame, alpha: float = 0.5, domain_col: str = "source"
+) -> DataFrame:
+    """Temperature-scaled domain mixture weights: w_d ∝ n_d^alpha.
+
+    The multinomial domain-sampling rule used to build LLM training
+    mixes (alpha-sampling in XLM-R, Lample & Conneau '19; the manual
+    per-source weights in GPT-3's Table 2.2 follow the same shape):
+    alpha < 1 flattens the mix toward small domains, alpha = 1
+    reproduces raw proportions. Output is one row per domain with the
+    raw share, the temperature-scaled mix weight, and the resulting
+    up/down-sampling factor to feed `stratified_sample`.
+
+    Scale shape: one partial-aggregated groupBy to domain counts (tiny
+    result), then a single-row broadcast for the normalizers — the
+    corpus itself is scanned once and never reshuffled.
+    """
+    counts = df.groupBy(F.col(domain_col).alias("domain")).agg(
+        F.count("*").alias("n_docs")
+    )
+    totals = counts.agg(
+        F.sum("n_docs").alias("total_docs"),
+        F.sum(F.pow("n_docs", F.lit(float(alpha)))).alias("pow_total"),
+    )
+    share = F.col("n_docs") / F.col("total_docs")
+    weight = F.pow("n_docs", F.lit(float(alpha))) / F.col("pow_total")
+    return (
+        counts.crossJoin(F.broadcast(totals))
+        .select(
+            "domain",
+            "n_docs",
+            F.round(share, 6).alias("raw_share"),
+            F.round(weight, 6).alias("mix_weight"),
+            F.round(weight / share, 6).alias("upsample_factor"),
+        )
+        .orderBy("domain")
+    )

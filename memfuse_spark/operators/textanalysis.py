@@ -476,3 +476,39 @@ def importance_weights(
     return scored.groupBy("doc_id").agg(
         F.count("*").alias("n_tokens"), F.round(F.sum("lr"), 6).alias("log_ratio")
     )
+
+
+def length_buckets(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Power-of-two token-length buckets for padded-batch planning.
+
+    Training dataloaders pad every sequence in a batch to the longest
+    member; bucketing by ceil-power-of-two length is the standard way to
+    bound that waste. One row per bucket: capacity (2^ceil(log2 n)),
+    document count, token totals, and the padding waste ratio a
+    same-bucket batching policy would pay. Single groupBy over a per-row
+    projection — one narrow shuffle regardless of corpus size.
+    """
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"), tokenize(text_col).alias("tk")
+    ).select("doc_id", F.greatest(F.size("tk"), F.lit(1)).alias("n_tokens"))
+    cap = F.pow(F.lit(2.0), F.ceil(F.log2("n_tokens"))).cast("long")
+    return (
+        toks.select("n_tokens", cap.alias("bucket_tokens"))
+        .groupBy("bucket_tokens")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+        )
+        .select(
+            "bucket_tokens",
+            "n_docs",
+            "total_tokens",
+            F.round(
+                1.0 - F.col("total_tokens") / (F.col("n_docs") * F.col("bucket_tokens")),
+                6,
+            ).alias("padding_waste"),
+        )
+        .orderBy("bucket_tokens")
+    )

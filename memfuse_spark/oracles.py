@@ -1004,6 +1004,44 @@ ORDER BY doc_id
 """
 
 
+def domain_mixture_sql(alpha: float = 0.5) -> str:
+    a = repr(float(alpha))
+    return f"""
+WITH c AS (
+  SELECT source AS domain, count(*) AS n_docs FROM documents GROUP BY source
+),
+t AS (
+  SELECT CAST(sum(n_docs) AS DOUBLE) AS total_docs,
+         sum(pow(n_docs, CAST({a} AS DOUBLE))) AS pow_total
+  FROM c
+)
+SELECT domain, n_docs,
+       round(n_docs / total_docs, 6) AS raw_share,
+       round(pow(n_docs, CAST({a} AS DOUBLE)) / pow_total, 6) AS mix_weight,
+       round((pow(n_docs, CAST({a} AS DOUBLE)) / pow_total)
+             / (n_docs / total_docs), 6) AS upsample_factor
+FROM c CROSS JOIN t
+ORDER BY domain
+"""
+
+
+def length_buckets_sql() -> str:
+    return f"""
+WITH {TOKS_CTE.strip()},
+b AS (
+  SELECT CAST(pow(2.0, ceil(log2(greatest(len(tk), 1)))) AS BIGINT) AS bucket_tokens,
+         greatest(len(tk), 1) AS n_tokens
+  FROM toks
+)
+SELECT bucket_tokens,
+       count(*) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+       round(1.0 - CAST(sum(n_tokens) AS DOUBLE) / (count(*) * bucket_tokens), 6)
+         AS padding_waste
+FROM b GROUP BY bucket_tokens ORDER BY bucket_tokens
+"""
+
+
 def split_assign_sql(weights: dict[str, float], salt: str = "split") -> str:
     # boundaries accumulated in PYTHON float arithmetic, inlined with
     # repr — the Spark side builds the same when-chain from the same

@@ -251,3 +251,38 @@ def test_global_shuffle_deterministic_and_scalable(spark, tables):
     plan = _plan(global_shuffle(docs))
     assert "rangepartitioning" in plan.lower()
     assert "Window" not in plan
+
+
+# --- domain mixture / length buckets ---------------------------------------
+
+def test_domain_mixture_weights(spark):
+    from memfuse_spark.operators.sampling import domain_mixture
+
+    docs = spark.createDataFrame(
+        [(i, "big" if i < 90 else "small") for i in range(100)],
+        "doc_id bigint, source string",
+    )
+    rows = {r.domain: r for r in domain_mixture(docs, alpha=0.5).collect()}
+    assert rows["big"].n_docs == 90 and rows["small"].n_docs == 10
+    # alpha < 1 flattens: small domain's mix weight beats its raw share
+    assert rows["small"].mix_weight > rows["small"].raw_share
+    assert rows["small"].upsample_factor > 1.0 > rows["big"].upsample_factor
+    assert abs(rows["big"].mix_weight + rows["small"].mix_weight - 1.0) < 1e-6
+    # alpha = 1 reproduces raw proportions
+    flat = {r.domain: r for r in domain_mixture(docs, alpha=1.0).collect()}
+    assert abs(flat["big"].mix_weight - flat["big"].raw_share) < 1e-6
+
+
+def test_length_buckets_pow2_and_waste(spark):
+    from memfuse_spark.operators.textanalysis import length_buckets
+
+    docs = spark.createDataFrame(
+        [(0, "a b c"), (1, "a b c d"), (2, "a"), (3, "w x y z u v")],
+        "doc_id bigint, text string",
+    )
+    rows = {r.bucket_tokens: r for r in length_buckets(docs).collect()}
+    # 3,4 tokens -> bucket 4; 1 token -> bucket 1; 6 tokens -> bucket 8
+    assert rows[4].n_docs == 2 and rows[4].total_tokens == 7
+    assert rows[1].n_docs == 1 and rows[1].padding_waste == 0.0
+    assert rows[8].n_docs == 1 and rows[8].padding_waste == 0.25
+    assert rows[4].padding_waste == 0.125
