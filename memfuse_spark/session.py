@@ -44,6 +44,12 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Favor parallelism over partition fatness when coalescing: small
+        # post-shuffle byte sizes can hide CPU-heavy per-row projections
+        # (hash embeddings, text concat), so let AQE split down to 64k
+        # rather than the 1m default. No effect at cluster scale, where
+        # post-shuffle partitions are far above either floor.
+        .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64k")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
