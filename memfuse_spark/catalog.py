@@ -46,6 +46,13 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     for col, dtype in df.dtypes:
         if dtype == "bigint" and col in ("ts",):
             df = df.withColumn(col, F.timestamp_micros(F.expr(f"{col} div 1000")))
+        elif dtype == "timestamp_ntz":
+            # timestamp[us] parquet arrives as TIMESTAMP_NTZ (Spark ≥3.4
+            # inferTimestampNTZ), which Spark 4 refuses to cast to long
+            # (sessionize/as-of epoch math). Session tz is UTC, so the
+            # cast to TIMESTAMP is value-preserving and matches DuckDB's
+            # naive reading of the same file.
+            df = df.withColumn(col, F.col(col).cast("timestamp"))
     return df
 
 

@@ -578,6 +578,13 @@ def dup_clusters(
     large-star/small-star O(log n)-rounds path for pathological chain
     topologies. Both converge to component = min reachable doc_id, so
     the output (and the oracle) is algorithm-independent.
+
+    Cache contract (inherited from the graph cc kernels): the result is
+    backed by localCheckpoint blocks tracked in the scoped cache
+    registry — at most ONE outstanding unmaterialized dup_clusters
+    result at a time; materialize it before issuing two further calls
+    in the same scope (the registry keeps the previous generation alive,
+    but not older ones).
     """
     from pyspark.sql import Window
 

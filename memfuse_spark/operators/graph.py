@@ -12,6 +12,8 @@ is small enough to broadcast).
 
 from __future__ import annotations
 
+import warnings
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -192,6 +194,16 @@ def connected_components(
         labels = new
         if changed == 0:
             break
+    else:
+        # The final groupBy-min labeling below would silently mask an
+        # unconverged (wrong) labeling — surface it instead.
+        warnings.warn(
+            f"connected_components: no fixed point after max_iter={max_iter} "
+            "iterations; labels may be wrong (raise max_iter or use "
+            "connected_components_twophase for high-diameter graphs)",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     # The final checkpoint backs the returned plan; the next cc call (or
     # cache.release_all) unpersists it.
     return labels.select("node", F.col("label").alias("component"))
@@ -276,12 +288,93 @@ def connected_components_twophase(
         cur = nxt
         if changed == 0:
             break
+    else:
+        warnings.warn(
+            f"connected_components_twophase: star fixed point not reached "
+            f"after max_rounds={max_rounds}; labels may be wrong "
+            "(O(log n) rounds expected — raise max_rounds)",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     # fixed point = stars rooted at component minima
     return nodes.join(
         cur.groupBy("a").agg(F.min("b").alias("root")),
         nodes.node == F.col("a"),
         "left",
     ).select("node", F.coalesce("root", "node").alias("component"))
+
+
+def pagerank(
+    edges: DataFrame,
+    iterations: int = 8,
+    damping: float = 0.85,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    score_decimals: int = 6,
+) -> DataFrame:
+    """(node, rank) — PageRank with a FIXED iteration count.
+
+    The reference's graph stores expose centrality-style ranking only
+    through igraph (store/graph_store/igraph_store.py keeps a full
+    igraph.Graph in driver memory); Spark-first, the same computation is
+    `iterations` rounds of contribute-and-sum over the edge DataFrame:
+    each round shuffles (node, rank/out_deg) contributions — narrow
+    rows, never payloads — and a groupBy-sum re-keys them by dst.
+    Dangling mass (nodes with no out-edges) is redistributed uniformly,
+    so ranks sum to 1 every round. A fixed iteration count (not a
+    convergence test) keeps the result deterministic and
+    oracle-expressible as unrolled SQL CTEs; lineage is truncated every
+    round via the tracked localCheckpoint discipline (see k_hop).
+
+    Scale shape: per round, one shuffle of |E| narrow rows + one of |V|
+    rows; out-degrees are computed once. At 1000 executors the edge
+    table partitioning is reused across rounds (same key), so AQE
+    coalesces the exchange; nothing driver-side grows with the graph.
+    """
+    spark = edges.sparkSession
+    e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst")).distinct()
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    cache.begin("graph.pagerank")
+    nodes, _ = cache.tracked_local_checkpoint(nodes, "graph.pagerank")
+    n = nodes.count()
+    out_deg = e.groupBy(F.col("src").alias("node")).agg(F.count("*").alias("deg"))
+    base, prev_ids = cache.tracked_local_checkpoint(
+        nodes.join(out_deg, "node", "left").select(
+            "node", F.coalesce("deg", F.lit(0)).alias("deg"), (F.lit(1.0) / n).alias("rank")
+        ),
+        "graph.pagerank",
+    )
+    ranks = base
+    for _ in range(iterations):
+        dangling = (
+            ranks.filter(F.col("deg") == 0).agg(F.coalesce(F.sum("rank"), F.lit(0.0))).first()[0]
+        )
+        contrib = (
+            ranks.filter(F.col("deg") > 0)
+            .join(e, ranks.node == e.src)
+            .select(F.col("dst").alias("node"), (F.col("rank") / F.col("deg")).alias("c"))
+            .groupBy("node")
+            .agg(F.sum("c").alias("inflow"))
+        )
+        new = ranks.join(contrib, "node", "left").select(
+            "node",
+            "deg",
+            (
+                F.lit((1.0 - damping) / n)
+                + F.lit(damping) * (F.coalesce("inflow", F.lit(0.0)) + F.lit(dangling / n))
+            ).alias("rank"),
+        )
+        new, new_ids = cache.tracked_local_checkpoint(new, "graph.pagerank")
+        cache.unpersist_rdd_ids(spark, prev_ids)
+        prev_ids = new_ids
+        ranks = new
+    return ranks.select("node", F.round("rank", score_decimals).alias("rank")).orderBy(
+        F.desc("rank"), F.asc("node")
+    )
 
 
 def contextual_retrieval(
@@ -296,12 +389,22 @@ def contextual_retrieval(
     hybrid.py:166-249): (1) items similar to the query, (2) items
     connected to those, (3) connected items re-scored by similarity.
     Returns (vec_id, score, layer) — one union, layer-tagged.
+
+    The layer intermediates are tiny (≤ k rows, ≤ degree·k rows) but
+    the plan references l1 three times and `connected` twice — without
+    materializing them, every reference re-evaluates its whole input
+    subtree, including the similarity-EDGE construction when `edges` is
+    a derived plan (build_similarity_edges = the block-pair kernel over
+    the full corpus). localCheckpoint pins the k-row results so the
+    corpus-scale inputs are each scanned exactly once.
     """
     from memfuse_spark.operators.similarity import similarity_topk
 
+    cache.begin("graph.contextual")
     l1 = similarity_topk(embeddings, qvec, k, id_col=id_col).withColumn(
         "layer", F.lit("similar")
     )
+    l1, _ = cache.tracked_local_checkpoint(l1, "graph.contextual")
     connected = (
         l1.select(F.col(id_col).alias("src"))
         .join(edges, "src")
@@ -311,6 +414,7 @@ def contextual_retrieval(
         .join(l1.select(id_col), id_col, "left_anti")
         .withColumn("layer", F.lit("connected"))
     )
+    connected, _ = cache.tracked_local_checkpoint(connected, "graph.contextual")
     rescored = (
         connected.select(id_col)
         .join(embeddings, id_col)

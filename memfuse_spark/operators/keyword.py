@@ -280,6 +280,122 @@ def _py_tokenize(text: str) -> list[str]:
     return [t for t in re.split(r"[^a-z0-9]+", text.lower()) if t]
 
 
+# ---------------------------------------------------------------------------
+# phrase search (FTS5 "exact phrase" MATCH semantics)
+# ---------------------------------------------------------------------------
+
+def phrase_occurrences(text_col, phrase: list[str]):
+    """Column: number of occurrences of the exact token sequence.
+
+    SQLite FTS5 (the reference's keyword backend, keyword_store/
+    sqlite_store.py:376-421) matches quoted phrases on token adjacency,
+    not substrings — "fast table" must appear as consecutive TOKENS.
+    Re-expressed as a JVM-side higher-order filter over the tokenized
+    text: count positions i where tokens[i:i+m] equals the phrase.
+    Single projection, zero shuffle, whole-stage-codegen'd — the
+    phrase scan rides the same corpus scan as any other per-row
+    expression.
+    """
+    m = len(phrase)
+    tk = tokenize(text_col)
+    lits = F.array(*[F.lit(t) for t in phrase])
+    starts = F.sequence(F.lit(1), F.size(tk) - m + 1)
+    hits = F.filter(starts, lambda i: F.slice(tk, i, m) == lits)
+    return F.when(F.size(tk) >= m, F.size(hits)).otherwise(0).cast("long")
+
+
+def phrase_search(
+    docs: DataFrame,
+    phrase: list[str],
+    k: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-k docs by exact-phrase occurrence count (count desc, id asc).
+
+    The single-scan variant: right for ad-hoc phrases. For repeated
+    phrase workloads at corpus scale, build positional postings once
+    (build_positional_postings) and use phrase_search_indexed — the
+    m-way position join touches only the phrase's terms' postings.
+    """
+    n = phrase_occurrences(text_col, phrase)
+    return (
+        docs.select(F.col(id_col).alias("doc_id"), n.alias("n_occurrences"))
+        .filter(F.col("n_occurrences") > 0)
+        .orderBy(F.desc("n_occurrences"), F.asc("doc_id"))
+        .limit(k)
+    )
+
+
+def build_positional_postings(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(doc_id, term, pos) positional postings — the index FTS5 keeps
+    per token to answer phrase/NEAR queries. One explode + no
+    aggregation; bucket/sort by term when materializing (same layout as
+    build_postings_index) so a phrase query scans only its terms."""
+    from memfuse_spark.catalog import ensure_parallelism
+
+    docs = ensure_parallelism(docs)
+    return docs.select(
+        F.col(id_col).alias("doc_id"), F.posexplode(tokenize(text_col))
+    ).select("doc_id", F.col("col").alias("term"), (F.col("pos") + 1).alias("pos"))
+
+
+def phrase_search_indexed(
+    postings: DataFrame, phrase: list[str], k: int
+) -> DataFrame:
+    """Phrase top-k from positional postings: anchor on the first term's
+    positions, then an equi-join per subsequent term on
+    (doc_id, pos == anchor_pos + i) — each join shuffles only that
+    term's postings (term-bucketed at scale ⇒ bucket-pruned scans,
+    no corpus scan). Same output contract as phrase_search."""
+    matched = postings.filter(F.col("term") == phrase[0]).select("doc_id", "pos")
+    for i, t in enumerate(phrase[1:], start=1):
+        nxt = postings.filter(F.col("term") == t).select(
+            "doc_id", (F.col("pos") - i).alias("pos")
+        )
+        matched = matched.join(nxt, ["doc_id", "pos"])
+    return (
+        matched.groupBy("doc_id")
+        .agg(F.count("*").cast("long").alias("n_occurrences"))
+        .orderBy(F.desc("n_occurrences"), F.asc("doc_id"))
+        .limit(k)
+    )
+
+
+def phrase_search_sql(
+    phrase: list[str],
+    k: int,
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    """DuckDB oracle twin of :func:`phrase_search` (same tokenizer, same
+    adjacency semantics via 1-based list slicing)."""
+    m = len(phrase)
+    lits = "[" + ", ".join(f"'{t}'" for t in phrase) + "]"
+    return f"""
+WITH toks AS (
+  SELECT {id_col} AS doc_id,
+         list_filter(string_split_regex(lower({text_col}), '[^a-z0-9]+'),
+                     t -> len(t) > 0) AS tk
+  FROM {table}
+),
+counted AS (
+  SELECT doc_id,
+         CAST(len(list_filter(range(1, len(tk) - {m} + 2),
+                              i -> tk[i:i + {m} - 1] = {lits})) AS BIGINT)
+           AS n_occurrences
+  FROM toks
+)
+SELECT doc_id, n_occurrences FROM counted
+WHERE n_occurrences > 0
+ORDER BY n_occurrences DESC, doc_id ASC
+LIMIT {k}
+"""
+
+
 def bm25_topk_sql(
     query: str,
     k: int,

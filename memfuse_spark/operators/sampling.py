@@ -148,5 +148,8 @@ def domain_mixture(
             F.round(weight, 6).alias("mix_weight"),
             F.round(weight / share, 6).alias("upsample_factor"),
         )
-        .orderBy("domain")
+        # asc_nulls_last: Spark defaults to NULLS FIRST, DuckDB/ANSI to
+        # NULLS LAST — a NULL domain would hash-mismatch the oracle on
+        # row order despite identical content.
+        .orderBy(F.asc_nulls_last("domain"))
     )

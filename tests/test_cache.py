@@ -1,0 +1,50 @@
+"""Scoped cache registry lifecycle (memfuse_spark/cache.py).
+
+The registry's contract: localCheckpoint blocks registered under a
+scope survive exactly ONE subsequent begin() — so the previously
+RETURNED lazy DataFrame of a scope stays materializable (its lineage
+is truncated; a dropped block would be unrecoverable), while older
+generations are released and never accumulate.
+"""
+
+from memfuse_spark import cache
+
+
+def _persisted(spark, ids):
+    m = spark.sparkContext._jsc.getPersistentRDDs()
+    return [i for i in ids if m.containsKey(i)]
+
+
+def test_checkpoint_id_captured_from_plan(spark):
+    # The id must come off the returned plan's LogicalRDD, not a global
+    # before/after diff (which misattributes concurrent persists).
+    out, ids = cache.tracked_local_checkpoint(spark.range(50), "cache.plan")
+    assert len(ids) == 1
+    assert cache._plan_rdd_ids(out) == ids
+    assert _persisted(spark, ids) == list(ids)
+    cache.release("cache.plan")
+    assert _persisted(spark, ids) == []
+
+
+def test_previous_generation_survives_one_begin(spark):
+    scope = "cache.gen"
+    cache.begin(scope)
+    r1, ids1 = cache.tracked_local_checkpoint(spark.range(10), scope)
+    cache.begin(scope)
+    # r1 was returned lazily by "the previous query" — must still run.
+    assert r1.count() == 10
+    r2, ids2 = cache.tracked_local_checkpoint(spark.range(20), scope)
+    cache.begin(scope)
+    # two begins later, r1's generation is gone; r2's survives.
+    assert _persisted(spark, ids1) == []
+    assert _persisted(spark, ids2) == list(ids2)
+    assert r2.count() == 20
+    cache.release(scope)
+    assert _persisted(spark, ids2) == []
+
+
+def test_release_all_clears_every_scope(spark):
+    _, a = cache.tracked_local_checkpoint(spark.range(5), "cache.a")
+    _, b = cache.tracked_local_checkpoint(spark.range(5), "cache.b")
+    cache.release_all()
+    assert _persisted(spark, a) == [] and _persisted(spark, b) == []
