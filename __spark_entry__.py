@@ -972,6 +972,83 @@ def q_graph_contextual(spark: SparkSession, sf_dir: str) -> DataFrame:
     return g.contextual_retrieval(emb, edges, qvec, k=10)
 
 
+PAGERANK_ITERS = 8
+PAGERANK_DAMPING = 0.85
+
+
+def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the similarity+follows graph, fixed 8 iterations
+    (contribute-and-sum rounds; oracle = unrolled SQL CTEs)."""
+    from memfuse_spark.operators import graph as g
+
+    _, edges = _graph_edges(spark, sf_dir)
+    return g.pagerank(edges, iterations=PAGERANK_ITERS, damping=PAGERANK_DAMPING)
+
+
+PHRASE = ["fast", "table"]
+PHRASE_K = 20
+
+
+def q_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FTS5-style exact-phrase match: top docs by occurrences of the
+    consecutive token sequence (single-scan HOF variant; the positional-
+    postings index variant is parity-tested in tests/test_keyword.py)."""
+    (docs,) = _tables(spark, sf_dir, "documents")
+    return kw_ops.phrase_search(docs, PHRASE, PHRASE_K)
+
+
+PQ_M = 4
+EMB_DIM = 64
+
+
+def q_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ADC top-k with label-derived codebooks (the
+    deterministic twin of the MLlib-KMeans PQ tier in ann.pq_train)."""
+    from memfuse_spark.operators.ann import pq_topk_from_labels
+
+    (emb,) = _tables(spark, sf_dir, "embeddings")
+    qvec = anchor_vector(spark, emb, ANCHOR_VEC_ID)
+    return pq_topk_from_labels(emb, qvec, 10, m=PQ_M, dim=EMB_DIM)
+
+
+PMI_K = 20
+
+
+def q_collocations_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top bigram collocations by PMI (tokenizer-vocab / boilerplate
+    sweep over the corpus)."""
+    (docs,) = _tables(spark, sf_dir, "documents")
+    return ta_ops.collocations_pmi(docs, k=PMI_K)
+
+
+CLUSTER_TOP_N = 5
+
+
+def q_cluster_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """c-TF-IDF topic keywords per embedding cluster (BERTopic-style
+    topic representation over the label assignment)."""
+    docs, emb = _tables(spark, sf_dir, "documents", "embeddings")
+    return ta_ops.cluster_keywords(docs, emb, top_n=CLUSTER_TOP_N)
+
+
+def q_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM perplexity proxy per document (order-sensitive upgrade
+    of unigram_logprob)."""
+    (docs,) = _tables(spark, sf_dir, "documents")
+    return ta_ops.bigram_logprob(docs)
+
+
+def q_orders_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE aggregation over (status, priority) — all grouping-set
+    margins in one pass (rollup_orders covers the hierarchy-only case)."""
+    (orders,) = _tables(spark, sf_dir, "orders")
+    return (
+        orders.cube("o_orderstatus", "o_orderpriority")
+        .agg(F.count("*").alias("n_orders"), F.round(F.sum("o_totalprice"), 2).alias("total"))
+        .orderBy("o_orderstatus", "o_orderpriority")
+    )
+
+
 # --- text analysis ---------------------------------------------------------
 
 SPEC_RECENT_IDS = [0, 7, 13]
@@ -1195,123 +1272,120 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # The driver oracle-checks the FIRST 50 declared queries per round.
-    # With 77 declared, the window ROTATES across rounds to maximize the
-    # union of direct driver rows: queries never yet driver-checked (or
-    # whose implementation changed since their last green row) come
-    # first; queries with a green CORRECTNESS_r01 row and an unchanged
-    # implementation are demoted past the window (their r1 row + pytest
-    # coverage remains the evidence; see COVERAGE.md rotation table).
+    # With 90 declared, the window ROTATES across rounds to maximize the
+    # union of direct driver rows (COVERAGE.md rotation table). Round-3
+    # window, in priority order: (1) round-3 additions, (2) the seven
+    # queries never driver-checked in r1 or r2, (3) queries whose code
+    # changed this round (graph_contextual checkpoint pinning,
+    # domain_mixture null ordering), (4) every events-reading query —
+    # the round-3 testdata switched events.ts from TIMESTAMP(NANOS) to
+    # timestamp[us]/NTZ, so their green rows predate the current input
+    # schema even where code is unchanged, (5) r1-green queries that
+    # rotated out of the r2 window. Demoted past 50: r2-green queries
+    # on unchanged inputs (documents/embeddings/TPC-H relational).
     return {
-        # vector / retrieval core (J1, T1/T2, F4, X5)
+        # (1) round-3 additions
+        "graph_pagerank": q_graph_pagerank,
+        "phrase_search": q_phrase_search,
+        "pq_topk": q_pq_topk,
+        "collocations_pmi": q_collocations_pmi,
+        "orders_cube": q_orders_cube,
+        "cluster_keywords": q_cluster_keywords,
+        "bigram_logprob": q_bigram_logprob,
+        # (2) never driver-checked (r1: past window; r2: rotated out)
+        "gopher_quality": q_gopher_quality,
+        "quality_score": q_quality_score,
+        "lang_id": q_lang_id,
+        "graph_2hop": q_graph_2hop,
+        "span_dedup": q_span_dedup,
+        "top_ngrams": q_top_ngrams,
+        "global_shuffle": q_global_shuffle,
+        # (3) implementation changed this round
+        "graph_contextual": q_graph_contextual,
+        "domain_mixture": q_domain_mixture,
+        # (4) events-reading queries (input schema changed round 3)
+        "m0_records": q_m0_records,
+        "m1_chunks": q_m1_chunks,
+        "m2_facts": q_m2_facts,
+        "m3_patterns": q_m3_patterns,
+        "m0_m1_lineage": q_m0_m1_lineage,
+        "read_your_writes": q_read_your_writes,
+        "round_buffer_batch": q_round_buffer_batch,
+        "contextual_chunks": q_contextual_chunks,
+        "fixed_char_chunks": q_fixed_char_chunks,
+        "events_window_agg": q_events_window_agg,
+        "sessionize": q_sessionize,
+        "asof_join": q_asof_join,
+        "moving_avg": q_moving_avg,
+        "event_pivot": q_event_pivot,
+        "event_percentiles": q_event_percentiles,
+        "distinct_users": q_distinct_users,
+        "window_running_sum": q_window_running_sum,
+        "props_json_extract": q_props_json_extract,
+        "buffer_quality": q_buffer_quality,
+        "session_listing": q_session_listing,
+        "chunk_stats": q_chunk_stats,
+        # (5) r1-green, rotated out of the r2 window
+        "vector_knn_of_item": q_vector_knn_of_item,
+        "orders_topk": q_orders_topk,
+        "revenue_by_nation": q_revenue_by_nation,
+        "set_ops_customers": q_set_ops_customers,
+        "semi_join_late_orders": q_semi_join_late_orders,
+        "anti_join_customers": q_anti_join_customers,
+        "rollup_orders": q_rollup_orders,
+        "tpch_q1": q_tpch_q1,
+        "tpch_q3": q_tpch_q3,
+        "tpch_q6": q_tpch_q6,
+        "hierarchy_summary": q_hierarchy_summary,
+        "vector_batch_topk": q_vector_batch_topk,
+        "minhash_dedup_keep": q_minhash_dedup_keep,
+        # --- past the driver window (position 51+): green CORRECTNESS
+        # --- r02 rows on inputs unchanged this round — see COVERAGE.md
+        # --- (bm25_wrapped_score/tfidf_topk demoted: r1-green scoring
+        # --- variants of the green bm25 family, swapped for the
+        # --- round-3 cluster_keywords/bigram_logprob additions)
+        "bm25_wrapped_score": q_bm25_wrapped_score,
+        "tfidf_topk": q_tfidf_topk,
+        "simhash": q_simhash,
         "vector_topk": q_vector_topk,
         "vector_threshold": q_vector_threshold,
-        # keyword (X1, A2, A3, X2, T3, J3, X4) — bm25 now reads the
-        # materialized term-bucketed postings index (changed since r1)
         "bm25_topk": q_bm25_topk,
         "like_search": q_like_search,
-        # fusion (U1, U3, U4, U5, T4, J4)
         "hybrid_rrf": q_hybrid_rrf,
         "fusion_weighted": q_fusion_weighted,
         "fusion_normalized": q_fusion_normalized,
-        # quantization + rerank (M2/T8)
         "quantized_topk": q_quantized_topk,
         "rerank_two_stage": q_rerank_two_stage,
-        # ANN scale path (J2): LSH, IVF, IVF batch join
         "ann_lsh_topk": q_ann_lsh_topk,
         "ivf_centroids": q_ivf_centroids,
         "ann_ivf_topk": q_ann_ivf_topk,
         "ivf_knn_join": q_ivf_knn_join,
-        # dedup suite (X6 + LLM-pipeline operators) — embedding_neardup
-        # and simhash_pairs changed since r1 (block-pair kernel, tf-
-        # shuffle elimination)
         "embedding_neardup": q_embedding_neardup,
         "exact_dedup": q_exact_dedup,
         "minhash_pairs": q_minhash_pairs,
         "simhash_pairs": q_simhash_pairs,
         "ngram_jaccard": q_ngram_jaccard,
-        # text analysis + corpus-prep pipeline. corpus_filter_pipeline
-        # hash-verifies the VALUES of quality_score (quality), lang_id
-        # (lang_pred), gopher_quality (gopher_ok) and minhash_dedup_keep
-        # (not_dup) in one row — those standalone component queries
-        # still exist past the window.
         "unigram_logprob": q_unigram_logprob,
         "corpus_filter_pipeline": q_corpus_filter_pipeline,
         "token_stats": q_token_stats,
         "semantic_dedup": q_semantic_dedup,
         "decontaminate": q_decontaminate,
         "fingerprint": q_fingerprint,
-        # training-data pipeline ops, never driver-checked before
         "sequence_pack": q_sequence_pack,
         "doc_repetition": q_doc_repetition,
         "stratified_sample": q_stratified_sample,
         "pii_redact": q_pii_redact,
         "train_split": q_train_split,
-        # hierarchy M0→M1→M2→M3 (C1/C4, X8, X10, X12, M3-M5, J7)
-        "m0_records": q_m0_records,
-        "m1_chunks": q_m1_chunks,
-        "m2_facts": q_m2_facts,
-        "m3_patterns": q_m3_patterns,
-        "m0_m1_lineage": q_m0_m1_lineage,
-        # chunking (C2, C3, M6)
-        "fixed_char_chunks": q_fixed_char_chunks,
-        "contextual_chunks": q_contextual_chunks,
-        "round_buffer_batch": q_round_buffer_batch,
-        # buffer / session semantics (B4, B5, U6, J8, F2, S1) —
-        # read_your_writes + speculative_prefetch changed since r1
-        "read_your_writes": q_read_your_writes,
         "tenant_filtered_topk": q_tenant_filtered_topk,
         "speculative_prefetch": q_speculative_prefetch,
-        # graph path (S7, J5, J6, U7)
         "graph_edges": q_graph_edges,
         "graph_neighbors": q_graph_neighbors,
         "graph_edges_between": q_graph_edges_between,
-        "graph_contextual": q_graph_contextual,
         "graph_weighted_2hop": q_graph_weighted_2hop,
-        # round-2 additions, never driver-checked
         "dup_clusters": q_dup_clusters,
         "quality_classifier": q_quality_classifier,
         "importance_weights": q_importance_weights,
-        "domain_mixture": q_domain_mixture,
         "length_buckets": q_length_buckets,
-        # --- past the driver window (position 51+): green CORRECTNESS
-        # --- r01 rows, implementation unchanged since — see COVERAGE.md
-        # --- (tpch_q1 and events_window_agg demoted late round 2 to
-        # --- make window room for domain_mixture/length_buckets)
-        "tpch_q1": q_tpch_q1,
-        "events_window_agg": q_events_window_agg,
-        "asof_join": q_asof_join,
-        "revenue_by_nation": q_revenue_by_nation,
-        "set_ops_customers": q_set_ops_customers,
-        "vector_knn_of_item": q_vector_knn_of_item,
-        "chunk_stats": q_chunk_stats,
-        "buffer_quality": q_buffer_quality,
-        "session_listing": q_session_listing,
-        "sessionize": q_sessionize,
-        "orders_topk": q_orders_topk,
-        "props_json_extract": q_props_json_extract,
-        "gopher_quality": q_gopher_quality,
-        "quality_score": q_quality_score,
-        "lang_id": q_lang_id,
-        "graph_2hop": q_graph_2hop,
-        "minhash_dedup_keep": q_minhash_dedup_keep,
-        "simhash": q_simhash,
-        "vector_batch_topk": q_vector_batch_topk,
-        "moving_avg": q_moving_avg,
-        "window_running_sum": q_window_running_sum,
-        "semi_join_late_orders": q_semi_join_late_orders,
-        "anti_join_customers": q_anti_join_customers,
-        "tpch_q3": q_tpch_q3,
-        "tpch_q6": q_tpch_q6,
-        "rollup_orders": q_rollup_orders,
-        "hierarchy_summary": q_hierarchy_summary,
-        "bm25_wrapped_score": q_bm25_wrapped_score,
-        "tfidf_topk": q_tfidf_topk,
-        "event_pivot": q_event_pivot,
-        "event_percentiles": q_event_percentiles,
-        "distinct_users": q_distinct_users,
-        "span_dedup": q_span_dedup,
-        "top_ngrams": q_top_ngrams,
-        "global_shuffle": q_global_shuffle,
     }
 
 
@@ -1778,6 +1852,19 @@ ORDER BY doc_id, chunk_index
         "graph_edges_between": oracles.graph_edges_between_sql(0, 1, _SIM_T),
         "graph_2hop": oracles.graph_2hop_sql(0, _SIM_T),
         "graph_contextual": oracles.graph_contextual_sql(ANCHOR_VEC_ID, 10, _SIM_T),
+        "graph_pagerank": oracles.pagerank_sql(_SIM_T, PAGERANK_ITERS, PAGERANK_DAMPING),
+        "phrase_search": kw_ops.phrase_search_sql(PHRASE, PHRASE_K),
+        "pq_topk": oracles.pq_topk_sql(ANCHOR_VEC_ID, 10, PQ_M, EMB_DIM),
+        "collocations_pmi": oracles.collocations_pmi_sql(PMI_K, ta_ops.PMI_MIN_COUNT),
+        "cluster_keywords": oracles.cluster_keywords_sql(CLUSTER_TOP_N),
+        "bigram_logprob": oracles.bigram_logprob_sql(ta_ops.BIGRAM_SMOOTH_K),
+        "orders_cube": """
+SELECT o_orderstatus, o_orderpriority,
+       count(*) AS n_orders, round(sum(o_totalprice), 2) AS total
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+ORDER BY o_orderstatus, o_orderpriority
+""",
         "token_stats": oracles.token_stats_sql(),
         "quality_score": oracles.quality_score_sql(),
         "lang_id": oracles.lang_id_sql(),

@@ -35,13 +35,18 @@ HEADLINE = [
     "graph_contextual",
     "token_stats",
 ]
-# round-2 additions, timed and reported but kept OUT of the headline
+# round-2+ additions, timed and reported but kept OUT of the headline
 # total so `value` stays comparable round-over-round
 EXTRA = [
     "ivf_knn_join",
     "contextual_chunks",
     "corpus_filter_pipeline",
     "speculative_prefetch",
+    # round 3
+    "graph_pagerank",
+    "pq_topk",
+    "phrase_search",
+    "collocations_pmi",
 ]
 
 

@@ -442,3 +442,140 @@ def ann_ivf_topk(
         .orderBy(F.desc("score"), F.asc(id_col))
         .limit(k)
     )
+
+
+# ---------------------------------------------------------------------------
+# deterministic PQ tier (label-derived codebooks, oracle-expressible)
+# ---------------------------------------------------------------------------
+
+def pq_codebooks_from_labels(
+    embeddings: DataFrame,
+    m: int = 4,
+    dim: int = 64,
+    cell_col: str = "label",
+    vec_col: str = "embedding",
+    decimals: int = 6,
+) -> DataFrame:
+    """(s, cell, cvec) — per-subspace PQ codebooks derived from the
+    corpus's label column: codeword = rounded per-position mean of the
+    label's subvector (the per-subspace analog of ivf_centroids).
+
+    The deterministic counterpart of pq_train's KMeans codebooks: the
+    encode/ADC dataflow downstream is identical, but every codeword is
+    reproducible as plain SQL aggregation, so the whole PQ pipeline is
+    DuckDB-oracle-checkable. Rounding the codewords (both sides) pins
+    the downstream distance arithmetic to identical inputs.
+
+    Shape at scale: one posexplode + two narrow shuffles over
+    (cells × dim) rows — independent of corpus size after the partial
+    aggregation, same as ivf_centroids.
+    """
+    d_sub = dim // m
+    exploded = embeddings.select(
+        F.col(cell_col).alias("cell"), F.posexplode(vec_col).alias("pos", "x")
+    ).withColumn("x", F.col("x").cast("double"))
+    means = exploded.groupBy("cell", "pos").agg(F.avg("x").alias("mn"))
+    return (
+        means.withColumn("s", (F.col("pos") / d_sub).cast("int"))
+        .groupBy("s", "cell")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "mn"))),
+                lambda st: F.round(st["mn"], decimals),
+            ).alias("cvec")
+        )
+    )
+
+
+def pq_encode_from_codebooks(
+    embeddings: DataFrame,
+    codebooks: DataFrame,
+    m: int = 4,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(vec_id, s, code) — nearest codeword per subspace, JVM-side.
+
+    The corpus explodes to m rows per vector (narrow: id + a d/m-dim
+    subvector), joins the broadcast codebook on subspace, and takes the
+    L2-argmin per (vector, subspace) as min(struct(d2, cell)) — the
+    struct ordering makes ties deterministic (lowest cell wins), which
+    the oracle mirrors with ORDER BY d2, cell. No Python anywhere:
+    distance folds are sequential (left-to-right) so they are
+    bit-comparable with the oracle's sequential list arithmetic.
+    """
+    d_sub = dim // m
+    subs = embeddings.select(
+        F.col(id_col),
+        F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("s"),
+        F.col(vec_col).cast("array<double>").alias("__v"),
+    ).select(
+        id_col,
+        "s",
+        F.slice("__v", F.col("s") * d_sub + 1, d_sub).alias("sub"),
+    )
+    d2 = F.aggregate(
+        F.zip_with("sub", "cvec", lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        subs.join(F.broadcast(codebooks), "s")
+        .select(id_col, "s", F.col("cell"), d2.alias("d2"))
+        .groupBy(id_col, "s")
+        .agg(F.min(F.struct("d2", "cell"))["cell"].alias("code"))
+    )
+
+
+def pq_topk_from_labels(
+    embeddings: DataFrame,
+    qvec,
+    k: int,
+    m: int = 4,
+    dim: int = 64,
+    cell_col: str = "label",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    score_decimals: int = 6,
+) -> DataFrame:
+    """ADC cosine top-k over label-derived PQ codes.
+
+    score(doc) = dot(q, recon(doc)) / (‖recon(doc)‖·‖q‖) where
+    recon(doc) concatenates the doc's m codewords. Because dot and norm²
+    decompose over subspaces, the query needs only the m·cells-row
+    lookup table (qdot_s, cnorm2_s) — broadcast — and per doc a sum of m
+    looked-up terms: the compressed column is never decompressed, same
+    as pq_topk's distance tables. End-to-end: codebook build (corpus
+    pass 1), encode (corpus pass 2), then top-k touches only the code
+    table — the 32× smaller surrogate corpus.
+    """
+    import math
+
+    q = [float(x) for x in qvec]
+    qnorm = math.sqrt(sum(x * x for x in q))
+    d_sub = dim // m
+    cb = pq_codebooks_from_labels(embeddings, m, dim, cell_col, vec_col)
+    codes = pq_encode_from_codebooks(embeddings, cb, m, dim, id_col, vec_col)
+    qfull = F.array(*[F.lit(x) for x in q])
+    qsub = F.slice(qfull, F.col("s") * d_sub + 1, d_sub)
+    tab = cb.select(
+        "s",
+        F.col("cell").alias("code"),
+        dot(F.col("cvec"), qsub).alias("qdot"),
+        dot(F.col("cvec"), F.col("cvec")).alias("cn2"),
+    )
+    per_doc = (
+        codes.join(F.broadcast(tab), ["s", "code"])
+        .groupBy(id_col)
+        .agg(F.sum("qdot").alias("qd"), F.sum("cn2").alias("n2"))
+    )
+    score = F.round(
+        F.coalesce(F.try_divide(F.col("qd"), F.sqrt("n2") * F.lit(qnorm)), F.lit(0.0)),
+        score_decimals,
+    )
+    return (
+        per_doc.select(id_col, score.alias("score"))
+        .orderBy(F.desc("score"), F.asc(id_col))
+        .limit(k)
+    )

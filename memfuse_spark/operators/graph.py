@@ -332,13 +332,19 @@ def pagerank(
     coalesces the exchange; nothing driver-side grows with the graph.
     """
     spark = edges.sparkSession
-    e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst")).distinct()
+    cache.begin("graph.pagerank")
+    # pin the (possibly derived — e.g. similarity-kernel) edge plan once:
+    # every iteration runs an action against it, and without this each
+    # action would re-evaluate the whole edge construction.
+    e, _ = cache.tracked_local_checkpoint(
+        edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst")).distinct(),
+        "graph.pagerank",
+    )
     nodes = (
         e.select(F.col("src").alias("node"))
         .unionByName(e.select(F.col("dst").alias("node")))
         .distinct()
     )
-    cache.begin("graph.pagerank")
     nodes, _ = cache.tracked_local_checkpoint(nodes, "graph.pagerank")
     n = nodes.count()
     out_deg = e.groupBy(F.col("src").alias("node")).agg(F.count("*").alias("deg"))

@@ -512,3 +512,195 @@ def length_buckets(
         )
         .orderBy("bucket_tokens")
     )
+
+
+# ---------------------------------------------------------------------------
+# collocation mining (PMI)
+# ---------------------------------------------------------------------------
+
+PMI_MIN_COUNT = 25
+
+
+def collocations_pmi(
+    docs: DataFrame,
+    k: int = 20,
+    min_count: int = PMI_MIN_COUNT,
+    text_col: str = "text",
+    score_decimals: int = 6,
+) -> DataFrame:
+    """Top-k bigram collocations by pointwise mutual information.
+
+    PMI(a,b) = ln( p(ab) / (p(a)·p(b)) ) over corpus token/bigram
+    frequencies (Church & Hanks '90) — the standard sweep for
+    tokenizer-vocabulary candidates and boilerplate phrases in
+    training-corpus analysis. `min_count` drops rare bigrams whose PMI
+    is noise (classic PMI pathology: hapax pairs score highest).
+
+    Shape at scale: token and bigram counts are two wordcount-shaped
+    aggregations (map-side combined, narrow (gram, count) shuffles);
+    unigram probabilities join back onto the (tiny, min_count-filtered)
+    bigram table via two broadcast-able equi-joins; top-k is
+    TakeOrdered. The corpus is scanned once — tokens and bigrams are
+    derived in the same projection.
+    """
+    toks = docs.select(tokenize(text_col).alias("tk"))
+    toks = toks.select(
+        "tk",
+        F.when(
+            F.size("tk") >= 2,
+            F.transform(
+                F.sequence(F.lit(1), F.size("tk") - 1),
+                lambda i: F.array_join(F.slice(F.col("tk"), i, 2), " "),
+            ),
+        ).otherwise(F.array().cast("array<string>")).alias("bg"),
+    )
+    uni = (
+        toks.select(F.explode("tk").alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("wc"))
+    )
+    n_tokens = uni.agg(F.sum("wc").alias("n_tok"))
+    bi = (
+        toks.select(F.explode("bg").alias("gram"))
+        .groupBy("gram")
+        .agg(F.count("*").cast("long").alias("cnt"))
+        .filter(F.col("cnt") >= min_count)
+    )
+    n_bigrams = toks.select(F.size("bg").alias("nb")).agg(F.sum("nb").alias("n_bi"))
+    parts = F.split("gram", " ")
+    scored = (
+        bi.withColumn("w_a", parts.getItem(0))
+        .withColumn("w_b", parts.getItem(1))
+        .join(uni.select(F.col("w").alias("w_a"), F.col("wc").alias("ca")), "w_a")
+        .join(uni.select(F.col("w").alias("w_b"), F.col("wc").alias("cb")), "w_b")
+        .crossJoin(F.broadcast(n_tokens))
+        .crossJoin(F.broadcast(n_bigrams))
+    )
+    pmi = F.log(
+        (F.col("cnt") / F.col("n_bi"))
+        / ((F.col("ca") / F.col("n_tok")) * (F.col("cb") / F.col("n_tok")))
+    )
+    return (
+        scored.select("gram", "cnt", F.round(pmi, score_decimals).alias("pmi"))
+        .orderBy(F.desc("pmi"), F.asc("gram"))
+        .limit(k)
+    )
+
+
+# ---------------------------------------------------------------------------
+# cluster keyword extraction (c-TF-IDF)
+# ---------------------------------------------------------------------------
+
+def cluster_keywords(
+    docs: DataFrame,
+    clusters: DataFrame,
+    top_n: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    cluster_id_col: str = "vec_id",
+    cluster_col: str = "label",
+    score_decimals: int = 6,
+) -> DataFrame:
+    """(cluster, term, score) — top-n distinctive terms per cluster by
+    class-based TF-IDF (the BERTopic topic-representation formula,
+    Grootendorst '22): W(t,c) = tf(t,c) · ln(1 + A / f(t)) with A = the
+    mean per-class token count and f(t) the corpus frequency of t.
+
+    The cluster assignment comes in as its own (id, cluster) DataFrame —
+    here the embeddings table's label column; a KMeans/IVF assignment
+    slots in identically — so "what is each cluster about" runs as two
+    wordcount-shaped aggregations plus a per-cluster top-n window over
+    the (clusters × vocab) table, never over the corpus.
+    """
+    labeled = docs.select(
+        F.col(id_col).alias("doc_id"), tokenize(text_col).alias("tk")
+    ).join(
+        clusters.select(
+            F.col(cluster_id_col).alias("doc_id"), F.col(cluster_col).alias("cluster")
+        ),
+        "doc_id",
+    )
+    term_rows = labeled.select("cluster", F.explode("tk").alias("term"))
+    tf = term_rows.groupBy("cluster", "term").agg(F.count("*").alias("tf"))
+    corpus_f = term_rows.groupBy("term").agg(F.count("*").alias("f"))
+    class_sizes = term_rows.groupBy("cluster").agg(F.count("*").alias("n_tok"))
+    avg_a = class_sizes.agg(F.avg("n_tok").alias("a"))
+    score = F.col("tf") * F.log(1.0 + F.col("a") / F.col("f"))
+    scored = (
+        tf.join(corpus_f, "term")
+        .crossJoin(F.broadcast(avg_a))
+        .select("cluster", "term", F.round(score, score_decimals).alias("score"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("cluster").orderBy(F.desc("score"), F.asc("term"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= top_n)
+        .select("cluster", "term", "score")
+        .orderBy("cluster", F.desc("score"), "term")
+    )
+
+
+# ---------------------------------------------------------------------------
+# bigram language-model scoring
+# ---------------------------------------------------------------------------
+
+BIGRAM_SMOOTH_K = 0.5
+
+
+def bigram_logprob(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    smooth_k: float = BIGRAM_SMOOTH_K,
+) -> DataFrame:
+    """(doc_id, avg_bigram_logprob) — mean add-k-smoothed corpus-bigram
+    conditional log-probability, ln P(w_i | w_{i-1}) =
+    ln((c(w_{i-1} w_i) + k) / (c_ctx(w_{i-1}) + k·V)).
+
+    The order-sensitive upgrade of unigram_logprob's perplexity proxy
+    (catches shuffled/boilerplate text a unigram LM scores normal).
+    c_ctx counts only tokens that START a bigram (each doc's last token
+    conditions nothing), so the conditional sums to 1 over the vocab.
+    Docs with < 2 tokens score NULL. Shape: two wordcount aggregations
+    build the LM (bigram + context counts; V is the distinct-unigram
+    count, a 1-row broadcast); scoring joins each doc bigram to the
+    (broadcast-able) LM tables — the corpus shuffles only (gram, count)
+    rows, map-side combined.
+    """
+    toks = docs.select(F.col(id_col).alias("doc_id"), tokenize(text_col).alias("tk"))
+    bgs = toks.select(
+        "doc_id",
+        F.when(
+            F.size("tk") >= 2,
+            F.transform(
+                F.sequence(F.lit(1), F.size("tk") - 1),
+                lambda i: F.array_join(F.slice(F.col("tk"), i, 2), " "),
+            ),
+        ).otherwise(F.array().cast("array<string>")).alias("bg"),
+    ).select("doc_id", F.explode("bg").alias("gram"))
+    bi_lm = bgs.groupBy("gram").agg(F.count("*").alias("cbg"))
+    ctx = bgs.select(F.split("gram", " ").getItem(0).alias("w")).groupBy("w").agg(
+        F.count("*").alias("cctx")
+    )
+    vocab = (
+        toks.select(F.explode("tk").alias("w"))
+        .agg(F.countDistinct("w").alias("v"))
+    )
+    k = float(smooth_k)
+    logp = F.log(
+        (F.col("cbg") + F.lit(k)) / (F.col("cctx") + F.lit(k) * F.col("v"))
+    )
+    scored = (
+        bgs.join(F.broadcast(bi_lm), "gram")
+        .join(
+            F.broadcast(ctx),
+            F.split("gram", " ").getItem(0) == F.col("w"),
+        )
+        .crossJoin(F.broadcast(vocab))
+    )
+    per_doc = scored.groupBy("doc_id").agg(
+        F.round(F.avg(logp), 6).alias("avg_bigram_logprob")
+    )
+    return toks.select("doc_id").join(per_doc, "doc_id", "left").orderBy("doc_id")

@@ -1182,3 +1182,229 @@ SELECT doc_id, count(*) AS n_tokens,
 FROM t JOIN clm USING (tok) LEFT JOIN tlm USING (tok), stats
 GROUP BY doc_id ORDER BY doc_id
 """
+
+
+# --- pagerank oracle --------------------------------------------------------
+
+def pagerank_sql(threshold: float, iterations: int = 8, damping: float = 0.85) -> str:
+    """Unrolled fixed-iteration PageRank over the similarity+follows
+    graph — one CTE pair (dangling mass, contributions) per round,
+    mirroring operators.graph.pagerank exactly: same base term
+    ((1-d)/n emitted as the Python-computed double so both engines use
+    the identical constant), same dangling redistribution, rounding
+    only at the end."""
+    om = repr(1.0 - damping)
+    d = repr(float(damping))
+    # MATERIALIZED: DuckDB inlines CTEs by default, so the unrolled
+    # iteration chain (r{t} referenced by d{t+1}, c{t+1}, r{t+1}) would
+    # otherwise re-expand the whole prefix 3^t times — materializing
+    # `de` (one evaluation of the O(n²) edge build) and each r{t}
+    # (evaluated once per round) keeps the oracle linear in iterations.
+    parts = [
+        edges_cte(threshold).strip(),
+        """
+de AS MATERIALIZED (SELECT DISTINCT src, dst FROM edges),
+nodes AS (SELECT src AS node FROM de UNION SELECT dst AS node FROM de),
+nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+degs AS (
+  SELECT n.node, coalesce(o.deg, 0) AS deg
+  FROM nodes n LEFT JOIN (SELECT src AS node, count(*) AS deg FROM de GROUP BY src) o
+    USING (node)
+),
+r0 AS MATERIALIZED (SELECT d.node, d.deg, 1.0 / nn.n AS rank FROM degs d, nn)""".strip(),
+    ]
+    for t in range(1, iterations + 1):
+        p = t - 1
+        parts.append(
+            f"""
+d{t} AS (SELECT coalesce(sum(rank), CAST(0 AS DOUBLE)) AS dm FROM r{p} WHERE deg = 0),
+c{t} AS (
+  SELECT e.dst AS node, sum(r.rank / r.deg) AS inflow
+  FROM r{p} r JOIN de e ON r.node = e.src WHERE r.deg > 0 GROUP BY e.dst
+),
+r{t} AS MATERIALIZED (
+  SELECT r.node, r.deg,
+         CAST({om} AS DOUBLE) / nn.n
+         + CAST({d} AS DOUBLE) * (coalesce(c.inflow, CAST(0 AS DOUBLE)) + d{t}.dm / nn.n)
+           AS rank
+  FROM r{p} r LEFT JOIN c{t} c USING (node), d{t}, nn
+)""".strip()
+        )
+    body = ",\n".join(parts)
+    return (
+        f"WITH {body}\n"
+        f"SELECT node, round(rank, 6) AS rank FROM r{iterations} "
+        "ORDER BY rank DESC, node ASC"
+    )
+
+
+# --- deterministic PQ oracle ------------------------------------------------
+
+def pq_topk_sql(anchor: int, k: int, m: int = 4, dim: int = 64) -> str:
+    """DuckDB twin of ann.pq_topk_from_labels: label-mean codebooks
+    (rounded to 6 — pinning both engines to identical codewords),
+    L2-argmin encode with (d2, cell) tie-breaking, ADC cosine scoring.
+    All vector folds are sequential on both sides, so pre-rounding
+    arithmetic is bit-comparable."""
+    d_sub = dim // m
+    return f"""
+WITH exploded AS (
+  SELECT label AS cell, t.i AS pos, CAST(embedding[t.i + 1] AS DOUBLE) AS x
+  FROM embeddings, range(0, {dim}) AS t(i)
+),
+means AS (SELECT cell, pos, avg(x) AS mn FROM exploded GROUP BY cell, pos),
+cb AS (
+  SELECT CAST(pos // {d_sub} AS INT) AS s, cell,
+         list(round(mn, 6) ORDER BY pos) AS cvec
+  FROM means GROUP BY 1, 2
+),
+q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = {anchor}),
+subs AS (
+  SELECT e.vec_id, t.s,
+         list_transform(range(1, {d_sub} + 1),
+                        i -> CAST(e.embedding[t.s * {d_sub} + i] AS DOUBLE)) AS sub
+  FROM embeddings e, range(0, {m}) AS t(s)
+),
+dists AS (
+  SELECT v.vec_id, v.s, c.cell,
+         list_sum(list_transform(range(1, {d_sub} + 1),
+                  i -> (v.sub[i] - c.cvec[i]) * (v.sub[i] - c.cvec[i]))) AS d2
+  FROM subs v JOIN cb c ON c.s = v.s
+),
+codes AS (
+  SELECT vec_id, s, (list(cell ORDER BY d2, cell))[1] AS code
+  FROM dists GROUP BY vec_id, s
+),
+tab AS (
+  SELECT c.s, c.cell,
+         list_dot_product(c.cvec, q.qv[c.s * {d_sub} + 1 : (c.s + 1) * {d_sub}]) AS qdot,
+         list_dot_product(c.cvec, c.cvec) AS cn2
+  FROM cb c, q
+),
+per_doc AS (
+  SELECT codes.vec_id, sum(tab.qdot) AS qd, sum(tab.cn2) AS n2
+  FROM codes JOIN tab ON tab.s = codes.s AND tab.cell = codes.code
+  GROUP BY codes.vec_id
+)
+SELECT vec_id,
+       round(qd / (sqrt(n2) * (SELECT sqrt(list_dot_product(qv, qv)) FROM q)), 6)
+         AS score
+FROM per_doc
+ORDER BY score DESC, vec_id ASC
+LIMIT {k}
+"""
+
+
+# --- PMI collocations oracle ------------------------------------------------
+
+def collocations_pmi_sql(k: int, min_count: int) -> str:
+    """DuckDB twin of textanalysis.collocations_pmi (same tokenizer,
+    same probability expressions, natural log both sides)."""
+    return f"""
+WITH toks AS (
+  SELECT list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                     t -> len(t) > 0) AS tk
+  FROM documents
+),
+withbg AS (
+  SELECT tk,
+         CASE WHEN len(tk) >= 2
+           THEN list_transform(range(1, len(tk)), i -> tk[i] || ' ' || tk[i + 1])
+           ELSE CAST([] AS VARCHAR[]) END AS bg
+  FROM toks
+),
+uni AS (
+  SELECT w, count(*) AS wc FROM (SELECT unnest(tk) AS w FROM withbg) GROUP BY w
+),
+ntok AS (SELECT sum(wc) AS n_tok FROM uni),
+bi AS (
+  SELECT gram, CAST(count(*) AS BIGINT) AS cnt
+  FROM (SELECT unnest(bg) AS gram FROM withbg) GROUP BY gram
+  HAVING count(*) >= {min_count}
+),
+nbi AS (SELECT sum(len(bg)) AS n_bi FROM withbg),
+scored AS (
+  SELECT b.gram, b.cnt,
+         ln((b.cnt / nbi.n_bi)
+            / ((ua.wc / ntok.n_tok) * (ub.wc / ntok.n_tok))) AS pmi
+  FROM bi b
+  JOIN uni ua ON ua.w = string_split(b.gram, ' ')[1]
+  JOIN uni ub ON ub.w = string_split(b.gram, ' ')[2], ntok, nbi
+)
+SELECT gram, cnt, round(pmi, 6) AS pmi
+FROM scored ORDER BY pmi DESC, gram ASC
+LIMIT {k}
+"""
+
+
+# --- c-TF-IDF cluster keywords oracle ---------------------------------------
+
+def cluster_keywords_sql(top_n: int) -> str:
+    """DuckDB twin of textanalysis.cluster_keywords over
+    documents × embeddings.label."""
+    return f"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                     t -> len(t) > 0) AS tk
+  FROM documents
+),
+labeled AS (
+  SELECT e.label AS cluster, t.tk FROM toks t JOIN embeddings e ON e.vec_id = t.doc_id
+),
+term_rows AS (SELECT cluster, unnest(tk) AS term FROM labeled),
+tf AS (SELECT cluster, term, count(*) AS tf FROM term_rows GROUP BY 1, 2),
+cf AS (SELECT term, count(*) AS f FROM term_rows GROUP BY 1),
+cs AS (SELECT cluster, count(*) AS n_tok FROM term_rows GROUP BY 1),
+a AS (SELECT avg(n_tok) AS a FROM cs),
+scored AS (
+  SELECT tf.cluster, tf.term, round(tf.tf * ln(1.0 + a.a / cf.f), 6) AS score
+  FROM tf JOIN cf USING (term), a
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY cluster ORDER BY score DESC, term) AS rn
+  FROM scored
+)
+SELECT cluster, term, score FROM ranked WHERE rn <= {top_n}
+ORDER BY cluster, score DESC, term
+"""
+
+
+# --- bigram LM oracle -------------------------------------------------------
+
+def bigram_logprob_sql(smooth_k: float) -> str:
+    """DuckDB twin of textanalysis.bigram_logprob (same tokenizer, same
+    add-k smoothing; constants cast to DOUBLE so DuckDB's DECIMAL
+    literals don't change the arithmetic)."""
+    k = repr(float(smooth_k))
+    return f"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                     t -> len(t) > 0) AS tk
+  FROM documents
+),
+bgs AS (
+  SELECT doc_id,
+         unnest(CASE WHEN len(tk) >= 2
+                  THEN list_transform(range(1, len(tk)), i -> tk[i] || ' ' || tk[i + 1])
+                  ELSE CAST([] AS VARCHAR[]) END) AS gram
+  FROM toks
+),
+bi AS (SELECT gram, count(*) AS cbg FROM bgs GROUP BY 1),
+ctx AS (SELECT string_split(gram, ' ')[1] AS w, count(*) AS cctx FROM bgs GROUP BY 1),
+vocab AS (SELECT count(DISTINCT w) AS v FROM (SELECT unnest(tk) AS w FROM toks)),
+scored AS (
+  SELECT b.doc_id,
+         ln((bi.cbg + CAST({k} AS DOUBLE))
+            / (ctx.cctx + CAST({k} AS DOUBLE) * vocab.v)) AS lp
+  FROM bgs b JOIN bi USING (gram)
+  JOIN ctx ON ctx.w = string_split(b.gram, ' ')[1], vocab
+),
+per_doc AS (
+  SELECT doc_id, round(avg(lp), 6) AS avg_bigram_logprob FROM scored GROUP BY doc_id
+)
+SELECT t.doc_id, p.avg_bigram_logprob
+FROM (SELECT DISTINCT doc_id FROM toks) t LEFT JOIN per_doc p USING (doc_id)
+ORDER BY t.doc_id
+"""

@@ -56,6 +56,9 @@ def get_spark(
         .config("spark.sql.parquet.filterPushdown", "true")
         .config("spark.sql.shuffle.spill.compress", "true")
         .config("spark.ui.enabled", "false")
+        # progress bars interleave carriage returns into stdout, which
+        # corrupts log parsing (verify/bench pipelines grep line starts)
+        .config("spark.ui.showConsoleProgress", "false")
         .config("spark.sql.streaming.statefulOperator.checkCorrectness.enabled", "false")
         # driver testdata writes TIMESTAMP(NANOS) parquet, which Spark
         # rejects by default; read as long and convert in the catalog.

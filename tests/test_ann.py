@@ -84,3 +84,37 @@ def test_quantize_roundtrip_error_bounded(spark):
     df = spark.createDataFrame([([0.5, -0.25, 1.0, -1.0, 0.0],)], "v array<double>")
     out = df.select(dequantize_int8(quantize_int8("v")).alias("r")).first().r
     assert np.allclose(out, [0.5, -0.25, 1.0, -1.0, 0.0], atol=1 / 127)
+
+
+# ---------------------------------------------------------------------------
+# deterministic PQ tier (label codebooks)
+# ---------------------------------------------------------------------------
+
+def test_pq_from_labels_recall_vs_exact(spark, tables):
+    from memfuse_spark.operators.ann import pq_topk_from_labels
+
+    emb = tables["embeddings"]
+    qvec = anchor_vector(spark, emb, 0)
+    exact = [r.vec_id for r in similarity_topk(emb, qvec, 10).collect()]
+    approx = [r.vec_id for r in pq_topk_from_labels(emb, qvec, 10).collect()]
+    # 10 label-derived codewords over the 50-vector sf0.001 fixture is a
+    # very coarse quantizer: require the anchor's own cell to win and
+    # some exact-set overlap (sf0.01 measures 3/10 for m ∈ {4,8,16,32}).
+    assert approx[0] == 0
+    assert len(set(exact) & set(approx)) >= 1
+
+
+def test_pq_encode_codes_in_range(spark, tables):
+    from memfuse_spark.operators.ann import (
+        pq_codebooks_from_labels,
+        pq_encode_from_codebooks,
+    )
+
+    emb = tables["embeddings"]
+    cb = pq_codebooks_from_labels(emb, m=4, dim=64)
+    cells = {r.cell for r in cb.select("cell").distinct().collect()}
+    codes = pq_encode_from_codebooks(emb, cb, m=4, dim=64)
+    n_vecs = emb.count()
+    assert codes.count() == n_vecs * 4  # one code per (vector, subspace)
+    bad = codes.filter(~codes.code.isin(*cells)).count()
+    assert bad == 0

@@ -115,3 +115,32 @@ def test_twophase_cc_chain_and_hygiene(spark):
     assert got == {i: 0 for i in range(40)}
     cache.release_all()
     assert spark.sparkContext._jsc.getPersistentRDDs().size() == 0
+
+
+# ---------------------------------------------------------------------------
+# pagerank
+# ---------------------------------------------------------------------------
+
+def test_pagerank_mass_and_star_shape(spark):
+    from memfuse_spark.operators.graph import pagerank
+
+    # star: 1..4 all point at 0; 0 points at 1 (so 0 is not dangling)
+    edges = spark.createDataFrame(
+        [(1, 0), (2, 0), (3, 0), (4, 0), (0, 1)], ["src", "dst"]
+    )
+    rows = pagerank(edges, iterations=20).collect()
+    ranks = {r.node: r.rank for r in rows}
+    assert abs(sum(ranks.values()) - 1.0) < 1e-4  # mass conserved
+    assert max(ranks, key=ranks.get) == 0  # hub dominates
+    assert ranks[2] == ranks[3] == ranks[4]  # symmetric leaves tie
+
+
+def test_pagerank_dangling_mass_redistributed(spark):
+    from memfuse_spark.operators.graph import pagerank
+
+    # 0 -> 1, 1 has no out-edges: without dangling redistribution the
+    # total mass leaks each round.
+    edges = spark.createDataFrame([(0, 1)], ["src", "dst"])
+    ranks = {r.node: r.rank for r in pagerank(edges, iterations=15).collect()}
+    assert abs(sum(ranks.values()) - 1.0) < 1e-4
+    assert ranks[1] > ranks[0]

@@ -124,3 +124,63 @@ def test_adhoc_bm25_leaves_no_cached_rdds(spark):
     tfidf_topk(docs, "spark doc", 3).collect()
     cached = spark.sparkContext._jsc.getPersistentRDDs()
     assert cached.size() == 0
+
+
+# ---------------------------------------------------------------------------
+# phrase search
+# ---------------------------------------------------------------------------
+
+PHRASE_DOCS = [
+    (0, "fast table scan beats slow table scan"),
+    (1, "the table is fast table fast table"),
+    (2, "fast, table!  punctuation splits but adjacency holds"),
+    (3, "table fast is reversed"),
+    (4, "fast"),
+    (5, ""),
+]
+
+
+def _py_phrase_count(text, phrase):
+    toks = [t for t in re.split(r"[^a-z0-9]+", text.lower()) if t]
+    m = len(phrase)
+    return sum(1 for i in range(len(toks) - m + 1) if toks[i : i + m] == phrase)
+
+
+def test_phrase_search_matches_python_reference(spark):
+    from memfuse_spark.operators.keyword import phrase_search
+
+    docs = spark.createDataFrame(PHRASE_DOCS, ["doc_id", "text"])
+    got = {
+        r.doc_id: r.n_occurrences
+        for r in phrase_search(docs, ["fast", "table"], 10).collect()
+    }
+    want = {
+        i: _py_phrase_count(t, ["fast", "table"]) for i, t in PHRASE_DOCS
+    }
+    want = {i: c for i, c in want.items() if c > 0}
+    assert got == want  # doc 3 (reversed) and 4/5 (too short) excluded
+
+
+def test_phrase_search_indexed_parity(spark):
+    from memfuse_spark.operators.keyword import (
+        build_positional_postings,
+        phrase_search,
+        phrase_search_indexed,
+    )
+
+    docs = spark.createDataFrame(PHRASE_DOCS, ["doc_id", "text"])
+    postings = build_positional_postings(docs)
+    for phrase in (["fast", "table"], ["table", "scan"], ["fast"]):
+        a = sorted(map(tuple, phrase_search(docs, phrase, 10).collect()))
+        b = sorted(map(tuple, phrase_search_indexed(postings, phrase, 10).collect()))
+        assert a == b, phrase
+
+
+def test_phrase_search_plan_has_no_shuffle(spark):
+    # single-scan variant: phrase counting must ride the corpus scan —
+    # no exchange anywhere below the final top-k.
+    from memfuse_spark.operators.keyword import phrase_search
+
+    docs = spark.createDataFrame(PHRASE_DOCS, ["doc_id", "text"])
+    plan = phrase_search(docs, ["fast", "table"], 10)._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan

@@ -98,3 +98,71 @@ def test_importance_weights_prefers_target_like_docs(spark):
     target = corpus.filter("doc_id = 1")
     rows = {r.doc_id: r.log_ratio for r in importance_weights(corpus, target).collect()}
     assert rows[2] > rows[3]
+
+
+# ---------------------------------------------------------------------------
+# PMI collocations
+# ---------------------------------------------------------------------------
+
+def test_collocations_pmi_prefers_exclusive_pair(spark):
+    from memfuse_spark.operators.textanalysis import collocations_pmi
+
+    # "alpha beta" always co-occur and never appear elsewhere; "the cat"
+    # words also appear independently, diluting their PMI.
+    rows = [(i, "alpha beta . the cat . the dog . cat alone") for i in range(30)]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = collocations_pmi(docs, k=5, min_count=10).collect()
+    assert out[0].gram == "alpha beta"
+    assert out[0].cnt == 30
+    top = {r.gram: r.pmi for r in out}
+    assert top["alpha beta"] > top.get("the cat", float("-inf"))
+
+
+def test_collocations_pmi_min_count_filters(spark):
+    from memfuse_spark.operators.textanalysis import collocations_pmi
+
+    docs = spark.createDataFrame(
+        [(0, "rare pair"), (1, "common word common word common word")],
+        ["doc_id", "text"],
+    )
+    grams = {r.gram for r in collocations_pmi(docs, k=10, min_count=2).collect()}
+    assert "rare pair" not in grams  # count 1 < min_count
+
+
+def test_cluster_keywords_finds_distinctive_terms(spark):
+    from memfuse_spark.operators.textanalysis import cluster_keywords
+
+    docs = spark.createDataFrame(
+        [
+            (0, "football goal striker match"),
+            (1, "goal striker penalty football"),
+            (2, "tensor gradient epoch loss"),
+            (3, "gradient tensor loss batch"),
+        ],
+        ["doc_id", "text"],
+    )
+    clusters = spark.createDataFrame(
+        [(0, 0), (1, 0), (2, 1), (3, 1)], ["vec_id", "label"]
+    )
+    out = cluster_keywords(docs, clusters, top_n=2)
+    by_cluster = {}
+    for r in out.collect():
+        by_cluster.setdefault(r.cluster, []).append(r.term)
+    assert set(by_cluster[0]) <= {"football", "goal", "striker", "penalty", "match"}
+    assert set(by_cluster[1]) <= {"tensor", "gradient", "epoch", "loss", "batch"}
+    assert all(len(v) == 2 for v in by_cluster.values())
+
+
+def test_bigram_logprob_orders_natural_above_shuffled(spark):
+    from memfuse_spark.operators.textanalysis import bigram_logprob
+
+    # corpus dominated by "a b" bigrams; doc 1 follows the pattern,
+    # doc 2 uses the same unigrams in unseen order
+    rows = [(i, "a b a b a b") for i in range(10)]
+    rows.append((100, "a b a b a b"))
+    rows.append((101, "b a b a b a"))
+    rows.append((102, "x"))  # single token: NULL score
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r.doc_id: r.avg_bigram_logprob for r in bigram_logprob(docs).collect()}
+    assert got[100] > got[101]
+    assert got[102] is None
