@@ -45,6 +45,7 @@ HYBRID_WEIGHTS = {"vector": 0.5, "keyword": 0.2}
 RRF_K = 60.0
 
 from memfuse_spark.operators.graph import SIM_EDGE_THRESHOLD as _SIM_T  # noqa: E402
+from memfuse_spark.operators.rerank import MMR_LAMBDA as _MMR_LAMBDA  # noqa: E402
 
 # DuckDB cosine-vs-anchor CTE fragment (embeddings table pre-registered).
 _COS_SQL = (
@@ -1021,6 +1022,24 @@ def q_collocations_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ta_ops.collocations_pmi(docs, k=PMI_K)
 
 
+MMR_FIRST_STAGE_K = 50
+MMR_K = 10
+
+
+def q_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR diversification over the cosine top-50 candidate set
+    (greedy λ-tradeoff selection; oracle = unrolled per-step CTEs)."""
+    from memfuse_spark.operators.rerank import MMR_LAMBDA, mmr_rerank
+    from memfuse_spark.operators.similarity import similarity_topk
+
+    (emb,) = _tables(spark, sf_dir, "embeddings")
+    qvec = anchor_vector(spark, emb, ANCHOR_VEC_ID)
+    cands = similarity_topk(emb, qvec, MMR_FIRST_STAGE_K).join(
+        emb.select("vec_id", "embedding"), "vec_id"
+    )
+    return mmr_rerank(cands, MMR_K, lam=MMR_LAMBDA)
+
+
 CLUSTER_TOP_N = 5
 
 
@@ -1292,6 +1311,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orders_cube": q_orders_cube,
         "cluster_keywords": q_cluster_keywords,
         "bigram_logprob": q_bigram_logprob,
+        "mmr_rerank": q_mmr_rerank,
         # (2) never driver-checked (r1: past window; r2: rotated out)
         "gopher_quality": q_gopher_quality,
         "quality_score": q_quality_score,
@@ -1338,12 +1358,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q6": q_tpch_q6,
         "hierarchy_summary": q_hierarchy_summary,
         "vector_batch_topk": q_vector_batch_topk,
-        "minhash_dedup_keep": q_minhash_dedup_keep,
         # --- past the driver window (position 51+): green CORRECTNESS
         # --- r02 rows on inputs unchanged this round — see COVERAGE.md
         # --- (bm25_wrapped_score/tfidf_topk demoted: r1-green scoring
-        # --- variants of the green bm25 family, swapped for the
-        # --- round-3 cluster_keywords/bigram_logprob additions)
+        # --- variants of the green bm25 family; minhash_dedup_keep
+        # --- demoted: its not_dup values are hash-verified inside the
+        # --- r2-green corpus_filter_pipeline — swapped for the round-3
+        # --- cluster_keywords/bigram_logprob/mmr_rerank additions)
+        "minhash_dedup_keep": q_minhash_dedup_keep,
         "bm25_wrapped_score": q_bm25_wrapped_score,
         "tfidf_topk": q_tfidf_topk,
         "simhash": q_simhash,
@@ -1858,6 +1880,9 @@ ORDER BY doc_id, chunk_index
         "collocations_pmi": oracles.collocations_pmi_sql(PMI_K, ta_ops.PMI_MIN_COUNT),
         "cluster_keywords": oracles.cluster_keywords_sql(CLUSTER_TOP_N),
         "bigram_logprob": oracles.bigram_logprob_sql(ta_ops.BIGRAM_SMOOTH_K),
+        "mmr_rerank": oracles.mmr_rerank_sql(
+            ANCHOR_VEC_ID, MMR_K, MMR_FIRST_STAGE_K, _MMR_LAMBDA
+        ),
         "orders_cube": """
 SELECT o_orderstatus, o_orderpriority,
        count(*) AS n_orders, round(sum(o_totalprice), 2) AS total

@@ -298,9 +298,18 @@ def phrase_occurrences(text_col, phrase: list[str]):
     """
     m = len(phrase)
     tk = tokenize(text_col)
-    lits = F.array(*[F.lit(t) for t in phrase])
     starts = F.sequence(F.lit(1), F.size(tk) - m + 1)
-    hits = F.filter(starts, lambda i: F.slice(tk, i, m) == lits)
+
+    def _match(i):
+        cond = F.element_at(tk, i) == F.lit(phrase[0])
+        for j, t in enumerate(phrase[1:], start=1):
+            # element_at comparisons instead of slice-array equality:
+            # no per-position array allocation, and the conjunction
+            # short-circuits on the first mismatching term
+            cond = cond & (F.element_at(tk, i + j) == F.lit(t))
+        return cond
+
+    hits = F.filter(starts, _match)
     return F.when(F.size(tk) >= m, F.size(hits)).otherwise(0).cast("long")
 
 

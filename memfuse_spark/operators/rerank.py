@@ -103,3 +103,89 @@ def two_stage_retrieval(
     return rerank(first, query_text, k, content_col="text", id_col="doc_id", scorer=scorer).select(
         "doc_id", "rerank_score", "text"
     )
+
+
+# ---------------------------------------------------------------------------
+# MMR diversification (maximal marginal relevance)
+# ---------------------------------------------------------------------------
+
+MMR_LAMBDA = 0.7
+
+
+def _round6_half_away(x: float) -> float:
+    """round-half-away-from-zero to 6 decimals — matches Spark F.round
+    (HALF_UP) and DuckDB round(); Python's built-in round is banker's."""
+    import math
+
+    s = -1.0 if x < 0 else 1.0
+    return s * math.floor(abs(x) * 1e6 + 0.5) / 1e6
+
+
+def mmr_rerank(
+    candidates: DataFrame,
+    k: int,
+    lam: float = MMR_LAMBDA,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    score_col: str = "score",
+) -> DataFrame:
+    """Greedy maximal-marginal-relevance selection (Carbonell &
+    Goldstein '98) over a scored candidate set: step t picks
+    argmax λ·rel(c) − (1−λ)·max_{s∈selected} sim(c, s), ties broken by
+    id. Output: (id, mmr_rank 1..k, mmr_score at selection).
+
+    The candidate set is RESULT-SET sized (a first-stage top-k', like
+    every reranker input — reference memory_service.py:1553-1555 feeds
+    2×k candidates to its cross-encoder), so the greedy loop runs
+    driver-side over the collected candidates: k steps over k' rows is
+    model-boundary work, not dataflow — at 100 TB the candidates still
+    arrive via the distributed ANN/top-k tiers and this stays O(k'·k).
+
+    Determinism contract with the SQL oracle: pairwise similarities and
+    per-step MMR scores are rounded half-away-from-zero to 6 decimals
+    before each argmax, and all dot products accumulate sequentially
+    (left-to-right, like DuckDB's list arithmetic and the JVM fold in
+    functions.vector.dot) — so selection order is reproducible across
+    engines, not at the mercy of summation order.
+    """
+    rows = candidates.select(id_col, score_col, vec_col).collect()
+    cand = [(r[0], float(r[1]), [float(x) for x in r[2]]) for r in rows]
+    cand.sort(key=lambda t: t[0])
+
+    def seq_dot(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc += x * y
+        return acc
+
+    import math
+
+    norms = {i: math.sqrt(seq_dot(v, v)) for i, _, v in cand}
+    sims: dict[tuple, float] = {}
+    for i, _, vi in cand:
+        for j, _, vj in cand:
+            if i < j:
+                d = norms[i] * norms[j]
+                sims[(i, j)] = _round6_half_away(seq_dot(vi, vj) / d) if d else 0.0
+
+    def sim(a, b):
+        return sims[(a, b)] if a < b else sims[(b, a)] if a != b else 1.0
+
+    selected: list[tuple] = []  # (id, rank, mmr_score)
+    chosen: set = set()
+    for rank in range(1, min(k, len(cand)) + 1):
+        best = None
+        for i, rel, _ in cand:
+            if i in chosen:
+                continue
+            max_sim = max((sim(i, s) for s, _, _ in selected), default=0.0)
+            mmr = _round6_half_away(lam * rel - (1.0 - lam) * max_sim)
+            if best is None or mmr > best[2] or (mmr == best[2] and i < best[0]):
+                best = (i, rank, mmr)
+        selected.append(best)
+        chosen.add(best[0])
+
+    spark = candidates.sparkSession
+    return spark.createDataFrame(
+        selected, f"{id_col} long, mmr_rank int, mmr_score double"
+    )

@@ -536,41 +536,56 @@ def collocations_pmi(
     training-corpus analysis. `min_count` drops rare bigrams whose PMI
     is noise (classic PMI pathology: hapax pairs score highest).
 
-    Shape at scale: token and bigram counts are two wordcount-shaped
-    aggregations (map-side combined, narrow (gram, count) shuffles);
-    unigram probabilities join back onto the (tiny, min_count-filtered)
-    bigram table via two broadcast-able equi-joins; top-k is
-    TakeOrdered. The corpus is scanned once — tokens and bigrams are
-    derived in the same projection.
+    Shape at scale: ONE corpus scan — unigrams and bigrams are tagged
+    structs in the same exploded projection, so a single map-side-
+    combined (kind, gram) count shuffle feeds everything; the count
+    table (vocab + bigram types, corpus-size-independent) is persisted
+    and re-read for the unigram/bigram/normalizer slices; top-k is
+    TakeOrdered over the (tiny) scored bigram table.
     """
+    from memfuse_spark import cache
+
     toks = docs.select(tokenize(text_col).alias("tk"))
-    toks = toks.select(
-        "tk",
+    gram_structs = F.concat(
+        F.transform(
+            F.col("tk"), lambda w: F.struct(F.lit("u").alias("kind"), w.alias("gram"))
+        ),
         F.when(
             F.size("tk") >= 2,
             F.transform(
                 F.sequence(F.lit(1), F.size("tk") - 1),
-                lambda i: F.array_join(F.slice(F.col("tk"), i, 2), " "),
+                lambda i: F.struct(
+                    F.lit("b").alias("kind"),
+                    F.array_join(F.slice(F.col("tk"), i, 2), " ").alias("gram"),
+                ),
             ),
-        ).otherwise(F.array().cast("array<string>")).alias("bg"),
+        ).otherwise(F.array().cast("array<struct<kind:string,gram:string>>")),
     )
-    uni = (
-        toks.select(F.explode("tk").alias("w"))
-        .groupBy("w")
-        .agg(F.count("*").alias("wc"))
+    cache.begin("textanalysis.pmi")
+    counts = cache.scoped_persist(
+        toks.select(F.explode(gram_structs).alias("g"))
+        .select(F.col("g.kind").alias("kind"), F.col("g.gram").alias("gram"))
+        .groupBy("kind", "gram")
+        .agg(F.count("*").alias("cnt")),
+        "textanalysis.pmi",
+    )
+    uni = counts.filter(F.col("kind") == "u").select(
+        F.col("gram").alias("w"), F.col("cnt").alias("wc")
     )
     n_tokens = uni.agg(F.sum("wc").alias("n_tok"))
     bi = (
-        toks.select(F.explode("bg").alias("gram"))
-        .groupBy("gram")
-        .agg(F.count("*").cast("long").alias("cnt"))
+        counts.filter(F.col("kind") == "b")
+        .select("gram", F.col("cnt").cast("long").alias("cnt"))
         .filter(F.col("cnt") >= min_count)
     )
-    n_bigrams = toks.select(F.size("bg").alias("nb")).agg(F.sum("nb").alias("n_bi"))
+    n_bigrams = counts.filter(F.col("kind") == "b").agg(F.sum("cnt").alias("n_bi"))
     parts = F.split("gram", " ")
     scored = (
         bi.withColumn("w_a", parts.getItem(0))
         .withColumn("w_b", parts.getItem(1))
+        # no explicit broadcast: at web scale the vocab table is NOT
+        # small — AQE picks broadcast when the min_count-filtered bigram
+        # side (or the vocab) actually fits
         .join(uni.select(F.col("w").alias("w_a"), F.col("wc").alias("ca")), "w_a")
         .join(uni.select(F.col("w").alias("w_b"), F.col("wc").alias("cb")), "w_b")
         .crossJoin(F.broadcast(n_tokens))

@@ -1408,3 +1408,63 @@ SELECT t.doc_id, p.avg_bigram_logprob
 FROM (SELECT DISTINCT doc_id FROM toks) t LEFT JOIN per_doc p USING (doc_id)
 ORDER BY t.doc_id
 """
+
+
+# --- MMR diversification oracle ---------------------------------------------
+
+def mmr_rerank_sql(
+    anchor: int, k: int, first_stage_k: int, lam: float = 0.7
+) -> str:
+    """Unrolled greedy MMR over the cosine top-first_stage_k candidate
+    set — one MATERIALIZED CTE per selection step, mirroring
+    rerank.mmr_rerank: same rounded pairwise sims, the Python-computed
+    (1-λ) double emitted verbatim, ties broken by vec_id."""
+    lam_s = repr(float(lam))
+    om_s = repr(1.0 - float(lam))
+    cos = (
+        "round(list_dot_product(CAST(e.embedding AS DOUBLE[]), q.qv)"
+        " / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])))"
+        " * sqrt(list_dot_product(q.qv, q.qv))), 6)"
+    )
+    parts = [
+        f"q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = {anchor})",
+        f"""cand AS MATERIALIZED (
+  SELECT e.vec_id, {cos} AS rel, CAST(e.embedding AS DOUBLE[]) AS v
+  FROM embeddings e, q
+  ORDER BY rel DESC, e.vec_id ASC LIMIT {first_stage_k}
+)""",
+        """pair AS MATERIALIZED (
+  SELECT a.vec_id AS ia, b.vec_id AS ib,
+         round(list_dot_product(a.v, b.v)
+               / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))),
+               6) AS sim
+  FROM cand a JOIN cand b ON a.vec_id < b.vec_id
+)""",
+        f"""s1 AS MATERIALIZED (
+  SELECT vec_id, 1 AS mmr_rank, round(CAST({lam_s} AS DOUBLE) * rel, 6) AS mmr_score
+  FROM cand ORDER BY mmr_score DESC, vec_id ASC LIMIT 1
+)""",
+    ]
+    for t in range(2, k + 1):
+        prev_union = " UNION ALL ".join(f"SELECT vec_id FROM s{i}" for i in range(1, t))
+        parts.append(
+            f"""sel{t} AS (SELECT vec_id FROM ({prev_union})),
+s{t} AS MATERIALIZED (
+  SELECT c.vec_id, {t} AS mmr_rank,
+         round(CAST({lam_s} AS DOUBLE) * c.rel
+               - CAST({om_s} AS DOUBLE) * coalesce(
+                   (SELECT max(p.sim) FROM pair p JOIN sel{t} s
+                     ON (p.ia = c.vec_id AND p.ib = s.vec_id)
+                     OR (p.ib = c.vec_id AND p.ia = s.vec_id)),
+                   CAST(0 AS DOUBLE)), 6) AS mmr_score
+  FROM cand c
+  WHERE c.vec_id NOT IN (SELECT vec_id FROM sel{t})
+  ORDER BY mmr_score DESC, c.vec_id ASC LIMIT 1
+)"""
+        )
+    final_union = " UNION ALL ".join(f"SELECT * FROM s{i}" for i in range(1, k + 1))
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"\nSELECT vec_id, mmr_rank, mmr_score FROM ({final_union}) ORDER BY mmr_rank"
+    )

@@ -149,3 +149,41 @@ def test_rerank_real_cross_encoder(candidates):
     assert got[0].doc_id == 3
     again = {r.doc_id: r.rerank_score for r in rerank(candidates, q, 4, scorer=scorer).collect()}
     assert again == scores
+
+
+# ---------------------------------------------------------------------------
+# MMR diversification
+# ---------------------------------------------------------------------------
+
+def test_mmr_prefers_diverse_over_redundant(spark):
+    from memfuse_spark.operators.rerank import mmr_rerank
+
+    # candidates: 0 is best; 1 is a near-clone of 0; 2 is slightly less
+    # relevant but orthogonal. MMR must pick 0 then 2 (plain top-k
+    # would pick 0 then 1).
+    rows = [
+        (0, 0.99, [1.0, 0.0, 0.0, 0.0]),
+        (1, 0.98, [0.999, 0.01, 0.0, 0.0]),
+        (2, 0.90, [0.0, 1.0, 0.0, 0.0]),
+    ]
+    cands = spark.createDataFrame(
+        rows, "vec_id long, score double, embedding array<double>"
+    )
+    out = mmr_rerank(cands, 2, lam=0.7).collect()
+    assert [r.vec_id for r in out] == [0, 2]
+    assert [r.mmr_rank for r in out] == [1, 2]
+
+
+def test_mmr_rank1_is_pure_relevance(spark):
+    from memfuse_spark.operators.rerank import mmr_rerank
+
+    rows = [
+        (5, 0.5, [1.0, 0.0]),
+        (7, 0.9, [0.0, 1.0]),
+    ]
+    cands = spark.createDataFrame(
+        rows, "vec_id long, score double, embedding array<double>"
+    )
+    out = mmr_rerank(cands, 2, lam=0.7).collect()
+    assert out[0].vec_id == 7
+    assert out[0].mmr_score == round(0.7 * 0.9, 6)
