@@ -356,8 +356,11 @@ def pagerank(
     )
     ranks = base
     for _ in range(iterations):
-        dangling = (
-            ranks.filter(F.col("deg") == 0).agg(F.coalesce(F.sum("rank"), F.lit(0.0))).first()[0]
+        # dangling mass as a broadcast 1-row aggregate INSIDE the plan —
+        # no separate driver action per iteration; the only action per
+        # round is the eager checkpoint
+        dang = ranks.filter(F.col("deg") == 0).agg(
+            F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dm")
         )
         contrib = (
             ranks.filter(F.col("deg") > 0)
@@ -366,13 +369,18 @@ def pagerank(
             .groupBy("node")
             .agg(F.sum("c").alias("inflow"))
         )
-        new = ranks.join(contrib, "node", "left").select(
-            "node",
-            "deg",
-            (
-                F.lit((1.0 - damping) / n)
-                + F.lit(damping) * (F.coalesce("inflow", F.lit(0.0)) + F.lit(dangling / n))
-            ).alias("rank"),
+        new = (
+            ranks.join(contrib, "node", "left")
+            .crossJoin(F.broadcast(dang))
+            .select(
+                "node",
+                "deg",
+                (
+                    F.lit((1.0 - damping) / n)
+                    + F.lit(damping)
+                    * (F.coalesce("inflow", F.lit(0.0)) + F.col("dm") / F.lit(n))
+                ).alias("rank"),
+            )
         )
         new, new_ids = cache.tracked_local_checkpoint(new, "graph.pagerank")
         cache.unpersist_rdd_ids(spark, prev_ids)

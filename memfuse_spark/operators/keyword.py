@@ -284,28 +284,34 @@ def _py_tokenize(text: str) -> list[str]:
 # phrase search (FTS5 "exact phrase" MATCH semantics)
 # ---------------------------------------------------------------------------
 
-def phrase_occurrences(text_col, phrase: list[str]):
-    """Column: number of occurrences of the exact token sequence.
+def phrase_occurrences(tokens_col, phrase: list[str]):
+    """Column: occurrences of the exact token sequence in a TOKEN-ARRAY
+    column (pass `tokenize(text)` PROJECTED as its own column first —
+    see phrase_search).
 
     SQLite FTS5 (the reference's keyword backend, keyword_store/
     sqlite_store.py:376-421) matches quoted phrases on token adjacency,
     not substrings — "fast table" must appear as consecutive TOKENS.
-    Re-expressed as a JVM-side higher-order filter over the tokenized
-    text: count positions i where tokens[i:i+m] equals the phrase.
-    Single projection, zero shuffle, whole-stage-codegen'd — the
-    phrase scan rides the same corpus scan as any other per-row
-    expression.
+    Re-expressed as a JVM-side higher-order filter: count positions i
+    where tokens[i+j] == phrase[j] for all j (element_at comparisons —
+    no per-position array allocation, short-circuits on first
+    mismatch). Zero shuffle; rides the corpus scan.
+
+    The argument must be an ATTRIBUTE (a projected column), not an
+    inline `tokenize(...)` expression: Spark does no common-
+    subexpression elimination inside lambda bodies, so an inline
+    tokenizer would re-split the whole document at EVERY position —
+    O(n_tokens × tokenize) per row (measured 10× slower at sf0.1).
+    Multiple outer references to the attribute also stop
+    CollapseProject from inlining the tokenizer back in.
     """
     m = len(phrase)
-    tk = tokenize(text_col)
+    tk = F.col(tokens_col) if isinstance(tokens_col, str) else tokens_col
     starts = F.sequence(F.lit(1), F.size(tk) - m + 1)
 
     def _match(i):
         cond = F.element_at(tk, i) == F.lit(phrase[0])
         for j, t in enumerate(phrase[1:], start=1):
-            # element_at comparisons instead of slice-array equality:
-            # no per-position array allocation, and the conjunction
-            # short-circuits on the first mismatching term
             cond = cond & (F.element_at(tk, i + j) == F.lit(t))
         return cond
 
@@ -327,12 +333,18 @@ def phrase_search(
     (build_positional_postings) and use phrase_search_indexed — the
     m-way position join touches only the phrase's terms' postings.
     """
-    n = phrase_occurrences(text_col, phrase)
+    toks = docs.select(F.col(id_col).alias("doc_id"), tokenize(text_col).alias("__tk"))
+    n = phrase_occurrences("__tk", phrase)
+    # filter AFTER the top-k: counts order descending, so dropping zero
+    # rows post-limit is set-equivalent to filtering first — and keeps
+    # Catalyst from pushing the predicate below the token projection,
+    # where it would re-inline the tokenizer into every element_at
+    # (the no-CSE pathology phrase_occurrences documents)
     return (
-        docs.select(F.col(id_col).alias("doc_id"), n.alias("n_occurrences"))
-        .filter(F.col("n_occurrences") > 0)
+        toks.select("doc_id", n.alias("n_occurrences"))
         .orderBy(F.desc("n_occurrences"), F.asc("doc_id"))
         .limit(k)
+        .filter(F.col("n_occurrences") > 0)
     )
 
 
