@@ -1022,6 +1022,19 @@ def q_collocations_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ta_ops.collocations_pmi(docs, k=PMI_K)
 
 
+HARD_NEG_ANCHORS = [0, 7, 13]
+HARD_NEG_K = 5
+
+
+def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive hard-negative mining: per anchor, top-5 most-similar
+    items with a different label."""
+    from memfuse_spark.operators.similarity import hard_negatives
+
+    (emb,) = _tables(spark, sf_dir, "embeddings")
+    return hard_negatives(emb, HARD_NEG_ANCHORS, HARD_NEG_K)
+
+
 MMR_FIRST_STAGE_K = 50
 MMR_K = 10
 
@@ -1312,6 +1325,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cluster_keywords": q_cluster_keywords,
         "bigram_logprob": q_bigram_logprob,
         "mmr_rerank": q_mmr_rerank,
+        "hard_negatives": q_hard_negatives,
         # (2) never driver-checked (r1: past window; r2: rotated out)
         "gopher_quality": q_gopher_quality,
         "quality_score": q_quality_score,
@@ -1357,14 +1371,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q3": q_tpch_q3,
         "tpch_q6": q_tpch_q6,
         "hierarchy_summary": q_hierarchy_summary,
-        "vector_batch_topk": q_vector_batch_topk,
         # --- past the driver window (position 51+): green CORRECTNESS
         # --- r02 rows on inputs unchanged this round — see COVERAGE.md
         # --- (bm25_wrapped_score/tfidf_topk demoted: r1-green scoring
         # --- variants of the green bm25 family; minhash_dedup_keep
         # --- demoted: its not_dup values are hash-verified inside the
-        # --- r2-green corpus_filter_pipeline — swapped for the round-3
-        # --- cluster_keywords/bigram_logprob/mmr_rerank additions)
+        # --- r2-green corpus_filter_pipeline; vector_batch_topk
+        # --- demoted: r1-green, J1-batch also exercised by the r2-green
+        # --- ivf_knn_join — swapped for the round-3 additions)
+        "vector_batch_topk": q_vector_batch_topk,
         "minhash_dedup_keep": q_minhash_dedup_keep,
         "bm25_wrapped_score": q_bm25_wrapped_score,
         "tfidf_topk": q_tfidf_topk,
@@ -1883,6 +1898,7 @@ ORDER BY doc_id, chunk_index
         "mmr_rerank": oracles.mmr_rerank_sql(
             ANCHOR_VEC_ID, MMR_K, MMR_FIRST_STAGE_K, _MMR_LAMBDA
         ),
+        "hard_negatives": oracles.hard_negatives_sql(HARD_NEG_ANCHORS, HARD_NEG_K),
         "orders_cube": """
 SELECT o_orderstatus, o_orderpriority,
        count(*) AS n_orders, round(sum(o_totalprice), 2) AS total

@@ -47,6 +47,9 @@ EXTRA = [
     "pq_topk",
     "phrase_search",
     "collocations_pmi",
+    "cluster_keywords",
+    "bigram_logprob",
+    "mmr_rerank",
 ]
 
 

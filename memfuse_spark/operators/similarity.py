@@ -267,3 +267,58 @@ def normalize_embeddings(items: DataFrame, vec_col: str = "embedding") -> DataFr
     """Pre-normalize vectors so cosine becomes a plain dot product
     (reference: numpy_store.py:163-187 keeps a normalized matrix)."""
     return items.withColumn(vec_col, normalize(vec_col))
+
+
+# ---------------------------------------------------------------------------
+# hard-negative mining (contrastive training pairs)
+# ---------------------------------------------------------------------------
+
+def hard_negatives(
+    corpus: DataFrame,
+    anchor_ids: list,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    score_decimals: int = 6,
+) -> DataFrame:
+    """(anchor_id, vec_id, score) — top-k most-similar items with a
+    DIFFERENT label per anchor: the hard negatives contrastive
+    embedding training mines (high-similarity, wrong-class pairs are
+    the informative ones — random negatives are too easy).
+
+    Scale shape: the anchor set is broadcast (training batches are
+    small); the corpus is scanned once, label-mismatch filtered in the
+    same projection as the cosine, and ranked per anchor by one narrow
+    (anchor_id, id, score) window. For corpus-sized anchor sets, feed
+    the label filter into ann.ivf_knn_join's probed candidates instead
+    of the full scan — identical output contract.
+    """
+    from pyspark.sql import Window
+
+    anchors = corpus.filter(F.col(id_col).isin(anchor_ids)).select(
+        F.col(id_col).alias("anchor_id"),
+        F.col(vec_col).alias("__qvec"),
+        F.col(label_col).alias("__alabel"),
+    )
+    scored = (
+        corpus.crossJoin(F.broadcast(anchors))
+        .filter(
+            (F.col(label_col) != F.col("__alabel"))
+            & (F.col(id_col) != F.col("anchor_id"))
+        )
+        .select(
+            "anchor_id",
+            F.col(id_col),
+            F.round(
+                cosine_similarity(F.col(vec_col), F.col("__qvec")), score_decimals
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy("anchor_id").orderBy(F.desc("score"), F.asc(id_col))
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .select("anchor_id", id_col, "score")
+        .orderBy("anchor_id", F.desc("score"), F.asc(id_col))
+    )

@@ -1468,3 +1468,32 @@ s{t} AS MATERIALIZED (
         + ",\n".join(parts)
         + f"\nSELECT vec_id, mmr_rank, mmr_score FROM ({final_union}) ORDER BY mmr_rank"
     )
+
+
+# --- hard-negative mining oracle --------------------------------------------
+
+def hard_negatives_sql(anchor_ids: list, k: int) -> str:
+    """DuckDB twin of similarity.hard_negatives."""
+    ids = ", ".join(str(i) for i in anchor_ids)
+    cos = (
+        "round(list_dot_product(CAST(e.embedding AS DOUBLE[]), a.qv)"
+        " / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])))"
+        " * sqrt(list_dot_product(a.qv, a.qv))), 6)"
+    )
+    return f"""
+WITH anchors AS (
+  SELECT vec_id AS anchor_id, CAST(embedding AS DOUBLE[]) AS qv, label AS alabel
+  FROM embeddings WHERE vec_id IN ({ids})
+),
+scored AS (
+  SELECT a.anchor_id, e.vec_id, {cos} AS score
+  FROM embeddings e JOIN anchors a
+    ON e.label <> a.alabel AND e.vec_id <> a.anchor_id
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY anchor_id ORDER BY score DESC, vec_id) AS rn
+  FROM scored
+)
+SELECT anchor_id, vec_id, score FROM ranked WHERE rn <= {k}
+ORDER BY anchor_id, score DESC, vec_id
+"""

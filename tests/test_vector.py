@@ -98,3 +98,25 @@ def test_hash_embedding_deterministic_and_normalized(spark):
     assert rows[0].e == rows[1].e
     assert rows[0].e != rows[2].e
     assert np.linalg.norm(rows[0].e) == pytest.approx(1.0, abs=1e-9)
+
+
+# ---------------------------------------------------------------------------
+# hard-negative mining
+# ---------------------------------------------------------------------------
+
+def test_hard_negatives_excludes_same_label_and_self(spark, tables):
+    from memfuse_spark.operators.similarity import hard_negatives
+
+    emb = tables["embeddings"]
+    labels = {r.vec_id: r.label for r in emb.select("vec_id", "label").collect()}
+    out = hard_negatives(emb, [0, 7], 5).collect()
+    assert {r.anchor_id for r in out} == {0, 7}
+    for r in out:
+        assert r.vec_id != r.anchor_id
+        assert labels[r.vec_id] != labels[r.anchor_id]
+    per_anchor = {}
+    for r in out:
+        per_anchor.setdefault(r.anchor_id, []).append(r.score)
+    for scores in per_anchor.values():
+        assert len(scores) == 5
+        assert scores == sorted(scores, reverse=True)  # hardest first
