@@ -640,3 +640,104 @@ def embedding_neardup_topk(
         .orderBy(F.desc("cosine"), F.asc("id_a"), F.asc("id_b"))
         .limit(k)
     )
+
+
+# ---------------------------------------------------------------------------
+# incremental near-dup (batch vs existing signature index)
+# ---------------------------------------------------------------------------
+
+def banded_signatures(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = SHINGLE_N,
+    num_hashes: int = NUM_HASHES,
+    bands: int = BANDS,
+) -> DataFrame:
+    """(doc_id, band, bucket) — the materializable LSH index rows for a
+    corpus slice. Persist this table (bucketed by (band, bucket) at
+    scale) and incremental dedup never recomputes old signatures.
+    """
+    rows_per_band = num_hashes // bands
+    sigs = minhash_signature(shingle_sets(docs, id_col, text_col, n), num_hashes)
+    out = None
+    for b in range(bands):
+        cols = [F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)]
+        one = sigs.select(
+            "doc_id", F.lit(b).alias("band"), F.md5(F.concat_ws("|", *cols)).alias("bucket")
+        )
+        out = one if out is None else out.unionByName(one)
+    return out
+
+
+def incremental_neardup_pairs(
+    new_docs: DataFrame,
+    all_docs: DataFrame,
+    index: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = JACCARD_THRESHOLD,
+    n: int = SHINGLE_N,
+    score_decimals: int = 6,
+) -> tuple[DataFrame, DataFrame]:
+    """Near-dup pairs INVOLVING the new batch, against a prebuilt index.
+
+    The production increment shape (daily crawl slice vs corpus):
+    signatures/bands are computed for the NEW docs only; candidates are
+    (a) new × index equi-join on (band, bucket) and (b) new × new
+    within-batch — the existing corpus is never re-shingled, re-hashed
+    or re-shuffled (only its index rows, (doc_id, band, 32B), join).
+    Verification rehydrates shingles for the candidate ids only, from
+    `all_docs` (at scale: a bucket-pruned id join against the corpus
+    table). Returns (pairs, new_index_rows); append new_index_rows to
+    the index table to absorb the batch — the next increment then
+    dedups against old ∪ new.
+
+    Equivalence contract (tested): pairs == the full-corpus
+    minhash_lsh_pairs output restricted to pairs touching the batch.
+    """
+    from memfuse_spark import cache
+
+    cache.begin("dedup.incremental")
+    new_bands = cache.scoped_persist(
+        banded_signatures(new_docs, id_col, text_col, n), "dedup.incremental"
+    )
+    old = index.select(
+        F.col("doc_id").alias("doc_other"), "band", "bucket"
+    )
+    vs_old = (
+        new_bands.join(old, ["band", "bucket"])
+        .filter(F.col("doc_id") != F.col("doc_other"))
+        .select(
+            F.least("doc_id", "doc_other").alias("doc_a"),
+            F.greatest("doc_id", "doc_other").alias("doc_b"),
+        )
+    )
+    b2 = new_bands.select(F.col("doc_id").alias("doc_other"), "band", "bucket")
+    vs_new = (
+        new_bands.join(b2, ["band", "bucket"])
+        .filter(F.col("doc_id") < F.col("doc_other"))
+        .select(F.col("doc_id").alias("doc_a"), F.col("doc_other").alias("doc_b"))
+    )
+    cands = vs_old.unionByName(vs_new).distinct()
+    sh = cache.scoped_persist(
+        shingle_sets(all_docs, id_col, text_col, n), "dedup.incremental"
+    )
+    verified = (
+        cands.join(
+            sh.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("shingles", "sh_a"),
+            "doc_a",
+        )
+        .join(
+            sh.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("shingles", "sh_b"),
+            "doc_b",
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(jaccard(F.col("sh_a"), F.col("sh_b")), score_decimals).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .orderBy("doc_a", "doc_b")
+    )
+    return verified, new_bands

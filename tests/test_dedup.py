@@ -189,3 +189,36 @@ def test_dup_clusters_algorithm_independent(spark):
     a = sorted(map(tuple, dedup.dup_clusters(docs).collect()))
     b = sorted(map(tuple, dedup.dup_clusters(docs, algorithm="two_phase").collect()))
     assert a == b
+
+
+# ---------------------------------------------------------------------------
+# incremental near-dup
+# ---------------------------------------------------------------------------
+
+def test_incremental_neardup_matches_full_pipeline(spark):
+    from memfuse_spark.catalog import load_table
+    from memfuse_spark.operators.dedup import (
+        banded_signatures,
+        incremental_neardup_pairs,
+        minhash_lsh_pairs,
+    )
+    from tests.conftest import SF_DIR_MED
+
+    docs = load_table(spark, SF_DIR_MED, "documents")
+    old = docs.filter("doc_id < 400")
+    new = docs.filter("doc_id >= 400")
+    index = banded_signatures(old)
+
+    inc_pairs, new_rows = incremental_neardup_pairs(new, docs, index)
+    got = {(r.doc_a, r.doc_b, r.jaccard) for r in inc_pairs.collect()}
+
+    full = minhash_lsh_pairs(docs)
+    want = {
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in full.collect()
+        if r.doc_a >= 400 or r.doc_b >= 400
+    }
+    assert got == want
+    assert want, "fixture must produce at least one batch-touching pair"
+    # the returned index rows absorb the batch: bands × new docs
+    assert new_rows.count() == new.count() * 6  # BANDS
