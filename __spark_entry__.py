@@ -1304,7 +1304,7 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # The driver oracle-checks the FIRST 50 declared queries per round.
-    # With 90 declared, the window ROTATES across rounds to maximize the
+    # With 94 declared, the window ROTATES across rounds to maximize the
     # union of direct driver rows (COVERAGE.md rotation table). Round-3
     # window, in priority order: (1) round-3 additions, (2) the seven
     # queries never driver-checked in r1 or r2, (3) queries whose code

@@ -684,20 +684,34 @@ def bigram_logprob(
     (broadcast-able) LM tables — the corpus shuffles only (gram, count)
     rows, map-side combined.
     """
+    from memfuse_spark import cache
+
     toks = docs.select(F.col(id_col).alias("doc_id"), tokenize(text_col).alias("tk"))
-    bgs = toks.select(
-        "doc_id",
-        F.when(
-            F.size("tk") >= 2,
-            F.transform(
-                F.sequence(F.lit(1), F.size("tk") - 1),
-                lambda i: F.array_join(F.slice(F.col("tk"), i, 2), " "),
-            ),
-        ).otherwise(F.array().cast("array<string>")).alias("bg"),
-    ).select("doc_id", F.explode("bg").alias("gram"))
+    # the exploded bigram table feeds the LM build AND the scoring join —
+    # persist it so the corpus is tokenized/exploded once, not once per
+    # aggregate job (broadcast builds each materialize eagerly; measured
+    # 16s → ~4s at sf0.1 without/with). Scoped: next query releases it.
+    cache.begin("textanalysis.bigram")
+    bgs = cache.scoped_persist(
+        toks.select(
+            "doc_id",
+            F.when(
+                F.size("tk") >= 2,
+                F.transform(
+                    F.sequence(F.lit(1), F.size("tk") - 1),
+                    lambda i: F.array_join(F.slice(F.col("tk"), i, 2), " "),
+                ),
+            ).otherwise(F.array().cast("array<string>")).alias("bg"),
+        ).select("doc_id", F.explode("bg").alias("gram")),
+        "textanalysis.bigram",
+    )
     bi_lm = bgs.groupBy("gram").agg(F.count("*").alias("cbg"))
-    ctx = bgs.select(F.split("gram", " ").getItem(0).alias("w")).groupBy("w").agg(
-        F.count("*").alias("cctx")
+    # context counts = bigram counts summed by first word (identical to
+    # counting bigram-starting tokens directly, one corpus pass fewer)
+    ctx = (
+        bi_lm.select(F.split("gram", " ").getItem(0).alias("w"), "cbg")
+        .groupBy("w")
+        .agg(F.sum("cbg").alias("cctx"))
     )
     vocab = (
         toks.select(F.explode("tk").alias("w"))

@@ -109,3 +109,39 @@ def test_all_queries_no_cartesian_no_rowwise_python(spark):
             if bad in plan:
                 failures.append(f"{name}: {bad}")
     assert not failures, failures
+
+
+def test_hard_negatives_broadcasts_anchors(spark, tables):
+    """The anchor set must broadcast — the corpus is never shuffled for
+    hard-negative mining (one scan + narrow ranking window)."""
+    from memfuse_spark.operators.similarity import hard_negatives
+
+    plan = _plan(hard_negatives(tables["embeddings"], [0, 7], 5))
+    assert "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan  # broadcast NL, never cartesian
+
+
+def test_phrase_search_single_tokenize(spark, tables):
+    """The token array must appear as a projected attribute, not an
+    inline tokenizer re-evaluated inside the filter lambda (the no-CSE
+    pathology documented in PLANS.md): exactly one regex split in the
+    final plan, and no Exchange below the top-k."""
+    from memfuse_spark.operators.keyword import phrase_search
+
+    df = phrase_search(tables["documents"], ["fast", "table"], 10)
+    optimized = df._jdf.queryExecution().optimizedPlan().toString()
+    assert optimized.count("split(lower(") == 1
+    assert "TakeOrderedAndProject" in _plan(df)
+
+
+def test_collocations_single_corpus_scan(spark, tables):
+    """PMI counts derive from ONE tagged explode into a persisted count
+    table: every reference in the optimized plan must read the cache
+    (InMemoryRelation), never the parquet relation directly — the
+    corpus is scanned once, to fill the cache."""
+    from memfuse_spark.operators.textanalysis import collocations_pmi
+
+    df = collocations_pmi(tables["documents"], k=5, min_count=2)
+    optimized = df._jdf.queryExecution().optimizedPlan().toString()
+    assert optimized.count("InMemoryRelation") >= 1
+    assert optimized.count("Relation [doc_id") == 0, "uncached corpus scan leaked"
