@@ -1022,6 +1022,32 @@ def q_collocations_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ta_ops.collocations_pmi(docs, k=PMI_K)
 
 
+VALUE_BANDS = [
+    ("low", 0.0, 20.0),
+    ("mid", 20.0, 80.0),
+    ("high", 80.0, 1000.0),
+]
+
+
+def q_value_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Non-equi band range join (events.value into [lo, hi) tiers) +
+    per-band rollup — the join class the reference lacks entirely
+    (SURVEY §2.3: equi-joins only)."""
+    from memfuse_spark.operators.temporal import band_range_join
+
+    (events,) = _tables(spark, sf_dir, "events")
+    bands = spark.createDataFrame(VALUE_BANDS, "band string, lo double, hi double")
+    return (
+        band_range_join(events, bands)
+        .groupBy("band")
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .orderBy(F.asc_nulls_last("band"))
+    )
+
+
 HARD_NEG_ANCHORS = [0, 7, 13]
 HARD_NEG_K = 5
 
@@ -1304,7 +1330,7 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # The driver oracle-checks the FIRST 50 declared queries per round.
-    # With 94 declared, the window ROTATES across rounds to maximize the
+    # With 95 declared, the window ROTATES across rounds to maximize the
     # union of direct driver rows (COVERAGE.md rotation table). Round-3
     # window, in priority order: (1) round-3 additions, (2) the seven
     # queries never driver-checked in r1 or r2, (3) queries whose code
@@ -1326,6 +1352,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bigram_logprob": q_bigram_logprob,
         "mmr_rerank": q_mmr_rerank,
         "hard_negatives": q_hard_negatives,
+        "value_bands": q_value_bands,
         # (2) never driver-checked (r1: past window; r2: rotated out)
         "gopher_quality": q_gopher_quality,
         "quality_score": q_quality_score,
@@ -1370,7 +1397,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q1": q_tpch_q1,
         "tpch_q3": q_tpch_q3,
         "tpch_q6": q_tpch_q6,
-        "hierarchy_summary": q_hierarchy_summary,
         # --- past the driver window (position 51+): green CORRECTNESS
         # --- r02 rows on inputs unchanged this round — see COVERAGE.md
         # --- (bm25_wrapped_score/tfidf_topk demoted: r1-green scoring
@@ -1379,6 +1405,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- r2-green corpus_filter_pipeline; vector_batch_topk
         # --- demoted: r1-green, J1-batch also exercised by the r2-green
         # --- ivf_knn_join — swapped for the round-3 additions)
+        "hierarchy_summary": q_hierarchy_summary,
         "vector_batch_topk": q_vector_batch_topk,
         "minhash_dedup_keep": q_minhash_dedup_keep,
         "bm25_wrapped_score": q_bm25_wrapped_score,
@@ -1899,6 +1926,18 @@ ORDER BY doc_id, chunk_index
             ANCHOR_VEC_ID, MMR_K, MMR_FIRST_STAGE_K, _MMR_LAMBDA
         ),
         "hard_negatives": oracles.hard_negatives_sql(HARD_NEG_ANCHORS, HARD_NEG_K),
+        "value_bands": """
+WITH bands(band, lo, hi) AS (
+  VALUES ('low', CAST(0.0 AS DOUBLE), CAST(20.0 AS DOUBLE)),
+         ('mid', CAST(20.0 AS DOUBLE), CAST(80.0 AS DOUBLE)),
+         ('high', CAST(80.0 AS DOUBLE), CAST(1000.0 AS DOUBLE))
+)
+SELECT b.band, CAST(count(*) AS BIGINT) AS n_events,
+       round(sum(e.value), 2) AS sum_value
+FROM events e LEFT JOIN bands b ON e.value >= b.lo AND e.value < b.hi
+GROUP BY b.band
+ORDER BY b.band NULLS LAST
+""",
         "orders_cube": """
 SELECT o_orderstatus, o_orderpriority,
        count(*) AS n_orders, round(sum(o_totalprice), 2) AS total

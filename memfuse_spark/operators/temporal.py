@@ -110,3 +110,32 @@ def asof_join(
         ],
     )
     return carried.filter(F.col("__side") == 1).drop("__side")
+
+
+# ---------------------------------------------------------------------------
+# interval / band range join
+# ---------------------------------------------------------------------------
+
+def band_range_join(
+    facts: DataFrame,
+    bands: DataFrame,
+    value_col: str = "value",
+    lo_col: str = "lo",
+    hi_col: str = "hi",
+) -> DataFrame:
+    """Non-equi band join: attach to each fact row the band whose
+    [lo, hi) interval contains its value.
+
+    The reference has no range joins (SURVEY §2.3 — equi-joins only);
+    this is the Spark-native extension for banding/bucketing dimension
+    joins (rate tables, SLA tiers, value histograms). The band table is
+    a dimension — broadcast it and the non-equi predicate evaluates
+    map-side (BroadcastNestedLoopJoin over a FEW broadcast rows per
+    fact, no shuffle of the fact table). Never express this as a
+    shuffled theta-join: a non-equi sort-merge degenerates to
+    per-partition cross products. For band tables too big to broadcast,
+    discretize: add `bucket = floor(value / step)` to BOTH sides and
+    equi-join on bucket first, then filter the residual predicate.
+    """
+    cond = (F.col(value_col) >= F.col(lo_col)) & (F.col(value_col) < F.col(hi_col))
+    return facts.join(F.broadcast(bands), cond, "left")

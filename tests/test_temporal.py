@@ -73,3 +73,21 @@ def test_asof_join_equal_ts_matches(spark):
     )
     got = asof_join(left, right, "user_id", "ts", ["view_id", "view_value"], "purchase_id").first()
     assert got.view_id == "v1"
+
+
+def test_band_range_join_assigns_and_broadcasts(spark):
+    from memfuse_spark.operators.temporal import band_range_join
+
+    facts = spark.createDataFrame(
+        [(1, 5.0), (2, 20.0), (3, 79.9), (4, 999.0)], "id long, value double"
+    )
+    bands = spark.createDataFrame(
+        [("low", 0.0, 20.0), ("mid", 20.0, 80.0)], "band string, lo double, hi double"
+    )
+    out = band_range_join(facts, bands)
+    got = {r.id: r.band for r in out.collect()}
+    assert got == {1: "low", 2: "mid", 3: "mid", 4: None}  # [lo, hi); no band -> NULL
+    plan = out._sc._jvm.PythonSQLUtils.explainString(
+        out._jdf.queryExecution(), "formatted"
+    )
+    assert "BroadcastNestedLoopJoin" in plan  # fact table never shuffles
