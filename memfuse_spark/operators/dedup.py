@@ -100,9 +100,12 @@ def minhash_signature(shingled: DataFrame, num_hashes: int = NUM_HASHES) -> Data
     bucket keys cheap (decimal strings, not 32-hex digests).
     """
     x = F.conv(F.substring(F.md5(F.col("sh")), 1, 8), 16, 10).cast("bigint")
+    # explode_outer + not-null: an inner explode's inferred size>0
+    # filter would re-inline the whole shingle build below the
+    # projection (2x tokenize+shingle per row — PLANS.md no-CSE notes)
     exploded = shingled.select(
-        "doc_id", F.explode("shingles").alias("sh")
-    ).select("doc_id", x.alias("__x"))
+        "doc_id", F.explode_outer("shingles").alias("sh")
+    ).filter(F.col("sh").isNotNull()).select("doc_id", x.alias("__x"))
     # single-string expressions: one py4j round-trip per aggregate
     # instead of one per operator node (query construction is driver-
     # side latency that repeats per query, unlike codegen which caches)

@@ -40,7 +40,9 @@ def build_postings(
     docs = ensure_parallelism(docs)
     toks = docs.select(
         F.col(id_col).alias("doc_id"), tokenize(text_col).alias("tokens")
-    ).select("doc_id", F.size("tokens").alias("dl"), F.explode("tokens").alias("term"))
+    ).select(
+        "doc_id", F.size("tokens").alias("dl"), F.explode_outer("tokens").alias("term")
+    ).filter(F.col("term").isNotNull())
     return toks.groupBy("doc_id", "term", "dl").agg(F.count("*").alias("tf"))
 
 

@@ -120,7 +120,12 @@ def unigram_logprob(
     Two aggregations (corpus LM + per-doc score); the LM table is tiny
     and broadcast into the scoring join.
     """
-    toks = docs.select(F.col(id_col).alias("doc_id"), F.explode(tokenize(text_col)).alias("tok"))
+    # explode_outer + not-null everywhere a computed array feeds a
+    # generate: an inner explode's inferred size>0 filter duplicates the
+    # tokenizer below the projection (PLANS.md no-CSE notes)
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"), F.explode_outer(tokenize(text_col)).alias("tok")
+    ).filter(F.col("tok").isNotNull())
     lm = toks.groupBy("tok").agg(F.count("*").alias("ctf"))
     total = lm.agg(F.sum("ctf").alias("total"))
     scored = toks.join(F.broadcast(lm), "tok").crossJoin(F.broadcast(total))
@@ -146,7 +151,9 @@ def gopher_quality_flags(
     mean token length bounds. `keep` is the conjunction.
     """
     toks = docs.select(F.col(id_col).alias("doc_id"), tokenize(text_col).alias("tk"))
-    exploded = toks.select("doc_id", F.explode("tk").alias("tok"))
+    exploded = toks.select("doc_id", F.explode_outer("tk").alias("tok")).filter(
+        F.col("tok").isNotNull()
+    )
     tf = exploded.groupBy("doc_id", "tok").agg(F.count("*").alias("tf"))
     top_share = tf.groupBy("doc_id").agg(
         (F.max("tf") / F.sum("tf")).alias("top_token_share")
@@ -224,7 +231,8 @@ def top_ngrams(
         ),
     ).otherwise(F.array().cast("array<string>"))
     return (
-        toks.select(F.explode(grams).alias("gram"))
+        toks.select(F.explode_outer(grams).alias("gram"))
+        .filter(F.col("gram").isNotNull())
         .groupBy("gram")
         .agg(F.count("*").cast("long").alias("cnt"))
         .orderBy(F.desc("cnt"), F.asc("gram"))
@@ -398,8 +406,8 @@ def quality_classifier(
     from memfuse_spark.operators.dedup import _token_hash32
 
     toks = docs.select(
-        F.col(id_col).alias("doc_id"), F.explode(tokenize(text_col)).alias("tok")
-    )
+        F.col(id_col).alias("doc_id"), F.explode_outer(tokenize(text_col)).alias("tok")
+    ).filter(F.col("tok").isNotNull())
     bucket = _token_hash32(F.col("tok")) % F.lit(buckets)
     if weights is not None:
         assert len(weights) == buckets
@@ -447,9 +455,11 @@ def importance_weights(
     equi-join on `tok` is what AQE falls back to.
     """
     ctoks = corpus.select(
-        F.col(id_col).alias("doc_id"), F.explode(tokenize(text_col)).alias("tok")
+        F.col(id_col).alias("doc_id"), F.explode_outer(tokenize(text_col)).alias("tok")
+    ).filter(F.col("tok").isNotNull())
+    ttoks = target.select(F.explode_outer(tokenize(text_col)).alias("tok")).filter(
+        F.col("tok").isNotNull()
     )
-    ttoks = target.select(F.explode(tokenize(text_col)).alias("tok"))
     clm = ctoks.groupBy("tok").agg(F.count("*").alias("cc"))
     tlm = ttoks.groupBy("tok").agg(F.count("*").alias("tc"))
     stats = clm.agg(
@@ -556,14 +566,24 @@ def collocations_pmi(
                 F.sequence(F.lit(1), F.size("tk") - 1),
                 lambda i: F.struct(
                     F.lit("b").alias("kind"),
-                    F.array_join(F.slice(F.col("tk"), i, 2), " ").alias("gram"),
+                    F.concat_ws(
+                        " ",
+                        F.element_at(F.col("tk"), i),
+                        F.element_at(F.col("tk"), i + 1),
+                    ).alias("gram"),
                 ),
             ),
         ).otherwise(F.array().cast("array<struct<kind:string,gram:string>>")),
     )
     cache.begin("textanalysis.pmi")
+    # explode_outer + not-null: an inner explode makes the optimizer
+    # infer `size(arr) > 0` and push it BELOW this projection with the
+    # whole gram-building expression inlined — the per-position re-
+    # tokenize pathology documented in PLANS.md. The not-null filter on
+    # the generate OUTPUT cannot be pushed below the Generate.
     counts = cache.scoped_persist(
-        toks.select(F.explode(gram_structs).alias("g"))
+        toks.select(F.explode_outer(gram_structs).alias("g"))
+        .filter(F.col("g").isNotNull())
         .select(F.col("g.kind").alias("kind"), F.col("g.gram").alias("gram"))
         .groupBy("kind", "gram")
         .agg(F.count("*").alias("cnt")),
@@ -635,7 +655,9 @@ def cluster_keywords(
         ),
         "doc_id",
     )
-    term_rows = labeled.select("cluster", F.explode("tk").alias("term"))
+    term_rows = labeled.select("cluster", F.explode_outer("tk").alias("term")).filter(
+        F.col("term").isNotNull()
+    )
     tf = term_rows.groupBy("cluster", "term").agg(F.count("*").alias("tf"))
     corpus_f = term_rows.groupBy("term").agg(F.count("*").alias("f"))
     class_sizes = term_rows.groupBy("cluster").agg(F.count("*").alias("n_tok"))
@@ -687,25 +709,47 @@ def bigram_logprob(
     from memfuse_spark import cache
 
     toks = docs.select(F.col(id_col).alias("doc_id"), tokenize(text_col).alias("tk"))
-    # the exploded bigram table feeds the LM build AND the scoring join —
-    # persist it so the corpus is tokenized/exploded once, not once per
-    # aggregate job (broadcast builds each materialize eagerly; measured
-    # 16s → ~4s at sf0.1 without/with). Scoped: next query releases it.
-    cache.begin("textanalysis.bigram")
-    bgs = cache.scoped_persist(
-        toks.select(
-            "doc_id",
-            F.when(
-                F.size("tk") >= 2,
-                F.transform(
-                    F.sequence(F.lit(1), F.size("tk") - 1),
-                    lambda i: F.array_join(F.slice(F.col("tk"), i, 2), " "),
+    tk = F.col("tk")
+    # ONE tagged explode carries unigrams (vocab) and bigrams (LM build
+    # + scoring) — the corpus is tokenized and scanned once, into a
+    # persisted narrow (doc_id, kind, gram) table every aggregate reads.
+    # Bigram strings build from two element_at lookups, not a slice
+    # array allocation per position. Scoped: next query releases it.
+    gram_structs = F.concat(
+        F.transform(tk, lambda w: F.struct(F.lit("u").alias("kind"), w.alias("gram"))),
+        F.when(
+            F.size(tk) >= 2,
+            F.transform(
+                F.sequence(F.lit(1), F.size(tk) - 1),
+                lambda i: F.struct(
+                    F.lit("b").alias("kind"),
+                    F.concat_ws(
+                        " ", F.element_at(tk, i), F.element_at(tk, i + 1)
+                    ).alias("gram"),
                 ),
-            ).otherwise(F.array().cast("array<string>")).alias("bg"),
-        ).select("doc_id", F.explode("bg").alias("gram")),
+            ),
+        ).otherwise(F.array().cast("array<struct<kind:string,gram:string>>")),
+    )
+    # LM build: ONE tagged corpus scan aggregated straight to the tiny
+    # (kind, gram, cnt) table — vocab + bigram types, corpus-size-
+    # independent — which is what gets persisted (caching the 500k+
+    # pre-aggregation rows instead measured 2-3× slower: the cache
+    # write of corpus-scale rows costs more than the second scan the
+    # scoring join needs). bi_lm, ctx and vocab all read the tiny cache.
+    cache.begin("textanalysis.bigram")
+    counts = cache.scoped_persist(
+        # explode_outer + not-null: see collocations_pmi — an inner
+        # explode's inferred size>0 filter re-inlines the gram builder
+        toks.select(F.explode_outer(gram_structs).alias("g"))
+        .filter(F.col("g").isNotNull())
+        .select(F.col("g.kind").alias("kind"), F.col("g.gram").alias("gram"))
+        .groupBy("kind", "gram")
+        .agg(F.count("*").alias("cnt")),
         "textanalysis.bigram",
     )
-    bi_lm = bgs.groupBy("gram").agg(F.count("*").alias("cbg"))
+    bi_lm = counts.filter(F.col("kind") == "b").select(
+        "gram", F.col("cnt").alias("cbg")
+    )
     # context counts = bigram counts summed by first word (identical to
     # counting bigram-starting tokens directly, one corpus pass fewer)
     ctx = (
@@ -713,9 +757,24 @@ def bigram_logprob(
         .groupBy("w")
         .agg(F.sum("cbg").alias("cctx"))
     )
-    vocab = (
-        toks.select(F.explode("tk").alias("w"))
-        .agg(F.countDistinct("w").alias("v"))
+    vocab = counts.filter(F.col("kind") == "u").agg(
+        F.count("*").alias("v")
+    )
+    # scoring needs per-doc bigram rows: second corpus scan, joined to
+    # the broadcast LM tables
+    bgs = toks.select(
+        "doc_id",
+        F.when(
+            F.size(tk) >= 2,
+            F.transform(
+                F.sequence(F.lit(1), F.size(tk) - 1),
+                lambda i: F.concat_ws(
+                    " ", F.element_at(tk, i), F.element_at(tk, i + 1)
+                ),
+            ),
+        ).otherwise(F.array().cast("array<string>")).alias("bg"),
+    ).select("doc_id", F.explode_outer("bg").alias("gram")).filter(
+        F.col("gram").isNotNull()
     )
     k = float(smooth_k)
     logp = F.log(
