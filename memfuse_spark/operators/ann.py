@@ -109,6 +109,48 @@ def ann_lsh_topk(
     )
 
 
+def ann_lsh_topk_multiprobe(
+    embeddings: DataFrame,
+    qvec: Sequence[float],
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    num_planes: int = NUM_HYPERPLANES,
+    score_decimals: int = 6,
+) -> DataFrame:
+    """Multi-probe sign-LSH top-k (Lv et al. '07): scan the query's
+    bucket plus every Hamming-1 neighbor bucket.
+
+    Sign-LSH's recall failure mode is a query near a hyperplane: its
+    nearest neighbors land one sign-flip away. Probing the num_planes
+    1-flip buckets recovers them at (1 + num_planes)/2^num_planes of
+    the corpus instead of doubling the planes (which would square the
+    bucket count). The probe set is still a plain IN predicate — with
+    the corpus partitioned by bucket (write_bucketed_corpus) it prunes
+    to 1 + num_planes partitions before any scoring.
+    """
+    dim = len(qvec)
+    qdf = embeddings.sparkSession.createDataFrame(
+        [(list(map(float, qvec)),)], "qv array<double>"
+    )
+    qbucket = qdf.select(lsh_bucket("qv", dim, num_planes).alias("b")).first()["b"]
+    probes = [qbucket] + [
+        qbucket[:i] + ("1" if qbucket[i] == "0" else "0") + qbucket[i + 1 :]
+        for i in range(num_planes)
+    ]
+    q = F.array(*[F.lit(float(x)) for x in qvec])
+    bucketed = embeddings.withColumn("bucket", lsh_bucket(vec_col, dim, num_planes))
+    return (
+        bucketed.filter(F.col("bucket").isin(probes))
+        .select(
+            id_col,
+            F.round(cosine_similarity(F.col(vec_col), q), score_decimals).alias("score"),
+        )
+        .orderBy(F.desc("score"), F.asc(id_col))
+        .limit(k)
+    )
+
+
 def write_bucketed_corpus(
     embeddings: DataFrame,
     path: str,

@@ -1497,3 +1497,40 @@ ranked AS (
 SELECT anchor_id, vec_id, score FROM ranked WHERE rn <= {k}
 ORDER BY anchor_id, score DESC, vec_id
 """
+
+
+# --- multi-probe LSH oracle -------------------------------------------------
+
+def ann_lsh_multiprobe_sql(
+    anchor: int, k: int, num_planes: int, dim: int = 64
+) -> str:
+    """DuckDB twin of ann.ann_lsh_topk_multiprobe: query bucket + every
+    Hamming-1 flip, candidates by bucket equi-join, exact cosine rank."""
+    from memfuse_spark.operators.ann import lsh_bucket_sql
+
+    qb = lsh_bucket_sql("q.qv", dim, num_planes)
+    eb = lsh_bucket_sql("e.embedding", dim, num_planes)
+    cos = (
+        "round(list_dot_product(CAST(e.embedding AS DOUBLE[]), q.qv)"
+        " / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])))"
+        " * sqrt(list_dot_product(q.qv, q.qv))), 6)"
+    )
+    flips = []
+    for i in range(1, num_planes + 1):
+        flips.append(
+            f"SELECT substr(b, 1, {i - 1}) ||"
+            f" (CASE WHEN substr(b, {i}, 1) = '0' THEN '1' ELSE '0' END) ||"
+            f" substr(b, {i + 1}) AS bucket FROM qb"
+        )
+    probes = "SELECT b AS bucket FROM qb\n  UNION ALL " + "\n  UNION ALL ".join(flips)
+    return f"""
+WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = {anchor}),
+qb AS (SELECT {qb} AS b FROM q),
+probes AS (
+  {probes}
+)
+SELECT e.vec_id, {cos} AS score
+FROM embeddings e JOIN probes p ON {eb} = p.bucket, q
+ORDER BY score DESC, e.vec_id ASC
+LIMIT {k}
+"""

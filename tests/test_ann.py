@@ -118,3 +118,18 @@ def test_pq_encode_codes_in_range(spark, tables):
     assert codes.count() == n_vecs * 4  # one code per (vector, subspace)
     bad = codes.filter(~codes.code.isin(*cells)).count()
     assert bad == 0
+
+
+def test_multiprobe_recall_at_least_single_probe(spark, tables):
+    from memfuse_spark.operators.ann import ann_lsh_topk, ann_lsh_topk_multiprobe
+    from memfuse_spark.plans.pipeline import anchor_vector
+
+    emb = tables["embeddings"]
+    qvec = anchor_vector(spark, emb, 0)
+    exact = {r.vec_id for r in similarity_topk(emb, qvec, 10).collect()}
+    single = {r.vec_id for r in ann_lsh_topk(emb, qvec, 10, num_planes=4).collect()}
+    multi = {r.vec_id for r in ann_lsh_topk_multiprobe(emb, qvec, 10, num_planes=4).collect()}
+    # multi-probe scans a superset of the single bucket, so its top-k
+    # can only improve (or tie) recall; it must still contain the anchor
+    assert 0 in multi
+    assert len(exact & multi) >= len(exact & single)
