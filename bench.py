@@ -50,6 +50,9 @@ EXTRA = [
     "cluster_keywords",
     "bigram_logprob",
     "mmr_rerank",
+    "hard_negatives",
+    "value_bands",
+    "ann_multiprobe",
 ]
 
 
