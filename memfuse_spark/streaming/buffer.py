@@ -373,3 +373,84 @@ def windowed_event_counts(
         .groupBy(win, "event_type")
         .agg(F.count("*").alias("n_events"), F.sum("value").alias("sum_value"))
     )
+
+
+def dedup_ingest_stream(
+    docs_stream: DataFrame,
+    out_base: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float | None = None,
+) -> "StreamingQuery":
+    """Streaming incremental near-dup: each micro-batch dedups against
+    the accumulated LSH signature index, then absorbs into it.
+
+    The streaming twin of dedup.incremental_neardup_pairs (the
+    daily-crawl shape, continuous): per epoch the NEW docs are
+    shingled/signed/banded; candidates come from the batch×index
+    equi-join plus within-batch; verified pairs, the batch's index rows
+    and the batch's docs all land under ``out_base`` partitioned by
+    epoch_id with dynamic overwrite — a replayed epoch REPLACES its
+    partitions, so the index never double-counts a batch (the same
+    exactly-once pattern as ingest_stream). The historical corpus is
+    only ever touched as (a) its index rows in the candidate equi-join
+    and (b) shingle rehydration for the candidate ids — never
+    re-signed.
+
+    Outputs under out_base: ``pairs/`` (doc_a, doc_b, jaccard),
+    ``index/`` (doc_id, band, bucket), ``docs/`` (raw batch rows).
+    """
+    from memfuse_spark.operators.dedup import (
+        JACCARD_THRESHOLD,
+        incremental_neardup_pairs,
+    )
+
+    thr = JACCARD_THRESHOLD if threshold is None else threshold
+    spark = docs_stream.sparkSession
+
+    def write_epoch(df: DataFrame, name: str, epoch_id: int) -> None:
+        (
+            df.withColumn("epoch_id", F.lit(epoch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("epoch_id")
+            .parquet(os.path.join(out_base, name))
+        )
+
+    def _load(name: str, schema: str) -> DataFrame:
+        path = os.path.join(out_base, name)
+        try:
+            return spark.read.parquet(path)
+        except Exception:  # first epoch: nothing written yet
+            return spark.createDataFrame([], schema)
+
+    def process_batch(batch: DataFrame, epoch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        index = _load("index", f"{id_col} long, band int, bucket string, epoch_id long")
+        prior_docs = _load(
+            "docs", f"{id_col} long, {text_col} string, epoch_id long"
+        ).filter(F.col("epoch_id") != epoch_id)  # replay: exclude own partition
+        all_docs = prior_docs.select(id_col, text_col).unionByName(
+            batch.select(id_col, text_col)
+        )
+        pairs, new_rows = incremental_neardup_pairs(
+            batch,
+            all_docs,
+            index.filter(F.col("epoch_id") != epoch_id).select(
+                id_col, "band", "bucket"
+            ),
+            id_col=id_col,
+            text_col=text_col,
+            threshold=thr,
+        )
+        write_epoch(pairs, "pairs", epoch_id)
+        write_epoch(new_rows, "index", epoch_id)
+        write_epoch(batch.select(id_col, text_col), "docs", epoch_id)
+
+    return (
+        docs_stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", os.path.join(out_base, "_checkpoint"))
+        .trigger(availableNow=True)
+        .start()
+    )

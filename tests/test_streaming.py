@@ -243,3 +243,39 @@ def test_stream_dedup_within_watermark(spark, tmp_path):
     q.stop()
     ids = sorted(r.event_id for r in got)
     assert ids == [0, 1, 2, 3, 4]  # each id exactly once
+
+
+def test_dedup_ingest_stream_matches_batch_pipeline(spark, tmp_path):
+    """Streaming incremental near-dup over two micro-batches produces
+    exactly the full-pipeline pair set: within-epoch0 pairs + epoch1-
+    touching pairs partition the pair space."""
+    from memfuse_spark.catalog import load_table
+    from memfuse_spark.operators.dedup import minhash_lsh_pairs
+    from tests.conftest import SF_DIR_MED
+
+    docs = load_table(spark, SF_DIR_MED, "documents").select("doc_id", "text")
+    src = str(tmp_path / "docs_src")
+    docs.filter("doc_id < 250").coalesce(1).write.mode("append").parquet(src)
+    docs.filter("doc_id >= 250").coalesce(1).write.mode("append").parquet(src)
+
+    out = str(tmp_path / "dedup_out")
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = sb.dedup_ingest_stream(stream, out)
+    q.awaitTermination(240)
+
+    got_pairs = spark.read.parquet(os.path.join(out, "pairs"))
+    got = {(r.doc_a, r.doc_b, r.jaccard) for r in got_pairs.collect()}
+    want = {
+        (r.doc_a, r.doc_b, r.jaccard) for r in minhash_lsh_pairs(docs).collect()
+    }
+    assert got == want
+    assert want  # fixture yields near-dup pairs
+    # each pair reported exactly once (epochs partition the pair space)
+    assert got_pairs.count() == got_pairs.select("doc_a", "doc_b").distinct().count()
+    # the index absorbed both batches
+    idx = spark.read.parquet(os.path.join(out, "index"))
+    assert idx.select("doc_id").distinct().count() == docs.count()
