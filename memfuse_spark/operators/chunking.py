@@ -289,3 +289,155 @@ def sequence_pack(
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Content-defined chunking (CDC)
+# ---------------------------------------------------------------------------
+
+CDC_MASK = 16          # boundary when bigram hash % 16 == 0 → ~16-token chunks
+CDC_MIN_TOKENS = 4     # suppress boundaries that would leave a tiny chunk
+
+
+def cdc_chunks(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    mask: int = CDC_MASK,
+    min_tokens: int = CDC_MIN_TOKENS,
+) -> DataFrame:
+    """(doc_id, chunk_id, n_tokens, chunk_hash) — content-defined chunking:
+    a chunk boundary falls BEFORE token i whenever the rolling bigram
+    hash md5(token[i-1] + ' ' + token[i]) % mask == 0 and at least
+    `min_tokens` tokens have accumulated since the last boundary.
+
+    Why content-defined: fixed-size windows (fixed_char_chunks) shift
+    every boundary after an insertion, so near-identical documents share
+    almost no chunk hashes; CDC boundaries depend only on local content,
+    so an edit perturbs O(1) chunks — the property rsync/LBFS-style
+    dedup (Muthitacharoen et al. '01) relies on. Feed chunk_hash into
+    exact_dedup for sub-document dedup robust to edits.
+
+    Plan shape: posexplode(tokenize) → lag window per doc → running-sum
+    window per doc → one groupBy(doc, chunk). All shuffles are keyed by
+    doc_id (documents are independent — perfectly parallel); tokens of
+    one document co-locate, which is the same envelope every per-doc
+    window here already uses. The min-token guard is applied via a
+    two-pass boundary rule (raw boundary flags → running token count
+    since last ACCEPTED boundary) expressed as: accept a raw boundary
+    only if its token position is >= min_tokens past the previous raw
+    boundary's accepted ancestor — approximated one-pass: accept raw
+    boundaries whose distance to the PREVIOUS RAW boundary >= min_tokens
+    (deterministic on both engines, and identical in SQL).
+
+    No reference analog (closest: fixed windows in
+    memfuse rag/chunk/character.py) — net-new dedup capability.
+    """
+    from pyspark.sql import Window
+
+    from memfuse_spark.functions.text import tokenize
+
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode_outer(tokenize(text_col)).alias("pos", "tok"),
+    ).filter(F.col("tok").isNotNull())
+
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat_ws(" ", F.lag("tok").over(w), F.col("tok"))), 1, 8
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    raw = toks.withColumn(
+        "raw_b",
+        F.when(F.lag("tok").over(w).isNull(), F.lit(0))
+        .when(h % mask == 0, F.lit(1))
+        .otherwise(F.lit(0)),
+    )
+    # distance to previous raw boundary (or doc start)
+    bw = Window.partitionBy("doc_id").orderBy("pos")
+    prev_raw = F.last(
+        F.when(F.col("raw_b") == 1, F.col("pos")), ignorenulls=True
+    ).over(bw.rowsBetween(Window.unboundedPreceding, -1))
+    accepted = raw.withColumn(
+        "b",
+        F.when(
+            (F.col("raw_b") == 1)
+            & (F.col("pos") - F.coalesce(prev_raw, F.lit(0)) >= min_tokens),
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    )
+    chunked = accepted.withColumn(
+        "chunk_id",
+        F.sum("b").over(bw.rowsBetween(Window.unboundedPreceding, 0)).cast("long"),
+    )
+    return (
+        chunked.groupBy("doc_id", "chunk_id")
+        .agg(
+            F.count("*").cast("long").alias("n_tokens"),
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                        lambda s: s.tok,
+                    ),
+                    " ",
+                )
+            ).alias("chunk_hash"),
+        )
+        .orderBy("doc_id", "chunk_id")
+    )
+
+
+def cdc_chunks_sql(
+    tokenize_sql: str, mask: int = CDC_MASK, min_tokens: int = CDC_MIN_TOKENS
+) -> str:
+    """DuckDB twin of :func:`cdc_chunks` (same hash, same boundary rule)."""
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest({tokenize_sql}) AS tok,
+         generate_subscripts({tokenize_sql}, 1) - 1 AS pos
+  FROM documents
+),
+lagged AS (
+  SELECT doc_id, pos, tok,
+         lag(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS prev_tok
+  FROM toks
+),
+rawb AS (
+  SELECT doc_id, pos, tok,
+         CASE WHEN prev_tok IS NULL THEN 0
+              WHEN CAST('0x' || substring(md5(prev_tok || ' ' || tok), 1, 8)
+                   AS BIGINT) % {mask} = 0 THEN 1
+              ELSE 0 END AS raw_b
+  FROM lagged
+),
+dist AS (
+  SELECT doc_id, pos, tok, raw_b,
+         last_value(CASE WHEN raw_b = 1 THEN pos END IGNORE NULLS)
+           OVER (PARTITION BY doc_id ORDER BY pos
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_raw
+  FROM rawb
+),
+acc AS (
+  SELECT doc_id, pos, tok,
+         CASE WHEN raw_b = 1
+                   AND pos - coalesce(prev_raw, 0) >= {min_tokens}
+              THEN 1 ELSE 0 END AS b
+  FROM dist
+),
+chunked AS (
+  SELECT doc_id, pos, tok,
+         CAST(sum(b) OVER (PARTITION BY doc_id ORDER BY pos
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS chunk_id
+  FROM acc
+)
+SELECT doc_id, chunk_id, CAST(count(*) AS BIGINT) AS n_tokens,
+       md5(string_agg(tok, ' ' ORDER BY pos)) AS chunk_hash
+FROM chunked
+GROUP BY doc_id, chunk_id
+ORDER BY doc_id, chunk_id
+"""

@@ -1,0 +1,331 @@
+"""Probabilistic sketches for corpus-scale statistics (beyond-reference).
+
+A 100 TB training-data pipeline needs cardinality and frequency
+estimates whose state is FIXED-SIZE regardless of input volume:
+HyperLogLog registers (Flajolet et al. '07) for distinct counts and a
+count-min sketch (Cormode & Muthukrishnan '05) for heavy-hitter
+frequencies. Spark's built-in ``approx_count_distinct`` is the
+engine-native path; these deterministic twins exist so the sketch math
+itself is oracle-checkable against DuckDB (identical md5-derived
+hashes, integer-exact register sums) and so sketches can be
+MATERIALIZED as tables and merged across partitions/epochs — the
+property the built-in aggregate does not expose.
+
+Scale notes:
+- HLL: one narrow shuffle of (bucket, rho) pairs — at most ``m`` groups
+  survive the map-side combine, so reducer input is O(partitions × m),
+  independent of row count. Register table is mergeable with
+  ``greatest`` on max_rho (union of epochs → one more 64-group agg).
+- CMS: built on top of an exact wordcount aggregation here (the corpus
+  token table is already needed elsewhere); at pure-stream scale the
+  same d×w bucket agg applies directly to the token stream with the
+  identical fixed-size result (d·w cells).
+
+Determinism contract: hashes are md5-derived on both engines
+(Spark ``conv(substr(md5(x),1,k),16,10)`` ≡ DuckDB
+``CAST('0x'||substring(md5(x),1,k) AS BIGINT)``); register sums use
+integer arithmetic (sum of 2^(55-rho) as BIGINT) so no float
+accumulation order can flip a value; the final estimate divides two
+exact integers once.
+
+No analog in the reference (closest: running counters in
+memfuse `services/memory_service.py` metrics) — this is net-new
+pipeline capability.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------------
+# HyperLogLog
+# ---------------------------------------------------------------------------
+
+HLL_P = 6                  # 2^6 = 64 registers
+HLL_M = 1 << HLL_P
+HLL_ALPHA = 0.709          # alpha_m for m = 64 (Flajolet et al. '07 Fig. 3)
+_REST_BITS = 60 - HLL_P    # 54 usable bits after the bucket index
+_POW = 1 << (_REST_BITS + 1)  # 2^55: integer register-sum scale factor
+
+
+def _h60(col: Column) -> Column:
+    """60-bit md5-derived hash (15 hex chars keeps conv() positive)."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("bigint")
+
+
+def _h60_sql(expr: str) -> str:
+    return f"CAST('0x' || substring(md5({expr}), 1, 15) AS BIGINT)"
+
+
+def hll_registers(df: DataFrame, col: str) -> DataFrame:
+    """(bucket, max_rho) register table — the mergeable sketch state.
+
+    rho = leading-zero count of the 54-bit post-bucket field, + 1.
+    bin() prints positive integers unpadded on both engines, so
+    bitlength(rest) = length(bin(rest)) with an explicit rest=0 guard.
+    """
+    h = _h60(F.col(col).cast("string"))
+    rest = F.floor(h / HLL_M).cast("bigint")
+    rho = F.when(rest == 0, F.lit(_REST_BITS + 1)).otherwise(
+        F.lit(_REST_BITS + 1) - F.length(F.bin(rest))
+    )
+    return (
+        df.select((h % HLL_M).alias("bucket"), rho.alias("rho"))
+        .groupBy("bucket")
+        .agg(F.max("rho").alias("max_rho"))
+    )
+
+
+def hll_merge(*register_dfs: DataFrame) -> DataFrame:
+    """Merge sketches (epochs / partitions): elementwise max per bucket."""
+    out = register_dfs[0]
+    for other in register_dfs[1:]:
+        out = out.unionByName(other)
+    return out.groupBy("bucket").agg(F.max("max_rho").alias("max_rho"))
+
+
+def hll_estimate(registers: DataFrame) -> DataFrame:
+    """One row: (m, n_zero_registers, estimate).
+
+    Integer register sum: empty buckets contribute 2^55 (register 0);
+    present buckets 2^(55 - max_rho). sum <= 64·2^55 = 2^61 — exact in
+    BIGINT, order-independent. Small-range (linear counting) correction
+    when E <= 2.5m and zero registers remain.
+    """
+    agg = registers.agg(
+        F.count("*").alias("n_present"),
+        F.sum(
+            F.expr(f"shiftleft(CAST(1 AS BIGINT), {_REST_BITS + 1} - max_rho)")
+        )
+        .cast("bigint")
+        .alias("present_sum"),
+    )
+    n_zero = F.lit(HLL_M) - F.col("n_present")
+    int_sum = F.col("present_sum") + n_zero * F.lit(_POW)
+    raw = F.lit(HLL_ALPHA * HLL_M * HLL_M) * F.lit(float(_POW)) / int_sum
+    est = F.when(
+        (raw <= 2.5 * HLL_M) & (n_zero > 0),
+        F.lit(float(HLL_M)) * F.log(F.lit(float(HLL_M)) / n_zero),
+    ).otherwise(raw)
+    return agg.select(
+        F.lit(HLL_M).alias("m"),
+        n_zero.cast("long").alias("n_zero"),
+        F.round(est, 2).alias("estimate"),
+    )
+
+
+def hll_vs_exact(df: DataFrame, col: str) -> DataFrame:
+    """Sketch estimate side-by-side with the exact distinct count.
+
+    The exact count exists only for the oracle check — at 100 TB you
+    keep the 64-register sketch and drop this cross join.
+    """
+    est = hll_estimate(hll_registers(df, col))
+    exact = df.agg(F.countDistinct(col).alias("exact_distinct"))
+    return est.crossJoin(exact).select(
+        "m",
+        "n_zero",
+        "estimate",
+        "exact_distinct",
+        F.round(
+            F.abs(F.col("estimate") - F.col("exact_distinct"))
+            / F.col("exact_distinct"),
+            4,
+        ).alias("rel_err"),
+    )
+
+
+def hll_vs_exact_sql(table: str, col: str) -> str:
+    """DuckDB twin of :func:`hll_vs_exact` (same hash, same integer sum)."""
+    rb = _REST_BITS
+    return f"""
+WITH h AS (
+  SELECT {_h60_sql(f"CAST({col} AS VARCHAR)")} AS hv FROM {table}
+),
+regs AS (
+  SELECT hv % {HLL_M} AS bucket,
+         max(CASE WHEN hv // {HLL_M} = 0 THEN {rb + 1}
+                  ELSE {rb + 1} - length(bin(hv // {HLL_M})) END) AS max_rho
+  FROM h GROUP BY bucket
+),
+s AS (
+  SELECT count(*) AS n_present,
+         CAST(sum(CAST(1 AS BIGINT) << ({rb + 1} - max_rho)) AS BIGINT)
+           AS present_sum
+  FROM regs
+),
+e AS (
+  SELECT {HLL_M} AS m,
+         CAST({HLL_M} - n_present AS BIGINT) AS n_zero,
+         {HLL_ALPHA * HLL_M * HLL_M} * CAST({_POW} AS DOUBLE)
+           / (present_sum + ({HLL_M} - n_present) * CAST({_POW} AS BIGINT))
+           AS raw
+  FROM s
+),
+x AS (SELECT count(DISTINCT {col}) AS exact_distinct FROM {table})
+SELECT m, n_zero,
+       round(CASE WHEN raw <= 2.5 * m AND n_zero > 0
+                  THEN m * ln(CAST(m AS DOUBLE) / n_zero)
+                  ELSE raw END, 2) AS estimate,
+       exact_distinct,
+       round(abs(round(CASE WHEN raw <= 2.5 * m AND n_zero > 0
+                            THEN m * ln(CAST(m AS DOUBLE) / n_zero)
+                            ELSE raw END, 2) - exact_distinct)
+             / exact_distinct, 4) AS rel_err
+FROM e, x
+"""
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch
+# ---------------------------------------------------------------------------
+
+CMS_D = 4     # hash rows
+CMS_W = 512   # buckets per row
+
+
+def _hrow(col: Column, row: int) -> Column:
+    """Row-salted 32-bit md5 bucket hash."""
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit(f"cms{row}|"), col)), 1, 8), 16, 10
+    ).cast("bigint")
+    return h % CMS_W
+
+
+def _hrow_sql(expr: str, row: int) -> str:
+    return (
+        f"CAST('0x' || substring(md5('cms{row}|' || {expr}), 1, 8) AS BIGINT)"
+        f" % {CMS_W}"
+    )
+
+
+def cms_build(counts: DataFrame, key_col: str = "token", cnt_col: str = "cnt") -> DataFrame:
+    """d×w sketch table (hash_row, bucket, weight) from exact per-key counts.
+
+    One stack-explode (d rows per key) + one groupBy over d·w = 2048
+    cells — the shuffle output is fixed-size no matter the corpus.
+    """
+    rows = F.array(
+        *[
+            F.struct(F.lit(r).alias("hash_row"), _hrow(F.col(key_col), r).alias("bucket"))
+            for r in range(CMS_D)
+        ]
+    )
+    return (
+        counts.select(F.col(cnt_col).alias("cnt"), F.explode(rows).alias("rb"))
+        .groupBy(F.col("rb.hash_row").alias("hash_row"), F.col("rb.bucket").alias("bucket"))
+        .agg(F.sum("cnt").cast("long").alias("weight"))
+    )
+
+
+def cms_estimate(sketch: DataFrame, items: DataFrame, key_col: str = "token") -> DataFrame:
+    """Point-query the sketch: min over the d row counters per item.
+
+    The sketch side is 2048 rows — broadcast it; the probe is a
+    map-side join no matter how many items are queried.
+    """
+    probes = items.select(
+        key_col,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(r).alias("hash_row"),
+                        _hrow(F.col(key_col), r).alias("bucket"),
+                    )
+                    for r in range(CMS_D)
+                ]
+            )
+        ).alias("rb"),
+    ).select(key_col, F.col("rb.hash_row").alias("hash_row"), F.col("rb.bucket").alias("bucket"))
+    joined = probes.join(F.broadcast(sketch), ["hash_row", "bucket"], "inner")
+    return joined.groupBy(key_col).agg(F.min("weight").cast("long").alias("cms_count"))
+
+
+def cms_heavy_hitters(
+    docs: DataFrame, text_col: str = "text", top_n: int = 20
+) -> DataFrame:
+    """Top-n exact tokens with their count-min estimates side by side.
+
+    cms_count >= true_count always (counters only over-count); the
+    driver-checked output makes that inequality and the exact collision
+    error visible. Plan: one wordcount shuffle (token counts), one
+    fixed-size sketch agg, broadcast probe of the 2048-cell sketch.
+    """
+    from memfuse_spark.functions.text import tokenize
+
+    counts = (
+        docs.select(F.explode(tokenize(F.col(text_col))).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").cast("long").alias("true_count"))
+    )
+    counts = counts.persist()
+    try:
+        sketch = cms_build(counts, "token", "true_count")
+        top = (
+            counts.orderBy(F.desc("true_count"), F.asc("token")).limit(top_n)
+        )
+        est = cms_estimate(sketch, top.select("token"), "token")
+        out = (
+            top.join(est, "token")
+            .select(
+                "token",
+                "true_count",
+                "cms_count",
+                (F.col("cms_count") - F.col("true_count")).alias("overcount"),
+            )
+            .orderBy(F.desc("true_count"), F.asc("token"))
+        )
+        # result is top_n rows: materialize eagerly, then release the
+        # wordcount cache (keyword.bm25_topk discipline).
+        rows = out.collect()
+        return out.sparkSession.createDataFrame(rows, out.schema)
+    finally:
+        counts.unpersist()
+
+
+def cms_heavy_hitters_sql(tokenize_sql: str, top_n: int = 20) -> str:
+    """DuckDB twin of :func:`cms_heavy_hitters`."""
+    probe_rows = "\n    UNION ALL\n".join(
+        f"    SELECT token, {r} AS hash_row, {_hrow_sql('token', r)} AS bucket"
+        f" FROM top"
+        for r in range(CMS_D)
+    )
+    sketch_rows = "\n    UNION ALL\n".join(
+        f"    SELECT {r} AS hash_row, {_hrow_sql('token', r)} AS bucket,"
+        f" true_count FROM counts"
+        for r in range(CMS_D)
+    )
+    return f"""
+WITH toks AS (
+  SELECT unnest({tokenize_sql}) AS token FROM documents
+),
+counts AS (
+  SELECT token, CAST(count(*) AS BIGINT) AS true_count
+  FROM toks GROUP BY token
+),
+cells AS (
+{sketch_rows}
+),
+sketch AS (
+  SELECT hash_row, bucket, CAST(sum(true_count) AS BIGINT) AS weight
+  FROM cells GROUP BY hash_row, bucket
+),
+top AS (
+  SELECT token, true_count FROM counts
+  ORDER BY true_count DESC, token ASC LIMIT {top_n}
+),
+probes AS (
+{probe_rows}
+),
+est AS (
+  SELECT p.token, CAST(min(s.weight) AS BIGINT) AS cms_count
+  FROM probes p JOIN sketch s USING (hash_row, bucket)
+  GROUP BY p.token
+)
+SELECT t.token, t.true_count, e.cms_count,
+       e.cms_count - t.true_count AS overcount
+FROM top t JOIN est e USING (token)
+ORDER BY t.true_count DESC, t.token ASC
+"""

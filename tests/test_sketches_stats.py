@@ -1,0 +1,228 @@
+"""Tests for probabilistic sketches (HLL, CMS), robust stats, CDC
+chunking, prefix-filter similarity join, and the LRU query-result cache."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_DIR
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    from memfuse_spark.catalog import load_table
+
+    return load_table(spark, SF_DIR, "documents")
+
+
+@pytest.fixture(scope="module")
+def events(spark):
+    from memfuse_spark.catalog import load_table
+
+    return load_table(spark, SF_DIR, "events")
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog
+# ---------------------------------------------------------------------------
+
+def test_hll_estimate_within_expected_error(spark, events):
+    from memfuse_spark.operators.sketches import hll_vs_exact
+
+    row = hll_vs_exact(events, "user_id").collect()[0]
+    # m=64 gives a ~13% standard error; allow 3 sigma.
+    assert row["exact_distinct"] > 0
+    assert row["rel_err"] < 0.40
+    assert row["m"] == 64
+
+
+def test_hll_merge_equals_single_pass(spark, events):
+    """Sketch of a union == merge of per-part sketches (mergeability —
+    the property that makes the register table epoch-combinable)."""
+    from memfuse_spark.operators.sketches import hll_estimate, hll_merge, hll_registers
+
+    a = events.filter(F.col("event_id") % 2 == 0)
+    b = events.filter(F.col("event_id") % 2 == 1)
+    merged = hll_estimate(hll_merge(hll_registers(a, "user_id"), hll_registers(b, "user_id")))
+    single = hll_estimate(hll_registers(events, "user_id"))
+    assert merged.collect() == single.collect()
+
+
+def test_hll_registers_bounded(spark, events):
+    from memfuse_spark.operators.sketches import HLL_M, hll_registers
+
+    regs = hll_registers(events, "user_id").collect()
+    assert len(regs) <= HLL_M
+    assert all(1 <= r["max_rho"] <= 55 for r in regs)
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch
+# ---------------------------------------------------------------------------
+
+def test_cms_never_undercounts(spark, docs):
+    from memfuse_spark.operators.sketches import cms_heavy_hitters
+
+    rows = cms_heavy_hitters(docs, "text", 15).collect()
+    assert len(rows) == 15
+    for r in rows:
+        assert r["cms_count"] >= r["true_count"]
+        assert r["overcount"] == r["cms_count"] - r["true_count"]
+
+
+def test_cms_sketch_is_fixed_size(spark, docs):
+    from memfuse_spark.functions.text import tokenize
+    from memfuse_spark.operators.sketches import CMS_D, CMS_W, cms_build
+
+    counts = (
+        docs.select(F.explode(tokenize(F.col("text"))).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("cnt"))
+    )
+    sketch = cms_build(counts, "token", "cnt")
+    assert sketch.count() <= CMS_D * CMS_W
+
+
+# ---------------------------------------------------------------------------
+# MAD outliers
+# ---------------------------------------------------------------------------
+
+def test_mad_flags_injected_outlier(spark):
+    from memfuse_spark.operators.stats import mad_outlier_stats
+
+    rows = [("a", float(v)) for v in range(100)] + [("a", 1e6)]
+    df = spark.createDataFrame(rows, "event_type string, value double")
+    out = mad_outlier_stats(df).collect()[0]
+    assert out["n_outliers"] >= 1
+    assert out["median"] == pytest.approx(50.0, abs=1.0)
+
+
+def test_mad_zero_mad_group_flags_nothing(spark):
+    from memfuse_spark.operators.stats import mad_outlier_stats
+
+    df = spark.createDataFrame(
+        [("c", 5.0)] * 20, "event_type string, value double"
+    )
+    out = mad_outlier_stats(df).collect()[0]
+    assert out["mad"] == 0.0
+    assert out["n_outliers"] == 0
+
+
+# ---------------------------------------------------------------------------
+# CDC chunking
+# ---------------------------------------------------------------------------
+
+def test_cdc_chunk_hashes_stable_under_edit(spark):
+    """Inserting a sentence mid-document perturbs only local chunks:
+    most chunk hashes of the unedited suffix/prefix survive — the
+    boundary-stability property fixed windows lack."""
+    from memfuse_spark.operators.chunking import cdc_chunks
+
+    base = " ".join(f"tok{i} word{i % 7} filler{i % 11}" for i in range(200))
+    edited = base.replace("tok100", "tok100 inserted sentence here")
+    df = spark.createDataFrame(
+        [(1, base), (2, edited)], "doc_id long, text string"
+    )
+    out = cdc_chunks(df).collect()
+    h1 = {r["chunk_hash"] for r in out if r["doc_id"] == 1}
+    h2 = {r["chunk_hash"] for r in out if r["doc_id"] == 2}
+    shared = len(h1 & h2)
+    assert shared >= 0.6 * min(len(h1), len(h2))
+
+
+def test_cdc_min_chunk_guard(spark, docs):
+    from memfuse_spark.operators.chunking import CDC_MIN_TOKENS, cdc_chunks
+
+    out = cdc_chunks(docs).collect()
+    # every non-final chunk of a doc has >= min_tokens tokens
+    by_doc: dict = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for chunks in by_doc.values():
+        for c in sorted(chunks, key=lambda r: r["chunk_id"])[:-1]:
+            assert c["n_tokens"] >= CDC_MIN_TOKENS
+
+
+# ---------------------------------------------------------------------------
+# prefix-filter similarity join
+# ---------------------------------------------------------------------------
+
+def test_prefix_filter_matches_bruteforce(spark):
+    """Prefix filtering is EXACT: same pairs as the all-pairs scan."""
+    from memfuse_spark.operators.dedup import prefix_filter_pairs
+
+    rows = [
+        (1, "alpha beta gamma delta epsilon"),
+        (2, "alpha beta gamma delta zeta"),
+        (3, "one two three four five"),
+        (4, "one two three four six"),
+        (5, "totally different content here now"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in prefix_filter_pairs(df, 0.5).collect()}
+    # brute force
+    toks = {i: set(t.split()) for i, t in rows}
+    want = {}
+    ids = sorted(toks)
+    for i in ids:
+        for j in ids:
+            if i < j:
+                jac = len(toks[i] & toks[j]) / len(toks[i] | toks[j])
+                if round(jac, 6) >= 0.5:
+                    want[(i, j)] = round(jac, 6)
+    assert got == want
+
+
+def test_prefix_filter_no_cached_rdds_left(spark, docs):
+    from memfuse_spark.operators.dedup import prefix_filter_pairs
+
+    before = len(spark.sparkContext._jsc.getPersistentRDDs())
+    prefix_filter_pairs(docs, 0.9)
+    after = len(spark.sparkContext._jsc.getPersistentRDDs())
+    assert after <= before
+
+
+# ---------------------------------------------------------------------------
+# LRU query-result cache
+# ---------------------------------------------------------------------------
+
+def test_query_cache_hit_returns_same_rows(spark, docs):
+    from memfuse_spark.cache import QueryResultCache
+
+    c = QueryResultCache(capacity=2)
+    res = docs.orderBy("doc_id").limit(5)
+    c.put("k1", res)
+    hit = c.get(spark, "k1")
+    assert hit is not None
+    assert [r["doc_id"] for r in hit.collect()] == [r["doc_id"] for r in res.collect()]
+    assert c.stats()["hits"] == 1
+
+
+def test_query_cache_lru_eviction(spark, docs):
+    from memfuse_spark.cache import QueryResultCache
+
+    c = QueryResultCache(capacity=2)
+    small = docs.limit(1)
+    c.put("a", small)
+    c.put("b", small)
+    c.get(spark, "a")          # a is now most-recent
+    c.put("c", small)          # evicts b (LRU), not a
+    assert c.get(spark, "b") is None
+    assert c.get(spark, "a") is not None
+    assert c.get(spark, "c") is not None
+
+
+def test_query_cache_get_or_compute(spark, docs):
+    from memfuse_spark.cache import QueryResultCache
+
+    c = QueryResultCache()
+    calls = []
+
+    def thunk():
+        calls.append(1)
+        return docs.limit(3)
+
+    c.get_or_compute(spark, "k", thunk)
+    c.get_or_compute(spark, "k", thunk)
+    assert len(calls) == 1
