@@ -34,6 +34,8 @@ from memfuse_spark.operators import textanalysis as ta_ops
 from memfuse_spark.operators import chunking as _chunking
 from memfuse_spark.operators import sketches as _sketches
 from memfuse_spark.operators import stats as _stats
+from memfuse_spark.operators import temporal as _temporal
+from memfuse_spark.operators import graph as _graph_mod
 from memfuse_spark.functions.text import TOKENIZE_SQL as _TOKENIZE_SQL
 
 # ---------------------------------------------------------------------------
@@ -463,6 +465,41 @@ def q_value_outliers_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     (ev,) = _tables(spark, sf_dir, "events")
     return mad_outlier_stats(ev)
+
+
+def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle counts over the similarity graph (graph.py)."""
+    from memfuse_spark.operators.graph import triangle_counts
+
+    _, edges = _graph_edges(spark, sf_dir)
+    return triangle_counts(edges, 20)
+
+
+def q_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel conversion: view → click → purchase per user."""
+    from memfuse_spark.operators.temporal import funnel_counts
+
+    (ev,) = _tables(spark, sf_dir, "events")
+    return funnel_counts(ev)
+
+
+def q_user_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention (first-event cohort, weeks 0-4)."""
+    from memfuse_spark.operators.temporal import user_retention
+
+    (ev,) = _tables(spark, sf_dir, "events")
+    return user_retention(ev)
+
+
+def q_bloom_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom pre-filter pruning stats for the orders⋉customer semi-join."""
+    from memfuse_spark.operators.sketches import bloom_semi_join_stats
+
+    orders, cust = _tables(spark, sf_dir, "orders", "customer")
+    keys = cust.filter(F.col("c_mktsegment") == "BUILDING").select(
+        F.col("c_custkey").alias("o_custkey")
+    )
+    return bloom_semi_join_stats(orders, keys, "o_custkey", "o_custkey")
 
 
 def q_window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1489,6 +1526,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_chunks": q_cdc_chunks,
         "prefix_filter_pairs": q_prefix_filter_pairs,
         "value_outliers_mad": q_value_outliers_mad,
+        "graph_triangles": q_graph_triangles,
+        "event_funnel": q_event_funnel,
+        "user_retention": q_user_retention,
+        "bloom_semi_join": q_bloom_semi_join,
         # (2) zero driver rows in r01/r02 (r3 window never recorded)
         "graph_pagerank": q_graph_pagerank,
         "phrase_search": q_phrase_search,
@@ -1529,14 +1570,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "buffer_quality": q_buffer_quality,
         "session_listing": q_session_listing,
         "chunk_stats": q_chunk_stats,
-        "hierarchy_summary": q_hierarchy_summary,
-        # (4) most-stale r1-only family representatives
-        "simhash": q_simhash,
-        "vector_knn_of_item": q_vector_knn_of_item,
-        "orders_topk": q_orders_topk,
         # --- past the driver window (position 51+): r2-green rows on
         # --- inputs unchanged since; full-suite verify_oracle.py is
         # --- their per-round superset check (COVERAGE.md)
+        "hierarchy_summary": q_hierarchy_summary,
+        "simhash": q_simhash,
+        "vector_knn_of_item": q_vector_knn_of_item,
+        "orders_topk": q_orders_topk,
         "vector_topk": q_vector_topk,
         "vector_threshold": q_vector_threshold,
         "bm25_topk": q_bm25_topk,
@@ -2164,4 +2204,16 @@ ORDER BY o_orderstatus, o_orderpriority
             _TOKENIZE_SQL.format(col="text"), dedup_ops.PREFIX_JACCARD_T
         ),
         "value_outliers_mad": _stats.mad_outlier_stats_sql(),
+        "graph_triangles": _graph_mod.triangle_counts_sql(
+            oracles.edges_cte(_SIM_T), 20
+        ),
+        "event_funnel": _temporal.funnel_counts_sql(),
+        "user_retention": _temporal.user_retention_sql(),
+        "bloom_semi_join": _sketches.bloom_semi_join_stats_sql(
+            "orders",
+            "o_custkey",
+            "SELECT c_custkey AS o_custkey FROM customer"
+            " WHERE c_mktsegment = 'BUILDING'",
+            "o_custkey",
+        ),
     }

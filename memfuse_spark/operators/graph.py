@@ -438,3 +438,70 @@ def contextual_retrieval(
     return l1.unionByName(connected).unionByName(rescored).orderBy(
         "layer", F.desc("score"), F.asc(id_col)
     )
+
+
+def triangle_counts(edges: DataFrame, top_n: int = 20) -> DataFrame:
+    """(node_id, n_triangles) — per-node triangle participation over the
+    undirected graph, top-n by count.
+
+    Id-ordered enumeration: each undirected edge is kept once as
+    (lo, hi); a triangle (a<b<c) is found exactly once via
+    e(a,b) ⋈ e(b,c) ⋈ e(a,c) — two equi-join shuffles keyed by node
+    ids, no direction double-count. At scale the classic refinement is
+    DEGREE orientation (orient each edge toward its higher-degree
+    endpoint, Chiba–Nishizeki / compact-forward): fan-out per join key
+    becomes O(max out-degree) = O(sqrt(m)) on skewed graphs instead of
+    O(max degree). Id-orientation is used here because the similarity
+    graph's degrees are threshold-bounded and the oracle must replay
+    the exact same enumeration; the degree-oriented variant only
+    changes which endpoint keys the join, not the result.
+    """
+    und = (
+        edges.select(
+            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+        )
+        .filter(F.col("a") < F.col("b"))
+        .distinct()
+    )
+    e1 = und.select(F.col("a"), F.col("b"))
+    e2 = und.select(F.col("a").alias("b"), F.col("b").alias("c"))
+    e3 = und.select(F.col("a").alias("ta"), F.col("b").alias("tc"))
+    tris = (
+        e1.join(e2, "b")
+        .join(e3, (F.col("a") == F.col("ta")) & (F.col("c") == F.col("tc")))
+        .select("a", "b", "c")
+    )
+    per_node = (
+        tris.select(F.explode(F.array("a", "b", "c")).alias("node_id"))
+        .groupBy("node_id")
+        .agg(F.count("*").cast("long").alias("n_triangles"))
+        .orderBy(F.desc("n_triangles"), F.asc("node_id"))
+        .limit(top_n)
+    )
+    return per_node
+
+
+def triangle_counts_sql(edges_cte_block: str, top_n: int = 20) -> str:
+    """DuckDB twin of :func:`triangle_counts` over the same edge CTE."""
+    return f"""
+WITH {edges_cte_block.strip()},
+und AS (
+  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+  FROM edges WHERE least(src, dst) < greatest(src, dst)
+),
+tris AS (
+  SELECT e1.a, e1.b, e2.b AS c
+  FROM und e1
+  JOIN und e2 ON e1.b = e2.a
+  JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b
+),
+nodes AS (
+  SELECT a AS node_id FROM tris
+  UNION ALL SELECT b FROM tris
+  UNION ALL SELECT c FROM tris
+)
+SELECT node_id, CAST(count(*) AS BIGINT) AS n_triangles
+FROM nodes GROUP BY node_id
+ORDER BY n_triangles DESC, node_id ASC
+LIMIT {top_n}
+"""

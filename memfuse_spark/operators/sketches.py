@@ -329,3 +329,140 @@ SELECT t.token, t.true_count, e.cms_count,
 FROM top t JOIN est e USING (token)
 ORDER BY t.true_count DESC, t.token ASC
 """
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter semi-join pruning
+# ---------------------------------------------------------------------------
+
+BLOOM_M = 4096  # bits
+BLOOM_K = 4     # hash functions
+
+
+def bloom_bits(keys: DataFrame, key_col: str) -> DataFrame:
+    """Distinct set-bit positions of the key set's Bloom filter
+    (Bloom '70): k md5-salted positions per key, deduplicated — at most
+    m rows regardless of key count. Mergeable across epochs by UNION."""
+    pos = F.explode(
+        F.array(
+            *[
+                F.conv(
+                    F.substring(
+                        F.md5(F.concat(F.lit(f"bloom{i}|"), F.col(key_col).cast("string"))),
+                        1,
+                        8,
+                    ),
+                    16,
+                    10,
+                ).cast("bigint")
+                % BLOOM_M
+                for i in range(BLOOM_K)
+            ]
+        )
+    )
+    return keys.select(pos.alias("bit")).distinct()
+
+
+def bloom_semi_join_stats(
+    fact: DataFrame,
+    keys: DataFrame,
+    fact_key: str,
+    key_col: str,
+) -> DataFrame:
+    """One row: (n_fact, n_bloom_pass, n_true_match, n_false_positive)
+    — how a Bloom pre-filter prunes a semi-join.
+
+    The filter itself is the scale story: the bit set (≤ m rows ≈ a few
+    KB) broadcasts, and membership is a map-side array_contains
+    conjunction over the fact scan — fact rows that cannot join are
+    dropped BEFORE any shuffle, which is exactly what Spark's runtime
+    row-group Bloom pruning (spark.sql.optimizer.runtime.bloomFilter)
+    does engine-natively; this operator makes the mechanism explicit,
+    deterministic, and oracle-checkable, and its false-positive count
+    measurable. No reference analog.
+    """
+    bits = bloom_bits(keys, key_col)
+    bitset = bits.agg(F.array_sort(F.collect_list("bit")).alias("bits"))
+    probes = [
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(f"bloom{i}|"), F.col(fact_key).cast("string"))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % BLOOM_M
+        for i in range(BLOOM_K)
+    ]
+    member = F.lit(True)
+    for p in probes:
+        member = member & F.array_contains(F.col("bits"), p)
+    tagged = (
+        fact.crossJoin(F.broadcast(bitset))
+        .withColumn("bloom_pass", member)
+        .join(
+            keys.select(F.col(key_col).alias(fact_key)).distinct(),
+            fact_key,
+            "left_semi",
+        )
+        .agg(F.count("*").cast("long").alias("n_true_match"))
+    )
+    passed = (
+        fact.crossJoin(F.broadcast(bitset))
+        .withColumn("bloom_pass", member)
+        .agg(
+            F.count("*").cast("long").alias("n_fact"),
+            F.sum(F.when(F.col("bloom_pass"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_bloom_pass"),
+        )
+    )
+    return passed.crossJoin(tagged).select(
+        "n_fact",
+        "n_bloom_pass",
+        "n_true_match",
+        (F.col("n_bloom_pass") - F.col("n_true_match")).alias("n_false_positive"),
+    )
+
+
+def bloom_semi_join_stats_sql(
+    fact_table: str, fact_key: str, keys_sql: str, key_col: str
+) -> str:
+    """DuckDB twin of :func:`bloom_semi_join_stats`. ``keys_sql`` is a
+    SELECT producing the key set."""
+    def h(i: int, expr: str) -> str:
+        return (
+            f"CAST('0x' || substring(md5('bloom{i}|' || CAST({expr} AS VARCHAR)), 1, 8)"
+            f" AS BIGINT) % {BLOOM_M}"
+        )
+
+    pos_union = "\n    UNION\n".join(
+        f"    SELECT {h(i, key_col)} AS bit FROM keyset" for i in range(BLOOM_K)
+    )
+    member = " AND ".join(
+        f"{h(i, f'f.{fact_key}')} IN (SELECT bit FROM bits)" for i in range(BLOOM_K)
+    )
+    return f"""
+WITH keyset AS ({keys_sql}),
+bits AS (
+{pos_union}
+),
+tagged AS (
+  SELECT f.{fact_key},
+         CASE WHEN {member} THEN 1 ELSE 0 END AS bloom_pass
+  FROM {fact_table} f
+),
+agg AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_fact,
+         CAST(sum(bloom_pass) AS BIGINT) AS n_bloom_pass
+  FROM tagged
+),
+tru AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_true_match
+  FROM {fact_table} f
+  WHERE f.{fact_key} IN (SELECT {key_col} FROM keyset)
+)
+SELECT n_fact, n_bloom_pass, n_true_match,
+       n_bloom_pass - n_true_match AS n_false_positive
+FROM agg, tru
+"""

@@ -139,3 +139,145 @@ def band_range_join(
     """
     cond = (F.col(value_col) >= F.col(lo_col)) & (F.col(value_col) < F.col(hi_col))
     return facts.join(F.broadcast(bands), cond, "left")
+
+
+# ---------------------------------------------------------------------------
+# funnel + cohort retention analytics
+# ---------------------------------------------------------------------------
+
+FUNNEL_STEPS = ("view", "click", "purchase")
+
+
+def funnel_counts(
+    events: DataFrame,
+    steps: tuple[str, ...] = FUNNEL_STEPS,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """(step, step_idx, n_users) — ordered-funnel conversion: a user
+    counts at step k only with a step-k event strictly AFTER their
+    earliest qualifying step-(k-1) event.
+
+    All shuffles are keyed by user_id, so each stage's conditional-min
+    re-agg reuses the same hash partitioning (no re-shuffle of events
+    under AQE exchange reuse); per-user state is one timestamp per
+    stage. The final counts reduce the per-user frame to one row.
+    """
+    # Stage-k minima depend on stage-(k-1) minima, so the funnel is a
+    # chain of conditional-min aggregations: one wide shuffle for stage
+    # 0, then per-stage re-aggs joined back on the (already clustered)
+    # user key — AQE keeps these narrow since per_user shrinks each hop.
+    per_user = events.groupBy(user_col).agg(
+        F.min(F.when(F.col(type_col) == steps[0], F.col(ts_col))).alias("t0")
+    )
+    for i, s in enumerate(steps[1:], start=1):
+        nxt = (
+            events.join(per_user.select(user_col, f"t{i-1}"), user_col)
+            .filter(
+                (F.col(type_col) == s) & (F.col(ts_col) > F.col(f"t{i-1}"))
+            )
+            .groupBy(user_col)
+            .agg(F.min(F.col(ts_col)).alias(f"t{i}"))
+        )
+        per_user = per_user.join(nxt, user_col, "left")
+    counts = per_user.agg(
+        *[
+            F.count(F.col(f"t{i}")).cast("long").alias(f"n{i}")
+            for i in range(len(steps))
+        ]
+    )
+    rows = [
+        F.struct(
+            F.lit(s).alias("step"),
+            F.lit(i).alias("step_idx"),
+            F.col(f"n{i}").alias("n_users"),
+        )
+        for i, s in enumerate(steps)
+    ]
+    return (
+        counts.select(F.explode(F.array(*rows)).alias("r"))
+        .select("r.step", "r.step_idx", "r.n_users")
+        .orderBy("step_idx")
+    )
+
+
+def funnel_counts_sql(steps: tuple[str, ...] = FUNNEL_STEPS) -> str:
+    """DuckDB twin of :func:`funnel_counts`."""
+    ctes = [
+        f"s0 AS (SELECT user_id, min(ts) AS t0 FROM events "
+        f"WHERE event_type = '{steps[0]}' GROUP BY user_id)"
+    ]
+    for i, s in enumerate(steps[1:], start=1):
+        ctes.append(
+            f"s{i} AS (SELECT e.user_id, min(e.ts) AS t{i} FROM events e "
+            f"JOIN s{i-1} p ON e.user_id = p.user_id "
+            f"WHERE e.event_type = '{s}' AND e.ts > p.t{i-1} GROUP BY e.user_id)"
+        )
+    selects = [
+        f"SELECT '{s}' AS step, {i} AS step_idx, "
+        f"(SELECT CAST(count(*) AS BIGINT) FROM s{i}) AS n_users"
+        for i, s in enumerate(steps)
+    ]
+    return (
+        "WITH " + ",\n".join(ctes) + "\n" + "\nUNION ALL\n".join(selects)
+        + "\nORDER BY step_idx"
+    )
+
+
+def user_retention(
+    events: DataFrame,
+    max_weeks: int = 4,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """(cohort_week, week_k, n_active) — weekly cohort retention: users
+    grouped by the ISO week of their FIRST event; n_active counts
+    cohort members with any event in cohort week + k.
+
+    Two shuffles keyed by user (first-event cohort, then distinct
+    user-week activity), one broadcast-joinable cohort map, one final
+    small agg. Week arithmetic stays in date_trunc/datediff — Monday-
+    aligned identically on both engines.
+    """
+    firsts = events.groupBy(user_col).agg(
+        F.date_trunc("week", F.min(ts_col)).alias("cohort_week")
+    )
+    activity = events.select(
+        user_col, F.date_trunc("week", F.col(ts_col)).alias("wk")
+    ).distinct()
+    return (
+        activity.join(firsts, user_col)
+        .withColumn(
+            "week_k",
+            (F.datediff(F.col("wk"), F.col("cohort_week")) / 7).cast("int"),
+        )
+        .filter((F.col("week_k") >= 0) & (F.col("week_k") <= max_weeks))
+        .groupBy(F.to_date("cohort_week").alias("cohort_week"), "week_k")
+        .agg(F.countDistinct(user_col).cast("long").alias("n_active"))
+        .orderBy("cohort_week", "week_k")
+    )
+
+
+def user_retention_sql(max_weeks: int = 4) -> str:
+    """DuckDB twin of :func:`user_retention`."""
+    return f"""
+WITH firsts AS (
+  SELECT user_id, date_trunc('week', min(ts)) AS cohort_week
+  FROM events GROUP BY user_id
+),
+activity AS (
+  SELECT DISTINCT user_id, date_trunc('week', ts) AS wk FROM events
+),
+tagged AS (
+  SELECT f.cohort_week, a.user_id,
+         CAST(date_diff('day', f.cohort_week, a.wk) // 7 AS INTEGER) AS week_k
+  FROM activity a JOIN firsts f USING (user_id)
+)
+SELECT CAST(cohort_week AS DATE) AS cohort_week, week_k,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_active
+FROM tagged
+WHERE week_k BETWEEN 0 AND {max_weeks}
+GROUP BY cohort_week, week_k
+ORDER BY cohort_week, week_k
+"""

@@ -226,3 +226,80 @@ def test_query_cache_get_or_compute(spark, docs):
     c.get_or_compute(spark, "k", thunk)
     c.get_or_compute(spark, "k", thunk)
     assert len(calls) == 1
+
+
+# ---------------------------------------------------------------------------
+# Bloom semi-join
+# ---------------------------------------------------------------------------
+
+def test_bloom_never_misses_true_matches(spark):
+    from memfuse_spark.operators.sketches import bloom_semi_join_stats
+
+    fact = spark.createDataFrame([(i,) for i in range(500)], "k long")
+    keys = spark.createDataFrame([(i,) for i in range(0, 500, 7)], "k long")
+    row = bloom_semi_join_stats(fact, keys, "k", "k").collect()[0]
+    # no false negatives ever; pass-set contains every true match
+    assert row["n_bloom_pass"] >= row["n_true_match"]
+    assert row["n_true_match"] == len(range(0, 500, 7))
+    assert row["n_false_positive"] == row["n_bloom_pass"] - row["n_true_match"]
+
+
+def test_bloom_bitset_bounded(spark):
+    from memfuse_spark.operators.sketches import BLOOM_M, bloom_bits
+
+    keys = spark.createDataFrame([(i,) for i in range(2000)], "k long")
+    assert bloom_bits(keys, "k").count() <= BLOOM_M
+
+
+# ---------------------------------------------------------------------------
+# triangles
+# ---------------------------------------------------------------------------
+
+def test_triangle_counts_on_known_graph(spark):
+    from memfuse_spark.operators.graph import triangle_counts
+
+    # K4 on {1,2,3,4} (4 triangles, each node in 3) + pendant 5
+    edges = [(a, b) for a in range(1, 5) for b in range(1, 5) if a != b]
+    edges.append((4, 5)); edges.append((5, 4))
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["node_id"]: r["n_triangles"] for r in triangle_counts(df).collect()}
+    assert got == {1: 3, 2: 3, 3: 3, 4: 3}
+
+
+# ---------------------------------------------------------------------------
+# funnel + retention
+# ---------------------------------------------------------------------------
+
+def test_funnel_orders_strictly(spark):
+    import datetime as dt
+
+    from memfuse_spark.operators.temporal import funnel_counts
+
+    t = dt.datetime(2026, 1, 1)
+    rows = [
+        # user 1 completes in order
+        (1, "view", t), (1, "click", t + dt.timedelta(hours=1)),
+        (1, "purchase", t + dt.timedelta(hours=2)),
+        # user 2 clicks BEFORE viewing: click must not count
+        (2, "click", t), (2, "view", t + dt.timedelta(hours=1)),
+        # user 3 views only
+        (3, "view", t),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, event_type string, ts timestamp")
+    got = {r["step"]: r["n_users"] for r in funnel_counts(df).collect()}
+    assert got == {"view": 3, "click": 1, "purchase": 1}
+
+
+def test_retention_counts_cohort_weeks(spark):
+    import datetime as dt
+
+    from memfuse_spark.operators.temporal import user_retention
+
+    mon = dt.datetime(2026, 1, 5)  # a Monday
+    rows = [
+        (1, mon), (1, mon + dt.timedelta(days=8)),     # week 0 and week 1
+        (2, mon + dt.timedelta(days=2)),               # week 0 only
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    got = {(str(r["cohort_week"]), r["week_k"]): r["n_active"] for r in user_retention(df).collect()}
+    assert got == {("2026-01-05", 0): 2, ("2026-01-05", 1): 1}
