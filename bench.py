@@ -53,6 +53,18 @@ EXTRA = [
     "hard_negatives",
     "value_bands",
     "ann_multiprobe",
+    # round 4
+    "tpch_q5",
+    "tpch_q18",
+    "hll_users",
+    "cms_heavy_hitters",
+    "cdc_chunks",
+    "prefix_filter_pairs",
+    "value_outliers_mad",
+    "graph_triangles",
+    "event_funnel",
+    "user_retention",
+    "bloom_semi_join",
 ]
 
 

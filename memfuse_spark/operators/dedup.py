@@ -764,97 +764,119 @@ def prefix_filter_pairs(
 ) -> DataFrame:
     """(doc_a, doc_b, jaccard) — token-set similarity self-join with
     PREFIX FILTERING (Bayardo et al. WWW'07 "Scaling Up All Pairs
-    Similarity Search", Chaudhuri et al. ICDE'06): two sets with
-    Jaccard >= t MUST share a token within each one's first
-    ``|d| - ceil(t·|d|) + 1`` tokens when both sets are ordered by a
-    global canonical order (ascending corpus frequency, rarest first).
-    Candidates therefore come from an equi-join on PREFIX tokens only —
-    frequent tokens (the quadratic blowup in a naive postings join)
-    land at the END of the canonical order and are excluded from most
-    prefixes. A length filter (|b| >= ceil(t·|a|)) prunes further.
+    Similarity Search") plus the PPJoin POSITIONAL filter (Xiao et al.
+    WWW'08): two sets with Jaccard >= t MUST share a token within each
+    one's first ``|d| - ceil(t·|d|) + 1`` tokens under a global
+    canonical order (ascending corpus frequency, rarest first), and a
+    shared prefix token at ranks (i, j) bounds the overlap by
+    ``1 + min(|a|-i, |b|-j)`` — occurrences that cannot reach the
+    required overlap ``ceil(t/(1+t)·(|a|+|b|))`` are dropped BEFORE the
+    pair-dedup shuffle. A length filter (|b| >= ceil(t·|a|)) prunes
+    further.
+
+    Verification carries each candidate's sorted token ARRAY through a
+    hash join and intersects in one JVM expression (array_intersect
+    builds a hash set per row) — candidate-count rows, not an
+    exploded posting join (candidates × avg-set-size rows).
 
     Plan shape: wordcount for global frequencies (narrow, mergeable);
-    one window per doc to rank tokens (keyed by doc — parallel);
-    postings equi-join restricted to prefix rows; exact verify joins
-    fetch only CANDIDATE pairs' token sets. Nothing is all-pairs; the
-    candidate count is bounded by prefix postings-list squares, which
-    the canonical order keeps near-linear on Zipfian corpora.
+    one per-doc window to rank tokens; prefix-only candidate equi-join
+    with map-side positional/length pruning; array-verify join.
+    Nothing is all-pairs; candidate count is bounded by prefix
+    postings-list squares, which the canonical order keeps near-linear
+    on Zipfian corpora (the synthetic template corpus here is the
+    adversarial case — tiny global vocabulary — which is exactly what
+    the positional filter is for).
 
-    Complements minhash_lsh_pairs: exact (no false negatives at the
-    threshold) where LSH is probabilistic — the standard tradeoff pair
-    a 100 TB dedup stack offers. No reference analog.
+    Exact counterpart to the probabilistic minhash_lsh_pairs: no false
+    negatives at the threshold. No reference analog.
     """
     from pyspark.sql import Window
 
+    from memfuse_spark import cache
     from memfuse_spark.functions.text import tokenize
 
-    toks = docs.select(
-        F.col(id_col).alias("doc_id"), F.explode_outer(F.array_distinct(tokenize(text_col))).alias("tok")
-    ).filter(F.col("tok").isNotNull())
-    toks = toks.persist()
-    try:
-        freq = toks.groupBy("tok").agg(F.count("*").alias("df"))
-        sizes = toks.groupBy("doc_id").agg(F.count("*").alias("sz"))
-        ranked = (
-            toks.join(freq, "tok")
-            .withColumn(
-                "rnk",
-                F.row_number().over(
-                    Window.partitionBy("doc_id").orderBy("df", "tok")
-                ),
-            )
-            .join(sizes, "doc_id")
+    # persist: the distinct-token postings feed frequency ranking AND
+    # the token-set rehydration — scoped so the next prefix-filter query
+    # releases this generation (cache.py; lazy-result-safe).
+    cache.begin("dedup.prefix_toks")
+    toks = cache.scoped_persist(
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode_outer(F.array_distinct(tokenize(text_col))).alias("tok"),
+        ).filter(F.col("tok").isNotNull()),
+        "dedup.prefix_toks",
+    )
+    freq = toks.groupBy("tok").agg(F.count("*").alias("df"))
+    ranked = toks.join(freq, "tok").withColumn(
+        "rnk",
+        F.row_number().over(Window.partitionBy("doc_id").orderBy("df", "tok")),
+    )
+    ranked = ranked.withColumn(
+        "sz", F.max("rnk").over(Window.partitionBy("doc_id"))
+    )
+    prefix = ranked.filter(
+        F.col("rnk") <= F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")) + 1
+    ).select("doc_id", "tok", "sz", "rnk")
+    a, b = prefix.alias("a"), prefix.alias("b")
+    # required overlap for jaccard >= t; positional upper bound from
+    # the shared token's canonical ranks (PPJoin).
+    alpha = F.ceil(
+        F.lit(threshold) / (1 + threshold) * (F.col("a.sz") + F.col("b.sz"))
+    )
+    ubound = 1 + F.least(
+        F.col("a.sz") - F.col("a.rnk"), F.col("b.sz") - F.col("b.rnk")
+    )
+    cand = (
+        a.join(b, "tok")
+        .filter(
+            (F.col("a.doc_id") < F.col("b.doc_id"))
+            & (F.col("b.sz") >= F.ceil(F.lit(threshold) * F.col("a.sz")))
+            & (F.col("a.sz") >= F.ceil(F.lit(threshold) * F.col("b.sz")))
+            & (ubound >= alpha)
         )
-        prefix = ranked.filter(
-            F.col("rnk") <= F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")) + 1
-        ).select("doc_id", "tok", "sz")
-        cand = (
-            prefix.alias("a")
-            .join(prefix.alias("b"), "tok")
-            .filter(
-                (F.col("a.doc_id") < F.col("b.doc_id"))
-                & (F.col("b.sz") >= F.ceil(F.lit(threshold) * F.col("a.sz")))
-                & (F.col("a.sz") >= F.ceil(F.lit(threshold) * F.col("b.sz")))
-            )
-            .select(
-                F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
-            )
-            .distinct()
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
         )
-        inter = (
-            cand.join(toks.select(F.col("doc_id").alias("doc_a"), "tok"), "doc_a")
-            .join(
-                toks.select(F.col("doc_id").alias("doc_b"), "tok"),
-                ["doc_b", "tok"],
-            )
-            .groupBy("doc_a", "doc_b")
-            .agg(F.count("*").alias("inter"))
+        .distinct()
+    )
+    tsets = toks.groupBy("doc_id").agg(
+        F.sort_array(F.collect_list("tok")).alias("tset"),
+        F.count("*").alias("sz"),
+    )
+    inter = F.size(
+        F.array_intersect(F.col("ta"), F.col("tb"))
+    ).cast("long")
+    out = (
+        cand.join(
+            tsets.select(
+                F.col("doc_id").alias("doc_a"),
+                F.col("tset").alias("ta"),
+                F.col("sz").alias("sz_a"),
+            ),
+            "doc_a",
         )
-        out = (
-            inter.join(
-                sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a")),
-                "doc_a",
-            )
-            .join(
-                sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b")),
-                "doc_b",
-            )
-            .withColumn(
-                "jaccard",
-                F.round(
-                    F.col("inter")
-                    / (F.col("sz_a") + F.col("sz_b") - F.col("inter")),
-                    score_decimals,
-                ),
-            )
-            .filter(F.col("jaccard") >= threshold)
-            .select("doc_a", "doc_b", "jaccard")
-            .orderBy("doc_a", "doc_b")
+        .join(
+            tsets.select(
+                F.col("doc_id").alias("doc_b"),
+                F.col("tset").alias("tb"),
+                F.col("sz").alias("sz_b"),
+            ),
+            "doc_b",
         )
-        rows = out.collect()
-        return out.sparkSession.createDataFrame(rows, out.schema)
-    finally:
-        toks.unpersist()
+        .withColumn(
+            "jaccard",
+            F.round(
+                inter / (F.col("sz_a") + F.col("sz_b") - inter),
+                score_decimals,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+        .orderBy("doc_a", "doc_b")
+    )
+    return out
+
 
 
 def prefix_filter_pairs_sql(

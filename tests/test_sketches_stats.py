@@ -174,13 +174,19 @@ def test_prefix_filter_matches_bruteforce(spark):
     assert got == want
 
 
-def test_prefix_filter_no_cached_rdds_left(spark, docs):
+def test_prefix_filter_scoped_cache_rotates(spark, docs):
+    """The postings persist lives in a cache scope: a later call releases
+    the earlier generation instead of accumulating cached RDDs."""
+    from memfuse_spark import cache
     from memfuse_spark.operators.dedup import prefix_filter_pairs
 
-    before = len(spark.sparkContext._jsc.getPersistentRDDs())
-    prefix_filter_pairs(docs, 0.9)
+    prefix_filter_pairs(docs, 0.9).count()
+    mid = len(spark.sparkContext._jsc.getPersistentRDDs())
+    prefix_filter_pairs(docs, 0.9).count()
+    prefix_filter_pairs(docs, 0.9).count()
     after = len(spark.sparkContext._jsc.getPersistentRDDs())
-    assert after <= before
+    assert after <= mid + 1  # at most in-flight + one prior generation
+    cache.release("dedup.prefix_toks")
 
 
 # ---------------------------------------------------------------------------
