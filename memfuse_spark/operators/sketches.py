@@ -335,7 +335,7 @@ ORDER BY t.true_count DESC, t.token ASC
 # Bloom-filter semi-join pruning
 # ---------------------------------------------------------------------------
 
-BLOOM_M = 4096  # bits
+BLOOM_M = 65536  # bits (~10+ bits/key up to ~6k keys -> <1% FP; bitset broadcast is 512 KB)
 BLOOM_K = 4     # hash functions
 
 
@@ -397,31 +397,28 @@ def bloom_semi_join_stats(
     member = F.lit(True)
     for p in probes:
         member = member & F.array_contains(F.col("bits"), p)
-    tagged = (
-        fact.crossJoin(F.broadcast(bitset))
-        .withColumn("bloom_pass", member)
-        .join(
-            keys.select(F.col(key_col).alias(fact_key)).distinct(),
-            fact_key,
-            "left_semi",
-        )
-        .agg(F.count("*").cast("long").alias("n_true_match"))
+    # Single fact scan: bloom membership + exact match both resolve
+    # map-side (bitset ≤ m rows; the key set here is dimension-sized so
+    # the exact tag can broadcast too — at a scale where keys CANNOT
+    # broadcast, n_true_match instead comes from joining only the
+    # bloom-passing survivors, which is precisely the filter's purpose).
+    dkeys = keys.select(F.col(key_col).alias(fact_key)).distinct().withColumn(
+        "__match", F.lit(1)
     )
-    passed = (
+    return (
         fact.crossJoin(F.broadcast(bitset))
-        .withColumn("bloom_pass", member)
+        .join(F.broadcast(dkeys), fact_key, "left")
         .agg(
             F.count("*").cast("long").alias("n_fact"),
-            F.sum(F.when(F.col("bloom_pass"), 1).otherwise(0))
-            .cast("long")
-            .alias("n_bloom_pass"),
+            F.sum(F.when(member, 1).otherwise(0)).cast("long").alias("n_bloom_pass"),
+            F.sum(F.coalesce(F.col("__match"), F.lit(0))).cast("long").alias("n_true_match"),
         )
-    )
-    return passed.crossJoin(tagged).select(
-        "n_fact",
-        "n_bloom_pass",
-        "n_true_match",
-        (F.col("n_bloom_pass") - F.col("n_true_match")).alias("n_false_positive"),
+        .select(
+            "n_fact",
+            "n_bloom_pass",
+            "n_true_match",
+            (F.col("n_bloom_pass") - F.col("n_true_match")).alias("n_false_positive"),
+        )
     )
 
 
