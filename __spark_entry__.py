@@ -1175,6 +1175,16 @@ def q_ann_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_lsh_topk_multiprobe(emb, qvec, 10, num_planes=4)
 
 
+def q_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ: coarse-cell probe + ADC over compressed codes (the
+    FAISS-IVFPQ composition; billion-scale ANN layout)."""
+    from memfuse_spark.operators.ann import ivfpq_topk
+
+    (emb,) = _tables(spark, sf_dir, "embeddings")
+    qvec = anchor_vector(spark, emb, ANCHOR_VEC_ID)
+    return ivfpq_topk(emb, qvec, 10, nprobe=2, m=PQ_M, dim=EMB_DIM)
+
+
 def q_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization ADC top-k with label-derived codebooks (the
     deterministic twin of the MLlib-KMeans PQ tier in ann.pq_train)."""
@@ -1530,6 +1540,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_funnel": q_event_funnel,
         "user_retention": q_user_retention,
         "bloom_semi_join": q_bloom_semi_join,
+        "ivfpq_topk": q_ivfpq_topk,
         # (2) zero driver rows in r01/r02 (r3 window never recorded)
         "graph_pagerank": q_graph_pagerank,
         "phrase_search": q_phrase_search,
@@ -1569,10 +1580,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "props_json_extract": q_props_json_extract,
         "buffer_quality": q_buffer_quality,
         "session_listing": q_session_listing,
-        "chunk_stats": q_chunk_stats,
         # --- past the driver window (position 51+): r2-green rows on
         # --- inputs unchanged since; full-suite verify_oracle.py is
         # --- their per-round superset check (COVERAGE.md)
+        "chunk_stats": q_chunk_stats,
         "hierarchy_summary": q_hierarchy_summary,
         "simhash": q_simhash,
         "vector_knn_of_item": q_vector_knn_of_item,
@@ -2209,6 +2220,7 @@ ORDER BY o_orderstatus, o_orderpriority
         ),
         "event_funnel": _temporal.funnel_counts_sql(),
         "user_retention": _temporal.user_retention_sql(),
+        "ivfpq_topk": oracles.ivfpq_topk_sql(ANCHOR_VEC_ID, 10, 2, PQ_M, EMB_DIM),
         "bloom_semi_join": _sketches.bloom_semi_join_stats_sql(
             "orders",
             "o_custkey",

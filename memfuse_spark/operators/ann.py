@@ -621,3 +621,74 @@ def pq_topk_from_labels(
         .orderBy(F.desc("score"), F.asc(id_col))
         .limit(k)
     )
+
+
+def ivfpq_topk(
+    embeddings: DataFrame,
+    qvec,
+    k: int,
+    nprobe: int = 2,
+    m: int = 4,
+    dim: int = 64,
+    cell_col: str = "label",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    score_decimals: int = 6,
+) -> DataFrame:
+    """IVF-PQ: coarse probe + ADC scoring of compressed codes — the
+    standard composition (Jégou et al. '11) behind billion-scale ANN
+    (FAISS IVFPQ): the coarse quantizer prunes the corpus to nprobe
+    cells, then Asymmetric Distance Computation scores only those
+    cells' PQ codes against the broadcast per-subspace lookup table.
+
+    Cost model at 100 TB: the query touches (corpus/cells)·nprobe code
+    rows of m bytes each — with the corpus partitioned by cell (see
+    write_bucketed_corpus for the parquet layout twin) the probe is a
+    partition-pruned scan of the 32×-compressed surrogate; the full
+    vectors are read by NOTHING. Codebooks and codes are index-time
+    artifacts (two corpus passes, amortized); only the cell restriction
+    and the m-term sum are query-time.
+    """
+    import math
+
+    q = [float(x) for x in qvec]
+    qnorm = math.sqrt(sum(x * x for x in q))
+    d_sub = dim // m
+
+    cents = ivf_centroids(embeddings, cell_col, id_col, vec_col)
+    qarr = F.array(*[F.lit(x) for x in q])
+    probed = (
+        cents.withColumn("__sim", cosine_similarity(F.col("centroid"), qarr))
+        .orderBy(F.desc("__sim"), F.asc("cell"))
+        .limit(nprobe)
+        .select("cell")
+    )
+    cand = embeddings.join(
+        F.broadcast(probed), embeddings[cell_col] == probed["cell"], "left_semi"
+    )
+    # codebooks are built from the FULL corpus (index-time artifact);
+    # only the probed cells' vectors are encoded/scored at query time —
+    # the runtime stand-in for reading precomputed codes of those cells.
+    cb = pq_codebooks_from_labels(embeddings, m, dim, cell_col, vec_col)
+    codes = pq_encode_from_codebooks(cand, cb, m, dim, id_col, vec_col)
+    qsub = F.slice(qarr, F.col("s") * d_sub + 1, d_sub)
+    tab = cb.select(
+        "s",
+        F.col("cell").alias("code"),
+        dot(F.col("cvec"), qsub).alias("qdot"),
+        dot(F.col("cvec"), F.col("cvec")).alias("cn2"),
+    )
+    per_doc = (
+        codes.join(F.broadcast(tab), ["s", "code"])
+        .groupBy(id_col)
+        .agg(F.sum("qdot").alias("qd"), F.sum("cn2").alias("n2"))
+    )
+    score = F.round(
+        F.coalesce(F.try_divide(F.col("qd"), F.sqrt("n2") * F.lit(qnorm)), F.lit(0.0)),
+        score_decimals,
+    )
+    return (
+        per_doc.select(id_col, score.alias("score"))
+        .orderBy(F.desc("score"), F.asc(id_col))
+        .limit(k)
+    )

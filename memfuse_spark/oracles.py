@@ -1534,3 +1534,74 @@ FROM embeddings e JOIN probes p ON {eb} = p.bucket, q
 ORDER BY score DESC, e.vec_id ASC
 LIMIT {k}
 """
+
+
+def ivfpq_topk_sql(
+    anchor: int, k: int, nprobe: int = 2, m: int = 4, dim: int = 64
+) -> str:
+    """DuckDB twin of ann.ivfpq_topk: IVF probe (label-mean centroids)
+    restricting the label-mean-codebook ADC scoring to nprobe cells."""
+    d_sub = dim // m
+    cos_c = (
+        "list_dot_product(c.centroid, q.qv)"
+        " / (sqrt(list_dot_product(c.centroid, c.centroid))"
+        " * sqrt(list_dot_product(q.qv, q.qv)))"
+    )
+    return (
+        "WITH "
+        + IVF_CENTROIDS_CTE.format(dim=dim).strip()
+        + f""",
+q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = {anchor}),
+probed AS (
+  SELECT c.cell FROM cents c, q
+  ORDER BY {cos_c} DESC, c.cell ASC LIMIT {nprobe}
+),
+pqx AS (
+  SELECT label AS cell, t.i AS pos, CAST(embedding[t.i + 1] AS DOUBLE) AS x
+  FROM embeddings, range(0, {dim}) AS t(i)
+),
+pqmeans AS (SELECT cell, pos, avg(x) AS mn FROM pqx GROUP BY cell, pos),
+cb AS (
+  SELECT CAST(pos // {d_sub} AS INT) AS s, cell,
+         list(round(mn, 6) ORDER BY pos) AS cvec
+  FROM pqmeans GROUP BY 1, 2
+),
+cand AS (
+  SELECT e.vec_id, CAST(e.embedding AS DOUBLE[]) AS emb
+  FROM embeddings e JOIN probed p ON e.label = p.cell
+),
+subs AS (
+  SELECT v.vec_id, t.s,
+         list_transform(range(1, {d_sub} + 1),
+                        i -> v.emb[t.s * {d_sub} + i]) AS sub
+  FROM cand v, range(0, {m}) AS t(s)
+),
+dists AS (
+  SELECT v.vec_id, v.s, c.cell,
+         list_sum(list_transform(range(1, {d_sub} + 1),
+                  i -> (v.sub[i] - c.cvec[i]) * (v.sub[i] - c.cvec[i]))) AS d2
+  FROM subs v JOIN cb c ON c.s = v.s
+),
+codes AS (
+  SELECT vec_id, s, (list(cell ORDER BY d2, cell))[1] AS code
+  FROM dists GROUP BY vec_id, s
+),
+tab AS (
+  SELECT c.s, c.cell,
+         list_dot_product(c.cvec, q.qv[c.s * {d_sub} + 1 : (c.s + 1) * {d_sub}]) AS qdot,
+         list_dot_product(c.cvec, c.cvec) AS cn2
+  FROM cb c, q
+),
+per_doc AS (
+  SELECT codes.vec_id, sum(tab.qdot) AS qd, sum(tab.cn2) AS n2
+  FROM codes JOIN tab ON tab.s = codes.s AND tab.cell = codes.code
+  GROUP BY codes.vec_id
+)
+SELECT vec_id,
+       round(qd / (sqrt(n2) * (SELECT sqrt(list_dot_product(qv, qv)) FROM q)), 6)
+         AS score
+FROM per_doc
+ORDER BY score DESC, vec_id ASC
+LIMIT {k}
+"""
+    )

@@ -95,3 +95,37 @@ def test_pq_adc_recall_and_compression(spark):
     plan = pq_topk(encoded, books, qvec, 10)._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "TakeOrderedAndProject" in plan
+
+
+def test_ivfpq_probe_restriction_and_full_probe_equivalence(spark):
+    """IVF-PQ invariants: (1) every result comes from a probed cell;
+    (2) probing ALL cells reproduces the un-probed full-ADC ranking
+    (the synthetic label column is not cosine-clustered, so recall
+    against the exact scan is not a meaningful bound here — at real
+    scale the coarse quantizer comes from ivf_kmeans_centroids)."""
+    from memfuse_spark.catalog import load_table
+    from memfuse_spark.operators.ann import ivfpq_topk, pq_topk_from_labels, ivf_centroids
+    from memfuse_spark.functions.vector import cosine_similarity
+    from memfuse_spark.plans.pipeline import anchor_vector
+    from pyspark.sql import functions as F
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    qvec = anchor_vector(spark, emb, 0)
+
+    res = ivfpq_topk(emb, qvec, 10, nprobe=2).collect()
+    qarr = F.array(*[F.lit(float(x)) for x in qvec])
+    probed = {
+        r["cell"]
+        for r in ivf_centroids(emb)
+        .withColumn("s", cosine_similarity(F.col("centroid"), qarr))
+        .orderBy(F.desc("s"), F.asc("cell"))
+        .limit(2)
+        .collect()
+    }
+    labels = {r["vec_id"]: r["label"] for r in emb.select("vec_id", "label").collect()}
+    assert all(labels[r["vec_id"]] in probed for r in res)
+
+    n_cells = emb.select("label").distinct().count()
+    all_probe = [tuple(r) for r in ivfpq_topk(emb, qvec, 10, nprobe=n_cells).collect()]
+    full_adc = [tuple(r) for r in pq_topk_from_labels(emb, qvec, 10).collect()]
+    assert all_probe == full_adc

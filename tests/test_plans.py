@@ -145,3 +145,31 @@ def test_collocations_single_corpus_scan(spark, tables):
     optimized = df._jdf.queryExecution().optimizedPlan().toString()
     assert optimized.count("InMemoryRelation") >= 1
     assert optimized.count("Relation [doc_id") == 0, "uncached corpus scan leaked"
+
+
+def test_bloom_fact_side_never_sort_merge_joins(spark, tables):
+    """The Bloom pre-filter's point is that the fact table is never
+    shuffled for a join: bitset and key tags broadcast, so the plan has
+    broadcast joins only."""
+    from pyspark.sql import functions as F
+
+    from memfuse_spark.operators.sketches import bloom_semi_join_stats
+
+    keys = tables["customer"].filter(F.col("c_mktsegment") == "BUILDING").select(
+        F.col("c_custkey").alias("o_custkey")
+    )
+    plan = _plan(bloom_semi_join_stats(tables["orders"], keys, "o_custkey", "o_custkey"))
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastExchange" in plan
+
+
+def test_prefix_filter_candidates_are_equi_join(spark, tables):
+    """Candidate generation must be an equi-join on the prefix token —
+    never a cartesian pair enumeration."""
+    from memfuse_spark import cache
+    from memfuse_spark.operators.dedup import prefix_filter_pairs
+
+    plan = _plan(prefix_filter_pairs(tables["documents"], 0.9))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    cache.release("dedup.prefix_toks")
