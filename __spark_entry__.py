@@ -427,6 +427,140 @@ def q_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: min-cost supplier per part (correlated MIN)."""
+    from memfuse_spark.plans import tpch
+
+    li, part, supp, nat = _tables(spark, sf_dir, "lineitem", "part", "supplier", "nation")
+    return tpch.q2_min_cost_supplier(li, part, supp, nat)
+
+
+def q_tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: EXISTS semi-join with inequality correlate."""
+    from memfuse_spark.plans import tpch
+
+    li, orders = _tables(spark, sf_dir, "lineitem", "orders")
+    return tpch.q4_order_priority(li, orders)
+
+
+def q_tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: bidirectional nation-pair shipping volume."""
+    from memfuse_spark.plans import tpch
+
+    li, orders, cust, supp, nat = _tables(
+        spark, sf_dir, "lineitem", "orders", "customer", "supplier", "nation"
+    )
+    return tpch.q7_volume_shipping(li, orders, cust, supp, nat)
+
+
+def q_tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: market-share ratio aggregate by year."""
+    from memfuse_spark.plans import tpch
+
+    li, orders, cust, supp, nat, reg = _tables(
+        spark, sf_dir, "lineitem", "orders", "customer", "supplier", "nation", "region"
+    )
+    return tpch.q8_market_share(li, orders, cust, supp, nat, reg)
+
+
+def q_tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape: product profit by nation and year."""
+    from memfuse_spark.plans import tpch
+
+    li, orders, part, supp, nat = _tables(
+        spark, sf_dir, "lineitem", "orders", "part", "supplier", "nation"
+    )
+    return tpch.q9_product_profit(li, orders, part, supp, nat)
+
+
+def q_tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: HAVING vs scalar-subquery total."""
+    from memfuse_spark.plans import tpch
+
+    (li,) = _tables(spark, sf_dir, "lineitem")
+    return tpch.q11_important_parts(li)
+
+
+def q_tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape: conditional high/low priority line counts."""
+    from memfuse_spark.plans import tpch
+
+    li, orders = _tables(spark, sf_dir, "lineitem", "orders")
+    return tpch.q12_priority_lines(li, orders)
+
+
+def q_tpch_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: left-outer-join count distribution."""
+    from memfuse_spark.plans import tpch
+
+    cust, orders = _tables(spark, sf_dir, "customer", "orders")
+    return tpch.q13_order_distribution(cust, orders)
+
+
+def q_tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: promo revenue share ratio."""
+    from memfuse_spark.plans import tpch
+
+    li, part = _tables(spark, sf_dir, "lineitem", "part")
+    return tpch.q14_promo_share(li, part)
+
+
+def q_tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: top supplier via MAX scalar subquery."""
+    from memfuse_spark.plans import tpch
+
+    li, supp = _tables(spark, sf_dir, "lineitem", "supplier")
+    return tpch.q15_top_supplier(li, supp)
+
+
+def q_tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: distinct-supplier counts with NOT IN exclusion."""
+    from memfuse_spark.plans import tpch
+
+    li, part, supp = _tables(spark, sf_dir, "lineitem", "part", "supplier")
+    return tpch.q16_supplier_part_counts(li, part, supp)
+
+
+def q_tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: correlated AVG subquery (agg-then-join)."""
+    from memfuse_spark.plans import tpch
+
+    li, part = _tables(spark, sf_dir, "lineitem", "part")
+    return tpch.q17_small_quantity_revenue(li, part)
+
+
+def q_tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: disjunctive brand/size/quantity predicates."""
+    from memfuse_spark.plans import tpch
+
+    li, part = _tables(spark, sf_dir, "lineitem", "part")
+    return tpch.q19_disjunctive_revenue(li, part)
+
+
+def q_tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: nested agg + double semi-join supplier filter."""
+    from memfuse_spark.plans import tpch
+
+    li, part, supp, nat = _tables(spark, sf_dir, "lineitem", "part", "supplier", "nation")
+    return tpch.q20_excess_suppliers(li, part, supp, nat)
+
+
+def q_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: EXISTS + NOT EXISTS double correlation."""
+    from memfuse_spark.plans import tpch
+
+    li, orders, supp = _tables(spark, sf_dir, "lineitem", "orders", "supplier")
+    return tpch.q21_waiting_suppliers(li, orders, supp)
+
+
+def q_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: scalar AVG subquery + NOT EXISTS anti-join."""
+    from memfuse_spark.plans import tpch
+
+    cust, orders = _tables(spark, sf_dir, "customer", "orders")
+    return tpch.q22_idle_customers(cust, orders)
+
+
 def q_hll_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog distinct-user estimate vs exact (sketches.py)."""
     from memfuse_spark.operators.sketches import hll_vs_exact
@@ -1541,6 +1675,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "user_retention": q_user_retention,
         "bloom_semi_join": q_bloom_semi_join,
         "ivfpq_topk": q_ivfpq_topk,
+        # (1b) TPC-H completion batch — the six correlated-subquery
+        # shapes go in-window (highest replication value); the ten
+        # straight join-agg shapes (q4/q7/q8/q9/q12/q13/q14/q16/q19/q22)
+        # sit past 50 with the already-driver-green q5/q10/q18 family.
+        "tpch_q2": q_tpch_q2,
+        "tpch_q11": q_tpch_q11,
+        "tpch_q15": q_tpch_q15,
+        "tpch_q17": q_tpch_q17,
+        "tpch_q20": q_tpch_q20,
+        "tpch_q21": q_tpch_q21,
         # (2) zero driver rows in r01/r02 (r3 window never recorded)
         "graph_pagerank": q_graph_pagerank,
         "phrase_search": q_phrase_search,
@@ -1573,16 +1717,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_window_agg": q_events_window_agg,
         "sessionize": q_sessionize,
         "asof_join": q_asof_join,
+        "session_listing": q_session_listing,
+        # --- past the driver window (position 51+): r2-green rows on
+        # --- inputs unchanged since; full-suite verify_oracle.py is
+        # --- their per-round superset check (COVERAGE.md). The six
+        # --- demoted events aggregates (moving_avg, event_pivot,
+        # --- event_percentiles, distinct_users, props_json_extract,
+        # --- buffer_quality) share the NTZ-cast risk class with the
+        # --- in-window events queries above.
         "moving_avg": q_moving_avg,
         "event_pivot": q_event_pivot,
         "event_percentiles": q_event_percentiles,
         "distinct_users": q_distinct_users,
         "props_json_extract": q_props_json_extract,
         "buffer_quality": q_buffer_quality,
-        "session_listing": q_session_listing,
-        # --- past the driver window (position 51+): r2-green rows on
-        # --- inputs unchanged since; full-suite verify_oracle.py is
-        # --- their per-round superset check (COVERAGE.md)
+        "tpch_q4": q_tpch_q4,
+        "tpch_q7": q_tpch_q7,
+        "tpch_q8": q_tpch_q8,
+        "tpch_q9": q_tpch_q9,
+        "tpch_q12": q_tpch_q12,
+        "tpch_q13": q_tpch_q13,
+        "tpch_q14": q_tpch_q14,
+        "tpch_q16": q_tpch_q16,
+        "tpch_q19": q_tpch_q19,
+        "tpch_q22": q_tpch_q22,
         "chunk_stats": q_chunk_stats,
         "hierarchy_summary": q_hierarchy_summary,
         "simhash": q_simhash,
@@ -1915,6 +2073,232 @@ JOIN orders   ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
 ORDER BY o_totalprice DESC, o_orderkey ASC
 LIMIT 100
+""",
+        "tpch_q2": """
+WITH supply AS (
+  SELECT p_partkey, p_name, l_suppkey,
+         l_extendedprice / l_quantity AS unit_cost
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE p_size = 15 AND p_type = 'STANDARD'
+),
+mc AS (
+  SELECT p_partkey, min(unit_cost) AS min_unit_cost
+  FROM supply GROUP BY p_partkey
+),
+winners AS (
+  SELECT DISTINCT s.p_partkey, s.p_name, s.l_suppkey, mc.min_unit_cost
+  FROM supply s JOIN mc ON s.p_partkey = mc.p_partkey
+  WHERE s.unit_cost = mc.min_unit_cost
+)
+SELECT s_acctbal, s_name, n_name, p_partkey, p_name,
+       round(min_unit_cost, 4) AS min_unit_cost
+FROM winners
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation   ON s_nationkey = n_nationkey
+ORDER BY s_acctbal DESC, n_name ASC, s_name ASC, p_partkey ASC
+LIMIT 100
+""",
+        "tpch_q4": """
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-07-01'
+  AND o_orderdate < TIMESTAMP '1996-10-01'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey
+                AND l_shipdate > o_orderdate + INTERVAL 90 DAY)
+GROUP BY o_orderpriority ORDER BY o_orderpriority
+""",
+        "tpch_q7": """
+SELECT n2.n_name AS supp_nation, n1.n_name AS cust_nation,
+       CAST(year(l_shipdate) AS INTEGER) AS l_year,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation n1 ON c_nationkey = n1.n_nationkey
+JOIN nation n2 ON s_nationkey = n2.n_nationkey
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate < TIMESTAMP '1998-01-01'
+  AND ((n2.n_name = 'NATION_1' AND n1.n_name = 'NATION_2')
+       OR (n2.n_name = 'NATION_2' AND n1.n_name = 'NATION_1'))
+GROUP BY supp_nation, cust_nation, l_year
+ORDER BY supp_nation, cust_nation, l_year
+""",
+        "tpch_q8": """
+SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+       round(sum(CASE WHEN n2.n_name = 'NATION_3'
+                      THEN l_extendedprice * (1 - l_discount)
+                      ELSE 0.0 END)
+             / sum(l_extendedprice * (1 - l_discount)), 6) AS mkt_share
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation n1 ON c_nationkey = n1.n_nationkey
+JOIN region   ON n1.n_regionkey = r_regionkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation n2 ON s_nationkey = n2.n_nationkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1998-01-01'
+GROUP BY o_year ORDER BY o_year
+""",
+        "tpch_q9": """
+SELECT n_name AS nation, CAST(year(o_orderdate) AS INTEGER) AS o_year,
+       sum(CAST(round((l_extendedprice * (1 - l_discount)
+                 - 0.5 * p_retailprice * l_quantity) * 100.0, 0) AS BIGINT))
+         / 100.0 AS sum_profit
+FROM lineitem
+JOIN part     ON l_partkey = p_partkey
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation   ON s_nationkey = n_nationkey
+WHERE p_name LIKE '%widget%'
+GROUP BY n_name, year(o_orderdate)
+ORDER BY nation ASC, o_year DESC
+""",
+        "tpch_q11": """
+WITH pv AS (
+  SELECT l_partkey, sum(l_extendedprice) AS value
+  FROM lineitem GROUP BY l_partkey
+)
+SELECT l_partkey, round(value, 2) AS value
+FROM pv
+WHERE value > 0.0007 * (SELECT sum(l_extendedprice) FROM lineitem)
+ORDER BY value DESC, l_partkey ASC
+""",
+        "tpch_q12": """
+SELECT l_linestatus,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND l_shipdate > o_orderdate + INTERVAL 60 DAY
+GROUP BY l_linestatus ORDER BY l_linestatus
+""",
+        "tpch_q13": """
+WITH per_cust AS (
+  SELECT c_custkey, count(o_orderkey) AS c_count
+  FROM customer LEFT JOIN orders
+    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+  GROUP BY c_custkey
+)
+SELECT c_count, count(*) AS custdist
+FROM per_cust GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+""",
+        "tpch_q14": """
+SELECT round(100.0 * sum(CASE WHEN p_type = 'PROMO'
+                              THEN l_extendedprice * (1 - l_discount)
+                              ELSE 0.0 END)
+             / sum(l_extendedprice * (1 - l_discount)), 6) AS promo_revenue_pct,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1996-09-01'
+  AND l_shipdate < TIMESTAMP '1996-10-01'
+""",
+        "tpch_q15": """
+WITH rev AS (
+  SELECT l_suppkey, sum(l_extendedprice * (1 - l_discount)) AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate < TIMESTAMP '1996-04-01'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, round(total_revenue, 2) AS total_revenue
+FROM rev JOIN supplier ON l_suppkey = s_suppkey
+WHERE total_revenue = (SELECT max(total_revenue) FROM rev)
+ORDER BY s_suppkey
+""",
+        "tpch_q16": """
+SELECT p_brand, p_type, p_size,
+       count(DISTINCT l_suppkey) AS supplier_cnt
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE p_brand <> 'Brand#5'
+  AND p_size IN (1, 14, 23, 45)
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p_brand, p_type, p_size
+ORDER BY supplier_cnt DESC, p_brand ASC, p_type ASC, p_size ASC
+""",
+        "tpch_q17": """
+WITH brand_lines AS (
+  SELECT l_partkey, l_quantity, l_extendedprice
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE p_brand = 'Brand#3'
+),
+avg_qty AS (
+  SELECT l_partkey, 0.5 * avg(l_quantity) AS qty_limit
+  FROM brand_lines GROUP BY l_partkey
+)
+SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+FROM brand_lines JOIN avg_qty USING (l_partkey)
+WHERE l_quantity < qty_limit
+""",
+        "tpch_q19": """
+SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       count(*) AS n_items
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 5
+       AND l_quantity BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#13' AND p_size BETWEEN 1 AND 10
+       AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#15' AND p_size BETWEEN 1 AND 15
+       AND l_quantity BETWEEN 20 AND 30)
+""",
+        "tpch_q20": """
+WITH heavy AS (
+  SELECT DISTINCT l_suppkey
+  FROM (SELECT l_suppkey, l_partkey, sum(l_quantity) AS shipped_qty
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE p_name LIKE '%bolt%'
+          AND l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate < TIMESTAMP '1997-01-01'
+        GROUP BY l_suppkey, l_partkey)
+  WHERE shipped_qty > 50
+)
+SELECT s_suppkey, s_name, s_acctbal
+FROM supplier
+WHERE s_suppkey IN (SELECT l_suppkey FROM heavy)
+  AND s_nationkey IN (SELECT n_nationkey FROM nation WHERE n_regionkey = 3)
+ORDER BY s_name
+""",
+        "tpch_q21": """
+WITH pairs AS (
+  SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem
+),
+rpairs AS (
+  SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem
+  WHERE l_returnflag = 'R'
+),
+lone AS (
+  SELECT b.l_orderkey, b.l_suppkey
+  FROM rpairs b JOIN orders ON b.l_orderkey = o_orderkey
+  WHERE o_orderstatus = 'F'
+    AND EXISTS (SELECT 1 FROM pairs p
+                WHERE p.l_orderkey = b.l_orderkey
+                  AND p.l_suppkey <> b.l_suppkey)
+    AND NOT EXISTS (SELECT 1 FROM rpairs r
+                    WHERE r.l_orderkey = b.l_orderkey
+                      AND r.l_suppkey <> b.l_suppkey)
+)
+SELECT s_name, count(DISTINCT l_orderkey) AS numwait
+FROM lone JOIN supplier ON l_suppkey = s_suppkey
+GROUP BY s_name
+ORDER BY numwait DESC, s_name ASC
+LIMIT 100
+""",
+        "tpch_q22": """
+SELECT c_nationkey, count(*) AS numcust,
+       round(sum(c_acctbal), 2) AS totacctbal
+FROM customer
+WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0)
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderdate >= TIMESTAMP '2001-06-01')
+GROUP BY c_nationkey ORDER BY c_nationkey
 """,
         "window_running_sum": """
 SELECT o_custkey, o_orderkey,

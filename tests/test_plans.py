@@ -173,3 +173,18 @@ def test_prefix_filter_candidates_are_equi_join(spark, tables):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     cache.release("dedup.prefix_toks")
+
+
+def test_tpch_correlated_shapes(spark, tables):
+    """TPC-H completion batch: correlated subqueries must compile to
+    aggregate-then-broadcast-join (one fact shuffle), and Q21's double
+    correlation to a semi + anti join pair — never a per-row probe."""
+    import __spark_entry__ as m
+
+    q21 = _plan(m.q_tpch_q21(spark, SF_DIR))
+    assert "LeftSemi" in q21 and "LeftAnti" in q21
+    q2 = _plan(m.q_tpch_q2(spark, SF_DIR))
+    assert "BroadcastHashJoin" in q2
+    assert "SortMergeJoin" not in q2
+    q17 = _plan(m.q_tpch_q17(spark, SF_DIR))
+    assert "BroadcastHashJoin" in q17
