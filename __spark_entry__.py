@@ -561,6 +561,51 @@ def q_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tpch.q22_idle_customers(cust, orders)
 
 
+def q_zorder_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order layout effectiveness: per-Morton-block min/max spreads of
+    (user_id, value-cents) — the data-skipping report for a table laid
+    out with operators/layout.py (Delta OPTIMIZE ZORDER analog)."""
+    from memfuse_spark.operators import layout
+
+    (ev,) = _tables(spark, sf_dir, "events")
+    from memfuse_spark.operators.stats import value_cents
+
+    return layout.zorder_bucket_stats(
+        ev, F.col("user_id"), value_cents("value")
+    )
+
+
+def q_hist_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable fixed-bin histogram sketch → p50/p90/p99 estimates
+    (one scan, no sort — the streaming-quantile summary)."""
+    from memfuse_spark.operators.stats import histogram_quantiles
+
+    (ev,) = _tables(spark, sf_dir, "events")
+    return histogram_quantiles(ev)
+
+
+def q_centroid_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label mean-pool (element-wise centroid) + nearest-centroid ranking
+    of the anchor query vector."""
+    from memfuse_spark.operators.similarity import centroid_topk
+
+    (emb,) = _tables(spark, sf_dir, "embeddings")
+    qvec = anchor_vector(spark, emb, ANCHOR_VEC_ID)
+    return centroid_topk(emb, qvec, 10)
+
+
+def q_matryoshka_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Progressive retrieval: 16-dim prefix scan → top-50, full 64-dim
+    re-score → top-15 (matryoshka/MRL tier)."""
+    from memfuse_spark.operators.similarity import matryoshka_topk
+
+    (emb,) = _tables(spark, sf_dir, "embeddings")
+    qvec = anchor_vector(spark, emb, ANCHOR_VEC_ID)
+    return matryoshka_topk(
+        emb, qvec, TOP_K, prefix_dims=16, first_stage_k=50
+    )
+
+
 def q_hll_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog distinct-user estimate vs exact (sketches.py)."""
     from memfuse_spark.operators.sketches import hll_vs_exact
@@ -1685,25 +1730,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q17": q_tpch_q17,
         "tpch_q20": q_tpch_q20,
         "tpch_q21": q_tpch_q21,
+        # (1c) round-4 layout/sketch/pooling additions (in-window; four
+        # simple r3 zero-row shapes — orders_cube, value_bands,
+        # top_ngrams, global_shuffle — rotate past 50 to make room)
+        "zorder_stats": q_zorder_stats,
+        "hist_quantiles": q_hist_quantiles,
+        "centroid_topk": q_centroid_topk,
+        "matryoshka_topk": q_matryoshka_topk,
         # (2) zero driver rows in r01/r02 (r3 window never recorded)
         "graph_pagerank": q_graph_pagerank,
         "phrase_search": q_phrase_search,
         "ann_multiprobe": q_ann_multiprobe,
         "pq_topk": q_pq_topk,
         "collocations_pmi": q_collocations_pmi,
-        "orders_cube": q_orders_cube,
         "cluster_keywords": q_cluster_keywords,
         "bigram_logprob": q_bigram_logprob,
         "mmr_rerank": q_mmr_rerank,
         "hard_negatives": q_hard_negatives,
-        "value_bands": q_value_bands,
         "gopher_quality": q_gopher_quality,
         "quality_score": q_quality_score,
         "lang_id": q_lang_id,
         "graph_2hop": q_graph_2hop,
         "span_dedup": q_span_dedup,
-        "top_ngrams": q_top_ngrams,
-        "global_shuffle": q_global_shuffle,
         # (3) events-reading: green rows predate the events.ts schema switch
         "m0_records": q_m0_records,
         "m1_chunks": q_m1_chunks,
@@ -1725,6 +1773,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- event_percentiles, distinct_users, props_json_extract,
         # --- buffer_quality) share the NTZ-cast risk class with the
         # --- in-window events queries above.
+        "orders_cube": q_orders_cube,
+        "value_bands": q_value_bands,
+        "top_ngrams": q_top_ngrams,
+        "global_shuffle": q_global_shuffle,
         "moving_avg": q_moving_avg,
         "event_pivot": q_event_pivot,
         "event_percentiles": q_event_percentiles,
@@ -1878,6 +1930,27 @@ ORDER BY rerank_score DESC, doc_id ASC
 LIMIT {TOP_K}
 """
     )
+
+
+from memfuse_spark.operators import stats as _stats_ops
+
+
+def _zorder_stats_sql() -> str:
+    from memfuse_spark.operators.layout import ZORDER_BITS, quantized_zorder_sql
+
+    chain = quantized_zorder_sql(
+        "user_id", "CAST(round(value * 100.0, 0) AS BIGINT)", "events"
+    )
+    shift = 2 * ZORDER_BITS - 8
+    return f"""
+WITH {chain}
+SELECT (zkey >> {shift}) AS bucket, count(*) AS n,
+       min(dim_a) AS a_min, max(dim_a) AS a_max,
+       min(dim_b) AS b_min, max(dim_b) AS b_max,
+       max(dim_a) - min(dim_a) AS a_spread,
+       max(dim_b) - min(dim_b) AS b_spread
+FROM zk GROUP BY bucket ORDER BY bucket
+"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -2073,6 +2146,42 @@ JOIN orders   ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
 ORDER BY o_totalprice DESC, o_orderkey ASC
 LIMIT 100
+""",
+        "zorder_stats": _zorder_stats_sql(),
+        "hist_quantiles": _stats_ops.histogram_quantiles_sql(),
+        "centroid_topk": f"""
+WITH {_q(ANCHOR_VEC_ID)},
+per AS (
+  SELECT label, t.i AS i, avg(CAST(embedding[t.i] AS DOUBLE)) AS m,
+         count(*) AS n
+  FROM embeddings CROSS JOIN q
+       CROSS JOIN unnest(range(1, 1 + len(q.qv))) AS t(i)
+  GROUP BY label, t.i
+)
+SELECT label,
+       round(sum(m * qv[i])
+             / (sqrt(sum(m * m)) * sqrt(list_dot_product(qv, qv))), 6) AS score,
+       min(n) AS n
+FROM per, q GROUP BY label, qv
+ORDER BY score DESC, label ASC
+LIMIT 10
+""",
+        "matryoshka_topk": f"""
+WITH {_q(ANCHOR_VEC_ID)},
+s1 AS (
+  SELECT e.vec_id, CAST(e.embedding AS DOUBLE[]) AS ev,
+         round(list_dot_product(CAST(e.embedding AS DOUBLE[])[1:16], qv[1:16])
+               / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[])[1:16],
+                                        CAST(e.embedding AS DOUBLE[])[1:16]))
+                  * sqrt(list_dot_product(qv[1:16], qv[1:16]))), 6) AS pre_score
+  FROM embeddings e, q
+  ORDER BY pre_score DESC, e.vec_id ASC LIMIT 50
+)
+SELECT vec_id,
+       round(list_dot_product(ev, qv)
+             / (sqrt(list_dot_product(ev, ev))
+                * sqrt(list_dot_product(qv, qv))), 6) AS score
+FROM s1, q ORDER BY score DESC, vec_id ASC LIMIT {TOP_K}
 """,
         "tpch_q2": """
 WITH supply AS (

@@ -65,6 +65,11 @@ EXTRA = [
     "event_funnel",
     "user_retention",
     "bloom_semi_join",
+    # round 4, TPC-H completion batch (q21 is the heaviest: distinct
+    # pair-sets + semi/anti correlation on the fact table)
+    "tpch_q9",
+    "tpch_q13",
+    "tpch_q21",
 ]
 
 

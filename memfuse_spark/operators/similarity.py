@@ -322,3 +322,112 @@ def hard_negatives(
         .select("anchor_id", id_col, "score")
         .orderBy("anchor_id", F.desc("score"), F.asc(id_col))
     )
+
+
+def label_centroids(
+    items: DataFrame, label_col: str = "label", vec_col: str = "embedding"
+) -> DataFrame:
+    """(label, centroid, n) — element-wise mean embedding per label
+    (supervised pooling; same mean-of-members contract as the reference's
+    chunk→session rollup idea, and the classic nearest-centroid
+    classifier's training step).
+
+    Plan shape: posexplode → groupBy(label, pos) avg → re-assemble via
+    sorted collect. The explode multiplies rows by dim, but partial
+    aggregation combines map-side, so the shuffle carries only
+    |labels| × dim × partitions rows — this scales; a collect-to-driver
+    matmul would not. The reassembling collect_list is |labels| × dim.
+    """
+    per_dim = (
+        items.select(
+            F.col(label_col).alias("label"),
+            F.posexplode(F.col(vec_col)).alias("pos", "x"),
+        )
+        .groupBy("label", "pos")
+        .agg(F.avg("x").alias("m"), F.count("*").alias("n"))
+    )
+    return (
+        per_dim.groupBy("label")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("pos", "m"))
+            ).alias("pm"),
+            F.first("n").alias("n"),
+        )
+        .select(
+            "label",
+            F.transform("pm", lambda s: s["m"]).alias("centroid"),
+            "n",
+        )
+    )
+
+
+def centroid_topk(
+    items: DataFrame,
+    qvec: Sequence[float],
+    k: int = 10,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+    decimals: int = 6,
+) -> DataFrame:
+    """(label, score, n) — labels ranked by cosine(query, label centroid):
+    mean-pool then nearest-centroid classification of the query."""
+    cents = label_centroids(items, label_col, vec_col)
+    return (
+        cents.select(
+            "label",
+            F.round(
+                cosine_similarity(F.col("centroid"), _query_vec_lit(qvec)), decimals
+            ).alias("score"),
+            "n",
+        )
+        .orderBy(F.desc("score"), F.asc("label"))
+        .limit(k)
+    )
+
+
+def matryoshka_topk(
+    items: DataFrame,
+    qvec: Sequence[float],
+    k: int,
+    prefix_dims: int,
+    first_stage_k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    decimals: int = 6,
+) -> DataFrame:
+    """Two-stage progressive retrieval: stage 1 scores cosine on the
+    first ``prefix_dims`` dimensions only (matryoshka/MRL-style prefix —
+    a 4× cheaper scan whose per-row cost is what dominates brute-force
+    at 10^9 vectors), stage 2 re-scores the surviving ``first_stage_k``
+    candidates with the full vector. Both stages are TakeOrdered over a
+    scan — no corpus shuffle; stage 2's candidate set is
+    first_stage_k-sized, so the full-dim work is O(k') not O(corpus).
+
+    With MRL-trained embeddings the prefix is semantically faithful; on
+    the synthetic vectors here it is just a deterministic projection —
+    the recall/cost trade is measured in tests either way."""
+    q_full = _query_vec_lit(qvec)
+    q_pre = _query_vec_lit(list(qvec)[:prefix_dims])
+    stage1 = (
+        items.select(
+            id_col,
+            vec_col,
+            F.round(
+                cosine_similarity(F.slice(F.col(vec_col), 1, prefix_dims), q_pre),
+                decimals,
+            ).alias("pre_score"),
+        )
+        .orderBy(F.desc("pre_score"), F.asc(id_col))
+        .limit(first_stage_k)
+    )
+    return (
+        stage1.select(
+            id_col,
+            F.round(cosine_similarity(F.col(vec_col), q_full), decimals).alias(
+                "score"
+            ),
+        )
+        .orderBy(F.desc("score"), F.asc(id_col))
+        .limit(k)
+    )

@@ -105,3 +105,161 @@ SELECT {group_col}, CAST(count(*) AS BIGINT) AS n,
 FROM z GROUP BY {group_col}
 ORDER BY {group_col}
 """
+
+
+# ---------------------------------------------------------------------------
+# mergeable fixed-bin histogram sketch → streaming quantile estimates
+# ---------------------------------------------------------------------------
+
+HIST_BINS = 64
+HIST_QUANTILES = (0.5, 0.9, 0.99)
+
+
+def value_cents(value_col: str = "value"):
+    """Exact integer-cents view of a 2-decimal money column — integer
+    arithmetic keeps binning engine-exact (no float bin-edge flips)."""
+    return F.round(F.col(value_col) * 100.0, 0).cast("long")
+
+
+def histogram_sketch(
+    events: DataFrame,
+    value_col: str = "value",
+    bins: int = HIST_BINS,
+) -> DataFrame:
+    """(bin, n) fixed-width histogram over the column's [min, max] range,
+    computed in integer cents: bin = (c - cmin) * bins div (cmax - cmin),
+    clamped to bins-1.
+
+    This is the mergeable-summary form of a quantile sketch: bin counts
+    sum associatively, so per-partition (or per-epoch, in a streaming
+    micro-batch) histograms combine by addition — Spark's partial
+    aggregation already exploits this (map-side combine), and epoch
+    histograms can be unioned + re-summed without touching raw data.
+    The fixed binning trades the adaptivity of a t-digest/KLL for
+    determinism (oracle-checkable) and O(bins) state.
+    """
+    c = value_cents(value_col)
+    rng = events.agg(F.min(c).alias("cmin"), F.max(c).alias("cmax"))
+    return (
+        events.select(c.alias("c"))
+        .join(F.broadcast(rng))
+        .withColumn(
+            "bin",
+            F.least(
+                F.lit(bins - 1),
+                F.expr(f"(c - cmin) * {bins} div (cmax - cmin)"),
+            ).cast("int"),
+        )
+        .groupBy("bin")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def histogram_quantiles(
+    events: DataFrame,
+    value_col: str = "value",
+    bins: int = HIST_BINS,
+    quantiles: tuple = HIST_QUANTILES,
+) -> DataFrame:
+    """(quantile, bin, estimate) — quantile estimates read off the
+    cumulative histogram with linear interpolation inside the landing
+    bin. All arithmetic on integer cents/counts until the final
+    round(·, 6), so Spark and the oracle agree bit-for-bit.
+
+    Scale shape: one scan (histogram partial-agg) + one bins-sized
+    cumulative window + a broadcast of the bins-sized summary — the
+    raw column is never sorted, which is the whole point of a sketch
+    at 10^12 rows."""
+    from pyspark.sql import Window
+
+    c = value_cents(value_col)
+    rng = events.agg(
+        F.min(c).alias("cmin"), F.max(c).alias("cmax"), F.count("*").alias("total")
+    )
+    hist = (
+        histogram_sketch(events, value_col, bins)
+        .join(F.broadcast(rng))
+        .withColumn(
+            "cum", F.sum("n").over(Window.orderBy("bin").rowsBetween(
+                Window.unboundedPreceding, 0))
+        )
+    )
+    qdf = hist.sparkSession.createDataFrame(
+        [(float(q),) for q in quantiles], "quantile double"
+    )
+    # landing bin: first bin whose cumulative count reaches ceil(q·total)
+    landing = (
+        hist.join(F.broadcast(qdf))
+        .withColumn("target", F.ceil(F.col("quantile") * F.col("total")))
+        .filter(F.col("cum") >= F.col("target"))
+        .groupBy("quantile")
+        .agg(F.min("bin").alias("bin"))
+    )
+    # interpolate inside the landing bin; lo and the bin width use the
+    # SAME float expressions as the SQL twin (term-for-term) so the two
+    # engines agree bit-for-bit before the final rounding
+    detail = hist.select(
+        "bin", "n", "cum", "cmin", "cmax", "total",
+        (F.col("cmin") + (F.col("cmax") - F.col("cmin")) * F.col("bin") / bins
+         ).alias("lo"),
+        ((F.col("cmax") - F.col("cmin")) * 1.0 / bins).alias("width"),
+    )
+    return (
+        landing.join(F.broadcast(detail), "bin")
+        .withColumn("target", F.ceil(F.col("quantile") * F.col("total")))
+        .select(
+            "quantile",
+            "bin",
+            F.round(
+                (F.col("lo")
+                 + F.col("width")
+                 * (F.col("target") - (F.col("cum") - F.col("n")))
+                 / F.col("n"))
+                / 100.0,
+                6,
+            ).alias("estimate"),
+        )
+        .orderBy("quantile")
+    )
+
+
+def histogram_quantiles_sql(
+    bins: int = HIST_BINS, quantiles: tuple = HIST_QUANTILES
+) -> str:
+    """DuckDB twin of :func:`histogram_quantiles` (same integer-cents
+    binning, cumulative window, and interpolation)."""
+    qvals = ", ".join(f"({q})" for q in quantiles)
+    return f"""
+WITH cents AS (
+  SELECT CAST(round(value * 100.0, 0) AS BIGINT) AS c FROM events
+),
+rng AS (
+  SELECT min(c) AS cmin, max(c) AS cmax, count(*) AS total FROM cents
+),
+hist AS (
+  SELECT CAST(least({bins - 1}, (c - cmin) * {bins} // (cmax - cmin)) AS INTEGER) AS bin,
+         count(*) AS n
+  FROM cents, rng GROUP BY bin
+),
+cum AS (
+  SELECT bin, n,
+         sum(n) OVER (ORDER BY bin ROWS BETWEEN UNBOUNDED PRECEDING
+                      AND CURRENT ROW) AS cum
+  FROM hist
+),
+qs AS (SELECT CAST(quantile AS DOUBLE) AS quantile
+       FROM (VALUES {qvals}) AS t(quantile)),
+landing AS (
+  SELECT quantile, min(bin) AS bin
+  FROM qs JOIN rng ON true JOIN cum
+    ON cum.cum >= ceil(quantile * total)
+  GROUP BY quantile
+)
+SELECT l.quantile, l.bin,
+       round((cmin + (cmax - cmin) * l.bin / {bins}
+              + ((cmax - cmin) * 1.0 / {bins})
+                * (ceil(l.quantile * total) - (c2.cum - c2.n)) / c2.n)
+             / 100.0, 6) AS estimate
+FROM landing l JOIN cum c2 ON l.bin = c2.bin JOIN rng ON true
+ORDER BY l.quantile
+"""

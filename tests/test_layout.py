@@ -1,0 +1,172 @@
+"""Z-order layout, histogram sketch, and pooling/matryoshka tiers."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from conftest import SF_DIR, SF_DIR_MED
+
+
+def test_zorder_key_morton_bits(spark):
+    """Known interleavings: zkey(a, b) puts a's bits at odd positions."""
+    from memfuse_spark.operators.layout import zorder_key
+
+    df = spark.createDataFrame(
+        [(0, 0), (1, 0), (0, 1), (3, 3), (5, 2)], "a long, b long"
+    )
+    got = {
+        (r["a"], r["b"]): r["z"]
+        for r in df.select("a", "b", zorder_key(F.col("a"), F.col("b")).alias("z"))
+        .collect()
+    }
+    def morton(a, b):
+        z = 0
+        for i in range(16):
+            z |= ((a >> i) & 1) << (2 * i + 1)
+            z |= ((b >> i) & 1) << (2 * i)
+        return z
+    for (a, b), z in got.items():
+        assert z == morton(a, b)
+
+
+def test_zorder_layout_tightens_file_ranges(spark, tmp_path):
+    """The actual 100 TB claim: files written via zorder_layout carry
+    tight min/max for BOTH dimensions, so parquet footer pruning can
+    skip files on either predicate; a time-ordered write cannot."""
+    from memfuse_spark.catalog import load_table
+    from memfuse_spark.operators.layout import zorder_layout
+    from memfuse_spark.operators.stats import value_cents
+
+    ev = load_table(spark, SF_DIR_MED, "events")
+    zdir, tdir = str(tmp_path / "z"), str(tmp_path / "t")
+    zorder_layout(ev, F.col("user_id"), value_cents("value"), 8).write.parquet(zdir)
+    ev.repartitionByRange(8, "ts").sortWithinPartitions("ts").write.parquet(tdir)
+
+    def avg_file_spread(path, col):
+        per_file = (
+            spark.read.parquet(path)
+            .groupBy(F.input_file_name())
+            .agg((F.max(col) - F.min(col)).alias("spread"))
+        )
+        rows = per_file.collect()
+        return sum(r["spread"] for r in rows) / len(rows)
+
+    full_span = ev.agg(F.max("user_id") - F.min("user_id")).collect()[0][0]
+    z_spread = avg_file_spread(zdir, "user_id")
+    t_spread = avg_file_spread(tdir, "user_id")
+    # time-ordered files see ~every user; z-ordered files see a narrow band
+    assert t_spread > 0.9 * full_span
+    assert z_spread < 0.5 * full_span
+
+
+def test_histogram_sketch_merges_associatively(spark):
+    """Mergeable-summary contract: sketch(half1) + sketch(half2) combined
+    by bin-count addition equals sketch(whole) — the property that makes
+    per-partition/per-epoch summaries combinable without raw data.
+
+    Halves share the whole's [min, max] framing (summaries are merged
+    under one registered range, as epochs would be in practice)."""
+    from memfuse_spark.catalog import load_table
+    from memfuse_spark.operators.stats import HIST_BINS, value_cents
+
+    ev = load_table(spark, SF_DIR_MED, "events")
+    c = value_cents("value")
+    rng = ev.agg(F.min(c).alias("cmin"), F.max(c).alias("cmax"))
+
+    def hist(df):
+        return (
+            df.select(c.alias("c"))
+            .join(F.broadcast(rng))
+            .withColumn(
+                "bin",
+                F.least(
+                    F.lit(HIST_BINS - 1),
+                    F.expr(f"(c - cmin) * {HIST_BINS} div (cmax - cmin)"),
+                ).cast("int"),
+            )
+            .groupBy("bin")
+            .agg(F.count("*").alias("n"))
+        )
+
+    h1 = hist(ev.filter(F.col("event_id") % 2 == 0))
+    h2 = hist(ev.filter(F.col("event_id") % 2 == 1))
+    merged = {
+        r["bin"]: r["n"]
+        for r in h1.unionAll(h2).groupBy("bin").agg(F.sum("n").alias("n")).collect()
+    }
+    whole = {r["bin"]: r["n"] for r in hist(ev).collect()}
+    assert merged == whole
+
+
+def test_histogram_quantiles_close_to_exact(spark):
+    """64-bin estimates land within one bin width of exact quantiles."""
+    from memfuse_spark.catalog import load_table
+    from memfuse_spark.operators.stats import HIST_BINS, histogram_quantiles
+
+    ev = load_table(spark, SF_DIR_MED, "events")
+    est = {r["quantile"]: r["estimate"] for r in histogram_quantiles(ev).collect()}
+    exact = ev.agg(
+        F.expr("percentile(value, 0.5)").alias("p50"),
+        F.expr("percentile(value, 0.9)").alias("p90"),
+        F.expr("percentile(value, 0.99)").alias("p99"),
+        (F.max("value") - F.min("value")).alias("span"),
+    ).collect()[0]
+    bin_w = exact["span"] / HIST_BINS
+    assert abs(est[0.5] - exact["p50"]) <= bin_w
+    assert abs(est[0.9] - exact["p90"]) <= bin_w
+    assert abs(est[0.99] - exact["p99"]) <= bin_w
+
+
+def test_label_centroids_match_numpy(spark, tables):
+    """Element-wise mean pooling equals the numpy mean per label."""
+    import numpy as np
+
+    from memfuse_spark.operators.similarity import label_centroids
+
+    emb = tables["embeddings"]
+    got = {
+        r["label"]: np.array(r["centroid"])
+        for r in label_centroids(emb).collect()
+    }
+    rows = emb.select("label", "embedding").collect()
+    by_label: dict = {}
+    for r in rows:
+        by_label.setdefault(r["label"], []).append(np.array(r["embedding"], dtype="float64"))
+    for lbl, vecs in by_label.items():
+        want = np.mean(vecs, axis=0)
+        assert np.allclose(got[lbl], want, atol=1e-9), lbl
+
+
+def test_matryoshka_recall_vs_exact(spark, tables):
+    """The 16-dim prefix stage keeps most of the exact top-15 when the
+    re-rank pool is 50 — and the final scores are exact full-dim cosine
+    (any kept id scores identically to brute force)."""
+    from memfuse_spark.catalog import load_table
+    from memfuse_spark.operators.similarity import matryoshka_topk, similarity_topk
+
+    emb = load_table(spark, SF_DIR_MED, "embeddings")
+    qvec = [r["embedding"] for r in emb.filter(F.col("vec_id") == 0).collect()][0]
+    exact_rows = {
+        r["vec_id"]: r["score"] for r in similarity_topk(emb, qvec, 15).collect()
+    }
+
+    def recall(first_stage_k):
+        mat = matryoshka_topk(
+            emb, qvec, 15, prefix_dims=16, first_stage_k=first_stage_k
+        )
+        rows = {r["vec_id"]: r["score"] for r in mat.collect()}
+        kept = set(exact_rows) & set(rows)
+        for vid in kept:
+            assert math.isclose(exact_rows[vid], rows[vid], abs_tol=1e-9)
+        return len(kept)
+
+    # random (non-MRL) vectors: the 16/64 prefix correlates ~sqrt(1/4)
+    # with the full cosine, so recall is the knob first_stage_k buys —
+    # it must rise toward exact as the re-rank pool widens
+    r50, r200 = recall(50), recall(200)
+    assert r50 >= 5
+    assert r200 >= r50
+    assert r200 >= 12
