@@ -606,6 +606,17 @@ def q_matryoshka_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_session_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F.session_window gap sessionization (batch twin of the streaming
+    session aggregation in streaming/windows.py), per-session rollup."""
+    from memfuse_spark.streaming.windows import session_window_agg
+
+    (ev,) = _tables(spark, sf_dir, "events")
+    return session_window_agg(
+        ev.filter(F.col("user_id") <= 30), gap_minutes=480
+    ).orderBy("user_id", "session_start")
+
+
 def q_hll_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog distinct-user estimate vs exact (sketches.py)."""
     from memfuse_spark.operators.sketches import hll_vs_exact
@@ -1737,6 +1748,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hist_quantiles": q_hist_quantiles,
         "centroid_topk": q_centroid_topk,
         "matryoshka_topk": q_matryoshka_topk,
+        "session_rollup": q_session_rollup,
         # (2) zero driver rows in r01/r02 (r3 window never recorded)
         "graph_pagerank": q_graph_pagerank,
         "phrase_search": q_phrase_search,
@@ -1748,7 +1760,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mmr_rerank": q_mmr_rerank,
         "hard_negatives": q_hard_negatives,
         "gopher_quality": q_gopher_quality,
-        "quality_score": q_quality_score,
         "lang_id": q_lang_id,
         "graph_2hop": q_graph_2hop,
         "span_dedup": q_span_dedup,
@@ -1773,6 +1784,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- event_percentiles, distinct_users, props_json_extract,
         # --- buffer_quality) share the NTZ-cast risk class with the
         # --- in-window events queries above.
+        "quality_score": q_quality_score,
         "orders_cube": q_orders_cube,
         "value_bands": q_value_bands,
         "top_ngrams": q_top_ngrams,
@@ -2146,6 +2158,29 @@ JOIN orders   ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
 ORDER BY o_totalprice DESC, o_orderkey ASC
 LIMIT 100
+""",
+        "session_rollup": """
+WITH s AS (
+  SELECT user_id, ts, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR floor(epoch(ts))::BIGINT - floor(epoch(lag(ts) OVER w))::BIGINT > 480 * 60
+              THEN 1 ELSE 0 END AS new_session
+  FROM events WHERE user_id <= 30
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+),
+assigned AS (
+  SELECT user_id, ts, value,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+  FROM s
+)
+SELECT user_id,
+       min(ts) AS session_start,
+       max(ts) + INTERVAL 480 MINUTE AS session_end,
+       count(*) AS n_events,
+       round(sum(value), 2) AS value_sum
+FROM assigned GROUP BY user_id, session_seq
+ORDER BY user_id, session_start
 """,
         "zorder_stats": _zorder_stats_sql(),
         "hist_quantiles": _stats_ops.histogram_quantiles_sql(),

@@ -1,0 +1,80 @@
+"""Streaming session-window aggregation with watermarked late-data
+handling.
+
+The reference sessionizes implicitly (its buffers key on session_id and
+flush on triggers — ``buffer/round_buffer.py``); a Spark deployment gets
+gap-based sessionization natively from ``F.session_window`` in Structured
+Streaming: per-key windows that extend while events arrive within the gap
+and close (emit) once the watermark passes the gap. State per open session
+is O(aggregates), eviction is watermark-driven — this holds at an
+unbounded stream where a batch lag/window pass cannot run.
+
+Batch twin: ``operators/temporal.sessionize`` (lag/cumsum) — the gap
+semantics are identical, which the parity test asserts
+(``test_streaming_windows.py``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from memfuse_spark.operators.temporal import SESSION_GAP_MINUTES
+
+
+def session_window_agg(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    gap_minutes: int = SESSION_GAP_MINUTES,
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Per-(key, session-window) rollup: n events, value sum, window
+    bounds. Works identically on a streaming or batch DataFrame —
+    the watermark clause is applied only when streaming (batch ignores
+    it), so one definition serves both the stream and its parity twin.
+    """
+    src = events
+    if events.isStreaming:
+        src = events.withWatermark(ts_col, watermark)
+    return (
+        src.groupBy(
+            F.col(key_col),
+            F.session_window(F.col(ts_col), f"{gap_minutes} minutes"),
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("value_sum"),
+        )
+        .select(
+            key_col,
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events",
+            "value_sum",
+        )
+    )
+
+
+def run_session_stream(
+    spark,
+    source_dir: str,
+    schema,
+    out_dir: str,
+    checkpoint_dir: str,
+    gap_minutes: int = SESSION_GAP_MINUTES,
+) -> None:
+    """Drive the session-window aggregation over a file stream to a
+    parquet sink (availableNow — drains the source then stops; the same
+    writer runs continuously off Kafka with a processingTime trigger)."""
+    stream = spark.readStream.schema(schema).parquet(source_dir)
+    agg = session_window_agg(stream, gap_minutes=gap_minutes)
+    (
+        agg.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination(120)
+    )
