@@ -606,6 +606,22 @@ def q_matryoshka_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_proximity_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FTS NEAR/k: docs ranked by 'query'~'vector' co-occurrences
+    within 5 positions (positional-postings band join)."""
+    return kw_ops.proximity_search(
+        _tables(spark, sf_dir, "documents")[0], "query", "vector", 5, 20
+    )
+
+
+def q_typo_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FastSS deletion-neighborhood fuzzy vocabulary join (edit
+    distance 1-2), verified with levenshtein."""
+    from memfuse_spark.operators.textanalysis import typo_pairs
+
+    return typo_pairs(_tables(spark, sf_dir, "documents")[0])
+
+
 def q_session_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F.session_window gap sessionization (batch twin of the streaming
     session aggregation in streaming/windows.py), per-session rollup."""
@@ -1749,6 +1765,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "centroid_topk": q_centroid_topk,
         "matryoshka_topk": q_matryoshka_topk,
         "session_rollup": q_session_rollup,
+        "proximity_search": q_proximity_search,
+        "typo_pairs": q_typo_pairs,
         # (2) zero driver rows in r01/r02 (r3 window never recorded)
         "graph_pagerank": q_graph_pagerank,
         "phrase_search": q_phrase_search,
@@ -1760,7 +1778,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mmr_rerank": q_mmr_rerank,
         "hard_negatives": q_hard_negatives,
         "gopher_quality": q_gopher_quality,
-        "lang_id": q_lang_id,
         "graph_2hop": q_graph_2hop,
         "span_dedup": q_span_dedup,
         # (3) events-reading: green rows predate the events.ts schema switch
@@ -1774,7 +1791,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contextual_chunks": q_contextual_chunks,
         "fixed_char_chunks": q_fixed_char_chunks,
         "events_window_agg": q_events_window_agg,
-        "sessionize": q_sessionize,
         "asof_join": q_asof_join,
         "session_listing": q_session_listing,
         # --- past the driver window (position 51+): r2-green rows on
@@ -1784,6 +1800,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- event_percentiles, distinct_users, props_json_extract,
         # --- buffer_quality) share the NTZ-cast risk class with the
         # --- in-window events queries above.
+        "lang_id": q_lang_id,
+        "sessionize": q_sessionize,
         "quality_score": q_quality_score,
         "orders_cube": q_orders_cube,
         "value_bands": q_value_bands,
@@ -2159,6 +2177,10 @@ JOIN customer ON o_custkey = c_custkey
 ORDER BY o_totalprice DESC, o_orderkey ASC
 LIMIT 100
 """,
+        "proximity_search": kw_ops.proximity_search_sql(
+            _TOKENIZE_SQL.format(col="text"), "query", "vector", 5, 20
+        ),
+        "typo_pairs": ta_ops.typo_pairs_sql(_TOKENIZE_SQL.format(col="text")),
         "session_rollup": """
 WITH s AS (
   SELECT user_id, ts, value,

@@ -70,6 +70,12 @@ EXTRA = [
     "tpch_q9",
     "tpch_q13",
     "tpch_q21",
+    "zorder_stats",
+    "hist_quantiles",
+    "matryoshka_topk",
+    "session_rollup",
+    "proximity_search",
+    "typo_pairs",
 ]
 
 

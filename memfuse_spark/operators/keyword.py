@@ -465,3 +465,58 @@ GROUP BY doc_id
 ORDER BY score DESC, doc_id ASC
 LIMIT {k}
 """
+
+
+def proximity_search(
+    docs: DataFrame,
+    term_a: str,
+    term_b: str,
+    window: int,
+    k: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """NEAR/k: top-k docs by the number of (pos_a, pos_b) co-occurrences
+    with |pos_a - pos_b| <= window (either order) — the FTS5 NEAR
+    operator over positional postings.
+
+    Plan shape: the positional explode filters to the TWO query terms
+    before any join (term-bucketed postings prune to two buckets at
+    scale), then a doc-keyed equi-join with a map-side band predicate —
+    per-doc position lists are small, so the band never explodes."""
+    postings = build_positional_postings(docs, id_col, text_col)
+    pa = postings.filter(F.col("term") == term_a).select(
+        "doc_id", F.col("pos").alias("pos_a")
+    )
+    pb = postings.filter(F.col("term") == term_b).select(
+        "doc_id", F.col("pos").alias("pos_b")
+    )
+    return (
+        pa.join(pb, "doc_id")
+        .filter(F.abs(F.col("pos_a") - F.col("pos_b")) <= window)
+        .groupBy("doc_id")
+        .agg(F.count("*").cast("long").alias("n_near"))
+        .orderBy(F.desc("n_near"), F.asc("doc_id"))
+        .limit(k)
+    )
+
+
+def proximity_search_sql(
+    tokenize_sql: str, term_a: str, term_b: str, window: int, k: int
+) -> str:
+    """DuckDB twin of :func:`proximity_search`."""
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest({tokenize_sql}) AS term,
+         generate_subscripts({tokenize_sql}, 1) AS pos
+  FROM documents
+),
+pa AS (SELECT doc_id, pos AS pos_a FROM toks WHERE term = '{term_a}'),
+pb AS (SELECT doc_id, pos AS pos_b FROM toks WHERE term = '{term_b}')
+SELECT pa.doc_id, CAST(count(*) AS BIGINT) AS n_near
+FROM pa JOIN pb ON pa.doc_id = pb.doc_id
+WHERE abs(pos_a - pos_b) <= {window}
+GROUP BY pa.doc_id
+ORDER BY n_near DESC, pa.doc_id ASC
+LIMIT {k}
+"""

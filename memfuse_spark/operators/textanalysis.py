@@ -792,3 +792,105 @@ def bigram_logprob(
         F.round(F.avg(logp), 6).alias("avg_bigram_logprob")
     )
     return toks.select("doc_id").join(per_doc, "doc_id", "left").orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# FastSS deletion-neighborhood fuzzy vocabulary join
+# ---------------------------------------------------------------------------
+
+TYPO_MIN_LEN = 4   # short tokens produce degenerate edit-distance pairs
+TYPO_MIN_FREQ = 2  # drop hapax noise from the vocabulary
+
+
+def typo_pairs(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(token_a, token_b, dist, freq_a, freq_b) — vocabulary pairs at
+    edit distance 1..2 (typo/variant mining), found by FastSS
+    (Bocek et al. '07) deletion-neighborhood blocking with k=2:
+    U2(s) = {s} ∪ del1(s) ∪ del2(s); dist(a,b) <= 2 ⟹ U2(a) ∩ U2(b) ≠ ∅
+    (any 2-edit alignment yields a common subsequence reachable by <= 2
+    deletions from each side), so an EQUI-join on the variant key gives
+    a candidate superset, verified with levenshtein.
+
+    Scale shape: candidates come from the variant equi-join — never
+    vocab × vocab (the brute-force square is the oracle's job, not the
+    engine's); per-token fan-out is O(len²) variant strings, constant
+    per token. Verification is a JVM levenshtein on candidate-count
+    rows. Both engines' levenshtein agree, so blocking (Spark) vs brute
+    force (DuckDB oracle) produce identical output — the standard
+    blocked-vs-exhaustive equivalence check.
+    """
+    from memfuse_spark.functions.text import tokenize
+
+    vocab = (
+        docs.select(F.explode(tokenize(text_col)).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").alias("freq"))
+        .filter(
+            (F.length("tok") >= TYPO_MIN_LEN) & (F.col("freq") >= TYPO_MIN_FREQ)
+        )
+    )
+    # del1: drop char i; del2: drop chars i<j (outer sequence stops at
+    # len-1 — Spark's sequence() DESCENDS when start > stop, so the
+    # inner sequence(i+1, len) must always be ascending-valid)
+    del1 = (
+        "transform(sequence(1, length(tok)), "
+        "i -> concat(substring(tok, 1, i - 1), "
+        "substring(tok, i + 1, length(tok))))"
+    )
+    del2 = (
+        "flatten(transform(sequence(1, length(tok) - 1), "
+        "i -> transform(sequence(i + 1, length(tok)), "
+        "j -> concat(substring(tok, 1, i - 1), "
+        "substring(tok, i + 1, j - i - 1), "
+        "substring(tok, j + 1, length(tok))))))"
+    )
+    variants = vocab.select(
+        "tok",
+        "freq",
+        F.explode(
+            F.array_union(
+                F.array(F.col("tok")),
+                F.array_union(F.expr(del1), F.expr(del2)),
+            )
+        ).alias("variant"),
+    )
+    a = variants.alias("a")
+    b = variants.alias("b")
+    cand = (
+        a.join(b, "variant")
+        .filter(F.col("a.tok") < F.col("b.tok"))
+        .select(
+            F.col("a.tok").alias("token_a"),
+            F.col("b.tok").alias("token_b"),
+            F.col("a.freq").alias("freq_a"),
+            F.col("b.freq").alias("freq_b"),
+        )
+        .distinct()
+    )
+    return (
+        cand.withColumn("dist", F.levenshtein("token_a", "token_b").cast("int"))
+        .filter(F.col("dist").between(1, 2))
+        .select("token_a", "token_b", "dist", "freq_a", "freq_b")
+        .orderBy("token_a", "token_b")
+    )
+
+
+def typo_pairs_sql(tokenize_sql: str) -> str:
+    """DuckDB twin: brute-force vocab² + levenshtein — exhaustive ground
+    truth for the FastSS blocking (vocabulary-sized, fine at oracle SF)."""
+    return f"""
+WITH vocab AS (
+  SELECT tok, count(*) AS freq
+  FROM (SELECT unnest({tokenize_sql}) AS tok FROM documents)
+  GROUP BY tok
+  HAVING length(tok) >= {TYPO_MIN_LEN} AND count(*) >= {TYPO_MIN_FREQ}
+)
+SELECT a.tok AS token_a, b.tok AS token_b,
+       CAST(levenshtein(a.tok, b.tok) AS INTEGER) AS dist,
+       a.freq AS freq_a, b.freq AS freq_b
+FROM vocab a JOIN vocab b ON a.tok < b.tok
+WHERE levenshtein(a.tok, b.tok) BETWEEN 1 AND 2
+ORDER BY token_a, token_b
+"""

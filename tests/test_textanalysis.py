@@ -166,3 +166,58 @@ def test_bigram_logprob_orders_natural_above_shuffled(spark):
     got = {r.doc_id: r.avg_bigram_logprob for r in bigram_logprob(docs).collect()}
     assert got[100] > got[101]
     assert got[102] is None
+
+
+def test_typo_pairs_fastss_finds_known_edits(spark):
+    """FastSS k=2 blocking finds substitution/insertion/deletion pairs at
+    distance 1 and 2, and nothing beyond — checked on a constructed
+    vocabulary against the exact levenshtein ground truth."""
+    from memfuse_spark.operators.textanalysis import typo_pairs
+
+    words = {
+        "spark": 3, "sperk": 2,        # 1 substitution
+        "sparkle": 2,                  # dist 2 from spark (2 insertions)
+        "table": 4, "cable": 2,        # 1 substitution
+        "tablet": 2,                   # insertion from table
+        "zebra": 5, "quartz": 2,       # far from everything
+    }
+    text = " ".join(w for w, n in words.items() for _ in range(n))
+    docs = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    got = {
+        (r["token_a"], r["token_b"]): r["dist"] for r in typo_pairs(docs).collect()
+    }
+    import itertools
+    def lev(a, b):
+        dp = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            prev, dp[0] = dp[0], i
+            for j, cb in enumerate(b, 1):
+                prev, dp[j] = dp[j], min(dp[j] + 1, dp[j - 1] + 1,
+                                         prev + (ca != cb))
+        return dp[len(b)]
+    want = {
+        tuple(sorted(p)): lev(*sorted(p))
+        for p in itertools.combinations(words, 2)
+        if 1 <= lev(*sorted(p)) <= 2
+    }
+    assert got == want
+    assert ("spark", "sperk") in got and got[("spark", "sperk")] == 1
+    assert ("spark", "sparkle") in got and got[("spark", "sparkle")] == 2
+    assert all("zebra" not in p and "quartz" not in p for p in got)
+
+
+def test_proximity_search_band_semantics(spark):
+    """NEAR/k counts unordered position pairs within the window."""
+    from memfuse_spark.operators.keyword import proximity_search
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta alpha x x x x x x beta"),  # pairs within 5: a1-b2(1), a3-b2(1) ; a3-b10 dist 7 no; a1-b10 no
+            (2, "alpha x x x x x beta"),               # dist 6 > 5 -> none
+            (3, "beta alpha"),                          # 1 pair, reversed order
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r["n_near"] for r in
+           proximity_search(docs, "alpha", "beta", 5, 10).collect()}
+    assert got == {1: 2, 3: 1}
