@@ -622,6 +622,14 @@ def q_typo_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return typo_pairs(_tables(spark, sf_dir, "documents")[0])
 
 
+def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learned BPE merge table (8 rounds) — tokenizer training over the
+    corpus as driver-coordinated iterative jobs."""
+    from memfuse_spark.operators.bpe import bpe_merges
+
+    return bpe_merges(_tables(spark, sf_dir, "documents")[0])
+
+
 def q_session_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F.session_window gap sessionization (batch twin of the streaming
     session aggregation in streaming/windows.py), per-session rollup."""
@@ -1767,6 +1775,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "session_rollup": q_session_rollup,
         "proximity_search": q_proximity_search,
         "typo_pairs": q_typo_pairs,
+        "bpe_merges": q_bpe_merges,
         # (2) zero driver rows in r01/r02 (r3 window never recorded)
         "graph_pagerank": q_graph_pagerank,
         "phrase_search": q_phrase_search,
@@ -1778,7 +1787,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mmr_rerank": q_mmr_rerank,
         "hard_negatives": q_hard_negatives,
         "gopher_quality": q_gopher_quality,
-        "graph_2hop": q_graph_2hop,
         "span_dedup": q_span_dedup,
         # (3) events-reading: green rows predate the events.ts schema switch
         "m0_records": q_m0_records,
@@ -1801,6 +1809,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- buffer_quality) share the NTZ-cast risk class with the
         # --- in-window events queries above.
         "lang_id": q_lang_id,
+        "graph_2hop": q_graph_2hop,
         "sessionize": q_sessionize,
         "quality_score": q_quality_score,
         "orders_cube": q_orders_cube,
@@ -1963,6 +1972,7 @@ LIMIT {TOP_K}
 
 
 from memfuse_spark.operators import stats as _stats_ops
+from memfuse_spark.operators import bpe as _bpe_ops
 
 
 def _zorder_stats_sql() -> str:
@@ -2177,6 +2187,7 @@ JOIN customer ON o_custkey = c_custkey
 ORDER BY o_totalprice DESC, o_orderkey ASC
 LIMIT 100
 """,
+        "bpe_merges": _bpe_ops.bpe_merges_sql(_TOKENIZE_SQL.format(col="text")),
         "proximity_search": kw_ops.proximity_search_sql(
             _TOKENIZE_SQL.format(col="text"), "query", "vector", 5, 20
         ),

@@ -76,6 +76,7 @@ EXTRA = [
     "session_rollup",
     "proximity_search",
     "typo_pairs",
+    "bpe_merges",
 ]
 
 

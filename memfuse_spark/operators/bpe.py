@@ -1,0 +1,148 @@
+"""Byte-pair-encoding merge-table training (Sennrich et al. '16), the
+tokenizer-building step of a training-data pipeline, as an iterative
+Spark job.
+
+Each round: count adjacent symbol pairs across the corpus (explode +
+map-side-combined groupBy — one narrow shuffle), pick the most frequent
+pair (count desc, then lexicographic — deterministic), and merge its
+occurrences greedily left-to-right in every document. N rounds = N jobs,
+the same driver-coordinated iteration shape as PageRank/KMeans; the
+per-round argmax collect is ONE row.
+
+Merge application uses a delimiter-string representation shared with the
+DuckDB oracle: a document is '·tok·' segments concatenated (double '·'
+between tokens, one at each edge), so replacing '·A··B·' with '·AB·' is
+exactly the greedy non-overlapping left-to-right BPE merge — ordinary
+string replace() in both engines, no UDF. Symbols stay [a-z0-9]+ so the
+'·' delimiter never collides.
+
+Per-round results are persisted and the previous round released —
+lineage stays O(1) deep, not O(rounds) (the PageRank lesson).
+
+Reference: the memfuse reference counts tokens with len//4 and a BPE-ish
+regex (SURVEY §2.7 A6/X9) but never trains a vocabulary; this is the
+real merge-learning algorithm, deterministic and oracle-checkable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+BPE_ROUNDS = 8
+SEP = "·"  # '·' — outside the tokenizer's [a-z0-9] symbol alphabet
+
+
+def _to_sep_string(tokens_col):
+    return F.concat(
+        F.lit(SEP), F.concat_ws(SEP + SEP, tokens_col), F.lit(SEP)
+    )
+
+
+def _pair_counts(docs_s: DataFrame) -> DataFrame:
+    """Adjacent-pair counts from the delimiter-string representation."""
+    arr = F.split(F.expr(f"trim(BOTH '{SEP}' FROM s)"), SEP + SEP)
+    pairs = F.zip_with(
+        arr,
+        F.slice(arr, 2, F.greatest(F.size(arr) - 1, F.lit(0))),
+        lambda x, y: F.concat_ws(" ", x, y),
+    )
+    return (
+        docs_s.select(F.explode_outer(pairs).alias("pair"))
+        # zip_with pads the shorter slice with null; concat_ws then
+        # yields a spaceless singleton — only real "left right" pairs count
+        .filter(F.col("pair").isNotNull() & F.col("pair").contains(" "))
+        .groupBy("pair")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def bpe_merges(
+    docs: DataFrame,
+    rounds: int = BPE_ROUNDS,
+    text_col: str = "text",
+) -> DataFrame:
+    """(rank, left, right, pair_count) — the learned merge table after
+    ``rounds`` BPE iterations over the corpus."""
+    from memfuse_spark.functions.text import tokenize
+
+    spark = docs.sparkSession
+    cur = docs.select(_to_sep_string(tokenize(text_col)).alias("s")).persist()
+    cur.count()
+    merges = []
+    try:
+        for r in range(1, rounds + 1):
+            top = (
+                _pair_counts(cur)
+                .orderBy(F.desc("cnt"), F.asc("pair"))
+                .limit(1)
+                .collect()
+            )
+            if not top:
+                break
+            pair, cnt = top[0]["pair"], top[0]["cnt"]
+            left, right = pair.split(" ")
+            merges.append((r, left, right, int(cnt)))
+            nxt = cur.select(
+                F.expr(
+                    f"replace(s, '{SEP}{left}{SEP}{SEP}{right}{SEP}',"
+                    f" '{SEP}{left}{right}{SEP}')"
+                ).alias("s")
+            ).persist()
+            nxt.count()
+            cur.unpersist()
+            cur = nxt
+    finally:
+        cur.unpersist()
+    return spark.createDataFrame(
+        merges, "rank int, left string, right string, pair_count long"
+    )
+
+
+def bpe_merges_sql(tokenize_sql: str, rounds: int = BPE_ROUNDS) -> str:
+    """DuckDB twin: the same algorithm as ``rounds`` chained CTE stages,
+    each recomputing its own argmax — fully independent of the Spark
+    run (no learned state is injected)."""
+
+    def counts(src: str) -> str:
+        return f"""
+  SELECT concat(l[i], ' ', l[i + 1]) AS pair, count(*) AS cnt
+  FROM (SELECT string_split(trim(s, '{SEP}'), '{SEP}{SEP}') AS l FROM {src}),
+       unnest(range(1, len(l))) AS t(i)
+  GROUP BY pair"""
+
+    parts = [
+        f"""t0 AS (
+  SELECT concat('{SEP}', array_to_string({tokenize_sql}, '{SEP}{SEP}'),
+                '{SEP}') AS s
+  FROM documents
+)"""
+    ]
+    for r in range(1, rounds + 1):
+        parts.append(
+            f"""m{r} AS (
+  SELECT pair, cnt, split_part(pair, ' ', 1) AS l,
+         split_part(pair, ' ', 2) AS rr
+  FROM ({counts(f't{r - 1}')})
+  ORDER BY cnt DESC, pair ASC LIMIT 1
+)"""
+        )
+        parts.append(
+            f"""t{r} AS (
+  SELECT replace(s, concat('{SEP}', l, '{SEP}{SEP}', rr, '{SEP}'),
+                 concat('{SEP}', l, rr, '{SEP}')) AS s
+  FROM t{r - 1}, m{r}
+)"""
+        )
+    selects = "\nUNION ALL\n".join(
+        f'SELECT {r} AS rank, l AS "left", rr AS "right", cnt AS pair_count'
+        f" FROM m{r}"
+        for r in range(1, rounds + 1)
+    )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f'\nSELECT CAST(rank AS INTEGER) AS rank, "left", "right",'
+        f" CAST(pair_count AS BIGINT) AS pair_count FROM ({selects})"
+        f" ORDER BY rank"
+    )
