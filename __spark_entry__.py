@@ -622,6 +622,14 @@ def q_typo_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return typo_pairs(_tables(spark, sf_dir, "documents")[0])
 
 
+def q_temperature_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Alpha-mixture materialized as with-replacement replication counts
+    (exact-expectation stochastic rounding, deterministic md5 uniform)."""
+    from memfuse_spark.operators.sampling import temperature_resample
+
+    return temperature_resample(_tables(spark, sf_dir, "documents")[0])
+
+
 def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Learned BPE merge table (8 rounds) — tokenizer training over the
     corpus as driver-coordinated iterative jobs."""
@@ -1776,6 +1784,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "proximity_search": q_proximity_search,
         "typo_pairs": q_typo_pairs,
         "bpe_merges": q_bpe_merges,
+        "temperature_resample": q_temperature_resample,
         # (2) zero driver rows in r01/r02 (r3 window never recorded)
         "graph_pagerank": q_graph_pagerank,
         "phrase_search": q_phrase_search,
@@ -1789,7 +1798,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_quality": q_gopher_quality,
         "span_dedup": q_span_dedup,
         # (3) events-reading: green rows predate the events.ts schema switch
-        "m0_records": q_m0_records,
         "m1_chunks": q_m1_chunks,
         "m2_facts": q_m2_facts,
         "m3_patterns": q_m3_patterns,
@@ -1811,6 +1819,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": q_lang_id,
         "graph_2hop": q_graph_2hop,
         "sessionize": q_sessionize,
+        "m0_records": q_m0_records,
         "quality_score": q_quality_score,
         "orders_cube": q_orders_cube,
         "value_bands": q_value_bands,
@@ -1973,6 +1982,7 @@ LIMIT {TOP_K}
 
 from memfuse_spark.operators import stats as _stats_ops
 from memfuse_spark.operators import bpe as _bpe_ops
+from memfuse_spark.operators import sampling as _sampling_ops
 
 
 def _zorder_stats_sql() -> str:
@@ -2188,6 +2198,7 @@ ORDER BY o_totalprice DESC, o_orderkey ASC
 LIMIT 100
 """,
         "bpe_merges": _bpe_ops.bpe_merges_sql(_TOKENIZE_SQL.format(col="text")),
+        "temperature_resample": _sampling_ops.temperature_resample_sql(),
         "proximity_search": kw_ops.proximity_search_sql(
             _TOKENIZE_SQL.format(col="text"), "query", "vector", 5, 20
         ),

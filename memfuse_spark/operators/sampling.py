@@ -153,3 +153,86 @@ def domain_mixture(
         # row order despite identical content.
         .orderBy(F.asc_nulls_last("domain"))
     )
+
+
+def temperature_resample(
+    df: DataFrame,
+    alpha: float = 0.5,
+    domain_col: str = "source",
+    id_col: str = "doc_id",
+    salt: str = "resample",
+) -> DataFrame:
+    """(doc_id, domain, n_copies) — materialize the alpha-mixture as
+    with-replacement replication counts, keeping total corpus size ~N:
+    target per-doc rate r_d = mix_weight_d / raw_share_d (the
+    upsample_factor from :func:`domain_mixture`); each doc gets
+    floor(r_d) copies plus one more when its deterministic md5-uniform
+    falls below frac(r_d) — an exact-expectation, zero-variance-per-doc
+    stochastic rounding (the "epochs per domain" mechanic of LLM data
+    mixing: upsampled domains repeat, downsampled domains subsample).
+
+    Scale shape: the rate table is domains-sized (broadcast); the corpus
+    is scanned once with a map-side hash + arithmetic — replication
+    itself stays virtual (n_copies column) until a downstream
+    explode(sequence(1, n_copies)) materializes it, which is the
+    caller's choice of where in the pipeline to pay the blow-up.
+    """
+    counts = df.groupBy(F.col(domain_col).alias("domain")).agg(
+        F.count("*").alias("n_docs")
+    )
+    totals = counts.agg(
+        F.sum("n_docs").alias("total_docs"),
+        F.sum(F.pow("n_docs", F.lit(float(alpha)))).alias("pow_total"),
+    )
+    rates = (
+        counts.crossJoin(F.broadcast(totals))
+        .select(
+            "domain",
+            (
+                (F.pow("n_docs", F.lit(float(alpha))) / F.col("pow_total"))
+                / (F.col("n_docs") / F.col("total_docs"))
+            ).alias("rate"),
+        )
+    )
+    u = hash_uniform(id_col, salt)
+    return (
+        df.select(F.col(id_col).alias("doc_id"), F.col(domain_col).alias("domain"))
+        .join(F.broadcast(rates), "domain")
+        .select(
+            "doc_id",
+            "domain",
+            (
+                F.floor("rate")
+                + F.when(u < F.col("rate") - F.floor("rate"), 1).otherwise(0)
+            ).cast("int").alias("n_copies"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def temperature_resample_sql(
+    alpha: float = 0.5, salt: str = "resample"
+) -> str:
+    """DuckDB twin of :func:`temperature_resample`."""
+    return f"""
+WITH counts AS (
+  SELECT source AS domain, count(*) AS n_docs FROM documents GROUP BY source
+),
+totals AS (
+  SELECT sum(n_docs) AS total_docs, sum(pow(n_docs, {alpha})) AS pow_total
+  FROM counts
+),
+rates AS (
+  SELECT domain,
+         (pow(n_docs, {alpha}) / pow_total) / (n_docs * 1.0 / total_docs)
+           AS rate
+  FROM counts, totals
+)
+SELECT doc_id, source AS domain,
+       CAST(floor(rate)
+            + CASE WHEN CAST(('0x' || substring(md5('{salt}' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+                        / 4294967296.0 < rate - floor(rate)
+                   THEN 1 ELSE 0 END AS INTEGER) AS n_copies
+FROM documents JOIN rates ON documents.source = rates.domain
+ORDER BY doc_id
+"""

@@ -286,3 +286,29 @@ def test_length_buckets_pow2_and_waste(spark):
     assert rows[1].n_docs == 1 and rows[1].padding_waste == 0.0
     assert rows[8].n_docs == 1 and rows[8].padding_waste == 0.25
     assert rows[4].padding_waste == 0.125
+
+
+def test_temperature_resample_preserves_expected_total(spark, tables):
+    """Replication counts approximate the alpha-mix: total stays ~N, and
+    small domains get rate > 1 (upsampled) while big domains get < 1."""
+    from pyspark.sql import functions as F
+
+    from memfuse_spark.operators.sampling import temperature_resample
+
+    docs = tables["documents"]
+    n = docs.count()
+    out = temperature_resample(docs)
+    total = out.agg(F.sum("n_copies")).collect()[0][0]
+    # exact-expectation rounding: |total - N| bounded well within 10%
+    assert abs(total - n) < 0.1 * n
+    per_domain = {
+        r["domain"]: (r["copies"], r["docs"])
+        for r in out.groupBy("domain")
+        .agg(F.sum("n_copies").alias("copies"), F.count("*").alias("docs"))
+        .collect()
+    }
+    sizes = {d: v[1] for d, v in per_domain.items()}
+    small, big = min(sizes, key=sizes.get), max(sizes, key=sizes.get)
+    if sizes[small] < sizes[big]:  # distinct sizes exist
+        assert per_domain[small][0] / per_domain[small][1] >= 1.0
+        assert per_domain[big][0] / per_domain[big][1] <= 1.0
