@@ -622,6 +622,26 @@ def q_typo_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return typo_pairs(_tables(spark, sf_dir, "documents")[0])
 
 
+def q_reservoir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic k-per-group reservoir sample (per-domain caps)."""
+    from memfuse_spark.operators.sampling import reservoir_per_group
+
+    (docs,) = _tables(spark, sf_dir, "documents")
+    return (
+        reservoir_per_group(docs, 5)
+        .select("doc_id", "source", "n_chars")
+        .orderBy("doc_id")
+    )
+
+
+def q_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source dataset card: volume, exact-dup share, length profile,
+    language spread."""
+    from memfuse_spark.operators.textanalysis import corpus_report
+
+    return corpus_report(_tables(spark, sf_dir, "documents")[0])
+
+
 def q_temperature_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Alpha-mixture materialized as with-replacement replication counts
     (exact-expectation stochastic rounding, deterministic md5 uniform)."""
@@ -1809,7 +1829,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_window_agg": q_events_window_agg,
         "asof_join": q_asof_join,
         "session_listing": q_session_listing,
-        # --- past the driver window (position 51+): r2-green rows on
+        # --- past the driver window (position 51+): first the two
+        # --- newest additions (rotate in next round), then r2-green
+        "reservoir_sample": q_reservoir_sample,
+        "corpus_report": q_corpus_report,
+        # --- rows on
         # --- inputs unchanged since; full-suite verify_oracle.py is
         # --- their per-round superset check (COVERAGE.md). The six
         # --- demoted events aggregates (moving_avg, event_pivot,
@@ -2199,6 +2223,8 @@ LIMIT 100
 """,
         "bpe_merges": _bpe_ops.bpe_merges_sql(_TOKENIZE_SQL.format(col="text")),
         "temperature_resample": _sampling_ops.temperature_resample_sql(),
+        "reservoir_sample": _sampling_ops.reservoir_per_group_sql(5),
+        "corpus_report": ta_ops.corpus_report_sql(),
         "proximity_search": kw_ops.proximity_search_sql(
             _TOKENIZE_SQL.format(col="text"), "query", "vector", 5, 20
         ),

@@ -236,3 +236,52 @@ SELECT doc_id, source AS domain,
 FROM documents JOIN rates ON documents.source = rates.domain
 ORDER BY doc_id
 """
+
+
+def reservoir_per_group(
+    df: DataFrame,
+    k: int,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    salt: str = "reservoir",
+) -> DataFrame:
+    """Deterministic k-per-group uniform sample without replacement —
+    the distributed equivalent of per-group reservoir sampling: rank
+    rows by a keyed hash inside each group and keep the first k. Caps
+    any group's contribution (per-domain caps in a training mix)
+    regardless of group skew.
+
+    Scale shape: one hash projection + one window ranking partitioned
+    by group — the window sorts only within groups, and a skewed group
+    sorts O(group) not O(corpus). For pathological single-group skew,
+    pre-aggregate with a per-partition top-k (the TakeOrdered trick)
+    before the window; same result, bounded memory.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(group_col).orderBy(
+        F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string"))), F.col(id_col)
+    )
+    return (
+        df.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= k)
+        .drop("__rk")
+    )
+
+
+def reservoir_per_group_sql(
+    k: int, group_col: str = "source", salt: str = "reservoir"
+) -> str:
+    """DuckDB twin of :func:`reservoir_per_group` over documents."""
+    return f"""
+WITH ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY {group_col}
+    ORDER BY md5('{salt}' || CAST(doc_id AS VARCHAR)), doc_id
+  ) AS __rk
+  FROM documents
+)
+SELECT doc_id, {group_col} AS source, n_chars
+FROM ranked WHERE __rk <= {k}
+ORDER BY doc_id
+"""

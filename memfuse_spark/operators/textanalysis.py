@@ -894,3 +894,88 @@ FROM vocab a JOIN vocab b ON a.tok < b.tok
 WHERE levenshtein(a.tok, b.tok) BETWEEN 1 AND 2
 ORDER BY token_a, token_b
 """
+
+
+def corpus_report(
+    docs: DataFrame, source_col: str = "source", text_col: str = "text"
+) -> DataFrame:
+    """Per-source dataset card: (source, n_docs, dup_docs, dup_share,
+    avg_chars, n_langs, top_lang) — the one-glance audit a training-data
+    curator runs before mixing a source in (volume, exact-duplication
+    rate, length profile, language spread).
+
+    Scale shape: one md5-keyed groupBy for duplicate multiplicity, one
+    (source, lang) count + per-source ranking window (group-count-sized),
+    and one per-source aggregation — every shuffle is keyed and
+    map-side combined; text never moves (only its digest)."""
+    from pyspark.sql import Window
+
+    h = F.md5(F.col(text_col))
+    with_h = docs.select(
+        F.col(source_col).alias("source"), "lang",
+        F.col("n_chars"), h.alias("h"),
+    )
+    multiplicity = with_h.groupBy("h").agg(F.count("*").alias("n_same"))
+    base = with_h.join(multiplicity, "h").groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.when(F.col("n_same") > 1, 1).otherwise(0)).cast("long").alias(
+            "dup_docs"
+        ),
+        F.round(F.avg("n_chars"), 2).alias("avg_chars"),
+        F.countDistinct("lang").alias("n_langs"),
+    )
+    lang_rk = Window.partitionBy("source").orderBy(
+        F.desc("n_lang"), F.asc("lang")
+    )
+    top_lang = (
+        with_h.groupBy("source", "lang")
+        .agg(F.count("*").alias("n_lang"))
+        .withColumn("__rk", F.row_number().over(lang_rk))
+        .filter(F.col("__rk") == 1)
+        .select("source", F.col("lang").alias("top_lang"))
+    )
+    return (
+        base.join(top_lang, "source")
+        .select(
+            "source",
+            "n_docs",
+            "dup_docs",
+            F.round(F.col("dup_docs") / F.col("n_docs"), 6).alias("dup_share"),
+            "avg_chars",
+            "n_langs",
+            "top_lang",
+        )
+        .orderBy("source")
+    )
+
+
+def corpus_report_sql() -> str:
+    """DuckDB twin of :func:`corpus_report`."""
+    return """
+WITH with_h AS (
+  SELECT source, lang, n_chars, md5(text) AS h FROM documents
+),
+mult AS (SELECT h, count(*) AS n_same FROM with_h GROUP BY h),
+base AS (
+  SELECT source, count(*) AS n_docs,
+         CAST(sum(CASE WHEN n_same > 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS dup_docs,
+         round(avg(n_chars), 2) AS avg_chars,
+         count(DISTINCT lang) AS n_langs
+  FROM with_h JOIN mult USING (h)
+  GROUP BY source
+),
+top_lang AS (
+  SELECT source, lang AS top_lang
+  FROM (SELECT source, lang, count(*) AS n_lang,
+               row_number() OVER (PARTITION BY source
+                                  ORDER BY count(*) DESC, lang ASC) AS rk
+        FROM with_h GROUP BY source, lang)
+  WHERE rk = 1
+)
+SELECT base.source, n_docs, dup_docs,
+       round(dup_docs * 1.0 / n_docs, 6) AS dup_share,
+       avg_chars, n_langs, top_lang
+FROM base JOIN top_lang ON base.source = top_lang.source
+ORDER BY base.source
+"""
