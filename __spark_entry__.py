@@ -642,6 +642,14 @@ def q_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus_report(_tables(spark, sf_dir, "documents")[0])
 
 
+def q_pca_top(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed PCA: Arrow-batched partial Gramians + deterministic
+    power iteration (top component, eigenvalue, variance share)."""
+    from memfuse_spark.operators.pca import pca_top_component
+
+    return pca_top_component(_tables(spark, sf_dir, "embeddings")[0])
+
+
 def q_temperature_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Alpha-mixture materialized as with-replacement replication counts
     (exact-expectation stochastic rounding, deterministic md5 uniform)."""
@@ -1833,6 +1841,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- newest additions (rotate in next round), then r2-green
         "reservoir_sample": q_reservoir_sample,
         "corpus_report": q_corpus_report,
+        "pca_top": q_pca_top,
         # --- rows on
         # --- inputs unchanged since; full-suite verify_oracle.py is
         # --- their per-round superset check (COVERAGE.md). The six
@@ -2007,6 +2016,7 @@ LIMIT {TOP_K}
 from memfuse_spark.operators import stats as _stats_ops
 from memfuse_spark.operators import bpe as _bpe_ops
 from memfuse_spark.operators import sampling as _sampling_ops
+from memfuse_spark.operators import pca as _pca_ops
 
 
 def _zorder_stats_sql() -> str:
@@ -2225,6 +2235,7 @@ LIMIT 100
         "temperature_resample": _sampling_ops.temperature_resample_sql(),
         "reservoir_sample": _sampling_ops.reservoir_per_group_sql(5),
         "corpus_report": ta_ops.corpus_report_sql(),
+        "pca_top": _pca_ops.pca_top_component_sql(),
         "proximity_search": kw_ops.proximity_search_sql(
             _TOKENIZE_SQL.format(col="text"), "query", "vector", 5, 20
         ),
