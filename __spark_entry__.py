@@ -642,6 +642,15 @@ def q_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus_report(_tables(spark, sf_dir, "documents")[0])
 
 
+def q_value_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index of events.value before/after a split
+    date — the drift gate between corpus/feature snapshots."""
+    from memfuse_spark.operators.stats import value_drift_psi
+
+    (ev,) = _tables(spark, sf_dir, "events")
+    return value_drift_psi(ev, "2024-01-15")
+
+
 def q_pca_top(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed PCA: Arrow-batched partial Gramians + deterministic
     power iteration (top component, eigenvalue, variance share)."""
@@ -1842,6 +1851,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "reservoir_sample": q_reservoir_sample,
         "corpus_report": q_corpus_report,
         "pca_top": q_pca_top,
+        "value_drift_psi": q_value_drift_psi,
         # --- rows on
         # --- inputs unchanged since; full-suite verify_oracle.py is
         # --- their per-round superset check (COVERAGE.md). The six
@@ -2236,6 +2246,7 @@ LIMIT 100
         "reservoir_sample": _sampling_ops.reservoir_per_group_sql(5),
         "corpus_report": ta_ops.corpus_report_sql(),
         "pca_top": _pca_ops.pca_top_component_sql(),
+        "value_drift_psi": _stats_ops.value_drift_psi_sql("2024-01-15"),
         "proximity_search": kw_ops.proximity_search_sql(
             _TOKENIZE_SQL.format(col="text"), "query", "vector", 5, 20
         ),

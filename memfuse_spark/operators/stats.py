@@ -263,3 +263,89 @@ SELECT l.quantile, l.bin,
 FROM landing l JOIN cum c2 ON l.bin = c2.bin JOIN rng ON true
 ORDER BY l.quantile
 """
+
+
+PSI_EPS = 1e-6  # empty-bin guard (standard PSI practice)
+
+
+def value_drift_psi(
+    events: DataFrame,
+    split_ts: str,
+    value_col: str = "value",
+    ts_col: str = "ts",
+    bins: int = HIST_BINS,
+) -> DataFrame:
+    """One row: (n_before, n_after, psi) — Population Stability Index of
+    the value distribution before vs after ``split_ts``:
+
+        PSI = Σ_bins (p_b − q_b) · ln(p_b / q_b)
+
+    the standard ML-ops drift gate (<0.1 stable, 0.1-0.25 drifting,
+    >0.25 shifted). Bins are the shared fixed integer-cents grid over
+    the FULL range (both windows must bin identically or PSI is
+    meaningless); empty bins get the usual epsilon.
+
+    Scale shape: one scan → two conditional fixed-size histograms
+    (map-side combined), then bins-sized arithmetic. Composes with the
+    mergeable sketch: per-epoch histograms can feed a PSI between ANY
+    two epoch unions without rescanning raw data."""
+    c = value_cents(value_col)
+    rng = events.agg(F.min(c).alias("cmin"), F.max(c).alias("cmax"))
+    before = F.col(ts_col) < F.lit(split_ts)
+    hist = (
+        events.select(c.alias("c"), before.alias("is_before"))
+        .join(F.broadcast(rng))
+        .withColumn(
+            "bin",
+            F.least(
+                F.lit(bins - 1),
+                F.expr(f"(c - cmin) * {bins} div (cmax - cmin)"),
+            ).cast("int"),
+        )
+        .groupBy("bin")
+        .agg(
+            F.sum(F.when(F.col("is_before"), 1).otherwise(0)).alias("nb"),
+            F.sum(F.when(F.col("is_before"), 0).otherwise(1)).alias("na"),
+        )
+    )
+    totals = hist.agg(
+        F.sum("nb").alias("tb"), F.sum("na").alias("ta")
+    )
+    p = F.greatest(F.col("nb") / F.col("tb"), F.lit(PSI_EPS))
+    q = F.greatest(F.col("na") / F.col("ta"), F.lit(PSI_EPS))
+    return (
+        hist.join(F.broadcast(totals))
+        .select(((p - q) * F.log(p / q)).alias("term"), "nb", "na")
+        .agg(
+            F.sum("nb").cast("long").alias("n_before"),
+            F.sum("na").cast("long").alias("n_after"),
+            F.round(F.sum("term"), 6).alias("psi"),
+        )
+    )
+
+
+def value_drift_psi_sql(
+    split_ts: str, bins: int = HIST_BINS, eps: float = PSI_EPS
+) -> str:
+    """DuckDB twin of :func:`value_drift_psi`."""
+    return f"""
+WITH cents AS (
+  SELECT CAST(round(value * 100.0, 0) AS BIGINT) AS c,
+         ts < TIMESTAMP '{split_ts}' AS is_before
+  FROM events
+),
+rng AS (SELECT min(c) AS cmin, max(c) AS cmax FROM cents),
+hist AS (
+  SELECT CAST(least({bins - 1}, (c - cmin) * {bins} // (cmax - cmin)) AS INTEGER) AS bin,
+         sum(CASE WHEN is_before THEN 1 ELSE 0 END) AS nb,
+         sum(CASE WHEN is_before THEN 0 ELSE 1 END) AS na
+  FROM cents, rng GROUP BY bin
+),
+totals AS (SELECT sum(nb) AS tb, sum(na) AS ta FROM hist)
+SELECT CAST(sum(nb) AS BIGINT) AS n_before,
+       CAST(sum(na) AS BIGINT) AS n_after,
+       round(sum((greatest(nb * 1.0 / tb, {eps}) - greatest(na * 1.0 / ta, {eps}))
+                 * ln(greatest(nb * 1.0 / tb, {eps})
+                      / greatest(na * 1.0 / ta, {eps}))), 6) AS psi
+FROM hist, totals
+"""

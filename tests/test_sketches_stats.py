@@ -309,3 +309,35 @@ def test_retention_counts_cohort_weeks(spark):
     df = spark.createDataFrame(rows, "user_id long, ts timestamp")
     got = {(str(r["cohort_week"]), r["week_k"]): r["n_active"] for r in user_retention(df).collect()}
     assert got == {("2026-01-05", 0): 2, ("2026-01-05", 1): 1}
+
+
+def test_psi_detects_injected_drift(spark, tables):
+    """PSI is ~0 on identically-distributed halves and large when the
+    after-window values are shifted."""
+    from pyspark.sql import functions as F
+
+    from conftest import SF_DIR_MED
+    from memfuse_spark.catalog import load_table
+    from memfuse_spark.operators.stats import value_drift_psi
+
+    # sf0.01: PSI's sampling-noise floor is ~2·bins/n ≈ 0.03 there
+    # (at sf0.001 the floor alone is ~0.26 — too small for 64 bins)
+    ev = load_table(spark, SF_DIR_MED, "events")
+    # same-distribution split: hash-split halves of one window
+    same = ev.withColumn(
+        "ts",
+        F.when(F.col("event_id") % 2 == 0,
+               F.to_timestamp(F.lit("2024-01-01"))).otherwise(
+               F.to_timestamp(F.lit("2024-02-01"))),
+    )
+    psi_same = value_drift_psi(same, "2024-01-15").collect()[0]["psi"]
+    # shifted after-window: values doubled
+    drifted = same.withColumn(
+        "value",
+        F.when(F.col("ts") >= F.lit("2024-01-15"), F.col("value") * 2.0)
+        .otherwise(F.col("value")),
+    )
+    psi_drift = value_drift_psi(drifted, "2024-01-15").collect()[0]["psi"]
+    assert psi_same < 0.1
+    assert psi_drift > 0.25
+    assert psi_drift > psi_same * 3
