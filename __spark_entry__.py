@@ -642,6 +642,24 @@ def q_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus_report(_tables(spark, sf_dir, "documents")[0])
 
 
+def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source added/removed/changed/same audit between two
+    deterministically-derived corpus snapshots (digest full-outer join;
+    content never shuffles)."""
+    from memfuse_spark.operators.sampling import hash_uniform
+    from memfuse_spark.sources.tables import snapshot_diff
+
+    (docs,) = _tables(spark, sf_dir, "documents")
+    snap_a = docs.filter(hash_uniform("doc_id", "snapA") < 0.9)
+    snap_b = docs.filter(hash_uniform("doc_id", "snapB") < 0.9).withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 7 == 0, F.concat(F.col("text"), F.lit(" [edited]"))
+        ).otherwise(F.col("text")),
+    )
+    return snapshot_diff(snap_a, snap_b, "doc_id", ["text", "lang"], "source")
+
+
 def q_value_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Population Stability Index of events.value before/after a split
     date — the drift gate between corpus/feature snapshots."""
@@ -1852,6 +1870,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_report": q_corpus_report,
         "pca_top": q_pca_top,
         "value_drift_psi": q_value_drift_psi,
+        "snapshot_diff": q_snapshot_diff,
         # --- rows on
         # --- inputs unchanged since; full-suite verify_oracle.py is
         # --- their per-round superset check (COVERAGE.md). The six
@@ -2247,6 +2266,40 @@ LIMIT 100
         "corpus_report": ta_ops.corpus_report_sql(),
         "pca_top": _pca_ops.pca_top_component_sql(),
         "value_drift_psi": _stats_ops.value_drift_psi_sql("2024-01-15"),
+        "snapshot_diff": """
+WITH a AS (
+  SELECT doc_id, source,
+         md5(concat_ws(chr(31), CAST(text AS VARCHAR), CAST(lang AS VARCHAR)))
+           AS h
+  FROM documents
+  WHERE CAST(('0x' || substring(md5('snapA' || CAST(doc_id AS VARCHAR)), 1, 8))
+             AS BIGINT) / 4294967296.0 < 0.9
+),
+b AS (
+  SELECT doc_id, source,
+         md5(concat_ws(chr(31),
+             CAST(CASE WHEN doc_id % 7 = 0 THEN text || ' [edited]'
+                       ELSE text END AS VARCHAR),
+             CAST(lang AS VARCHAR))) AS h
+  FROM documents
+  WHERE CAST(('0x' || substring(md5('snapB' || CAST(doc_id AS VARCHAR)), 1, 8))
+             AS BIGINT) / 4294967296.0 < 0.9
+),
+j AS (
+  SELECT coalesce(a.source, b.source) AS grp,
+         CASE WHEN a.h IS NULL THEN 'added'
+              WHEN b.h IS NULL THEN 'removed'
+              WHEN a.h <> b.h THEN 'changed'
+              ELSE 'same' END AS status
+  FROM a FULL OUTER JOIN b USING (doc_id)
+)
+SELECT grp,
+       CAST(sum(CASE WHEN status = 'added' THEN 1 ELSE 0 END) AS BIGINT) AS n_added,
+       CAST(sum(CASE WHEN status = 'removed' THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+       CAST(sum(CASE WHEN status = 'changed' THEN 1 ELSE 0 END) AS BIGINT) AS n_changed,
+       CAST(sum(CASE WHEN status = 'same' THEN 1 ELSE 0 END) AS BIGINT) AS n_same
+FROM j GROUP BY grp ORDER BY grp
+""",
         "proximity_search": kw_ops.proximity_search_sql(
             _TOKENIZE_SQL.format(col="text"), "query", "vector", 5, 20
         ),

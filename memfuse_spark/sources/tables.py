@@ -200,3 +200,54 @@ def cascade_delete(
                 next_changed.add(child)
         changed = next_changed
     return removed
+
+
+def snapshot_diff(
+    a: DataFrame,
+    b: DataFrame,
+    key_col: str,
+    content_cols: list[str],
+    group_col: str | None = None,
+) -> DataFrame:
+    """Per-group diff report between two table snapshots:
+    (group, n_added, n_removed, n_changed, n_same) — the audit a
+    corpus-update pipeline runs before promoting a new snapshot
+    (how much churned, and where).
+
+    Scale shape: each side reduces to (key, group, digest) — content
+    never crosses the wire, only md5 digests — then ONE full-outer
+    equi-join on the key (sort-merge on two big sides is the correct
+    plan; bucketed snapshots co-locate and drop the shuffle, see
+    sources/warehouse.py) and a group-keyed count aggregation.
+    """
+    def digest(df: DataFrame, tag: str) -> DataFrame:
+        cols = [F.col(key_col)]
+        if group_col:
+            cols.append(F.col(group_col).alias(f"{tag}_grp"))
+        return df.select(
+            *cols,
+            F.md5(F.concat_ws("\x1f", *[F.col(c).cast("string") for c in content_cols])
+                  ).alias(f"{tag}_h"),
+        )
+
+    joined = digest(a, "a").join(digest(b, "b"), key_col, "full_outer")
+    grp = (
+        F.coalesce(F.col("a_grp"), F.col("b_grp")) if group_col else F.lit("all")
+    ).alias("grp")
+    status = (
+        F.when(F.col("a_h").isNull(), F.lit("added"))
+        .when(F.col("b_h").isNull(), F.lit("removed"))
+        .when(F.col("a_h") != F.col("b_h"), F.lit("changed"))
+        .otherwise(F.lit("same"))
+    )
+    return (
+        joined.select(grp, status.alias("status"))
+        .groupBy("grp")
+        .agg(
+            F.sum(F.when(F.col("status") == "added", 1).otherwise(0)).cast("long").alias("n_added"),
+            F.sum(F.when(F.col("status") == "removed", 1).otherwise(0)).cast("long").alias("n_removed"),
+            F.sum(F.when(F.col("status") == "changed", 1).otherwise(0)).cast("long").alias("n_changed"),
+            F.sum(F.when(F.col("status") == "same", 1).otherwise(0)).cast("long").alias("n_same"),
+        )
+        .orderBy("grp")
+    )

@@ -177,3 +177,22 @@ def test_partitioned_delete_null_predicate_rows_survive(spark, tmp_path):
     )
     assert t.delete(F.col("v") > 5) == 1
     assert sorted(r.id for r in t.read().collect()) == ["a", "b"]
+
+
+def test_snapshot_diff_statuses(spark):
+    """Known add/remove/change/same construction is classified exactly."""
+    from memfuse_spark.sources.tables import snapshot_diff
+
+    a = spark.createDataFrame(
+        [(1, "x", "g"), (2, "y", "g"), (3, "z", "h")],
+        "id long, text string, grp string",
+    )
+    b = spark.createDataFrame(
+        [(2, "y", "g"), (3, "z2", "h"), (4, "w", "h")],
+        "id long, text string, grp string",
+    )
+    got = {
+        r["grp"]: (r["n_added"], r["n_removed"], r["n_changed"], r["n_same"])
+        for r in snapshot_diff(a, b, "id", ["text"], "grp").collect()
+    }
+    assert got == {"g": (0, 1, 0, 1), "h": (1, 0, 1, 0)}
