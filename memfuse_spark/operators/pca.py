@@ -196,3 +196,44 @@ FROM {prev}, signfix, eig, tr
 ORDER BY pos
 """
     )
+
+
+def pca_components(
+    items: DataFrame,
+    n_components: int = 3,
+    vec_col: str = "embedding",
+    iters: int = PCA_ITERATIONS,
+) -> DataFrame:
+    """(component, pos, loading, eigenvalue, variance_share) — the top
+    n principal components via Hotelling deflation: extract the
+    dominant eigenpair, subtract λ·vvᵀ from the (driver-local, d×d)
+    covariance, repeat. The corpus is scanned ONCE (the Gramian);
+    every further component costs only driver arithmetic.
+
+    Oracle note: `pca_top` hash-checks component 1 (same covariance,
+    same iteration); deflation is verified against numpy.linalg.eigh in
+    tests — a 100-iteration×n-component CTE chain would be a parser
+    stress test, not a better check."""
+    spark = items.sparkSession
+    entries = covariance_entries(items, vec_col).collect()
+    cov = {(r["i"], r["j"]): r["cov"] for r in entries}
+    d = max(i for i, _ in cov) + 1
+    trace = sum(cov.get((i, i), 0.0) for i in range(d))
+    rows = []
+    for comp in range(1, n_components + 1):
+        v, eig = _power_iteration(cov, d, iters)
+        flip = max(range(d), key=lambda i: abs(v[i]))
+        if v[flip] < 0:
+            v = [-x for x in v]
+        rows.extend(
+            (comp, i, round(v[i], 5), round(eig, 5), round(eig / trace, 5))
+            for i in range(d)
+        )
+        for i in range(d):
+            for j in range(d):
+                cov[(i, j)] = cov.get((i, j), 0.0) - eig * v[i] * v[j]
+    return spark.createDataFrame(
+        rows,
+        "component int, pos int, loading double, eigenvalue double,"
+        " variance_share double",
+    )

@@ -41,3 +41,30 @@ def test_covariance_entries_symmetric_and_match_numpy(spark, tables):
         for j in range(0, d, 7):
             assert abs(entries[(i, j)] - c[i, j]) < 1e-9
             assert abs(entries[(i, j)] - entries[(j, i)]) < 1e-12
+
+
+def test_pca_components_match_numpy_top3(spark, tables):
+    """Deflation reproduces numpy's top-3 eigenpairs: eigenvalues in
+    order, directions aligned, components mutually orthogonal."""
+    from memfuse_spark.operators.pca import pca_components
+
+    emb = tables["embeddings"]
+    got = pca_components(emb, n_components=3).collect()
+    comps = {}
+    for r in got:
+        comps.setdefault(r["component"], {})[r["pos"]] = (
+            r["loading"], r["eigenvalue"]
+        )
+    x = np.stack([r["embedding"] for r in emb.select("embedding").collect()]
+                 ).astype("float64")
+    c = np.cov(x, rowvar=False, bias=True)
+    w, vecs = np.linalg.eigh(c)
+    for k in (1, 2, 3):
+        v = np.array([comps[k][i][0] for i in range(c.shape[0])])
+        eig = comps[k][0][1]
+        assert abs(eig - w[-k]) < 5e-3, (k, eig, w[-k])
+        assert abs(abs(v @ vecs[:, -k]) - 1.0) < 5e-2, k
+    v1 = np.array([comps[1][i][0] for i in range(c.shape[0])])
+    v2 = np.array([comps[2][i][0] for i in range(c.shape[0])])
+    v3 = np.array([comps[3][i][0] for i in range(c.shape[0])])
+    assert abs(v1 @ v2) < 1e-2 and abs(v1 @ v3) < 1e-2 and abs(v2 @ v3) < 1e-2
