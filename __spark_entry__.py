@@ -2307,8 +2307,11 @@ FROM j GROUP BY grp ORDER BY grp
         "session_rollup": """
 WITH s AS (
   SELECT user_id, ts, value,
+         -- fractional-second epochs: session_window compares exact
+         -- microsecond timestamps (merges at diff == gap), so the
+         -- oracle must NOT floor to whole seconds
          CASE WHEN lag(ts) OVER w IS NULL
-                   OR floor(epoch(ts))::BIGINT - floor(epoch(lag(ts) OVER w))::BIGINT > 480 * 60
+                   OR epoch(ts) - epoch(lag(ts) OVER w) > 480 * 60
               THEN 1 ELSE 0 END AS new_session
   FROM events WHERE user_id <= 30
   WINDOW w AS (PARTITION BY user_id ORDER BY ts)
@@ -2380,7 +2383,7 @@ winners AS (
   WHERE s.unit_cost = mc.min_unit_cost
 )
 SELECT s_acctbal, s_name, n_name, p_partkey, p_name,
-       round(min_unit_cost, 4) AS min_unit_cost
+       min_unit_cost
 FROM winners
 JOIN supplier ON l_suppkey = s_suppkey
 JOIN nation   ON s_nationkey = n_nationkey

@@ -51,26 +51,35 @@ def covariance_entries(
             g = x.T @ x
             d = g.shape[0]
             ii, jj = np.meshgrid(np.arange(d), np.arange(d), indexing="ij")
+            # column sums ride the same batch as j = -1 rows, so the
+            # means need no second corpus scan
             yield pd.DataFrame(
                 {
-                    "i": ii.ravel().astype("int32"),
-                    "j": jj.ravel().astype("int32"),
-                    "sp": g.ravel(),
-                    "n": np.full(d * d, len(pdf), dtype="int64"),
+                    "i": np.concatenate([ii.ravel(), np.arange(d)]).astype("int32"),
+                    "j": np.concatenate(
+                        [jj.ravel(), np.full(d, -1)]
+                    ).astype("int32"),
+                    "sp": np.concatenate([g.ravel(), x.sum(axis=0)]),
+                    "n": np.full(d * d + d, len(pdf), dtype="int64"),
                 }
             )
 
-    sums = (
+    from memfuse_spark import cache
+
+    # generation-scoped persist (cache.py): sums and means both read the
+    # partials, which would otherwise re-run the Gramian pass twice; the
+    # next PCA call releases this generation
+    cache.begin("pca.partials")
+    partials = cache.scoped_persist(
         items.select(vec_col)
         .mapInPandas(gram, "i int, j int, sp double, n long")
         .groupBy("i", "j")
-        .agg(F.sum("sp").alias("sp"), F.sum("n").alias("n"))
+        .agg(F.sum("sp").alias("sp"), F.sum("n").alias("n")),
+        "pca.partials",
     )
-    arr = F.transform(F.col(vec_col), lambda x: x.cast("double"))
-    means = (
-        items.select(F.posexplode(arr).alias("i", "x"))
-        .groupBy("i")
-        .agg(F.avg("x").alias("m"))
+    sums = partials.filter(F.col("j") >= 0)
+    means = partials.filter(F.col("j") == -1).select(
+        "i", (F.col("sp") / F.col("n")).alias("m")
     )
     mi = means.select(F.col("i"), F.col("m").alias("mi"))
     mj = means.select(F.col("i").alias("j"), F.col("m").alias("mj"))

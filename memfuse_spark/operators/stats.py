@@ -121,10 +121,20 @@ def value_cents(value_col: str = "value"):
     return F.round(F.col(value_col) * 100.0, 0).cast("long")
 
 
+def bin_expr(bins: int = HIST_BINS):
+    """Shared integer-cents binning column over (c, cmin, cmax) — ONE
+    definition for sketch/quantiles/PSI so the grids cannot drift."""
+    return F.least(
+        F.lit(bins - 1),
+        F.expr(f"(c - cmin) * {bins} div (cmax - cmin)"),
+    ).cast("int")
+
+
 def histogram_sketch(
     events: DataFrame,
     value_col: str = "value",
     bins: int = HIST_BINS,
+    rng: DataFrame | None = None,
 ) -> DataFrame:
     """(bin, n) fixed-width histogram over the column's [min, max] range,
     computed in integer cents: bin = (c - cmin) * bins div (cmax - cmin),
@@ -137,19 +147,18 @@ def histogram_sketch(
     histograms can be unioned + re-summed without touching raw data.
     The fixed binning trades the adaptivity of a t-digest/KLL for
     determinism (oracle-checkable) and O(bins) state.
+
+    ``rng``: pass a precomputed (cmin, cmax[, ...]) frame to bin on a
+    shared/registered range (merged epochs, PSI windows, callers that
+    already aggregated the range) instead of re-scanning for it.
     """
     c = value_cents(value_col)
-    rng = events.agg(F.min(c).alias("cmin"), F.max(c).alias("cmax"))
+    if rng is None:
+        rng = events.agg(F.min(c).alias("cmin"), F.max(c).alias("cmax"))
     return (
         events.select(c.alias("c"))
-        .join(F.broadcast(rng))
-        .withColumn(
-            "bin",
-            F.least(
-                F.lit(bins - 1),
-                F.expr(f"(c - cmin) * {bins} div (cmax - cmin)"),
-            ).cast("int"),
-        )
+        .join(F.broadcast(rng.select("cmin", "cmax")))
+        .withColumn("bin", bin_expr(bins))
         .groupBy("bin")
         .agg(F.count("*").alias("n"))
     )
@@ -177,7 +186,7 @@ def histogram_quantiles(
         F.min(c).alias("cmin"), F.max(c).alias("cmax"), F.count("*").alias("total")
     )
     hist = (
-        histogram_sketch(events, value_col, bins)
+        histogram_sketch(events, value_col, bins, rng=rng)
         .join(F.broadcast(rng))
         .withColumn(
             "cum", F.sum("n").over(Window.orderBy("bin").rowsBetween(
@@ -295,13 +304,7 @@ def value_drift_psi(
     hist = (
         events.select(c.alias("c"), before.alias("is_before"))
         .join(F.broadcast(rng))
-        .withColumn(
-            "bin",
-            F.least(
-                F.lit(bins - 1),
-                F.expr(f"(c - cmin) * {bins} div (cmax - cmin)"),
-            ).cast("int"),
-        )
+        .withColumn("bin", bin_expr(bins))
         .groupBy("bin")
         .agg(
             F.sum(F.when(F.col("is_before"), 1).otherwise(0)).alias("nb"),

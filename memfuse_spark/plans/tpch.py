@@ -61,7 +61,13 @@ def q2_min_cost_supplier(
             "n_name",
             "p_partkey",
             "p_name",
-            F.round("min_unit_cost", 4).alias("min_unit_cost"),
+            # raw double, deliberately UNrounded: both engines compute
+            # the identical quotient bit-for-bit, but their round()
+            # implementations differ at decimal-boundary doubles
+            # (Spark HALF_UP on the shortest decimal repr vs DuckDB on
+            # the binary value) — rounding here CREATED an oracle
+            # divergence at sf0.001
+            F.col("min_unit_cost"),
         )
         .orderBy(
             F.desc("s_acctbal"), F.asc("n_name"), F.asc("s_name"), F.asc("p_partkey")
@@ -221,7 +227,8 @@ def q11_important_parts(li: DataFrame) -> DataFrame:
     """Q11: value-concentration parts (HAVING vs a scalar subquery).
 
     partsupp inventory value is adapted to lineitem extended-price volume;
-    threshold 0.1% of the total."""
+    threshold 0.07% of the total (~uniform-share × 1.4 on this data —
+    selective but non-empty at the oracle SF)."""
     pv = li.groupBy("l_partkey").agg(F.sum("l_extendedprice").alias("value"))
     total = pv.agg(F.sum("value").alias("total"))
     return (
@@ -392,7 +399,7 @@ def q20_excess_suppliers(
 ) -> DataFrame:
     """Q20: suppliers shipping heavy volume of a part class (nested agg +
     double semi-join). availqty > half-of-shipped is adapted to shipped
-    quantity > 100 in 1996 for '%bolt%' parts; nation filter EUROPE-ish."""
+    quantity > 50 in 1996 for '%bolt%' parts; nation filter EUROPE-ish."""
     bolts = part.filter(F.col("p_name").like("%bolt%")).select("p_partkey")
     heavy = (
         li.filter(

@@ -51,6 +51,12 @@ def build_gold_tables(
     import shutil
     import tempfile
 
+    known = {"events", "documents", "embeddings", "orders", "lineitem"}
+    unknown = set(tables) - known
+    if unknown:
+        raise ValueError(
+            f"unknown gold tables {sorted(unknown)!r}; supported: {sorted(known)}"
+        )
     if path is None:
         path = tempfile.mkdtemp(prefix="memfuse_gold_")
     spark.sql(f"CREATE DATABASE IF NOT EXISTS {database} LOCATION '{path}'")
@@ -75,6 +81,9 @@ def build_gold_tables(
     if "documents" in tables:
         save(load_table(spark, sf_dir, "documents"), "documents_gold",
              "doc_id", None)
+    if "embeddings" in tables:
+        save(load_table(spark, sf_dir, "embeddings"), "embeddings_gold",
+             "vec_id", None)
     if "orders" in tables:
         save(load_table(spark, sf_dir, "orders"), "orders_gold",
              "o_orderkey", None)

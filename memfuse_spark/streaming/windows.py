@@ -76,5 +76,8 @@ def run_session_stream(
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
         .start()
-        .awaitTermination(120)
+        # no timeout: availableNow terminates on its own once drained; a
+        # timed await returning False would leave the sink half-written
+        # and the query orphaned
+        .awaitTermination()
     )

@@ -70,26 +70,14 @@ def test_histogram_sketch_merges_associatively(spark):
     Halves share the whole's [min, max] framing (summaries are merged
     under one registered range, as epochs would be in practice)."""
     from memfuse_spark.catalog import load_table
-    from memfuse_spark.operators.stats import HIST_BINS, value_cents
+    from memfuse_spark.operators.stats import histogram_sketch, value_cents
 
     ev = load_table(spark, SF_DIR_MED, "events")
     c = value_cents("value")
     rng = ev.agg(F.min(c).alias("cmin"), F.max(c).alias("cmax"))
 
     def hist(df):
-        return (
-            df.select(c.alias("c"))
-            .join(F.broadcast(rng))
-            .withColumn(
-                "bin",
-                F.least(
-                    F.lit(HIST_BINS - 1),
-                    F.expr(f"(c - cmin) * {HIST_BINS} div (cmax - cmin)"),
-                ).cast("int"),
-            )
-            .groupBy("bin")
-            .agg(F.count("*").alias("n"))
-        )
+        return histogram_sketch(df, rng=rng)
 
     h1 = hist(ev.filter(F.col("event_id") % 2 == 0))
     h2 = hist(ev.filter(F.col("event_id") % 2 == 1))
