@@ -146,3 +146,49 @@ def bpe_merges_sql(tokenize_sql: str, rounds: int = BPE_ROUNDS) -> str:
         f" CAST(pair_count AS BIGINT) AS pair_count FROM ({selects})"
         f" ORDER BY rank"
     )
+
+
+def apply_merges(text_tokens_col, merges: list[tuple]):
+    """COLUMN: token array after applying a learned merge table in rank
+    order — the tokenizer's encode step over a corpus column.
+
+    The merge list is plan-time data (collected from :func:`bpe_merges`,
+    vocab-sized), so application compiles to a chain of plain string
+    ``replace`` calls over the delimiter representation — whole-stage
+    codegen, no UDF, no per-row loop. Exactly the training-time greedy
+    left-to-right semantics (same representation, same replace).
+    """
+    s = _to_sep_string(text_tokens_col)
+    for _, left, right, *_ in sorted(merges, key=lambda m: m[0]):
+        s = F.replace(
+            s,
+            F.lit(f"{SEP}{left}{SEP}{SEP}{right}{SEP}"),
+            F.lit(f"{SEP}{left}{right}{SEP}"),
+        )
+    return F.filter(
+        F.split(F.regexp_replace(s, f"^{SEP}|{SEP}$", ""), SEP + SEP),
+        lambda t: F.length(t) > 0,
+    )
+
+
+def bpe_token_counts(
+    docs: DataFrame,
+    merges: list[tuple],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, n_raw_tokens, n_bpe_tokens) — sequence lengths under the
+    learned vocabulary vs raw whitespace tokens; the number that actually
+    prices a training run (merged tokens shrink sequences)."""
+    from memfuse_spark.functions.text import tokenize
+
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"), tokenize(text_col).alias("tk")
+    )
+    return toks.select(
+        "doc_id",
+        F.size("tk").cast("long").alias("n_raw_tokens"),
+        F.size(apply_merges(F.col("tk"), merges)).cast("long").alias(
+            "n_bpe_tokens"
+        ),
+    )

@@ -64,3 +64,48 @@ def test_bpe_matches_reference_python(spark):
 
     got = [tuple(r) for r in bpe_merges(docs, rounds=5).collect()]
     assert got == train(toks, 5)
+
+
+def test_apply_merges_matches_training_state(spark):
+    """Applying the learned table reproduces the trainer's final token
+    sequences, and BPE sequence lengths shrink accordingly."""
+    from memfuse_spark.operators.bpe import apply_merges, bpe_token_counts, bpe_merges
+    from pyspark.sql import functions as F
+
+    docs = spark.createDataFrame(
+        [
+            (1, "merge the sorted run then merge the run"),
+            (2, "sort the run and merge the sorted run"),
+            (3, "the sorted run is the run"),
+        ],
+        "doc_id long, text string",
+    )
+    merges = [tuple(r) for r in bpe_merges(docs, rounds=4).collect()]
+    counts = {
+        r["doc_id"]: (r["n_raw_tokens"], r["n_bpe_tokens"])
+        for r in bpe_token_counts(docs, merges).collect()
+    }
+    # python reference applying the same merges greedily
+    def encode(text):
+        t = text.split()
+        for _, l, rr, _ in merges:
+            i = 0
+            while i < len(t) - 1:
+                if t[i] == l and t[i + 1] == rr:
+                    t[i : i + 2] = [l + rr]
+                i += 1
+        return t
+
+    for doc_id, text in [(1, "merge the sorted run then merge the run"),
+                         (2, "sort the run and merge the sorted run"),
+                         (3, "the sorted run is the run")]:
+        raw, bpe = counts[doc_id]
+        assert raw == len(text.split())
+        assert bpe == len(encode(text))
+        assert bpe < raw
+    # the encoded arrays themselves match the reference
+    got = {r["doc_id"]: r["enc"] for r in docs.select(
+        "doc_id",
+        apply_merges(F.expr("split(text, ' ')"), merges).alias("enc"),
+    ).collect()}
+    assert got[1] == encode("merge the sorted run then merge the run")
