@@ -81,3 +81,78 @@ def run_session_stream(
         # and the query orphaned
         .awaitTermination()
     )
+
+
+def sketch_ingest_stream(
+    spark,
+    source_dir: str,
+    schema,
+    out_base: str,
+    text_col: str = "text",
+):
+    """Streaming heavy-hitter maintenance: each micro-batch folds into a
+    per-epoch count-min sketch (2048 fixed cells), epoch-partitioned
+    with dynamic overwrite — a replayed epoch REPLACES its partition
+    (the same exactly-once pattern as ingest_stream / dedup_ingest
+    stream), and the raw text is never retained.
+
+    A SLIDING-window heavy-hitter query is then pure sketch algebra:
+    read the last K epoch partitions, sum counters per (hash_row,
+    bucket) — CMS is mergeable by addition — and probe. No raw-data
+    rescan, O(K × 2048) state: the reason sketches, not counts, are
+    what a 100 TB stream stores per window.
+    """
+    from pyspark.sql import functions as F
+
+    from memfuse_spark.functions.text import tokenize
+    from memfuse_spark.operators.sketches import cms_build
+
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+
+    def write_epoch(batch, epoch_id: int) -> None:
+        counts = (
+            batch.select(F.explode_outer(tokenize(text_col)).alias("token"))
+            .filter(F.col("token").isNotNull())
+            .groupBy("token")
+            .agg(F.count("*").alias("cnt"))
+        )
+        sketch = cms_build(counts).withColumn("epoch_id", F.lit(int(epoch_id)))
+        (
+            sketch.write.mode("overwrite")
+            .partitionBy("epoch_id")
+            .parquet(f"{out_base}/cms")
+        )
+
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(source_dir)
+        .writeStream.foreachBatch(write_epoch)
+        .option("checkpointLocation", f"{out_base}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def sliding_heavy_hitters(
+    spark, out_base: str, last_k_epochs: int, probe_tokens
+) -> "DataFrame":
+    """Merge the last K epoch sketches by counter addition and estimate
+    the probe tokens' counts over that sliding window."""
+    from pyspark.sql import functions as F
+
+    from memfuse_spark.operators.sketches import cms_estimate
+
+    sketches = spark.read.parquet(f"{out_base}/cms")
+    epochs = [
+        r["epoch_id"]
+        for r in sketches.select("epoch_id").distinct()
+        .orderBy(F.desc("epoch_id")).limit(last_k_epochs).collect()
+    ]
+    merged = (
+        sketches.filter(F.col("epoch_id").isin(epochs))
+        .groupBy("hash_row", "bucket")
+        .agg(F.sum("weight").alias("weight"))
+    )
+    items = spark.createDataFrame([(t,) for t in probe_tokens], "token string")
+    return cms_estimate(merged, items)

@@ -76,3 +76,82 @@ def test_session_window_agg_matches_sessionize_twin(spark, tables):
         for r in twin.collect()
     }
     assert n_native == n_twin
+
+
+def test_sliding_heavy_hitters_matches_batch_merge(spark, tables, tmp_path):
+    """Streamed per-epoch CMS sketches merged over the last K epochs give
+    the same estimates as one batch sketch built from those epochs' raw
+    docs — the mergeability that lets a stream answer sliding-window
+    heavy-hitter queries from O(K × cells) state."""
+    from pyspark.sql import functions as F
+
+    from memfuse_spark.functions.text import tokenize
+    from memfuse_spark.operators.sketches import cms_build, cms_estimate
+    from memfuse_spark.streaming.windows import (
+        sketch_ingest_stream,
+        sliding_heavy_hitters,
+    )
+
+    docs = tables["documents"].select("doc_id", "text")
+    src = str(tmp_path / "src")
+    # three files -> three micro-batches (maxFilesPerTrigger=1); each
+    # split carries a marker token so epochs can be mapped back to
+    # splits from their sketches alone (file-ingestion order is not
+    # guaranteed to follow write order)
+    for i in range(3):
+        (
+            docs.filter(F.col("doc_id") % 3 == i)
+            .withColumn("text", F.concat(F.col("text"), F.lit(f" splitmarker{i}")))
+            .coalesce(1)
+            .write.mode("append")
+            .parquet(src)
+        )
+    docs = spark.read.parquet(src).select("doc_id", "text")
+
+    out = str(tmp_path / "hh")
+    q = sketch_ingest_stream(spark, src, spark.read.parquet(src).schema, out)
+    q.awaitTermination()
+
+    sketches = spark.read.parquet(f"{out}/cms")
+    n_epochs = sketches.select("epoch_id").distinct().count()
+    assert n_epochs == 3
+    assert sketches.count() <= 3 * 2048  # fixed-size state per epoch
+
+    probe = ["merge", "vector", "query", "spark", "zzz_absent"]
+    got = {
+        r["token"]: r["cms_count"]
+        for r in sliding_heavy_hitters(spark, out, 2, probe).collect()
+    }
+
+    # batch twin over the SAME last-2-epoch documents: identify each
+    # epoch's split by probing its own sketch for the marker tokens
+    last2 = [
+        r["epoch_id"]
+        for r in sketches.select("epoch_id").distinct()
+        .orderBy(F.desc("epoch_id")).limit(2).collect()
+    ]
+    markers = spark.createDataFrame(
+        [(f"splitmarker{i}",) for i in range(3)], "token string"
+    )
+    splits = []
+    for e in last2:
+        est = {
+            r["token"]: r["cms_count"]
+            for r in cms_estimate(
+                sketches.filter(F.col("epoch_id") == e), markers
+            ).collect()
+        }
+        splits.append(int(max(est, key=est.get)[-1]))
+    subset = docs.filter((F.col("doc_id") % 3).isin(splits))
+    counts = (
+        subset.select(F.explode_outer(tokenize("text")).alias("token"))
+        .filter(F.col("token").isNotNull())
+        .groupBy("token")
+        .agg(F.count("*").alias("cnt"))
+    )
+    items = spark.createDataFrame([(t,) for t in probe], "token string")
+    want = {
+        r["token"]: r["cms_count"]
+        for r in cms_estimate(cms_build(counts), items).collect()
+    }
+    assert got == want
