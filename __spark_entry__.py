@@ -642,6 +642,15 @@ def q_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus_report(_tables(spark, sf_dir, "documents")[0])
 
 
+def q_hll_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped HyperLogLog: per-event-type distinct-user estimates
+    beside exact counts (mergeable per-group register state)."""
+    from memfuse_spark.operators.sketches import hll_by_group
+
+    (ev,) = _tables(spark, sf_dir, "events")
+    return hll_by_group(ev, "event_type", "user_id")
+
+
 def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source added/removed/changed/same audit between two
     deterministically-derived corpus snapshots (digest full-outer join;
@@ -1871,6 +1880,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pca_top": q_pca_top,
         "value_drift_psi": q_value_drift_psi,
         "snapshot_diff": q_snapshot_diff,
+        "hll_by_type": q_hll_by_type,
         # --- rows on
         # --- inputs unchanged since; full-suite verify_oracle.py is
         # --- their per-round superset check (COVERAGE.md). The six
@@ -2266,6 +2276,9 @@ LIMIT 100
         "corpus_report": ta_ops.corpus_report_sql(),
         "pca_top": _pca_ops.pca_top_component_sql(),
         "value_drift_psi": _stats_ops.value_drift_psi_sql("2024-01-15"),
+        "hll_by_type": _sketches.hll_by_group_sql(
+            "events", "event_type", "user_id"
+        ),
         "snapshot_diff": """
 WITH a AS (
   SELECT doc_id, source,

@@ -495,3 +495,112 @@ SELECT n_fact, n_bloom_pass, n_true_match,
        n_bloom_pass - n_true_match AS n_false_positive
 FROM agg, tru
 """
+
+
+def hll_by_group(
+    df: DataFrame, group_col: str, col: str
+) -> DataFrame:
+    """(group, n_zero, estimate, exact_distinct, rel_err) — per-group
+    HyperLogLog distinct estimates beside the exact counts.
+
+    Grouped sketch state is (group, bucket, max_rho) — at most
+    groups × m rows regardless of input, still mergeable per group by
+    register max (union across epochs then re-max). The exact column
+    exists to make the error auditable at oracle SF; at 10^12 rows you
+    keep only the sketch side."""
+    h = _h60(F.col(col).cast("string"))
+    rest = F.floor(h / HLL_M).cast("bigint")
+    rho = F.when(rest == 0, F.lit(_REST_BITS + 1)).otherwise(
+        F.lit(_REST_BITS + 1) - F.length(F.bin(rest))
+    )
+    regs = (
+        df.select(
+            F.col(group_col).alias("grp"),
+            (h % HLL_M).alias("bucket"),
+            rho.alias("rho"),
+        )
+        .groupBy("grp", "bucket")
+        .agg(F.max("rho").alias("max_rho"))
+    )
+    agg = regs.groupBy("grp").agg(
+        F.count("*").alias("n_present"),
+        F.sum(
+            F.expr(f"shiftleft(CAST(1 AS BIGINT), {_REST_BITS + 1} - max_rho)")
+        )
+        .cast("bigint")
+        .alias("present_sum"),
+    )
+    n_zero = F.lit(HLL_M) - F.col("n_present")
+    int_sum = F.col("present_sum") + n_zero * F.lit(_POW)
+    raw = F.lit(HLL_ALPHA * HLL_M * HLL_M) * F.lit(float(_POW)) / int_sum
+    est = F.round(
+        F.when(
+            (raw <= 2.5 * HLL_M) & (n_zero > 0),
+            F.lit(float(HLL_M)) * F.log(F.lit(float(HLL_M)) / n_zero),
+        ).otherwise(raw),
+        2,
+    )
+    exact = df.groupBy(F.col(group_col).alias("grp")).agg(
+        F.countDistinct(col).alias("exact_distinct")
+    )
+    return (
+        agg.select("grp", n_zero.cast("long").alias("n_zero"), est.alias("estimate"))
+        .join(exact, "grp")
+        .select(
+            "grp",
+            "n_zero",
+            "estimate",
+            "exact_distinct",
+            F.round(
+                F.abs(F.col("estimate") - F.col("exact_distinct"))
+                / F.col("exact_distinct"),
+                4,
+            ).alias("rel_err"),
+        )
+        .orderBy("grp")
+    )
+
+
+def hll_by_group_sql(table: str, group_col: str, col: str) -> str:
+    """DuckDB twin of :func:`hll_by_group`."""
+    rb = _REST_BITS
+    return f"""
+WITH h AS (
+  SELECT {group_col} AS grp,
+         {_h60_sql(f"CAST({col} AS VARCHAR)")} AS hv
+  FROM {table}
+),
+regs AS (
+  SELECT grp, hv % {HLL_M} AS bucket,
+         max(CASE WHEN hv // {HLL_M} = 0 THEN {rb + 1}
+                  ELSE {rb + 1} - length(bin(hv // {HLL_M})) END) AS max_rho
+  FROM h GROUP BY grp, bucket
+),
+s AS (
+  SELECT grp, count(*) AS n_present,
+         CAST(sum(CAST(1 AS BIGINT) << ({rb + 1} - max_rho)) AS BIGINT)
+           AS present_sum
+  FROM regs GROUP BY grp
+),
+e AS (
+  SELECT grp,
+         CAST({HLL_M} - n_present AS BIGINT) AS n_zero,
+         {HLL_ALPHA * HLL_M * HLL_M} * CAST({_POW} AS DOUBLE)
+           / (present_sum + ({HLL_M} - n_present) * CAST({_POW} AS BIGINT))
+           AS raw
+  FROM s
+),
+x AS (SELECT {group_col} AS grp, count(DISTINCT {col}) AS exact_distinct
+      FROM {table} GROUP BY {group_col}),
+est AS (
+  SELECT e.grp, n_zero,
+         round(CASE WHEN raw <= 2.5 * {HLL_M} AND n_zero > 0
+                    THEN {HLL_M} * ln(CAST({HLL_M} AS DOUBLE) / n_zero)
+                    ELSE raw END, 2) AS estimate,
+         exact_distinct
+  FROM e JOIN x ON e.grp = x.grp
+)
+SELECT grp, n_zero, estimate, exact_distinct,
+       round(abs(estimate - exact_distinct) / exact_distinct, 4) AS rel_err
+FROM est ORDER BY grp
+"""

@@ -341,3 +341,34 @@ def test_psi_detects_injected_drift(spark, tables):
     assert psi_same < 0.1
     assert psi_drift > 0.25
     assert psi_drift > psi_same * 3
+
+
+def test_hll_by_group_merges_per_group(spark, tables):
+    """Grouped register state merges per group: union two epoch halves'
+    (grp, bucket, max_rho) by max == registers of the whole."""
+    from pyspark.sql import functions as F
+
+    ev = tables["events"]
+    from memfuse_spark.operators.sketches import HLL_M, _h60, _REST_BITS
+
+    def regs(df):
+        h = _h60(F.col("user_id").cast("string"))
+        rest = F.floor(h / HLL_M).cast("bigint")
+        rho = F.when(rest == 0, F.lit(_REST_BITS + 1)).otherwise(
+            F.lit(_REST_BITS + 1) - F.length(F.bin(rest))
+        )
+        return (
+            df.select(F.col("event_type").alias("grp"),
+                      (h % HLL_M).alias("bucket"), rho.alias("rho"))
+            .groupBy("grp", "bucket").agg(F.max("rho").alias("max_rho"))
+        )
+
+    h1 = regs(ev.filter(F.col("event_id") % 2 == 0))
+    h2 = regs(ev.filter(F.col("event_id") % 2 == 1))
+    merged = {
+        (r["grp"], r["bucket"]): r["mr"]
+        for r in h1.unionByName(h2).groupBy("grp", "bucket")
+        .agg(F.max("max_rho").alias("mr")).collect()
+    }
+    whole = {(r["grp"], r["bucket"]): r["max_rho"] for r in regs(ev).collect()}
+    assert merged == whole
