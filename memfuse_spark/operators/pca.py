@@ -246,3 +246,53 @@ def pca_components(
         "component int, pos int, loading double, eigenvalue double,"
         " variance_share double",
     )
+
+
+def embedding_drift(
+    items_a: DataFrame, items_b: DataFrame, vec_col: str = "embedding",
+    iters: int = PCA_ITERATIONS,
+) -> DataFrame:
+    """One row: (loading_cosine, eig_ratio, mean_shift) — has the
+    embedding DISTRIBUTION moved between two corpus snapshots (model
+    upgrade, domain mix change, pipeline regression)?
+
+    - loading_cosine: |cos| between the snapshots' top principal
+      directions (1.0 = same dominant axis of variation)
+    - eig_ratio: top-eigenvalue ratio b/a (variance scale change)
+    - mean_shift: L2 distance between mean vectors
+
+    Each snapshot costs one Gramian scan; the comparison is driver
+    arithmetic on two d-vectors. Complements value_drift_psi (scalar
+    distributions) for the vector column."""
+    def summarize(items):
+        entries = covariance_entries(items, vec_col).collect()
+        cov = {(r["i"], r["j"]): r["cov"] for r in entries}
+        d = max(i for i, _ in cov) + 1
+        v, eig = _power_iteration(cov, d, iters)
+        # means were computed inside covariance_entries' single scan;
+        # recover them from a tiny dedicated agg over the same items
+        m = [
+            r["m"]
+            for r in items.select(
+                F.posexplode(
+                    F.transform(F.col(vec_col), lambda x: x.cast("double"))
+                ).alias("i", "x")
+            )
+            .groupBy("i")
+            .agg(F.avg("x").alias("m"))
+            .orderBy("i")
+            .collect()
+        ]
+        return v, eig, m
+
+    va, ea, ma = summarize(items_a)
+    vb, eb, mb = summarize(items_b)
+    cos = abs(sum(x * y for x, y in zip(va, vb))) / (
+        (sum(x * x for x in va) ** 0.5) * (sum(y * y for y in vb) ** 0.5)
+    )
+    shift = sum((x - y) ** 2 for x, y in zip(ma, mb)) ** 0.5
+    spark = items_a.sparkSession
+    return spark.createDataFrame(
+        [(round(cos, 5), round(eb / ea, 5), round(shift, 6))],
+        "loading_cosine double, eig_ratio double, mean_shift double",
+    )

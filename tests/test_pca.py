@@ -68,3 +68,30 @@ def test_pca_components_match_numpy_top3(spark, tables):
     v2 = np.array([comps[2][i][0] for i in range(c.shape[0])])
     v3 = np.array([comps[3][i][0] for i in range(c.shape[0])])
     assert abs(v1 @ v2) < 1e-2 and abs(v1 @ v3) < 1e-2 and abs(v2 @ v3) < 1e-2
+
+
+def test_embedding_drift_detects_distribution_change(spark, tables):
+    """Identical snapshots: aligned loadings, unit eig ratio, zero mean
+    shift. A deterministic per-dimension rescale (stretching dim 0)
+    rotates the top component and shifts the summary."""
+    from pyspark.sql import functions as F
+
+    from memfuse_spark.operators.pca import embedding_drift
+
+    emb = tables["embeddings"]
+    same = embedding_drift(emb, emb).collect()[0]
+    assert same["loading_cosine"] > 0.99999
+    assert abs(same["eig_ratio"] - 1.0) < 1e-4
+    assert same["mean_shift"] < 1e-9
+
+    stretched = emb.withColumn(
+        "embedding",
+        F.transform(
+            "embedding",
+            lambda x, i: F.when(i == 0, x * 6.0 + 1.0).otherwise(x),
+        ),
+    )
+    moved = embedding_drift(emb, stretched).collect()[0]
+    assert moved["loading_cosine"] < 0.9      # dominant axis rotated
+    assert moved["eig_ratio"] > 2.0           # variance scale changed
+    assert moved["mean_shift"] > 0.5          # mean moved along dim 0
