@@ -642,6 +642,37 @@ def q_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus_report(_tables(spark, sf_dir, "documents")[0])
 
 
+def q_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of join: each purchase gets the user's NEXT view at or
+    after it (mirror of asof_join; oracle = DuckDB native ASOF with <=)."""
+    from memfuse_spark.operators.temporal import asof_join_forward
+
+    (events,) = _tables(spark, sf_dir, "events")
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("event_id").alias("purchase_id")
+    )
+    views = events.filter(F.col("event_type") == "view").select(
+        "user_id",
+        "ts",
+        F.col("event_id").alias("view_id"),
+        F.col("value").alias("view_value"),
+    )
+    out = asof_join_forward(
+        purchases,
+        views,
+        key_col="user_id",
+        ts_col="ts",
+        right_value_cols=["view_id", "view_value"],
+        left_id_col="purchase_id",
+    )
+    return out.select(
+        "purchase_id",
+        "user_id",
+        "view_id",
+        F.round("view_value", 6).alias("view_value"),
+    ).orderBy("purchase_id")
+
+
 def q_hll_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Grouped HyperLogLog: per-event-type distinct-user estimates
     beside exact counts (mergeable per-group register state)."""
@@ -1881,6 +1912,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "value_drift_psi": q_value_drift_psi,
         "snapshot_diff": q_snapshot_diff,
         "hll_by_type": q_hll_by_type,
+        "asof_forward": q_asof_forward,
         # --- rows on
         # --- inputs unchanged since; full-suite verify_oracle.py is
         # --- their per-round superset check (COVERAGE.md). The six
@@ -2792,6 +2824,21 @@ SELECT p.purchase_id, p.user_id, v.view_id,
        round(v.view_value, 6) AS view_value
 FROM purchases p
 ASOF LEFT JOIN views v ON p.user_id = v.user_id AND p.ts >= v.ts
+ORDER BY p.purchase_id
+""",
+        "asof_forward": """
+WITH purchases AS (
+  SELECT user_id, ts, event_id AS purchase_id FROM events
+  WHERE event_type = 'purchase'
+),
+views AS (
+  SELECT user_id, ts, event_id AS view_id, value AS view_value FROM events
+  WHERE event_type = 'view'
+)
+SELECT p.purchase_id, p.user_id, v.view_id,
+       round(v.view_value, 6) AS view_value
+FROM purchases p
+ASOF LEFT JOIN views v ON p.user_id = v.user_id AND p.ts <= v.ts
 ORDER BY p.purchase_id
 """,
         "exact_dedup": oracles.exact_dedup_sql(),

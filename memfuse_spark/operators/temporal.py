@@ -281,3 +281,55 @@ WHERE week_k BETWEEN 0 AND {max_weeks}
 GROUP BY cohort_week, week_k
 ORDER BY cohort_week, week_k
 """
+
+
+def asof_join_forward(
+    left: DataFrame,
+    right: DataFrame,
+    key_col: str,
+    ts_col: str,
+    right_value_cols: list[str],
+    left_id_col: str,
+) -> DataFrame:
+    """Forward as-of join: attach the EARLIEST right row at-or-after each
+    left row (rhs.ts >= lhs.ts, same key) — "next reading", the mirror
+    of :func:`asof_join`'s "latest before".
+
+    Same union + single-window trick, with the window looking FORWARD
+    (currentRow..unboundedFollowing) and first(ignorenulls); right sorts
+    after left on ts ties via the side tag so an exactly-equal timestamp
+    still matches. One shuffle total — never a per-row range probe.
+    """
+    from pyspark.sql import Window
+
+    lt = left.select(
+        F.col(key_col), F.col(ts_col), F.col(left_id_col),
+        *[
+            F.lit(None).cast(right.schema[c].dataType).alias(f"__r_{c}")
+            for c in right_value_cols
+        ],
+        F.lit(0).alias("__side"),  # left BEFORE right on equal ts
+    )
+    rt = right.select(
+        F.col(key_col), F.col(ts_col),
+        F.lit(None).cast(left.schema[left_id_col].dataType).alias(left_id_col),
+        *[F.col(c).alias(f"__r_{c}") for c in right_value_cols],
+        F.lit(1).alias("__side"),
+    )
+    unioned = lt.unionByName(rt)
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(ts_col, "__side")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    carried = unioned.select(
+        key_col,
+        ts_col,
+        left_id_col,
+        "__side",
+        *[
+            F.first(f"__r_{c}", ignorenulls=True).over(w).alias(c)
+            for c in right_value_cols
+        ],
+    )
+    return carried.filter(F.col("__side") == 0).drop("__side")
