@@ -1466,6 +1466,21 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return g.pagerank(edges, iterations=PAGERANK_ITERS, damping=PAGERANK_DAMPING)
 
 
+PPR_SEEDS = [0, 7]
+
+
+def q_graph_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Personalized PageRank from the anchor seeds — proximity-to-seeds
+    ranking ("related memories"), teleport and dangling mass both
+    returning to the seed set."""
+    from memfuse_spark.operators import graph as g
+
+    _, edges = _graph_edges(spark, sf_dir)
+    return g.personalized_pagerank(
+        edges, PPR_SEEDS, iterations=PAGERANK_ITERS, damping=PAGERANK_DAMPING
+    )
+
+
 PHRASE = ["fast", "table"]
 PHRASE_K = 20
 
@@ -1913,6 +1928,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snapshot_diff": q_snapshot_diff,
         "hll_by_type": q_hll_by_type,
         "asof_forward": q_asof_forward,
+        "graph_ppr": q_graph_ppr,
         # --- rows on
         # --- inputs unchanged since; full-suite verify_oracle.py is
         # --- their per-round superset check (COVERAGE.md). The six
@@ -2888,6 +2904,9 @@ ORDER BY doc_id, chunk_index
         "graph_2hop": oracles.graph_2hop_sql(0, _SIM_T),
         "graph_contextual": oracles.graph_contextual_sql(ANCHOR_VEC_ID, 10, _SIM_T),
         "graph_pagerank": oracles.pagerank_sql(_SIM_T, PAGERANK_ITERS, PAGERANK_DAMPING),
+        "graph_ppr": oracles.ppr_sql(
+            _SIM_T, PPR_SEEDS, PAGERANK_ITERS, PAGERANK_DAMPING
+        ),
         "phrase_search": kw_ops.phrase_search_sql(PHRASE, PHRASE_K),
         "pq_topk": oracles.pq_topk_sql(ANCHOR_VEC_ID, 10, PQ_M, EMB_DIM),
         "ann_multiprobe": oracles.ann_lsh_multiprobe_sql(ANCHOR_VEC_ID, 10, num_planes=4),

@@ -505,3 +505,95 @@ FROM nodes GROUP BY node_id
 ORDER BY n_triangles DESC, node_id ASC
 LIMIT {top_n}
 """
+
+
+def personalized_pagerank(
+    edges: DataFrame,
+    seeds: list,
+    iterations: int = 8,
+    damping: float = 0.85,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    score_decimals: int = 6,
+) -> DataFrame:
+    """(node, rank) — personalized PageRank: teleport (and dangling
+    mass) return to the SEED set instead of the uniform vector, so
+    ranks measure proximity to the seeds — the "related memories /
+    neighborhood relevance" ranking a memory graph actually wants
+    (global PageRank answers "important overall", PPR answers
+    "important relative to these items").
+
+    Identical iteration machinery to :func:`pagerank` (fixed rounds,
+    per-round lineage checkpoints, one |E| + one |V| shuffle per round);
+    only the restart vector changes: s_i = 1/|seeds| on seeds, else 0.
+    """
+    spark = edges.sparkSession
+    cache.begin("graph.ppr")
+    e, _ = cache.tracked_local_checkpoint(
+        edges.select(
+            F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+        ).distinct(),
+        "graph.ppr",
+    )
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    nodes, _ = cache.tracked_local_checkpoint(nodes, "graph.ppr")
+    out_deg = e.groupBy(F.col("src").alias("node")).agg(
+        F.count("*").alias("deg")
+    )
+    sv = F.when(
+        F.col("node").isin(*seeds), F.lit(1.0 / len(seeds))
+    ).otherwise(F.lit(0.0))
+    base, prev_ids = cache.tracked_local_checkpoint(
+        nodes.join(out_deg, "node", "left").select(
+            "node",
+            F.coalesce("deg", F.lit(0)).alias("deg"),
+            sv.alias("sv"),
+            sv.alias("rank"),
+        ),
+        "graph.ppr",
+    )
+    ranks = base
+    for _ in range(iterations):
+        dang = ranks.filter(F.col("deg") == 0).agg(
+            F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dm")
+        )
+        contrib = (
+            ranks.filter(F.col("deg") > 0)
+            .join(e, ranks.node == e.src)
+            .select(
+                F.col("dst").alias("node"),
+                (F.col("rank") / F.col("deg")).alias("c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("c").alias("inflow"))
+        )
+        new = (
+            ranks.join(contrib, "node", "left")
+            .crossJoin(F.broadcast(dang))
+            .select(
+                "node",
+                "deg",
+                "sv",
+                (
+                    F.lit(1.0 - damping) * F.col("sv")
+                    + F.lit(damping)
+                    * (
+                        F.coalesce("inflow", F.lit(0.0))
+                        + F.col("dm") * F.col("sv")
+                    )
+                ).alias("rank"),
+            )
+        )
+        new, new_ids = cache.tracked_local_checkpoint(new, "graph.ppr")
+        cache.unpersist_rdd_ids(spark, prev_ids)
+        prev_ids = new_ids
+        ranks = new
+    return (
+        ranks.filter(F.col("rank") > 0)
+        .select("node", F.round("rank", score_decimals).alias("rank"))
+        .orderBy(F.desc("rank"), F.asc("node"))
+    )

@@ -1605,3 +1605,60 @@ ORDER BY score DESC, vec_id ASC
 LIMIT {k}
 """
     )
+
+
+def ppr_sql(
+    threshold: float,
+    seeds: list,
+    iterations: int = 8,
+    damping: float = 0.85,
+) -> str:
+    """Unrolled personalized PageRank over the similarity+follows graph —
+    :func:`pagerank_sql` with the uniform restart vector replaced by the
+    seed indicator (teleport AND dangling mass return to seeds)."""
+    om = repr(1.0 - damping)
+    d = repr(float(damping))
+    sv = repr(1.0 / len(seeds))
+    seed_list = ", ".join(str(s) for s in seeds)
+    parts = [
+        edges_cte(threshold).strip(),
+        f"""
+de AS MATERIALIZED (SELECT DISTINCT src, dst FROM edges),
+nodes AS (SELECT src AS node FROM de UNION SELECT dst AS node FROM de),
+degs AS (
+  SELECT n.node, coalesce(o.deg, 0) AS deg
+  FROM nodes n LEFT JOIN (SELECT src AS node, count(*) AS deg FROM de GROUP BY src) o
+    USING (node)
+),
+r0 AS MATERIALIZED (
+  SELECT node, deg,
+         CASE WHEN node IN ({seed_list}) THEN CAST({sv} AS DOUBLE)
+              ELSE CAST(0 AS DOUBLE) END AS sv,
+         CASE WHEN node IN ({seed_list}) THEN CAST({sv} AS DOUBLE)
+              ELSE CAST(0 AS DOUBLE) END AS rank
+  FROM degs
+)""".strip(),
+    ]
+    for t in range(1, iterations + 1):
+        p = t - 1
+        parts.append(
+            f"""
+d{t} AS (SELECT coalesce(sum(rank), CAST(0 AS DOUBLE)) AS dm FROM r{p} WHERE deg = 0),
+c{t} AS (
+  SELECT e.dst AS node, sum(r.rank / r.deg) AS inflow
+  FROM r{p} r JOIN de e ON r.node = e.src WHERE r.deg > 0 GROUP BY e.dst
+),
+r{t} AS MATERIALIZED (
+  SELECT r.node, r.deg, r.sv,
+         CAST({om} AS DOUBLE) * r.sv
+         + CAST({d} AS DOUBLE) * (coalesce(c.inflow, CAST(0 AS DOUBLE)) + d{t}.dm * r.sv)
+           AS rank
+  FROM r{p} r LEFT JOIN c{t} c USING (node), d{t}
+)""".strip()
+        )
+    body = ",\n".join(parts)
+    return (
+        f"WITH {body}\n"
+        f"SELECT node, round(rank, 6) AS rank FROM r{iterations} "
+        "WHERE rank > 0 ORDER BY rank DESC, node ASC"
+    )

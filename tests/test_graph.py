@@ -144,3 +144,27 @@ def test_pagerank_dangling_mass_redistributed(spark):
     ranks = {r.node: r.rank for r in pagerank(edges, iterations=15).collect()}
     assert abs(sum(ranks.values()) - 1.0) < 1e-4
     assert ranks[1] > ranks[0]
+
+
+def test_personalized_pagerank_concentrates_on_seed_component(spark):
+    """On two disconnected components, PPR mass stays entirely in the
+    seed's component, and the seed outranks its peers."""
+    from pyspark.sql import functions as F
+
+    from memfuse_spark.operators.graph import personalized_pagerank
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1),         # seed component (cycle)
+         (10, 11), (11, 12), (12, 10)],  # far component
+        "src long, dst long",
+    )
+    # a directed 3-cycle rotates mass with residual 0.85^k — 40 rounds
+    # damp it to ~1e-3 so the stationary ordering (seed on top) holds
+    ranks = {r["node"]: r["rank"]
+             for r in personalized_pagerank(edges, [1], iterations=40).collect()}
+    assert set(ranks) <= {1, 2, 3}          # no mass leaks to 10-12
+    assert ranks[1] == max(ranks.values())  # restart favors the seed
+    assert abs(sum(ranks.values()) - 1.0) < 1e-6
+    # analytic stationary solution of the damped cycle
+    r1 = 0.15 / (1 - 0.85 ** 3)
+    assert abs(ranks[1] - r1) < 5e-3
