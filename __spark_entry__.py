@@ -673,6 +673,44 @@ def q_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("purchase_id")
 
 
+def q_salted_event_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe two-phase aggregation (operators/skew.py): the salted
+    plan must produce IDENTICAL totals to the plain one-phase oracle —
+    the correctness half of the skew-mitigation contract (the perf half
+    is plan-shape-tested)."""
+    from memfuse_spark.operators.skew import salted_count_sum
+
+    (ev,) = _tables(spark, sf_dir, "events")
+    return salted_count_sum(
+        ev, "event_type", "value", salt_source_col="event_id"
+    ).orderBy("event_type")
+
+
+def q_fk_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit across the star schema: orphan
+    counts per FK edge (anti-join per relationship; dimensions
+    broadcast) — the pre-promotion data-quality gate."""
+    li, orders, cust, supp, nat = _tables(
+        spark, sf_dir, "lineitem", "orders", "customer", "supplier", "nation"
+    )
+
+    def orphans(fact, fk, dim, pk, edge):
+        n = fact.join(
+            F.broadcast(dim.select(F.col(pk).alias(fk))), fk, "left_anti"
+        ).count()
+        return (edge, n)
+
+    rows = [
+        orphans(li, "l_orderkey", orders, "o_orderkey", "lineitem->orders"),
+        orphans(li, "l_suppkey", supp, "s_suppkey", "lineitem->supplier"),
+        orphans(orders, "o_custkey", cust, "c_custkey", "orders->customer"),
+        orphans(cust, "c_nationkey", nat, "n_nationkey", "customer->nation"),
+    ]
+    return spark.createDataFrame(rows, "fk_edge string, n_orphans long").orderBy(
+        "fk_edge"
+    )
+
+
 def q_hll_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Grouped HyperLogLog: per-event-type distinct-user estimates
     beside exact counts (mergeable per-group register state)."""
@@ -1929,6 +1967,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_by_type": q_hll_by_type,
         "asof_forward": q_asof_forward,
         "graph_ppr": q_graph_ppr,
+        "salted_event_totals": q_salted_event_totals,
+        "fk_integrity": q_fk_integrity,
         # --- rows on
         # --- inputs unchanged since; full-suite verify_oracle.py is
         # --- their per-round superset check (COVERAGE.md). The six
@@ -2841,6 +2881,29 @@ SELECT p.purchase_id, p.user_id, v.view_id,
 FROM purchases p
 ASOF LEFT JOIN views v ON p.user_id = v.user_id AND p.ts >= v.ts
 ORDER BY p.purchase_id
+""",
+        "salted_event_totals": """
+SELECT event_type, count(*) AS n, round(sum(value), 6) AS total
+FROM events GROUP BY event_type ORDER BY event_type
+""",
+        "fk_integrity": """
+SELECT fk_edge, CAST(n_orphans AS BIGINT) AS n_orphans FROM (
+  SELECT 'lineitem->orders' AS fk_edge,
+         (SELECT count(*) FROM lineitem
+          WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)) AS n_orphans
+  UNION ALL
+  SELECT 'lineitem->supplier',
+         (SELECT count(*) FROM lineitem
+          WHERE l_suppkey NOT IN (SELECT s_suppkey FROM supplier))
+  UNION ALL
+  SELECT 'orders->customer',
+         (SELECT count(*) FROM orders
+          WHERE o_custkey NOT IN (SELECT c_custkey FROM customer))
+  UNION ALL
+  SELECT 'customer->nation',
+         (SELECT count(*) FROM customer
+          WHERE c_nationkey NOT IN (SELECT n_nationkey FROM nation))
+) ORDER BY fk_edge
 """,
         "asof_forward": """
 WITH purchases AS (
