@@ -673,6 +673,12 @@ def q_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("purchase_id")
 
 
+def q_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric containment near-dups (|A∩B|/|A| ≥ 0.8): excerpts and
+    boilerplate-wrapped copies that symmetric Jaccard misses."""
+    return dedup_ops.containment_pairs(_tables(spark, sf_dir, "documents")[0])
+
+
 def q_salted_event_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skew-safe two-phase aggregation (operators/skew.py): the salted
     plan must produce IDENTICAL totals to the plain one-phase oracle —
@@ -1969,6 +1975,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_ppr": q_graph_ppr,
         "salted_event_totals": q_salted_event_totals,
         "fk_integrity": q_fk_integrity,
+        "containment_pairs": q_containment_pairs,
         # --- rows on
         # --- inputs unchanged since; full-suite verify_oracle.py is
         # --- their per-round superset check (COVERAGE.md). The six
@@ -2882,6 +2889,7 @@ FROM purchases p
 ASOF LEFT JOIN views v ON p.user_id = v.user_id AND p.ts >= v.ts
 ORDER BY p.purchase_id
 """,
+        "containment_pairs": dedup_ops.containment_pairs_sql(),
         "salted_event_totals": """
 SELECT event_type, count(*) AS n, round(sum(value), 6) AS total
 FROM events GROUP BY event_type ORDER BY event_type

@@ -922,3 +922,117 @@ JOIN sizes sb ON sb.doc_id = i.doc_b
 WHERE round(CAST(i.i AS DOUBLE) / (sa.sz + sb.sz - i.i), 6) >= {threshold}
 ORDER BY doc_a, doc_b
 """
+
+
+CONTAINMENT_T = 0.8       # |A ∩ B| / |A| threshold
+CONTAINMENT_MAX_DF = 50   # rare-shingle cap: only postings this short seed pairs
+
+
+def containment_pairs(
+    docs: DataFrame,
+    threshold: float = CONTAINMENT_T,
+    max_df: int = CONTAINMENT_MAX_DF,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = SHINGLE_N,
+) -> DataFrame:
+    """(inner_doc, outer_doc, containment) — ASYMMETRIC near-dup
+    detection: containment(A→B) = |shingles(A) ∩ shingles(B)| / |A| ≥ t
+    flags documents mostly CONTAINED in another (quotes, excerpts,
+    boilerplate-wrapped copies) that symmetric Jaccard misses whenever
+    the outer document is much larger (J = |∩|/|∪| shrinks with |B|).
+
+    Candidates come from a posting-list equi-join restricted to RARE
+    shingles (corpus df ≤ max_df — the Broder-style frequency cap):
+    a contained doc shares ALL its shingles with its container, so
+    unless every one of its shingles is corpus-common (boilerplate-only
+    "documents", excluded by construction at any real shingle width),
+    some rare shingle seeds the pair. Join cost is Σ df² over rare
+    shingles only — the quadratic head of the distribution is excluded.
+    Verification intersects the two docs' sorted shingle ARRAYS on
+    candidate-count rows (the prefix-filter verify pattern).
+    """
+    from memfuse_spark import cache
+
+    cache.begin("dedup.containment")
+    sets = cache.scoped_persist(
+        shingle_sets(docs, id_col, text_col, n), "dedup.containment"
+    )
+    postings = sets.select(
+        "doc_id", F.explode_outer("shingles").alias("sh")
+    ).filter(F.col("sh").isNotNull())
+    rare = (
+        postings.groupBy("sh")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") <= max_df)
+        .select("sh")
+    )
+    rp = postings.join(rare, "sh")
+    a, b = rp.alias("a"), rp.alias("b")
+    cand = (
+        a.join(b, "sh")
+        .filter(F.col("a.doc_id") != F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("inner_doc"),
+            F.col("b.doc_id").alias("outer_doc"),
+        )
+        .distinct()
+    )
+    sa = sets.select(
+        F.col("doc_id").alias("inner_doc"), F.col("shingles").alias("sha")
+    )
+    sb = sets.select(
+        F.col("doc_id").alias("outer_doc"), F.col("shingles").alias("shb")
+    )
+    inter = F.size(F.array_intersect("sha", "shb"))
+    return (
+        cand.join(sa, "inner_doc")
+        .join(sb, "outer_doc")
+        .filter(F.size("sha") > 0)
+        .withColumn(
+            "containment", F.round(inter / F.size("sha"), 6)
+        )
+        .filter(F.col("containment") >= threshold)
+        .select("inner_doc", "outer_doc", "containment")
+        .orderBy("inner_doc", "outer_doc")
+    )
+
+
+def containment_pairs_sql(
+    threshold: float = CONTAINMENT_T,
+    max_df: int = CONTAINMENT_MAX_DF,
+    n: int = SHINGLE_N,
+) -> str:
+    """DuckDB twin of :func:`containment_pairs`, built on the SAME
+    canonical toks/shingles CTEs as the minhash oracles (oracles.py) —
+    including the short-document full-token-shingle fallback — so the
+    two paths cannot drift."""
+    from memfuse_spark import oracles
+
+    return f"""
+WITH {oracles.TOKS_CTE.strip()},
+{oracles._shingles_cte(n).strip()},
+sets AS (SELECT doc_id, s AS shingles FROM shingles),
+postings AS (
+  SELECT doc_id, unnest(shingles) AS sh FROM sets
+),
+rare AS (
+  SELECT sh FROM postings GROUP BY sh HAVING count(*) <= {max_df}
+),
+rp AS (SELECT p.doc_id, p.sh FROM postings p JOIN rare USING (sh)),
+cand AS (
+  SELECT DISTINCT a.doc_id AS inner_doc, b.doc_id AS outer_doc
+  FROM rp a JOIN rp b USING (sh)
+  WHERE a.doc_id <> b.doc_id
+)
+SELECT c.inner_doc, c.outer_doc,
+       round(len(list_intersect(sa.shingles, sb.shingles)) * 1.0
+             / len(sa.shingles), 6) AS containment
+FROM cand c
+JOIN sets sa ON sa.doc_id = c.inner_doc
+JOIN sets sb ON sb.doc_id = c.outer_doc
+WHERE len(sa.shingles) > 0
+  AND len(list_intersect(sa.shingles, sb.shingles)) * 1.0
+      / len(sa.shingles) >= {threshold}
+ORDER BY inner_doc, outer_doc
+"""

@@ -222,3 +222,27 @@ def test_incremental_neardup_matches_full_pipeline(spark):
     assert want, "fixture must produce at least one batch-touching pair"
     # the returned index rows absorb the batch: bands × new docs
     assert new_rows.count() == new.count() * 6  # BANDS
+
+
+def test_containment_finds_excerpt_jaccard_misses(spark):
+    """A short excerpt inside a long document: containment ~1.0 while
+    symmetric Jaccard is far below the near-dup threshold."""
+    from pyspark.sql import functions as F
+
+    from memfuse_spark.operators.dedup import containment_pairs
+
+    body = " ".join(f"word{i} term{i % 13} item{i % 7}" for i in range(120))
+    excerpt = " ".join(body.split()[30:60])
+    df = spark.createDataFrame(
+        [(1, excerpt), (2, body), (3, "entirely different text about nothing")],
+        "doc_id long, text string",
+    )
+    got = {(r["inner_doc"], r["outer_doc"]): r["containment"]
+           for r in containment_pairs(df, threshold=0.8).collect()}
+    assert (1, 2) in got and got[(1, 2)] >= 0.99   # excerpt contained
+    assert (2, 1) not in got                       # asymmetric: body not in excerpt
+    assert all(3 not in pair for pair in got)
+    # symmetric jaccard would NOT flag this pair at the 0.8 threshold
+    sh1 = set(zip(excerpt.split(), excerpt.split()[1:], excerpt.split()[2:]))
+    sh2 = set(zip(body.split(), body.split()[1:], body.split()[2:]))
+    assert len(sh1 & sh2) / len(sh1 | sh2) < 0.5
