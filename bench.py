@@ -77,6 +77,19 @@ EXTRA = [
     "proximity_search",
     "typo_pairs",
     "bpe_merges",
+    # round 4, late additions
+    "temperature_resample",
+    "reservoir_sample",
+    "corpus_report",
+    "pca_top",
+    "value_drift_psi",
+    "snapshot_diff",
+    "hll_by_type",
+    "asof_forward",
+    "graph_ppr",
+    "salted_event_totals",
+    "fk_integrity",
+    "containment_pairs",
 ]
 
 
