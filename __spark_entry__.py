@@ -36,6 +36,7 @@ from memfuse_spark.operators import sketches as _sketches
 from memfuse_spark.operators import stats as _stats
 from memfuse_spark.operators import temporal as _temporal
 from memfuse_spark.operators import graph as _graph_mod
+from memfuse_spark.operators import evalmetrics as _evalmetrics
 from memfuse_spark.functions.text import TOKENIZE_SQL as _TOKENIZE_SQL
 
 # ---------------------------------------------------------------------------
@@ -1882,6 +1883,31 @@ def q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dup_clusters(docs)
 
 
+EVAL_QUERY_IDS = [3, 29, 57, 101, 188, 260, 333, 449]
+
+
+def q_ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval-quality audit: recall@10 / MRR / nDCG@10 of the IVF
+    nprobe=2 tier against exact brute-force cosine, per query (the
+    recall measurement the reference's ANN stores never expose)."""
+    from memfuse_spark.operators.evalmetrics import ann_recall_audit
+
+    (emb,) = _tables(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id").isin(EVAL_QUERY_IDS)).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").cast("array<double>").alias("qvec"),
+    )
+    return ann_recall_audit(queries, emb)
+
+
+def q_rm3_expand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RM3 pseudo-relevance-feedback retrieval: BM25 pass-1 top-10 →
+    relevance-model expansion terms → interpolated weighted-BM25 pass 2
+    (query expansion the reference's keyword store lacks)."""
+    (docs,) = _tables(spark, sf_dir, "documents")
+    return kw_ops.rm3_topk(docs, QUERY_TEXT, TOP_K)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_hybrid_rrf(spark, "/root/testdata/sf0.001")
@@ -1976,6 +2002,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "salted_event_totals": q_salted_event_totals,
         "fk_integrity": q_fk_integrity,
         "containment_pairs": q_containment_pairs,
+        "rm3_expand": q_rm3_expand,
+        "ann_recall_audit": q_ann_recall_audit,
         # --- rows on
         # --- inputs unchanged since; full-suite verify_oracle.py is
         # --- their per-round superset check (COVERAGE.md). The six
@@ -2188,6 +2216,7 @@ SELECT vec_id, score FROM scored WHERE score >= 0.2
 ORDER BY score DESC, vec_id ASC LIMIT 50
 """,
         "bm25_topk": kw_ops.bm25_topk_sql(QUERY_TEXT, TOP_K),
+        "rm3_expand": kw_ops.rm3_topk_sql(QUERY_TEXT, TOP_K),
         "like_search": """
 SELECT doc_id, CAST(0.6 AS DOUBLE) AS score FROM documents
 WHERE lower(text) LIKE '%vector%' OR lower(text) LIKE '%merge%'
@@ -2962,6 +2991,7 @@ ORDER BY doc_id, chunk_index
             SPEC_RECENT_IDS, 10
         ),
         "ivf_knn_join": oracles.ivf_knn_join_sql(SPEC_RECENT_IDS, 5, 2),
+        "ann_recall_audit": _evalmetrics.ann_recall_audit_sql(EVAL_QUERY_IDS),
         "corpus_filter_pipeline": oracles.corpus_filter_pipeline_sql(
             QUALITY_KEEP_THRESHOLD
         ),

@@ -520,3 +520,193 @@ GROUP BY pa.doc_id
 ORDER BY n_near DESC, pa.doc_id ASC
 LIMIT {k}
 """
+
+
+# ---------------------------------------------------------------------------
+# RM3 pseudo-relevance feedback (query expansion)
+# ---------------------------------------------------------------------------
+
+RM3_FB_DOCS = 10
+RM3_FB_TERMS = 10
+RM3_ORIG_WEIGHT = 0.5
+
+
+def rm3_topk(
+    docs: DataFrame,
+    query: str,
+    k: int,
+    fb_docs: int = RM3_FB_DOCS,
+    fb_terms: int = RM3_FB_TERMS,
+    orig_weight: float = RM3_ORIG_WEIGHT,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+    score_decimals: int = 6,
+) -> DataFrame:
+    """RM3 pseudo-relevance-feedback retrieval (Lavrenko & Croft relevance
+    models + Jelinek-Mercer interpolation — the classic anserini/Indri
+    default the reference's keyword store lacks; its BM25 store scores the
+    literal query only, `store/keyword_store/bm25_store.py:212-249`).
+
+    Pass 1: BM25 top-``fb_docs`` for the raw query. Relevance model:
+    P(t|RM1) = sum_d P(t|d) * w(d) with P(t|d) = tf/dl and w(d) the
+    pass-1 score normalized over the feedback set; top-``fb_terms`` terms
+    by that weight. Final term weights interpolate the uniform original
+    query model with the normalized RM1 model:
+    w(t) = lam * 1/|Q| * [t in Q] + (1-lam) * P(t|RM1)/sum(selected).
+    Pass 2: weighted-BM25 over the union vocabulary, top-k.
+
+    Plan shape: both passes are broadcast equi-joins against the postings
+    table (at scale: the bucketed index, pruned to <= |Q|+fb_terms term
+    buckets); the feedback artifacts (fb_docs rows, fb_terms+|Q| weights)
+    stay tiny and broadcast — no corpus shuffle beyond the one postings
+    groupBy, no driver collect of anything unbounded.
+    """
+    spark = docs.sparkSession
+    q_terms = sorted({t for t in _py_tokenize(query)})
+    lam = orig_weight
+    qw = 1.0 / len(q_terms)
+    postings = build_postings(docs, id_col, text_col).persist()
+    try:
+        stats = corpus_stats(postings)
+        df_tbl = document_frequency(postings)
+        qdf = spark.createDataFrame([(t,) for t in q_terms], "term string")
+        matched1 = (
+            postings.join(F.broadcast(qdf), "term")
+            .join(F.broadcast(df_tbl), "term")
+            .crossJoin(F.broadcast(stats))
+        )
+        pass1 = _bm25_score(matched1, fb_docs, k1, b, score_decimals)
+        total = pass1.agg(F.sum("score").alias("total"))
+        rm1 = (
+            postings.join(F.broadcast(pass1), "doc_id")
+            .crossJoin(F.broadcast(total))
+            .groupBy("term")
+            .agg(
+                F.round(
+                    F.sum(
+                        (F.col("tf").cast("double") / F.col("dl"))
+                        * (F.col("score") / F.col("total"))
+                    ),
+                    6,
+                ).alias("w")
+            )
+        )
+        top_terms = rm1.orderBy(F.desc("w"), F.asc("term")).limit(fb_terms)
+        fb_sum = top_terms.agg(F.sum("w").alias("s"))
+        weights = (
+            qdf.withColumn("qw", F.lit(qw))
+            .join(top_terms, "term", "full_outer")
+            .crossJoin(F.broadcast(fb_sum))
+            .select(
+                "term",
+                F.round(
+                    lam * F.coalesce(F.col("qw"), F.lit(0.0))
+                    + (1.0 - lam)
+                    * F.coalesce(F.col("w") / F.col("s"), F.lit(0.0)),
+                    9,
+                ).alias("wt"),
+            )
+        )
+        matched2 = (
+            postings.join(F.broadcast(weights), "term")
+            .join(F.broadcast(df_tbl), "term")
+            .crossJoin(F.broadcast(stats))
+        )
+        idf = F.log(
+            (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+        )
+        tf_part = (F.col("tf") * (k1 + 1)) / (
+            F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.col("avgdl"))
+        )
+        scored = matched2.select(
+            "doc_id", (F.col("wt") * idf * tf_part).alias("term_score")
+        )
+        result = (
+            scored.groupBy("doc_id")
+            .agg(F.round(F.sum("term_score"), score_decimals).alias("score"))
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+            .limit(k)
+        )
+        rows = result.collect()  # <= k rows — driver-safe at any scale
+        return spark.createDataFrame(rows, schema=result.schema)
+    finally:
+        postings.unpersist()
+
+
+def rm3_topk_sql(
+    query: str,
+    k: int,
+    fb_docs: int = RM3_FB_DOCS,
+    fb_terms: int = RM3_FB_TERMS,
+    orig_weight: float = RM3_ORIG_WEIGHT,
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+    score_decimals: int = 6,
+) -> str:
+    """DuckDB oracle twin of :func:`rm3_topk` (same math, tokenizer,
+    rounding boundaries, and tie-breaks at both top-N cutoffs)."""
+    q_terms = sorted({t for t in _py_tokenize(query)})
+    terms_sql = ", ".join(f"('{t}')" for t in q_terms)
+    lam = orig_weight
+    qw = 1.0 / len(q_terms)
+    idf = "ln((n_docs - df + 0.5)/(df + 0.5) + 1.0)"
+    tfp = f"tf*({k1}+1) / (tf + {k1}*(1 - {b} + {b}*dl/avgdl))"
+    return f"""
+WITH toks AS (
+  SELECT {id_col} AS doc_id,
+         list_filter(string_split_regex(lower({text_col}), '[^a-z0-9]+'),
+                     t -> len(t) > 0) AS tokens
+  FROM {table}
+),
+postings AS (
+  SELECT doc_id, len(tokens) AS dl, t.term, count(*) AS tf
+  FROM toks, unnest(tokens) AS t(term)
+  GROUP BY doc_id, dl, t.term
+),
+stats AS (
+  SELECT count(*) AS n_docs, avg(dl) AS avgdl
+  FROM (SELECT doc_id, any_value(dl) AS dl FROM postings GROUP BY doc_id)
+),
+dfs AS (
+  SELECT term, count(DISTINCT doc_id) AS df FROM postings GROUP BY term
+),
+qterms(term) AS (VALUES {terms_sql}),
+matched1 AS (
+  SELECT p.doc_id, p.tf, p.dl, d.df, s.n_docs, s.avgdl
+  FROM postings p JOIN dfs d USING (term) JOIN qterms q USING (term), stats s
+),
+pass1 AS (
+  SELECT doc_id, round(sum({idf} * {tfp}), {score_decimals}) AS score
+  FROM matched1 GROUP BY doc_id
+  ORDER BY score DESC, doc_id ASC LIMIT {fb_docs}
+),
+tot AS (SELECT sum(score) AS total FROM pass1),
+rm1 AS (
+  SELECT p.term,
+         round(sum((CAST(p.tf AS DOUBLE)/p.dl) * (f.score/t.total)), 6) AS w
+  FROM postings p JOIN pass1 f USING (doc_id), tot t
+  GROUP BY p.term
+),
+fbterms AS (SELECT term, w FROM rm1 ORDER BY w DESC, term ASC LIMIT {fb_terms}),
+fbsum AS (SELECT sum(w) AS s FROM fbterms),
+weights AS (
+  SELECT term,
+         round({lam} * coalesce(q.qw, 0.0)
+               + {1.0 - lam} * coalesce(f.w / fs.s, 0.0), 9) AS wt
+  FROM (SELECT term, CAST({qw} AS DOUBLE) AS qw FROM qterms) q
+  FULL OUTER JOIN fbterms f USING (term), fbsum fs
+),
+matched2 AS (
+  SELECT p.doc_id, p.tf, p.dl, w.wt, d.df, s.n_docs, s.avgdl
+  FROM postings p JOIN weights w USING (term) JOIN dfs d USING (term), stats s
+)
+SELECT doc_id, round(sum(wt * {idf} * {tfp}), {score_decimals}) AS score
+FROM matched2 GROUP BY doc_id
+ORDER BY score DESC, doc_id ASC
+LIMIT {k}
+"""

@@ -184,3 +184,51 @@ def test_phrase_search_plan_has_no_shuffle(spark):
     docs = spark.createDataFrame(PHRASE_DOCS, ["doc_id", "text"])
     plan = phrase_search(docs, ["fast", "table"], 10)._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
+
+
+# ---------------------------------------------------------------------------
+# RM3 pseudo-relevance feedback
+# ---------------------------------------------------------------------------
+
+def test_rm3_expansion_recalls_doc_without_query_terms(spark):
+    """A doc sharing no literal query term must surface via expansion
+    terms mined from the feedback docs."""
+    from memfuse_spark.operators.keyword import rm3_topk
+
+    docs = [
+        (0, "spark query engine runs query plan"),
+        (1, "query engine shuffle and partition exchange"),
+        (2, "shuffle partition exchange tuning notes"),  # no query term
+        (3, "cooking pasta with tomato sauce"),
+        (4, "gardening in spring rain"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id bigint, text string")
+    got = rm3_topk(df, "spark query", k=5, fb_docs=2, fb_terms=10)
+    rows = {r.doc_id: r.score for r in got.collect()}
+    # doc 2 has zero original-query terms yet scores > 0 via expansion
+    assert 2 in rows and rows[2] > 0
+    # off-topic docs stay out
+    assert 3 not in rows and 4 not in rows
+    # pass-1 top doc still ranks first
+    top = got.first()
+    assert top.doc_id in (0, 1)
+
+
+def test_rm3_reduces_to_weighted_bm25_when_lambda_1(spark):
+    """orig_weight=1 zeroes the feedback model: ranking must equal plain
+    BM25 ranking (scores scale by 1/|Q| per term weight)."""
+    from memfuse_spark.operators.keyword import bm25_topk, rm3_topk
+
+    docs = [
+        (0, "spark table scan"),
+        (1, "table scan of the big table"),
+        (2, "spark spark spark"),
+        (3, "unrelated words entirely"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id bigint, text string")
+    plain = [r.doc_id for r in bm25_topk(df, "spark table", 4).collect()]
+    rm3 = [
+        r.doc_id
+        for r in rm3_topk(df, "spark table", 4, orig_weight=1.0).collect()
+    ]
+    assert rm3 == plain
