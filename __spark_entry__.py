@@ -1900,6 +1900,62 @@ def q_ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_recall_audit(queries, emb)
 
 
+LPA_ITERS = 4
+
+
+def q_graph_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synchronous label-propagation communities over the
+    similarity+follows graph, fixed 4 rounds (density clusters, unlike
+    connected components' islands)."""
+    from memfuse_spark.operators import graph as g
+
+    _, edges = _graph_edges(spark, sf_dir)
+    return g.label_propagation(edges, iterations=LPA_ITERS)
+
+
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-weighted sample without replacement (A-ES priorities):
+    100 docs drawn with probability proportional to n_chars."""
+    from memfuse_spark.operators.sampling import weighted_sample
+
+    (docs,) = _tables(spark, sf_dir, "documents")
+    return weighted_sample(docs, 100, "n_chars").select(
+        "doc_id", "source", "n_chars", "priority"
+    )
+
+
+VOCAB_SRC_A = ("src0", "src1", "src2")
+VOCAB_SRC_B = ("src3", "src4", "src5")
+
+
+def q_vocab_overlap_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-estimated token-vocabulary overlap between two document
+    sources (corpus-comparison without joining raw vocabularies)."""
+    from memfuse_spark.functions.text import tokenize
+
+    (docs,) = _tables(spark, sf_dir, "documents")
+
+    def vocab(srcs):
+        return docs.filter(F.col("source").isin(*srcs)).select(
+            F.explode_outer(tokenize("text")).alias("term")
+        ).filter(F.col("term").isNotNull())
+
+    return _sketches.hll_overlap(vocab(VOCAB_SRC_A), vocab(VOCAB_SRC_B), "term")
+
+
+GAPFILL_USER_MAX = 10
+
+
+def q_time_grid_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style densify: hourly per-user grid with forward-filled
+    gaps (restricted to user_id < 10 to keep the driver payload small;
+    the plan is per-key-bounded at any user count)."""
+    (events,) = _tables(spark, sf_dir, "events")
+    return _temporal.time_grid_fill(
+        events.filter(F.col("user_id") < GAPFILL_USER_MAX)
+    )
+
+
 def q_rm3_expand(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RM3 pseudo-relevance-feedback retrieval: BM25 pass-1 top-10 →
     relevance-model expansion terms → interpolated weighted-BM25 pass 2
@@ -2004,6 +2060,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "containment_pairs": q_containment_pairs,
         "rm3_expand": q_rm3_expand,
         "ann_recall_audit": q_ann_recall_audit,
+        "time_grid_fill": q_time_grid_fill,
+        "vocab_overlap_hll": q_vocab_overlap_hll,
+        "weighted_sample": q_weighted_sample,
+        "graph_communities": q_graph_communities,
         # --- rows on
         # --- inputs unchanged since; full-suite verify_oracle.py is
         # --- their per-round superset check (COVERAGE.md). The six
@@ -2992,6 +3052,22 @@ ORDER BY doc_id, chunk_index
         ),
         "ivf_knn_join": oracles.ivf_knn_join_sql(SPEC_RECENT_IDS, 5, 2),
         "ann_recall_audit": _evalmetrics.ann_recall_audit_sql(EVAL_QUERY_IDS),
+        "time_grid_fill": _temporal.time_grid_fill_sql(
+            where=f"user_id < {GAPFILL_USER_MAX}"
+        ),
+        "weighted_sample": _sampling_ops.weighted_sample_sql(100),
+        "graph_communities": oracles.label_propagation_sql(_SIM_T, LPA_ITERS),
+        "vocab_overlap_hll": _sketches.hll_overlap_sql(
+            *[
+                (
+                    "SELECT unnest("
+                    + _TOKENIZE_SQL.format(col="text")
+                    + ") AS v FROM documents WHERE source IN "
+                    + "('" + "', '".join(srcs) + "')"
+                )
+                for srcs in (VOCAB_SRC_A, VOCAB_SRC_B)
+            ]
+        ),
         "corpus_filter_pipeline": oracles.corpus_filter_pipeline_sql(
             QUALITY_KEEP_THRESHOLD
         ),

@@ -14,7 +14,7 @@ from __future__ import annotations
 
 import warnings
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from memfuse_spark import cache
@@ -597,3 +597,65 @@ def personalized_pagerank(
         .select("node", F.round("rank", score_decimals).alias("rank"))
         .orderBy(F.desc("rank"), F.asc("node"))
     )
+
+
+def label_propagation(
+    edges: DataFrame,
+    iterations: int = 4,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """(node, community) — synchronous label propagation (Raghavan et
+    al. '07), deterministic variant: every node adopts the most frequent
+    label among its neighbors each round, ties broken by least label;
+    fixed iteration count so the result is oracle-expressible as
+    unrolled SQL (the same determinism contract as :func:`pagerank`).
+
+    Communities differ from :func:`connected_components`: LPA splits a
+    connected graph along density boundaries (a similarity graph's
+    topical clusters), while CC only separates disconnected islands.
+    The reference's igraph store keeps the whole graph in driver memory
+    (store/graph_store/igraph_store.py); here every round is two
+    shuffles of narrow (node, label) rows — join labels onto the
+    symmetrized edge list, count per (node, neighbor-label), argmax by
+    window — with the label table localCheckpoint'ed per round to stop
+    lineage blowup.
+    """
+    spark = edges.sparkSession
+    cache.begin("graph.lpa")
+    sym = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+    sym = sym.unionByName(
+        sym.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
+    sym, _ = cache.tracked_local_checkpoint(sym, "graph.lpa")
+    labels, prev_ids = cache.tracked_local_checkpoint(
+        sym.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node")),
+        "graph.lpa",
+    )
+    for _ in range(iterations):
+        nbr = labels.select(
+            F.col("node").alias("__nbr"), F.col("label").alias("__nl")
+        )
+        counts = (
+            sym.join(nbr, sym.dst == nbr.__nbr)
+            .groupBy(F.col("src").alias("node"), F.col("__nl").alias("label"))
+            .agg(F.count("*").alias("cnt"))
+        )
+        w = Window.partitionBy("node").orderBy(F.desc("cnt"), F.asc("label"))
+        arg = (
+            counts.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .select("node", F.col("label").alias("new_label"))
+        )
+        new = labels.join(arg, "node", "left").select(
+            "node", F.coalesce("new_label", "label").alias("label")
+        )
+        new, new_ids = cache.tracked_local_checkpoint(new, "graph.lpa")
+        cache.unpersist_rdd_ids(spark, prev_ids)
+        prev_ids = new_ids
+        labels = new
+    return labels.select(
+        "node", F.col("label").alias("community")
+    ).orderBy("node")

@@ -285,3 +285,53 @@ SELECT doc_id, {group_col} AS source, n_chars
 FROM ranked WHERE __rk <= {k}
 ORDER BY doc_id
 """
+
+
+def weighted_sample(
+    df: DataFrame,
+    n: int,
+    weight_col: str,
+    id_col: str = "doc_id",
+    salt: str = "wsample",
+    decimals: int = 9,
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement
+    (Efraimidis-Spirakis A-ES, '06): each row draws priority
+    u^(1/w) from its deterministic uniform u and weight w; the global
+    top-n by priority IS a weighted sample without replacement.
+
+    One projection + one TakeOrdered — no shuffle of the corpus, no
+    per-group state; rows with non-positive weight are excluded (their
+    inclusion probability is 0). Re-salting draws a fresh sample;
+    determinism makes retries reproducible. Priorities are rounded
+    before ranking so the cutoff is engine-independent (id tiebreak).
+    """
+    u = hash_uniform(id_col, salt)
+    pr = F.round(F.pow(u, 1.0 / F.col(weight_col)), decimals)
+    return (
+        df.filter(F.col(weight_col) > 0)
+        .withColumn("priority", pr)
+        .orderBy(F.desc("priority"), F.asc(id_col))
+        .limit(n)
+    )
+
+
+def weighted_sample_sql(
+    n: int,
+    weight_col: str = "n_chars",
+    salt: str = "wsample",
+    decimals: int = 9,
+) -> str:
+    """DuckDB twin of :func:`weighted_sample` over documents."""
+    u = (
+        f"CAST(('0x' || substring(md5('{salt}' || CAST(doc_id AS VARCHAR)), 1, 8))"
+        " AS BIGINT) / 4294967296.0"
+    )
+    return f"""
+SELECT doc_id, source, {weight_col},
+       round(pow({u}, 1.0 / {weight_col}), {decimals}) AS priority
+FROM documents
+WHERE {weight_col} > 0
+ORDER BY priority DESC, doc_id ASC
+LIMIT {n}
+"""

@@ -604,3 +604,102 @@ SELECT grp, n_zero, estimate, exact_distinct,
        round(abs(estimate - exact_distinct) / exact_distinct, 4) AS rel_err
 FROM est ORDER BY grp
 """
+
+
+# ---------------------------------------------------------------------------
+# HLL set-overlap estimate (inclusion-exclusion between two sketches)
+# ---------------------------------------------------------------------------
+
+def hll_overlap(a: DataFrame, b: DataFrame, col: str) -> DataFrame:
+    """One-row overlap estimate between two sets from their HLL sketches:
+    |A∩B| ≈ |A| + |B| - |A∪B| where the union sketch is the register max
+    — the standard mergeable-sketch identity (Flajolet et al. '07).
+
+    Corpus-comparison use: vocabulary overlap between two sources
+    without ever joining the raw sets — each side reduces to 64
+    registers regardless of size, and the union costs a 128-row re-max.
+    The exact intersection column exists only for the oracle audit; at
+    scale you keep the sketch estimates and drop that join. (The two
+    register scans per side are one-pass; persist the 64-row register
+    tables when composing many overlaps.)
+    """
+    ra = hll_registers(a, col)
+    rb = hll_registers(b, col)
+    ea = hll_estimate(ra).select(F.col("estimate").alias("est_a"))
+    eb = hll_estimate(rb).select(F.col("estimate").alias("est_b"))
+    eu = hll_estimate(hll_merge(ra, rb)).select(
+        F.col("estimate").alias("est_union")
+    )
+    exact = (
+        a.select(F.col(col).alias("v"))
+        .distinct()
+        .join(b.select(F.col(col).alias("v")).distinct(), "v")
+        .agg(F.count("*").cast("long").alias("exact_intersection"))
+    )
+    inter = F.col("est_a") + F.col("est_b") - F.col("est_union")
+    return (
+        ea.crossJoin(eb)
+        .crossJoin(eu)
+        .crossJoin(exact)
+        .select(
+            "est_a",
+            "est_b",
+            "est_union",
+            F.round(inter, 2).alias("est_intersection"),
+            F.round(inter / F.col("est_union"), 4).alias("jaccard_est"),
+            "exact_intersection",
+        )
+    )
+
+
+def _hll_reg_sql(src: str) -> str:
+    """Register-table CTE body over a subquery producing column ``v``."""
+    rb = _REST_BITS
+    h = _h60_sql("CAST(v AS VARCHAR)")
+    return f"""
+  SELECT hv % {HLL_M} AS bucket,
+         max(CASE WHEN hv // {HLL_M} = 0 THEN {rb + 1}
+                  ELSE {rb + 1} - length(bin(hv // {HLL_M})) END) AS max_rho
+  FROM (SELECT {h} AS hv FROM ({src})) GROUP BY bucket"""
+
+
+def _hll_est_sql(regs: str) -> str:
+    """Scalar estimate CTE body over a named register table."""
+    rb = _REST_BITS
+    return f"""
+  SELECT round(CASE WHEN raw <= 2.5 * {HLL_M} AND n_zero > 0
+                    THEN {HLL_M} * ln(CAST({HLL_M} AS DOUBLE) / n_zero)
+                    ELSE raw END, 2) AS est
+  FROM (
+    SELECT CAST({HLL_M} - count(*) AS BIGINT) AS n_zero,
+           {HLL_ALPHA * HLL_M * HLL_M} * CAST({_POW} AS DOUBLE)
+             / (CAST(sum(CAST(1 AS BIGINT) << ({rb + 1} - max_rho)) AS BIGINT)
+                + ({HLL_M} - count(*)) * CAST({_POW} AS BIGINT)) AS raw
+    FROM {regs}
+  )"""
+
+
+def hll_overlap_sql(a_sql: str, b_sql: str) -> str:
+    """DuckDB twin of :func:`hll_overlap`; ``a_sql``/``b_sql`` are
+    subqueries yielding one column ``v``."""
+    return f"""
+WITH ra AS ({_hll_reg_sql(a_sql)}),
+rb AS ({_hll_reg_sql(b_sql)}),
+ru AS (
+  SELECT bucket, max(max_rho) AS max_rho
+  FROM (SELECT * FROM ra UNION ALL SELECT * FROM rb) GROUP BY bucket
+),
+ea AS ({_hll_est_sql("ra")}),
+eb AS ({_hll_est_sql("rb")}),
+eu AS ({_hll_est_sql("ru")}),
+x AS (
+  SELECT CAST(count(*) AS BIGINT) AS exact_intersection
+  FROM (SELECT DISTINCT v FROM ({a_sql})) ia
+  JOIN (SELECT DISTINCT v FROM ({b_sql})) ib USING (v)
+)
+SELECT ea.est AS est_a, eb.est AS est_b, eu.est AS est_union,
+       round(ea.est + eb.est - eu.est, 2) AS est_intersection,
+       round((ea.est + eb.est - eu.est) / eu.est, 4) AS jaccard_est,
+       exact_intersection
+FROM ea, eb, eu, x
+"""

@@ -333,3 +333,97 @@ def asof_join_forward(
         ],
     )
     return carried.filter(F.col("__side") == 0).drop("__side")
+
+
+# ---------------------------------------------------------------------------
+# time-grid gap fill (densify + forward fill)
+# ---------------------------------------------------------------------------
+
+def time_grid_fill(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    bucket: str = "hour",
+    decimals: int = 6,
+) -> DataFrame:
+    """Densify a per-key time series onto a fixed bucket grid and
+    forward-fill gaps (the TimescaleDB ``time_bucket_gapfill`` +
+    ``locf`` shape; the reference stores raw event rows only —
+    `database/sqlite.py:115-125` — and has no resampling path).
+
+    Per key: aggregate to bucket means (rounded BEFORE the fill so both
+    engines propagate identical values), build the min..max bucket
+    sequence with ``F.sequence`` + explode, left-join the observed
+    buckets back, and carry the last non-null value forward with one
+    window pass. ``is_gap`` marks synthesized rows.
+
+    Scale: the grid explode is bounded by span/bucket per key (never
+    corpus x grid), the fill is a single shuffle on the key, and the
+    bucket agg is map-side combined — the plan survives arbitrarily many
+    keys because nothing is ever global.
+    """
+    observed = events.groupBy(
+        F.col(key_col), F.date_trunc(bucket, F.col(ts_col)).alias("grid_ts")
+    ).agg(F.round(F.avg(value_col), decimals).alias("avg_value"))
+    spans = observed.groupBy(key_col).agg(
+        F.min("grid_ts").alias("t0"), F.max("grid_ts").alias("t1")
+    )
+    grid = spans.select(
+        key_col,
+        F.explode(
+            F.sequence("t0", "t1", F.expr(f"INTERVAL 1 {bucket.upper()}"))
+        ).alias("grid_ts"),
+    )
+    joined = grid.join(observed, [key_col, "grid_ts"], "left")
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy("grid_ts")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return joined.select(
+        key_col,
+        "grid_ts",
+        F.last("avg_value", ignorenulls=True).over(w).alias("value"),
+        F.when(F.col("avg_value").isNull(), 1)
+        .otherwise(0)
+        .cast("int")
+        .alias("is_gap"),
+    ).orderBy(key_col, "grid_ts")
+
+
+def time_grid_fill_sql(
+    where: str = "TRUE",
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    bucket: str = "hour",
+    decimals: int = 6,
+) -> str:
+    """DuckDB oracle twin of :func:`time_grid_fill` over `events`."""
+    return f"""
+WITH observed AS (
+  SELECT {key_col}, date_trunc('{bucket}', {ts_col}) AS grid_ts,
+         round(avg({value_col}), {decimals}) AS avg_value
+  FROM events WHERE {where}
+  GROUP BY 1, 2
+),
+spans AS (
+  SELECT {key_col}, min(grid_ts) AS t0, max(grid_ts) AS t1
+  FROM observed GROUP BY 1
+),
+grid AS (
+  SELECT {key_col},
+         unnest(generate_series(t0, t1, INTERVAL '1 {bucket}')) AS grid_ts
+  FROM spans
+)
+SELECT g.{key_col}, g.grid_ts,
+       last_value(o.avg_value IGNORE NULLS)
+         OVER (PARTITION BY g.{key_col} ORDER BY g.grid_ts
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value,
+       CASE WHEN o.avg_value IS NULL THEN 1 ELSE 0 END AS is_gap
+FROM grid g
+LEFT JOIN observed o
+  ON g.{key_col} = o.{key_col} AND g.grid_ts = o.grid_ts
+ORDER BY g.{key_col}, g.grid_ts
+"""

@@ -1662,3 +1662,49 @@ r{t} AS MATERIALIZED (
         f"SELECT node, round(rank, 6) AS rank FROM r{iterations} "
         "WHERE rank > 0 ORDER BY rank DESC, node ASC"
     )
+
+
+def label_propagation_sql(threshold: float, iterations: int = 4) -> str:
+    """Unrolled fixed-iteration synchronous label propagation over the
+    similarity+follows graph, mirroring operators.graph.label_propagation:
+    symmetrized distinct edges, per-round most-frequent-neighbor-label
+    with least-label tiebreak, isolated nodes keep their label.
+    MATERIALIZED per round for the same CTE-inlining reason as
+    pagerank_sql."""
+    parts = [
+        edges_cte(threshold).strip(),
+        """
+de AS MATERIALIZED (
+  SELECT DISTINCT src, dst FROM (
+    SELECT src, dst FROM edges UNION ALL SELECT dst AS src, src AS dst FROM edges
+  )
+),
+l0 AS MATERIALIZED (SELECT DISTINCT src AS node, src AS label FROM de)""".strip(),
+    ]
+    for t in range(1, iterations + 1):
+        p = t - 1
+        parts.append(
+            f"""
+n{t} AS (
+  SELECT e.src AS node, l.label, count(*) AS cnt
+  FROM de e JOIN l{p} l ON e.dst = l.node
+  GROUP BY e.src, l.label
+),
+a{t} AS (
+  SELECT node, label FROM (
+    SELECT node, label,
+           row_number() OVER (PARTITION BY node
+                              ORDER BY cnt DESC, label ASC) AS rn
+    FROM n{t}
+  ) WHERE rn = 1
+),
+l{t} AS MATERIALIZED (
+  SELECT l.node, coalesce(a.label, l.label) AS label
+  FROM l{p} l LEFT JOIN a{t} a USING (node)
+)""".strip()
+        )
+    body = ",\n".join(parts)
+    return (
+        f"WITH {body}\n"
+        f"SELECT node, label AS community FROM l{iterations} ORDER BY node"
+    )

@@ -168,3 +168,39 @@ def test_personalized_pagerank_concentrates_on_seed_component(spark):
     # analytic stationary solution of the damped cycle
     r1 = 0.15 / (1 - 0.85 ** 3)
     assert abs(ranks[1] - r1) < 5e-3
+
+
+# ---------------------------------------------------------------------------
+# label propagation communities
+# ---------------------------------------------------------------------------
+
+def test_label_propagation_splits_two_cliques(spark):
+    from memfuse_spark.operators.graph import label_propagation
+
+    # two 4-cliques joined by a single bridge edge: CC would merge them,
+    # LPA keeps two communities
+    clique1 = [(a, b) for a in range(4) for b in range(4) if a < b]
+    clique2 = [(a, b) for a in range(10, 14) for b in range(10, 14) if a < b]
+    bridge = [(3, 10)]
+    edges = spark.createDataFrame(
+        clique1 + clique2 + bridge, "src bigint, dst bigint"
+    )
+    got = {r.node: r.community for r in label_propagation(edges, 4).collect()}
+    c1 = {got[n] for n in range(4)}
+    c2 = {got[n] for n in range(10, 14)}
+    assert len(c1) == 1 and len(c2) == 1
+    assert c1 != c2
+
+
+def test_label_propagation_symmetric_pair_oscillates_deterministically(spark):
+    """Synchronous LPA label-swaps on a bare symmetric pair (the known
+    bipartite oscillation artifact) — after an even round count each
+    node holds its own label again. The fixed round count makes the
+    artifact deterministic, which is what the oracle contract needs."""
+    from memfuse_spark.operators.graph import label_propagation
+
+    edges = spark.createDataFrame([(5, 6)], "src bigint, dst bigint")
+    even = {r.node: r.community for r in label_propagation(edges, 4).collect()}
+    assert even == {5: 5, 6: 6}
+    odd = {r.node: r.community for r in label_propagation(edges, 3).collect()}
+    assert odd == {5: 6, 6: 5}

@@ -312,3 +312,38 @@ def test_temperature_resample_preserves_expected_total(spark, tables):
     if sizes[small] < sizes[big]:  # distinct sizes exist
         assert per_domain[small][0] / per_domain[small][1] >= 1.0
         assert per_domain[big][0] / per_domain[big][1] <= 1.0
+
+
+# ---------------------------------------------------------------------------
+# weighted sampling (A-ES)
+# ---------------------------------------------------------------------------
+
+def test_weighted_sample_biases_toward_heavy_rows(spark):
+    from memfuse_spark.operators.sampling import weighted_sample
+
+    # 500 light rows (w=1) + 100 heavy rows (w=50): heavies should far
+    # exceed their 1/6 row share in a 100-row sample
+    df = spark.range(600).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") >= 500, 50).otherwise(1).alias("w"),
+    )
+    got = weighted_sample(df, 100, "w", id_col="doc_id")
+    heavy = got.filter(F.col("doc_id") >= 500).count()
+    assert got.count() == 100
+    assert heavy > 40  # expectation ~90; far above the 17 of uniform
+
+
+def test_weighted_sample_deterministic_and_excludes_nonpositive(spark):
+    from memfuse_spark.operators.sampling import weighted_sample
+
+    df = spark.range(50).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") < 5, -1.0).otherwise(F.col("id") + 0.0).alias("w"),
+    )
+    a = [r.doc_id for r in weighted_sample(df, 10, "w").collect()]
+    b = [r.doc_id for r in weighted_sample(df, 10, "w").collect()]
+    assert a == b
+    assert all(d >= 5 for d in a)
+    # re-salting draws a different sample
+    c = [r.doc_id for r in weighted_sample(df, 10, "w", salt="other").collect()]
+    assert a != c

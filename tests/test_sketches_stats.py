@@ -372,3 +372,33 @@ def test_hll_by_group_merges_per_group(spark, tables):
     }
     whole = {(r["grp"], r["bucket"]): r["max_rho"] for r in regs(ev).collect()}
     assert merged == whole
+
+
+# ---------------------------------------------------------------------------
+# HLL overlap
+# ---------------------------------------------------------------------------
+
+def test_hll_overlap_estimates_known_intersection(spark):
+    from memfuse_spark.operators.sketches import hll_overlap
+
+    a = spark.range(0, 400).select(F.col("id").alias("v"))
+    b = spark.range(300, 700).select(F.col("id").alias("v"))
+    row = hll_overlap(a, b, "v").first()
+    assert row.exact_intersection == 100
+    # 64-register sketches: loose but sane bounds on the estimates
+    assert 250 <= row.est_a <= 600 and 250 <= row.est_b <= 600
+    assert row.est_union >= max(row.est_a, row.est_b)
+    assert row.est_intersection == round(
+        row.est_a + row.est_b - row.est_union, 2
+    )
+
+
+def test_hll_overlap_disjoint_sets_estimate_near_zero(spark):
+    from memfuse_spark.operators.sketches import hll_overlap
+
+    a = spark.range(0, 500).select(F.col("id").alias("v"))
+    b = spark.range(10_000, 10_500).select(F.col("id").alias("v"))
+    row = hll_overlap(a, b, "v").first()
+    assert row.exact_intersection == 0
+    # inclusion-exclusion noise stays small relative to set size
+    assert abs(row.est_intersection) < 250

@@ -91,3 +91,26 @@ def test_band_range_join_assigns_and_broadcasts(spark):
         out._jdf.queryExecution(), "formatted"
     )
     assert "BroadcastNestedLoopJoin" in plan  # fact table never shuffles
+
+
+# ---------------------------------------------------------------------------
+# time-grid gap fill
+# ---------------------------------------------------------------------------
+
+def test_time_grid_fill_densifies_and_forward_fills(spark):
+    from memfuse_spark.operators.temporal import time_grid_fill
+
+    rows = [
+        (1, "2024-01-01 00:10:00", 10.0),
+        (1, "2024-01-01 00:50:00", 20.0),   # same hour -> avg 15
+        (1, "2024-01-01 03:05:00", 40.0),   # hours 1,2 are gaps
+        (2, "2024-01-01 05:30:00", 7.0),    # single-bucket key
+    ]
+    ev = spark.createDataFrame(
+        rows, "user_id bigint, ts_s string, value double"
+    ).select("user_id", F.to_timestamp("ts_s").alias("ts"), "value")
+    got = time_grid_fill(ev).collect()
+    u1 = [(r.grid_ts.hour, r.value, r.is_gap) for r in got if r.user_id == 1]
+    assert u1 == [(0, 15.0, 0), (1, 15.0, 1), (2, 15.0, 1), (3, 40.0, 0)]
+    u2 = [(r.grid_ts.hour, r.value, r.is_gap) for r in got if r.user_id == 2]
+    assert u2 == [(5, 7.0, 0)]
