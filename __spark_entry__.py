@@ -770,6 +770,15 @@ def q_temperature_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return temperature_resample(_tables(spark, sf_dir, "documents")[0])
 
 
+def q_bpe_merges_batched(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched BPE: 3 rounds x up to 4 symbol-disjoint merges per round
+    — the fast-trainer shape (2 jobs per round learn K merges instead
+    of 1)."""
+    from memfuse_spark.operators.bpe import bpe_merges_batched
+
+    return bpe_merges_batched(_tables(spark, sf_dir, "documents")[0])
+
+
 def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Learned BPE merge table (8 rounds) — tokenizer training over the
     corpus as driver-coordinated iterative jobs."""
@@ -2064,6 +2073,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_overlap_hll": q_vocab_overlap_hll,
         "weighted_sample": q_weighted_sample,
         "graph_communities": q_graph_communities,
+        "bpe_merges_batched": q_bpe_merges_batched,
         # --- rows on
         # --- inputs unchanged since; full-suite verify_oracle.py is
         # --- their per-round superset check (COVERAGE.md). The six
@@ -2455,6 +2465,9 @@ ORDER BY o_totalprice DESC, o_orderkey ASC
 LIMIT 100
 """,
         "bpe_merges": _bpe_ops.bpe_merges_sql(_TOKENIZE_SQL.format(col="text")),
+        "bpe_merges_batched": _bpe_ops.bpe_merges_batched_sql(
+            _TOKENIZE_SQL.format(col="text")
+        ),
         "temperature_resample": _sampling_ops.temperature_resample_sql(),
         "reservoir_sample": _sampling_ops.reservoir_per_group_sql(5),
         "corpus_report": ta_ops.corpus_report_sql(),

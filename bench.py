@@ -90,6 +90,14 @@ EXTRA = [
     "salted_event_totals",
     "fk_integrity",
     "containment_pairs",
+    # round 5
+    "rm3_expand",
+    "ann_recall_audit",
+    "time_grid_fill",
+    "vocab_overlap_hll",
+    "weighted_sample",
+    "graph_communities",
+    "bpe_merges_batched",
 ]
 
 

@@ -192,3 +192,164 @@ def bpe_token_counts(
             "n_bpe_tokens"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# batched training: K symbol-disjoint merges per round
+# ---------------------------------------------------------------------------
+
+BPE_BATCH_K = 4
+_NOOP = "§"  # outside the symbol alphabet AND never produced by merging
+
+
+def _select_disjoint(cands: list[tuple[str, int]], k: int) -> list[tuple]:
+    """Deterministic conservative independent-set selection over the
+    ranked candidate window: keep a candidate only if NO higher-ranked
+    candidate shares a symbol with it (left or right side). Stricter
+    than greedy-with-state — but expressible as a pure NOT EXISTS
+    self-join, so the oracle replicates it exactly; the top pair always
+    survives, so every round makes progress.
+    """
+    out = []
+    for i, (pair, cnt) in enumerate(cands):
+        l, r = pair.split(" ")
+        conflict = False
+        for pj, _ in cands[:i]:
+            jl, jr = pj.split(" ")
+            if jl in (l, r) or jr in (l, r):
+                conflict = True
+                break
+        if not conflict:
+            out.append((l, r, int(cnt)))
+            if len(out) == k:
+                break
+    return out
+
+
+def bpe_merges_batched(
+    docs: DataFrame,
+    rounds: int = 3,
+    batch_k: int = BPE_BATCH_K,
+    text_col: str = "text",
+) -> DataFrame:
+    """(rank, left, right, pair_count) — batched BPE: each round counts
+    pairs ONCE and applies up to ``batch_k`` symbol-disjoint merges in a
+    single projection (the fast-trainer batching of YouTokenToMe/
+    SentencePiece lineage). Disjoint symbols make the in-batch replaces
+    order-independent, so one round costs the same two jobs as one
+    strict-BPE merge but learns K merges — rounds drop K-fold for the
+    same vocabulary depth. Counts are from the round start (batched
+    semantics, deliberately not strict-sequential BPE; the oracle
+    mirrors the same rule, candidate window fixed at 2*batch_k).
+    """
+    from memfuse_spark.functions.text import tokenize
+
+    spark = docs.sparkSession
+    cur = docs.select(_to_sep_string(tokenize(text_col)).alias("s")).persist()
+    cur.count()
+    merges = []
+    try:
+        for _ in range(rounds):
+            cands = [
+                (row["pair"], row["cnt"])
+                for row in _pair_counts(cur)
+                .orderBy(F.desc("cnt"), F.asc("pair"))
+                .limit(2 * batch_k)
+                .collect()
+            ]
+            picked = _select_disjoint(cands, batch_k)
+            if not picked:
+                break
+            for left, right, cnt in picked:
+                merges.append((len(merges) + 1, left, right, cnt))
+            s = F.col("s")
+            for left, right, _ in picked:
+                s = F.replace(
+                    s,
+                    F.lit(f"{SEP}{left}{SEP}{SEP}{right}{SEP}"),
+                    F.lit(f"{SEP}{left}{right}{SEP}"),
+                )
+            nxt = cur.select(s.alias("s")).persist()
+            nxt.count()
+            cur.unpersist()
+            cur = nxt
+    finally:
+        cur.unpersist()
+    return spark.createDataFrame(
+        merges, "rank int, left string, right string, pair_count long"
+    )
+
+
+def bpe_merges_batched_sql(
+    tokenize_sql: str, rounds: int = 3, batch_k: int = BPE_BATCH_K
+) -> str:
+    """DuckDB twin of :func:`bpe_merges_batched`: per round, ranked
+    candidate window (2*batch_k) → NOT EXISTS symbol-disjoint filter →
+    up to batch_k merges applied via fixed replace slots (missing slots
+    degrade to a no-op pattern)."""
+
+    def counts(src: str) -> str:
+        return f"""
+  SELECT concat(l[i], ' ', l[i + 1]) AS pair, count(*) AS cnt
+  FROM (SELECT string_split(trim(s, '{SEP}'), '{SEP}{SEP}') AS l FROM {src}),
+       unnest(range(1, len(l))) AS t(i)
+  GROUP BY pair"""
+
+    parts = [
+        f"""t0 AS MATERIALIZED (
+  SELECT concat('{SEP}', array_to_string({tokenize_sql}, '{SEP}{SEP}'),
+                '{SEP}') AS s
+  FROM documents
+)"""
+    ]
+    for r in range(1, rounds + 1):
+        parts.append(
+            f"""c{r} AS MATERIALIZED (
+  SELECT pair, cnt, split_part(pair, ' ', 1) AS l,
+         split_part(pair, ' ', 2) AS rr,
+         row_number() OVER (ORDER BY cnt DESC, pair ASC) AS rn
+  FROM ({counts(f't{r - 1}')})
+  ORDER BY cnt DESC, pair ASC LIMIT {2 * batch_k}
+)"""
+        )
+        parts.append(
+            f"""s{r} AS MATERIALIZED (
+  SELECT *, row_number() OVER (ORDER BY rn) AS slot FROM (
+    SELECT a.* FROM c{r} a
+    WHERE NOT EXISTS (
+      SELECT 1 FROM c{r} b
+      WHERE b.rn < a.rn
+        AND (b.l IN (a.l, a.rr) OR b.rr IN (a.l, a.rr))
+    ) ORDER BY rn LIMIT {batch_k}
+  )
+)"""
+        )
+        slot_cols = ", ".join(
+            f"coalesce(max(CASE WHEN slot = {i} THEN"
+            f" concat('{SEP}', l, '{SEP}{SEP}', rr, '{SEP}') END), '{_NOOP}')"
+            f" AS f{i},"
+            f" coalesce(max(CASE WHEN slot = {i} THEN"
+            f" concat('{SEP}', l, rr, '{SEP}') END), '{_NOOP}') AS g{i}"
+            for i in range(1, batch_k + 1)
+        )
+        chain = "s"
+        for i in range(1, batch_k + 1):
+            chain = f"replace({chain}, f{i}, g{i})"
+        parts.append(f"p{r} AS (SELECT {slot_cols} FROM s{r})")
+        parts.append(
+            f"t{r} AS MATERIALIZED (SELECT {chain} AS s FROM t{r - 1}, p{r})"
+        )
+    selects = "\nUNION ALL\n".join(
+        f'SELECT {r} AS round, slot, l AS "left", rr AS "right",'
+        f" cnt AS pair_count FROM s{r}"
+        for r in range(1, rounds + 1)
+    )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"""
+SELECT CAST(row_number() OVER (ORDER BY round, slot) AS INTEGER) AS rank,
+       "left", "right", CAST(pair_count AS BIGINT) AS pair_count
+FROM ({selects})
+ORDER BY rank"""
+    )

@@ -109,3 +109,33 @@ def test_apply_merges_matches_training_state(spark):
         apply_merges(F.expr("split(text, ' ')"), merges).alias("enc"),
     ).collect()}
     assert got[1] == encode("merge the sorted run then merge the run")
+
+
+def test_batched_first_merge_matches_strict_and_batch_is_disjoint(spark):
+    from memfuse_spark.operators.bpe import bpe_merges, bpe_merges_batched
+
+    docs = spark.createDataFrame(
+        [(i, "big data big data pipelines move big data fast") for i in range(4)]
+        + [(9, "small data store")],
+        "doc_id bigint, text string",
+    )
+    strict = bpe_merges(docs, rounds=1).collect()
+    batched = bpe_merges_batched(docs, rounds=1, batch_k=4).collect()
+    # the top-ranked merge is identical under both trainers
+    assert (batched[0].left, batched[0].right) == (
+        strict[0].left, strict[0].right,
+    )
+    # in-batch merges never share a symbol (order-independence invariant)
+    syms = []
+    for m in batched:
+        assert m.left not in syms and m.right not in syms
+        syms += [m.left, m.right]
+
+
+def test_batched_learns_k_merges_per_round(spark, tables):
+    from memfuse_spark.operators.bpe import bpe_merges_batched
+
+    got = bpe_merges_batched(tables["documents"], rounds=2, batch_k=4)
+    rows = got.collect()
+    assert len(rows) == 8
+    assert [r.rank for r in rows] == list(range(1, 9))
