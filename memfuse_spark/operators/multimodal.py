@@ -134,3 +134,95 @@ def frame_sample_plan(
             )
         ).alias("frame_index", "frame_ts_ms"),
     )
+
+
+# ---------------------------------------------------------------------------
+# perceptual-hash fingerprints + near-dup join
+# ---------------------------------------------------------------------------
+
+PHASH_BANDS = 4          # 4 x 16-bit bands over the 64-bit hash
+PHASH_MAX_HAMMING = 3    # < bands, so one band is always clean (pigeonhole)
+
+
+def phash64(media: DataFrame) -> DataFrame:
+    """(media_id, phash) — 64-bit average-hash perceptual fingerprint:
+    decode → grayscale → 8x8 block means → threshold at the per-image
+    median → bit-pack. Everything after the per-item codec call is
+    batch-vectorized numpy over the Arrow chunk; with a real decoder the
+    same hash is the standard aHash (pHash's DCT variant drops into the
+    same reduction).
+    """
+    out_schema = "media_id string, phash long"
+
+    def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        weights = (np.uint64(1) << np.arange(64, dtype=np.uint64))
+        for pdf in batches:
+            if len(pdf) == 0:
+                yield pd.DataFrame({"media_id": [], "phash": []})
+                continue
+            unknown = set(pdf["mime"]) - DECODERS.keys()
+            if unknown:
+                raise NotImplementedError(
+                    f"no decoder for mime {sorted(unknown)!r} in this "
+                    "container; register one in multimodal.DECODERS"
+                )
+            hashes = np.empty(len(pdf), dtype=np.int64)
+            for i, (m, p, w, h) in enumerate(
+                zip(pdf["mime"], pdf["payload"], pdf["width"], pdf["height"])
+            ):
+                im = DECODERS[m](bytes(p), int(w), int(h))
+                gray = im.mean(axis=2)
+                gh, gw = gray.shape
+                # 8x8 block means: crop to a multiple of 8 then reshape
+                gray = gray[: gh - gh % 8 or 8, : gw - gw % 8 or 8]
+                b = gray.reshape(8, gray.shape[0] // 8, 8, -1).mean(axis=(1, 3))
+                bits = (b > np.median(b)).ravel()
+                hashes[i] = (weights[bits].sum()).astype(np.int64)
+            yield pd.DataFrame(
+                {"media_id": pdf["media_id"].to_numpy(), "phash": hashes}
+            )
+
+    return media.select("media_id", "mime", "payload", "width", "height").mapInPandas(
+        compute, out_schema
+    )
+
+
+def media_neardup_pairs(
+    hashes: DataFrame,
+    max_hamming: int = PHASH_MAX_HAMMING,
+    id_col: str = "media_id",
+    hash_col: str = "phash",
+) -> DataFrame:
+    """(id_a, id_b, hamming) — near-duplicate media pairs by banded
+    Hamming join over 64-bit fingerprints, the same pigeonhole shape as
+    the SimHash text path (dedup.simhash_pairs): with ``bands`` >
+    ``max_hamming`` at least one 16-bit band matches exactly, so
+    candidates come from ``bands`` equi-joins (bucketed, never
+    all-pairs) and the exact Hamming verify is one codegen
+    ``bit_count(a XOR b)`` per candidate."""
+    bands = [
+        F.shiftrightunsigned(F.col(hash_col), 16 * i).bitwiseAND(F.lit(0xFFFF)).alias(
+            f"b{i}"
+        )
+        for i in range(PHASH_BANDS)
+    ]
+    h = hashes.select(F.col(id_col).alias("id"), F.col(hash_col).alias("h"), *bands)
+    cand = None
+    for i in range(PHASH_BANDS):
+        a = h.select(
+            F.col("id").alias("id_a"), F.col("h").alias("h_a"), F.col(f"b{i}").alias("bk")
+        )
+        b = h.select(
+            F.col("id").alias("id_b"), F.col("h").alias("h_b"), F.col(f"b{i}").alias("bk")
+        )
+        c = a.join(b, "bk").filter(F.col("id_a") < F.col("id_b")).drop("bk")
+        cand = c if cand is None else cand.unionByName(c)
+    verified = (
+        cand.dropDuplicates(["id_a", "id_b"])
+        .withColumn(
+            "hamming",
+            F.expr("bit_count(h_a ^ h_b)").cast("int"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+    )
+    return verified.select("id_a", "id_b", "hamming").orderBy("id_a", "id_b")

@@ -48,3 +48,54 @@ def test_frame_sample_plan(media):
     # 5500ms → 5 frames at 0..4000
     assert [r.frame_ts_ms for r in got] == [0, 1000, 2000, 3000, 4000]
     assert [r.frame_index for r in got] == [0, 1, 2, 3, 4]
+
+
+def test_phash64_deterministic_and_payload_sensitive(spark):
+    rows = [
+        ("a", "image/fake", "u", b"\x01\x02\x03", 64, 64, 0),
+        ("b", "image/fake", "u", b"\x01\x02\x03", 64, 64, 0),  # same payload
+        ("c", "image/fake", "u", b"\x09\x09\x09", 64, 64, 0),
+    ]
+    media = spark.createDataFrame(rows, mm.MEDIA_SCHEMA)
+    got = {r.media_id: r.phash for r in mm.phash64(media).collect()}
+    assert got["a"] == got["b"]          # identical payload, identical hash
+    assert got["a"] != got["c"]          # different payload diverges
+    rerun = {r.media_id: r.phash for r in mm.phash64(media).collect()}
+    assert got == rerun                  # deterministic across runs
+
+
+def test_media_neardup_banded_join_matches_bruteforce(spark):
+    # synthetic 64-bit hashes: pair (1,2) at hamming 2, (1,3) at 1,
+    # (4,*) far away; threshold 3
+    H = [
+        (1, 0x0F0F0F0F0F0F0F0F),
+        (2, 0x0F0F0F0F0F0F0F0C),  # 2 low bits flipped
+        (3, 0x0F0F0F0F0F0F0F0E),  # 1 low bit flipped
+        (4, 0x7000000000000000),
+    ]
+    hashes = spark.createDataFrame(H, "media_id bigint, phash bigint")
+    got = {
+        (r.id_a, r.id_b): r.hamming
+        for r in mm.media_neardup_pairs(
+            hashes, id_col="media_id", hash_col="phash"
+        ).collect()
+    }
+    # brute force over the 4 hashes
+    import itertools
+    expect = {}
+    for (ia, ha), (ib, hb) in itertools.combinations(H, 2):
+        d = bin(ha ^ hb).count("1")
+        if d <= mm.PHASH_MAX_HAMMING:
+            expect[(min(ia, ib), max(ia, ib))] = d
+    assert got == expect and len(got) == 3  # (1,2),(1,3),(2,3)
+
+
+def test_media_neardup_end_to_end_duplicate_payloads(spark):
+    rows = [
+        ("m1", "image/fake", "u", b"\xaa\xbb", 32, 32, 0),
+        ("m2", "image/fake", "u", b"\xaa\xbb", 32, 32, 0),
+        ("m3", "image/fake", "u", b"\xcc\xdd", 32, 32, 0),
+    ]
+    media = spark.createDataFrame(rows, mm.MEDIA_SCHEMA)
+    pairs = mm.media_neardup_pairs(mm.phash64(media)).collect()
+    assert [(p.id_a, p.id_b, p.hamming) for p in pairs] == [("m1", "m2", 0)]
