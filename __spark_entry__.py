@@ -1909,6 +1909,52 @@ def q_ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_recall_audit(queries, emb)
 
 
+ROUTED_QUERY_TEXT = "what is the latest spark table scan"
+# event ids correlate with event time, and the fused doc_ids sit in the
+# low id range — "now" therefore sits just past THEIR window (Jan 1-2) so
+# the <24h-old boost genuinely fires for part of the result set
+ROUTING_NOW_EPOCH = 1704196800  # 2024-01-02T12:00:00Z
+
+
+def q_routed_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Routed hybrid retrieval: plan-time query classification picks the
+    store weights (factual → vector 0.6 / keyword 0.3) and the freshness
+    hint ("latest" → 0.2 recency boost); fused scores are then
+    recency-multiplied via a broadcast join to the source timestamps
+    (reference rag/retrieve/hybrid.py:723-830, 517-560)."""
+    from memfuse_spark.operators.routing import analyze_query, freshness_boost
+
+    decision = analyze_query(ROUTED_QUERY_TEXT)
+    docs, emb = _tables(spark, sf_dir, "documents", "embeddings")
+    qvec = anchor_vector(spark, emb, ANCHOR_VEC_ID)
+    vec = tag_store(
+        similarity_topk(emb, qvec, FIRST_STAGE_K).withColumnRenamed(
+            "vec_id", "doc_id"
+        ),
+        "vector",
+    )
+    kw = tag_store(
+        kw_ops.bm25_topk_from_index(
+            spark, _postings_index(spark, sf_dir), ROUTED_QUERY_TEXT, FIRST_STAGE_K
+        ),
+        "keyword",
+    )
+    fused = weighted_sum_fusion(
+        union_results(vec, kw), decision["store_weights"]
+    )
+    (events,) = _tables(spark, sf_dir, "events")
+    ts = events.select(F.col("event_id").alias("doc_id"), "ts")
+    joined = ts.join(F.broadcast(fused), "doc_id")
+    boosted = freshness_boost(
+        joined, ROUTING_NOW_EPOCH, decision["recency_boost"]
+    )
+    return (
+        boosted.select("doc_id", "score")
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(TOP_K)
+    )
+
+
 LPA_ITERS = 4
 
 
@@ -2074,6 +2120,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_sample": q_weighted_sample,
         "graph_communities": q_graph_communities,
         "bpe_merges_batched": q_bpe_merges_batched,
+        "routed_hybrid": q_routed_hybrid,
         # --- rows on
         # --- inputs unchanged since; full-suite verify_oracle.py is
         # --- their per-round superset check (COVERAGE.md). The six
@@ -3070,6 +3117,37 @@ ORDER BY doc_id, chunk_index
         ),
         "weighted_sample": _sampling_ops.weighted_sample_sql(100),
         "graph_communities": oracles.label_propagation_sql(_SIM_T, LPA_ITERS),
+        "routed_hybrid": f"""
+WITH {_q(ANCHOR_VEC_ID)},
+vec AS (
+  SELECT e.vec_id AS doc_id, {_COS_SQL} AS score
+  FROM embeddings e, q
+  ORDER BY score DESC, e.vec_id ASC
+  LIMIT {FIRST_STAGE_K}
+),
+kw AS (SELECT * FROM ({kw_ops.bm25_topk_sql(ROUTED_QUERY_TEXT, FIRST_STAGE_K)})),
+unioned AS (
+  SELECT doc_id, score, 'vector' AS store_type FROM vec
+  UNION ALL
+  SELECT doc_id, score, 'keyword' AS store_type FROM kw
+),
+fused AS (
+  SELECT doc_id,
+         round(sum(score * CASE WHEN store_type = 'vector' THEN 0.6
+                                ELSE 0.3 END), 6) AS score
+  FROM unioned GROUP BY doc_id
+),
+boosted AS (
+  SELECT f.doc_id,
+         round(f.score * (1.0 + 0.2 * greatest(0.0,
+               1.0 - (({ROUTING_NOW_EPOCH} - floor(epoch(e.ts))) / 3600.0)
+                     / 24.0)), 6) AS score
+  FROM fused f JOIN events e ON e.event_id = f.doc_id
+)
+SELECT doc_id, score FROM boosted
+ORDER BY score DESC, doc_id ASC
+LIMIT {TOP_K}
+""",
         "vocab_overlap_hll": _sketches.hll_overlap_sql(
             *[
                 (
