@@ -2016,7 +2016,9 @@ def q_rm3_expand(spark: SparkSession, sf_dir: str) -> DataFrame:
     relevance-model expansion terms → interpolated weighted-BM25 pass 2
     (query expansion the reference's keyword store lacks)."""
     (docs,) = _tables(spark, sf_dir, "documents")
-    return kw_ops.rm3_topk(docs, QUERY_TEXT, TOP_K)
+    return kw_ops.rm3_topk_from_index(
+        spark, _postings_index(spark, sf_dir), QUERY_TEXT, TOP_K, docs=docs
+    )
 
 
 def entry(spark: SparkSession) -> DataFrame:

@@ -710,3 +710,108 @@ FROM matched2 GROUP BY doc_id
 ORDER BY score DESC, doc_id ASC
 LIMIT {k}
 """
+
+
+def rm3_topk_from_index(
+    spark,
+    index_name: str,
+    query: str,
+    k: int,
+    docs: DataFrame | None = None,
+    fb_docs: int = RM3_FB_DOCS,
+    fb_terms: int = RM3_FB_TERMS,
+    orig_weight: float = RM3_ORIG_WEIGHT,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+    score_decimals: int = 6,
+) -> DataFrame:
+    """:func:`rm3_topk` against a prebuilt index (build_postings_index) —
+    no per-query corpus tokenize/shuffle. Pass 1 and pass 2 scan the
+    term-bucketed postings table with static ``isin`` predicates (bucket
+    pruning + parquet pushdown). The relevance model is mined from the
+    <= ``fb_docs`` feedback documents themselves: with ``docs`` given,
+    an id-pruned scan of the raw table re-tokenizes JUST those rows
+    (identical tf/dl to the index by construction — same tokenizer);
+    without it, the term-keyed index is scanned once. Two tiny mid-query
+    actions (feedback rows, weight rows) keep every downstream subplan
+    static — driver-safe at any corpus size. Same math and rounding
+    boundaries as the ad-hoc path.
+    """
+    q_terms = sorted({t for t in _py_tokenize(query)})
+    lam = orig_weight
+    qw = 1.0 / len(q_terms)
+    postings = spark.table(index_name)  # (term, doc_id, tf, dl, df)
+    stats = spark.table(f"{index_name}_stats")
+    matched1 = postings.filter(F.col("term").isin(q_terms)).crossJoin(
+        F.broadcast(stats)
+    )
+    pass1 = _bm25_score(matched1, fb_docs, k1, b, score_decimals)
+    # materialize the <= fb_docs feedback rows ONCE — pass1 feeds three
+    # downstream subplans (doc join, score total, and transitively the
+    # weight table) and would otherwise re-run its pruned scan per use
+    pass1_rows = pass1.collect()
+    pass1 = spark.createDataFrame(pass1_rows, schema=pass1.schema)
+    total = pass1.agg(F.sum("score").alias("total"))
+    if docs is not None:
+        fb_ids = [r["doc_id"] for r in pass1_rows]
+        fb_postings = build_postings(
+            docs.filter(F.col(id_col).isin(fb_ids)), id_col, text_col
+        )
+    else:
+        fb_postings = postings
+    rm1 = (
+        fb_postings.join(F.broadcast(pass1), "doc_id")
+        .crossJoin(F.broadcast(total))
+        .groupBy("term")
+        .agg(
+            F.round(
+                F.sum(
+                    (F.col("tf").cast("double") / F.col("dl"))
+                    * (F.col("score") / F.col("total"))
+                ),
+                6,
+            ).alias("w")
+        )
+    )
+    top_terms = rm1.orderBy(F.desc("w"), F.asc("term")).limit(fb_terms)
+    fb_sum = top_terms.agg(F.sum("w").alias("s"))
+    qdf = spark.createDataFrame([(t,) for t in q_terms], "term string")
+    weights = (
+        qdf.withColumn("qw", F.lit(qw))
+        .join(top_terms, "term", "full_outer")
+        .crossJoin(F.broadcast(fb_sum))
+        .select(
+            "term",
+            F.round(
+                lam * F.coalesce(F.col("qw"), F.lit(0.0))
+                + (1.0 - lam)
+                * F.coalesce(F.col("w") / F.col("s"), F.lit(0.0)),
+                9,
+            ).alias("wt"),
+        )
+    )
+    wrows = weights.collect()  # <= |Q| + fb_terms rows
+    wdf = spark.createDataFrame(wrows, schema=weights.schema)
+    terms2 = sorted(r["term"] for r in wrows)
+    matched2 = (
+        postings.filter(F.col("term").isin(terms2))
+        .join(F.broadcast(wdf), "term")
+        .crossJoin(F.broadcast(stats))
+    )
+    idf = F.log(
+        (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+    )
+    tf_part = (F.col("tf") * (k1 + 1)) / (
+        F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.col("avgdl"))
+    )
+    scored = matched2.select(
+        "doc_id", (F.col("wt") * idf * tf_part).alias("term_score")
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(F.round(F.sum("term_score"), score_decimals).alias("score"))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+    )

@@ -232,3 +232,39 @@ def test_rm3_reduces_to_weighted_bm25_when_lambda_1(spark):
         for r in rm3_topk(df, "spark table", 4, orig_weight=1.0).collect()
     ]
     assert rm3 == plain
+
+
+def test_rm3_index_path_matches_adhoc(spark, tmp_path):
+    from memfuse_spark.operators.keyword import (
+        build_postings_index,
+        rm3_topk,
+        rm3_topk_from_index,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (0, "spark query engine runs query plan"),
+            (1, "query engine shuffle and partition exchange"),
+            (2, "shuffle partition exchange tuning notes"),
+            (3, "cooking pasta with tomato sauce"),
+            (4, "spark plan exchange notes"),
+        ],
+        "doc_id bigint, text string",
+    )
+    name = "rm3_parity_idx"
+    build_postings_index(spark, docs, name, path=str(tmp_path))
+    try:
+        adhoc = [
+            (r.doc_id, r.score)
+            for r in rm3_topk(docs, "spark query", 5).collect()
+        ]
+        indexed = [
+            (r.doc_id, r.score)
+            for r in rm3_topk_from_index(
+                spark, name, "spark query", 5, docs=docs
+            ).collect()
+        ]
+        assert indexed == adhoc
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        spark.sql(f"DROP TABLE IF EXISTS {name}_stats")
