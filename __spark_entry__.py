@@ -1909,6 +1909,36 @@ def q_ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_recall_audit(queries, emb)
 
 
+def q_uniform_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uniform negative sampling over customer x part interactions
+    (orders ⋈ lineitem positives; 5 deterministic non-interacted parts
+    per customer)."""
+    from memfuse_spark.operators.sampling import uniform_negatives
+
+    orders, li, part = _tables(spark, sf_dir, "orders", "lineitem", "part")
+    positives = orders.join(
+        li, orders.o_orderkey == li.l_orderkey
+    ).select(
+        F.col("o_custkey").alias("user_id"), F.col("l_partkey").alias("item_id")
+    )
+    items = part.select(F.col("p_partkey").alias("item_id"))
+    return uniform_negatives(positives, items, k=5)
+
+
+def q_events_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-scan column-profile audit of the events table (null counts,
+    exact distincts, numeric/timestamp extrema on a shared scale)."""
+    (events,) = _tables(spark, sf_dir, "events")
+    return _stats.column_profile(events)
+
+
+def q_scd2_versions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD type-2 historization of per-user event_type: versions with
+    validity intervals (open current version has NULL valid_to)."""
+    (events,) = _tables(spark, sf_dir, "events")
+    return _temporal.scd2_intervals(events.filter(F.col("user_id") < 25))
+
+
 ROUTED_QUERY_TEXT = "what is the latest spark table scan"
 # event ids correlate with event time, and the fused doc_ids sit in the
 # low id range — "now" therefore sits just past THEIR window (Jan 1-2) so
@@ -2123,6 +2153,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_communities": q_graph_communities,
         "bpe_merges_batched": q_bpe_merges_batched,
         "routed_hybrid": q_routed_hybrid,
+        "scd2_versions": q_scd2_versions,
+        "events_profile": q_events_profile,
+        "uniform_negatives": q_uniform_negatives,
         # --- rows on
         # --- inputs unchanged since; full-suite verify_oracle.py is
         # --- their per-round superset check (COVERAGE.md). The six
@@ -3119,6 +3152,26 @@ ORDER BY doc_id, chunk_index
         ),
         "weighted_sample": _sampling_ops.weighted_sample_sql(100),
         "graph_communities": oracles.label_propagation_sql(_SIM_T, LPA_ITERS),
+        "scd2_versions": _temporal.scd2_intervals_sql(
+            table="(SELECT * FROM events WHERE user_id < 25)"
+        ),
+        "uniform_negatives": _sampling_ops.uniform_negatives_sql(
+            "SELECT o_custkey AS user_id, l_partkey AS item_id "
+            "FROM orders JOIN lineitem ON o_orderkey = l_orderkey",
+            "SELECT p_partkey AS item_id FROM part",
+            k=5,
+        ),
+        "events_profile": _stats.column_profile_sql(
+            "events",
+            [
+                ("event_id", "num"),
+                ("ts", "ts"),
+                ("user_id", "num"),
+                ("event_type", "str"),
+                ("value", "num"),
+                ("props", "str"),
+            ],
+        ),
         "routed_hybrid": f"""
 WITH {_q(ANCHOR_VEC_ID)},
 vec AS (

@@ -335,3 +335,135 @@ WHERE {weight_col} > 0
 ORDER BY priority DESC, doc_id ASC
 LIMIT {n}
 """
+
+
+def uniform_negatives(
+    positives: DataFrame,
+    items: DataFrame,
+    k: int,
+    slots: int = 12,
+    user_col: str = "user_id",
+    item_col: str = "item_id",
+    salt: str = "neg",
+) -> DataFrame:
+    """Deterministic uniform negative sampling for contrastive /
+    recommendation training: for every user in ``positives``, draw k
+    items they have NOT interacted with, uniformly over the item
+    catalog (the random complement to similarity-mined
+    `similarity.hard_negatives`).
+
+    Each user gets ``slots`` deterministic pseudo-random draws (keyed
+    hash -> rank-indexed item), the positives are removed with one
+    anti-join, duplicate draws collapse to their first slot, and the
+    first k survivors per user win. Oversampling ``slots`` > k absorbs
+    anti-join and collision losses; draws are reproducible across
+    retries and engines. Shape: catalog ranked once (item-count
+    shuffle), then explode(users x slots) -> broadcast-join the ranked
+    catalog -> anti-join positives — everything keys on user or item,
+    nothing quadratic.
+    """
+    from pyspark.sql import Window
+
+    ranked = (
+        items.select(F.col(item_col).alias("item"))
+        .distinct()
+        .withColumn(
+            "idx", F.row_number().over(Window.orderBy("item")).cast("long")
+        )
+    )
+    n_items = ranked.agg(F.count("*").alias("n"))
+    users = positives.select(F.col(user_col).alias("user")).distinct()
+    cand = (
+        users.select(
+            "user", F.explode(F.sequence(F.lit(1), F.lit(slots))).alias("slot")
+        )
+        .crossJoin(F.broadcast(n_items))
+        .withColumn(
+            "idx",
+            (
+                1
+                + F.floor(
+                    hash_uniform(
+                        F.concat(
+                            F.lit(salt),
+                            F.col("user").cast("string"),
+                            F.lit("_"),
+                            F.col("slot").cast("string"),
+                        )
+                    )
+                    * F.col("n")
+                )
+            ).cast("long"),
+        )
+        .join(F.broadcast(ranked), "idx")
+        .select("user", "slot", "item")
+    )
+    neg = cand.join(
+        positives.select(
+            F.col(user_col).alias("user"), F.col(item_col).alias("item")
+        ).distinct(),
+        ["user", "item"],
+        "left_anti",
+    )
+    w_dedup = Window.partitionBy("user", "item").orderBy("slot")
+    w_rank = Window.partitionBy("user").orderBy("slot")
+    return (
+        neg.withColumn("__d", F.row_number().over(w_dedup))
+        .filter(F.col("__d") == 1)
+        .withColumn("__r", F.row_number().over(w_rank))
+        .filter(F.col("__r") <= k)
+        .select(
+            F.col("user").alias(user_col),
+            F.col("item").alias(item_col),
+            F.col("slot").cast("int").alias("slot"),
+        )
+        .orderBy(user_col, "slot")
+    )
+
+
+def uniform_negatives_sql(
+    positives_sql: str,
+    items_sql: str,
+    k: int,
+    slots: int = 12,
+    salt: str = "neg",
+) -> str:
+    """DuckDB twin of :func:`uniform_negatives`; the two inputs are
+    subqueries yielding (user_id, item_id) and (item_id)."""
+    u = (
+        f"CAST(('0x' || substring(md5('{salt}' || CAST(user AS VARCHAR) || '_'"
+        " || CAST(slot AS VARCHAR)), 1, 8)) AS BIGINT) / 4294967296.0"
+    )
+    return f"""
+WITH pos AS (SELECT DISTINCT user_id AS user, item_id AS item FROM ({positives_sql})),
+ranked AS (
+  SELECT item_id AS item,
+         CAST(row_number() OVER (ORDER BY item_id) AS BIGINT) AS idx
+  FROM (SELECT DISTINCT item_id FROM ({items_sql}))
+),
+n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM ranked),
+cand AS (
+  SELECT u.user, t.slot,
+         CAST(1 + floor(({u}) * n.n) AS BIGINT) AS idx
+  FROM (SELECT DISTINCT user FROM pos) u,
+       unnest(range(1, {slots + 1})) AS t(slot), n
+),
+joined AS (
+  SELECT c.user, c.slot, r.item FROM cand c JOIN ranked r USING (idx)
+),
+neg AS (
+  SELECT j.* FROM joined j
+  WHERE NOT EXISTS (SELECT 1 FROM pos p WHERE p.user = j.user AND p.item = j.item)
+),
+dedup AS (
+  SELECT user, item, slot FROM (
+    SELECT *, row_number() OVER (PARTITION BY user, item ORDER BY slot) AS d
+    FROM neg
+  ) WHERE d = 1
+)
+SELECT user AS user_id, item AS item_id, CAST(slot AS INTEGER) AS slot FROM (
+  SELECT *, row_number() OVER (PARTITION BY user ORDER BY slot) AS r
+  FROM dedup
+) WHERE r <= {k}
+ORDER BY user_id, slot
+"""

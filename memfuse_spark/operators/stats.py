@@ -352,3 +352,87 @@ SELECT CAST(sum(nb) AS BIGINT) AS n_before,
                       / greatest(na * 1.0 / ta, {eps}))), 6) AS psi
 FROM hist, totals
 """
+
+
+# ---------------------------------------------------------------------------
+# column profile audit (one-scan data-quality summary)
+# ---------------------------------------------------------------------------
+
+_NUMERIC_DTYPES = ("tinyint", "smallint", "int", "bigint", "float", "double", "decimal")
+
+
+def column_profile(df: DataFrame, decimals: int = 6) -> DataFrame:
+    """(column, n_nulls, n_distinct, min_num, max_num) — a one-scan
+    data-quality profile of every column (the Deequ/Great-Expectations
+    summary shape). Numeric and timestamp columns expose min/max on a
+    shared double scale (timestamps as fractional epoch seconds);
+    string columns report null/distinct only, since cross-engine string
+    formatting of extrema is not canonical.
+
+    All metrics compute in ONE aggregate over one scan — 3 partial aggs
+    per column, map-side combined; the long-format reshape is a stack()
+    over the single result row. Exact distinct counts are the audit
+    tier; swap `hll_registers` per column for the always-on tier at
+    10^12 rows.
+    """
+    aggs = []
+    dtypes = dict(df.dtypes)
+    for c in df.columns:
+        aggs.append(
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias(f"{c}__nn")
+        )
+        aggs.append(F.countDistinct(F.col(c)).cast("long").alias(f"{c}__nd"))
+        dt = dtypes[c]
+        if dt.startswith(_NUMERIC_DTYPES) or dt.startswith("timestamp"):
+            num = F.col(c).cast("double")
+            aggs.append(F.round(F.min(num), decimals).alias(f"{c}__mn"))
+            aggs.append(F.round(F.max(num), decimals).alias(f"{c}__mx"))
+        else:
+            aggs.append(F.lit(None).cast("double").alias(f"{c}__mn"))
+            aggs.append(F.lit(None).cast("double").alias(f"{c}__mx"))
+    row = df.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', {c}__nn, {c}__nd, {c}__mn, {c}__mx" for c in df.columns
+    )
+    return row.select(
+        F.expr(
+            f"stack({len(df.columns)}, {stack_args}) AS "
+            "(column_name, n_nulls, n_distinct, min_num, max_num)"
+        )
+    ).orderBy("column_name")
+
+
+def column_profile_sql(
+    table: str, col_kinds: list[tuple[str, str]], decimals: int = 6
+) -> str:
+    """DuckDB twin of :func:`column_profile`; ``col_kinds`` is
+    [(column, 'num'|'ts'|'str'), ...] matching the Spark dtypes."""
+    aggs, rows = [], []
+    for c, kind in col_kinds:
+        aggs.append(
+            f"CAST(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT)"
+            f" AS {c}__nn"
+        )
+        aggs.append(f"CAST(count(DISTINCT {c}) AS BIGINT) AS {c}__nd")
+        if kind == "num":
+            aggs.append(f"round(min(CAST({c} AS DOUBLE)), {decimals}) AS {c}__mn")
+            aggs.append(f"round(max(CAST({c} AS DOUBLE)), {decimals}) AS {c}__mx")
+        elif kind == "ts":
+            aggs.append(f"round(min(epoch({c})), {decimals}) AS {c}__mn")
+            aggs.append(f"round(max(epoch({c})), {decimals}) AS {c}__mx")
+        else:
+            aggs.append(f"CAST(NULL AS DOUBLE) AS {c}__mn")
+            aggs.append(f"CAST(NULL AS DOUBLE) AS {c}__mx")
+        rows.append(
+            f"SELECT '{c}' AS column_name, {c}__nn AS n_nulls,"
+            f" {c}__nd AS n_distinct, {c}__mn AS min_num, {c}__mx AS max_num"
+            " FROM agg"
+        )
+    union = "\nUNION ALL\n".join(rows)
+    return f"""
+WITH agg AS (SELECT {", ".join(aggs)} FROM {table})
+SELECT * FROM ({union})
+ORDER BY column_name
+"""

@@ -427,3 +427,89 @@ LEFT JOIN observed o
   ON g.{key_col} = o.{key_col} AND g.grid_ts = o.grid_ts
 ORDER BY g.{key_col}, g.grid_ts
 """
+
+
+# ---------------------------------------------------------------------------
+# SCD type-2 historization
+# ---------------------------------------------------------------------------
+
+def scd2_intervals(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    attr_col: str = "event_type",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Slowly-changing-dimension type 2: collapse a per-key event stream
+    into attribute VERSIONS with validity intervals — (key, attr,
+    valid_from, valid_to, n_events), ``valid_to`` NULL for the open
+    current version. The classic warehouse historization the
+    reference's append-only store never materializes (its snapshots keep
+    every raw row; `database/sqlite.py:115-125`).
+
+    One window pass detects change points (lag), a running sum numbers
+    versions, one groupBy collapses them, and lead() closes each
+    interval with the next version's start. Everything partitions by
+    the key — two narrow shuffles, no self-join, scales with keys.
+    """
+    w = Window.partitionBy(key_col).orderBy(ts_col, id_col)
+    change = F.when(
+        F.lag(attr_col).over(w).isNull()
+        | (F.col(attr_col) != F.lag(attr_col).over(w)),
+        1,
+    ).otherwise(0)
+    versioned = events.withColumn(
+        "__ver",
+        F.sum(change).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    collapsed = versioned.groupBy(key_col, "__ver").agg(
+        F.first(attr_col).alias(attr_col),
+        F.min(ts_col).alias("valid_from"),
+        F.count("*").cast("long").alias("n_events"),
+    )
+    w2 = Window.partitionBy(key_col).orderBy("__ver")
+    return collapsed.select(
+        key_col,
+        attr_col,
+        "valid_from",
+        F.lead("valid_from").over(w2).alias("valid_to"),
+        "n_events",
+    ).orderBy(key_col, "valid_from")
+
+
+def scd2_intervals_sql(
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    attr_col: str = "event_type",
+    id_col: str = "event_id",
+    table: str = "events",
+) -> str:
+    """DuckDB oracle twin of :func:`scd2_intervals`."""
+    return f"""
+WITH flagged AS (
+  SELECT {key_col}, {ts_col}, {attr_col},
+         CASE WHEN lag({attr_col}) OVER w IS NULL
+                   OR {attr_col} <> lag({attr_col}) OVER w
+              THEN 1 ELSE 0 END AS chg
+  FROM {table}
+  WINDOW w AS (PARTITION BY {key_col} ORDER BY {ts_col}, {id_col})
+),
+versioned AS (
+  SELECT *, sum(chg) OVER (PARTITION BY {key_col} ORDER BY {ts_col}
+                           ROWS UNBOUNDED PRECEDING) AS ver
+  FROM flagged
+),
+collapsed AS (
+  SELECT {key_col}, ver, any_value({attr_col}) AS {attr_col},
+         min({ts_col}) AS valid_from, CAST(count(*) AS BIGINT) AS n_events
+  FROM versioned GROUP BY {key_col}, ver
+)
+SELECT {key_col}, {attr_col}, valid_from,
+       lead(valid_from) OVER (PARTITION BY {key_col} ORDER BY ver)
+         AS valid_to,
+       n_events
+FROM collapsed
+ORDER BY {key_col}, valid_from
+"""

@@ -347,3 +347,24 @@ def test_weighted_sample_deterministic_and_excludes_nonpositive(spark):
     # re-salting draws a different sample
     c = [r.doc_id for r in weighted_sample(df, 10, "w", salt="other").collect()]
     assert a != c
+
+
+def test_uniform_negatives_excludes_positives_and_is_deterministic(spark):
+    from memfuse_spark.operators.sampling import uniform_negatives
+
+    positives = spark.createDataFrame(
+        [(u, i) for u in (1, 2) for i in range(0, 50, 2)],  # evens are positive
+        "user_id bigint, item_id bigint",
+    )
+    items = spark.createDataFrame(
+        [(i,) for i in range(50)], "item_id bigint"
+    )
+    got = uniform_negatives(positives, items, k=5).collect()
+    by_user = {}
+    for r in got:
+        by_user.setdefault(r.user_id, []).append(r.item_id)
+        assert r.item_id % 2 == 1  # never a positive
+    assert set(by_user) == {1, 2}
+    assert all(len(v) == 5 and len(set(v)) == 5 for v in by_user.values())
+    again = uniform_negatives(positives, items, k=5).collect()
+    assert [tuple(r) for r in got] == [tuple(r) for r in again]

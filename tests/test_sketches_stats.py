@@ -402,3 +402,19 @@ def test_hll_overlap_disjoint_sets_estimate_near_zero(spark):
     assert row.exact_intersection == 0
     # inclusion-exclusion noise stays small relative to set size
     assert abs(row.est_intersection) < 250
+
+
+def test_column_profile_metrics(spark):
+    from memfuse_spark.operators.stats import column_profile
+
+    df = spark.createDataFrame(
+        [(1, "a", 2.5), (2, None, 1.0), (3, "a", None), (4, "b", 4.0)],
+        "id bigint, s string, v double",
+    )
+    got = {r.column_name: r for r in column_profile(df).collect()}
+    assert got["id"].n_nulls == 0 and got["id"].n_distinct == 4
+    assert got["id"].min_num == 1.0 and got["id"].max_num == 4.0
+    assert got["s"].n_nulls == 1 and got["s"].n_distinct == 2
+    assert got["s"].min_num is None and got["s"].max_num is None
+    assert got["v"].n_nulls == 1
+    assert got["v"].min_num == 1.0 and got["v"].max_num == 4.0

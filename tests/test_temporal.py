@@ -114,3 +114,26 @@ def test_time_grid_fill_densifies_and_forward_fills(spark):
     assert u1 == [(0, 15.0, 0), (1, 15.0, 1), (2, 15.0, 1), (3, 40.0, 0)]
     u2 = [(r.grid_ts.hour, r.value, r.is_gap) for r in got if r.user_id == 2]
     assert u2 == [(5, 7.0, 0)]
+
+
+def test_scd2_intervals_known_stream(spark):
+    from memfuse_spark.operators.temporal import scd2_intervals
+
+    rows = [
+        (1, 1, "2024-01-01 00:00:00", "a"),
+        (2, 1, "2024-01-01 01:00:00", "a"),   # same attr — same version
+        (3, 1, "2024-01-01 02:00:00", "b"),   # change
+        (4, 1, "2024-01-01 03:00:00", "a"),   # change back = NEW version
+        (5, 2, "2024-01-01 00:30:00", "x"),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id bigint, user_id bigint, ts_s string, event_type string"
+    ).select("event_id", "user_id", F.to_timestamp("ts_s").alias("ts"), "event_type")
+    got = scd2_intervals(ev).collect()
+    u1 = [(r.event_type, r.n_events, r.valid_to is None) for r in got if r.user_id == 1]
+    assert u1 == [("a", 2, False), ("b", 1, False), ("a", 1, True)]
+    # intervals tile: each valid_to equals the next valid_from
+    v = [r for r in got if r.user_id == 1]
+    assert v[0].valid_to == v[1].valid_from and v[1].valid_to == v[2].valid_from
+    u2 = [(r.event_type, r.valid_to) for r in got if r.user_id == 2]
+    assert u2 == [("x", None)]
