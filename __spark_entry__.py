@@ -1909,6 +1909,26 @@ def q_ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_recall_audit(queries, emb)
 
 
+def q_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """View→click attribution pairs within 30 minutes per user — the
+    BATCH twin of the watermarked stream-stream interval join
+    (streaming/windows.attribution_join; stream-vs-batch parity is
+    test-asserted)."""
+    from memfuse_spark.streaming.windows import attribution_join
+
+    (events,) = _tables(spark, sf_dir, "events")
+    out = attribution_join(
+        events.filter(F.col("event_type") == "view"),
+        events.filter(F.col("event_type") == "click"),
+    )
+    return out.select(
+        "user_id",
+        "view_id",
+        "click_id",
+        F.round("lag_seconds", 6).alias("lag_seconds"),
+    ).orderBy("user_id", "view_id", "click_id")
+
+
 def q_uniform_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Uniform negative sampling over customer x part interactions
     (orders ⋈ lineitem positives; 5 deterministic non-interacted parts
@@ -2156,6 +2176,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scd2_versions": q_scd2_versions,
         "events_profile": q_events_profile,
         "uniform_negatives": q_uniform_negatives,
+        "click_attribution": q_click_attribution,
         # --- rows on
         # --- inputs unchanged since; full-suite verify_oracle.py is
         # --- their per-round superset check (COVERAGE.md). The six
@@ -3155,6 +3176,22 @@ ORDER BY doc_id, chunk_index
         "scd2_versions": _temporal.scd2_intervals_sql(
             table="(SELECT * FROM events WHERE user_id < 25)"
         ),
+        "click_attribution": """
+WITH v AS (
+  SELECT user_id, ts AS view_ts, event_id AS view_id
+  FROM events WHERE event_type = 'view'
+),
+c AS (
+  SELECT user_id, ts AS click_ts, event_id AS click_id
+  FROM events WHERE event_type = 'click'
+)
+SELECT v.user_id, view_id, click_id,
+       round(epoch(click_ts) - epoch(view_ts), 6) AS lag_seconds
+FROM v JOIN c ON v.user_id = c.user_id
+WHERE click_ts >= view_ts
+  AND click_ts <= view_ts + INTERVAL '30 minutes'
+ORDER BY v.user_id, view_id, click_id
+""",
         "uniform_negatives": _sampling_ops.uniform_negatives_sql(
             "SELECT o_custkey AS user_id, l_partkey AS item_id "
             "FROM orders JOIN lineitem ON o_orderkey = l_orderkey",

@@ -156,3 +156,89 @@ def sliding_heavy_hitters(
     )
     items = spark.createDataFrame([(t,) for t in probe_tokens], "token string")
     return cms_estimate(merged, items)
+
+
+# ---------------------------------------------------------------------------
+# stream-stream interval join (attribution)
+# ---------------------------------------------------------------------------
+
+ATTRIBUTION_WINDOW_MIN = 30
+
+
+def attribution_join(
+    views: DataFrame,
+    clicks: DataFrame,
+    window_minutes: int = ATTRIBUTION_WINDOW_MIN,
+    watermark: str = "60 minutes",
+) -> DataFrame:
+    """Per-user view→click attribution: every click joined to each view
+    of the same user it follows within ``window_minutes`` — the
+    stream-stream interval join (Structured Streaming's two-sided
+    watermarked join; the reference has no streaming joins at all).
+
+    Works identically on streaming or batch inputs: watermarks apply
+    only when streaming, and bound BOTH join states — the event-time
+    band lets Spark evict a view once the click watermark passes
+    view_ts + window, so state is O(window x rate), not O(stream).
+    Inner-join matches emit immediately; the watermark only gates
+    state cleanup.
+    """
+    v = views.select(
+        F.col("user_id"),
+        F.col("ts").alias("view_ts"),
+        F.col("event_id").alias("view_id"),
+    )
+    c = clicks.select(
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("click_ts"),
+        F.col("event_id").alias("click_id"),
+    )
+    if views.isStreaming:
+        v = v.withWatermark("view_ts", watermark)
+    if clicks.isStreaming:
+        c = c.withWatermark("click_ts", watermark)
+    joined = v.join(
+        c,
+        (F.col("user_id") == F.col("c_user"))
+        & (F.col("click_ts") >= F.col("view_ts"))
+        & (
+            F.col("click_ts")
+            <= F.col("view_ts") + F.expr(f"INTERVAL {window_minutes} MINUTES")
+        ),
+    )
+    return joined.select(
+        "user_id",
+        "view_id",
+        "click_id",
+        "view_ts",
+        "click_ts",
+        (
+            (F.col("click_ts").cast("double") - F.col("view_ts").cast("double"))
+        ).alias("lag_seconds"),
+    )
+
+
+def run_attribution_stream(
+    spark,
+    source_dir: str,
+    schema,
+    out_dir: str,
+    checkpoint_dir: str,
+    window_minutes: int = ATTRIBUTION_WINDOW_MIN,
+) -> None:
+    """Drive the attribution join with BOTH sides read from the same
+    file stream (filtered into view/click substreams), append sink,
+    availableNow drain."""
+    stream = spark.readStream.schema(schema).parquet(source_dir)
+    views = stream.filter(F.col("event_type") == "view")
+    clicks = stream.filter(F.col("event_type") == "click")
+    joined = attribution_join(views, clicks, window_minutes)
+    (
+        joined.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )

@@ -155,3 +155,54 @@ def test_sliding_heavy_hitters_matches_batch_merge(spark, tables, tmp_path):
         for r in cms_estimate(cms_build(counts), items).collect()
     }
     assert got == want
+
+
+def test_attribution_stream_matches_batch(spark, tables, tmp_path):
+    """Stream-stream interval join (view→click within 30 min) emits
+    exactly the batch join's matches: inner-join rows emit eagerly, the
+    watermark only bounds state, so availableNow drains everything."""
+    from memfuse_spark.streaming.windows import (
+        attribution_join,
+        run_attribution_stream,
+    )
+
+    ev = tables["events"].select("event_id", "ts", "user_id", "event_type")
+    src = str(tmp_path / "attr_src")
+    ev.write.parquet(src)
+
+    out, ckpt = str(tmp_path / "attr_out"), str(tmp_path / "attr_ckpt")
+    run_attribution_stream(
+        spark, src, spark.read.parquet(src).schema, out, ckpt
+    )
+
+    key = lambda r: (r["user_id"], r["view_id"], r["click_id"])
+    got = sorted(key(r) for r in spark.read.parquet(out).collect())
+    want = sorted(
+        key(r)
+        for r in attribution_join(
+            ev.filter(F.col("event_type") == "view"),
+            ev.filter(F.col("event_type") == "click"),
+        ).collect()
+    )
+    assert got == want
+    assert len(want) > 0
+
+
+def test_attribution_join_band_semantics(spark):
+    from memfuse_spark.streaming.windows import attribution_join
+
+    rows = [
+        (1, "2024-01-01 10:00:00", 7, "view"),
+        (2, "2024-01-01 10:10:00", 7, "click"),   # in window
+        (3, "2024-01-01 10:40:00", 7, "click"),   # past 30 min
+        (4, "2024-01-01 09:50:00", 7, "click"),   # before the view
+        (5, "2024-01-01 10:10:00", 8, "click"),   # other user
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id bigint, ts_s string, user_id bigint, event_type string"
+    ).select("event_id", F.to_timestamp("ts_s").alias("ts"), "user_id", "event_type")
+    got = attribution_join(
+        ev.filter(F.col("event_type") == "view"),
+        ev.filter(F.col("event_type") == "click"),
+    ).collect()
+    assert [(r.view_id, r.click_id, r.lag_seconds) for r in got] == [(1, 2, 600.0)]
