@@ -98,6 +98,11 @@ EXTRA = [
     "weighted_sample",
     "graph_communities",
     "bpe_merges_batched",
+    "routed_hybrid",
+    "scd2_versions",
+    "events_profile",
+    "uniform_negatives",
+    "click_attribution",
 ]
 
 
