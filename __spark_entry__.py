@@ -1909,6 +1909,31 @@ def q_ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_recall_audit(queries, emb)
 
 
+_POSTINGS_IDX_V2: dict[tuple[int, str], str] = {}
+
+
+def q_bm25_v2_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 against the incrementally-maintainable v2 index (postings
+    without embedded df + keyed-add df table + recombinable stats);
+    same scores as the v1 path by construction."""
+    import hashlib
+    import tempfile
+
+    key = (id(spark.sparkContext), sf_dir)
+    if key not in _POSTINGS_IDX_V2:
+        tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+        name = f"mfs_postings2_{tag}"
+        (docs,) = _tables(spark, sf_dir, "documents")
+        kw_ops.build_postings_index_v2(
+            spark, docs, name,
+            path=os.path.join(tempfile.gettempdir(), "memfuse_idx_v2"),
+        )
+        _POSTINGS_IDX_V2[key] = name
+    return kw_ops.bm25_topk_from_index_v2(
+        spark, _POSTINGS_IDX_V2[key], QUERY_TEXT, TOP_K
+    )
+
+
 def q_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """View→click attribution pairs within 30 minutes per user — the
     BATCH twin of the watermarked stream-stream interval join
@@ -2177,6 +2202,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_profile": q_events_profile,
         "uniform_negatives": q_uniform_negatives,
         "click_attribution": q_click_attribution,
+        "bm25_v2_topk": q_bm25_v2_topk,
         # --- rows on
         # --- inputs unchanged since; full-suite verify_oracle.py is
         # --- their per-round superset check (COVERAGE.md). The six
@@ -2390,6 +2416,7 @@ ORDER BY score DESC, vec_id ASC LIMIT 50
 """,
         "bm25_topk": kw_ops.bm25_topk_sql(QUERY_TEXT, TOP_K),
         "rm3_expand": kw_ops.rm3_topk_sql(QUERY_TEXT, TOP_K),
+        "bm25_v2_topk": kw_ops.bm25_topk_sql(QUERY_TEXT, TOP_K),
         "like_search": """
 SELECT doc_id, CAST(0.6 AS DOUBLE) AS score FROM documents
 WHERE lower(text) LIKE '%vector%' OR lower(text) LIKE '%merge%'

@@ -815,3 +815,120 @@ def rm3_topk_from_index(
         .orderBy(F.desc("score"), F.asc("doc_id"))
         .limit(k)
     )
+
+
+# ---------------------------------------------------------------------------
+# incrementally-maintainable index (v2: df/stats kept OUT of posting rows)
+# ---------------------------------------------------------------------------
+
+def build_postings_index_v2(
+    spark,
+    docs: DataFrame,
+    name: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_buckets: int = 16,
+    path: str | None = None,
+) -> None:
+    """Index layout for INCREMENTAL maintenance: the term-bucketed
+    postings table carries (term, doc_id, tf, dl) only; document
+    frequency lives in a separate tiny ``{name}_df`` table and corpus
+    stats in ``{name}_stats``. Appending a document batch then touches
+    three algebraic pieces — new posting rows (pure append), df += df
+    of the delta (keyed add), stats re-derived from two sums — and
+    NEVER rewrites existing posting rows (the v1 layout embeds df on
+    every row, so one new occurrence of a term would dirty every
+    posting of that term). Query-time cost is one extra broadcast join
+    of the query terms' df rows — a few rows.
+    """
+
+    def _loc(writer, suffix=""):
+        if path is not None:
+            writer = writer.option("path", f"{path}/{name}{suffix}")
+        return writer
+
+    postings = build_postings(docs, id_col, text_col)
+    _loc(
+        postings.write.mode("overwrite").format("parquet")
+    ).bucketBy(num_buckets, "term").sortBy("term").saveAsTable(name)
+    _loc(
+        document_frequency(spark.table(name))
+        .write.mode("overwrite")
+        .format("parquet"),
+        "_df",
+    ).saveAsTable(f"{name}_df")
+    _loc(
+        corpus_stats(spark.table(name)).write.mode("overwrite").format("parquet"),
+        "_stats",
+    ).saveAsTable(f"{name}_stats")
+
+
+def update_postings_index_v2(
+    spark,
+    name: str,
+    new_docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_buckets: int = 16,
+    path: str | None = None,
+) -> None:
+    """Append a document batch to a v2 index: postings of the delta are
+    INSERTed (bucketed append — only the delta shuffles), df merges by
+    keyed addition, stats recombine from (n_docs, avgdl) pairs as the
+    weighted mean. Cost scales with the batch, not the corpus — the
+    incremental contract `test_keyword.py` asserts against a full
+    rebuild."""
+    delta = build_postings(new_docs, id_col, text_col)
+    delta.write.mode("append").format("parquet").insertInto(name)
+
+    old_df = spark.table(f"{name}_df")
+    merged_df = (
+        old_df.unionByName(document_frequency(delta))
+        .groupBy("term")
+        .agg(F.sum("df").cast("long").alias("df"))
+    )
+    old_stats = spark.table(f"{name}_stats")
+    delta_stats = corpus_stats(delta)
+    merged_stats = (
+        old_stats.select("n_docs", "avgdl")
+        .unionByName(delta_stats.select("n_docs", "avgdl"))
+        .agg(
+            F.sum("n_docs").cast("long").alias("n_docs"),
+            (
+                F.sum(F.col("avgdl") * F.col("n_docs")) / F.sum("n_docs")
+            ).alias("avgdl"),
+        )
+    )
+    # the side tables are O(vocab) and O(1) rows — rewritten whole, but
+    # via localCheckpoint (executor-side materialization that truncates
+    # lineage) so the overwrite no longer references the table it reads
+    # and nothing vocab-sized ever lands on the driver
+    for tbl, df_new in ((f"{name}_df", merged_df), (f"{name}_stats", merged_stats)):
+        snap = df_new.localCheckpoint(eager=True)
+        writer = snap.write.mode("overwrite").format("parquet")
+        if path is not None:
+            suffix = tbl[len(name):]
+            writer = writer.option("path", f"{path}/{name}{suffix}")
+        writer.saveAsTable(tbl)
+        snap.unpersist()
+
+
+def bm25_topk_from_index_v2(
+    spark,
+    name: str,
+    query: str,
+    k: int,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+    score_decimals: int = 6,
+) -> DataFrame:
+    """BM25 against a v2 index: bucket-pruned postings scan + broadcast
+    join of the query terms' df rows + broadcast stats."""
+    q_terms = sorted({t for t in _py_tokenize(query)})
+    postings = spark.table(name).filter(F.col("term").isin(q_terms))
+    dfs = spark.table(f"{name}_df").filter(F.col("term").isin(q_terms))
+    stats = spark.table(f"{name}_stats")
+    matched = postings.join(F.broadcast(dfs), "term").crossJoin(
+        F.broadcast(stats)
+    )
+    return _bm25_score(matched, k, k1, b, score_decimals)

@@ -268,3 +268,57 @@ def test_rm3_index_path_matches_adhoc(spark, tmp_path):
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {name}")
         spark.sql(f"DROP TABLE IF EXISTS {name}_stats")
+
+
+def test_v2_index_incremental_update_matches_rebuild(spark, tmp_path):
+    """Appending a batch to the v2 index must equal a full rebuild over
+    the union corpus — postings appended, df keyed-add, stats weighted
+    — and query results must match the ad-hoc BM25 on the union."""
+    from memfuse_spark.operators.keyword import (
+        bm25_topk,
+        bm25_topk_from_index_v2,
+        build_postings_index_v2,
+        update_postings_index_v2,
+    )
+
+    base = spark.createDataFrame(
+        [
+            (0, "spark shuffles data between stages"),
+            (1, "a table scan reads parquet row groups"),
+            (2, "the query planner reorders joins"),
+        ],
+        "doc_id bigint, text string",
+    )
+    delta = spark.createDataFrame(
+        [
+            (3, "spark query execution uses codegen"),
+            (4, "scan scan scan"),
+        ],
+        "doc_id bigint, text string",
+    )
+    inc, reb = "v2_inc", "v2_reb"
+    try:
+        build_postings_index_v2(spark, base, inc, path=str(tmp_path / "a"))
+        update_postings_index_v2(spark, inc, delta, path=str(tmp_path / "a"))
+        build_postings_index_v2(
+            spark, base.unionByName(delta), reb, path=str(tmp_path / "b")
+        )
+        for side in ("", "_df", "_stats"):
+            a = sorted(map(tuple, spark.table(inc + side).collect()))
+            b = sorted(map(tuple, spark.table(reb + side).collect()))
+            assert a == b, side
+
+        q = "spark query scan"
+        via_idx = [
+            (r.doc_id, r.score)
+            for r in bm25_topk_from_index_v2(spark, inc, q, 5).collect()
+        ]
+        adhoc = [
+            (r.doc_id, r.score)
+            for r in bm25_topk(base.unionByName(delta), q, 5).collect()
+        ]
+        assert via_idx == adhoc
+    finally:
+        for n in ("v2_inc", "v2_reb"):
+            for side in ("", "_df", "_stats"):
+                spark.sql(f"DROP TABLE IF EXISTS {n}{side}")
