@@ -17,6 +17,7 @@ from pyspark.sql import functions as F
 from memfuse_spark.catalog import load_table
 from memfuse_spark.operators import keyword as kw_ops
 from memfuse_spark.operators.similarity import (
+    late_interaction_topk_sql,
     neighbors_of_item,
     similarity_topk,
 )
@@ -1909,6 +1910,28 @@ def q_ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_recall_audit(queries, emb)
 
 
+def q_fusion_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-based fusion: percent_rank per store then weighted
+    sum (outlier-insensitive sibling of U4 min-max)."""
+    from memfuse_spark.operators.fusion import percentile_rank_fusion
+
+    _, unioned = _hybrid_branches(spark, sf_dir)
+    return percentile_rank_fusion(unioned, HYBRID_WEIGHTS).orderBy(
+        F.desc("score"), F.asc("doc_id")
+    )
+
+
+def q_late_interaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ColBERT-style maxsim retrieval over per-token hash embeddings
+    (late-interaction tier; a real token encoder drops into the same
+    dataflow)."""
+    from memfuse_spark.operators.similarity import late_interaction_topk
+
+    (docs,) = _tables(spark, sf_dir, "documents")
+    qtoks = sorted(set(kw_ops._py_tokenize(QUERY_TEXT)))
+    return late_interaction_topk(docs, qtoks, TOP_K)
+
+
 _POSTINGS_IDX_V2: dict[tuple[int, str], str] = {}
 
 
@@ -2203,6 +2226,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "uniform_negatives": q_uniform_negatives,
         "click_attribution": q_click_attribution,
         "bm25_v2_topk": q_bm25_v2_topk,
+        "fusion_percentile": q_fusion_percentile,
+        "late_interaction": q_late_interaction,
         # --- rows on
         # --- inputs unchanged since; full-suite verify_oracle.py is
         # --- their per-round superset check (COVERAGE.md). The six
@@ -2417,6 +2442,21 @@ ORDER BY score DESC, vec_id ASC LIMIT 50
         "bm25_topk": kw_ops.bm25_topk_sql(QUERY_TEXT, TOP_K),
         "rm3_expand": kw_ops.rm3_topk_sql(QUERY_TEXT, TOP_K),
         "bm25_v2_topk": kw_ops.bm25_topk_sql(QUERY_TEXT, TOP_K),
+        "fusion_percentile": _fusion_ctes()
+        + f""",
+normed AS (
+  SELECT doc_id, store_type,
+         percent_rank() OVER (PARTITION BY store_type
+                              ORDER BY score ASC, doc_id ASC) AS pr
+  FROM unioned
+)
+SELECT doc_id, round(sum(pr * {weight_case}), 6) AS score
+FROM normed GROUP BY doc_id
+ORDER BY score DESC, doc_id ASC
+""",
+        "late_interaction": late_interaction_topk_sql(
+            sorted(set(kw_ops._py_tokenize(QUERY_TEXT))), TOP_K
+        ),
         "like_search": """
 SELECT doc_id, CAST(0.6 AS DOUBLE) AS score FROM documents
 WHERE lower(text) LIKE '%vector%' OR lower(text) LIKE '%merge%'

@@ -131,3 +131,31 @@ def dedup_by_priority(
         .filter(F.col("__rn") == 1)
         .drop("__rn")
     )
+
+
+def percentile_rank_fusion(
+    results: DataFrame,
+    weights: dict[str, float] | None = None,
+    id_col: str = "doc_id",
+    score_decimals: int = 6,
+) -> DataFrame:
+    """Distribution-based fusion: each store's scores are replaced by
+    their percent_rank within the store (0 = worst, 1 = best), then
+    weighted-summed. Unlike min-max normalization (U4), rank
+    normalization is insensitive to score-scale outliers — one huge
+    BM25 score cannot compress the rest of the branch to ~0. The rank
+    window orders (score, id) so the transform is a total order and
+    engine-independent.
+    """
+    weights = weights or DEFAULT_WEIGHTS
+    w = Window.partitionBy("store_type").orderBy(F.asc("score"), F.asc(id_col))
+    pr = results.withColumn("__pr", F.percent_rank().over(w))
+    return (
+        pr.withColumn("__w", _weight_col(weights))
+        .groupBy(id_col)
+        .agg(
+            F.round(F.sum(F.col("__pr") * F.col("__w")), score_decimals).alias(
+                "score"
+            )
+        )
+    )

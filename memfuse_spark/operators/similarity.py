@@ -431,3 +431,115 @@ def matryoshka_topk(
         .orderBy(F.desc("score"), F.asc(id_col))
         .limit(k)
     )
+
+
+# ---------------------------------------------------------------------------
+# late-interaction (maxsim) retrieval tier
+# ---------------------------------------------------------------------------
+
+def late_interaction_topk(
+    docs: DataFrame,
+    query_tokens: list[str],
+    k: int,
+    dim: int = 16,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    score_decimals: int = 6,
+) -> DataFrame:
+    """ColBERT-style late interaction over per-TOKEN embeddings:
+    score(d) = Σ_{q∈Q} max_{t∈d} cos(E(q), E(t)) (Khattab & Zaharia
+    '20 maxsim), with the deterministic hash embedding standing in for
+    the token encoder — swap `hash_embedding` for a real model's token
+    vectors and the dataflow is unchanged.
+
+    Dedup-before-encode: the corpus vocabulary is embedded ONCE
+    (distinct tokens, the backfill lesson) and joined back to the
+    (doc, token) pairs; query tokens are a broadcast literal. The
+    maxsim reduction is two keyed aggregations — (doc, q-token) max
+    then per-doc sum. Nothing quadratic in docs; the candidate fan-out
+    is |doc tokens| × |Q|, bounded per doc.
+    """
+    from memfuse_spark.functions.text import tokenize
+    from memfuse_spark.functions.vector import (
+        dot,
+        hash_embedding_raw,
+        normalize,
+    )
+
+    spark = docs.sparkSession
+
+    def embed(df, col):
+        return df.withColumn("__dig", F.md5(F.col(col))).withColumn(
+            "__e", normalize(hash_embedding_raw(F.col("__dig"), dim))
+        ).drop("__dig")
+
+    toks = (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode_outer(tokenize(text_col)).alias("tok"),
+        )
+        .filter(F.col("tok").isNotNull())
+        .distinct()
+    )
+    vocab = embed(toks.select("tok").distinct(), "tok").select(
+        "tok", F.col("__e").alias("te")
+    )
+    demb = toks.join(vocab, "tok")
+    qemb = embed(
+        spark.createDataFrame([(t,) for t in sorted(set(query_tokens))], "qt string"),
+        "qt",
+    ).select("qt", F.col("__e").alias("qe"))
+    pairs = demb.crossJoin(F.broadcast(qemb)).select(
+        "doc_id",
+        "qt",
+        F.round(dot("te", "qe"), score_decimals).alias("c"),
+    )
+    maxsim = pairs.groupBy("doc_id", "qt").agg(F.max("c").alias("m"))
+    return (
+        maxsim.groupBy("doc_id")
+        .agg(F.round(F.sum("m"), score_decimals).alias("score"))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+    )
+
+
+def late_interaction_topk_sql(
+    query_tokens: list[str],
+    k: int,
+    dim: int = 16,
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    score_decimals: int = 6,
+) -> str:
+    """DuckDB oracle twin of :func:`late_interaction_topk` (same
+    tokenizer, same hash token-encoder, same rounding boundaries)."""
+    from memfuse_spark.functions.text import TOKENIZE_SQL
+    from memfuse_spark.functions.vector import hash_embedding_sql
+
+    qvals = ", ".join(f"('{t}')" for t in sorted(set(query_tokens)))
+    tk = TOKENIZE_SQL.format(col=text_col)
+    return f"""
+WITH dtoks AS (
+  SELECT DISTINCT {id_col} AS doc_id, t.tok
+  FROM (SELECT {id_col}, {tk} AS tks FROM {table}), unnest(tks) AS t(tok)
+),
+vocab AS (
+  SELECT tok, {hash_embedding_sql("tok", dim)} AS te
+  FROM (SELECT DISTINCT tok FROM dtoks)
+),
+demb AS (SELECT d.doc_id, d.tok, v.te FROM dtoks d JOIN vocab v USING (tok)),
+qemb AS (
+  SELECT qt, {hash_embedding_sql("qt", dim)} AS qe FROM (VALUES {qvals}) q(qt)
+),
+pairs AS (
+  SELECT doc_id, qt,
+         round(list_dot_product(te, qe), {score_decimals}) AS c
+  FROM demb, qemb
+),
+mx AS (SELECT doc_id, qt, max(c) AS m FROM pairs GROUP BY doc_id, qt)
+SELECT doc_id, round(sum(m), {score_decimals}) AS score
+FROM mx GROUP BY doc_id
+ORDER BY score DESC, doc_id ASC
+LIMIT {k}
+"""

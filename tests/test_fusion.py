@@ -87,3 +87,30 @@ def test_tag_store_and_union(spark):
     b = tag_store(spark.createDataFrame([(2, 0.7)], "doc_id bigint, score double"), "keyword")
     got = union_results(a, b).collect()
     assert {(r.doc_id, r.store_type) for r in got} == {(1, "vector"), (2, "keyword")}
+
+
+def test_percentile_rank_fusion_outlier_insensitive(spark):
+    """A scale outlier in one store must not compress that store's
+    other scores (the min-max failure mode rank fusion fixes)."""
+    from memfuse_spark.operators.fusion import (
+        normalized_weighted_sum_fusion,
+        percentile_rank_fusion,
+    )
+
+    rows = [
+        # vector store: one huge outlier + close pack
+        (1, 1000.0, "vector"),
+        (2, 2.0, "vector"),
+        (3, 1.9, "vector"),
+        (4, 1.8, "vector"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, score double, store_type string")
+    w = {"vector": 1.0}
+    mm = {r.doc_id: r.score for r in normalized_weighted_sum_fusion(df, w).collect()}
+    pr = {r.doc_id: r.score for r in percentile_rank_fusion(df, w).collect()}
+    # min-max: docs 2-4 collapse near 0; rank: they stay evenly spread
+    assert mm[2] < 0.01
+    assert pr[2] == pytest.approx(2 / 3)
+    assert pr[3] == pytest.approx(1 / 3)
+    assert pr[4] == pytest.approx(0.0)
+    assert pr[1] == pytest.approx(1.0)

@@ -120,3 +120,28 @@ def test_hard_negatives_excludes_same_label_and_self(spark, tables):
     for scores in per_anchor.values():
         assert len(scores) == 5
         assert scores == sorted(scores, reverse=True)  # hardest first
+
+
+def test_late_interaction_prefers_full_token_coverage(spark):
+    """maxsim rewards covering EVERY query token: a doc containing all
+    query tokens outscores one repeating a single token (exact token
+    match ⇒ cosine 1 under any encoder)."""
+    from memfuse_spark.operators.similarity import late_interaction_topk
+
+    docs = spark.createDataFrame(
+        [
+            (0, "spark table scan"),        # covers all 3 query tokens
+            (1, "spark spark spark spark"), # one token, repeated
+            (2, "unrelated words here"),
+        ],
+        "doc_id bigint, text string",
+    )
+    got = {
+        r.doc_id: r.score
+        for r in late_interaction_topk(
+            docs, ["spark", "table", "scan"], 3
+        ).collect()
+    }
+    assert got[0] == pytest.approx(3.0)      # three exact maxsims of 1.0
+    assert 1.0 <= got[1] < got[0]            # exact 'spark' + weak others
+    assert got[2] < got[1]
