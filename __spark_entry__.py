@@ -1910,6 +1910,18 @@ def q_ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_recall_audit(queries, emb)
 
 
+MIX_BUDGET_TOKENS = 10_000
+
+
+def q_token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget corpus mixing plan: equal per-source token shares,
+    deterministic hash-sampled, with the achieved mix reported."""
+    from memfuse_spark.operators.sampling import token_budget_mix
+
+    (docs,) = _tables(spark, sf_dir, "documents")
+    return token_budget_mix(docs, MIX_BUDGET_TOKENS)
+
+
 def q_fusion_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distribution-based fusion: percent_rank per store then weighted
     sum (outlier-insensitive sibling of U4 min-max)."""
@@ -2228,6 +2240,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_v2_topk": q_bm25_v2_topk,
         "fusion_percentile": q_fusion_percentile,
         "late_interaction": q_late_interaction,
+        "token_budget_mix": q_token_budget_mix,
         # --- rows on
         # --- inputs unchanged since; full-suite verify_oracle.py is
         # --- their per-round superset check (COVERAGE.md). The six
@@ -2456,6 +2469,9 @@ ORDER BY score DESC, doc_id ASC
 """,
         "late_interaction": late_interaction_topk_sql(
             sorted(set(kw_ops._py_tokenize(QUERY_TEXT))), TOP_K
+        ),
+        "token_budget_mix": _sampling_ops.token_budget_mix_sql(
+            MIX_BUDGET_TOKENS, _TOKENIZE_SQL.format(col="text")
         ),
         "like_search": """
 SELECT doc_id, CAST(0.6 AS DOUBLE) AS score FROM documents

@@ -467,3 +467,104 @@ SELECT user AS user_id, item AS item_id, CAST(slot AS INTEGER) AS slot FROM (
 ) WHERE r <= {k}
 ORDER BY user_id, slot
 """
+
+
+def token_budget_mix(
+    docs: DataFrame,
+    budget_tokens: int,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    salt: str = "mix",
+) -> DataFrame:
+    """Token-budget corpus mixing: split a token budget equally across
+    sources, derive each source's deterministic sampling rate
+    (min(1, share/total_s)), sample by keyed hash, and report the
+    achieved mix — (source, total_tokens, rate, kept_docs,
+    kept_tokens). The planning step of assembling a fixed-size training
+    mix from unevenly-sized sources; compose with `domain_mixture` /
+    `temperature_resample` for non-uniform shares.
+
+    One tokenize scan feeds both the totals and the sample (the filter
+    is a pure hash predicate, no shuffle); rates are rounded before the
+    comparison so the kept set is engine-independent. At 100 TB the
+    totals aggregate is the only full pass, and the sample itself
+    pushes down to the scan.
+    """
+    from memfuse_spark.functions.text import tokenize
+
+    toks = docs.select(
+        F.col(source_col).alias("source"),
+        F.col(id_col).alias("doc_id"),
+        F.size(tokenize(text_col)).cast("long").alias("n_tokens"),
+    )
+    totals = toks.groupBy("source").agg(
+        F.sum("n_tokens").cast("long").alias("total_tokens")
+    )
+    ns = totals.agg(F.count("*").cast("long").alias("n_sources"))
+    rates = totals.crossJoin(F.broadcast(ns)).select(
+        "source",
+        "total_tokens",
+        F.round(
+            F.least(
+                F.lit(1.0),
+                (F.lit(float(budget_tokens)) / F.col("n_sources"))
+                / F.col("total_tokens"),
+            ),
+            9,
+        ).alias("rate"),
+    )
+    sampled = toks.join(F.broadcast(rates), "source").filter(
+        hash_uniform("doc_id", salt) < F.col("rate")
+    )
+    kept = sampled.groupBy("source").agg(
+        F.count("*").cast("long").alias("kept_docs"),
+        F.sum("n_tokens").cast("long").alias("kept_tokens"),
+    )
+    return (
+        rates.join(kept, "source", "left")
+        .fillna({"kept_docs": 0, "kept_tokens": 0})
+        .orderBy("source")
+    )
+
+
+def token_budget_mix_sql(
+    budget_tokens: int, tokenize_sql: str, salt: str = "mix"
+) -> str:
+    """DuckDB twin of :func:`token_budget_mix` over documents."""
+    u = (
+        f"CAST(('0x' || substring(md5('{salt}' || CAST(doc_id AS VARCHAR)),"
+        " 1, 8)) AS BIGINT) / 4294967296.0"
+    )
+    return f"""
+WITH toks AS (
+  SELECT source, doc_id, CAST(len({tokenize_sql}) AS BIGINT) AS n_tokens
+  FROM documents
+),
+totals AS (
+  SELECT source, CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+  FROM toks GROUP BY source
+),
+ns AS (SELECT CAST(count(*) AS BIGINT) AS n_sources FROM totals),
+rates AS (
+  SELECT source, total_tokens,
+         round(least(1.0, (CAST({budget_tokens} AS DOUBLE) / n_sources)
+                          / total_tokens), 9) AS rate
+  FROM totals, ns
+),
+sampled AS (
+  SELECT t.source, t.n_tokens
+  FROM toks t JOIN rates r USING (source)
+  WHERE {u} < r.rate
+),
+kept AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS kept_docs,
+         CAST(sum(n_tokens) AS BIGINT) AS kept_tokens
+  FROM sampled GROUP BY source
+)
+SELECT r.source, r.total_tokens, r.rate,
+       coalesce(k.kept_docs, 0) AS kept_docs,
+       coalesce(k.kept_tokens, 0) AS kept_tokens
+FROM rates r LEFT JOIN kept k USING (source)
+ORDER BY r.source
+"""

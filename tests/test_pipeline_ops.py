@@ -368,3 +368,24 @@ def test_uniform_negatives_excludes_positives_and_is_deterministic(spark):
     assert all(len(v) == 5 and len(set(v)) == 5 for v in by_user.values())
     again = uniform_negatives(positives, items, k=5).collect()
     assert [tuple(r) for r in got] == [tuple(r) for r in again]
+
+
+def test_token_budget_mix_caps_each_source(spark):
+    import pytest
+    from memfuse_spark.operators.sampling import token_budget_mix
+
+    # source a: 10 docs x 10 tokens = 100; source b: 2 docs x 5 = 10
+    rows = [(i, "a", "w " * 10) for i in range(10)] + [
+        (100 + i, "b", "w " * 5) for i in range(2)
+    ]
+    docs = spark.createDataFrame(
+        [(i, s, t.strip()) for i, s, t in rows],
+        "doc_id bigint, source string, text string",
+    )
+    got = {r.source: r for r in token_budget_mix(docs, 40).collect()}
+    # 20 tokens/source share: a rate=0.2, b rate=1.0 (min with 1)
+    assert got["a"].rate == pytest.approx(0.2)
+    assert got["b"].rate == pytest.approx(1.0)
+    assert got["b"].kept_docs == 2 and got["b"].kept_tokens == 10
+    assert got["a"].kept_docs <= 10
+    assert got["a"].total_tokens == 100
