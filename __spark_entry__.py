@@ -1910,6 +1910,15 @@ def q_ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_recall_audit(queries, emb)
 
 
+def q_quality_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Best-quality representative per near-dup cluster (connected
+    components + quality argmax; the cleaner copy survives)."""
+    from memfuse_spark.operators.dedup import quality_dedup_keep
+
+    (docs,) = _tables(spark, sf_dir, "documents")
+    return quality_dedup_keep(docs)
+
+
 MIX_BUDGET_TOKENS = 10_000
 
 
@@ -2241,6 +2250,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fusion_percentile": q_fusion_percentile,
         "late_interaction": q_late_interaction,
         "token_budget_mix": q_token_budget_mix,
+        "quality_dedup_keep": q_quality_dedup_keep,
         # --- rows on
         # --- inputs unchanged since; full-suite verify_oracle.py is
         # --- their per-round superset check (COVERAGE.md). The six
@@ -2473,6 +2483,7 @@ ORDER BY score DESC, doc_id ASC
         "token_budget_mix": _sampling_ops.token_budget_mix_sql(
             MIX_BUDGET_TOKENS, _TOKENIZE_SQL.format(col="text")
         ),
+        "quality_dedup_keep": oracles.quality_dedup_keep_sql(),
         "like_search": """
 SELECT doc_id, CAST(0.6 AS DOUBLE) AS score FROM documents
 WHERE lower(text) LIKE '%vector%' OR lower(text) LIKE '%merge%'

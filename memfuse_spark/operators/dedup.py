@@ -1036,3 +1036,39 @@ WHERE len(sa.shingles) > 0
       / len(sa.shingles) >= {threshold}
 ORDER BY inner_doc, outer_doc
 """
+
+
+def quality_dedup_keep(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = JACCARD_THRESHOLD,
+) -> DataFrame:
+    """Best-quality representative per near-dup cluster: connected
+    components over the verified near-dup graph (:func:`dup_clusters`),
+    each cluster keeping its highest-`quality_score` member (tiebreak
+    least doc_id) — the RefinedWeb/Dolma refinement of keep-first
+    dedup: when an article and its boilerplate-wrapped copy cluster
+    together, the CLEANER one survives, not the lower-id one.
+
+    Output: (doc_id, component, cluster_size, quality) — keepers only.
+    The quality join and the keep window both run over the full doc
+    set but shuffle only (id, component, quality) — text stays in the
+    scan.
+    """
+    from pyspark.sql import Window
+
+    from memfuse_spark.operators.textanalysis import quality_score
+
+    clusters = dup_clusters(docs, id_col, text_col, threshold)
+    quality = quality_score(docs, id_col, text_col)
+    joined = clusters.join(quality, "doc_id")
+    w = Window.partitionBy("component").orderBy(
+        F.desc("quality"), F.asc("doc_id")
+    )
+    return (
+        joined.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("doc_id", "component", "cluster_size", "quality")
+        .orderBy("doc_id")
+    )

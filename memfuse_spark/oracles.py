@@ -1708,3 +1708,22 @@ l{t} AS MATERIALIZED (
         f"WITH {body}\n"
         f"SELECT node, label AS community FROM l{iterations} ORDER BY node"
     )
+
+
+def quality_dedup_keep_sql(threshold: float = JACCARD_THRESHOLD) -> str:
+    """Best-quality representative per near-dup component: the
+    dup_clusters recursive reachability joined to the quality scores,
+    one keeper per component by (quality DESC, doc_id ASC)."""
+    return f"""
+WITH clusters AS ({dup_clusters_sql(threshold)}),
+qs AS ({quality_score_sql()}),
+ranked AS (
+  SELECT c.doc_id, c.component, c.cluster_size, q.quality,
+         row_number() OVER (PARTITION BY c.component
+                            ORDER BY q.quality DESC, c.doc_id ASC) AS rn
+  FROM clusters c JOIN qs q USING (doc_id)
+)
+SELECT doc_id, component, cluster_size, quality
+FROM ranked WHERE rn = 1
+ORDER BY doc_id
+"""

@@ -246,3 +246,32 @@ def test_containment_finds_excerpt_jaccard_misses(spark):
     sh1 = set(zip(excerpt.split(), excerpt.split()[1:], excerpt.split()[2:]))
     sh2 = set(zip(body.split(), body.split()[1:], body.split()[2:]))
     assert len(sh1 & sh2) / len(sh1 | sh2) < 0.5
+
+
+def test_quality_dedup_keeps_cleanest_cluster_member(spark):
+    """In a near-dup cluster, the higher-quality member must survive
+    even when it has the larger doc_id (keep-first would pick wrong)."""
+    from memfuse_spark.operators.dedup import quality_dedup_keep
+    from memfuse_spark.operators.textanalysis import quality_score
+
+    base = (
+        "the query planner reorders joins and prunes partitions for "
+        "efficient scans across the warehouse tables every day"
+    )
+    noisy = base + " ### $$$ @@@ !!! %%% ^^^ &&& *** ((( )))"
+    docs = spark.createDataFrame(
+        [
+            (0, noisy),                   # lower quality (symbol soup)
+            (1, base),                    # cleaner duplicate, HIGHER id
+            (2, "completely different text about gardening in spring"),
+        ],
+        "doc_id bigint, text string",
+    )
+    q = {r.doc_id: r.quality for r in quality_score(docs).collect()}
+    assert q[1] > q[0]
+    kept = quality_dedup_keep(docs, threshold=0.5).collect()
+    kept_ids = {r.doc_id for r in kept}
+    assert 1 in kept_ids and 0 not in kept_ids   # cleaner copy survives
+    assert 2 in kept_ids                          # singleton untouched
+    by_id = {r.doc_id: r for r in kept}
+    assert by_id[1].cluster_size == 2
