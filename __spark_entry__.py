@@ -1910,6 +1910,14 @@ def q_ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_recall_audit(queries, emb)
 
 
+def q_ql_dirichlet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Query-likelihood LM retrieval with Dirichlet smoothing (the
+    language-modeling alternative to BM25; missing terms score through
+    the collection model)."""
+    (docs,) = _tables(spark, sf_dir, "documents")
+    return kw_ops.ql_dirichlet_topk(docs, QUERY_TEXT, TOP_K)
+
+
 def q_quality_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Best-quality representative per near-dup cluster (connected
     components + quality argmax; the cleaner copy survives)."""
@@ -2251,6 +2259,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "late_interaction": q_late_interaction,
         "token_budget_mix": q_token_budget_mix,
         "quality_dedup_keep": q_quality_dedup_keep,
+        "ql_dirichlet": q_ql_dirichlet,
         # --- rows on
         # --- inputs unchanged since; full-suite verify_oracle.py is
         # --- their per-round superset check (COVERAGE.md). The six
@@ -2484,6 +2493,7 @@ ORDER BY score DESC, doc_id ASC
             MIX_BUDGET_TOKENS, _TOKENIZE_SQL.format(col="text")
         ),
         "quality_dedup_keep": oracles.quality_dedup_keep_sql(),
+        "ql_dirichlet": kw_ops.ql_dirichlet_topk_sql(QUERY_TEXT, TOP_K),
         "like_search": """
 SELECT doc_id, CAST(0.6 AS DOUBLE) AS score FROM documents
 WHERE lower(text) LIKE '%vector%' OR lower(text) LIKE '%merge%'

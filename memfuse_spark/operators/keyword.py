@@ -932,3 +932,134 @@ def bm25_topk_from_index_v2(
         F.broadcast(stats)
     )
     return _bm25_score(matched, k, k1, b, score_decimals)
+
+
+# ---------------------------------------------------------------------------
+# query-likelihood language-model scoring (Dirichlet smoothing)
+# ---------------------------------------------------------------------------
+
+QL_MU = 2000.0
+
+
+def ql_dirichlet_topk(
+    docs: DataFrame,
+    query: str,
+    k: int,
+    mu: float = QL_MU,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    score_decimals: int = 6,
+) -> DataFrame:
+    """Query-likelihood retrieval with Dirichlet smoothing (Zhai &
+    Lafferty '01) — the language-modeling alternative to BM25:
+    score(d) = Σ_{t∈Q} qtf(t) · ln((tf(t,d) + μ·P(t|C)) / (dl + μ))
+    with P(t|C) = cf(t)/|C| the collection model. Documents that miss a
+    query term still score (the smoothing term), so EVERY document gets
+    a score — ranking reduces to per-doc arithmetic over the query
+    terms only.
+
+    Plan: postings build (one shuffle) → collection stats as broadcast
+    aggregates → per-(doc, query-term) log term via a broadcast join
+    that keeps missing terms through the collection model → top-k. At
+    index scale the per-term cf comes from the df table's sibling
+    aggregate and the same bucket pruning applies.
+    """
+    spark = docs.sparkSession
+    q_counts: dict[str, int] = {}
+    for t in _py_tokenize(query):
+        q_counts[t] = q_counts.get(t, 0) + 1
+    q_terms = sorted(q_counts)
+    postings = build_postings(docs, id_col, text_col).persist()
+    try:
+        coll = postings.agg(
+            F.sum("tf").cast("double").alias("coll_len")
+        )
+        cf = (
+            postings.filter(F.col("term").isin(q_terms))
+            .groupBy("term")
+            .agg(F.sum("tf").cast("double").alias("cf"))
+        )
+        qdf = spark.createDataFrame(
+            [(t, float(c)) for t, c in sorted(q_counts.items())],
+            "term string, qtf double",
+        )
+        # every (doc, query term) pair — including absent terms, which
+        # take tf = 0 and score through the collection model
+        dls = postings.groupBy("doc_id").agg(F.first("dl").alias("dl"))
+        grid = dls.crossJoin(
+            F.broadcast(qdf.join(cf, "term").crossJoin(coll))
+        )
+        tfs = postings.filter(F.col("term").isin(q_terms)).select(
+            "doc_id", "term", "tf"
+        )
+        # keyed join, NOT broadcast: a common query term's postings are
+        # corpus-sized; both sides shuffle on (doc_id, term)
+        matched = grid.join(tfs, ["doc_id", "term"], "left").fillna({"tf": 0})
+        term_score = F.col("qtf") * F.log(
+            (F.col("tf") + mu * (F.col("cf") / F.col("coll_len")))
+            / (F.col("dl") + mu)
+        )
+        result = (
+            matched.select("doc_id", term_score.alias("s"))
+            .groupBy("doc_id")
+            .agg(F.round(F.sum("s"), score_decimals).alias("score"))
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+            .limit(k)
+        )
+        rows = result.collect()  # <= k rows
+        return spark.createDataFrame(rows, schema=result.schema)
+    finally:
+        postings.unpersist()
+
+
+def ql_dirichlet_topk_sql(
+    query: str,
+    k: int,
+    mu: float = QL_MU,
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    score_decimals: int = 6,
+) -> str:
+    """DuckDB oracle twin of :func:`ql_dirichlet_topk`."""
+    q_counts: dict[str, int] = {}
+    for t in _py_tokenize(query):
+        q_counts[t] = q_counts.get(t, 0) + 1
+    qvals = ", ".join(
+        f"('{t}', CAST({float(c)} AS DOUBLE))" for t, c in sorted(q_counts.items())
+    )
+    return f"""
+WITH toks AS (
+  SELECT {id_col} AS doc_id,
+         list_filter(string_split_regex(lower({text_col}), '[^a-z0-9]+'),
+                     t -> len(t) > 0) AS tokens
+  FROM {table}
+),
+postings AS (
+  SELECT doc_id, len(tokens) AS dl, t.term, count(*) AS tf
+  FROM toks, unnest(tokens) AS t(term)
+  GROUP BY doc_id, dl, t.term
+),
+coll AS (SELECT CAST(sum(tf) AS DOUBLE) AS coll_len FROM postings),
+qterms(term, qtf) AS (VALUES {qvals}),
+cf AS (
+  SELECT term, CAST(sum(tf) AS DOUBLE) AS cf
+  FROM postings JOIN qterms USING (term) GROUP BY term
+),
+dls AS (SELECT doc_id, any_value(dl) AS dl FROM postings GROUP BY doc_id),
+grid AS (
+  SELECT d.doc_id, d.dl, q.term, q.qtf, c.cf, l.coll_len
+  FROM dls d, qterms q JOIN cf c USING (term), coll l
+),
+matched AS (
+  SELECT g.*, coalesce(p.tf, 0) AS tf
+  FROM grid g
+  LEFT JOIN postings p ON p.doc_id = g.doc_id AND p.term = g.term
+)
+SELECT doc_id,
+       round(sum(qtf * ln((tf + {mu} * (cf / coll_len)) / (dl + {mu}))),
+             {score_decimals}) AS score
+FROM matched GROUP BY doc_id
+ORDER BY score DESC, doc_id ASC
+LIMIT {k}
+"""

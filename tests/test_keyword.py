@@ -322,3 +322,42 @@ def test_v2_index_incremental_update_matches_rebuild(spark, tmp_path):
         for n in ("v2_inc", "v2_reb"):
             for side in ("", "_df", "_stats"):
                 spark.sql(f"DROP TABLE IF EXISTS {n}{side}")
+
+
+def test_ql_dirichlet_matches_python_reference(spark):
+    from memfuse_spark.operators.keyword import ql_dirichlet_topk
+
+    docs_rows = DOCS
+    mu = 10.0
+    got = {
+        r.doc_id: r.score
+        for r in ql_dirichlet_topk(
+            spark.createDataFrame(docs_rows, "doc_id bigint, text string"),
+            "spark table join",
+            10,
+            mu=mu,
+        ).collect()
+    }
+    # pure-python reference
+    tok = lambda s: [t for t in re.split(r"[^a-z0-9]+", s.lower()) if t]
+    toks = {i: tok(t) for i, t in docs_rows}
+    coll_len = sum(len(v) for v in toks.values())
+    cf = {}
+    for v in toks.values():
+        for t in v:
+            cf[t] = cf.get(t, 0) + 1
+    q = tok("spark table join")
+    want = {}
+    for i, v in toks.items():
+        s = 0.0
+        for t in q:
+            if cf.get(t, 0) == 0:
+                continue  # absent from the collection entirely
+            tf = Counter(v)[t]
+            s += math.log((tf + mu * (cf[t] / coll_len)) / (len(v) + mu))
+        want[i] = s
+    assert set(got) == set(want)
+    for i in want:
+        assert got[i] == pytest.approx(want[i], abs=1e-6)
+    # a doc with ZERO query terms still gets a (low) score
+    assert 4 in got
