@@ -1910,6 +1910,13 @@ def q_ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_recall_audit(queries, emb)
 
 
+def q_hist_quantiles_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type p50/p90/p99 from per-group mergeable fixed-bin
+    histograms (the dataset-card value-profile tier)."""
+    (events,) = _tables(spark, sf_dir, "events")
+    return _stats.histogram_quantiles_by_group(events)
+
+
 def q_ql_dirichlet(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Query-likelihood LM retrieval with Dirichlet smoothing (the
     language-modeling alternative to BM25; missing terms score through
@@ -2260,6 +2267,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_budget_mix": q_token_budget_mix,
         "quality_dedup_keep": q_quality_dedup_keep,
         "ql_dirichlet": q_ql_dirichlet,
+        "hist_quantiles_by_type": q_hist_quantiles_by_type,
         # --- rows on
         # --- inputs unchanged since; full-suite verify_oracle.py is
         # --- their per-round superset check (COVERAGE.md). The six
@@ -2494,6 +2502,7 @@ ORDER BY score DESC, doc_id ASC
         ),
         "quality_dedup_keep": oracles.quality_dedup_keep_sql(),
         "ql_dirichlet": kw_ops.ql_dirichlet_topk_sql(QUERY_TEXT, TOP_K),
+        "hist_quantiles_by_type": _stats.histogram_quantiles_by_group_sql(),
         "like_search": """
 SELECT doc_id, CAST(0.6 AS DOUBLE) AS score FROM documents
 WHERE lower(text) LIKE '%vector%' OR lower(text) LIKE '%merge%'

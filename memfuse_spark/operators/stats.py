@@ -436,3 +436,128 @@ WITH agg AS (SELECT {", ".join(aggs)} FROM {table})
 SELECT * FROM ({union})
 ORDER BY column_name
 """
+
+
+def histogram_quantiles_by_group(
+    events: DataFrame,
+    group_col: str = "event_type",
+    value_col: str = "value",
+    bins: int = HIST_BINS,
+    quantiles: tuple = HIST_QUANTILES,
+) -> DataFrame:
+    """(grp, quantile, bin, estimate) — the per-group form of
+    :func:`histogram_quantiles`: each group gets its own integer-cents
+    range, fixed-bin histogram (groups × bins rows of mergeable state),
+    cumulative window, landing bin, and in-bin interpolation. Per-group
+    windows sort only bins, never rows; everything else is keyed
+    aggregation — the per-domain value-profile tier of a dataset card.
+    """
+    from pyspark.sql import Window
+
+    c = value_cents(value_col)
+    keyed = events.select(F.col(group_col).alias("grp"), c.alias("c"))
+    rng = keyed.groupBy("grp").agg(
+        F.min("c").alias("cmin"),
+        F.max("c").alias("cmax"),
+        F.count("*").alias("total"),
+    )
+    hist = (
+        keyed.join(F.broadcast(rng), "grp")
+        .withColumn("bin", bin_expr(bins))
+        .groupBy("grp", "bin")
+        .agg(F.count("*").alias("n"))
+        .join(F.broadcast(rng), "grp")
+        .withColumn(
+            "cum",
+            F.sum("n").over(
+                Window.partitionBy("grp")
+                .orderBy("bin")
+                .rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+    )
+    qdf = events.sparkSession.createDataFrame(
+        [(float(q),) for q in quantiles], "quantile double"
+    )
+    landing = (
+        hist.join(F.broadcast(qdf))
+        .withColumn("target", F.ceil(F.col("quantile") * F.col("total")))
+        .filter(F.col("cum") >= F.col("target"))
+        .groupBy("grp", "quantile")
+        .agg(F.min("bin").alias("bin"))
+    )
+    detail = hist.select(
+        "grp", "bin", "n", "cum", "cmin", "cmax", "total",
+        (F.col("cmin") + (F.col("cmax") - F.col("cmin")) * F.col("bin") / bins
+         ).alias("lo"),
+        ((F.col("cmax") - F.col("cmin")) * 1.0 / bins).alias("width"),
+    )
+    return (
+        landing.join(detail, ["grp", "bin"])
+        .withColumn("target", F.ceil(F.col("quantile") * F.col("total")))
+        .select(
+            "grp",
+            "quantile",
+            "bin",
+            F.round(
+                (F.col("lo")
+                 + F.col("width")
+                 * (F.col("target") - (F.col("cum") - F.col("n")))
+                 / F.col("n"))
+                / 100.0,
+                6,
+            ).alias("estimate"),
+        )
+        .orderBy("grp", "quantile")
+    )
+
+
+def histogram_quantiles_by_group_sql(
+    group_col: str = "event_type",
+    bins: int = HIST_BINS,
+    quantiles: tuple = HIST_QUANTILES,
+) -> str:
+    """DuckDB twin of :func:`histogram_quantiles_by_group`."""
+    qvals = ", ".join(f"({q})" for q in quantiles)
+    return f"""
+WITH cents AS (
+  SELECT {group_col} AS grp,
+         CAST(round(value * 100.0, 0) AS BIGINT) AS c
+  FROM events
+),
+rng AS (
+  SELECT grp, min(c) AS cmin, max(c) AS cmax, count(*) AS total
+  FROM cents GROUP BY grp
+),
+hist AS (
+  SELECT c.grp,
+         CAST(least({bins - 1}, (c - cmin) * {bins} // (cmax - cmin))
+              AS INTEGER) AS bin,
+         count(*) AS n
+  FROM cents c JOIN rng USING (grp) GROUP BY c.grp, bin
+),
+cum AS (
+  SELECT h.grp, bin, n,
+         sum(n) OVER (PARTITION BY h.grp ORDER BY bin
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cum
+  FROM hist h
+),
+qs AS (SELECT CAST(quantile AS DOUBLE) AS quantile
+       FROM (VALUES {qvals}) AS t(quantile)),
+landing AS (
+  SELECT r.grp, quantile, min(bin) AS bin
+  FROM qs JOIN rng r ON true
+  JOIN cum ON cum.grp = r.grp AND cum.cum >= ceil(quantile * r.total)
+  GROUP BY r.grp, quantile
+)
+SELECT l.grp, l.quantile, l.bin,
+       round((r.cmin + (r.cmax - r.cmin) * l.bin / {bins}
+              + ((r.cmax - r.cmin) * 1.0 / {bins})
+                * (ceil(l.quantile * r.total) - (c2.cum - c2.n)) / c2.n)
+             / 100.0, 6) AS estimate
+FROM landing l
+JOIN cum c2 ON c2.grp = l.grp AND c2.bin = l.bin
+JOIN rng r ON r.grp = l.grp
+ORDER BY l.grp, l.quantile
+"""

@@ -418,3 +418,29 @@ def test_column_profile_metrics(spark):
     assert got["s"].min_num is None and got["s"].max_num is None
     assert got["v"].n_nulls == 1
     assert got["v"].min_num == 1.0 and got["v"].max_num == 4.0
+
+
+def test_grouped_hist_quantiles_close_to_exact(spark, tables):
+    from memfuse_spark.operators.stats import histogram_quantiles_by_group
+
+    ev = tables["events"]
+    got = {
+        (r.grp, r.quantile): r.estimate
+        for r in histogram_quantiles_by_group(ev).collect()
+    }
+    exact = {
+        (r.grp, 0.5): r.q50
+        for r in ev.groupBy(F.col("event_type").alias("grp"))
+        .agg(F.expr("percentile(value, 0.5)").alias("q50"))
+        .collect()
+    }
+    # within one bin width of the exact per-group median
+    rng = {
+        r.grp: (r.mx - r.mn)
+        for r in ev.groupBy(F.col("event_type").alias("grp"))
+        .agg(F.min("value").alias("mn"), F.max("value").alias("mx"))
+        .collect()
+    }
+    for (grp, q), est in got.items():
+        if q == 0.5:
+            assert abs(est - exact[(grp, 0.5)]) <= rng[grp] / 64 + 0.01, grp
