@@ -1910,6 +1910,55 @@ def q_ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_recall_audit(queries, emb)
 
 
+def q_ltr_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learning-to-rank feature export: the two retrieval branches'
+    candidate union, each candidate carrying (vector cosine, BM25,
+    query-term overlap, token length, quality) — the training-table
+    step of building a ranker over this engine's first stage."""
+    from memfuse_spark.functions.vector import cosine_similarity
+    from memfuse_spark.operators.textanalysis import quality_expr
+    from memfuse_spark.functions.text import tokenize
+
+    docs, emb = _tables(spark, sf_dir, "documents", "embeddings")
+    qvec = anchor_vector(spark, emb, ANCHOR_VEC_ID)
+    vec = similarity_topk(emb, qvec, FIRST_STAGE_K).withColumnRenamed(
+        "vec_id", "doc_id"
+    )
+    kw = kw_ops.bm25_topk_from_index(
+        spark, _postings_index(spark, sf_dir), QUERY_TEXT, FIRST_STAGE_K
+    )
+    cand = (
+        vec.select("doc_id").unionByName(kw.select("doc_id")).distinct()
+    )
+    q_terms = sorted(set(kw_ops._py_tokenize(QUERY_TEXT)))
+    toks = docs.select(
+        "doc_id", F.col("text"), tokenize("text").alias("tk")
+    )
+    base = cand.join(toks, "doc_id").select(
+        "doc_id",
+        F.size(
+            F.array_intersect(
+                F.array_distinct("tk"),
+                F.array(*[F.lit(t) for t in q_terms]),
+            )
+        ).cast("long").alias("f_overlap"),
+        F.size("tk").cast("long").alias("f_dl"),
+        F.round(quality_expr(), 6).alias("f_quality"),
+    )
+    q = F.array(*[F.lit(float(x)) for x in qvec])
+    vecf = cand.join(emb, cand.doc_id == emb.vec_id).select(
+        cand.doc_id,
+        F.round(cosine_similarity(F.col("embedding"), q), 6).alias("f_vec"),
+    )
+    out = (
+        base.join(vecf, "doc_id", "left")
+        .join(kw.select("doc_id", F.col("score").alias("f_bm25")), "doc_id", "left")
+        .fillna({"f_vec": 0.0, "f_bm25": 0.0})
+        .orderBy("doc_id")
+    )
+    return out.select("doc_id", "f_vec", "f_bm25", "f_overlap", "f_dl", "f_quality")
+
+
 def q_hist_quantiles_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-event-type p50/p90/p99 from per-group mergeable fixed-bin
     histograms (the dataset-card value-profile tier)."""
@@ -2268,6 +2317,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_dedup_keep": q_quality_dedup_keep,
         "ql_dirichlet": q_ql_dirichlet,
         "hist_quantiles_by_type": q_hist_quantiles_by_type,
+        "ltr_features": q_ltr_features,
         # --- rows on
         # --- inputs unchanged since; full-suite verify_oracle.py is
         # --- their per-round superset check (COVERAGE.md). The six
@@ -2503,6 +2553,45 @@ ORDER BY score DESC, doc_id ASC
         "quality_dedup_keep": oracles.quality_dedup_keep_sql(),
         "ql_dirichlet": kw_ops.ql_dirichlet_topk_sql(QUERY_TEXT, TOP_K),
         "hist_quantiles_by_type": _stats.histogram_quantiles_by_group_sql(),
+        "ltr_features": f"""
+WITH {_q(ANCHOR_VEC_ID)},
+vec AS (
+  SELECT e.vec_id AS doc_id, {_COS_SQL} AS score
+  FROM embeddings e, q
+  ORDER BY score DESC, e.vec_id ASC
+  LIMIT {FIRST_STAGE_K}
+),
+kw AS (SELECT * FROM ({kw_ops.bm25_topk_sql(QUERY_TEXT, FIRST_STAGE_K)})),
+cand AS (SELECT doc_id FROM vec UNION SELECT doc_id FROM kw),
+toks2 AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                     t -> len(t) > 0) AS tk
+  FROM documents
+),
+qs AS ({oracles.quality_score_sql()}),
+feats AS (
+  SELECT c.doc_id,
+         CAST(len(list_intersect(list_distinct(t.tk),
+              [{", ".join(f"'{t}'" for t in sorted(set(kw_ops._py_tokenize(QUERY_TEXT))))}]))
+              AS BIGINT) AS f_overlap,
+         CAST(len(t.tk) AS BIGINT) AS f_dl,
+         s.quality AS f_quality
+  FROM cand c JOIN toks2 t USING (doc_id) JOIN qs s USING (doc_id)
+),
+vecf AS (
+  SELECT c.doc_id, {_COS_SQL} AS f_vec
+  FROM cand c JOIN embeddings e ON e.vec_id = c.doc_id, q
+)
+SELECT f.doc_id,
+       coalesce(v.f_vec, 0.0) AS f_vec,
+       coalesce(k.score, 0.0) AS f_bm25,
+       f_overlap, f_dl, f_quality
+FROM feats f
+LEFT JOIN vecf v USING (doc_id)
+LEFT JOIN kw k USING (doc_id)
+ORDER BY f.doc_id
+""",
         "like_search": """
 SELECT doc_id, CAST(0.6 AS DOUBLE) AS score FROM documents
 WHERE lower(text) LIKE '%vector%' OR lower(text) LIKE '%merge%'
