@@ -1910,6 +1910,29 @@ def q_ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_recall_audit(queries, emb)
 
 
+def q_entity_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity co-occurrence mining over M2 facts: the memory graph's
+    edge-weight table (pair frequency + mean confidence), top-20."""
+    from memfuse_spark.operators import hierarchy as h
+
+    (events,) = _tables(spark, sf_dir, "events")
+    m2 = h.m2_facts_from_m1(h.m1_from_m0(h.m0_from_events(events)))
+    return (
+        m2.select(
+            F.col("entities")[0].alias("entity_a"),
+            F.col("entities")[1].alias("entity_b"),
+            "confidence",
+        )
+        .groupBy("entity_a", "entity_b")
+        .agg(
+            F.count("*").cast("long").alias("n_facts"),
+            F.round(F.avg("confidence"), 6).alias("avg_confidence"),
+        )
+        .orderBy(F.desc("n_facts"), F.asc("entity_a"), F.asc("entity_b"))
+        .limit(20)
+    )
+
+
 def q_ltr_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Learning-to-rank feature export: the two retrieval branches'
     candidate union, each candidate carrying (vector cosine, BM25,
@@ -2318,6 +2341,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ql_dirichlet": q_ql_dirichlet,
         "hist_quantiles_by_type": q_hist_quantiles_by_type,
         "ltr_features": q_ltr_features,
+        "entity_cooccurrence": q_entity_cooccurrence,
         # --- rows on
         # --- inputs unchanged since; full-suite verify_oracle.py is
         # --- their per-round superset check (COVERAGE.md). The six
@@ -2553,6 +2577,17 @@ ORDER BY score DESC, doc_id ASC
         "quality_dedup_keep": oracles.quality_dedup_keep_sql(),
         "ql_dirichlet": kw_ops.ql_dirichlet_topk_sql(QUERY_TEXT, TOP_K),
         "hist_quantiles_by_type": _stats.histogram_quantiles_by_group_sql(),
+        "entity_cooccurrence": f"""
+WITH m2 AS ({oracles.m2_facts_sql()})
+SELECT split_part(entities_csv, ',', 1) AS entity_a,
+       split_part(entities_csv, ',', 2) AS entity_b,
+       CAST(count(*) AS BIGINT) AS n_facts,
+       round(avg(confidence), 6) AS avg_confidence
+FROM m2
+GROUP BY entity_a, entity_b
+ORDER BY n_facts DESC, entity_a ASC, entity_b ASC
+LIMIT 20
+""",
         "ltr_features": f"""
 WITH {_q(ANCHOR_VEC_ID)},
 vec AS (

@@ -979,3 +979,43 @@ SELECT base.source, n_docs, dup_docs,
 FROM base JOIN top_lang ON base.source = top_lang.source
 ORDER BY base.source
 """
+
+
+def compression_ratio(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(doc_id, n_bytes, ratio) — zlib compression ratio per document
+    (compressed/raw), the classic near-free repetitiveness signal
+    (Gopher-family pipelines drop very-low-ratio docs as boilerplate
+    and very-high as noise). No SQL twin exists (DuckDB has no zlib
+    scalar), so this is pytest-verified against python zlib directly.
+
+    Runs as mapInPandas: Arrow moves the text column in batches, zlib
+    is called per doc (inherently per-item), the arithmetic around it
+    is vectorized. Deterministic — zlib level fixed.
+    """
+    import zlib
+
+    import pandas as pd
+
+    out_schema = f"{id_col} long, n_bytes long, ratio double"
+
+    def compute(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                yield pd.DataFrame(columns=[id_col, "n_bytes", "ratio"])
+                continue
+            raw = [t.encode("utf-8") if t is not None else b"" for t in pdf[text_col]]
+            comp = [len(zlib.compress(b, 6)) for b in raw]
+            n = [len(b) for b in raw]
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].to_numpy(),
+                    "n_bytes": n,
+                    "ratio": [
+                        round(c / nb, 6) if nb else 0.0 for c, nb in zip(comp, n)
+                    ],
+                }
+            )
+
+    return docs.select(id_col, text_col).mapInPandas(compute, out_schema)

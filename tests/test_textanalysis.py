@@ -221,3 +221,21 @@ def test_proximity_search_band_semantics(spark):
     got = {r["doc_id"]: r["n_near"] for r in
            proximity_search(docs, "alpha", "beta", 5, 10).collect()}
     assert got == {1: 2, 3: 1}
+
+
+def test_compression_ratio_matches_zlib_and_flags_repetition(spark):
+    import zlib
+
+    from memfuse_spark.operators.textanalysis import compression_ratio
+
+    docs = [
+        (0, "abc " * 200),                      # highly repetitive
+        (1, "the quick brown fox jumps over the lazy dog and then naps"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id bigint, text string")
+    got = {r.doc_id: r for r in compression_ratio(df).collect()}
+    for i, t in docs:
+        b = t.encode()
+        assert got[i].n_bytes == len(b)
+        assert got[i].ratio == round(len(zlib.compress(b, 6)) / len(b), 6)
+    assert got[0].ratio < got[1].ratio  # repetition compresses better
