@@ -103,6 +103,15 @@ EXTRA = [
     "events_profile",
     "uniform_negatives",
     "click_attribution",
+    "bm25_v2_topk",
+    "fusion_percentile",
+    "late_interaction",
+    "token_budget_mix",
+    "quality_dedup_keep",
+    "ql_dirichlet",
+    "hist_quantiles_by_type",
+    "ltr_features",
+    "entity_cooccurrence",
 ]
 
 
