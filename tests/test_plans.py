@@ -188,3 +188,46 @@ def test_tpch_correlated_shapes(spark, tables):
     assert "SortMergeJoin" not in q2
     q17 = _plan(m.q_tpch_q17(spark, SF_DIR))
     assert "BroadcastHashJoin" in q17
+
+
+def test_weighted_sample_no_shuffle(spark, tables):
+    """A-ES weighted sampling is projection + TakeOrdered — the corpus
+    must never shuffle."""
+    from memfuse_spark.operators.sampling import weighted_sample
+
+    plan = _plan(weighted_sample(tables["documents"], 50, "n_chars"))
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange" not in plan
+
+
+def test_rm3_pass2_prunes_index_buckets(spark):
+    """The indexed RM3 second pass must scan the postings table with
+    bucket pruning on the (runtime-discovered) term list — never the
+    documents table."""
+    import __spark_entry__ as m
+
+    df = m.q_rm3_expand(spark, SF_DIR)
+    plan = _plan(df)
+    assert "mfs_postings_" in plan
+    assert "SelectedBucketsCount" in plan
+
+
+def test_routed_hybrid_freshness_join_broadcasts(spark):
+    """The ≤k fused rows broadcast into the events scan; a SortMergeJoin
+    here would shuffle the fact table for a 15-row join."""
+    import __spark_entry__ as m
+
+    plan = _plan(m.q_routed_hybrid(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_uniform_negatives_catalog_broadcasts(spark):
+    """Candidate draws join the rank-indexed catalog and the positives
+    via broadcast/hash joins — no cartesian anywhere (also covered by
+    the repo-wide lint) and no range-partition global sort."""
+    import __spark_entry__ as m
+
+    plan = _plan(m.q_uniform_negatives(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
