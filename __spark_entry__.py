@@ -1910,6 +1910,48 @@ def q_ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_recall_audit(queries, emb)
 
 
+def q_minhash_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash estimator audit: signature-agreement Jaccard estimate vs
+    exact, per LSH candidate pair (the dedup twin of ann_recall_audit)."""
+    from memfuse_spark.operators.dedup import minhash_accuracy
+
+    (docs,) = _tables(spark, sf_dir, "documents")
+    return minhash_accuracy(docs)
+
+
+def q_source_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus concentration audit: per-source doc share, cumulative
+    share in rank order, and each source's squared-share HHI term.
+    The unpartitioned window runs AFTER the groupBy, over the
+    sources-sized aggregate — bounded rows at any corpus size."""
+    from pyspark.sql import Window
+
+    (docs,) = _tables(spark, sf_dir, "documents")
+    per = docs.groupBy("source").agg(F.count("*").cast("long").alias("n_docs"))
+    tot = per.agg(F.sum("n_docs").cast("double").alias("total"))
+    w = Window.orderBy(F.desc("n_docs"), F.asc("source"))
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .withColumn("share", F.round(F.col("n_docs") / F.col("total"), 6))
+        .withColumn(
+            "cum_share",
+            F.round(
+                F.sum(F.col("n_docs") / F.col("total")).over(
+                    w.rowsBetween(Window.unboundedPreceding, 0)
+                ),
+                6,
+            ),
+        )
+        .withColumn(
+            "hhi_term",
+            F.round(F.pow(F.col("n_docs") / F.col("total"), 2.0), 9),
+        )
+        .select("rank", "source", "n_docs", "share", "cum_share", "hhi_term")
+        .orderBy("rank")
+    )
+
+
 def q_entity_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Entity co-occurrence mining over M2 facts: the memory graph's
     edge-weight table (pair frequency + mean confidence), top-20."""
@@ -2342,6 +2384,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hist_quantiles_by_type": q_hist_quantiles_by_type,
         "ltr_features": q_ltr_features,
         "entity_cooccurrence": q_entity_cooccurrence,
+        "minhash_accuracy": q_minhash_accuracy,
+        "source_concentration": q_source_concentration,
         # --- rows on
         # --- inputs unchanged since; full-suite verify_oracle.py is
         # --- their per-round superset check (COVERAGE.md). The six
@@ -2577,6 +2621,23 @@ ORDER BY score DESC, doc_id ASC
         "quality_dedup_keep": oracles.quality_dedup_keep_sql(),
         "ql_dirichlet": kw_ops.ql_dirichlet_topk_sql(QUERY_TEXT, TOP_K),
         "hist_quantiles_by_type": _stats.histogram_quantiles_by_group_sql(),
+        "minhash_accuracy": oracles.minhash_accuracy_sql(),
+        "source_concentration": """
+WITH per AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+  FROM documents GROUP BY source
+),
+tot AS (SELECT CAST(sum(n_docs) AS DOUBLE) AS total FROM per)
+SELECT CAST(row_number() OVER w AS BIGINT) AS rank,
+       source, n_docs,
+       round(n_docs / total, 6) AS share,
+       round(sum(n_docs / total) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING
+                                       AND CURRENT ROW), 6) AS cum_share,
+       round(pow(n_docs / total, 2.0), 9) AS hhi_term
+FROM per, tot
+WINDOW w AS (ORDER BY n_docs DESC, source ASC)
+ORDER BY rank
+""",
         "entity_cooccurrence": f"""
 WITH m2 AS ({oracles.m2_facts_sql()})
 SELECT split_part(entities_csv, ',', 1) AS entity_a,

@@ -1072,3 +1072,63 @@ def quality_dedup_keep(
         .select("doc_id", "component", "cluster_size", "quality")
         .orderBy("doc_id")
     )
+
+
+def minhash_accuracy(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = NUM_HASHES,
+    n: int = SHINGLE_N,
+) -> DataFrame:
+    """(doc_a, doc_b, est_jaccard, exact_jaccard, abs_err) — estimator
+    audit for the MinHash tier (the dedup twin of `ann_recall_audit`):
+    for every LSH candidate pair, the signature-agreement estimate
+    (matching components / num_hashes — the unbiased MinHash estimator)
+    beside the exact shingle Jaccard. Quantifies what the 12-hash
+    signature costs in accuracy before anyone tunes thresholds on it.
+
+    Candidates come from the production banded-LSH join (never
+    all-pairs); the exact column joins the shingle arrays on
+    candidate-count rows only — at 100 TB you sample candidates for the
+    audit and drop the exact join from the hot path.
+    """
+    from memfuse_spark import cache
+
+    cache.begin("dedup.accuracy")
+    sets = cache.scoped_persist(
+        shingle_sets(docs, id_col, text_col, n), "dedup.accuracy"
+    )
+    sig = minhash_signature(sets, num_hashes)
+    sig = cache.scoped_persist(sig, "dedup.accuracy")
+    cands = lsh_candidate_pairs(sig, num_hashes=num_hashes)
+    sa = sig.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"h{i}").alias(f"a_h{i}") for i in range(num_hashes)],
+    )
+    sb = sig.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"h{i}").alias(f"b_h{i}") for i in range(num_hashes)],
+    )
+    matches = sum(
+        F.when(F.col(f"a_h{i}") == F.col(f"b_h{i}"), 1).otherwise(0)
+        for i in range(num_hashes)
+    )
+    ga = sets.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sha"))
+    gb = sets.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("shb"))
+    est = F.round(matches / F.lit(float(num_hashes)), 6)
+    exact = F.round(jaccard(F.col("sha"), F.col("shb")), 6)
+    return (
+        cands.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .join(ga, "doc_a")
+        .join(gb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            est.alias("est_jaccard"),
+            exact.alias("exact_jaccard"),
+            F.round(F.abs(est - exact), 6).alias("abs_err"),
+        )
+        .orderBy("doc_a", "doc_b")
+    )

@@ -1727,3 +1727,32 @@ SELECT doc_id, component, cluster_size, quality
 FROM ranked WHERE rn = 1
 ORDER BY doc_id
 """
+
+
+def minhash_accuracy_sql(num_hashes: int = 12) -> str:
+    """Estimator audit twin: signature-agreement estimate vs exact
+    shingle Jaccard on every LSH candidate pair."""
+    match_sum = " + ".join(
+        f"CASE WHEN sa.h{i} = sb.h{i} THEN 1 ELSE 0 END"
+        for i in range(num_hashes)
+    )
+    exact = (
+        "round(len(list_intersect(ga.s, gb.s))::DOUBLE"
+        " / len(list_distinct(list_concat(ga.s, gb.s))), 6)"
+    )
+    return (
+        _minhash_prefix()
+        + f"""
+SELECT doc_a, doc_b,
+       round(({match_sum}) / {float(num_hashes)}, 6) AS est_jaccard,
+       {exact} AS exact_jaccard,
+       round(abs(round(({match_sum}) / {float(num_hashes)}, 6) - {exact}), 6)
+         AS abs_err
+FROM cands
+JOIN sigs sa ON sa.doc_id = doc_a
+JOIN sigs sb ON sb.doc_id = doc_b
+JOIN shingles ga ON ga.doc_id = doc_a
+JOIN shingles gb ON gb.doc_id = doc_b
+ORDER BY doc_a, doc_b
+"""
+    )

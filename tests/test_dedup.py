@@ -275,3 +275,17 @@ def test_quality_dedup_keeps_cleanest_cluster_member(spark):
     assert 2 in kept_ids                          # singleton untouched
     by_id = {r.doc_id: r for r in kept}
     assert by_id[1].cluster_size == 2
+
+
+def test_minhash_accuracy_estimator_sane(spark, tables):
+    from memfuse_spark.operators.dedup import minhash_accuracy
+
+    rows = minhash_accuracy(tables["documents"]).collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert 0.0 <= r.est_jaccard <= 1.0
+        assert 0.0 <= r.exact_jaccard <= 1.0
+        assert r.abs_err == round(abs(r.est_jaccard - r.exact_jaccard), 6)
+    # 12-hash estimator: mean |error| over candidates should be modest
+    mean_err = sum(r.abs_err for r in rows) / len(rows)
+    assert mean_err < 0.25
