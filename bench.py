@@ -112,6 +112,8 @@ EXTRA = [
     "hist_quantiles_by_type",
     "ltr_features",
     "entity_cooccurrence",
+    "minhash_accuracy",
+    "source_concentration",
 ]
 
 
