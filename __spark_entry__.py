@@ -1910,6 +1910,25 @@ def q_ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_recall_audit(queries, emb)
 
 
+def q_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-in-time alignment: each purchase matched to the closest
+    view (either direction) of the same user — composition of the
+    backward and forward one-shuffle as-of kernels."""
+    (events,) = _tables(spark, sf_dir, "events")
+    purchases = events.filter(F.col("event_type") == "purchase")
+    views = events.filter(F.col("event_type") == "view")
+    return _temporal.asof_nearest(
+        purchases, views, "user_id", "ts", "value", "event_id"
+    ).orderBy("event_id")
+
+
+def q_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type daily OHLC bars (open/high/low/close resampling with
+    deterministic (ts,id) open/close selection)."""
+    (events,) = _tables(spark, sf_dir, "events")
+    return _temporal.ohlc_bars(events)
+
+
 def q_minhash_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash estimator audit: signature-agreement Jaccard estimate vs
     exact, per LSH candidate pair (the dedup twin of ann_recall_audit)."""
@@ -2386,6 +2405,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "entity_cooccurrence": q_entity_cooccurrence,
         "minhash_accuracy": q_minhash_accuracy,
         "source_concentration": q_source_concentration,
+        "asof_nearest": q_asof_nearest,
+        "ohlc_bars": q_ohlc_bars,
         # --- rows on
         # --- inputs unchanged since; full-suite verify_oracle.py is
         # --- their per-round superset check (COVERAGE.md). The six
@@ -2622,6 +2643,35 @@ ORDER BY score DESC, doc_id ASC
         "ql_dirichlet": kw_ops.ql_dirichlet_topk_sql(QUERY_TEXT, TOP_K),
         "hist_quantiles_by_type": _stats.histogram_quantiles_by_group_sql(),
         "minhash_accuracy": oracles.minhash_accuracy_sql(),
+        "ohlc_bars": _temporal.ohlc_bars_sql(),
+        "asof_nearest": """
+WITH l AS (
+  SELECT user_id, ts, event_id FROM events WHERE event_type = 'purchase'
+),
+r AS (
+  SELECT user_id, ts, value FROM events WHERE event_type = 'view'
+),
+back AS (
+  SELECT l.event_id, l.ts AS lts, r.value AS prev_v, r.ts AS prev_ts
+  FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
+),
+fwd AS (
+  SELECT l.event_id, r.value AS next_v, r.ts AS next_ts
+  FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts <= r.ts
+)
+SELECT b.event_id,
+       CASE WHEN prev_ts IS NOT NULL AND (next_ts IS NULL
+                 OR epoch(lts) - epoch(prev_ts)
+                    <= epoch(next_ts) - epoch(lts))
+            THEN prev_v ELSE next_v END AS nearest_value,
+       round(CASE WHEN prev_ts IS NOT NULL AND (next_ts IS NULL
+                       OR epoch(lts) - epoch(prev_ts)
+                          <= epoch(next_ts) - epoch(lts))
+                  THEN epoch(lts) - epoch(prev_ts)
+                  ELSE epoch(next_ts) - epoch(lts) END, 6) AS delta_seconds
+FROM back b JOIN fwd f USING (event_id)
+ORDER BY b.event_id
+""",
         "source_concentration": """
 WITH per AS (
   SELECT source, CAST(count(*) AS BIGINT) AS n_docs

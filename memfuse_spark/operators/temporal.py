@@ -513,3 +513,136 @@ SELECT {key_col}, {attr_col}, valid_from,
 FROM collapsed
 ORDER BY {key_col}, valid_from
 """
+
+
+def asof_nearest(
+    left: DataFrame,
+    right: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    left_id_col: str,
+    decimals: int = 6,
+) -> DataFrame:
+    """Nearest-in-time as-of join (either direction): attach the right
+    row with MINIMUM |Δt| per left row — sensor/event alignment where
+    "latest before" is wrong half the time. Ties (equidistant prev and
+    next) take the earlier (backward) match.
+
+    Composition of the two one-shuffle as-of kernels (backward
+    :func:`asof_join`, forward :func:`asof_join_forward`), each carrying
+    the matched row's timestamp so the chooser is pure column
+    arithmetic; the final join is keyed on the left id.
+    """
+    r2 = right.select(
+        F.col(key_col),
+        F.col(ts_col),
+        F.col(value_col).alias("__v"),
+        F.col(ts_col).alias("__rts"),
+    )
+    back = asof_join(
+        left, r2, key_col, ts_col, ["__v", "__rts"], left_id_col
+    ).select(
+        F.col(left_id_col),
+        F.col(ts_col).alias("__lts"),
+        F.col("__v").alias("prev_v"),
+        F.col("__rts").alias("prev_ts"),
+    )
+    fwd = asof_join_forward(
+        left, r2, key_col, ts_col, ["__v", "__rts"], left_id_col
+    ).select(
+        F.col(left_id_col),
+        F.col("__v").alias("next_v"),
+        F.col("__rts").alias("next_ts"),
+    )
+    j = back.join(fwd, left_id_col)
+    d_prev = F.col("__lts").cast("double") - F.col("prev_ts").cast("double")
+    d_next = F.col("next_ts").cast("double") - F.col("__lts").cast("double")
+    take_prev = F.col("prev_ts").isNotNull() & (
+        F.col("next_ts").isNull() | (d_prev <= d_next)
+    )
+    return j.select(
+        left_id_col,
+        F.when(take_prev, F.col("prev_v")).otherwise(F.col("next_v")).alias(
+            "nearest_value"
+        ),
+        F.round(
+            F.when(take_prev, d_prev).otherwise(d_next), decimals
+        ).alias("delta_seconds"),
+    )
+
+
+def ohlc_bars(
+    events: DataFrame,
+    group_col: str = "event_type",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    id_col: str = "event_id",
+    bucket: str = "day",
+    decimals: int = 6,
+) -> DataFrame:
+    """(grp, bar_ts, open, high, low, close, n_events, volume) — OHLC
+    bar resampling per group and time bucket, the finance-standard
+    downsample. Open/close are selected by deterministic (ts, id)
+    first/last windows — not arg_min on bare ts, which ties — then one
+    groupBy collapses the bar; two keyed windows + one aggregation,
+    everything partitioned by (group, bucket).
+    """
+    b = F.date_trunc(bucket, F.col(ts_col)).alias("bar_ts")
+    keyed = events.select(
+        F.col(group_col).alias("grp"), b, F.col(ts_col), F.col(id_col), F.col(value_col)
+    )
+    w_a = Window.partitionBy("grp", "bar_ts").orderBy(ts_col, id_col)
+    w_d = Window.partitionBy("grp", "bar_ts").orderBy(
+        F.desc(ts_col), F.desc(id_col)
+    )
+    marked = keyed.withColumn("__ra", F.row_number().over(w_a)).withColumn(
+        "__rd", F.row_number().over(w_d)
+    )
+    return (
+        marked.groupBy("grp", "bar_ts")
+        .agg(
+            F.round(F.max(F.when(F.col("__ra") == 1, F.col(value_col))), decimals).alias("open"),
+            F.round(F.max(value_col), decimals).alias("high"),
+            F.round(F.min(value_col), decimals).alias("low"),
+            F.round(F.max(F.when(F.col("__rd") == 1, F.col(value_col))), decimals).alias("close"),
+            F.count("*").cast("long").alias("n_events"),
+            F.round(F.sum(value_col), decimals).alias("volume"),
+        )
+        .orderBy("grp", "bar_ts")
+    )
+
+
+def ohlc_bars_sql(
+    group_col: str = "event_type",
+    bucket: str = "day",
+    decimals: int = 6,
+    table: str = "events",
+) -> str:
+    """DuckDB oracle twin of :func:`ohlc_bars`."""
+    return f"""
+WITH keyed AS (
+  SELECT {group_col} AS grp,
+         CAST(date_trunc('{bucket}', ts) AS TIMESTAMP) AS bar_ts,
+         ts, event_id, value
+  FROM {table}
+),
+marked AS (
+  SELECT *,
+         row_number() OVER (PARTITION BY grp, bar_ts
+                            ORDER BY ts, event_id) AS ra,
+         row_number() OVER (PARTITION BY grp, bar_ts
+                            ORDER BY ts DESC, event_id DESC) AS rd
+  FROM keyed
+)
+SELECT grp, bar_ts,
+       round(max(CASE WHEN ra = 1 THEN value END), {decimals}) AS open,
+       round(max(value), {decimals}) AS high,
+       round(min(value), {decimals}) AS low,
+       round(max(CASE WHEN rd = 1 THEN value END), {decimals}) AS close,
+       CAST(count(*) AS BIGINT) AS n_events,
+       round(sum(value), {decimals}) AS volume
+FROM marked
+GROUP BY grp, bar_ts
+ORDER BY grp, bar_ts
+"""

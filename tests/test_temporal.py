@@ -137,3 +137,59 @@ def test_scd2_intervals_known_stream(spark):
     assert v[0].valid_to == v[1].valid_from and v[1].valid_to == v[2].valid_from
     u2 = [(r.event_type, r.valid_to) for r in got if r.user_id == 2]
     assert u2 == [("x", None)]
+
+
+def test_asof_nearest_picks_closer_side_and_breaks_ties_backward(spark):
+    from memfuse_spark.operators.temporal import asof_nearest
+
+    mk = lambda rows, cols: spark.createDataFrame(rows, cols).select(
+        "user_id", F.to_timestamp("ts_s").alias("ts"), *cols.split(", ")[2:]
+    )
+    left = spark.createDataFrame(
+        [
+            (1, "2024-01-01 10:00:00", 100),  # prev at -60s, next at +10s → next
+            (1, "2024-01-01 11:00:00", 101),  # equidistant ±30s → prev wins
+            (2, "2024-01-01 09:00:00", 200),  # only a next exists
+        ],
+        "user_id bigint, ts_s string, event_id bigint",
+    ).select("user_id", F.to_timestamp("ts_s").alias("ts"), "event_id")
+    right = spark.createDataFrame(
+        [
+            (1, "2024-01-01 09:59:00", 1.0),
+            (1, "2024-01-01 10:00:10", 2.0),
+            (1, "2024-01-01 10:59:30", 3.0),
+            (1, "2024-01-01 11:00:30", 4.0),
+            (2, "2024-01-01 09:05:00", 5.0),
+        ],
+        "user_id bigint, ts_s string, value double",
+    ).select("user_id", F.to_timestamp("ts_s").alias("ts"), "value")
+    got = {
+        r.event_id: (r.nearest_value, r.delta_seconds)
+        for r in asof_nearest(
+            left, right, "user_id", "ts", "value", "event_id"
+        ).collect()
+    }
+    assert got[100] == (2.0, 10.0)
+    assert got[101] == (3.0, 30.0)   # tie → backward match
+    assert got[200] == (5.0, 300.0)  # forward-only
+
+
+def test_ohlc_bars_deterministic_open_close(spark):
+    from memfuse_spark.operators.temporal import ohlc_bars
+
+    rows = [
+        (1, "2024-01-01 00:05:00", "x", 10.0),
+        (2, "2024-01-01 00:05:00", "x", 11.0),  # same ts — id breaks tie
+        (3, "2024-01-01 13:00:00", "x", 5.0),
+        (4, "2024-01-01 23:00:00", "x", 8.0),
+        (5, "2024-01-02 01:00:00", "x", 7.0),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id bigint, ts_s string, event_type string, value double"
+    ).select("event_id", F.to_timestamp("ts_s").alias("ts"), "event_type", "value")
+    got = {str(r.bar_ts): r for r in ohlc_bars(ev).collect()}
+    d1 = got["2024-01-01 00:00:00"]
+    assert (d1.open, d1.high, d1.low, d1.close) == (10.0, 11.0, 5.0, 8.0)
+    assert d1.n_events == 4 and d1.volume == 34.0
+    d2 = got["2024-01-02 00:00:00"]
+    assert (d2.open, d2.close) == (7.0, 7.0)
