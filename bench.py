@@ -114,6 +114,8 @@ EXTRA = [
     "entity_cooccurrence",
     "minhash_accuracy",
     "source_concentration",
+    "asof_nearest",
+    "ohlc_bars",
 ]
 
 
