@@ -1910,6 +1910,22 @@ def q_ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_recall_audit(queries, emb)
 
 
+def q_dau_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily active users decomposed into new vs returning (growth
+    accounting over the event stream)."""
+    (events,) = _tables(spark, sf_dir, "events")
+    return _temporal.dau_growth(events)
+
+
+def q_ewma_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-lookback exponential smoothing of per-user values
+    (EWMA truncated to a 10-lag weighted window; user_id < 10)."""
+    (events,) = _tables(spark, sf_dir, "events")
+    return _temporal.ewma_smooth(
+        events.filter(F.col("user_id") < GAPFILL_USER_MAX)
+    )
+
+
 def q_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Nearest-in-time alignment: each purchase matched to the closest
     view (either direction) of the same user — composition of the
@@ -2407,6 +2423,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_concentration": q_source_concentration,
         "asof_nearest": q_asof_nearest,
         "ohlc_bars": q_ohlc_bars,
+        "dau_growth": q_dau_growth,
+        "ewma_smooth": q_ewma_smooth,
         # --- rows on
         # --- inputs unchanged since; full-suite verify_oracle.py is
         # --- their per-round superset check (COVERAGE.md). The six
@@ -2644,6 +2662,10 @@ ORDER BY score DESC, doc_id ASC
         "hist_quantiles_by_type": _stats.histogram_quantiles_by_group_sql(),
         "minhash_accuracy": oracles.minhash_accuracy_sql(),
         "ohlc_bars": _temporal.ohlc_bars_sql(),
+        "dau_growth": _temporal.dau_growth_sql(),
+        "ewma_smooth": _temporal.ewma_smooth_sql(
+            where=f"user_id < {GAPFILL_USER_MAX}"
+        ),
         "asof_nearest": """
 WITH l AS (
   SELECT user_id, ts, event_id FROM events WHERE event_type = 'purchase'

@@ -116,6 +116,8 @@ EXTRA = [
     "source_concentration",
     "asof_nearest",
     "ohlc_bars",
+    "dau_growth",
+    "ewma_smooth",
 ]
 
 

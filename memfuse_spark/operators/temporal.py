@@ -646,3 +646,129 @@ FROM marked
 GROUP BY grp, bar_ts
 ORDER BY grp, bar_ts
 """
+
+
+def dau_growth(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """(day, dau, new_users, returning_users) — daily active users
+    decomposed into first-ever-seen vs returning (product growth
+    accounting). Two keyed aggregations: per-(user, day) presence, then
+    each user's first day via a min-window; nothing scans twice and
+    nothing is quadratic.
+    """
+    d = F.date_trunc("day", F.col(ts_col)).alias("day")
+    per = events.select(F.col(key_col).alias("u"), d).distinct()
+    w = Window.partitionBy("u")
+    marked = per.withColumn("first_day", F.min("day").over(w))
+    return (
+        marked.groupBy("day")
+        .agg(
+            F.count("*").cast("long").alias("dau"),
+            F.sum(F.when(F.col("day") == F.col("first_day"), 1).otherwise(0))
+            .cast("long")
+            .alias("new_users"),
+        )
+        .withColumn(
+            "returning_users", (F.col("dau") - F.col("new_users")).cast("long")
+        )
+        .orderBy("day")
+    )
+
+
+def dau_growth_sql(table: str = "events") -> str:
+    """DuckDB twin of :func:`dau_growth`."""
+    return f"""
+WITH per AS (
+  SELECT DISTINCT user_id AS u,
+         CAST(date_trunc('day', ts) AS TIMESTAMP) AS day
+  FROM {table}
+),
+marked AS (
+  SELECT *, min(day) OVER (PARTITION BY u) AS first_day FROM per
+)
+SELECT day,
+       CAST(count(*) AS BIGINT) AS dau,
+       CAST(sum(CASE WHEN day = first_day THEN 1 ELSE 0 END) AS BIGINT)
+         AS new_users,
+       CAST(count(*) - sum(CASE WHEN day = first_day THEN 1 ELSE 0 END)
+            AS BIGINT) AS returning_users
+FROM marked
+GROUP BY day
+ORDER BY day
+"""
+
+
+def ewma_smooth(
+    events: DataFrame,
+    alpha: float = 0.3,
+    lookback: int = 10,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    id_col: str = "event_id",
+    decimals: int = 6,
+) -> DataFrame:
+    """(key, ts, id, value, ewma) — bounded-lookback exponential
+    smoothing: ewma_t = Σ_{j<K} (1-α)^j x_{t-j} / Σ_{j<K over available}
+    (1-α)^j, truncated at the series head. The unbounded EWMA recurrence
+    is sequential (un-Spark-able without per-key state); truncating at
+    K terms makes it a weighted sliding window — K lag() columns over
+    ONE keyed sort, weights folded as literals, error bounded by
+    (1-α)^K (≈3% of the mass at α=0.3, K=10).
+    """
+    w = Window.partitionBy(key_col).orderBy(ts_col, id_col)
+    weights = [(1.0 - alpha) ** j for j in range(lookback)]
+    terms = [
+        F.lag(value_col, j).over(w) * F.lit(wj)
+        for j, wj in enumerate(weights)
+    ]
+    num = sum(
+        (F.coalesce(t, F.lit(0.0)) for t in terms), F.lit(0.0)
+    )
+    den = sum(
+        (
+            F.when(F.lag(value_col, j).over(w).isNotNull(), F.lit(wj)).otherwise(
+                F.lit(0.0)
+            )
+            for j, wj in enumerate(weights)
+        ),
+        F.lit(0.0),
+    )
+    return events.select(
+        F.col(key_col),
+        F.col(ts_col),
+        F.col(id_col),
+        F.col(value_col),
+        F.round(num / den, decimals).alias("ewma"),
+    ).orderBy(key_col, ts_col, id_col)
+
+
+def ewma_smooth_sql(
+    alpha: float = 0.3,
+    lookback: int = 10,
+    decimals: int = 6,
+    table: str = "events",
+    where: str = "TRUE",
+) -> str:
+    """DuckDB twin of :func:`ewma_smooth` (same literal weights, same
+    truncation and normalization)."""
+    weights = [(1.0 - alpha) ** j for j in range(lookback)]
+    num = " + ".join(
+        f"coalesce(lag(value, {j}) OVER w * {wj!r}, 0.0)"
+        for j, wj in enumerate(weights)
+    )
+    den = " + ".join(
+        f"CASE WHEN lag(value, {j}) OVER w IS NOT NULL THEN {wj!r} ELSE 0.0 END"
+        for j, wj in enumerate(weights)
+    )
+    return f"""
+SELECT user_id, ts, event_id, value,
+       round(({num}) / ({den}), {decimals}) AS ewma
+FROM {table}
+WHERE {where}
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+ORDER BY user_id, ts, event_id
+"""

@@ -193,3 +193,40 @@ def test_ohlc_bars_deterministic_open_close(spark):
     assert d1.n_events == 4 and d1.volume == 34.0
     d2 = got["2024-01-02 00:00:00"]
     assert (d2.open, d2.close) == (7.0, 7.0)
+
+
+def test_dau_growth_new_vs_returning(spark):
+    from memfuse_spark.operators.temporal import dau_growth
+
+    rows = [
+        (1, "2024-01-01 10:00:00"), (2, "2024-01-01 11:00:00"),
+        (1, "2024-01-02 10:00:00"), (3, "2024-01-02 11:00:00"),
+        (1, "2024-01-02 12:00:00"),  # same user same day — one presence
+    ]
+    ev = spark.createDataFrame(rows, "user_id bigint, ts_s string").select(
+        "user_id", F.to_timestamp("ts_s").alias("ts")
+    )
+    got = {str(r.day)[:10]: (r.dau, r.new_users, r.returning_users)
+           for r in dau_growth(ev).collect()}
+    assert got["2024-01-01"] == (2, 2, 0)
+    assert got["2024-01-02"] == (2, 1, 1)   # user 1 returns, user 3 new
+
+
+def test_ewma_smooth_matches_python_reference(spark):
+    from memfuse_spark.operators.temporal import ewma_smooth
+
+    vals = [10.0, 20.0, 15.0, 30.0, 5.0]
+    rows = [
+        (1, i, f"2024-01-01 00:0{i}:00", v) for i, v in enumerate(vals)
+    ]
+    ev = spark.createDataFrame(
+        rows, "user_id bigint, event_id bigint, ts_s string, value double"
+    ).select("user_id", "event_id", F.to_timestamp("ts_s").alias("ts"), "value")
+    got = [r.ewma for r in ewma_smooth(ev, alpha=0.3, lookback=10).collect()]
+    a = 0.3
+    for t, g in enumerate(got):
+        ws = [(1 - a) ** j for j in range(t + 1)]
+        want = sum(w * vals[t - j] for j, w in enumerate(ws)) / sum(ws)
+        assert g == round(want, 6), t
+    # head equals the raw value (single-term window)
+    assert got[0] == vals[0]
