@@ -1910,6 +1910,39 @@ def q_ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_recall_audit(queries, emb)
 
 
+def q_doc_keyterms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document keyword extraction: top-3 length-normalized TF-IDF
+    terms (per-doc sibling of the c-TF-IDF cluster keywords)."""
+    (docs,) = _tables(spark, sf_dir, "documents")
+    return ta_ops.doc_keyterms(docs)
+
+
+def q_item_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bipartite projection: parts co-ordered by the same customer →
+    item-item co-occurrence weights, top-20 pairs (the recsys
+    "customers also bought" table). The self-join keys on the customer,
+    so cost is Σ per-customer basket² — bound baskets with a per-key
+    cap (reservoir_per_group) before projecting when a key is hot."""
+    orders, li = _tables(spark, sf_dir, "orders", "lineitem")
+    ui = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .select(
+            F.col("o_custkey").alias("u"), F.col("l_partkey").alias("item")
+        )
+        .distinct()
+    )
+    a = ui.select("u", F.col("item").alias("item_a"))
+    b = ui.select("u", F.col("item").alias("item_b"))
+    return (
+        a.join(b, "u")
+        .filter(F.col("item_a") < F.col("item_b"))
+        .groupBy("item_a", "item_b")
+        .agg(F.count("*").cast("long").alias("n_users"))
+        .orderBy(F.desc("n_users"), F.asc("item_a"), F.asc("item_b"))
+        .limit(20)
+    )
+
+
 def q_dau_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Daily active users decomposed into new vs returning (growth
     accounting over the event stream)."""
@@ -2425,6 +2458,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ohlc_bars": q_ohlc_bars,
         "dau_growth": q_dau_growth,
         "ewma_smooth": q_ewma_smooth,
+        "item_cooccurrence": q_item_cooccurrence,
+        "doc_keyterms": q_doc_keyterms,
         # --- rows on
         # --- inputs unchanged since; full-suite verify_oracle.py is
         # --- their per-round superset check (COVERAGE.md). The six
@@ -2663,6 +2698,19 @@ ORDER BY score DESC, doc_id ASC
         "minhash_accuracy": oracles.minhash_accuracy_sql(),
         "ohlc_bars": _temporal.ohlc_bars_sql(),
         "dau_growth": _temporal.dau_growth_sql(),
+        "doc_keyterms": ta_ops.doc_keyterms_sql(),
+        "item_cooccurrence": """
+WITH ui AS (
+  SELECT DISTINCT o_custkey AS u, l_partkey AS item
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+)
+SELECT a.item AS item_a, b.item AS item_b,
+       CAST(count(*) AS BIGINT) AS n_users
+FROM ui a JOIN ui b ON a.u = b.u AND a.item < b.item
+GROUP BY item_a, item_b
+ORDER BY n_users DESC, item_a ASC, item_b ASC
+LIMIT 20
+""",
         "ewma_smooth": _temporal.ewma_smooth_sql(
             where=f"user_id < {GAPFILL_USER_MAX}"
         ),

@@ -118,6 +118,8 @@ EXTRA = [
     "ohlc_bars",
     "dau_growth",
     "ewma_smooth",
+    "item_cooccurrence",
+    "doc_keyterms",
 ]
 
 

@@ -1019,3 +1019,85 @@ def compression_ratio(
             )
 
     return docs.select(id_col, text_col).mapInPandas(compute, out_schema)
+
+
+def doc_keyterms(
+    docs: DataFrame,
+    top_n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    decimals: int = 6,
+) -> DataFrame:
+    """(doc_id, rank, term, score) — per-document keyword extraction:
+    the top-n terms by length-normalized TF-IDF, (tf/dl)·ln((N+1)/(df+1))
+    (the per-document sibling of c-TF-IDF cluster keywords). One
+    postings build + a broadcast df/stats join + a per-doc rank window
+    — wordcount-shaped shuffles only.
+    """
+    from pyspark.sql import Window
+
+    from memfuse_spark.operators.keyword import (
+        build_postings,
+        corpus_stats,
+        document_frequency,
+    )
+
+    postings = build_postings(docs, id_col, text_col)
+    dfs = document_frequency(postings)
+    stats = corpus_stats(postings)
+    scored = (
+        postings.join(dfs, "term")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "doc_id",
+            "term",
+            F.round(
+                (F.col("tf") / F.col("dl"))
+                * F.log((F.col("n_docs") + 1.0) / (F.col("df") + 1.0)),
+                decimals,
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= top_n)
+        .select("doc_id", "rank", "term", "score")
+        .orderBy("doc_id", "rank")
+    )
+
+
+def doc_keyterms_sql(top_n: int = 3, decimals: int = 6) -> str:
+    """DuckDB twin of :func:`doc_keyterms`."""
+    return f"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                     t -> len(t) > 0) AS tokens
+  FROM documents
+),
+postings AS (
+  SELECT doc_id, len(tokens) AS dl, t.term, count(*) AS tf
+  FROM toks, unnest(tokens) AS t(term)
+  GROUP BY doc_id, dl, t.term
+),
+stats AS (
+  SELECT count(*) AS n_docs
+  FROM (SELECT DISTINCT doc_id FROM postings)
+),
+dfs AS (
+  SELECT term, count(DISTINCT doc_id) AS df FROM postings GROUP BY term
+),
+scored AS (
+  SELECT p.doc_id, p.term,
+         round((p.tf::DOUBLE / p.dl)
+               * ln((s.n_docs + 1.0) / (d.df + 1.0)), {decimals}) AS score
+  FROM postings p JOIN dfs d USING (term), stats s
+)
+SELECT doc_id, CAST(rank AS INTEGER) AS rank, term, score FROM (
+  SELECT *, row_number() OVER (PARTITION BY doc_id
+                               ORDER BY score DESC, term ASC) AS rank
+  FROM scored
+) WHERE rank <= {top_n}
+ORDER BY doc_id, rank
+"""

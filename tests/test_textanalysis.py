@@ -239,3 +239,21 @@ def test_compression_ratio_matches_zlib_and_flags_repetition(spark):
         assert got[i].n_bytes == len(b)
         assert got[i].ratio == round(len(zlib.compress(b, 6)) / len(b), 6)
     assert got[0].ratio < got[1].ratio  # repetition compresses better
+
+
+def test_doc_keyterms_surfaces_distinctive_terms(spark):
+    from memfuse_spark.operators.textanalysis import doc_keyterms
+
+    docs = [
+        (0, "shared shared shared zebra"),
+        (1, "shared shared shared walrus"),
+        (2, "shared shared shared shared"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id bigint, text string")
+    got = {}
+    for r in doc_keyterms(df, top_n=2).collect():
+        got.setdefault(r.doc_id, []).append(r.term)
+    # the rare term outranks the corpus-common one
+    assert got[0][0] == "zebra" and got[1][0] == "walrus"
+    assert got[0][1] == "shared" and got[1][1] == "shared"
+    assert got[2] == ["shared"]  # only one distinct term exists
