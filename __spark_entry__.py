@@ -1910,6 +1910,30 @@ def q_ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_recall_audit(queries, emb)
 
 
+def q_search_highlights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval UX: for the BM25 top-5, each query term's first match
+    offset in the document (1-based; 0 = absent) — the highlight-
+    snippet primitive, computed as pure column arithmetic on the ≤5
+    hydrated rows."""
+    idx = _postings_index(spark, sf_dir)
+    top = kw_ops.bm25_topk_from_index(spark, idx, QUERY_TEXT, 5)
+    (docs,) = _tables(spark, sf_dir, "documents")
+    hydrated = docs.join(F.broadcast(top), "doc_id")
+    q_terms = sorted(set(kw_ops._py_tokenize(QUERY_TEXT)))
+    qdf = spark.createDataFrame([(t,) for t in q_terms], "term string")
+    return (
+        hydrated.crossJoin(F.broadcast(qdf))
+        .select(
+            "doc_id",
+            "term",
+            F.expr("CAST(position(term IN lower(text)) AS BIGINT)").alias(
+                "first_offset"
+            ),
+        )
+        .orderBy("doc_id", "term")
+    )
+
+
 def q_doc_keyterms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document keyword extraction: top-3 length-normalized TF-IDF
     terms (per-doc sibling of the c-TF-IDF cluster keywords)."""
@@ -2460,6 +2484,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ewma_smooth": q_ewma_smooth,
         "item_cooccurrence": q_item_cooccurrence,
         "doc_keyterms": q_doc_keyterms,
+        "search_highlights": q_search_highlights,
         # --- rows on
         # --- inputs unchanged since; full-suite verify_oracle.py is
         # --- their per-round superset check (COVERAGE.md). The six
@@ -2699,6 +2724,14 @@ ORDER BY score DESC, doc_id ASC
         "ohlc_bars": _temporal.ohlc_bars_sql(),
         "dau_growth": _temporal.dau_growth_sql(),
         "doc_keyterms": ta_ops.doc_keyterms_sql(),
+        "search_highlights": f"""
+WITH top AS (SELECT doc_id FROM ({kw_ops.bm25_topk_sql(QUERY_TEXT, 5)})),
+qterms(term) AS (VALUES {", ".join(f"('{t}')" for t in sorted(set(kw_ops._py_tokenize(QUERY_TEXT))))})
+SELECT d.doc_id, q.term,
+       CAST(position(q.term IN lower(d.text)) AS BIGINT) AS first_offset
+FROM documents d JOIN top USING (doc_id), qterms q
+ORDER BY d.doc_id, q.term
+""",
         "item_cooccurrence": """
 WITH ui AS (
   SELECT DISTINCT o_custkey AS u, l_partkey AS item

@@ -120,6 +120,7 @@ EXTRA = [
     "ewma_smooth",
     "item_cooccurrence",
     "doc_keyterms",
+    "search_highlights",
 ]
 
 
