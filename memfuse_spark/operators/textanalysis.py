@@ -1042,7 +1042,17 @@ def doc_keyterms(
         document_frequency,
     )
 
-    postings = build_postings(docs, id_col, text_col)
+    from memfuse_spark import cache
+
+    # scoped persist: the postings subplan feeds dfs, stats AND the
+    # scoring — without it the tokenize+groupBy runs three times (no
+    # CSE across subplans; the bm25_topk lesson). The scoped registry
+    # releases this generation when the next doc_keyterms call begins
+    # (output is O(docs) rows, so no driver materialization here).
+    cache.begin("textanalysis.keyterms")
+    postings = cache.scoped_persist(
+        build_postings(docs, id_col, text_col), "textanalysis.keyterms"
+    )
     dfs = document_frequency(postings)
     stats = corpus_stats(postings)
     scored = (
