@@ -28,7 +28,11 @@ from memfuse_spark.operators.fusion import (
     union_results,
     weighted_sum_fusion,
 )
-from memfuse_spark.plans.pipeline import anchor_vector, hybrid_retrieval
+from memfuse_spark.plans.pipeline import (
+    anchor_vector,
+    hybrid_retrieval,
+    hybrid_retrieval_3way,
+)
 from memfuse_spark import oracles
 from memfuse_spark.operators import dedup as dedup_ops
 from memfuse_spark.operators import textanalysis as ta_ops
@@ -49,6 +53,8 @@ KNN_ANCHOR_ID = 7
 TOP_K = 15
 FIRST_STAGE_K = 30
 HYBRID_WEIGHTS = {"vector": 0.5, "keyword": 0.2}
+# reference default three-store weights (rag/retrieve/hybrid.py:54-56)
+HYBRID_WEIGHTS_3WAY = {"vector": 0.5, "graph": 0.3, "keyword": 0.2}
 RRF_K = 60.0
 
 from memfuse_spark.operators.graph import SIM_EDGE_THRESHOLD as _SIM_T  # noqa: E402
@@ -167,6 +173,21 @@ def q_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, emb, QUERY_TEXT, qvec, k=TOP_K, first_stage_k=FIRST_STAGE_K,
         weights=HYBRID_WEIGHTS, rrf_k=RRF_K,
         postings_index=_postings_index(spark, sf_dir),
+    )
+
+
+def q_hybrid_rrf_3way(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE reference default read path end-to-end (SURVEY §3.2;
+    rag/retrieve/hybrid.py:54-56 weights, :251-322 union): vector ∪
+    graph ∪ keyword → RRF at 0.5/0.3/0.2 → hydrate → top-k. The graph
+    branch is contextual retrieval seeded from the anchor vector."""
+    emb, edges = _graph_edges(spark, sf_dir)
+    (docs,) = _tables(spark, sf_dir, "documents")
+    qvec = anchor_vector(spark, emb, ANCHOR_VEC_ID)
+    return hybrid_retrieval_3way(
+        docs, emb, edges, QUERY_TEXT, qvec, k=TOP_K,
+        first_stage_k=FIRST_STAGE_K, weights=HYBRID_WEIGHTS_3WAY,
+        rrf_k=RRF_K, postings_index=_postings_index(spark, sf_dir),
     )
 
 
@@ -703,20 +724,24 @@ def q_fk_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def orphans(fact, fk, dim, pk, edge):
-        n = fact.join(
-            F.broadcast(dim.select(F.col(pk).alias(fk))), fk, "left_anti"
-        ).count()
-        return (edge, n)
+        return (
+            fact.join(
+                F.broadcast(dim.select(F.col(pk).alias(fk))), fk, "left_anti"
+            )
+            .agg(F.count("*").alias("n_orphans"))
+            .select(F.lit(edge).alias("fk_edge"), "n_orphans")
+        )
 
-    rows = [
+    audits = [
         orphans(li, "l_orderkey", orders, "o_orderkey", "lineitem->orders"),
         orphans(li, "l_suppkey", supp, "s_suppkey", "lineitem->supplier"),
         orphans(orders, "o_custkey", cust, "c_custkey", "orders->customer"),
         orphans(cust, "c_nationkey", nat, "n_nationkey", "customer->nation"),
     ]
-    return spark.createDataFrame(rows, "fk_edge string, n_orphans long").orderBy(
-        "fk_edge"
-    )
+    out = audits[0]
+    for a in audits[1:]:  # one unioned plan → ONE job, branches run as
+        out = out.unionByName(a)  # parallel stages (no driver loop)
+    return out.orderBy("fk_edge")
 
 
 def q_hll_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1015,9 +1040,10 @@ def q_read_your_writes(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_round_buffer_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B1 batch twin: greedy token-budget grouping of m0 messages per
-    conversation (token 800 trigger semantics; applyInPandas). Stateful
-    greedy accumulation is not SQL-expressible → rows-only check; the
-    streaming variant is exercised in tests/test_streaming.py."""
+    conversation (token 800 trigger semantics; applyInPandas). The
+    stateful greedy accumulation is replayed by a RECURSIVE-CTE oracle
+    (_round_buffer_batch_sql); the streaming variant is exercised in
+    tests/test_streaming.py."""
     from memfuse_spark.operators import hierarchy as h
     from memfuse_spark.operators.chunking import contextual_chunks
 
@@ -1250,6 +1276,45 @@ def q_rerank_two_stage(spark: SparkSession, sf_dir: str) -> DataFrame:
     return two_stage_retrieval(
         docs, emb, QUERY_TEXT, qvec, k=TOP_K,
         postings_index=_postings_index(spark, sf_dir),
+    )
+
+
+# --- real-model-tier bench twins (bench.py MODEL_TIER; NOT in queries():
+# --- the seeded-projection models are deterministic but not
+# --- SQL-expressible, so they carry python-parity pytest coverage
+# --- (test_rerank_backfill.py) instead of a DuckDB oracle row, and are
+# --- benched for throughput — the Spark-side twin of the reference's
+# --- 9.3x parallel-embedding claim, docs/optimization/performance/
+# --- README.md:49-53)
+
+def q_model_embed_bench(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M1 real-model slot at corpus scale: encode EVERY document through
+    make_batch_embedder (content-hash dedup → Arrow-batched mapInPandas
+    encode with once-per-worker model init → hash-join back), reduced to
+    a count + mean-norm so the bench times the encode, not the collect."""
+    from memfuse_spark.functions.vector import l2_norm
+    from memfuse_spark.models import make_batch_embedder
+
+    (docs,) = _tables(spark, sf_dir, "documents")
+    emb = make_batch_embedder(dim=64)(docs.select("doc_id", "text"), "text")
+    return emb.agg(
+        F.count("*").alias("n_encoded"),
+        F.round(F.avg(l2_norm("embedding")), 2).alias("avg_norm"),
+    )
+
+
+def q_model_rerank_bench(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M2 real-model slot at corpus scale: score EVERY (query, document)
+    pair through the Arrow-batched cross-encoder and keep the top-k —
+    the honest cost of a cross-encoder sweep (the reference reranks
+    ≤top-100; this is the stress shape)."""
+    from memfuse_spark.models import make_batch_cross_encoder
+    from memfuse_spark.operators.rerank import rerank
+
+    (docs,) = _tables(spark, sf_dir, "documents")
+    return rerank(
+        docs.select("doc_id", "text"), QUERY_TEXT, TOP_K,
+        scorer=make_batch_cross_encoder(),
     )
 
 
@@ -1941,12 +2006,20 @@ def q_doc_keyterms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ta_ops.doc_keyterms(docs)
 
 
+COOC_BASKET_CAP = 64
+
+
 def q_item_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bipartite projection: parts co-ordered by the same customer →
     item-item co-occurrence weights, top-20 pairs (the recsys
     "customers also bought" table). The self-join keys on the customer,
-    so cost is Σ per-customer basket² — bound baskets with a per-key
-    cap (reservoir_per_group) before projecting when a key is hot."""
+    so cost is Σ per-customer basket² — baskets are CAPPED at
+    COOC_BASKET_CAP items per customer (deterministic md5-rank
+    reservoir, reservoir_per_group) BEFORE the projection, so one whale
+    customer contributes at most cap²/2 candidate pairs instead of
+    going quadratic at scale. The oracle applies the identical cap."""
+    from memfuse_spark.operators.sampling import reservoir_per_group
+
     orders, li = _tables(spark, sf_dir, "orders", "lineitem")
     ui = (
         orders.join(li, orders.o_orderkey == li.l_orderkey)
@@ -1954,6 +2027,9 @@ def q_item_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("o_custkey").alias("u"), F.col("l_partkey").alias("item")
         )
         .distinct()
+    )
+    ui = reservoir_per_group(
+        ui, COOC_BASKET_CAP, group_col="u", id_col="item", salt="coocap"
     )
     a = ui.select("u", F.col("item").alias("item_a"))
     b = ui.select("u", F.col("item").alias("item_b"))
@@ -2362,26 +2438,61 @@ def q_rm3_expand(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    return q_hybrid_rrf(spark, "/root/testdata/sf0.001")
+    """Flagship query on /root/testdata/sf0.001; driver checks rows>0.
+    Runs the reference's DEFAULT read path: the three-store
+    vector ∪ graph ∪ keyword RRF fusion (same (doc_id, score, text)
+    schema as the two-store flagship it replaces)."""
+    return q_hybrid_rrf_3way(spark, "/root/testdata/sf0.001")
+
+
+# The driver oracle-checks the FIRST 50 declared queries per round; the
+# window ROTATES to maximize the union of direct driver rows
+# (COVERAGE.md rotation table). Driver-round-4 window (frozen for the
+# round; rotation applied at round start per the r3 lesson), in
+# priority order: (1) the new three-store flagship hybrid_rrf_3way and
+# round_buffer_batch, whose oracle is NEW this round (was rows-only in
+# r03); (2) the 41 queries that sat at positions 51+ in r03 — the
+# round-5/6 additions with no driver row yet, incl. the re-derived
+# item_cooccurrence (basket cap) and the re-planned uniform_negatives /
+# fk_integrity; (3) the six events aggregates whose green rows predate
+# the events.ts NTZ schema switch, plus sessionize (same stale-row
+# class). Demoted past 50: the entire r03 driver-green window (49/50
+# green on unchanged code), then earlier-green sets —
+# tools/verify_oracle.py (full suite, re-run each round) remains the
+# superset check for everything demoted.
+_DRIVER_WINDOW_R4 = [
+    "hybrid_rrf_3way",
+    "round_buffer_batch",
+    "reservoir_sample", "corpus_report", "pca_top", "value_drift_psi",
+    "snapshot_diff", "hll_by_type", "asof_forward", "graph_ppr",
+    "salted_event_totals", "fk_integrity", "containment_pairs",
+    "rm3_expand", "ann_recall_audit", "time_grid_fill",
+    "vocab_overlap_hll", "weighted_sample", "graph_communities",
+    "bpe_merges_batched", "routed_hybrid", "scd2_versions",
+    "events_profile", "uniform_negatives", "click_attribution",
+    "bm25_v2_topk", "fusion_percentile", "late_interaction",
+    "token_budget_mix", "quality_dedup_keep", "ql_dirichlet",
+    "hist_quantiles_by_type", "ltr_features", "entity_cooccurrence",
+    "minhash_accuracy", "source_concentration", "asof_nearest",
+    "ohlc_bars", "dau_growth", "ewma_smooth", "item_cooccurrence",
+    "doc_keyterms", "search_highlights",
+    "moving_avg", "event_pivot", "event_percentiles", "distinct_users",
+    "props_json_extract", "buffer_quality", "sessionize",
+]
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    # The driver oracle-checks the FIRST 50 declared queries per round;
-    # the window ROTATES to maximize the union of direct driver rows
-    # (COVERAGE.md rotation table). No r03 correctness file was ever
-    # recorded, so the round-3 window went unverified by the driver —
-    # round-4 window, in priority order: (1) the eight round-4
-    # additions; (2) the eighteen queries with ZERO driver rows across
-    # r01/r02 (the round-3 additions + the seven promoted-in-r3
-    # stragglers); (3) every events-reading query — their r1/r2 green
-    # rows predate the round-3 events.ts schema switch; (4) three
-    # most-stale r1-only family representatives. Demoted past 50:
-    # r2-green queries over unchanged documents/embeddings inputs and
-    # r1-green relational queries over unchanged TPC-H inputs —
-    # tools/verify_oracle.py (full suite, re-run each round) remains
-    # the superset check for the demoted set.
+    reg = _query_registry()
+    ordered = {n: reg[n] for n in _DRIVER_WINDOW_R4}
+    ordered.update((n, f) for n, f in reg.items() if n not in ordered)
+    return ordered
+
+
+def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # Grouped by the round each query was added / last verified —
+    # queries() reorders so _DRIVER_WINDOW_R4 leads.
     return {
+        "hybrid_rrf_3way": q_hybrid_rrf_3way,
         # (1) round-4 additions
         "tpch_q5": q_tpch_q5,
         "tpch_q10": q_tpch_q10,
@@ -2602,6 +2713,116 @@ unioned AS (
 """
 
 
+def _fusion3_sql(fsk: int = FIRST_STAGE_K) -> str:
+    """Three-store flagship oracle: vec + kw + graph-contextual branches
+    (graph layers exactly as oracles.graph_contextual_sql, collapsed to
+    max score per node, capped at fsk) → RRF 0.5/0.3/0.2 → hydrate."""
+    bm25 = kw_ops.bm25_topk_sql(QUERY_TEXT, fsk)
+    w = HYBRID_WEIGHTS_3WAY
+    weight_case = (
+        f"CASE store_type WHEN 'vector' THEN {w['vector']} "
+        f"WHEN 'graph' THEN {w['graph']} ELSE {w['keyword']} END"
+    )
+    return f"""
+WITH {_q(ANCHOR_VEC_ID)},
+vec AS (
+  SELECT e.vec_id AS doc_id, {_COS_SQL} AS score
+  FROM embeddings e, q
+  ORDER BY score DESC, e.vec_id ASC
+  LIMIT {fsk}
+),
+kw AS (SELECT * FROM ({bm25})),
+{oracles.edges_cte(_SIM_T).strip()},
+l1 AS (
+  SELECT e.vec_id, {_COS_SQL} AS score
+  FROM embeddings e, q ORDER BY score DESC, e.vec_id ASC LIMIT {fsk}
+),
+connected AS (
+  SELECT ed.dst AS vec_id, round(max(ed.weight), 6) AS score
+  FROM edges ed JOIN l1 ON ed.src = l1.vec_id
+  WHERE ed.dst NOT IN (SELECT vec_id FROM l1)
+  GROUP BY ed.dst
+),
+rescored AS (
+  SELECT e.vec_id, {_COS_SQL} AS score
+  FROM embeddings e JOIN connected c ON e.vec_id = c.vec_id, q
+  ORDER BY score DESC, e.vec_id ASC LIMIT {fsk}
+),
+gctx AS (
+  SELECT vec_id, score FROM l1
+  UNION ALL SELECT vec_id, score FROM connected
+  UNION ALL SELECT vec_id, score FROM rescored
+),
+graphb AS (
+  SELECT vec_id AS doc_id, max(score) AS score
+  FROM gctx GROUP BY vec_id
+  ORDER BY score DESC, doc_id ASC LIMIT {fsk}
+),
+unioned AS (
+  SELECT doc_id, score, 'vector' AS store_type FROM vec
+  UNION ALL SELECT doc_id, score, 'graph' AS store_type FROM graphb
+  UNION ALL SELECT doc_id, score, 'keyword' AS store_type FROM kw
+),
+ranked AS (
+  SELECT doc_id, store_type,
+         row_number() OVER (PARTITION BY store_type
+                            ORDER BY score DESC, doc_id ASC) AS rnk
+  FROM unioned
+),
+fused AS (
+  SELECT doc_id, round(sum({weight_case} / ({RRF_K} + rnk)), 6) AS score
+  FROM ranked GROUP BY doc_id
+)
+SELECT f.doc_id, f.score, d.text
+FROM fused f JOIN documents d USING (doc_id)
+ORDER BY f.score DESC, f.doc_id ASC
+LIMIT {TOP_K}
+"""
+
+
+def _round_buffer_batch_sql(budget: int = 20) -> str:
+    """Greedy word-budget grouping as a DuckDB RECURSIVE CTE: walk each
+    session's messages in sequence order carrying (group id, running
+    word total); a message whose words would push the running total
+    past the budget starts a new group (exactly
+    chunking.word_budget_groups_py — the first message of a group never
+    flushes, so an oversized message gets its own group). Closes the
+    one registry entry that previously had no hash oracle (B1 batch
+    twin)."""
+    cjk = r"[\x{4e00}-\x{9fff}\x{3040}-\x{30ff}\x{ac00}-\x{d7af}]"
+    wc = (
+        f"len(list_filter(string_split_regex(regexp_replace(content, '{cjk}', ' ', 'g'),"
+        f" '\\s+'), x -> len(x) > 0))"
+        f" + (len(content) - len(regexp_replace(content, '{cjk}', '', 'g')))"
+    )
+    return f"""
+WITH RECURSIVE {oracles.M0_CTE.strip()},
+wcs AS (
+  SELECT CAST(conversation_id AS VARCHAR) AS session_id, sequence_number,
+         {wc} AS w
+  FROM m0
+),
+msgs AS (
+  SELECT session_id, w,
+         row_number() OVER (PARTITION BY session_id ORDER BY sequence_number) AS rn
+  FROM wcs
+),
+walk(session_id, rn, w, gid, acc) AS (
+  SELECT session_id, rn, w, 0, w FROM msgs WHERE rn = 1
+  UNION ALL
+  SELECT m.session_id, m.rn, m.w,
+         CASE WHEN wk.acc + m.w > {budget} THEN wk.gid + 1 ELSE wk.gid END,
+         CASE WHEN wk.acc + m.w > {budget} THEN m.w ELSE wk.acc + m.w END
+  FROM walk wk JOIN msgs m ON m.session_id = wk.session_id AND m.rn = wk.rn + 1
+)
+SELECT session_id, CAST(gid AS INTEGER) AS group_id,
+       CAST(count(*) AS INTEGER) AS n_messages,
+       CAST(sum(w) AS INTEGER) AS word_count
+FROM walk GROUP BY session_id, gid
+ORDER BY session_id, group_id
+"""
+
+
 def _hierarchy_summary_sql() -> str:
     m2 = oracles.m2_facts_sql()
     m3 = oracles.m3_patterns_sql()
@@ -2732,10 +2953,19 @@ SELECT d.doc_id, q.term,
 FROM documents d JOIN top USING (doc_id), qterms q
 ORDER BY d.doc_id, q.term
 """,
-        "item_cooccurrence": """
-WITH ui AS (
+        "item_cooccurrence": f"""
+WITH ui0 AS (
   SELECT DISTINCT o_custkey AS u, l_partkey AS item
   FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+),
+ui AS (
+  SELECT u, item FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY u
+      ORDER BY md5('coocap' || CAST(item AS VARCHAR)), item
+    ) AS __rk
+    FROM ui0
+  ) WHERE __rk <= {COOC_BASKET_CAP}
 )
 SELECT a.item AS item_a, b.item AS item_b,
        CAST(count(*) AS BIGINT) AS n_users
@@ -2846,6 +3076,7 @@ SELECT doc_id, CAST(0.6 AS DOUBLE) AS score FROM documents
 WHERE lower(text) LIKE '%vector%' OR lower(text) LIKE '%merge%'
 ORDER BY doc_id
 """,
+        "hybrid_rrf_3way": _fusion3_sql(),
         "hybrid_rrf": _fusion_ctes()
         + f""",
 ranked AS (
@@ -3450,8 +3681,7 @@ FROM events
 GROUP BY 1, 2
 ORDER BY hour, event_type
 """,
-        # round_buffer_batch: greedy stateful grouping, not SQL-expressible
-        # (driver records rows-only) — streaming twin tested in pytest.
+        "round_buffer_batch": _round_buffer_batch_sql(),
         "read_your_writes": f"""
 WITH {oracles.M0_CTE.strip()},
 m0s AS (SELECT message_id, conversation_id, content FROM m0),

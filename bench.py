@@ -121,6 +121,16 @@ EXTRA = [
     "item_cooccurrence",
     "doc_keyterms",
     "search_highlights",
+    # round 6 (driver r4)
+    "hybrid_rrf_3way",
+]
+# Real-model-tier twins (deterministic stand-in models, models.py):
+# resolved from q_* functions directly — deliberately NOT queries()
+# entries (no DuckDB oracle is possible for the seeded projection;
+# python-parity lives in pytest). Timed and reported like EXTRA.
+MODEL_TIER = [
+    "model_embed_bench",
+    "model_rerank_bench",
 ]
 
 
@@ -152,6 +162,8 @@ def main() -> None:
     entrymod._postings_index(spark, warm_dir)
     for name in HEADLINE + EXTRA:
         qs_warm[name](spark, warm_dir).collect()
+    for name in MODEL_TIER:
+        getattr(entrymod, f"q_{name}")(spark, warm_dir).collect()
     # the keyword postings index is a persistent ingest-time artifact
     # (reference: FTS5 index, keyword_store/sqlite_store.py:376-421) —
     # built once here, amortized across all keyword queries, not rebuilt
@@ -159,20 +171,40 @@ def main() -> None:
     entrymod._postings_index(spark, sf_dir)
 
     timings: dict[str, float] = {}
-    for name in HEADLINE + EXTRA:
-        fn = qs[name]
+    for name in HEADLINE + EXTRA + MODEL_TIER:
+        fn = qs.get(name) or getattr(entrymod, f"q_{name}")
         t0 = time.perf_counter()
         rows = fn(spark, sf_dir).collect()
         timings[name] = round(time.perf_counter() - t0, 3)
         assert rows is not None
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+    # Full per-query detail goes to a FILE (and an early log line): the
+    # driver records only the TAIL of stdout, and a 90+-entry queries
+    # dict overflows that cap and truncates the JSON line from the
+    # front (BENCH_r03 "parsed": null). The LAST line stays compact —
+    # headline per-query timings + a rollup of the extra suite — so the
+    # driver always parses it.
+    detail = {
+        "metric": "full_suite_detail",
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_val,
+    }
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "BENCH_DETAIL.json"), "w") as fh:
+        json.dump(detail, fh, indent=1)
+    print(json.dumps(detail))
     out = {
         "metric": "headline_suite_total_runtime",
         "value": round(sum(timings[n] for n in HEADLINE), 3),
         "unit": "sec",
-        "queries": timings,
-        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "queries": {n: timings[n] for n in HEADLINE},
+        "extra_total": round(sum(timings[n] for n in EXTRA), 3),
+        "n_extra": len(EXTRA),
+        "model_tier": {n: timings[n] for n in MODEL_TIER},
+        "sf": sf_val,
     }
     print(json.dumps(out))
     spark.stop()

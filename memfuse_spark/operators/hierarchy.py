@@ -100,14 +100,69 @@ def m1_from_m0(m0: DataFrame, batch_size: int = M1_BATCH_SIZE, dim: int = EMBED_
 
 
 def m2_facts_from_m1(
-    m1: DataFrame, confidence_threshold: float = CONFIDENCE_THRESHOLD
+    m1: DataFrame,
+    confidence_threshold: float = CONFIDENCE_THRESHOLD,
+    extractor=None,
 ) -> DataFrame:
     """M2 semantic facts — deterministic rule-based extraction (the
     reference's non-LLM fallback path, fact_extraction_processor.py:
     434-528): the two most frequent non-stopword tokens of a chunk form
     a co-occurrence fact; confidence grows with their combined share of
     the chunk; facts below the 0.7 threshold are dropped (:543-557).
+
+    ``extractor=`` is the LLM-mode plug point (reference PRIMARY path,
+    fact_extraction_processor.py:107-230), mirroring
+    ``rerank.rerank(scorer=)``: a callable
+    ``contents -> [[{fact_content, entities, confidence}, ...], ...]``
+    (one fact list per chunk) run as an Arrow-batched mapInPandas over
+    (chunk_id, conversation_id, content). The default (None) keeps the
+    rule-based plan — the oracle-checked tier — byte-identical. The
+    confidence threshold applies to BOTH modes (:543-557 filters after
+    either extractor).
     """
+    if extractor is not None:
+        import pandas as pd
+        from pyspark.sql.types import (
+            ArrayType,
+            DoubleType,
+            StringType,
+            StructField,
+            StructType,
+        )
+
+        schema = StructType(
+            [
+                m1.schema["chunk_id"],
+                m1.schema["conversation_id"],
+                StructField("fact_content", StringType()),
+                StructField("entities", ArrayType(StringType())),
+                StructField("confidence", DoubleType()),
+            ]
+        )
+        cols = [f.name for f in schema.fields]
+
+        def extract(batches):
+            for pdf in batches:
+                fact_lists = extractor(list(pdf["content"]))
+                rows = [
+                    (
+                        cid,
+                        conv,
+                        str(f["fact_content"]),
+                        [str(e) for e in f.get("entities", [])],
+                        float(f["confidence"]),
+                    )
+                    for cid, conv, facts in zip(
+                        pdf["chunk_id"], pdf["conversation_id"], fact_lists
+                    )
+                    for f in facts
+                ]
+                yield pd.DataFrame(rows, columns=cols)
+
+        facts = m1.select("chunk_id", "conversation_id", "content").mapInPandas(
+            extract, schema
+        )
+        return facts.filter(F.col("confidence") >= confidence_threshold)
     toks = m1.select(
         "chunk_id", "conversation_id", F.explode(tokenize("content")).alias("tok")
     ).filter(~F.col("tok").isin(*STOPWORDS))

@@ -361,15 +361,36 @@ def uniform_negatives(
     shuffle), then explode(users x slots) -> broadcast-join the ranked
     catalog -> anti-join positives — everything keys on user or item,
     nothing quadratic.
+
+    The catalog rank is a bucketed two-phase prefix rank (the
+    sequence_pack pattern): range-partition the distinct catalog, rank
+    WITHIN each range partition (parallel), and add per-partition
+    offsets from a window over the tiny partition-counts table. The
+    global rank equals row_number() over the full item order — range
+    partitions are ordered and non-overlapping, so the result is
+    independent of where the boundaries land — but no stage ever sorts
+    the whole catalog on one task.
     """
     from pyspark.sql import Window
 
-    ranked = (
+    cat = (
         items.select(F.col(item_col).alias("item"))
         .distinct()
-        .withColumn(
-            "idx", F.row_number().over(Window.orderBy("item")).cast("long")
-        )
+        .repartitionByRange(32, "item")
+        .withColumn("__p", F.spark_partition_id())
+    )
+    intra_w = Window.partitionBy("__p").orderBy("item")
+    totals_w = Window.orderBy("__p")  # bounded: ≤ 32 partition-count rows
+    offsets = (
+        cat.groupBy("__p")
+        .agg(F.count("*").alias("__c"))
+        .withColumn("__off", (F.sum("__c").over(totals_w) - F.col("__c")))
+        .select("__p", "__off")
+    )
+    ranked = (
+        cat.withColumn("__i", F.row_number().over(intra_w))
+        .join(F.broadcast(offsets), "__p")
+        .select("item", (F.col("__off") + F.col("__i")).cast("long").alias("idx"))
     )
     n_items = ranked.agg(F.count("*").alias("n"))
     users = positives.select(F.col(user_col).alias("user")).distinct()

@@ -77,6 +77,71 @@ def hybrid_retrieval(
     ).limit(k)
 
 
+def hybrid_retrieval_3way(
+    documents: DataFrame,
+    embeddings: DataFrame,
+    edges: DataFrame,
+    query_text: str,
+    qvec: Sequence[float],
+    k: int = 15,
+    first_stage_k: int | None = None,
+    weights: dict[str, float] | None = None,
+    rrf_k: float = DEFAULT_RRF_K,
+    postings_index: str | None = None,
+) -> DataFrame:
+    """The reference's DEFAULT retrieval path: vector ∪ graph ∪ keyword
+    fused with RRF at store weights 0.5/0.3/0.2 (reference
+    `rag/retrieve/hybrid.py:54-56`; three-branch union at `:251-322`),
+    hydrated with document content.
+
+    The graph branch is the three-layer contextual retrieval seeded
+    from the query vector (`hybrid.py:166-249`): similar ∪ connected ∪
+    connected-rescored, collapsed to one score per node (max over
+    layers — a node surfaced by several layers counts once at its best
+    evidence) and capped at `first_stage_k` like the other branches.
+
+    Scale shape: all three branches produce ≤ first_stage_k rows before
+    fusion — vector via TakeOrderedAndProject, keyword via the
+    postings-index bucket scan, graph via k-row layer intermediates
+    pinned with localCheckpoint (contextual_retrieval) — so the RRF
+    windows and the hydration broadcast join all run on k-scale data.
+    """
+    from memfuse_spark.operators.graph import contextual_retrieval
+
+    fsk = first_stage_k or 2 * k
+    vec = tag_store(
+        similarity_topk(embeddings, qvec, fsk, id_col="vec_id").withColumnRenamed(
+            "vec_id", "doc_id"
+        ),
+        "vector",
+    )
+    if postings_index is not None:
+        kw_raw = bm25_topk_from_index(
+            documents.sparkSession, postings_index, query_text, fsk
+        )
+    else:
+        kw_raw = bm25_topk(documents, query_text, fsk)
+    kw = tag_store(kw_raw, "keyword")
+    gctx = contextual_retrieval(embeddings, edges, qvec, k=fsk)
+    graph = tag_store(
+        gctx.groupBy("vec_id")
+        .agg(F.max("score").alias("score"))
+        .orderBy(F.desc("score"), F.asc("vec_id"))
+        .limit(fsk)
+        .withColumnRenamed("vec_id", "doc_id"),
+        "graph",
+    )
+    fused = rrf_fusion(
+        union_results(vec, graph, kw),
+        weights=weights or {"vector": 0.5, "graph": 0.3, "keyword": 0.2},
+        rrf_k=rrf_k,
+    )
+    hydrated = fused.join(F.broadcast(documents.select("doc_id", "text")), "doc_id")
+    return hydrated.select("doc_id", "score", "text").orderBy(
+        F.desc("score"), F.asc("doc_id")
+    ).limit(k)
+
+
 def anchor_vector(spark: SparkSession, embeddings: DataFrame, vec_id: int = 0) -> list[float]:
     """Fetch one stored embedding to use as the query vector (driver-side
     query parameter, k·dim floats — not a data move)."""

@@ -114,3 +114,26 @@ def test_percentile_rank_fusion_outlier_insensitive(spark):
     assert pr[3] == pytest.approx(1 / 3)
     assert pr[4] == pytest.approx(0.0)
     assert pr[1] == pytest.approx(1.0)
+
+
+def test_hybrid_3way_has_three_stores_and_flagship_shape(spark, tables):
+    """The three-store flagship: all three branches contribute to the
+    union (store_type ∈ {vector, graph, keyword}), the fused result is
+    (doc_id, score, text) capped at k, and a doc surfaced by several
+    graph layers counts once per store in the RRF window."""
+    import __spark_entry__ as m
+    from memfuse_spark.plans.pipeline import anchor_vector, hybrid_retrieval_3way
+
+    emb, edges = m._graph_edges(spark, __import__("tests.conftest", fromlist=["SF_DIR"]).SF_DIR)
+    docs = tables["documents"]
+    qvec = anchor_vector(spark, emb, 0)
+    out = hybrid_retrieval_3way(docs, emb, edges, "spark table scan query", qvec, k=10)
+    rows = out.collect()
+    assert 0 < len(rows) <= 10
+    assert out.columns == ["doc_id", "score", "text"]
+    # scores strictly ordered with total tie order
+    keys = [(-r.score, r.doc_id) for r in rows]
+    assert keys == sorted(keys)
+    # anchor doc itself must surface (cosine 1.0 in the vector branch,
+    # seed of the graph branch)
+    assert rows[0].doc_id == 0

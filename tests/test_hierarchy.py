@@ -63,3 +63,36 @@ def test_lineage_join_roundtrip(events):
     # every m0 message appears exactly once in the lineage
     assert lin.count() == 12
     assert lin.select("message_id").distinct().count() == 12
+
+
+def test_m2_extractor_seam_injects_llm_mode(events):
+    """The extractor= plug point (reference primary LLM path,
+    fact_extraction_processor.py:107-230): a fake batch extractor runs
+    Arrow-batched, emits one row per extracted fact with the SAME output
+    schema as the rule-based default, and the confidence threshold still
+    applies after extraction."""
+    m1 = h.m1_from_m0(h.m0_from_events(events), batch_size=5)
+
+    def fake_llm(contents):
+        out = []
+        for c in contents:
+            first = c.split()[0] if c.split() else "x"
+            out.append(
+                [
+                    {"fact_content": f"{first} mentioned", "entities": [first], "confidence": 0.9},
+                    {"fact_content": f"{first} doubted", "entities": [first], "confidence": 0.3},
+                ]
+            )
+        return out
+
+    got = h.m2_facts_from_m1(m1, extractor=fake_llm)
+    rule = h.m2_facts_from_m1(m1)
+    assert got.columns == rule.columns
+    assert [f.dataType for f in got.schema.fields] == [
+        f.dataType for f in rule.schema.fields
+    ]
+    rows = got.collect()
+    n_chunks = m1.count()
+    # one fact per chunk survives (0.9), one is threshold-dropped (0.3)
+    assert len(rows) == n_chunks
+    assert all(r.confidence == 0.9 and r.fact_content.endswith("mentioned") for r in rows)

@@ -389,3 +389,25 @@ def test_token_budget_mix_caps_each_source(spark):
     assert got["b"].kept_docs == 2 and got["b"].kept_tokens == 10
     assert got["a"].kept_docs <= 10
     assert got["a"].total_tokens == 100
+
+
+def test_cooccurrence_whale_key_capped_subquadratic(spark):
+    """A whale customer's basket is capped at COOC_BASKET_CAP before the
+    item-item self-join, so its candidate-pair count is C(cap, 2) — not
+    C(basket, 2) — while small baskets pass through untouched."""
+    from memfuse_spark.operators.sampling import reservoir_per_group
+
+    from __spark_entry__ import COOC_BASKET_CAP
+
+    whale = [(1, i) for i in range(500)] + [(2, i) for i in range(10)]
+    ui = spark.createDataFrame(whale, "u bigint, item bigint")
+    capped = reservoir_per_group(
+        ui, COOC_BASKET_CAP, group_col="u", id_col="item", salt="coocap"
+    )
+    a = capped.select("u", F.col("item").alias("item_a"))
+    b = capped.select("u", F.col("item").alias("item_b"))
+    pairs = a.join(b, "u").filter(F.col("item_a") < F.col("item_b"))
+    per_user = {r.u: r.n for r in pairs.groupBy("u").count().withColumnRenamed("count", "n").collect()}
+    cap = COOC_BASKET_CAP
+    assert per_user[1] == cap * (cap - 1) // 2  # whale bounded by the cap
+    assert per_user[2] == 10 * 9 // 2           # small basket untouched

@@ -231,3 +231,16 @@ def test_uniform_negatives_catalog_broadcasts(spark):
     plan = _plan(m.q_uniform_negatives(spark, SF_DIR))
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_uniform_negatives_catalog_rank_is_partitioned(spark):
+    """The distinct-item catalog rank must be the bucketed two-phase
+    prefix rank: every window ordering by `item` carries a partition
+    column (the range-bucket id), so no single task ever sorts the full
+    catalog. A windowspecdefinition STARTING with the item ordering
+    column is the unpartitioned global sort we forbid; the only
+    unpartitioned window left is the ≤32-row bucket-offsets aggregate."""
+    import __spark_entry__ as m
+
+    plan = _plan(m.q_uniform_negatives(spark, SF_DIR))
+    assert "windowspecdefinition(item#" not in plan
