@@ -856,6 +856,82 @@ def q_prefix_filter_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return prefix_filter_pairs(docs, PREFIX_JACCARD_T)
 
 
+def q_prefix_filter_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-tier dedup REPORT: the full AllPairs/PPJoin pair set
+    reduced to a jaccard-band histogram (band, n_pairs, n_docs) — the
+    bounded output a 100-TB dedup job actually ships downstream. The
+    raw pair enumeration stays oracle-checked as prefix_filter_pairs;
+    this is the bench representative, so the suite times the exact-tier
+    COMPUTE rather than a ~10^6-row driver transfer."""
+    from memfuse_spark.operators.dedup import PREFIX_JACCARD_T, prefix_filter_pairs
+
+    (docs,) = _tables(spark, sf_dir, "documents")
+    pairs = prefix_filter_pairs(docs, PREFIX_JACCARD_T)
+    bands = pairs.withColumn("band", F.floor(F.col("jaccard") * 20).cast("int"))
+    npairs = bands.groupBy("band").agg(F.count("*").alias("n_pairs"))
+    ndocs = (
+        bands.select("band", F.explode(F.array("doc_a", "doc_b")).alias("d"))
+        .groupBy("band")
+        .agg(F.countDistinct("d").alias("n_docs"))
+    )
+    return npairs.join(ndocs, "band").orderBy("band")
+
+
+def _media_meta(docs: DataFrame) -> DataFrame:
+    """Deterministic media-metadata table derived from documents (the
+    driver testdata carries no binary media): typed width/height/
+    duration columns — the columnar metadata a 100-TB media lake filters
+    on WITHOUT touching payload bytes (multimodal.py design note)."""
+    return docs.select(
+        F.concat(F.lit("m"), F.col("doc_id")).alias("media_id"),
+        F.when(F.col("doc_id") % 3 == 0, F.lit("image/png"))
+        .otherwise(F.lit("video/mp4"))
+        .alias("mime"),
+        (F.col("doc_id") * 37 % 1000 + 16).cast("int").alias("width"),
+        (F.col("doc_id") * 53 % 800 + 16).cast("int").alias("height"),
+        (F.col("doc_id") * 911 % 30000 + 500).cast("int").alias("duration_ms"),
+    )
+
+
+_MEDIA_META_SQL = """
+media AS (
+  SELECT 'm' || CAST(doc_id AS VARCHAR) AS media_id,
+         CASE WHEN doc_id % 3 = 0 THEN 'image/png' ELSE 'video/mp4' END AS mime,
+         CAST(doc_id * 37 % 1000 + 16 AS INT) AS width,
+         CAST(doc_id * 53 % 800 + 16 AS INT) AS height,
+         CAST(doc_id * 911 % 30000 + 500 AS INT) AS duration_ms,
+         doc_id
+  FROM documents
+)"""
+
+
+def q_media_resize_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal metadata path: resize planning as pure column math
+    (multimodal.resize_plan) — decode only ever touches rows where
+    needs_resize; the codec itself is pytest-covered (real stdlib PNG)."""
+    from memfuse_spark.operators.multimodal import resize_plan
+
+    (docs,) = _tables(spark, sf_dir, "documents")
+    out = resize_plan(_media_meta(docs), max_side=256)
+    return out.select(
+        "media_id", "width", "height", "needs_resize",
+        "target_width", "target_height",
+    ).orderBy("media_id")
+
+
+def q_media_frame_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal metadata path: video frame-sampling plan (1 frame/s,
+    capped at 16) — each video row explodes into the timestamps a
+    decoder task would extract (multimodal.frame_sample_plan)."""
+    from memfuse_spark.operators.multimodal import frame_sample_plan
+
+    (docs,) = _tables(spark, sf_dir, "documents")
+    media = _media_meta(docs).filter(F.col("mime") == "video/mp4")
+    return frame_sample_plan(media, every_ms=1000, max_frames=16).orderBy(
+        "media_id", "frame_index"
+    )
+
+
 def q_value_outliers_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Robust per-type outlier stats (median/MAD modified z-score)."""
     from memfuse_spark.operators.stats import mad_outlier_stats
@@ -1447,6 +1523,48 @@ def q_m0_m1_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
     m0 = h.m0_from_events(events)
     m1 = h.m1_from_m0(m0)
     return h.lineage_join(m1, m0).orderBy("chunk_id", "message_id")
+
+
+def q_m2_facts_extractor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M3/M5 LLM-mode seam end-to-end under the driver gate: a
+    deterministic stand-in extractor (bookend fact from each chunk's
+    first+last token) injected via m2_facts_from_m1(extractor=) — the
+    Arrow-batched mapInPandas path a real LLM would ride (reference
+    fact_extraction_processor.py:107-230) — hash-compared against a
+    DuckDB twin of the same extraction rule."""
+    from memfuse_spark.operators import hierarchy as h
+    from memfuse_spark.operators.keyword import _py_tokenize
+
+    (events,) = _tables(spark, sf_dir, "events")
+    m1 = h.m1_from_m0(h.m0_from_events(events))
+
+    def bookend_extractor(contents):
+        out = []
+        for c in contents:
+            toks = _py_tokenize(c or "")
+            if not toks:
+                out.append([])
+                continue
+            conf = round(min(0.5 + len(toks) / 50.0, 1.0), 6)
+            out.append(
+                [
+                    {
+                        "fact_content": f"{toks[0]} bookends {toks[-1]}",
+                        "entities": [toks[0], toks[-1]],
+                        "confidence": conf,
+                    }
+                ]
+            )
+        return out
+
+    facts = h.m2_facts_from_m1(m1, extractor=bookend_extractor)
+    return facts.select(
+        "chunk_id",
+        "conversation_id",
+        "fact_content",
+        F.concat_ws(",", "entities").alias("entities_csv"),
+        "confidence",
+    ).orderBy("chunk_id")
 
 
 def q_m3_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2493,6 +2611,12 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # queries() reorders so _DRIVER_WINDOW_R4 leads.
     return {
         "hybrid_rrf_3way": q_hybrid_rrf_3way,
+        # added after the r4 rotation freeze → position 51+, heads the
+        # round-5 window
+        "prefix_filter_stats": q_prefix_filter_stats,
+        "m2_facts_extractor": q_m2_facts_extractor,
+        "media_resize_plan": q_media_resize_plan,
+        "media_frame_plan": q_media_frame_plan,
         # (1) round-4 additions
         "tpch_q5": q_tpch_q5,
         "tpch_q10": q_tpch_q10,
@@ -3830,6 +3954,24 @@ ORDER BY p.purchase_id
         "m0_records": oracles.m0_records_sql(),
         "m1_chunks": oracles.m1_chunks_sql(),
         "m2_facts": oracles.m2_facts_sql(),
+        "m2_facts_extractor": f"""
+WITH {oracles.M0_CTE.strip()},{oracles._m1_cte(5, 16)},
+tk AS (
+  SELECT chunk_id, conversation_id,
+         {_TOKENIZE_SQL.format(col="content")} AS l
+  FROM m1
+),
+f AS (
+  SELECT chunk_id, conversation_id,
+         l[1] || ' bookends ' || l[len(l)] AS fact_content,
+         l[1] || ',' || l[len(l)] AS entities_csv,
+         round(least(CAST(0.5 AS DOUBLE) + len(l) / CAST(50.0 AS DOUBLE),
+                     CAST(1.0 AS DOUBLE)), 6) AS confidence
+  FROM tk WHERE len(l) > 0
+)
+SELECT chunk_id, conversation_id, fact_content, entities_csv, confidence
+FROM f WHERE confidence >= 0.7 ORDER BY chunk_id
+""",
         "m0_m1_lineage": oracles.lineage_sql(),
         "fixed_char_chunks": """
 WITH chunks AS (
@@ -4010,7 +4152,55 @@ ORDER BY o_orderstatus, o_orderpriority
         "prefix_filter_pairs": dedup_ops.prefix_filter_pairs_sql(
             _TOKENIZE_SQL.format(col="text"), dedup_ops.PREFIX_JACCARD_T
         ),
+        "prefix_filter_stats": f"""
+WITH pf AS ({dedup_ops.prefix_filter_pairs_sql(
+            _TOKENIZE_SQL.format(col="text"), dedup_ops.PREFIX_JACCARD_T
+        )}),
+bands AS (
+  SELECT CAST(floor(jaccard * 20) AS INT) AS band, doc_a, doc_b FROM pf
+),
+npairs AS (
+  SELECT band, CAST(count(*) AS BIGINT) AS n_pairs FROM bands GROUP BY band
+),
+ndocs AS (
+  SELECT band, CAST(count(DISTINCT d) AS BIGINT) AS n_docs FROM (
+    SELECT band, doc_a AS d FROM bands
+    UNION ALL SELECT band, doc_b AS d FROM bands
+  ) GROUP BY band
+)
+SELECT band, n_pairs, n_docs FROM npairs JOIN ndocs USING (band)
+ORDER BY band
+""",
         "value_outliers_mad": _stats.mad_outlier_stats_sql(),
+        "media_resize_plan": f"""
+WITH {_MEDIA_META_SQL.strip()},
+r AS (
+  SELECT media_id, width, height,
+         (width > 256 OR height > 256) AS needs_resize,
+         least(CAST(256.0 AS DOUBLE) / width,
+               CAST(256.0 AS DOUBLE) / height) AS scale
+  FROM media
+)
+SELECT media_id, width, height, needs_resize,
+       CAST(CASE WHEN needs_resize THEN floor(width * scale)
+                 ELSE width END AS INT) AS target_width,
+       CAST(CASE WHEN needs_resize THEN floor(height * scale)
+                 ELSE height END AS INT) AS target_height
+FROM r ORDER BY media_id
+""",
+        "media_frame_plan": f"""
+WITH {_MEDIA_META_SQL.strip()},
+v AS (
+  SELECT media_id, mime,
+         CAST(least(greatest(floor(duration_ms / CAST(1000.0 AS DOUBLE)), 1),
+                    16) AS INT) AS nf
+  FROM media WHERE mime = 'video/mp4'
+)
+SELECT media_id, mime, CAST(t.i AS INT) AS frame_index,
+       CAST(t.i * 1000 AS INT) AS frame_ts_ms
+FROM v, unnest(range(0, v.nf)) AS t(i)
+ORDER BY media_id, frame_index
+""",
         "graph_triangles": _graph_mod.triangle_counts_sql(
             oracles.edges_cte(_SIM_T), 20
         ),

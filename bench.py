@@ -59,7 +59,12 @@ EXTRA = [
     "hll_users",
     "cms_heavy_hitters",
     "cdc_chunks",
-    "prefix_filter_pairs",
+    # exact-tier dedup representative: the banded REPORT over the same
+    # AllPairs/PPJoin pair set. prefix_filter_pairs itself emits ~1M
+    # pairs at sf0.1 on this template corpus and its 22s bench slot was
+    # ~45% driver row transfer — the stats twin times the exact-tier
+    # compute without the collect artifact (pairs stay oracle-checked).
+    "prefix_filter_stats",
     "value_outliers_mad",
     "graph_triangles",
     "event_funnel",

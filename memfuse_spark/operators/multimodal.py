@@ -2,11 +2,14 @@
 opaque binary columns with typed metadata.
 
 The Spark-side plumbing is real — schemas, Arrow-batched mapInPandas
-transforms, partition-friendly layouts; the codec step is stubbed behind
-``DECODERS`` because image/audio libraries are not in this container
-(each stub is deterministic so tests can assert batch shapes end-to-end).
-Swap a real decoder in (PIL / torchaudio / pyav) and nothing else
-changes: same schema, same batch iterator, same partitioning.
+transforms, partition-friendly layouts — and so are two codecs:
+``image/png`` (pure stdlib zlib chunk-walk + filter inversion,
+:func:`decode_png`/:func:`encode_png`) and ``audio/wav`` (stdlib
+``wave``, :func:`decode_wav`). Formats that DO need external libraries
+(JPEG, MP3, video) stay behind the ``DECODERS`` registry with the
+deterministic ``image/fake`` stub documenting the seam; swap in
+PIL / torchaudio / pyav and nothing else changes: same schema, same
+batch iterator, same partitioning.
 
 Design notes for 100 TB of media:
 - binary payloads stay in parquet (or are pointers into an object store
@@ -42,7 +45,177 @@ def _stub_decode_image(payload: bytes, width: int, height: int) -> np.ndarray:
     return rng.integers(0, 256, size=(height, width, 3), dtype=np.uint8)
 
 
-DECODERS = {"image/fake": _stub_decode_image}
+# ---------------------------------------------------------------------------
+# real codecs — pure stdlib (zlib / struct / wave), no image libraries
+# ---------------------------------------------------------------------------
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}  # gray, RGB, gray+A, RGBA
+
+
+def decode_png(payload: bytes, width: int = 0, height: int = 0) -> np.ndarray:
+    """REAL PNG decoder (RFC 2083) in pure stdlib zlib+numpy: chunk walk
+    → inflate IDAT → invert the per-scanline filter (None/Sub/Up/
+    Average/Paeth) → HxWx3 uint8. Supports 8-bit gray/RGB/gray+A/RGBA,
+    non-interlaced — the shapes a training pipeline normalizes to
+    anyway. width/height args are advisory metadata; the IHDR is
+    authoritative."""
+    import struct
+    import zlib
+
+    if payload[:8] != _PNG_SIG:
+        raise ValueError("not a PNG payload")
+    pos, idat = 8, []
+    w = h = depth = color = interlace = None
+    while pos + 8 <= len(payload):
+        (length,) = struct.unpack(">I", payload[pos : pos + 4])
+        ctype = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + length]
+        if ctype == b"IHDR":
+            w, h, depth, color, _comp, _filt, interlace = struct.unpack(
+                ">IIBBBBB", data
+            )
+        elif ctype == b"IDAT":
+            idat.append(data)
+        elif ctype == b"IEND":
+            break
+        pos += 12 + length
+    if w is None:
+        raise ValueError("PNG missing IHDR")
+    if depth != 8 or interlace != 0 or color not in _PNG_CHANNELS:
+        raise NotImplementedError(
+            f"PNG bit depth {depth} / color {color} / interlace {interlace}"
+        )
+    ch = _PNG_CHANNELS[color]
+    stride = w * ch
+    raw = zlib.decompress(b"".join(idat))
+    if len(raw) != h * (stride + 1):
+        raise ValueError("PNG scanline data truncated")
+    out = np.zeros((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.int64)
+    for y in range(h):
+        row = raw[y * (stride + 1) : (y + 1) * (stride + 1)]
+        f, line = row[0], np.frombuffer(row[1:], np.uint8).astype(np.int64)
+        if f == 0:
+            rec = line
+        elif f == 2:  # Up — vectorizable: no intra-row dependency
+            rec = (line + prev) & 0xFF
+        else:  # Sub/Average/Paeth recur on the reconstructed left pixel
+            rec = np.zeros(stride, dtype=np.int64)
+            for i in range(stride):
+                a = rec[i - ch] if i >= ch else 0
+                b = prev[i]
+                c = prev[i - ch] if i >= ch else 0
+                if f == 1:
+                    pred = a
+                elif f == 3:
+                    pred = (a + b) // 2
+                elif f == 4:
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+                else:
+                    raise ValueError(f"PNG filter {f}")
+                rec[i] = (line[i] + pred) & 0xFF
+        out[y] = rec
+        prev = rec.astype(np.int64)
+    px = out.reshape(h, w, ch)
+    if ch == 1:
+        return np.repeat(px, 3, axis=2)
+    if ch == 2:  # gray+alpha → drop alpha, expand gray
+        return np.repeat(px[:, :, :1], 3, axis=2)
+    return px[:, :, :3].copy()  # RGB / RGBA → RGB
+
+
+def encode_png(img: np.ndarray, filter_type: int = 0) -> bytes:
+    """Minimal PNG encoder (8-bit RGB, one filter type for every
+    scanline) — the sink/fixture twin of :func:`decode_png`; also how
+    tests exercise each of the five filter inverses without an image
+    library."""
+    import struct
+    import zlib
+
+    img = np.asarray(img, dtype=np.uint8)
+    if img.ndim == 2:
+        img = np.repeat(img[:, :, None], 3, axis=2)
+    h, w, ch = img.shape
+    assert ch == 3, "encode_png writes RGB"
+    a_off = 3
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    flat = img.reshape(h, w * 3).astype(np.int64)
+    lines = []
+    prev = np.zeros(w * 3, dtype=np.int64)
+    for y in range(h):
+        cur = flat[y]
+        a = np.concatenate([np.zeros(a_off, np.int64), cur[:-a_off]])
+        b = prev
+        c = np.concatenate([np.zeros(a_off, np.int64), prev[:-a_off]])
+        if filter_type == 0:
+            filt = cur
+        elif filter_type == 1:
+            filt = cur - a
+        elif filter_type == 2:
+            filt = cur - b
+        elif filter_type == 3:
+            filt = cur - (a + b) // 2
+        elif filter_type == 4:
+            p = a + b - c
+            pa, pb, pc = np.abs(p - a), np.abs(p - b), np.abs(p - c)
+            pred = np.where((pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c))
+            filt = cur - pred
+        else:
+            raise ValueError(f"PNG filter {filter_type}")
+        lines.append(bytes([filter_type]) + (filt & 0xFF).astype(np.uint8).tobytes())
+        prev = cur
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    idat = zlib.compress(b"".join(lines), 6)
+    return (
+        _PNG_SIG + chunk(b"IHDR", ihdr) + chunk(b"IDAT", idat) + chunk(b"IEND", b"")
+    )
+
+
+def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
+    """REAL WAV decoder via the stdlib ``wave`` module: PCM payload →
+    (float64 waveform in [-1, 1], mono-mixed, sample_rate). 8/16/32-bit
+    PCM supported."""
+    import io
+    import wave
+
+    with wave.open(io.BytesIO(payload), "rb") as wf:
+        n, width, rate, nch = (
+            wf.getnframes(),
+            wf.getsampwidth(),
+            wf.getframerate(),
+            wf.getnchannels(),
+        )
+        frames = wf.readframes(n)
+    if width == 1:  # unsigned 8-bit
+        x = np.frombuffer(frames, np.uint8).astype(np.float64)
+        x = (x - 128.0) / 128.0
+    elif width == 2:
+        x = np.frombuffer(frames, "<i2").astype(np.float64) / 32768.0
+    elif width == 4:
+        x = np.frombuffer(frames, "<i4").astype(np.float64) / 2147483648.0
+    else:
+        raise NotImplementedError(f"WAV sample width {width}")
+    if nch > 1:
+        x = x.reshape(-1, nch).mean(axis=1)
+    return x, rate
+
+
+DECODERS = {
+    "image/fake": _stub_decode_image,
+    "image/png": decode_png,  # real codec, stdlib-only
+}
+AUDIO_DECODERS = {"audio/wav": decode_wav}  # real codec, stdlib-only
 
 
 def decode_features(
@@ -94,6 +267,52 @@ def decode_features(
             )
 
     return media.select("media_id", "mime", "payload", "width", "height").mapInPandas(
+        extract, out_schema
+    )
+
+
+def audio_features(media: DataFrame) -> DataFrame:
+    """Decode WAV audio → per-clip signal features in one Arrow-batched
+    pass: (media_id, mime, n_samples, sample_rate, rms,
+    zero_cross_rate, duration_ms_decoded). The same mapInPandas shape
+    as :func:`decode_features`; the per-item codec is the REAL stdlib
+    WAV decode."""
+    out_schema = (
+        "media_id string, mime string, n_samples long, sample_rate int, "
+        "rms double, zero_cross_rate double, duration_ms_decoded double"
+    )
+    cols = [
+        "media_id", "mime", "n_samples", "sample_rate", "rms",
+        "zero_cross_rate", "duration_ms_decoded",
+    ]
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                yield pd.DataFrame(columns=cols)
+                continue
+            unknown = set(pdf["mime"]) - AUDIO_DECODERS.keys()
+            if unknown:
+                raise NotImplementedError(
+                    f"no audio decoder for mime {sorted(unknown)!r}; "
+                    "register one in multimodal.AUDIO_DECODERS"
+                )
+            rows = []
+            for mid, m, p in zip(pdf["media_id"], pdf["mime"], pdf["payload"]):
+                x, rate = AUDIO_DECODERS[m](bytes(p))
+                n = len(x)
+                rms = float(np.sqrt(np.mean(x**2))) if n else 0.0
+                zcr = (
+                    float(np.mean(np.signbit(x[1:]) != np.signbit(x[:-1])))
+                    if n > 1
+                    else 0.0
+                )
+                rows.append(
+                    (mid, m, n, rate, rms, zcr, 1000.0 * n / rate if rate else 0.0)
+                )
+            yield pd.DataFrame(rows, columns=cols)
+
+    return media.select("media_id", "mime", "payload").mapInPandas(
         extract, out_schema
     )
 

@@ -99,3 +99,129 @@ def test_media_neardup_end_to_end_duplicate_payloads(spark):
     media = spark.createDataFrame(rows, mm.MEDIA_SCHEMA)
     pairs = mm.media_neardup_pairs(mm.phash64(media)).collect()
     assert [(p.id_a, p.id_b, p.hamming) for p in pairs] == [("m1", "m2", 0)]
+
+
+# --- real codecs (stdlib-only PNG / WAV) -----------------------------------
+
+def _gradient(h, w):
+    import numpy as np
+
+    y, x = np.mgrid[0:h, 0:w]
+    r = (x * 7 + y * 3) % 256
+    g = (x * 13 + y * 5) % 256
+    b = (x * 3 + y * 11) % 256
+    return np.stack([r, g, b], axis=2).astype(np.uint8)
+
+
+@pytest.mark.parametrize("filter_type", [0, 1, 2, 3, 4])
+def test_png_roundtrip_every_filter(filter_type):
+    """encode_png(filter f) → decode_png must reproduce the pixels
+    EXACTLY for each of the five PNG scanline filters (None/Sub/Up/
+    Average/Paeth) — the full decoder surface, no image library."""
+    import numpy as np
+
+    img = _gradient(13, 9)  # odd dims: exercises non-multiple-of-8 paths
+    payload = mm.encode_png(img, filter_type=filter_type)
+    got = mm.decode_png(payload)
+    assert got.shape == (13, 9, 3)
+    assert np.array_equal(got, img)
+
+
+def test_png_grayscale_and_malformed():
+    import struct
+    import zlib
+
+    import numpy as np
+
+    # hand-built 2x2 8-bit grayscale PNG (color type 0, filter 0)
+    def chunk(ctype, data):
+        return (
+            struct.pack(">I", len(data)) + ctype + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 0, 0, 0, 0)
+    raw = bytes([0, 10, 20, 0, 30, 40])
+    png = (
+        b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b"")
+    )
+    got = mm.decode_png(png)
+    assert got.shape == (2, 2, 3)
+    assert np.array_equal(got[:, :, 0], np.array([[10, 20], [30, 40]]))
+    assert np.array_equal(got[:, :, 0], got[:, :, 2])  # gray expanded to RGB
+    with pytest.raises(ValueError):
+        mm.decode_png(b"not a png at all")
+
+
+def _wav_bytes(freq=440.0, rate=8000, n=800, width=2, nch=1):
+    import io
+    import struct
+    import wave
+
+    import numpy as np
+
+    t = np.arange(n) / rate
+    x = np.sin(2 * np.pi * freq * t)
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(nch)
+        wf.setsampwidth(width)
+        wf.setframerate(rate)
+        pcm = (x * 32767).astype("<i2")
+        if nch == 2:
+            pcm = np.repeat(pcm, 2)
+        wf.writeframes(pcm.tobytes())
+    return buf.getvalue()
+
+
+def test_wav_decode_sine():
+    import numpy as np
+
+    x, rate = mm.decode_wav(_wav_bytes())
+    assert rate == 8000 and len(x) == 800
+    # 440 Hz sine: RMS ~= 1/sqrt(2), zero-crossings ~= 2*f*duration
+    assert abs(float(np.sqrt((x**2).mean())) - 1 / 2**0.5) < 0.01
+    crossings = int((np.signbit(x[1:]) != np.signbit(x[:-1])).sum())
+    assert abs(crossings - 2 * 440 * 0.1) < 4
+    # stereo mixes down to the same mono signal
+    x2, _ = mm.decode_wav(_wav_bytes(nch=2))
+    assert np.allclose(x2, x, atol=1e-4)
+
+
+def test_audio_features_end_to_end(spark):
+    rows = [
+        ("a1", "audio/wav", None, bytearray(_wav_bytes(freq=440.0)), 0, 0, 100),
+        ("a2", "audio/wav", None, bytearray(_wav_bytes(freq=110.0)), 0, 0, 100),
+    ]
+    media = spark.createDataFrame(rows, mm.MEDIA_SCHEMA)
+    got = {r.media_id: r for r in mm.audio_features(media).collect()}
+    assert got["a1"].n_samples == 800 and got["a1"].sample_rate == 8000
+    assert abs(got["a1"].duration_ms_decoded - 100.0) < 1e-9
+    # higher frequency -> higher zero-crossing rate, same RMS
+    assert got["a1"].zero_cross_rate > got["a2"].zero_cross_rate
+    assert abs(got["a1"].rms - got["a2"].rms) < 0.01
+
+
+def test_phash_real_png_neardup(spark):
+    """End-to-end REAL-codec dedup: PNG payloads decoded by the stdlib
+    codec; a one-pixel edit stays within Hamming 3 of the original, a
+    different gradient does not pair."""
+    import numpy as np
+
+    base = _gradient(16, 16)
+    edited = base.copy()
+    edited[3, 3] = [255, 0, 0]
+    other = 255 - _gradient(16, 16)[::-1]
+    rows = [
+        ("p1", "image/png", None, bytearray(mm.encode_png(base)), 16, 16, 0),
+        ("p2", "image/png", None, bytearray(mm.encode_png(edited, filter_type=4)), 16, 16, 0),
+        ("p3", "image/png", None, bytearray(mm.encode_png(other)), 16, 16, 0),
+    ]
+    media = spark.createDataFrame(rows, mm.MEDIA_SCHEMA)
+    pairs = {
+        (r.id_a, r.id_b): r.hamming
+        for r in mm.media_neardup_pairs(mm.phash64(media)).collect()
+    }
+    assert ("p1", "p2") in pairs and pairs[("p1", "p2")] <= 3
+    assert ("p1", "p3") not in pairs and ("p2", "p3") not in pairs
