@@ -128,6 +128,11 @@ EXTRA = [
     "search_highlights",
     # round 6 (driver r4)
     "hybrid_rrf_3way",
+    "m2_facts_extractor",
+    "media_resize_plan",
+    "media_frame_plan",
+    "char_entropy",
+    "ngram_novelty",
 ]
 # Real-model-tier twins (deterministic stand-in models, models.py):
 # resolved from q_* functions directly — deliberately NOT queries()
@@ -165,15 +170,18 @@ def main() -> None:
         warm_dir = sf_dir
     qs_warm = entrymod.queries()
     entrymod._postings_index(spark, warm_dir)
+    entrymod._graph_edges(spark, warm_dir)
     for name in HEADLINE + EXTRA:
         qs_warm[name](spark, warm_dir).collect()
     for name in MODEL_TIER:
         getattr(entrymod, f"q_{name}")(spark, warm_dir).collect()
-    # the keyword postings index is a persistent ingest-time artifact
-    # (reference: FTS5 index, keyword_store/sqlite_store.py:376-421) —
-    # built once here, amortized across all keyword queries, not rebuilt
-    # per query
+    # the keyword postings index and the graph edge store are persistent
+    # ingest-time artifacts (reference: FTS5 index, keyword_store/
+    # sqlite_store.py:376-421; graph store built at flush) — built once
+    # here, amortized across all keyword/graph queries, not rebuilt per
+    # query
     entrymod._postings_index(spark, sf_dir)
+    entrymod._graph_edges(spark, sf_dir)
 
     timings: dict[str, float] = {}
     for name in HEADLINE + EXTRA + MODEL_TIER:

@@ -1111,3 +1111,125 @@ SELECT doc_id, CAST(rank AS INTEGER) AS rank, term, score FROM (
 ) WHERE rank <= {top_n}
 ORDER BY doc_id, rank
 """
+
+
+def char_entropy(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    decimals: int = 6,
+) -> DataFrame:
+    """(doc_id, n_chars, entropy_bits) — character-level Shannon entropy
+    per document, the classic cheap gibberish/boilerplate signal
+    (random noise ≈ high entropy, repeated padding ≈ low; complements
+    the zlib compression-ratio signal with an exactly-SQL-expressible
+    formula).
+
+    Wordcount shape: explode to (doc, char) → per-(doc,char) counts →
+    per-doc Σ -p·log2 p. Both shuffles key on doc_id(+char); partial
+    aggregation makes the map side emit at most |alphabet| rows per doc.
+    """
+    chars = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length(text_col)),
+                lambda i: F.col(text_col).substr(i, F.lit(1)),
+            )
+        ).alias("ch"),
+    )
+    from pyspark.sql import Window
+
+    counts = chars.groupBy("doc_id", "ch").agg(F.count("*").alias("c"))
+    with_tot = counts.withColumn(
+        "n", F.sum("c").over(Window.partitionBy("doc_id"))
+    )
+    p = F.col("c") / F.col("n")
+    return (
+        with_tot.groupBy("doc_id")
+        .agg(
+            F.max("n").alias("n_chars"),
+            F.round(-F.sum(p * F.log2(p)), decimals).alias("entropy_bits"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def char_entropy_sql(decimals: int = 6) -> str:
+    """DuckDB twin of :func:`char_entropy`."""
+    return f"""
+WITH chars AS (
+  SELECT doc_id, substr(text, CAST(t.i AS INT), 1) AS ch
+  FROM documents, unnest(range(1, len(text) + 1)) AS t(i)
+),
+counts AS (SELECT doc_id, ch, count(*) AS c FROM chars GROUP BY doc_id, ch),
+tot AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n FROM counts GROUP BY doc_id)
+SELECT c.doc_id, t.n AS n_chars,
+       round(-sum((c.c / CAST(t.n AS DOUBLE))
+                  * log2(c.c / CAST(t.n AS DOUBLE))), {decimals}) AS entropy_bits
+FROM counts c JOIN tot t ON c.doc_id = t.doc_id
+GROUP BY c.doc_id, t.n
+ORDER BY c.doc_id
+"""
+
+
+def ngram_novelty(
+    docs: DataFrame,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    decimals: int = 6,
+) -> DataFrame:
+    """(doc_id, n_grams, n_novel, novelty) — the share of a document's
+    distinct word n-grams that FIRST appear in it (global first
+    occurrence by ascending doc_id): the dedup-aware curriculum signal —
+    late boilerplate copies score ≈ 0, fresh text ≈ 1.
+
+    Shape: distinct shingles per doc (one scan), global min(doc_id) per
+    shingle (shuffle keyed on the shingle), membership join back, per-doc
+    aggregate. The shingle-keyed shuffle is the same cardinality the
+    minhash/LSH tier already moves; no all-pairs anywhere.
+    """
+    from memfuse_spark.functions.text import tokenize, word_shingles
+
+    g = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(
+            F.array_distinct(word_shingles(tokenize(text_col), n))
+        ).alias("g"),
+    )
+    first = g.groupBy("g").agg(F.min("doc_id").alias("first_doc"))
+    return (
+        g.join(first, "g")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.sum(
+                F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+            ).cast("long").alias("n_novel"),
+        )
+        .withColumn(
+            "novelty", F.round(F.col("n_novel") / F.col("n_grams"), decimals)
+        )
+        .orderBy("doc_id")
+    )
+
+
+def ngram_novelty_sql(decimals: int = 6) -> str:
+    """DuckDB twin of :func:`ngram_novelty` (shares the minhash shingle
+    CTE so both tiers agree on what a shingle is)."""
+    from memfuse_spark.oracles import TOKS_CTE, _shingles_cte
+
+    return f"""
+WITH {TOKS_CTE.strip()},{_shingles_cte()},
+g AS (SELECT doc_id, unnest(s) AS g FROM shingles),
+first AS (SELECT g, min(doc_id) AS first_doc FROM g GROUP BY g)
+SELECT g.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+       CAST(sum(CASE WHEN f.first_doc = g.doc_id THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_novel,
+       round(sum(CASE WHEN f.first_doc = g.doc_id THEN 1 ELSE 0 END)
+             / CAST(count(*) AS DOUBLE), {decimals}) AS novelty
+FROM g JOIN first f USING (g)
+GROUP BY g.doc_id
+ORDER BY g.doc_id
+"""

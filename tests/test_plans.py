@@ -244,3 +244,23 @@ def test_uniform_negatives_catalog_rank_is_partitioned(spark):
 
     plan = _plan(m.q_uniform_negatives(spark, SF_DIR))
     assert "windowspecdefinition(item#" not in plan
+
+
+def test_graph_store_neighbor_expansion_bucket_prunes(spark):
+    """The persistent edge store is src-bucketed: a 1-hop neighbor
+    lookup must scan only the frontier's bucket (SelectedBucketsCount),
+    not the whole graph — the O(neighborhood) read path the store
+    exists for."""
+    import __spark_entry__ as m
+    from memfuse_spark.operators import graph as g
+
+    _, edges = m._graph_edges(spark, SF_DIR)
+    # autoBucketedScan rewrites a join-free bucketed scan to a plain one
+    # (skipping the pruning rule) — pin it off for the assertion, as in
+    # test_warehouse.py
+    spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+    try:
+        plan = _plan(g.neighbors(edges, 0))
+        assert "SelectedBucketsCount: 1 out of" in plan
+    finally:
+        spark.conf.unset("spark.sql.sources.bucketing.autoBucketedScan.enabled")
