@@ -2525,6 +2525,29 @@ def q_routed_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+ROUTED3_QUERY_TEXT = "explain the relationship between spark table scans and queries"
+
+
+def q_routed_hybrid_3way(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Routing × the three-store flagship: a CONCEPTUAL query routes to
+    vector_graph_primary (vector 0.5 / graph 0.4 / keyword 0.1 —
+    reference rag/retrieve/hybrid.py:812-815), and those routed weights
+    drive the full vector ∪ graph ∪ keyword RRF fusion — the graph
+    weight finally exercised end-to-end through the routing table."""
+    from memfuse_spark.operators.routing import analyze_query
+
+    decision = analyze_query(ROUTED3_QUERY_TEXT)
+    assert decision["strategy"] == "vector_graph_primary", decision["strategy"]
+    emb, edges = _graph_edges(spark, sf_dir)
+    (docs,) = _tables(spark, sf_dir, "documents")
+    qvec = anchor_vector(spark, emb, ANCHOR_VEC_ID)
+    return hybrid_retrieval_3way(
+        docs, emb, edges, ROUTED3_QUERY_TEXT, qvec, k=TOP_K,
+        first_stage_k=FIRST_STAGE_K, weights=decision["store_weights"],
+        rrf_k=RRF_K, postings_index=_postings_index(spark, sf_dir),
+    )
+
+
 LPA_ITERS = 4
 
 
@@ -2655,6 +2678,7 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_frame_plan": q_media_frame_plan,
         "char_entropy": q_char_entropy,
         "ngram_novelty": q_ngram_novelty,
+        "routed_hybrid_3way": q_routed_hybrid_3way,
         # (1) round-4 additions
         "tpch_q5": q_tpch_q5,
         "tpch_q10": q_tpch_q10,
@@ -2875,12 +2899,16 @@ unioned AS (
 """
 
 
-def _fusion3_sql(fsk: int = FIRST_STAGE_K) -> str:
+def _fusion3_sql(
+    fsk: int = FIRST_STAGE_K,
+    weights: dict[str, float] | None = None,
+    query_text: str = QUERY_TEXT,
+) -> str:
     """Three-store flagship oracle: vec + kw + graph-contextual branches
     (graph layers exactly as oracles.graph_contextual_sql, collapsed to
-    max score per node, capped at fsk) → RRF 0.5/0.3/0.2 → hydrate."""
-    bm25 = kw_ops.bm25_topk_sql(QUERY_TEXT, fsk)
-    w = HYBRID_WEIGHTS_3WAY
+    max score per node, capped at fsk) → RRF at `weights` → hydrate."""
+    bm25 = kw_ops.bm25_topk_sql(query_text, fsk)
+    w = weights or HYBRID_WEIGHTS_3WAY
     weight_case = (
         f"CASE store_type WHEN 'vector' THEN {w['vector']} "
         f"WHEN 'graph' THEN {w['graph']} ELSE {w['keyword']} END"
@@ -3239,6 +3267,10 @@ WHERE lower(text) LIKE '%vector%' OR lower(text) LIKE '%merge%'
 ORDER BY doc_id
 """,
         "hybrid_rrf_3way": _fusion3_sql(),
+        "routed_hybrid_3way": _fusion3_sql(
+            weights={"vector": 0.5, "graph": 0.4, "keyword": 0.1},
+            query_text=ROUTED3_QUERY_TEXT,
+        ),
         "hybrid_rrf": _fusion_ctes()
         + f""",
 ranked AS (

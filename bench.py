@@ -133,6 +133,7 @@ EXTRA = [
     "media_frame_plan",
     "char_entropy",
     "ngram_novelty",
+    "routed_hybrid_3way",
 ]
 # Real-model-tier twins (deterministic stand-in models, models.py):
 # resolved from q_* functions directly — deliberately NOT queries()

@@ -411,3 +411,20 @@ def test_cooccurrence_whale_key_capped_subquadratic(spark):
     cap = COOC_BASKET_CAP
     assert per_user[1] == cap * (cap - 1) // 2  # whale bounded by the cap
     assert per_user[2] == 10 * 9 // 2           # small basket untouched
+
+
+def test_driver_window_and_registry_consistency():
+    """The driver checks the FIRST 50 of queries(): the declared window
+    must lead the dict exactly, every window entry must carry an oracle
+    (zero rows-only rows in the driver gate), and every registered
+    query must have an oracle_sql twin (the model-tier bench functions
+    are deliberately unregistered)."""
+    import __spark_entry__ as m
+
+    qs = list(m.queries())
+    assert qs[:50] == m._DRIVER_WINDOW_R4
+    osql = m.oracle_sql()
+    missing_window = [n for n in qs[:50] if n not in osql]
+    assert not missing_window, missing_window
+    missing_any = [n for n in qs if n not in osql]
+    assert not missing_any, missing_any
