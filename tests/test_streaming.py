@@ -279,3 +279,74 @@ def test_dedup_ingest_stream_matches_batch_pipeline(spark, tmp_path):
     # the index absorbed both batches
     idx = spark.read.parquet(os.path.join(out, "index"))
     assert idx.select("doc_id").distinct().count() == docs.count()
+
+
+def test_complete_workflow_ingest_to_hybrid_query(spark, tmp_path):
+    """E2E twin of the reference's tests/e2e/test_complete_workflow.py:
+    stream events through the ingest pipeline (m0→m1→m2 written
+    exactly-once), then QUERY the ingested hierarchy — vector top-k over
+    the m1 hash embeddings ∪ BM25 over the m1 content, RRF-fused — and
+    serve an un-flushed buffer edit via read-your-writes. The write
+    path and the read path meet on the same store, like a live service."""
+    src = str(tmp_path / "wf_events")
+    t0 = datetime.datetime(2025, 1, 1)
+    rows = [
+        (
+            i,
+            t0 + datetime.timedelta(seconds=i),
+            1 + (i % 2),
+            "click",
+            f"payload about {'spark tables' if i % 4 == 0 else 'vector scans'} {i}",
+        )
+        for i in range(20)
+    ]
+    spark.createDataFrame(
+        rows, "event_id bigint, ts timestamp, user_id bigint, event_type string, props string"
+    ).coalesce(1).write.parquet(src)
+
+    out = str(tmp_path / "wf_out")
+    stream = spark.readStream.schema(
+        "event_id bigint, ts timestamp, user_id bigint, event_type string, props string"
+    ).parquet(src)
+    sb.ingest_stream(stream, out).awaitTermination(120)
+
+    from memfuse_spark.operators.fusion import rrf_fusion, tag_store, union_results
+    from memfuse_spark.operators.keyword import bm25_topk
+    from memfuse_spark.operators.similarity import similarity_topk
+
+    m1 = spark.read.parquet(os.path.join(out, "m1"))
+    # query = one stored chunk's embedding (self-retrieval sanity)
+    anchor = m1.orderBy("chunk_id").select("chunk_id", "embedding").first()
+    vec = tag_store(
+        similarity_topk(
+            m1.select(F.col("chunk_id").alias("doc_id"), "embedding"),
+            list(anchor.embedding),
+            3,
+            id_col="doc_id",
+        ),
+        "vector",
+    )
+    kw = tag_store(
+        bm25_topk(
+            m1.select(F.col("chunk_id").alias("doc_id"), F.col("content").alias("text")),
+            "spark tables",
+            3,
+        ),
+        "keyword",
+    )
+    fused = rrf_fusion(union_results(vec, kw), weights={"vector": 0.5, "keyword": 0.2})
+    top = fused.orderBy(F.desc("score"), F.asc("doc_id")).collect()
+    assert top, "fusion over the ingested store returned nothing"
+    # the anchor chunk must retrieve itself through the vector branch
+    assert anchor.chunk_id in {r.doc_id for r in top}
+
+    # read-your-writes over the SAME store: an un-flushed buffer edit of
+    # one chunk wins over its stored version
+    buf = m1.limit(1).select(
+        "chunk_id", F.concat(F.col("content"), F.lit(" [edited]")).alias("content")
+    )
+    merged = sb.read_your_writes(
+        m1.select("chunk_id", "content"), buf, id_col="chunk_id"
+    )
+    edited = merged.filter(F.col("content").endswith("[edited]")).count()
+    assert edited == 1 and merged.count() == m1.count()
