@@ -868,13 +868,21 @@ def q_prefix_filter_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     (docs,) = _tables(spark, sf_dir, "documents")
     pairs = prefix_filter_pairs(docs, PREFIX_JACCARD_T)
     bands = pairs.withColumn("band", F.floor(F.col("jaccard") * 20).cast("int"))
-    npairs = bands.groupBy("band").agg(F.count("*").alias("n_pairs"))
-    ndocs = (
-        bands.select("band", F.explode(F.array("doc_a", "doc_b")).alias("d"))
-        .groupBy("band")
-        .agg(F.countDistinct("d").alias("n_docs"))
+    # ONE pass over the pair pipeline: explode both endpoints, then
+    # n_pairs = rows/2 (each pair contributes exactly 2 endpoint rows)
+    # — a second aggregation branch would re-run the whole PPJoin
+    # subtree (no CSE across branches; the bm25/collocations lesson)
+    exploded = bands.select(
+        "band", F.explode(F.array("doc_a", "doc_b")).alias("d")
     )
-    return npairs.join(ndocs, "band").orderBy("band")
+    return (
+        exploded.groupBy("band")
+        .agg(
+            (F.count("*") / 2).cast("long").alias("n_pairs"),
+            F.countDistinct("d").alias("n_docs"),
+        )
+        .orderBy("band")
+    )
 
 
 def _media_meta(docs: DataFrame) -> DataFrame:
@@ -4229,16 +4237,13 @@ WITH pf AS ({dedup_ops.prefix_filter_pairs_sql(
 bands AS (
   SELECT CAST(floor(jaccard * 20) AS INT) AS band, doc_a, doc_b FROM pf
 ),
-npairs AS (
-  SELECT band, CAST(count(*) AS BIGINT) AS n_pairs FROM bands GROUP BY band
-),
-ndocs AS (
-  SELECT band, CAST(count(DISTINCT d) AS BIGINT) AS n_docs FROM (
-    SELECT band, doc_a AS d FROM bands
-    UNION ALL SELECT band, doc_b AS d FROM bands
-  ) GROUP BY band
+exploded AS (
+  SELECT band, doc_a AS d FROM bands
+  UNION ALL SELECT band, doc_b AS d FROM bands
 )
-SELECT band, n_pairs, n_docs FROM npairs JOIN ndocs USING (band)
+SELECT band, CAST(count(*) // 2 AS BIGINT) AS n_pairs,
+       CAST(count(DISTINCT d) AS BIGINT) AS n_docs
+FROM exploded GROUP BY band
 ORDER BY band
 """,
         "value_outliers_mad": _stats.mad_outlier_stats_sql(),

@@ -1185,28 +1185,41 @@ def ngram_novelty(
     occurrence by ascending doc_id): the dedup-aware curriculum signal —
     late boilerplate copies score ≈ 0, fresh text ≈ 1.
 
-    Shape: distinct shingles per doc (one scan), global min(doc_id) per
-    shingle (shuffle keyed on the shingle), membership join back, per-doc
-    aggregate. The shingle-keyed shuffle is the same cardinality the
-    minhash/LSH tier already moves; no all-pairs anywhere.
+    Shape: distinct shingles per doc (one scan, persisted — it feeds two
+    branches), then two SMALL per-doc aggregates: n_grams directly, and
+    n_novel off the min(doc_id)-per-shingle table grouped by its winner
+    — a doc's novel count is exactly how many shingles it wins. This
+    avoids ever joining the shingle-keyed table back to itself (the
+    obvious membership-join formulation moves the big table twice); the
+    only shingle-keyed shuffle is the min() aggregation, the same
+    cardinality the minhash/LSH tier already moves.
     """
+    from memfuse_spark import cache
     from memfuse_spark.functions.text import tokenize, word_shingles
 
-    g = docs.select(
-        F.col(id_col).alias("doc_id"),
-        F.explode(
-            F.array_distinct(word_shingles(tokenize(text_col), n))
-        ).alias("g"),
+    cache.begin("textanalysis.novelty")
+    g = cache.scoped_persist(
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(
+                F.array_distinct(word_shingles(tokenize(text_col), n))
+            ).alias("g"),
+        ),
+        "textanalysis.novelty",
     )
-    first = g.groupBy("g").agg(F.min("doc_id").alias("first_doc"))
-    return (
-        g.join(first, "g")
+    per_doc = g.groupBy("doc_id").agg(F.count("*").alias("n_grams"))
+    novel = (
+        g.groupBy("g")
+        .agg(F.min("doc_id").alias("doc_id"))
         .groupBy("doc_id")
-        .agg(
-            F.count("*").alias("n_grams"),
-            F.sum(
-                F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
-            ).cast("long").alias("n_novel"),
+        .agg(F.count("*").alias("n_novel"))
+    )
+    return (
+        per_doc.join(novel, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_grams",
+            F.coalesce("n_novel", F.lit(0)).cast("long").alias("n_novel"),
         )
         .withColumn(
             "novelty", F.round(F.col("n_novel") / F.col("n_grams"), decimals)
