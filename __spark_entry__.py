@@ -1489,6 +1489,21 @@ def q_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity_topk(quant, qvec, TOP_K)
 
 
+BQ_CANDIDATES = 60
+
+
+def q_bq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-quantization retrieval: 1-bit sign packing (32× smaller
+    than float32) → Hamming rank via bit_count(xor) in codegen → exact
+    cosine rescore of the top-60 candidates → top-k. The cheap tier
+    modern vector stores put in front of full-precision rescoring."""
+    from memfuse_spark.operators.ann import bq_topk
+
+    (emb,) = _tables(spark, sf_dir, "embeddings")
+    qvec = anchor_vector(spark, emb, ANCHOR_VEC_ID)
+    return bq_topk(emb, qvec, TOP_K, candidates=BQ_CANDIDATES)
+
+
 # --- hierarchy M0 -> M1 -> M2 ------------------------------------------------
 
 def q_m0_records(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2687,6 +2702,7 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "char_entropy": q_char_entropy,
         "ngram_novelty": q_ngram_novelty,
         "routed_hybrid_3way": q_routed_hybrid_3way,
+        "bq_topk": q_bq_topk,
         # (1) round-4 additions
         "tpch_q5": q_tpch_q5,
         "tpch_q10": q_tpch_q10,
@@ -3019,6 +3035,12 @@ SELECT session_id, CAST(gid AS INTEGER) AS group_id,
 FROM walk GROUP BY session_id, gid
 ORDER BY session_id, group_id
 """
+
+
+def _ann_bq_sql() -> str:
+    from memfuse_spark.operators.ann import bq_topk_sql
+
+    return bq_topk_sql(ANCHOR_VEC_ID, TOP_K, BQ_CANDIDATES)
 
 
 def _hierarchy_summary_sql() -> str:
@@ -4024,6 +4046,7 @@ ORDER BY p.purchase_id
         "ngram_jaccard": oracles.ngram_jaccard_sql(),
         "embedding_neardup": oracles.embedding_neardup_sql(),
         "ann_lsh_topk": oracles.ann_lsh_topk_sql(ANCHOR_VEC_ID, 10, num_planes=4),
+        "bq_topk": _ann_bq_sql(),
         "ivf_centroids": oracles.ivf_centroids_sql(),
         "ann_ivf_topk": oracles.ann_ivf_topk_sql(ANCHOR_VEC_ID, 10, 2),
         "m3_patterns": oracles.m3_patterns_sql(),

@@ -134,6 +134,7 @@ EXTRA = [
     "char_entropy",
     "ngram_novelty",
     "routed_hybrid_3way",
+    "bq_topk",
 ]
 # Real-model-tier twins (deterministic stand-in models, models.py):
 # resolved from q_* functions directly — deliberately NOT queries()

@@ -692,3 +692,124 @@ def ivfpq_topk(
         .orderBy(F.desc("score"), F.asc(id_col))
         .limit(k)
     )
+
+
+# ---------------------------------------------------------------------------
+# binary quantization (1 bit/dimension) + Hamming rank + exact rescore
+# ---------------------------------------------------------------------------
+
+BQ_WORD_BITS = 16  # 16-bit words: shift-safe in every engine (no sign bit)
+
+
+def bq_pack_words(vec_col, dim: int = 64, word_bits: int = BQ_WORD_BITS):
+    """Sign-bit pack a float vector into ``dim/word_bits`` small-int
+    words (bit b of word w = vec[w*word_bits + b] > 0) — 32× smaller
+    than float32, 64× smaller than float64. 16-bit words sidestep
+     64-bit shift/sign pitfalls and mirror the proven simhash packing."""
+    vec = F.col(vec_col) if isinstance(vec_col, str) else vec_col
+    words = []
+    for w in range(dim // word_bits):
+        # static unroll (word_bits terms): pure codegen arithmetic, no
+        # higher-order function
+        word = F.lit(0)
+        for b in range(word_bits):
+            word = word + F.when(
+                F.element_at(vec, w * word_bits + b + 1) > 0, F.lit(1 << b)
+            ).otherwise(F.lit(0))
+        words.append(word.alias(f"bw{w}"))
+    return words
+
+
+def bq_topk(
+    embeddings,
+    qvec,
+    k: int,
+    candidates: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    score_decimals: int = 6,
+):
+    """Binary-quantization retrieval (the modern vector-store cheap
+    tier): sign-bit pack the corpus → rank by Hamming distance to the
+    packed query (pure codegen: bit_count(xor)) → take ``candidates``
+    (default 4k) → RESCORE the survivors with exact cosine → top-k.
+
+    Scale shape: the Hamming scan reads dim/8 bytes per row instead of
+    8·dim and ends in TakeOrderedAndProject; only ``candidates`` rows
+    ever touch the full-precision vectors. With a stored packed column
+    (ingest-time, like the edge store) the scan cost drops 64×; here
+    packing is inline so the operator is self-contained.
+    """
+    from memfuse_spark.functions.vector import cosine_similarity
+
+    cand_n = candidates or 4 * k
+    n_words = dim // BQ_WORD_BITS
+    qwords = [
+        sum(
+            (1 << b) if float(qvec[w * BQ_WORD_BITS + b]) > 0 else 0
+            for b in range(BQ_WORD_BITS)
+        )
+        for w in range(n_words)
+    ]
+    packed = embeddings.select(
+        id_col, vec_col, *bq_pack_words(vec_col, dim=dim)
+    )
+    hamming = None
+    for w, qw in enumerate(qwords):
+        h = F.expr(f"bit_count(bw{w} ^ {qw})")
+        hamming = h if hamming is None else hamming + h
+    cand = (
+        packed.withColumn("hamming", hamming.cast("int"))
+        .orderBy(F.asc("hamming"), F.asc(id_col))
+        .limit(cand_n)
+    )
+    score = F.round(cosine_similarity(vec_col, F.array(*[F.lit(float(x)) for x in qvec])), score_decimals)
+    return (
+        cand.select(id_col, score.alias("score"))
+        .orderBy(F.desc("score"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+def bq_topk_sql(anchor: int, k: int, candidates: int, dim: int = 64) -> str:
+    """DuckDB twin of :func:`bq_topk`."""
+    n_words = dim // BQ_WORD_BITS
+    word = (
+        "list_sum(list_transform(range(1, {wb} + 1), b -> CASE WHEN "
+        "e.embedding[{off} + b] > 0 THEN (1 << (b - 1)) ELSE 0 END))"
+    )
+    corpus_words = ", ".join(
+        word.format(wb=BQ_WORD_BITS, off=w * BQ_WORD_BITS) + f" AS bw{w}"
+        for w in range(n_words)
+    )
+    q_words = ", ".join(
+        word.format(wb=BQ_WORD_BITS, off=w * BQ_WORD_BITS) + f" AS qw{w}"
+        for w in range(n_words)
+    )
+    ham = " + ".join(f"bit_count(xor(p.bw{w}, q.qw{w}))" for w in range(n_words))
+    cos = (
+        "round(list_dot_product(CAST(c.embedding AS DOUBLE[]), qv.v)"
+        " / (sqrt(list_dot_product(CAST(c.embedding AS DOUBLE[]),"
+        " CAST(c.embedding AS DOUBLE[])))"
+        " * sqrt(list_dot_product(qv.v, qv.v))), 6)"
+    )
+    return f"""
+WITH q AS (
+  SELECT {q_words} FROM embeddings e WHERE e.vec_id = {anchor}
+),
+qv AS (SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id = {anchor}),
+packed AS (
+  SELECT e.vec_id, e.embedding, {corpus_words} FROM embeddings e
+),
+cand AS (
+  SELECT p.vec_id, p.embedding, CAST(({ham}) AS INT) AS hamming
+  FROM packed p, q
+  ORDER BY hamming ASC, p.vec_id ASC
+  LIMIT {candidates}
+)
+SELECT c.vec_id, {cos} AS score
+FROM cand c, qv
+ORDER BY score DESC, c.vec_id ASC
+LIMIT {k}
+"""

@@ -133,3 +133,37 @@ def test_multiprobe_recall_at_least_single_probe(spark, tables):
     # can only improve (or tie) recall; it must still contain the anchor
     assert 0 in multi
     assert len(exact & multi) >= len(exact & single)
+
+
+def test_bq_topk_recall_vs_exact(spark, tables):
+    """Binary quantization: the anchor retrieves itself at rank 1
+    (Hamming 0 → rescored cosine 1.0), and the 4k-candidate rescore
+    recovers most of the exact top-k on the hash-embedding corpus."""
+    from memfuse_spark.operators.ann import bq_topk
+    from memfuse_spark.operators.similarity import similarity_topk
+    from memfuse_spark.plans.pipeline import anchor_vector
+
+    emb = tables["embeddings"]
+    qvec = anchor_vector(spark, emb, 0)
+    got = bq_topk(emb, qvec, 10, candidates=60).collect()
+    assert got[0].vec_id == 0 and got[0].score == 1.0
+    exact = {r.vec_id for r in similarity_topk(emb, qvec, 10).collect()}
+    recall = len(exact & {r.vec_id for r in got}) / len(exact)
+    assert recall >= 0.5, recall
+
+
+def test_bq_hamming_scan_stays_codegen(spark, tables):
+    """The Hamming ranking must be pure JVM codegen ending in
+    TakeOrderedAndProject — no Python, no shuffle of the corpus."""
+    from memfuse_spark.operators.ann import bq_topk
+    from memfuse_spark.plans.pipeline import anchor_vector
+
+    emb = tables["embeddings"]
+    qvec = anchor_vector(spark, emb, 0)
+    df = bq_topk(emb, qvec, 10)
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    assert "TakeOrderedAndProject" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "Exchange rangepartitioning" not in plan

@@ -87,3 +87,51 @@ def test_python_norm_matches_sequential_fold(vec):
     for x in vec:
         acc = acc + float(x) * float(x)
     assert qn == math.sqrt(acc)
+
+
+@given(
+    h=st.integers(min_value=1, max_value=24),
+    w=st.integers(min_value=1, max_value=24),
+    filter_type=st.integers(min_value=0, max_value=4),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+)
+@settings(max_examples=40, deadline=None)
+def test_png_roundtrip_property(h, w, filter_type, seed):
+    """decode_png(encode_png(img, f)) == img for ANY uint8 RGB image and
+    any of the five scanline filters — the full codec contract, driver-
+    side (no Spark)."""
+    import numpy as np
+
+    from memfuse_spark.operators.multimodal import decode_png, encode_png
+
+    rng = np.random.default_rng(seed)
+    img = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+    assert np.array_equal(decode_png(encode_png(img, filter_type)), img)
+
+
+@given(
+    freq=st.floats(min_value=20.0, max_value=2000.0),
+    n=st.integers(min_value=2, max_value=4000),
+)
+@settings(max_examples=25, deadline=None)
+def test_wav_roundtrip_property(freq, n):
+    """decode_wav inverts the stdlib wave writer for arbitrary PCM16
+    sines: sample count, rate, and waveform within 1-LSB quantization."""
+    import io
+    import wave
+
+    import numpy as np
+
+    from memfuse_spark.operators.multimodal import decode_wav
+
+    t = np.arange(n) / 8000.0
+    x = np.sin(2 * np.pi * freq * t)
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(1)
+        wf.setsampwidth(2)
+        wf.setframerate(8000)
+        wf.writeframes((x * 32767).astype("<i2").tobytes())
+    got, rate = decode_wav(buf.getvalue())
+    assert rate == 8000 and len(got) == n
+    assert np.max(np.abs(got - (x * 32767).astype("<i2") / 32768.0)) < 1e-9
