@@ -43,6 +43,7 @@ from memfuse_spark.operators import temporal as _temporal
 from memfuse_spark.operators import graph as _graph_mod
 from memfuse_spark.operators import evalmetrics as _evalmetrics
 from memfuse_spark.functions.text import TOKENIZE_SQL as _TOKENIZE_SQL
+from memfuse_spark.functions import vector as _vec_fns
 
 # ---------------------------------------------------------------------------
 # fixed query parameters (deterministic; shared by Spark and oracle sides)
@@ -188,6 +189,25 @@ def q_hybrid_rrf_3way(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, emb, edges, QUERY_TEXT, qvec, k=TOP_K,
         first_stage_k=FIRST_STAGE_K, weights=HYBRID_WEIGHTS_3WAY,
         rrf_k=RRF_K, postings_index=_postings_index(spark, sf_dir),
+    )
+
+
+def q_hybrid_text_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's ACTUAL request shape: the user sends only query
+    TEXT; the engine embeds it (deterministic X8 hash embedder — the
+    reference's fallback encoder, utils/embeddings.py:212-261) and runs
+    the hybrid fusion with that query vector. Every other hybrid query
+    seeds from a stored anchor vector; this one exercises the
+    text→embedding→retrieve path end-to-end, oracle included (the
+    DuckDB twin embeds the same string in SQL)."""
+    from memfuse_spark.functions.vector import py_hash_embedding
+
+    docs, emb = _tables(spark, sf_dir, "documents", "embeddings")
+    qvec = py_hash_embedding(QUERY_TEXT, 64)
+    return hybrid_retrieval(
+        docs, emb, QUERY_TEXT, qvec, k=TOP_K, first_stage_k=FIRST_STAGE_K,
+        weights=HYBRID_WEIGHTS, rrf_k=RRF_K,
+        postings_index=_postings_index(spark, sf_dir),
     )
 
 
@@ -1578,9 +1598,21 @@ def q_m2_facts_extractor(spark: SparkSession, sf_dir: str) -> DataFrame:
     m1 = h.m1_from_m0(h.m0_from_events(events))
 
     def bookend_extractor(contents):
+        import pandas as pd
+
+        # vectorized twin of _py_tokenize: runs of [a-z0-9] over the
+        # lowercased text ARE the split-on-non-alphanumeric tokens
+        token_lists = (
+            pd.Series(contents, dtype="object")
+            .fillna("")
+            .str.lower()
+            .str.findall(r"[a-z0-9]+")
+        )
+        assert list(token_lists.iloc[:1]) == [
+            _py_tokenize(contents[0] or "")
+        ] if len(contents) else True  # contract spot-check per batch
         out = []
-        for c in contents:
-            toks = _py_tokenize(c or "")
+        for toks in token_lists:
             if not toks:
                 out.append([])
                 continue
@@ -2703,6 +2735,7 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_novelty": q_ngram_novelty,
         "routed_hybrid_3way": q_routed_hybrid_3way,
         "bq_topk": q_bq_topk,
+        "hybrid_text_query": q_hybrid_text_query,
         # (1) round-4 additions
         "tpch_q5": q_tpch_q5,
         "tpch_q10": q_tpch_q10,
@@ -2903,11 +2936,13 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # oracle SQL (DuckDB dialect; tables pre-registered as views)
 # ---------------------------------------------------------------------------
 
-def _fusion_ctes(fsk: int = FIRST_STAGE_K) -> str:
-    """Shared CTE block: vec/kw first-stage branches + union."""
+def _fusion_ctes(fsk: int = FIRST_STAGE_K, q_cte: str | None = None) -> str:
+    """Shared CTE block: vec/kw first-stage branches + union. `q_cte`
+    overrides the query-vector CTE (default: the stored anchor row);
+    the text-query variant embeds the query string in SQL instead."""
     bm25 = kw_ops.bm25_topk_sql(QUERY_TEXT, fsk)
     return f"""
-WITH {_q(ANCHOR_VEC_ID)},
+WITH {q_cte or _q(ANCHOR_VEC_ID)},
 vec AS (
   SELECT e.vec_id AS doc_id, {_COS_SQL} AS score
   FROM embeddings e, q
@@ -3302,6 +3337,30 @@ ORDER BY doc_id
             query_text=ROUTED3_QUERY_TEXT,
         ),
         "hybrid_rrf": _fusion_ctes()
+        + f""",
+ranked AS (
+  SELECT doc_id, store_type,
+         row_number() OVER (PARTITION BY store_type
+                            ORDER BY score DESC, doc_id ASC) AS rnk
+  FROM unioned
+),
+fused AS (
+  SELECT doc_id,
+         round(sum({weight_case} / ({RRF_K} + rnk)), 6) AS score
+  FROM ranked GROUP BY doc_id
+)
+SELECT f.doc_id, f.score, d.text
+FROM fused f JOIN documents d USING (doc_id)
+ORDER BY f.score DESC, f.doc_id ASC
+LIMIT {TOP_K}
+""",
+        "hybrid_text_query": _fusion_ctes(
+            q_cte=(
+                "q AS (SELECT "
+                + _vec_fns.hash_embedding_sql(f"'{QUERY_TEXT}'", 64)
+                + " AS qv)"
+            )
+        )
         + f""",
 ranked AS (
   SELECT doc_id, store_type,

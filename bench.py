@@ -135,6 +135,7 @@ EXTRA = [
     "ngram_novelty",
     "routed_hybrid_3way",
     "bq_topk",
+    "hybrid_text_query",
 ]
 # Real-model-tier twins (deterministic stand-in models, models.py):
 # resolved from q_* functions directly — deliberately NOT queries()

@@ -126,3 +126,26 @@ def hash_embedding_sql(text_expr: str, dim: int = 16) -> str:
     return (
         f"list_transform({raw}, x -> x / sqrt(list_sum(list_transform({raw}, y -> y*y))))"
     )
+
+
+def py_hash_embedding(text: str, dim: int = 16) -> list[float]:
+    """Driver-side replica of :func:`hash_embedding` for embedding a
+    QUERY STRING (the reference embeds the user's query text at request
+    time; utils/embeddings.py:212-261). Bit-for-bit the same arithmetic
+    as the column expression and the DuckDB twin: md5-derived components
+    in [-1, 1], L2-normalized."""
+    import hashlib
+    import math
+
+    digest = hashlib.md5(text.encode()).hexdigest()
+    comps = [
+        (
+            int(hashlib.md5(f"{i}|{digest}".encode()).hexdigest()[:8], 16)
+            / float(0xFFFFFFFF)
+        )
+        * 2.0
+        - 1.0
+        for i in range(dim)
+    ]
+    norm = math.sqrt(sum(x * x for x in comps))
+    return [x / norm for x in comps]
