@@ -44,6 +44,7 @@ from memfuse_spark.operators import graph as _graph_mod
 from memfuse_spark.operators import evalmetrics as _evalmetrics
 from memfuse_spark.functions.text import TOKENIZE_SQL as _TOKENIZE_SQL
 from memfuse_spark.functions import vector as _vec_fns
+from memfuse_spark.operators import layout as _layout_ops
 
 # ---------------------------------------------------------------------------
 # fixed query parameters (deterministic; shared by Spark and oracle sides)
@@ -958,6 +959,36 @@ def q_media_frame_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return frame_sample_plan(media, every_ms=1000, max_frames=16).orderBy(
         "media_id", "frame_index"
     )
+
+
+COMPACTION_TARGET = 4096  # bytes; sized so the sf0.01 corpus forms real groups
+
+
+def q_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction planning (the lakehouse OPTIMIZE step):
+    per-partition exclusive-prefix-sum bin packing of file metadata
+    into ~target-size groups. Files stand in as (source, doc_id,
+    n_chars) rows — the planner consumes exactly such a listing."""
+    from memfuse_spark.operators.layout import compaction_plan
+
+    (docs,) = _tables(spark, sf_dir, "documents")
+    files = docs.select(
+        "source", F.col("doc_id").alias("file_id"), F.col("n_chars").alias("bytes")
+    )
+    return compaction_plan(files, target_bytes=COMPACTION_TARGET)
+
+
+def q_sentence_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C2.5: sentence-boundary chunking, 3 sentences per chunk — the
+    RAG-standard unit between fixed char windows and word budgets.
+    NOTE: the synthetic corpus carries no sentence punctuation, so this
+    oracle checks the no-boundary degenerate path (1 chunk/doc); the
+    multi-sentence splitting/window behavior is pinned by
+    test_chunking.py::test_sentence_chunks_groups_and_remainder."""
+    from memfuse_spark.operators.chunking import sentence_chunks
+
+    (docs,) = _tables(spark, sf_dir, "documents")
+    return sentence_chunks(docs).orderBy("doc_id", "chunk_index")
 
 
 def q_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2736,6 +2767,8 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "routed_hybrid_3way": q_routed_hybrid_3way,
         "bq_topk": q_bq_topk,
         "hybrid_text_query": q_hybrid_text_query,
+        "sentence_chunks": q_sentence_chunks,
+        "compaction_plan": q_compaction_plan,
         # (1) round-4 additions
         "tpch_q5": q_tpch_q5,
         "tpch_q10": q_tpch_q10,
@@ -4330,6 +4363,8 @@ ORDER BY band
 """,
         "value_outliers_mad": _stats.mad_outlier_stats_sql(),
         "char_entropy": ta_ops.char_entropy_sql(),
+        "sentence_chunks": _chunking.sentence_chunks_sql(),
+        "compaction_plan": _layout_ops.compaction_plan_sql(COMPACTION_TARGET),
         "ngram_novelty": ta_ops.ngram_novelty_sql(),
         "media_resize_plan": f"""
 WITH {_MEDIA_META_SQL.strip()},

@@ -136,6 +136,8 @@ EXTRA = [
     "routed_hybrid_3way",
     "bq_topk",
     "hybrid_text_query",
+    "sentence_chunks",
+    "compaction_plan",
 ]
 # Real-model-tier twins (deterministic stand-in models, models.py):
 # resolved from q_* functions directly — deliberately NOT queries()

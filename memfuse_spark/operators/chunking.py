@@ -441,3 +441,67 @@ FROM chunked
 GROUP BY doc_id, chunk_id
 ORDER BY doc_id, chunk_id
 """
+
+
+SENTENCES_PER_CHUNK = 3
+
+
+def sentence_chunks(
+    docs: DataFrame,
+    per_chunk: int = SENTENCES_PER_CHUNK,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, chunk_index, n_sentences, chunk_len) — sentence-boundary
+    chunking: split on sentence-final punctuation runs (. ! ?) followed
+    by whitespace, then group `per_chunk` consecutive sentences. The
+    RAG-standard unit between C2's fixed windows and C3's word budgets.
+
+    Pure column arithmetic (regex split → slice windows → explode) —
+    embarrassingly parallel like fixed_char_chunks, no shuffle.
+    """
+    sents = F.filter(
+        F.split(F.col(text_col), r"[.!?]+\s+"), lambda s: F.length(s) > 0
+    )
+    n_chunks = F.greatest(
+        F.ceil(F.size(sents) / F.lit(per_chunk)).cast("int"), F.lit(1)
+    )
+    windows = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.slice(sents, i * per_chunk + 1, per_chunk),
+    )
+    out = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(windows).alias("chunk_index", "sent_group"),
+    )
+    return out.select(
+        "doc_id",
+        "chunk_index",
+        F.size("sent_group").cast("int").alias("n_sentences"),
+        F.length(F.concat_ws(" ", "sent_group")).cast("long").alias("chunk_len"),
+    )
+
+
+def sentence_chunks_sql(per_chunk: int = SENTENCES_PER_CHUNK) -> str:
+    """DuckDB twin of :func:`sentence_chunks`."""
+    return f"""
+WITH sents AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(text, '[.!?]+\\s+'),
+                     s -> len(s) > 0) AS sl
+  FROM documents
+),
+chunks AS (
+  SELECT doc_id, sl,
+         CAST(t.i AS INT) AS chunk_index,
+         sl[(t.i * {per_chunk} + 1):(t.i * {per_chunk} + {per_chunk})] AS grp
+  FROM sents,
+       unnest(range(0, greatest(CAST(ceil(len(sl) / {per_chunk}.0) AS INT), 1)))
+         AS t(i)
+)
+SELECT doc_id, chunk_index,
+       CAST(len(grp) AS INT) AS n_sentences,
+       CAST(len(array_to_string(grp, ' ')) AS BIGINT) AS chunk_len
+FROM chunks
+ORDER BY doc_id, chunk_index
+"""

@@ -156,3 +156,68 @@ def zorder_bucket_stats(
         .withColumn("b_spread", F.col("b_max") - F.col("b_min"))
         .orderBy("bucket")
     )
+
+
+COMPACTION_TARGET_BYTES = 128 * 1024 * 1024  # lakehouse-standard 128 MB
+
+
+def compaction_plan(
+    files: DataFrame,
+    target_bytes: int = COMPACTION_TARGET_BYTES,
+    part_col: str = "source",
+    id_col: str = "file_id",
+    size_col: str = "bytes",
+) -> DataFrame:
+    """(part, file_id, bytes, compaction_group) — small-file compaction
+    planning, the OPTIMIZE/bin-packing step every parquet lake needs at
+    scale: within each partition, files (in id order) are packed into
+    groups of ~``target_bytes`` by exclusive-prefix-sum division — the
+    concat-then-cut shape of sequence_pack, so groups meet the target
+    ±1 file and the assignment is deterministic and engine-independent.
+
+    Scale shape: ONE window partitioned by the table partition — file
+    *metadata* rows (not data), parallel across partitions; rewriting
+    the groups afterwards is per-group independent work. A partition
+    with millions of files sorts O(its own listing) on one task —
+    bucket the prefix sum (sequence_pack pattern) if listings ever
+    outgrow that.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(part_col).orderBy(id_col)
+    prefix = F.sum(size_col).over(w) - F.col(size_col)  # exclusive
+    return (
+        files.select(
+            F.col(part_col).alias("part"),
+            F.col(id_col).alias("file_id"),
+            F.col(size_col).cast("long").alias("bytes"),
+        )
+        .withColumn(
+            "compaction_group",
+            F.floor(
+                (F.sum("bytes").over(
+                    Window.partitionBy("part").orderBy("file_id")
+                ) - F.col("bytes"))
+                / F.lit(float(target_bytes))
+            ).cast("int"),
+        )
+        .orderBy("part", "file_id")
+    )
+
+
+def compaction_plan_sql(
+    target_bytes: int, files_sql: str = (
+        "SELECT source, doc_id AS file_id, n_chars AS bytes FROM documents"
+    )
+) -> str:
+    """DuckDB twin of :func:`compaction_plan` over a (source, file_id,
+    bytes) relation."""
+    return f"""
+WITH files AS ({files_sql})
+SELECT source AS part, file_id, CAST(bytes AS BIGINT) AS bytes,
+       CAST(floor(
+         (sum(bytes) OVER (PARTITION BY source ORDER BY file_id) - bytes)
+         / CAST({target_bytes} AS DOUBLE)) AS INT) AS compaction_group
+FROM files
+ORDER BY part, file_id
+"""

@@ -77,3 +77,26 @@ def test_contextual_chunks_group_per_session(spark):
     assert g0.content.startswith("[user]: ")
     assert "[assistant]: " in g0.content
     assert by_sess["s2"][0].m0_raw_ids == ["m4"]
+
+
+def test_sentence_chunks_groups_and_remainder(spark):
+    """7 sentences at 3/chunk → chunks of 3+3+1; punctuation runs and
+    mixed terminators all count as boundaries; unterminated tail text is
+    its own sentence; a doc with no boundaries yields one chunk."""
+    from memfuse_spark.operators.chunking import sentence_chunks
+
+    text = (
+        "One two. Three four! Five six? Seven... Eight nine. "
+        "Ten!! Eleven twelve"
+    )
+    docs = spark.createDataFrame(
+        [(1, text), (2, "no boundaries here")], "doc_id bigint, text string"
+    )
+    rows = {
+        (r.doc_id, r.chunk_index): r
+        for r in sentence_chunks(docs, per_chunk=3).collect()
+    }
+    assert [rows[(1, i)].n_sentences for i in range(3)] == [3, 3, 1]
+    assert rows[(2, 0)].n_sentences == 1
+    # sentence content survives grouping: total chars bounded by input
+    assert sum(rows[(1, i)].chunk_len for i in range(3)) <= len(text)

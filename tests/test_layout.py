@@ -158,3 +158,31 @@ def test_matryoshka_recall_vs_exact(spark, tables):
     assert r50 >= 5
     assert r200 >= r50
     assert r200 >= 12
+
+
+def test_compaction_plan_groups_near_target(spark):
+    """Bin packing invariants: groups are contiguous in file order,
+    every group except the last reaches the target (±1 file), and no
+    group exceeds target + max single file."""
+    from memfuse_spark.operators.layout import compaction_plan
+
+    rows = [("s1", i, 30) for i in range(10)] + [("s2", i, 120) for i in range(3)]
+    files = spark.createDataFrame(rows, "source string, file_id int, bytes long")
+    got = compaction_plan(files, target_bytes=100).collect()
+    by_part = {}
+    for r in got:
+        by_part.setdefault(r.part, []).append(r)
+    # s1: 30-byte files at target 100 → groups of ceil: prefix/100 →
+    # files 0-3 (prefix 0,30,60,90) group 0; 4-6 group 1 (120,150,180)…
+    g = [r.compaction_group for r in sorted(by_part["s1"], key=lambda r: r.file_id)]
+    assert g == sorted(g), "groups must be contiguous in file order"
+    sizes = {}
+    for r in by_part["s1"]:
+        sizes[r.compaction_group] = sizes.get(r.compaction_group, 0) + r.bytes
+    last = max(sizes)
+    for grp, total in sizes.items():
+        assert total <= 100 + 30
+        if grp != last:
+            assert total + 30 > 100, "non-final group must be within one file of target"
+    # oversized files get their own group progression, never negative
+    assert all(r.compaction_group >= 0 for r in by_part["s2"])
