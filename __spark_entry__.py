@@ -45,6 +45,7 @@ from memfuse_spark.operators import evalmetrics as _evalmetrics
 from memfuse_spark.functions.text import TOKENIZE_SQL as _TOKENIZE_SQL
 from memfuse_spark.functions import vector as _vec_fns
 from memfuse_spark.operators import layout as _layout_ops
+from memfuse_spark.operators import skew as _skew_ops
 
 # ---------------------------------------------------------------------------
 # fixed query parameters (deterministic; shared by Spark and oracle sides)
@@ -959,6 +960,58 @@ def q_media_frame_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return frame_sample_plan(media, every_ms=1000, max_frames=16).orderBy(
         "media_id", "frame_index"
     )
+
+
+SPLIT_WEIGHTS = {"train": 0.8, "valid": 0.1, "test": 0.1}
+
+
+def q_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/test SPLIT-LEAKAGE audit: near-duplicate pairs (MinHash+LSH
+    tier) whose two documents landed in DIFFERENT splits — the QA gate
+    that catches eval contamination introduced by random splitting of a
+    near-dup-dense corpus. Output: (split_a, split_b, n_pairs,
+    avg_jaccard) per ordered split pair, plus same-split rows for the
+    denominator context."""
+    from memfuse_spark.operators.dedup import minhash_lsh_pairs
+    from memfuse_spark.operators.sampling import split_assign
+
+    (docs,) = _tables(spark, sf_dir, "documents")
+    splits = split_assign(docs, SPLIT_WEIGHTS).select("doc_id", "split")
+    pairs = minhash_lsh_pairs(docs)
+    joined = (
+        pairs.join(
+            splits.select(F.col("doc_id").alias("doc_a"), F.col("split").alias("sa")),
+            "doc_a",
+        )
+        .join(
+            splits.select(F.col("doc_id").alias("doc_b"), F.col("split").alias("sb")),
+            "doc_b",
+        )
+        .select(
+            F.least("sa", "sb").alias("split_a"),
+            F.greatest("sa", "sb").alias("split_b"),
+            "jaccard",
+        )
+    )
+    return (
+        joined.groupBy("split_a", "split_b")
+        .agg(
+            F.count("*").alias("n_pairs"),
+            F.round(F.avg("jaccard"), 6).alias("avg_jaccard"),
+        )
+        .orderBy("split_a", "split_b")
+    )
+
+
+def q_join_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-flight skew audit for a join/agg key: hottest keys, row
+    share, and skew ratio vs the mean key — the decision input for
+    salting (salted_event_totals) vs plain hash partitioning. Keyed on
+    event_type, the genuinely skewed column of the testdata."""
+    from memfuse_spark.operators.skew import join_skew_report
+
+    (ev,) = _tables(spark, sf_dir, "events")
+    return join_skew_report(ev, "event_type")
 
 
 COMPACTION_TARGET = 4096  # bytes; sized so the sf0.01 corpus forms real groups
@@ -2769,6 +2822,8 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hybrid_text_query": q_hybrid_text_query,
         "sentence_chunks": q_sentence_chunks,
         "compaction_plan": q_compaction_plan,
+        "join_skew_report": q_join_skew_report,
+        "split_leakage": q_split_leakage,
         # (1) round-4 additions
         "tpch_q5": q_tpch_q5,
         "tpch_q10": q_tpch_q10,
@@ -4365,6 +4420,22 @@ ORDER BY band
         "char_entropy": ta_ops.char_entropy_sql(),
         "sentence_chunks": _chunking.sentence_chunks_sql(),
         "compaction_plan": _layout_ops.compaction_plan_sql(COMPACTION_TARGET),
+        "join_skew_report": _skew_ops.join_skew_report_sql(
+            "SELECT event_type FROM events", "event_type"
+        ),
+        "split_leakage": f"""
+WITH splits AS (SELECT * FROM ({oracles.split_assign_sql(SPLIT_WEIGHTS)})),
+pairs AS (SELECT * FROM ({oracles.minhash_pairs_sql()}))
+SELECT least(sa.split, sb.split) AS split_a,
+       greatest(sa.split, sb.split) AS split_b,
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       round(avg(p.jaccard), 6) AS avg_jaccard
+FROM pairs p
+JOIN splits sa ON sa.doc_id = p.doc_a
+JOIN splits sb ON sb.doc_id = p.doc_b
+GROUP BY 1, 2
+ORDER BY split_a, split_b
+""",
         "ngram_novelty": ta_ops.ngram_novelty_sql(),
         "media_resize_plan": f"""
 WITH {_MEDIA_META_SQL.strip()},

@@ -138,6 +138,8 @@ EXTRA = [
     "hybrid_text_query",
     "sentence_chunks",
     "compaction_plan",
+    "join_skew_report",
+    "split_leakage",
 ]
 # Real-model-tier twins (deterministic stand-in models, models.py):
 # resolved from q_* functions directly — deliberately NOT queries()
