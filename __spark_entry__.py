@@ -30,6 +30,7 @@ from memfuse_spark.operators.fusion import (
 )
 from memfuse_spark.plans.pipeline import (
     anchor_vector,
+    hybrid_batch_retrieval,
     hybrid_retrieval,
     hybrid_retrieval_3way,
 )
@@ -208,6 +209,32 @@ def q_hybrid_text_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     qvec = py_hash_embedding(QUERY_TEXT, 64)
     return hybrid_retrieval(
         docs, emb, QUERY_TEXT, qvec, k=TOP_K, first_stage_k=FIRST_STAGE_K,
+        weights=HYBRID_WEIGHTS, rrf_k=RRF_K,
+        postings_index=_postings_index(spark, sf_dir),
+    )
+
+
+QUERY_BATCH = {
+    0: QUERY_TEXT,
+    1: "fast vector merge",
+    2: "customer orders batch stream",
+}
+
+
+def q_hybrid_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched flagship: the hybrid fusion for THREE queries in one job
+    — one corpus scan serves every query vector, one index scan serves
+    every keyword query (plans/pipeline.hybrid_batch_retrieval). The
+    throughput shape of a retrieval service."""
+    from memfuse_spark.functions.vector import py_hash_embedding
+
+    docs, emb = _tables(spark, sf_dir, "documents", "embeddings")
+    queries = {
+        qid: (text, py_hash_embedding(text, 64))
+        for qid, text in QUERY_BATCH.items()
+    }
+    return hybrid_batch_retrieval(
+        docs, emb, queries, k=TOP_K, first_stage_k=FIRST_STAGE_K,
         weights=HYBRID_WEIGHTS, rrf_k=RRF_K,
         postings_index=_postings_index(spark, sf_dir),
     )
@@ -2824,6 +2851,7 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "compaction_plan": q_compaction_plan,
         "join_skew_report": q_join_skew_report,
         "split_leakage": q_split_leakage,
+        "hybrid_batch": q_hybrid_batch,
         # (1) round-4 additions
         "tpch_q5": q_tpch_q5,
         "tpch_q10": q_tpch_q10,
@@ -3160,6 +3188,51 @@ ORDER BY session_id, group_id
 """
 
 
+def _hybrid_batch_sql() -> str:
+    """Batch-flagship oracle: per-query CTE chains (suffixed names) ∪
+    ALL, one block per QUERY_BATCH entry."""
+    w_vec, w_kw = HYBRID_WEIGHTS["vector"], HYBRID_WEIGHTS["keyword"]
+    wcase = f"CASE WHEN store_type = 'vector' THEN {w_vec} ELSE {w_kw} END"
+    ctes, tops = [], []
+    for qid, text in QUERY_BATCH.items():
+        emb_sql = _vec_fns.hash_embedding_sql(f"'{text}'", 64)
+        bm25 = kw_ops.bm25_topk_sql(text, FIRST_STAGE_K)
+        ctes.append(f"q{qid} AS (SELECT {emb_sql} AS qv)")
+        ctes.append(
+            f"""vec{qid} AS (
+  SELECT e.vec_id AS doc_id, {_COS_SQL} AS score
+  FROM embeddings e, q{qid} q
+  ORDER BY score DESC, e.vec_id ASC LIMIT {FIRST_STAGE_K})"""
+        )
+        ctes.append(f"kw{qid} AS (SELECT * FROM ({bm25}))")
+        ctes.append(
+            f"""un{qid} AS (
+  SELECT doc_id, score, 'vector' AS store_type FROM vec{qid}
+  UNION ALL SELECT doc_id, score, 'keyword' AS store_type FROM kw{qid})"""
+        )
+        ctes.append(
+            f"""fu{qid} AS (
+  SELECT doc_id, round(sum({wcase} / ({RRF_K} + rnk)), 6) AS score
+  FROM (SELECT doc_id, store_type,
+               row_number() OVER (PARTITION BY store_type
+                                  ORDER BY score DESC, doc_id ASC) AS rnk
+        FROM un{qid})
+  GROUP BY doc_id)"""
+        )
+        tops.append(
+            f"""SELECT {qid} AS query_id, f.doc_id, f.score, d.text
+FROM (SELECT doc_id, score FROM fu{qid}
+      ORDER BY score DESC, doc_id ASC LIMIT {TOP_K}) f
+JOIN documents d USING (doc_id)"""
+        )
+    body = "\nUNION ALL\n".join(tops)
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT * FROM (\n{body}\n)"
+        + "\nORDER BY query_id, score DESC, doc_id ASC"
+    )
+
+
 def _ann_bq_sql() -> str:
     from memfuse_spark.operators.ann import bq_topk_sql
 
@@ -3442,6 +3515,7 @@ FROM fused f JOIN documents d USING (doc_id)
 ORDER BY f.score DESC, f.doc_id ASC
 LIMIT {TOP_K}
 """,
+        "hybrid_batch": _hybrid_batch_sql(),
         "hybrid_text_query": _fusion_ctes(
             q_cte=(
                 "q AS (SELECT "

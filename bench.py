@@ -140,6 +140,7 @@ EXTRA = [
     "compaction_plan",
     "join_skew_report",
     "split_leakage",
+    "hybrid_batch",
 ]
 # Real-model-tier twins (deterministic stand-in models, models.py):
 # resolved from q_* functions directly — deliberately NOT queries()

@@ -1063,3 +1063,52 @@ FROM matched GROUP BY doc_id
 ORDER BY score DESC, doc_id ASC
 LIMIT {k}
 """
+
+
+def bm25_batch_topk_from_index(
+    spark,
+    index_name: str,
+    queries: dict[int, str],
+    k: int,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+    score_decimals: int = 6,
+) -> DataFrame:
+    """(query_id, doc_id, score) — BM25 for a BATCH of queries in ONE
+    job: a single bucket-pruned postings scan over the union of all
+    query terms, broadcast-joined to the tiny (query_id, term) map,
+    scored per (query, doc), per-query top-k window. N queries cost one
+    index scan instead of N — the server-side throughput shape
+    (reference touts parallel query handling; this is its plan form).
+    """
+    from pyspark.sql import Window
+
+    rows = [
+        (qid, t)
+        for qid, q in sorted(queries.items())
+        for t in sorted({t for t in _py_tokenize(q)})
+    ]
+    qterms = spark.createDataFrame(rows, "query_id int, term string")
+    all_terms = sorted({t for _, t in rows})
+    postings = spark.table(index_name).filter(F.col("term").isin(all_terms))
+    stats = spark.table(f"{index_name}_stats")
+    matched = postings.join(F.broadcast(qterms), "term").crossJoin(
+        F.broadcast(stats)
+    )
+    idf = F.log(
+        (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+    )
+    tf_part = (F.col("tf") * (k1 + 1)) / (
+        F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.col("avgdl"))
+    )
+    scored = (
+        matched.select("query_id", "doc_id", (idf * tf_part).alias("term_score"))
+        .groupBy("query_id", "doc_id")
+        .agg(F.round(F.sum("term_score"), score_decimals).alias("score"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        scored.withColumn("__r", F.row_number().over(w))
+        .filter(F.col("__r") <= k)
+        .drop("__r")
+    )

@@ -147,3 +147,76 @@ def anchor_vector(spark: SparkSession, embeddings: DataFrame, vec_id: int = 0) -
     query parameter, k·dim floats — not a data move)."""
     row = embeddings.filter(F.col("vec_id") == vec_id).select("embedding").first()
     return list(row["embedding"])
+
+
+def hybrid_batch_retrieval(
+    documents: DataFrame,
+    embeddings: DataFrame,
+    queries: dict[int, tuple[str, Sequence[float]]],
+    k: int = 15,
+    first_stage_k: int | None = None,
+    weights: dict[str, float] | None = None,
+    rrf_k: float = DEFAULT_RRF_K,
+    postings_index: str | None = None,
+) -> DataFrame:
+    """(query_id, doc_id, score, text) — the flagship fusion for a
+    BATCH of queries in one job: ONE corpus scan scores every query
+    vector (broadcast similarity join), ONE bucket-pruned index scan
+    serves every keyword query, then RRF/hydration windows keyed by
+    (query_id, …) fan the per-query results out. N queries ≈ the cost
+    of one — the amortization a retrieval SERVICE actually lives on
+    (the reference gathers per-query asyncio tasks; here batching is a
+    plan property, reference services/memory_service.py:1508-1820).
+    """
+    from pyspark.sql import Window
+
+    from memfuse_spark.operators.keyword import bm25_batch_topk_from_index
+    from memfuse_spark.operators.similarity import similarity_join
+
+    spark = documents.sparkSession
+    fsk = first_stage_k or 2 * k
+    weights = weights or {"vector": 0.5, "keyword": 0.2}
+    qvecs = spark.createDataFrame(
+        [(qid, list(map(float, vec))) for qid, (_, vec) in sorted(queries.items())],
+        "query_id int, qvec array<double>",
+    )
+    vec = tag_store(
+        similarity_join(qvecs, embeddings, fsk, id_col="vec_id")
+        .withColumnRenamed("vec_id", "doc_id"),
+        "vector",
+    )
+    assert postings_index is not None, "batch path requires the prebuilt index"
+    kw = tag_store(
+        bm25_batch_topk_from_index(
+            spark, postings_index, {qid: t for qid, (t, _) in queries.items()}, fsk
+        ),
+        "keyword",
+    )
+    unioned = union_results(vec, kw)
+    rank_w = Window.partitionBy("query_id", "store_type").orderBy(
+        F.desc("score"), F.asc("doc_id")
+    )
+    wcol = None
+    for store, wt in weights.items():
+        c = F.when(F.col("store_type") == store, F.lit(float(wt)))
+        wcol = c if wcol is None else wcol.when(
+            F.col("store_type") == store, F.lit(float(wt))
+        )
+    fused = (
+        unioned.withColumn("rnk", F.row_number().over(rank_w))
+        .withColumn("__w", F.coalesce(wcol, F.lit(0.0)))
+        .groupBy("query_id", "doc_id")
+        .agg(
+            F.round(
+                F.sum(F.col("__w") / (F.lit(float(rrf_k)) + F.col("rnk"))), 6
+            ).alias("score")
+        )
+    )
+    topk_w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        fused.withColumn("__r", F.row_number().over(topk_w))
+        .filter(F.col("__r") <= k)
+        .join(F.broadcast(documents.select("doc_id", "text")), "doc_id")
+        .select("query_id", "doc_id", "score", "text")
+        .orderBy("query_id", F.desc("score"), F.asc("doc_id"))
+    )
