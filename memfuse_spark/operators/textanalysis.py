@@ -1129,7 +1129,11 @@ def char_entropy(
     per-doc Σ -p·log2 p. Both shuffles key on doc_id(+char); partial
     aggregation makes the map side emit at most |alphabet| rows per doc.
     """
-    chars = docs.select(
+    chars = docs.filter(F.length(F.col(text_col)) > 0).select(
+        # the empty-text guard matters: Spark's sequence(1, 0) counts
+        # DOWN ([1, 0]) instead of yielding an empty array, which would
+        # fabricate two empty-string "chars" per empty doc — DuckDB's
+        # range(1, 1) is empty, so the engines would diverge
         F.col(id_col).alias("doc_id"),
         F.explode(
             F.transform(

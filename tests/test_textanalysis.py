@@ -257,3 +257,42 @@ def test_doc_keyterms_surfaces_distinctive_terms(spark):
     assert got[0][0] == "zebra" and got[1][0] == "walrus"
     assert got[0][1] == "shared" and got[1][1] == "shared"
     assert got[2] == ["shared"]  # only one distinct term exists
+
+
+def test_char_entropy_edge_cases(spark):
+    """Hand-computed entropies: uniform-repeat → 0 bits, two equal
+    chars → 1 bit; empty text contributes no row (no characters) —
+    matching the oracle's behavior on both engines."""
+    docs = spark.createDataFrame(
+        [(1, ""), (2, "aaaa"), (3, "ab"), (4, "abcd")],
+        "doc_id bigint, text string",
+    )
+    from memfuse_spark.operators.textanalysis import char_entropy
+
+    got = {r.doc_id: r for r in char_entropy(docs).collect()}
+    assert 1 not in got
+    assert got[2].entropy_bits == 0.0 and got[2].n_chars == 4
+    assert got[3].entropy_bits == 1.0
+    assert got[4].entropy_bits == 2.0
+
+
+def test_ngram_novelty_duplicate_docs(spark):
+    """An exact duplicate of an earlier doc scores novelty 0; the
+    first occurrence keeps 1.0; a short doc falls back to its full
+    token string as the single shingle."""
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon"),
+            (2, "alpha beta gamma delta epsilon"),
+            (3, "totally different words here now"),
+            (4, "tiny"),
+        ],
+        "doc_id bigint, text string",
+    )
+    from memfuse_spark.operators.textanalysis import ngram_novelty
+
+    got = {r.doc_id: r for r in ngram_novelty(docs).collect()}
+    assert got[1].novelty == 1.0
+    assert got[2].novelty == 0.0 and got[2].n_novel == 0
+    assert got[3].novelty == 1.0
+    assert got[4].n_grams == 1 and got[4].novelty == 1.0
