@@ -225,3 +225,20 @@ def test_phash_real_png_neardup(spark):
     }
     assert ("p1", "p2") in pairs and pairs[("p1", "p2")] <= 3
     assert ("p1", "p3") not in pairs and ("p2", "p3") not in pairs
+
+
+def test_decode_features_real_png(spark):
+    """decode_features end-to-end through the REAL PNG codec: the
+    pooled channel means must equal numpy's means of the source pixels
+    (the decode is exact, so the features are exact)."""
+    import numpy as np
+
+    img = _gradient(16, 16)
+    media = spark.createDataFrame(
+        [("p1", "image/png", None, bytearray(mm.encode_png(img)), 16, 16, 0)],
+        mm.MEDIA_SCHEMA,
+    )
+    row = mm.decode_features(media, feature_dim=3).collect()[0]
+    expected = img.reshape(-1, 3).mean(axis=0) / 255.0
+    assert np.allclose(row.feature, expected)
+    assert abs(row.pixel_mean - img.mean()) < 1e-9
