@@ -1635,6 +1635,36 @@ def q_bq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bq_topk(emb, qvec, TOP_K, candidates=BQ_CANDIDATES)
 
 
+_BQ_STORE: dict[tuple[int, str], str] = {}
+
+
+def q_bq_store_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """bq_topk against a PREBUILT packed-code store (ingest-time
+    artifact, the postings/edge-store treatment): the Hamming scan
+    reads (id, 4 int words) only — 1/64th of the float corpus bytes —
+    and the exact rescore joins the winners back by id. Identical
+    results (and oracle) to the inline bq_topk."""
+    import hashlib
+    import tempfile
+
+    from memfuse_spark.operators.ann import bq_topk_from_store, build_bq_store
+
+    (emb,) = _tables(spark, sf_dir, "embeddings")
+    key = (id(spark.sparkContext), sf_dir)
+    if key not in _BQ_STORE:
+        tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+        name = f"mfs_bq_{tag}"
+        build_bq_store(
+            spark, emb, name,
+            path=os.path.join(tempfile.gettempdir(), "memfuse_idx"),
+        )
+        _BQ_STORE[key] = name
+    qvec = anchor_vector(spark, emb, ANCHOR_VEC_ID)
+    return bq_topk_from_store(
+        spark, _BQ_STORE[key], emb, qvec, TOP_K, candidates=BQ_CANDIDATES
+    )
+
+
 # --- hierarchy M0 -> M1 -> M2 ------------------------------------------------
 
 def q_m0_records(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2852,6 +2882,7 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "join_skew_report": q_join_skew_report,
         "split_leakage": q_split_leakage,
         "hybrid_batch": q_hybrid_batch,
+        "bq_store_topk": q_bq_store_topk,
         # (1) round-4 additions
         "tpch_q5": q_tpch_q5,
         "tpch_q10": q_tpch_q10,
@@ -4268,6 +4299,7 @@ ORDER BY p.purchase_id
         "embedding_neardup": oracles.embedding_neardup_sql(),
         "ann_lsh_topk": oracles.ann_lsh_topk_sql(ANCHOR_VEC_ID, 10, num_planes=4),
         "bq_topk": _ann_bq_sql(),
+        "bq_store_topk": _ann_bq_sql(),  # identical semantics, stored codes
         "ivf_centroids": oracles.ivf_centroids_sql(),
         "ann_ivf_topk": oracles.ann_ivf_topk_sql(ANCHOR_VEC_ID, 10, 2),
         "m3_patterns": oracles.m3_patterns_sql(),

@@ -141,6 +141,7 @@ EXTRA = [
     "join_skew_report",
     "split_leakage",
     "hybrid_batch",
+    "bq_store_topk",
 ]
 # Real-model-tier twins (deterministic stand-in models, models.py):
 # resolved from q_* functions directly — deliberately NOT queries()

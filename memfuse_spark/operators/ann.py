@@ -813,3 +813,67 @@ FROM cand c, qv
 ORDER BY score DESC, c.vec_id ASC
 LIMIT {k}
 """
+
+
+def build_bq_store(spark, embeddings, name: str, dim: int = 64, path: str | None = None,
+                   id_col: str = "vec_id", vec_col: str = "embedding") -> None:
+    """Materialize the sign-packed binary codes ONCE as a warehouse
+    table (ingest-time, like the postings/edge stores): 4 small-int
+    words + the id per row — the Hamming scan then reads ~1/64th of
+    the float corpus bytes."""
+    packed = embeddings.select(id_col, *bq_pack_words(vec_col, dim=dim))
+    writer = packed.write.mode("overwrite").format("parquet")
+    if path is not None:
+        writer = writer.option("path", f"{path}/{name}")
+    writer.saveAsTable(name)
+
+
+def bq_topk_from_store(
+    spark,
+    store_name: str,
+    embeddings,
+    qvec,
+    k: int,
+    candidates: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    score_decimals: int = 6,
+):
+    """bq_topk against the PREBUILT packed store: the Hamming rank scans
+    only (id, 4 int words) — never the float vectors — and the exact-
+    cosine rescore joins the ≤`candidates` winners back to the
+    embeddings by id (broadcast). Same results as the inline
+    :func:`bq_topk` (same oracle), 64× less scan I/O at query time."""
+    from memfuse_spark.functions.vector import cosine_similarity
+
+    cand_n = candidates or 4 * k
+    n_words = dim // BQ_WORD_BITS
+    qwords = [
+        sum(
+            (1 << b) if float(qvec[w * BQ_WORD_BITS + b]) > 0 else 0
+            for b in range(BQ_WORD_BITS)
+        )
+        for w in range(n_words)
+    ]
+    hamming = None
+    for w, qw in enumerate(qwords):
+        h = F.expr(f"bit_count(bw{w} ^ {qw})")
+        hamming = h if hamming is None else hamming + h
+    cand = (
+        spark.table(store_name)
+        .withColumn("hamming", hamming.cast("int"))
+        .orderBy(F.asc("hamming"), F.asc(id_col))
+        .limit(cand_n)
+        .select(id_col)
+    )
+    score = F.round(
+        cosine_similarity(vec_col, F.array(*[F.lit(float(x)) for x in qvec])),
+        score_decimals,
+    )
+    return (
+        embeddings.join(F.broadcast(cand), id_col)
+        .select(id_col, score.alias("score"))
+        .orderBy(F.desc("score"), F.asc(id_col))
+        .limit(k)
+    )

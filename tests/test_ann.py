@@ -167,3 +167,29 @@ def test_bq_hamming_scan_stays_codegen(spark, tables):
     assert "TakeOrderedAndProject" in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "Exchange rangepartitioning" not in plan
+
+
+def test_bq_store_scan_never_reads_vectors(spark, tables, tmp_path):
+    """The stored-code Hamming scan must read ONLY the packed words —
+    the float embedding column never appears in the store scan's
+    ReadSchema (the 64x I/O saving is a plan property, not a hope)."""
+    from memfuse_spark.operators.ann import bq_topk_from_store, build_bq_store
+    from memfuse_spark.plans.pipeline import anchor_vector
+
+    emb = tables["embeddings"]
+    build_bq_store(spark, emb, "bq_test_store", path=str(tmp_path))
+    qvec = anchor_vector(spark, emb, 0)
+    df = bq_topk_from_store(spark, "bq_test_store", emb, qvec, 10)
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    store_scans = [
+        l for l in plan.splitlines()
+        if "ReadSchema" in l and "bw0" in l
+    ]
+    assert store_scans, "packed store scan missing from plan"
+    assert all("embedding" not in l for l in store_scans)
+    # results identical to the inline tier
+    from memfuse_spark.operators.ann import bq_topk
+
+    assert df.collect() == bq_topk(emb, qvec, 10).collect()
