@@ -31,6 +31,7 @@ from memfuse_spark.operators.fusion import (
 from memfuse_spark.plans.pipeline import (
     anchor_vector,
     hybrid_batch_retrieval,
+    hybrid_batch_retrieval_3way,
     hybrid_retrieval,
     hybrid_retrieval_3way,
 )
@@ -236,6 +237,26 @@ def q_hybrid_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hybrid_batch_retrieval(
         docs, emb, queries, k=TOP_K, first_stage_k=FIRST_STAGE_K,
         weights=HYBRID_WEIGHTS, rrf_k=RRF_K,
+        postings_index=_postings_index(spark, sf_dir),
+    )
+
+
+def q_hybrid_batch_3way(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched THREE-store flagship: the reference's default fusion for
+    a 3-query batch in one job — one corpus scan (all query vectors),
+    one postings scan (all query terms), one edge-store expansion (all
+    frontiers, rows carrying query_id)."""
+    from memfuse_spark.functions.vector import py_hash_embedding
+
+    emb, edges = _graph_edges(spark, sf_dir)
+    (docs,) = _tables(spark, sf_dir, "documents")
+    queries = {
+        qid: (text, py_hash_embedding(text, 64))
+        for qid, text in QUERY_BATCH.items()
+    }
+    return hybrid_batch_retrieval_3way(
+        docs, emb, edges, queries, k=TOP_K, first_stage_k=FIRST_STAGE_K,
+        weights=HYBRID_WEIGHTS_3WAY, rrf_k=RRF_K,
         postings_index=_postings_index(spark, sf_dir),
     )
 
@@ -2883,6 +2904,7 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "split_leakage": q_split_leakage,
         "hybrid_batch": q_hybrid_batch,
         "bq_store_topk": q_bq_store_topk,
+        "hybrid_batch_3way": q_hybrid_batch_3way,
         # (1) round-4 additions
         "tpch_q5": q_tpch_q5,
         "tpch_q10": q_tpch_q10,
@@ -3264,6 +3286,77 @@ JOIN documents d USING (doc_id)"""
     )
 
 
+def _hybrid_batch3_sql() -> str:
+    """Batched THREE-store oracle: shared edges CTE + per-query chains
+    (vec doubles as the graph l1 layer — same top-fsk cosine set)."""
+    w = HYBRID_WEIGHTS_3WAY
+    wcase = (
+        f"CASE store_type WHEN 'vector' THEN {w['vector']} "
+        f"WHEN 'graph' THEN {w['graph']} ELSE {w['keyword']} END"
+    )
+    ctes = [oracles.edges_cte(_SIM_T).strip()]
+    tops = []
+    for qid, text in QUERY_BATCH.items():
+        emb_sql = _vec_fns.hash_embedding_sql(f"'{text}'", 64)
+        bm25 = kw_ops.bm25_topk_sql(text, FIRST_STAGE_K)
+        ctes.append(f"q{qid} AS (SELECT {emb_sql} AS qv)")
+        ctes.append(
+            f"""vec{qid} AS (
+  SELECT e.vec_id AS doc_id, {_COS_SQL} AS score
+  FROM embeddings e, q{qid} q
+  ORDER BY score DESC, e.vec_id ASC LIMIT {FIRST_STAGE_K})"""
+        )
+        ctes.append(f"kw{qid} AS (SELECT * FROM ({bm25}))")
+        ctes.append(
+            f"""conn{qid} AS (
+  SELECT ed.dst AS doc_id, round(max(ed.weight), 6) AS score
+  FROM edges ed JOIN vec{qid} l ON ed.src = l.doc_id
+  WHERE ed.dst NOT IN (SELECT doc_id FROM vec{qid})
+  GROUP BY ed.dst)"""
+        )
+        ctes.append(
+            f"""resc{qid} AS (
+  SELECT e.vec_id AS doc_id, {_COS_SQL} AS score
+  FROM embeddings e JOIN conn{qid} c ON e.vec_id = c.doc_id, q{qid} q
+  ORDER BY score DESC, e.vec_id ASC LIMIT {FIRST_STAGE_K})"""
+        )
+        ctes.append(
+            f"""gb{qid} AS (
+  SELECT doc_id, max(score) AS score FROM (
+    SELECT doc_id, score FROM vec{qid}
+    UNION ALL SELECT doc_id, score FROM conn{qid}
+    UNION ALL SELECT doc_id, score FROM resc{qid})
+  GROUP BY doc_id ORDER BY score DESC, doc_id ASC LIMIT {FIRST_STAGE_K})"""
+        )
+        ctes.append(
+            f"""un{qid} AS (
+  SELECT doc_id, score, 'vector' AS store_type FROM vec{qid}
+  UNION ALL SELECT doc_id, score, 'graph' AS store_type FROM gb{qid}
+  UNION ALL SELECT doc_id, score, 'keyword' AS store_type FROM kw{qid})"""
+        )
+        ctes.append(
+            f"""fu{qid} AS (
+  SELECT doc_id, round(sum({wcase} / ({RRF_K} + rnk)), 6) AS score
+  FROM (SELECT doc_id, store_type,
+               row_number() OVER (PARTITION BY store_type
+                                  ORDER BY score DESC, doc_id ASC) AS rnk
+        FROM un{qid})
+  GROUP BY doc_id)"""
+        )
+        tops.append(
+            f"""SELECT {qid} AS query_id, f.doc_id, f.score, d.text
+FROM (SELECT doc_id, score FROM fu{qid}
+      ORDER BY score DESC, doc_id ASC LIMIT {TOP_K}) f
+JOIN documents d USING (doc_id)"""
+        )
+    body = "\nUNION ALL\n".join(tops)
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT * FROM (\n{body}\n)"
+        + "\nORDER BY query_id, score DESC, doc_id ASC"
+    )
+
+
 def _ann_bq_sql() -> str:
     from memfuse_spark.operators.ann import bq_topk_sql
 
@@ -3547,6 +3640,7 @@ ORDER BY f.score DESC, f.doc_id ASC
 LIMIT {TOP_K}
 """,
         "hybrid_batch": _hybrid_batch_sql(),
+        "hybrid_batch_3way": _hybrid_batch3_sql(),
         "hybrid_text_query": _fusion_ctes(
             q_cte=(
                 "q AS (SELECT "

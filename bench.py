@@ -142,6 +142,7 @@ EXTRA = [
     "split_leakage",
     "hybrid_batch",
     "bq_store_topk",
+    "hybrid_batch_3way",
 ]
 # Real-model-tier twins (deterministic stand-in models, models.py):
 # resolved from q_* functions directly — deliberately NOT queries()

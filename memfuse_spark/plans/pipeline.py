@@ -220,3 +220,115 @@ def hybrid_batch_retrieval(
         .select("query_id", "doc_id", "score", "text")
         .orderBy("query_id", F.desc("score"), F.asc("doc_id"))
     )
+
+
+def hybrid_batch_retrieval_3way(
+    documents: DataFrame,
+    embeddings: DataFrame,
+    edges: DataFrame,
+    queries: dict[int, tuple[str, Sequence[float]]],
+    k: int = 15,
+    first_stage_k: int | None = None,
+    weights: dict[str, float] | None = None,
+    rrf_k: float = DEFAULT_RRF_K,
+    postings_index: str | None = None,
+) -> DataFrame:
+    """(query_id, doc_id, score, text) — the reference's DEFAULT
+    three-store fusion for a BATCH of queries in one job: one corpus
+    scan scores every query vector, one postings scan serves every
+    keyword query, and the graph branch expands ALL query frontiers
+    against the edge store in one join (frontier rows carry their
+    query_id). Every per-query step is a window/groupBy keyed by
+    (query_id, …) over batch×k-scale rows.
+    """
+    from pyspark.sql import Window
+
+    from memfuse_spark import cache
+    from memfuse_spark.functions.vector import cosine_similarity
+    from memfuse_spark.operators.keyword import bm25_batch_topk_from_index
+    from memfuse_spark.operators.similarity import similarity_join
+
+    spark = documents.sparkSession
+    fsk = first_stage_k or 2 * k
+    weights = weights or {"vector": 0.5, "graph": 0.3, "keyword": 0.2}
+    qvecs = spark.createDataFrame(
+        [(qid, list(map(float, vec))) for qid, (_, vec) in sorted(queries.items())],
+        "query_id int, qvec array<double>",
+    )
+    per_q = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("vec_id"))
+
+    cache.begin("pipeline.batch3")
+    # layer 1: per-query similar set — ONE corpus scan for the batch;
+    # checkpointed because three later subplans reference it
+    l1 = similarity_join(qvecs, embeddings, fsk, id_col="vec_id")
+    l1, _ = cache.tracked_local_checkpoint(l1, "pipeline.batch3")
+    connected = (
+        l1.select("query_id", F.col("vec_id").alias("src"))
+        .join(edges, "src")
+        .groupBy("query_id", F.col("dst").alias("vec_id"))
+        .agg(F.round(F.max("weight"), 6).alias("score"))
+        .join(l1.select("query_id", "vec_id"), ["query_id", "vec_id"], "left_anti")
+    )
+    connected, _ = cache.tracked_local_checkpoint(connected, "pipeline.batch3")
+    rescored = (
+        connected.select("query_id", "vec_id")
+        .join(embeddings.select("vec_id", "embedding"), "vec_id")
+        .join(F.broadcast(qvecs), "query_id")
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(cosine_similarity("embedding", "qvec"), 6).alias("score"),
+        )
+        .withColumn("__r", F.row_number().over(per_q))
+        .filter(F.col("__r") <= fsk)
+        .drop("__r")
+    )
+    gctx = (
+        l1.select("query_id", "vec_id", "score")
+        .unionByName(connected)
+        .unionByName(rescored)
+        .groupBy("query_id", "vec_id")
+        .agg(F.max("score").alias("score"))
+        .withColumn("__r", F.row_number().over(per_q))
+        .filter(F.col("__r") <= fsk)
+        .select("query_id", F.col("vec_id").alias("doc_id"), "score")
+    )
+    graph = tag_store(gctx, "graph")
+    vec = tag_store(
+        l1.withColumnRenamed("vec_id", "doc_id"), "vector"
+    )
+    assert postings_index is not None, "batch path requires the prebuilt index"
+    kw = tag_store(
+        bm25_batch_topk_from_index(
+            spark, postings_index, {qid: t for qid, (t, _) in queries.items()}, fsk
+        ),
+        "keyword",
+    )
+    unioned = union_results(vec, graph, kw)
+    rank_w = Window.partitionBy("query_id", "store_type").orderBy(
+        F.desc("score"), F.asc("doc_id")
+    )
+    wcol = None
+    for store, wt in weights.items():
+        c = F.when(F.col("store_type") == store, F.lit(float(wt)))
+        wcol = c if wcol is None else wcol.when(
+            F.col("store_type") == store, F.lit(float(wt))
+        )
+    fused = (
+        unioned.withColumn("rnk", F.row_number().over(rank_w))
+        .withColumn("__w", F.coalesce(wcol, F.lit(0.0)))
+        .groupBy("query_id", "doc_id")
+        .agg(
+            F.round(
+                F.sum(F.col("__w") / (F.lit(float(rrf_k)) + F.col("rnk"))), 6
+            ).alias("score")
+        )
+    )
+    topk_w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        fused.withColumn("__r", F.row_number().over(topk_w))
+        .filter(F.col("__r") <= k)
+        .join(F.broadcast(documents.select("doc_id", "text")), "doc_id")
+        .select("query_id", "doc_id", "score", "text")
+        .orderBy("query_id", F.desc("score"), F.asc("doc_id"))
+    )
