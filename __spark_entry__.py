@@ -2646,6 +2646,43 @@ def q_bm25_v2_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_POSTINGS_IDX_C: dict[tuple[int, str], str] = {}
+
+
+def q_index_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full index LIFECYCLE end-to-end: build the v2 postings index
+    from a ~90% base slice, append the remaining docs in two
+    incremental batches, COMPACT (segment-merge to one sorted file per
+    bucket + df/stats re-derivation + catalog swap,
+    keyword.compact_postings_index_v2), then serve BM25 top-k from the
+    compacted index. Oracle: whole-corpus BM25 — builds, appends and
+    compaction must be invisible to scores."""
+    import hashlib
+    import tempfile
+
+    key = (id(spark.sparkContext), sf_dir)
+    if key not in _POSTINGS_IDX_C:
+        tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+        name = f"mfs_postings2c_{tag}"
+        (docs,) = _tables(spark, sf_dir, "documents")
+        bucket = F.pmod(F.xxhash64("doc_id"), F.lit(10))
+        path = os.path.join(tempfile.gettempdir(), "memfuse_idx_v2c")
+        kw_ops.build_postings_index_v2(
+            spark, docs.filter(bucket < 8), name, path=path
+        )
+        for lo, hi in ((8, 9), (9, 10)):
+            kw_ops.update_postings_index_v2(
+                spark, name,
+                docs.filter((bucket >= lo) & (bucket < hi)),
+                path=path,
+            )
+        kw_ops.compact_postings_index_v2(spark, name, path=path)
+        _POSTINGS_IDX_C[key] = name
+    return kw_ops.bm25_topk_from_index_v2(
+        spark, _POSTINGS_IDX_C[key], QUERY_TEXT, TOP_K
+    )
+
+
 def q_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """View→click attribution pairs within 30 minutes per user — the
     BATCH twin of the watermarked stream-stream interval join
@@ -2905,6 +2942,7 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hybrid_batch": q_hybrid_batch,
         "bq_store_topk": q_bq_store_topk,
         "hybrid_batch_3way": q_hybrid_batch_3way,
+        "index_compact": q_index_compact,
         # (1) round-4 additions
         "tpch_q5": q_tpch_q5,
         "tpch_q10": q_tpch_q10,
@@ -3641,6 +3679,7 @@ LIMIT {TOP_K}
 """,
         "hybrid_batch": _hybrid_batch_sql(),
         "hybrid_batch_3way": _hybrid_batch3_sql(),
+        "index_compact": kw_ops.bm25_topk_sql(QUERY_TEXT, TOP_K),
         "hybrid_text_query": _fusion_ctes(
             q_cte=(
                 "q AS (SELECT "

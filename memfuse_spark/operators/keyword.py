@@ -913,6 +913,79 @@ def update_postings_index_v2(
         snap.unpersist()
 
 
+def compact_postings_index_v2(
+    spark,
+    name: str,
+    num_buckets: int = 16,
+    path: str | None = None,
+) -> dict:
+    """Segment-merge compaction for a v2 index — the lakehouse
+    OPTIMIZE step for the inverted index. Each incremental
+    :func:`update_postings_index_v2` appends ≥1 file per non-empty
+    bucket, so after N batches a bucket holds ~N small unsorted
+    segments and query latency degrades linearly in segment count.
+    Compaction shadow-writes the accumulated postings into a FRESH
+    bucketed table (`repartition(num_buckets, term)` aligns one task
+    per bucket → exactly one sorted file each), re-derives df and
+    stats from the postings themselves (self-healing: any drift the
+    keyed-add side tables accumulated is repaired), then swaps the
+    catalog name. On a lakehouse the swap is `REPLACE TABLE` /
+    `OPTIMIZE`; plain parquet tables get drop+rename, which is
+    single-writer only (noted, not hidden).
+
+    Returns ``{"files_before": int, "files_after": int}``.
+    """
+    import shutil
+    import uuid
+
+    files_before = len(spark.table(name).inputFiles())
+    tmp = f"{name}__compact"
+    spark.sql(f"DROP TABLE IF EXISTS {tmp}")
+    # repartition by the BUCKET ID expression (pmod(murmur3, n) — the
+    # same formula the bucketed writer uses), not by the raw column:
+    # that co-locates every row of a bucket in one task, so each
+    # non-empty bucket gets exactly one output file even when AQE
+    # re-lays-out the shuffle read
+    bucket_id = F.pmod(F.hash("term"), F.lit(num_buckets))
+    writer = (
+        spark.table(name)
+        .repartition(num_buckets, bucket_id)
+        .write.mode("overwrite")
+        .format("parquet")
+    )
+    old_loc = None
+    if path is not None:
+        old_loc = f"{path}/{name}"
+        writer = writer.option("path", f"{path}/{name}__g{uuid.uuid4().hex[:8]}")
+    writer.bucketBy(num_buckets, "term").sortBy("term").saveAsTable(tmp)
+
+    # re-derive the side tables from the compacted postings (tiny:
+    # O(vocab) and O(1) rows; localCheckpoint breaks the read-write
+    # cycle exactly as update_postings_index_v2 does)
+    compacted = spark.table(tmp)
+    for suffix, df_new in (
+        ("_df", document_frequency(compacted)),
+        ("_stats", corpus_stats(compacted)),
+    ):
+        snap = df_new.localCheckpoint(eager=True)
+        w = snap.write.mode("overwrite").format("parquet")
+        if path is not None:
+            w = w.option("path", f"{path}/{name}{suffix}")
+        w.saveAsTable(f"{name}{suffix}")
+        snap.unpersist()
+
+    spark.sql(f"DROP TABLE {name}")
+    spark.sql(f"ALTER TABLE {tmp} RENAME TO {name}")
+    if old_loc is not None:
+        # reclaim the superseded segment files (local FS here; a real
+        # deployment reclaims via the table format's vacuum)
+        shutil.rmtree(old_loc, ignore_errors=True)
+    return {
+        "files_before": files_before,
+        "files_after": len(spark.table(name).inputFiles()),
+    }
+
+
 def bm25_topk_from_index_v2(
     spark,
     name: str,

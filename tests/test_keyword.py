@@ -324,6 +324,63 @@ def test_v2_index_incremental_update_matches_rebuild(spark, tmp_path):
                 spark.sql(f"DROP TABLE IF EXISTS {n}{side}")
 
 
+def test_v2_index_compaction_merges_segments_and_preserves_results(
+    spark, tmp_path
+):
+    """Compaction must (a) shrink the postings segment count to one
+    file per non-empty bucket, (b) leave every table byte-identical in
+    content to a fresh rebuild (self-healed df/stats included), and
+    (c) leave query results unchanged."""
+    from memfuse_spark.operators.keyword import (
+        bm25_topk_from_index_v2,
+        build_postings_index_v2,
+        compact_postings_index_v2,
+        update_postings_index_v2,
+    )
+
+    batches = [
+        [(0, "spark shuffles data between stages"),
+         (1, "a table scan reads parquet row groups")],
+        [(2, "the query planner reorders joins"),
+         (3, "spark query execution uses codegen")],
+        [(4, "scan scan scan")],
+        [(5, "broadcast joins skip the shuffle")],
+    ]
+    dfs = [
+        spark.createDataFrame(rows, "doc_id bigint, text string")
+        for rows in batches
+    ]
+    name = "v2_cmp"
+    try:
+        build_postings_index_v2(spark, dfs[0], name, path=str(tmp_path / "a"))
+        for d in dfs[1:]:
+            update_postings_index_v2(spark, name, d, path=str(tmp_path / "a"))
+        before_q = sorted(
+            map(tuple, bm25_topk_from_index_v2(spark, name, "spark query scan", 5).collect())
+        )
+        report = compact_postings_index_v2(spark, name, path=str(tmp_path / "a"))
+        assert report["files_after"] < report["files_before"]
+        # one file per non-empty bucket: 16 buckets max, small vocab
+        assert report["files_after"] <= 16
+
+        union = dfs[0]
+        for d in dfs[1:]:
+            union = union.unionByName(d)
+        build_postings_index_v2(spark, union, "v2_cmp_reb", path=str(tmp_path / "b"))
+        for side in ("", "_df", "_stats"):
+            a = sorted(map(tuple, spark.table(name + side).collect()))
+            b = sorted(map(tuple, spark.table("v2_cmp_reb" + side).collect()))
+            assert a == b, side
+        after_q = sorted(
+            map(tuple, bm25_topk_from_index_v2(spark, name, "spark query scan", 5).collect())
+        )
+        assert before_q == after_q
+    finally:
+        for n in ("v2_cmp", "v2_cmp_reb", "v2_cmp__compact"):
+            for side in ("", "_df", "_stats"):
+                spark.sql(f"DROP TABLE IF EXISTS {n}{side}")
+
+
 def test_ql_dirichlet_matches_python_reference(spark):
     from memfuse_spark.operators.keyword import ql_dirichlet_topk
 
