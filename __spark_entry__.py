@@ -1625,6 +1625,18 @@ def q_ivf_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_knn_join(queries, emb, k=5, nprobe=2)
 
 
+def q_mutual_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-kNN pair mining over the embedding corpus: every item
+    takes its IVF-probed top-5; pairs survive only if MUTUAL (each end
+    in the other's top-5) — the mutual-neighbor graph for semantic
+    clustering and high-precision near-dup candidates. All-item kNN
+    rides the ivf_knn_join probing plan (corpus never shuffles)."""
+    from memfuse_spark.operators.ann import mutual_knn_pairs
+
+    (emb,) = _tables(spark, sf_dir, "embeddings")
+    return mutual_knn_pairs(emb, k=5, nprobe=2)
+
+
 def q_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Int8-quantized similarity top-k: normalize → quantize to int8
     (the 4×-smaller storage tier) → dequantize → exact top-k. Scores
@@ -2943,6 +2955,7 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bq_store_topk": q_bq_store_topk,
         "hybrid_batch_3way": q_hybrid_batch_3way,
         "index_compact": q_index_compact,
+        "mutual_knn": q_mutual_knn,
         # (1) round-4 additions
         "tpch_q5": q_tpch_q5,
         "tpch_q10": q_tpch_q10,
@@ -3680,6 +3693,7 @@ LIMIT {TOP_K}
         "hybrid_batch": _hybrid_batch_sql(),
         "hybrid_batch_3way": _hybrid_batch3_sql(),
         "index_compact": kw_ops.bm25_topk_sql(QUERY_TEXT, TOP_K),
+        "mutual_knn": oracles.mutual_knn_sql(5, 2),
         "hybrid_text_query": _fusion_ctes(
             q_cte=(
                 "q AS (SELECT "

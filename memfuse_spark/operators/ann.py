@@ -407,6 +407,73 @@ def ivf_knn_join(
     )
 
 
+def mutual_knn_pairs(
+    corpus: DataFrame,
+    k: int,
+    nprobe: int = 2,
+    cell_col: str = "label",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    score_decimals: int = 6,
+) -> DataFrame:
+    """Reciprocal-kNN pair mining: (vec_a, vec_b, score) where each is
+    in the other's IVF-probed top-k — the mutual-neighbor graph used
+    for semantic clustering, re-ranking (reciprocal rank constraints),
+    and high-precision near-dup candidates (mutuality filters the
+    asymmetric hub matches that plain kNN graphs accumulate).
+
+    Scale shape: the all-item kNN graph rides the same probing plan as
+    :func:`ivf_knn_join` (corpus never shuffles; each item scores only
+    its nprobe probed cells — expected nprobe/n_cells of the corpus),
+    then the n·k-row kNN edge list self-joins on the swapped key pair.
+    Nothing is all-pairs.
+    """
+    from pyspark.sql import Window
+
+    queries = corpus.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("qvec"),
+    )
+    cents = ivf_centroids(corpus, cell_col, id_col, vec_col)
+    probe_scored = queries.crossJoin(F.broadcast(cents)).withColumn(
+        "__sim", cosine_similarity(F.col("qvec"), F.col("centroid"))
+    )
+    w_probe = Window.partitionBy("query_id").orderBy(
+        F.desc("__sim"), F.asc("cell")
+    )
+    probed = (
+        probe_scored.withColumn("__rn", F.row_number().over(w_probe))
+        .filter(F.col("__rn") <= nprobe)
+        .select("query_id", "qvec", "cell")
+    )
+    cand = corpus.join(
+        F.broadcast(probed), corpus[cell_col] == probed["cell"]
+    ).filter(F.col(id_col) != F.col("query_id"))
+    scored = cand.select(
+        F.col("query_id"),
+        F.col(id_col),
+        F.round(
+            cosine_similarity(F.col(vec_col), F.col("qvec")), score_decimals
+        ).alias("score"),
+    )
+    w_k = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc(id_col))
+    knn = (
+        scored.withColumn("__rn", F.row_number().over(w_k))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )
+    fwd = knn.select(
+        F.col("query_id").alias("vec_a"),
+        F.col(id_col).alias("vec_b"),
+        "score",
+    ).filter(F.col("vec_a") < F.col("vec_b"))
+    rev = knn.select(
+        F.col(id_col).alias("vec_a"),
+        F.col("query_id").alias("vec_b"),
+    ).filter(F.col("vec_a") < F.col("vec_b"))
+    return fwd.join(rev, ["vec_a", "vec_b"]).orderBy("vec_a", "vec_b")
+
+
 def ivf_centroids(
     embeddings: DataFrame,
     cell_col: str = "label",

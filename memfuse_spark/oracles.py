@@ -693,6 +693,53 @@ ORDER BY query_id, score DESC, vec_id
     )
 
 
+def mutual_knn_sql(k: int, nprobe: int = 2, dim: int = 64) -> str:
+    """Reciprocal-kNN pairs: every embedding probes its nprobe best IVF
+    cells, takes top-k non-self neighbors; a pair survives iff each end
+    is in the other's top-k (twin of ann.mutual_knn_pairs)."""
+    cos_c = (
+        "list_dot_product(c.centroid, q.qv)"
+        " / (sqrt(list_dot_product(c.centroid, c.centroid))"
+        " * sqrt(list_dot_product(q.qv, q.qv)))"
+    )
+    cos_e = (
+        "round(list_dot_product(CAST(e.embedding AS DOUBLE[]), p.qv)"
+        " / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])))"
+        " * sqrt(list_dot_product(p.qv, p.qv))), 6)"
+    )
+    return (
+        "WITH "
+        + IVF_CENTROIDS_CTE.format(dim=dim).strip()
+        + f""",
+q AS (
+  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv FROM embeddings
+),
+probe AS (
+  SELECT query_id, cell, qv FROM (
+    SELECT q.query_id, c.cell, q.qv,
+           row_number() OVER (PARTITION BY q.query_id
+                              ORDER BY {cos_c} DESC, c.cell ASC) AS rn
+    FROM cents c, q
+  ) WHERE rn <= {nprobe}
+),
+knn AS (
+  SELECT query_id, vec_id, score FROM (
+    SELECT p.query_id, e.vec_id, {cos_e} AS score,
+           row_number() OVER (PARTITION BY p.query_id
+                              ORDER BY {cos_e} DESC, e.vec_id ASC) AS rn
+    FROM embeddings e
+    JOIN probe p ON e.label = p.cell AND e.vec_id <> p.query_id
+  ) WHERE rn <= {k}
+)
+SELECT f.query_id AS vec_a, f.vec_id AS vec_b, f.score
+FROM knn f
+JOIN knn r ON r.query_id = f.vec_id AND r.vec_id = f.query_id
+WHERE f.query_id < f.vec_id
+ORDER BY vec_a, vec_b
+"""
+    )
+
+
 def speculative_prefetch_sql(recent_ids: list, k: int, dim: int = 64) -> str:
     """B5 semantic-similarity prefetch: mean of recent embeddings (id
     order, left-assoc sum — matches the Spark fold) → cosine top-k
