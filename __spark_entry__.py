@@ -883,6 +883,26 @@ def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_merges(_tables(spark, sf_dir, "documents")[0])
 
 
+_BPE_MERGES: dict[tuple[int, str], list] = {}
+
+
+def q_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source tokenizer FERTILITY report: train the 8-round BPE
+    merge table, apply it corpus-wide via the plan-time replace chain
+    (no UDF), and report bpe/raw sequence-length ratio per domain —
+    the tokenizer-fit signal that prices training sequence length by
+    data source."""
+    from memfuse_spark.operators.bpe import bpe_merges, tokenizer_fertility
+
+    (docs,) = _tables(spark, sf_dir, "documents")
+    key = (id(spark.sparkContext), sf_dir)
+    if key not in _BPE_MERGES:
+        _BPE_MERGES[key] = [
+            (r.rank, r.left, r.right) for r in bpe_merges(docs).collect()
+        ]
+    return tokenizer_fertility(docs, _BPE_MERGES[key])
+
+
 def q_session_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F.session_window gap sessionization (batch twin of the streaming
     session aggregation in streaming/windows.py), per-session rollup."""
@@ -2956,6 +2976,7 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hybrid_batch_3way": q_hybrid_batch_3way,
         "index_compact": q_index_compact,
         "mutual_knn": q_mutual_knn,
+        "tokenizer_fertility": q_tokenizer_fertility,
         # (1) round-4 additions
         "tpch_q5": q_tpch_q5,
         "tpch_q10": q_tpch_q10,
@@ -3694,6 +3715,7 @@ LIMIT {TOP_K}
         "hybrid_batch_3way": _hybrid_batch3_sql(),
         "index_compact": kw_ops.bm25_topk_sql(QUERY_TEXT, TOP_K),
         "mutual_knn": oracles.mutual_knn_sql(5, 2),
+        "tokenizer_fertility": _bpe_ops.tokenizer_fertility_sql(_TOKENIZE_SQL),
         "hybrid_text_query": _fusion_ctes(
             q_cte=(
                 "q AS (SELECT "

@@ -353,3 +353,110 @@ SELECT CAST(row_number() OVER (ORDER BY round, slot) AS INTEGER) AS rank,
 FROM ({selects})
 ORDER BY rank"""
     )
+
+
+# ---------------------------------------------------------------------------
+# tokenizer fertility by source domain
+# ---------------------------------------------------------------------------
+
+
+def tokenizer_fertility(
+    docs: DataFrame,
+    merges: list[tuple],
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-domain tokenizer FERTILITY report under a learned merge
+    table: (group, n_docs, raw_tokens, bpe_tokens, fertility,
+    merges_applied). Fertility (bpe/raw sequence-length ratio) is the
+    standard tokenizer-fit metric — a domain whose ratio stays near
+    1.0 is poorly covered by the learned vocabulary and will pay more
+    sequence length per word at training time.
+
+    Plan shape: :func:`apply_merges` is a plan-time replace chain
+    (whole-stage codegen, no UDF), so the whole report is one narrow
+    scan + one groupBy(domain) — wordcount-shaped at any scale.
+    """
+    counts = bpe_token_counts(docs, merges, id_col=id_col, text_col=text_col)
+    keyed = counts.join(
+        docs.select(F.col(id_col).alias("doc_id"), group_col), "doc_id"
+    )
+    return (
+        keyed.groupBy(group_col)
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_raw_tokens").cast("long").alias("raw_tokens"),
+            F.sum("n_bpe_tokens").cast("long").alias("bpe_tokens"),
+            F.round(
+                F.sum("n_bpe_tokens") / F.sum("n_raw_tokens"), 6
+            ).alias("fertility"),
+            (F.sum("n_raw_tokens") - F.sum("n_bpe_tokens"))
+            .cast("long")
+            .alias("merges_applied"),
+        )
+        .orderBy(group_col)
+    )
+
+
+def tokenizer_fertility_sql(
+    tokenize_sql_tpl: str, rounds: int = BPE_ROUNDS, group_col: str = "source"
+) -> str:
+    """DuckDB twin of :func:`tokenizer_fertility`: re-derives the merge
+    table with the same chained argmax CTEs as bpe_merges_sql (no
+    learned state injected), carries doc identity through the replace
+    chain, and aggregates per domain. ``tokenize_sql_tpl`` is the
+    ``{col}``-parameterized TOKENIZE_SQL template."""
+    tokenize_sql = tokenize_sql_tpl.format(col="text")
+
+    def counts(src: str) -> str:
+        return f"""
+  SELECT concat(l[i], ' ', l[i + 1]) AS pair, count(*) AS cnt
+  FROM (SELECT string_split(trim(s, '{SEP}'), '{SEP}{SEP}') AS l FROM {src}),
+       unnest(range(1, len(l))) AS t(i)
+  GROUP BY pair"""
+
+    parts = [
+        f"""t0 AS MATERIALIZED (
+  SELECT doc_id, {group_col},
+         concat('{SEP}', array_to_string({tokenize_sql}, '{SEP}{SEP}'),
+                '{SEP}') AS s
+  FROM documents
+)"""
+    ]
+    for r in range(1, rounds + 1):
+        parts.append(
+            f"""m{r} AS (
+  SELECT pair, cnt, split_part(pair, ' ', 1) AS l,
+         split_part(pair, ' ', 2) AS rr
+  FROM ({counts(f't{r - 1}')})
+  ORDER BY cnt DESC, pair ASC LIMIT 1
+)"""
+        )
+        parts.append(
+            f"""t{r} AS MATERIALIZED (
+  SELECT doc_id, {group_col},
+         replace(s, concat('{SEP}', l, '{SEP}{SEP}', rr, '{SEP}'),
+                 concat('{SEP}', l, rr, '{SEP}')) AS s
+  FROM t{r - 1}, m{r}
+)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f""",
+per_doc AS (
+  SELECT t.{group_col},
+         len({tokenize_sql_tpl.format(col="d.text")}) AS rawlen,
+         len(list_filter(string_split(trim(t.s, '{SEP}'), '{SEP}{SEP}'),
+                         x -> len(x) > 0)) AS bpelen
+  FROM t{rounds} t JOIN documents d USING (doc_id)
+)
+SELECT {group_col}, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(rawlen) AS BIGINT) AS raw_tokens,
+       CAST(sum(bpelen) AS BIGINT) AS bpe_tokens,
+       round(CAST(sum(bpelen) AS DOUBLE) / sum(rawlen), 6) AS fertility,
+       CAST(sum(rawlen) - sum(bpelen) AS BIGINT) AS merges_applied
+FROM per_doc GROUP BY {group_col} ORDER BY {group_col}
+"""
+    )

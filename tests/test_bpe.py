@@ -139,3 +139,40 @@ def test_batched_learns_k_merges_per_round(spark, tables):
     rows = got.collect()
     assert len(rows) == 8
     assert [r.rank for r in rows] == list(range(1, 9))
+
+
+def test_tokenizer_fertility_python_reference(spark):
+    """Fertility report must match a per-doc python replay of the
+    greedy merge application (same merges, same grouping)."""
+    from memfuse_spark.operators.bpe import bpe_merges, tokenizer_fertility
+
+    rows = [
+        (0, "a", "the query plan the query plan"),
+        (1, "a", "the query plan runs fast"),
+        (2, "b", "scan scan scan the query"),
+        (3, "b", ""),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id bigint, source string, text string")
+    merges = [
+        (r.rank, r.left, r.right) for r in bpe_merges(docs, rounds=3).collect()
+    ]
+
+    def apply_py(tokens, merges):
+        s = "·" + "··".join(tokens) + "·"
+        for _, left, right in sorted(merges):
+            s = s.replace(f"·{left}··{right}·", f"·{left}{right}·")
+        return [t for t in s.strip("·").split("··") if t]
+
+    import re
+    agg = {}
+    for _, src, text in rows:
+        toks = [t for t in re.split(r"[^a-z0-9]+", text.lower()) if t]
+        raw, bpe = len(toks), len(apply_py(toks, merges)) if toks else 0
+        d = agg.setdefault(src, [0, 0, 0])
+        d[0] += 1; d[1] += raw; d[2] += bpe
+    got = {
+        r.source: (r.n_docs, r.raw_tokens, r.bpe_tokens, r.fertility, r.merges_applied)
+        for r in tokenizer_fertility(docs, merges).collect()
+    }
+    for src, (n, raw, bpe) in agg.items():
+        assert got[src] == (n, raw, bpe, round(bpe / raw, 6), raw - bpe)
