@@ -1645,6 +1645,17 @@ def q_ivf_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_knn_join(queries, emb, k=5, nprobe=2)
 
 
+def q_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-noise screen over the embedding corpus: the 5 members of
+    each label FURTHEST from their own label centroid (lowest cosine)
+    — flags probable mislabels/noise before the labels feed training
+    or IVF assignment. Broadcast centroids + per-label window."""
+    from memfuse_spark.operators.ann import label_outliers
+
+    (emb,) = _tables(spark, sf_dir, "embeddings")
+    return label_outliers(emb, k=5)
+
+
 def q_mutual_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reciprocal-kNN pair mining over the embedding corpus: every item
     takes its IVF-probed top-5; pairs survive only if MUTUAL (each end
@@ -2977,6 +2988,7 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "index_compact": q_index_compact,
         "mutual_knn": q_mutual_knn,
         "tokenizer_fertility": q_tokenizer_fertility,
+        "embedding_outliers": q_embedding_outliers,
         # (1) round-4 additions
         "tpch_q5": q_tpch_q5,
         "tpch_q10": q_tpch_q10,
@@ -3716,6 +3728,7 @@ LIMIT {TOP_K}
         "index_compact": kw_ops.bm25_topk_sql(QUERY_TEXT, TOP_K),
         "mutual_knn": oracles.mutual_knn_sql(5, 2),
         "tokenizer_fertility": _bpe_ops.tokenizer_fertility_sql(_TOKENIZE_SQL),
+        "embedding_outliers": oracles.label_outliers_sql(5),
         "hybrid_text_query": _fusion_ctes(
             q_cte=(
                 "q AS (SELECT "

@@ -474,6 +474,44 @@ def mutual_knn_pairs(
     return fwd.join(rev, ["vec_a", "vec_b"]).orderBy("vec_a", "vec_b")
 
 
+def label_outliers(
+    corpus: DataFrame,
+    k: int,
+    cell_col: str = "label",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    score_decimals: int = 6,
+) -> DataFrame:
+    """(label, vec_id, score): the k embeddings FURTHEST from their own
+    label's centroid (lowest cosine), per label — the mislabeled/noise
+    screen a curation pipeline runs before using labels for training
+    or for IVF cell assignment. One narrow scan + a broadcast of the
+    tiny centroid table + a per-label top-k window; no shuffle of the
+    corpus beyond the final window on the (bounded) label key."""
+    from pyspark.sql import Window
+
+    cents = ivf_centroids(corpus, cell_col, id_col, vec_col)
+    scored = corpus.join(
+        F.broadcast(cents), corpus[cell_col] == cents["cell"]
+    ).select(
+        F.col(cell_col).cast("int").alias("label"),
+        F.col(id_col).alias("vec_id"),
+        F.round(
+            cosine_similarity(
+                F.col(vec_col).cast("array<double>"), F.col("centroid")
+            ),
+            score_decimals,
+        ).alias("score"),
+    )
+    w = Window.partitionBy("label").orderBy(F.asc("score"), F.asc("vec_id"))
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+        .orderBy("label", "score", "vec_id")
+    )
+
+
 def ivf_centroids(
     embeddings: DataFrame,
     cell_col: str = "label",

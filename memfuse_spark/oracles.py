@@ -740,6 +740,29 @@ ORDER BY vec_a, vec_b
     )
 
 
+def label_outliers_sql(k: int, dim: int = 64) -> str:
+    """Per-label centroid-distance outliers (twin of ann.label_outliers):
+    k lowest-cosine members of each label vs that label's centroid."""
+    cos = (
+        "round(list_dot_product(CAST(e.embedding AS DOUBLE[]), c.centroid)"
+        " / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])))"
+        " * sqrt(list_dot_product(c.centroid, c.centroid))), 6)"
+    )
+    return (
+        "WITH "
+        + IVF_CENTROIDS_CTE.format(dim=dim).strip()
+        + f"""
+SELECT CAST(label AS INTEGER) AS label, vec_id, score FROM (
+  SELECT e.label, e.vec_id, {cos} AS score,
+         row_number() OVER (PARTITION BY e.label
+                            ORDER BY {cos} ASC, e.vec_id ASC) AS rn
+  FROM embeddings e JOIN cents c ON e.label = c.cell
+) WHERE rn <= {k}
+ORDER BY label, score, vec_id
+"""
+    )
+
+
 def speculative_prefetch_sql(recent_ids: list, k: int, dim: int = 64) -> str:
     """B5 semantic-similarity prefetch: mean of recent embeddings (id
     order, left-assoc sum — matches the Spark fold) → cosine top-k

@@ -271,3 +271,24 @@ def test_mutual_knn_pairs_are_mutual(spark, tables):
             math.sqrt(sum(x * x for x in a)) * math.sqrt(sum(y * y for y in b))
         )
         assert abs(round(c, 6) - p.score) <= 1e-6
+
+
+def test_label_outliers_flags_injected_noise(spark):
+    """A vector pointing away from its label's cluster must surface as
+    that label's #1 outlier."""
+    from memfuse_spark.operators.ann import label_outliers
+
+    rows = [(i, [1.0, 0.05 * i, 0.0], 0) for i in range(6)]
+    rows.append((99, [-1.0, 0.0, 0.0], 0))          # injected mislabel
+    rows += [(10 + i, [0.0, 1.0, 0.02 * i], 1) for i in range(4)]
+    df = spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<double>, label int"
+    )
+    out = label_outliers(df, k=2).collect()
+    by_label = {}
+    for r in out:
+        by_label.setdefault(r.label, []).append(r.vec_id)
+    assert by_label[0][0] == 99
+    assert len(by_label[0]) == 2 and len(by_label[1]) == 2
+    scores = [r.score for r in out if r.label == 0]
+    assert scores == sorted(scores)
