@@ -1645,6 +1645,65 @@ def q_ivf_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_knn_join(queries, emb, k=5, nprobe=2)
 
 
+def q_backfill_queue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M7 embedding backfill as an oracle-checked batch op: a
+    deterministic 1-in-5 document slice is marked pending (vector
+    missing), backfill_embeddings embeds EXACTLY that slice (hash
+    embedder default; the batch model slots in through the same
+    `embedder=` seam) and passes everything else through untouched.
+    Returns the re-embedded rows with their new vectors serialized.
+    Reference: pgai_store.py:837-939 polling worker, re-expressed as a
+    set-based partition-prunable batch job."""
+    from memfuse_spark.operators.backfill import backfill_embeddings
+
+    (docs,) = _tables(spark, sf_dir, "documents")
+    # md5-derived slice — exactly mirrorable in DuckDB (sampling.py
+    # pattern), unlike xxhash64
+    pending = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("bf"), F.col("doc_id").cast("string"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 5
+        == 0
+    )
+    table = docs.select(
+        "doc_id",
+        F.col("text").alias("content"),
+        F.lit(None).cast("array<double>").alias("embedding"),
+        pending.alias("needs_embedding"),
+    )
+    out = backfill_embeddings(table, dim=16)
+    return (
+        out.filter(
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(F.lit("bf"), F.col("doc_id").cast("string"))
+                    ),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % 5
+            == 0
+        )
+        .select(
+            "doc_id",
+            _fmt6_csv("embedding").alias("embedding_csv"),
+            F.col("needs_embedding").alias("still_pending"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 def q_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Label-noise screen over the embedding corpus: the 5 members of
     each label FURTHEST from their own label centroid (lowest cosine)
@@ -2989,6 +3048,7 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mutual_knn": q_mutual_knn,
         "tokenizer_fertility": q_tokenizer_fertility,
         "embedding_outliers": q_embedding_outliers,
+        "backfill_queue": q_backfill_queue,
         # (1) round-4 additions
         "tpch_q5": q_tpch_q5,
         "tpch_q10": q_tpch_q10,
@@ -3729,6 +3789,16 @@ LIMIT {TOP_K}
         "mutual_knn": oracles.mutual_knn_sql(5, 2),
         "tokenizer_fertility": _bpe_ops.tokenizer_fertility_sql(_TOKENIZE_SQL),
         "embedding_outliers": oracles.label_outliers_sql(5),
+        "backfill_queue": f"""
+SELECT doc_id,
+       array_to_string(list_transform(
+         {_vec_fns.hash_embedding_sql("text", 16)},
+         x -> printf('%.6f', x)), ',') AS embedding_csv,
+       FALSE AS still_pending
+FROM documents
+WHERE CAST(('0x' || substring(md5('bf' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 5 = 0
+ORDER BY doc_id
+""",
         "hybrid_text_query": _fusion_ctes(
             q_cte=(
                 "q AS (SELECT "
