@@ -1136,6 +1136,17 @@ def q_value_outliers_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mad_outlier_stats(ev)
 
 
+def q_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-core of the similarity graph via 6 fixed peeling rounds
+    (graph.kcore_nodes) — the dense-subgraph screen (spam rings,
+    tight near-dup clusters) over the persistent edge store;
+    convergence at 6 rounds is test-asserted."""
+    from memfuse_spark.operators.graph import kcore_nodes
+
+    _, edges = _graph_edges(spark, sf_dir)
+    return kcore_nodes(edges, k=3, rounds=6)
+
+
 def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-node triangle counts over the similarity graph (graph.py)."""
     from memfuse_spark.operators.graph import triangle_counts
@@ -3049,6 +3060,7 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tokenizer_fertility": q_tokenizer_fertility,
         "embedding_outliers": q_embedding_outliers,
         "backfill_queue": q_backfill_queue,
+        "graph_kcore": q_graph_kcore,
         # (1) round-4 additions
         "tpch_q5": q_tpch_q5,
         "tpch_q10": q_tpch_q10,
@@ -4826,6 +4838,9 @@ ORDER BY media_id, frame_index
 """,
         "graph_triangles": _graph_mod.triangle_counts_sql(
             oracles.edges_cte(_SIM_T), 20
+        ),
+        "graph_kcore": _graph_mod.kcore_nodes_sql(
+            oracles.edges_cte(_SIM_T), 3, 6
         ),
         "event_funnel": _temporal.funnel_counts_sql(),
         "user_retention": _temporal.user_retention_sql(),

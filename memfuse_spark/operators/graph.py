@@ -416,6 +416,97 @@ def pagerank(
     )
 
 
+def kcore_nodes(
+    edges: DataFrame,
+    k: int = 3,
+    rounds: int = 6,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """(node, degree) after ``rounds`` of k-core PEELING: each round
+    drops every node whose undirected distinct-neighbor degree is
+    below k, then restricts the edge set to survivors. The k-core is
+    the fixpoint; a FIXED round count keeps the result deterministic
+    and oracle-expressible as unrolled CTEs (the pagerank/CC
+    convention here), and convergence is test-asserted by comparing
+    rounds vs rounds+1 on the real corpus.
+
+    Scale shape: per round one degree aggregation (|E| narrow rows,
+    map-side combined) + two semi-joins keyed the same way; lineage is
+    truncated every round via the tracked localCheckpoint discipline,
+    so nothing driver-side grows with the graph.
+    """
+    spark = edges.sparkSession
+    cache.begin("graph.kcore")
+    sym = edges.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+    )
+    und = (
+        sym.unionByName(
+            sym.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    e, prev_ids = cache.tracked_local_checkpoint(und, "graph.kcore")
+    for _ in range(rounds):
+        keep = (
+            e.groupBy("src")
+            .agg(F.count("*").alias("deg"))
+            .filter(F.col("deg") >= k)
+            .select("src")
+        )
+        nxt = e.join(keep, "src", "leftsemi").join(
+            keep.select(F.col("src").alias("dst")), "dst", "leftsemi"
+        )
+        nxt, nxt_ids = cache.tracked_local_checkpoint(nxt, "graph.kcore")
+        cache.unpersist_rdd_ids(spark, prev_ids)
+        prev_ids = nxt_ids
+        e = nxt
+    return (
+        e.groupBy(F.col("src").alias("node"))
+        .agg(F.count("*").cast("long").alias("degree"))
+        .orderBy("node")
+    )
+
+
+def kcore_nodes_sql(
+    edges_cte_block: str, k: int = 3, rounds: int = 6
+) -> str:
+    """DuckDB twin of :func:`kcore_nodes`: the same fixed peeling
+    rounds unrolled as chained CTEs over the shared edge construction."""
+    parts = [
+        edges_cte_block.strip(),
+        """e0 AS MATERIALIZED (
+  SELECT DISTINCT src, dst FROM (
+    SELECT src, dst FROM edges UNION ALL SELECT dst AS src, src AS dst FROM edges
+  ) WHERE src <> dst
+)""",
+    ]
+    # each e{r} is referenced twice (by k{r+1} and e{r+1}) — MATERIALIZED
+    # stops DuckDB inlining the subtree exponentially across rounds
+    for r in range(1, rounds + 1):
+        parts.append(
+            f"""k{r} AS (
+  SELECT src FROM e{r - 1} GROUP BY src HAVING count(*) >= {k}
+)"""
+        )
+        parts.append(
+            f"""e{r} AS MATERIALIZED (
+  SELECT e.src, e.dst FROM e{r - 1} e
+  JOIN k{r} a ON e.src = a.src JOIN k{r} b ON e.dst = b.src
+)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"""
+SELECT src AS node, CAST(count(*) AS BIGINT) AS degree
+FROM e{rounds} GROUP BY src ORDER BY node
+"""
+    )
+
+
 def contextual_retrieval(
     embeddings: DataFrame,
     edges: DataFrame,

@@ -3,6 +3,7 @@
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import functions as F
 
 from memfuse_spark.operators import graph as g
 
@@ -204,3 +205,34 @@ def test_label_propagation_symmetric_pair_oscillates_deterministically(spark):
     assert even == {5: 5, 6: 6}
     odd = {r.node: r.community for r in label_propagation(edges, 3).collect()}
     assert odd == {5: 6, 6: 5}
+
+
+def test_kcore_peels_to_known_core(spark):
+    """A 4-clique with pendant chains: the 3-core is exactly the clique
+    (every chain node peels away), and one extra round changes
+    nothing (convergence)."""
+    clique = [(a, b) for a in range(4) for b in range(4) if a < b]
+    chains = [(0, 10), (10, 11), (11, 12), (2, 20)]
+    edges = spark.createDataFrame(
+        clique + chains, "src bigint, dst bigint"
+    ).withColumn("weight", F.lit(1.0)).withColumn("relation", F.lit("X"))
+    got = {r.node: r.degree for r in g.kcore_nodes(edges, k=3, rounds=4).collect()}
+    assert got == {0: 3, 1: 3, 2: 3, 3: 3}
+    again = {r.node: r.degree for r in g.kcore_nodes(edges, k=3, rounds=5).collect()}
+    assert again == got
+
+
+def test_kcore_converges_on_corpus_graph(spark, tables):
+    """6 rounds must be a fixpoint on the real similarity graph — one
+    more round returns the identical node set and degrees."""
+    emb = tables["embeddings"]
+    edges = g.build_similarity_edges(emb).unionByName(
+        g.build_follows_edges(emb)
+    )
+    a = sorted(map(tuple, g.kcore_nodes(edges, k=3, rounds=6).collect()))
+    b = sorted(map(tuple, g.kcore_nodes(edges, k=3, rounds=7).collect()))
+    assert a == b
+    # the 3-core may legitimately be empty at this SF; the 2-core keeps
+    # every FOLLOWS-chain interior node and must not be
+    two = g.kcore_nodes(edges, k=2, rounds=6).count()
+    assert two > 0
