@@ -430,6 +430,11 @@ def mutual_knn_pairs(
     """
     from pyspark.sql import Window
 
+    import numpy as np
+    import pandas as pd
+
+    from memfuse_spark.operators.similarity import _round_half_away
+
     queries = corpus.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).cast("array<double>").alias("qvec"),
@@ -446,29 +451,64 @@ def mutual_knn_pairs(
         .filter(F.col("__rn") <= nprobe)
         .select("query_id", "qvec", "cell")
     )
-    cand = corpus.join(
-        F.broadcast(probed), corpus[cell_col] == probed["cell"]
-    ).filter(F.col(id_col) != F.col("query_id"))
-    scored = cand.select(
-        F.col("query_id"),
-        F.col(id_col),
-        F.round(
-            cosine_similarity(F.col(vec_col), F.col("qvec")), score_decimals
-        ).alias("score"),
+    members = corpus.select(
+        F.col(cell_col).alias("cell"),
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).cast("array<double>").alias("vec"),
     )
-    w_k = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc(id_col))
+
+    # per-cell scoring as ONE normalized float64 matmul per (cell) group
+    # — the pairwise_scores_blocked kernel shape. Each cell emits only
+    # its per-query top-k (a globally-top-k candidate is top-k within
+    # its owning cell, so the global window over nprobe*k partials per
+    # query stays exact); candidate volume leaving Python is n*nprobe*k
+    # rows, not n * cell_size.
+    def _norm(mat: "np.ndarray") -> "np.ndarray":
+        norms = np.linalg.norm(mat, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        return mat / norms
+
+    def score_cell(key, m_pdf: "pd.DataFrame", q_pdf: "pd.DataFrame"):
+        if len(m_pdf) == 0 or len(q_pdf) == 0:
+            return pd.DataFrame({"query_id": [], "vec_id": [], "score": []})
+        m_ids = m_pdf["vec_id"].to_numpy()
+        m_mat = _norm(np.stack(m_pdf["vec"].to_numpy()).astype(np.float64))
+        q_ids = q_pdf["query_id"].to_numpy()
+        q_mat = _norm(np.stack(q_pdf["qvec"].to_numpy()).astype(np.float64))
+        sims = _round_half_away(q_mat @ m_mat.T, score_decimals)
+        sims[q_ids[:, None] == m_ids[None, :]] = -np.inf  # drop self
+        # rank by (rounded score desc, vec_id asc) — identical total
+        # order to the downstream window
+        order = np.lexsort((m_ids[None, :].repeat(len(q_ids), 0), -sims))
+        take = order[:, : min(k, order.shape[1])]
+        qi = np.arange(len(q_ids))[:, None].repeat(take.shape[1], 1)
+        out = pd.DataFrame(
+            {
+                "query_id": q_ids[qi.ravel()],
+                "vec_id": m_ids[take.ravel()],
+                "score": sims[qi.ravel(), take.ravel()],
+            }
+        )
+        return out[np.isfinite(out["score"])]
+
+    partials = members.groupBy("cell").cogroup(
+        probed.groupBy("cell")
+    ).applyInPandas(score_cell, "query_id long, vec_id long, score double")
+    w_k = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.asc("vec_id")
+    )
     knn = (
-        scored.withColumn("__rn", F.row_number().over(w_k))
+        partials.withColumn("__rn", F.row_number().over(w_k))
         .filter(F.col("__rn") <= k)
         .drop("__rn")
     )
     fwd = knn.select(
         F.col("query_id").alias("vec_a"),
-        F.col(id_col).alias("vec_b"),
+        F.col("vec_id").alias("vec_b"),
         "score",
     ).filter(F.col("vec_a") < F.col("vec_b"))
     rev = knn.select(
-        F.col(id_col).alias("vec_a"),
+        F.col("vec_id").alias("vec_a"),
         F.col("query_id").alias("vec_b"),
     ).filter(F.col("vec_a") < F.col("vec_b"))
     return fwd.join(rev, ["vec_a", "vec_b"]).orderBy("vec_a", "vec_b")
