@@ -1603,6 +1603,57 @@ def q_model_rerank_bench(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- ANN scale path ----------------------------------------------------------
 
+_BUCKETED_STORE: dict[tuple[int, str], str] = {}
+
+
+def q_ann_store_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vector-store LIFECYCLE end-to-end: write the LSH-bucketed corpus
+    from a ~80% base slice, append the rest in two incremental batches
+    (new files inside matching bucket directories — O(batch)), COMPACT
+    back to one file per bucket (shadow write + atomic dir swap), then
+    serve the partition-pruned bucketed top-k. Oracle: the whole-corpus
+    LSH top-k — builds, appends and compaction must be invisible to
+    results. The postings-index-v2 + index_compact treatment applied to
+    the vector side."""
+    import hashlib
+    import tempfile
+
+    from memfuse_spark.operators.ann import (
+        bucketed_topk,
+        compact_bucketed_corpus,
+        update_bucketed_corpus,
+        write_bucketed_corpus,
+    )
+
+    (emb,) = _tables(spark, sf_dir, "embeddings")
+    qvec = anchor_vector(spark, emb, ANCHOR_VEC_ID)
+    key = (id(spark.sparkContext), sf_dir)
+    if key not in _BUCKETED_STORE:
+        tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+        path = os.path.join(
+            tempfile.gettempdir(), "memfuse_bucketed_lc", tag
+        )
+        slice_of = F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("vs"), F.col("vec_id").cast("string"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long") % 5
+        write_bucketed_corpus(
+            emb.filter(slice_of < 3), path, dim=len(qvec), num_planes=4
+        )
+        for lo in (3, 4):
+            update_bucketed_corpus(
+                emb.filter(slice_of == lo), path, dim=len(qvec), num_planes=4
+            )
+        compact_bucketed_corpus(spark, path)
+        _BUCKETED_STORE[key] = path
+    return bucketed_topk(spark, _BUCKETED_STORE[key], qvec, 10, num_planes=4)
+
+
 def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sign-LSH bucketed approximate top-k (scale path for J1/J2)."""
     from memfuse_spark.operators.ann import ann_lsh_topk
@@ -3061,6 +3112,7 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_outliers": q_embedding_outliers,
         "backfill_queue": q_backfill_queue,
         "graph_kcore": q_graph_kcore,
+        "ann_store_lifecycle": q_ann_store_lifecycle,
         # (1) round-4 additions
         "tpch_q5": q_tpch_q5,
         "tpch_q10": q_tpch_q10,
@@ -4562,6 +4614,11 @@ ORDER BY p.purchase_id
         "ngram_jaccard": oracles.ngram_jaccard_sql(),
         "embedding_neardup": oracles.embedding_neardup_sql(),
         "ann_lsh_topk": oracles.ann_lsh_topk_sql(ANCHOR_VEC_ID, 10, num_planes=4),
+        # identical semantics: the incrementally-built + compacted store
+        # holds exactly the full corpus
+        "ann_store_lifecycle": oracles.ann_lsh_topk_sql(
+            ANCHOR_VEC_ID, 10, num_planes=4
+        ),
         "bq_topk": _ann_bq_sql(),
         "bq_store_topk": _ann_bq_sql(),  # identical semantics, stored codes
         "ivf_centroids": oracles.ivf_centroids_sql(),

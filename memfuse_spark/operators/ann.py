@@ -170,6 +170,53 @@ def write_bucketed_corpus(
     bucketed.write.mode("overwrite").partitionBy("bucket").parquet(path)
 
 
+def update_bucketed_corpus(
+    new_embeddings: DataFrame,
+    path: str,
+    dim: int,
+    num_planes: int = NUM_HYPERPLANES,
+    vec_col: str = "embedding",
+) -> None:
+    """Append a vector batch to the bucketed corpus: the batch derives
+    its own LSH buckets (plan-time hyperplanes — identical for every
+    writer) and lands as new files inside the matching bucket
+    directories (dynamic partition append). Cost scales with the
+    batch, not the corpus; the postings-index-v2 treatment for the
+    vector store."""
+    bucketed = new_embeddings.withColumn(
+        "bucket", lsh_bucket(vec_col, dim, num_planes)
+    )
+    bucketed.write.mode("append").partitionBy("bucket").parquet(path)
+
+
+def compact_bucketed_corpus(spark, path: str) -> dict:
+    """Segment-merge the bucketed corpus back to one file per bucket
+    directory: shadow-write with rows co-located by bucket, then
+    atomic directory swap (the tables.py compact pattern — on a
+    lakehouse this is OPTIMIZE). N incremental appends otherwise leave
+    N files per touched bucket and query-time IO degrades linearly in
+    segment count. Returns {"files_before", "files_after"}."""
+    import os
+    import shutil
+    import uuid
+
+    df = spark.read.parquet(path)
+    files_before = len(df.inputFiles())
+    tag = uuid.uuid4().hex[:8]
+    tmp = f"{path}__tmp_{tag}"
+    df.repartition("bucket").write.mode("overwrite").partitionBy(
+        "bucket"
+    ).parquet(tmp)
+    old = f"{path}__old_{tag}"
+    os.rename(path, old)
+    os.rename(tmp, path)
+    shutil.rmtree(old, ignore_errors=True)
+    return {
+        "files_before": files_before,
+        "files_after": len(spark.read.parquet(path).inputFiles()),
+    }
+
+
 def bucketed_topk(
     spark,
     path: str,

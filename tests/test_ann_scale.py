@@ -129,3 +129,44 @@ def test_ivfpq_probe_restriction_and_full_probe_equivalence(spark):
     all_probe = [tuple(r) for r in ivfpq_topk(emb, qvec, 10, nprobe=n_cells).collect()]
     full_adc = [tuple(r) for r in pq_topk_from_labels(emb, qvec, 10).collect()]
     assert all_probe == full_adc
+
+
+def test_bucketed_corpus_incremental_append_and_compaction(spark, tables, tmp_path):
+    """Appends must land inside bucket directories (O(batch)), and
+    compaction must merge segments to one file per bucket while
+    keeping results and partition pruning identical."""
+    from memfuse_spark.operators.ann import (
+        compact_bucketed_corpus,
+        update_bucketed_corpus,
+    )
+
+    emb = tables["embeddings"]
+    qvec = anchor_vector(spark, emb, 0)
+    path = str(tmp_path / "bucketed_inc")
+    base = emb.filter(F.col("vec_id") % 3 != 0)
+    write_bucketed_corpus(base, path, dim=len(qvec), num_planes=4)
+    update_bucketed_corpus(
+        emb.filter(F.col("vec_id") % 3 == 0), path, dim=len(qvec), num_planes=4
+    )
+    report = compact_bucketed_corpus(spark, path)
+    assert report["files_after"] < report["files_before"]
+    # one file per non-empty bucket directory
+    import collections
+    import re
+
+    per_bucket = collections.Counter(
+        re.search(r"bucket=([01]+)", f).group(1)
+        for f in spark.read.parquet(path).inputFiles()
+    )
+    assert all(v == 1 for v in per_bucket.values())
+
+    got = bucketed_topk(spark, path, qvec, 10, num_planes=4)
+    plan = got._sc._jvm.PythonSQLUtils.explainString(
+        got._jdf.queryExecution(), "formatted"
+    )
+    pf_line = [l for l in plan.splitlines() if "PartitionFilters" in l][0]
+    assert "bucket" in pf_line
+    flat = ann_lsh_topk(emb, qvec, 10, num_planes=4).collect()
+    assert [(r.vec_id, r.score) for r in got.collect()] == [
+        (r.vec_id, r.score) for r in flat
+    ]
