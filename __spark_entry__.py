@@ -2810,6 +2810,18 @@ def q_bm25_v2_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+QUERY_TYPO = "sparc tabel scann queyr"
+
+
+def q_spellfix_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typo-tolerant retrieval (FTS5-spellfix shape): every query term
+    is corrected to the nearest corpus-vocabulary term (levenshtein <=
+    2, frequency-then-lexicographic tiebreak) before standard BM25 —
+    deterministic two-job shape like RM3."""
+    (docs,) = _tables(spark, sf_dir, "documents")
+    return kw_ops.spellfix_topk(docs, QUERY_TYPO, TOP_K)
+
+
 _POSTINGS_IDX_C: dict[tuple[int, str], str] = {}
 
 
@@ -3113,6 +3125,7 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "backfill_queue": q_backfill_queue,
         "graph_kcore": q_graph_kcore,
         "ann_store_lifecycle": q_ann_store_lifecycle,
+        "spellfix_search": q_spellfix_search,
         # (1) round-4 additions
         "tpch_q5": q_tpch_q5,
         "tpch_q10": q_tpch_q10,
@@ -3850,6 +3863,7 @@ LIMIT {TOP_K}
         "hybrid_batch": _hybrid_batch_sql(),
         "hybrid_batch_3way": _hybrid_batch3_sql(),
         "index_compact": kw_ops.bm25_topk_sql(QUERY_TEXT, TOP_K),
+        "spellfix_search": kw_ops.spellfix_topk_sql(QUERY_TYPO, TOP_K),
         "mutual_knn": oracles.mutual_knn_sql(5, 2),
         "tokenizer_fertility": _bpe_ops.tokenizer_fertility_sql(_TOKENIZE_SQL),
         "embedding_outliers": oracles.label_outliers_sql(5),

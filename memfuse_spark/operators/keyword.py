@@ -522,6 +522,124 @@ LIMIT {k}
 """
 
 
+SPELLFIX_MAX_DIST = 2
+
+
+def spellfix_topk(
+    docs: DataFrame,
+    query: str,
+    k: int,
+    max_dist: int = SPELLFIX_MAX_DIST,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+    score_decimals: int = 6,
+) -> DataFrame:
+    """Typo-tolerant BM25 (the FTS5-spellfix shape): each query term is
+    corrected to the closest corpus-vocabulary term (levenshtein <=
+    max_dist; ties broken by corpus frequency DESC then term ASC —
+    fully deterministic), then standard BM25 runs on the corrected
+    terms. Terms with no in-budget candidate drop out, exactly like
+    unknown terms in plain BM25.
+
+    Two-job shape (the RM3 convention): job 1 scans the vocabulary
+    against the (broadcast, few-row) query-term list and collects the
+    per-term best corrections — query-term-count rows, not data; job 2
+    is the ordinary BM25 plan. At scale the vocabulary table is tiny
+    relative to the corpus and would be the prebuilt `{index}_df` side
+    table; a served system would swap the scan for a FastSS variant
+    index (typo_pairs' blocking) — same contract.
+    """
+    from pyspark.sql import Window
+
+    spark = docs.sparkSession
+    q_terms = sorted({t for t in _py_tokenize(query)})
+    if not q_terms:
+        return bm25_topk(docs, "", k, id_col, text_col, k1, b, score_decimals)
+    postings = build_postings(docs, id_col, text_col)
+    vocab = postings.groupBy("term").agg(F.sum("tf").alias("freq"))
+    qdf = spark.createDataFrame([(t,) for t in q_terms], "qterm string")
+    cand = (
+        vocab.crossJoin(F.broadcast(qdf))
+        .withColumn("dist", F.levenshtein("qterm", "term"))
+        .filter(F.col("dist") <= max_dist)
+    )
+    w = Window.partitionBy("qterm").orderBy(
+        F.asc("dist"), F.desc("freq"), F.asc("term")
+    )
+    corrected = sorted(
+        {
+            r.term
+            for r in cand.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("term")
+            .collect()
+        }
+    )
+    return bm25_topk(
+        docs, " ".join(corrected), k, id_col, text_col, k1, b, score_decimals
+    )
+
+
+def spellfix_topk_sql(
+    query: str,
+    k: int,
+    max_dist: int = SPELLFIX_MAX_DIST,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+    score_decimals: int = 6,
+) -> str:
+    """DuckDB twin of :func:`spellfix_topk`: same vocabulary-nearest
+    correction (levenshtein parity between engines is established by
+    typo_pairs), same BM25."""
+    q_terms = sorted({t for t in _py_tokenize(query)})
+    terms_sql = ", ".join(f"('{t}')" for t in q_terms)
+    return f"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                     t -> len(t) > 0) AS tokens
+  FROM documents
+),
+postings AS (
+  SELECT doc_id, len(tokens) AS dl, t.term, count(*) AS tf
+  FROM toks, unnest(tokens) AS t(term)
+  GROUP BY doc_id, dl, t.term
+),
+stats AS (
+  SELECT count(*) AS n_docs, avg(dl) AS avgdl
+  FROM (SELECT doc_id, any_value(dl) AS dl FROM postings GROUP BY doc_id)
+),
+dfs AS (
+  SELECT term, count(DISTINCT doc_id) AS df FROM postings GROUP BY term
+),
+vocab AS (SELECT term, sum(tf) AS freq FROM postings GROUP BY term),
+rawq(qterm) AS (VALUES {terms_sql}),
+corr AS (
+  SELECT DISTINCT term FROM (
+    SELECT v.term,
+           row_number() OVER (PARTITION BY q.qterm
+                              ORDER BY levenshtein(q.qterm, v.term) ASC,
+                                       v.freq DESC, v.term ASC) AS rn
+    FROM rawq q JOIN vocab v ON levenshtein(q.qterm, v.term) <= {max_dist}
+  ) WHERE rn = 1
+),
+matched AS (
+  SELECT p.doc_id, p.tf, p.dl, d.df, s.n_docs, s.avgdl
+  FROM postings p JOIN dfs d USING (term) JOIN corr q USING (term), stats s
+)
+SELECT doc_id,
+       round(sum(ln((n_docs - df + 0.5)/(df + 0.5) + 1.0)
+                 * tf*({k1}+1) / (tf + {k1}*(1 - {b} + {b}*dl/avgdl))),
+             {score_decimals}) AS score
+FROM matched
+GROUP BY doc_id
+ORDER BY score DESC, doc_id ASC
+LIMIT {k}
+"""
+
+
 # ---------------------------------------------------------------------------
 # RM3 pseudo-relevance feedback (query expansion)
 # ---------------------------------------------------------------------------

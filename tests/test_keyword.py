@@ -418,3 +418,25 @@ def test_ql_dirichlet_matches_python_reference(spark):
         assert got[i] == pytest.approx(want[i], abs=1e-6)
     # a doc with ZERO query terms still gets a (low) score
     assert 4 in got
+
+
+def test_spellfix_corrects_to_plain_bm25(spark):
+    """A 1-edit-typo query must produce exactly the clean query's BM25
+    ranking; an un-correctable garbage term must drop out rather than
+    poison scores."""
+    from memfuse_spark.operators.keyword import bm25_topk, spellfix_topk
+
+    docs = spark.createDataFrame(DOCS, "doc_id bigint, text string")
+    clean = [tuple(r) for r in bm25_topk(docs, "spark table join", 10).collect()]
+    fixed = [
+        tuple(r)
+        for r in spellfix_topk(docs, "spork tabel joyn", 10, max_dist=2).collect()
+    ]
+    assert fixed == clean
+    with_junk = [
+        tuple(r)
+        for r in spellfix_topk(
+            docs, "spork tabel joyn zzzzzzzzzz", 10, max_dist=2
+        ).collect()
+    ]
+    assert with_junk == clean
