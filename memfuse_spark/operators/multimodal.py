@@ -211,9 +211,205 @@ def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
     return x, rate
 
 
+def _gif_lzw_decode(data: bytes, min_code_size: int) -> list[int]:
+    """GIF-flavor LZW: variable 3..12-bit codes packed LSB-first,
+    CLEAR resets the dictionary, EOI terminates."""
+    clear = 1 << min_code_size
+    end = clear + 1
+    code_size = min_code_size + 1
+    table: list[bytes] = [bytes([i]) for i in range(clear)] + [b"", b""]
+    out: list[int] = []
+    acc = nbits = 0
+    prev: bytes | None = None
+    for byte in data:
+        acc |= byte << nbits
+        nbits += 8
+        while nbits >= code_size:
+            code = acc & ((1 << code_size) - 1)
+            acc >>= code_size
+            nbits -= code_size
+            if code == clear:
+                table = [bytes([i]) for i in range(clear)] + [b"", b""]
+                code_size = min_code_size + 1
+                prev = None
+                continue
+            if code == end:
+                return out
+            if prev is None:
+                entry = table[code]
+            elif code < len(table):
+                entry = table[code]
+                table.append(prev + entry[:1])
+            elif code == len(table):  # the KwKwK case
+                entry = prev + prev[:1]
+                table.append(entry)
+            else:
+                raise ValueError("corrupt GIF LZW stream")
+            out.extend(entry)
+            prev = entry
+            if len(table) == (1 << code_size) and code_size < 12:
+                code_size += 1
+    return out
+
+
+def _gif_lzw_encode(indices, min_code_size: int) -> bytes:
+    """Dictionary LZW encoder matched to :func:`_gif_lzw_decode`
+    (CLEAR-reset at the 4096-entry cap, LSB-first packing)."""
+    clear = 1 << min_code_size
+    end = clear + 1
+    out = bytearray()
+    acc = nbits = 0
+
+    code_size = min_code_size + 1
+    table = {bytes([i]): i for i in range(clear)}
+    nxt = end + 1
+
+    def emit(code: int) -> None:
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += code_size
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    emit(clear)
+    w = b""
+    for px in indices:
+        wk = w + bytes([px])
+        if wk in table:
+            w = wk
+            continue
+        emit(table[w])
+        table[wk] = nxt
+        nxt += 1
+        # the decoder widens after DEFINING entry (1<<code_size)-1; the
+        # encoder has just defined entry nxt-1, so widen when the NEXT
+        # emitted code would not fit the decoder's current width
+        if nxt - 1 == (1 << code_size) and code_size < 12:
+            code_size += 1
+        elif nxt - 1 == 4096:
+            emit(clear)
+            table = {bytes([i]): i for i in range(clear)}
+            code_size = min_code_size + 1
+            nxt = end + 1
+        w = bytes([px])
+    if w:
+        emit(table[w])
+    emit(end)
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+_GIF_INTERLACE_PASSES = ((0, 8), (4, 8), (2, 4), (1, 2))
+
+
+def decode_gif(payload: bytes, width: int = 0, height: int = 0) -> np.ndarray:
+    """REAL GIF87a/89a decoder in pure stdlib+numpy: logical-screen /
+    color-table parse → sub-block reassembly → LZW (variable-width
+    LSB-first codes, CLEAR/EOI, KwKwK case) → palette lookup → HxWx3
+    uint8. First image frame; interlaced row order supported.
+    width/height args are advisory; the stream is authoritative."""
+    import struct
+
+    if payload[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF payload")
+    sw, sh, packed, _bg, _ar = struct.unpack("<HHBBB", payload[6:13])
+    pos = 13
+    gct = None
+    if packed & 0x80:
+        n = 2 << (packed & 0x07)
+        gct = np.frombuffer(payload[pos : pos + 3 * n], np.uint8).reshape(n, 3)
+        pos += 3 * n
+    while pos < len(payload):
+        block = payload[pos]
+        pos += 1
+        if block == 0x21:  # extension: label + sub-blocks
+            pos += 1
+            while payload[pos]:
+                pos += 1 + payload[pos]
+            pos += 1
+        elif block == 0x2C:  # image descriptor
+            _lx, _ty, iw, ih, ipacked = struct.unpack(
+                "<HHHHB", payload[pos : pos + 9]
+            )
+            pos += 9
+            pal = gct
+            if ipacked & 0x80:
+                n = 2 << (ipacked & 0x07)
+                pal = np.frombuffer(
+                    payload[pos : pos + 3 * n], np.uint8
+                ).reshape(n, 3)
+                pos += 3 * n
+            if pal is None:
+                raise ValueError("GIF image without a color table")
+            min_code = payload[pos]
+            pos += 1
+            data = bytearray()
+            while payload[pos]:
+                ln = payload[pos]
+                data += payload[pos + 1 : pos + 1 + ln]
+                pos += 1 + ln
+            pos += 1
+            idx = _gif_lzw_decode(bytes(data), min_code)
+            if len(idx) < iw * ih:
+                raise ValueError("GIF pixel data truncated")
+            rows = np.asarray(idx[: iw * ih], np.int64).reshape(ih, iw)
+            if ipacked & 0x40:  # interlaced: 4-pass row order
+                ordered = np.empty_like(rows)
+                src = 0
+                for start, step in _GIF_INTERLACE_PASSES:
+                    n_rows = len(range(start, ih, step))
+                    ordered[start::step] = rows[src : src + n_rows]
+                    src += n_rows
+                rows = ordered
+            return pal[rows]
+        elif block == 0x3B:  # trailer
+            break
+        else:
+            raise ValueError(f"unknown GIF block 0x{block:02x}")
+    raise ValueError("GIF contains no image data")
+
+
+def encode_gif(img: np.ndarray) -> bytes:
+    """Minimal GIF89a encoder (single frame, global palette, no
+    interlace) — the fixture twin of :func:`decode_gif`. Lossless for
+    images with <= 256 distinct colors (a palette format; quantization
+    is out of scope)."""
+    import struct
+
+    img = np.asarray(img, dtype=np.uint8)
+    if img.ndim == 2:
+        img = np.repeat(img[:, :, None], 3, axis=2)
+    h, w, _ = img.shape
+    flat = img.reshape(-1, 3)
+    palette, idx = np.unique(flat, axis=0, return_inverse=True)
+    if len(palette) > 256:
+        raise ValueError("encode_gif needs <= 256 distinct colors")
+    depth = max(1, int(np.ceil(np.log2(max(2, len(palette))))))
+    n_pal = 1 << depth
+    pal_bytes = np.zeros((n_pal, 3), np.uint8)
+    pal_bytes[: len(palette)] = palette
+    min_code = max(2, depth)
+    lzw = _gif_lzw_encode(idx.astype(np.int64).tolist(), min_code)
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", w, h, 0x80 | (depth - 1), 0, 0)
+    out += pal_bytes.tobytes()
+    out += b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0)
+    out.append(min_code)
+    for i in range(0, len(lzw), 255):
+        chunk = lzw[i : i + 255]
+        out.append(len(chunk))
+        out += chunk
+    out += b"\x00\x3b"
+    return bytes(out)
+
+
 DECODERS = {
     "image/fake": _stub_decode_image,
     "image/png": decode_png,  # real codec, stdlib-only
+    "image/gif": lambda payload, width=0, height=0: decode_gif(payload),
 }
 AUDIO_DECODERS = {"audio/wav": decode_wav}  # real codec, stdlib-only
 

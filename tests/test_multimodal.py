@@ -242,3 +242,94 @@ def test_decode_features_real_png(spark):
     expected = img.reshape(-1, 3).mean(axis=0) / 255.0
     assert np.allclose(row.feature, expected)
     assert abs(row.pixel_mean - img.mean()) < 1e-9
+
+
+# ---------------------------------------------------------------------------
+# GIF codec (real, stdlib-only)
+# ---------------------------------------------------------------------------
+
+def test_gif_lzw_decodes_handpacked_spec_stream():
+    """Bit-level conformance: a stream packed BY HAND per the GIF spec
+    (LSB-first variable-width codes; the decoder must widen to 4 bits
+    after defining entry 7, BEFORE reading the last pixel and EOI)."""
+    from memfuse_spark.operators.multimodal import _gif_lzw_decode
+
+    # min_code=2: clear=4, end=5; codes 4,1,2,3 at 3 bits then 0,5 at 4
+    assert _gif_lzw_decode(bytes([0x8C, 0x06, 0x05]), 2) == [1, 2, 3, 0]
+
+
+def test_gif_roundtrip_shapes_and_palettes():
+    import numpy as np
+
+    from memfuse_spark.operators.multimodal import decode_gif, encode_gif
+
+    rng = np.random.default_rng(42)
+    for shape, colors in (((1, 1), 1), ((7, 5), 3), ((64, 64), 256), ((33, 1), 2)):
+        pal = rng.integers(0, 256, (colors, 3), dtype=np.uint8)
+        img = pal[rng.integers(0, colors, shape)]
+        rt = decode_gif(encode_gif(img))
+        assert rt.shape == (*shape, 3)
+        assert np.array_equal(rt, img), (shape, colors)
+
+
+def test_gif_interlaced_decode():
+    """Interlaced row order: re-pack an encoded GIF's rows in 4-pass
+    order, set the interlace bit, and expect the original image back."""
+    import struct
+
+    import numpy as np
+
+    from memfuse_spark.operators.multimodal import (
+        _GIF_INTERLACE_PASSES,
+        _gif_lzw_decode,
+        _gif_lzw_encode,
+        decode_gif,
+        encode_gif,
+    )
+
+    rng = np.random.default_rng(3)
+    pal = rng.integers(0, 256, (4, 3), dtype=np.uint8)
+    idx = rng.integers(0, 4, (16, 9))
+    img = pal[idx]
+    h, w = idx.shape
+    # interlaced pixel order
+    rows = [idx[y] for start, step in _GIF_INTERLACE_PASSES
+            for y in range(start, h, step)]
+    seq = [int(v) for r in rows for v in r]
+    lzw = _gif_lzw_encode(seq, 2)
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", w, h, 0x80 | 1, 0, 0)  # 4-entry GCT
+    out += pal.tobytes()
+    out += b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0x40)
+    out.append(2)
+    for i in range(0, len(lzw), 255):
+        chunk = lzw[i : i + 255]
+        out.append(len(chunk))
+        out += chunk
+    out += b"\x00\x3b"
+    assert np.array_equal(decode_gif(bytes(out)), img)
+
+
+def test_phash_real_gif_matches_png_twin(spark):
+    """The same image through the GIF and PNG codecs must produce the
+    same perceptual hash (decode_gif feeds the shared registry)."""
+    import numpy as np
+
+    from memfuse_spark.operators.multimodal import (
+        encode_gif,
+        encode_png,
+        phash64,
+    )
+
+    rng = np.random.default_rng(11)
+    pal = rng.integers(0, 256, (16, 3), dtype=np.uint8)
+    img = pal[rng.integers(0, 16, (24, 24))]
+    rows = [
+        ("g", "image/gif", encode_gif(img), 24, 24),
+        ("p", "image/png", encode_png(img), 24, 24),
+    ]
+    df = spark.createDataFrame(
+        rows, "media_id string, mime string, payload binary, width int, height int"
+    )
+    got = {r.media_id: r.phash for r in phash64(df).collect()}
+    assert got["g"] == got["p"]

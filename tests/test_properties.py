@@ -135,3 +135,23 @@ def test_wav_roundtrip_property(freq, n):
     got, rate = decode_wav(buf.getvalue())
     assert rate == 8000 and len(got) == n
     assert np.max(np.abs(got - (x * 32767).astype("<i2") / 32768.0)) < 1e-9
+
+
+@given(
+    h=st.integers(min_value=1, max_value=24),
+    w=st.integers(min_value=1, max_value=24),
+    colors=st.integers(min_value=1, max_value=256),
+    seed=st.integers(min_value=0, max_value=10_000),
+)
+@settings(max_examples=30, deadline=None)
+def test_gif_roundtrip_property(h, w, colors, seed):
+    """decode_gif(encode_gif(img)) == img for ANY paletted (<=256-color)
+    uint8 RGB image — GIF is lossless on its palette domain."""
+    import numpy as np
+
+    from memfuse_spark.operators.multimodal import decode_gif, encode_gif
+
+    rng = np.random.default_rng(seed)
+    pal = rng.integers(0, 256, (colors, 3), dtype=np.uint8)
+    img = pal[rng.integers(0, colors, (h, w))]
+    assert np.array_equal(decode_gif(encode_gif(img)), img)
