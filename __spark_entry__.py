@@ -2810,6 +2810,43 @@ def q_bm25_v2_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_STREAM_IDX: dict[tuple[int, str], str] = {}
+
+
+def q_bm25_stream_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 against the STREAMING-maintained index (mergeable partials:
+    epoch-partitioned postings + df/stats partials, dynamic-overwrite
+    replay safety) — batch twin of streaming.index_ingest_stream, with
+    a deliberate epoch REPLAY in the build to prove the exactly-once
+    layout. Oracle: whole-corpus BM25; stream-vs-batch parity is
+    test-asserted."""
+    import hashlib
+    import tempfile
+
+    from memfuse_spark.streaming.buffer import write_index_epoch
+
+    key = (id(spark.sparkContext), sf_dir)
+    if key not in _STREAM_IDX:
+        tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+        base = os.path.join(tempfile.gettempdir(), "memfuse_stream_idx", tag)
+        (docs,) = _tables(spark, sf_dir, "documents")
+        epoch_of = F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("si"), F.col("doc_id").cast("string"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long") % 3
+        for e in (0, 1, 2, 1):  # epoch 1 replayed: must replace, not double
+            write_index_epoch(docs.filter(epoch_of == (e % 3)), base, e % 3)
+        _STREAM_IDX[key] = base
+    return kw_ops.bm25_topk_from_stream_index(
+        spark, _STREAM_IDX[key], QUERY_TEXT, TOP_K
+    )
+
+
 QUERY_TYPO = "sparc tabel scann queyr"
 
 
@@ -3126,6 +3163,7 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_kcore": q_graph_kcore,
         "ann_store_lifecycle": q_ann_store_lifecycle,
         "spellfix_search": q_spellfix_search,
+        "bm25_stream_index": q_bm25_stream_index,
         # (1) round-4 additions
         "tpch_q5": q_tpch_q5,
         "tpch_q10": q_tpch_q10,
@@ -3864,6 +3902,7 @@ LIMIT {TOP_K}
         "hybrid_batch_3way": _hybrid_batch3_sql(),
         "index_compact": kw_ops.bm25_topk_sql(QUERY_TEXT, TOP_K),
         "spellfix_search": kw_ops.spellfix_topk_sql(QUERY_TYPO, TOP_K),
+        "bm25_stream_index": kw_ops.bm25_topk_sql(QUERY_TEXT, TOP_K),
         "mutual_knn": oracles.mutual_knn_sql(5, 2),
         "tokenizer_fertility": _bpe_ops.tokenizer_fertility_sql(_TOKENIZE_SQL),
         "embedding_outliers": oracles.label_outliers_sql(5),

@@ -1125,6 +1125,49 @@ def bm25_topk_from_index_v2(
     return _bm25_score(matched, k, k1, b, score_decimals)
 
 
+def bm25_topk_from_stream_index(
+    spark,
+    out_base: str,
+    query: str,
+    k: int,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+    score_decimals: int = 6,
+) -> DataFrame:
+    """BM25 against a streaming-maintained index (streaming/buffer.
+    index_ingest_stream): postings are filtered to the query terms
+    (partition-pruned epoch layout), the per-epoch df partials merge by
+    keyed SUM and the stats partials recombine as the weighted mean —
+    the associative-merge read side of the mergeable-partial design.
+    Scores equal the ad-hoc / v2-index paths by construction."""
+    import os
+
+    q_terms = sorted({t for t in _py_tokenize(query)})
+    postings = (
+        spark.read.parquet(os.path.join(out_base, "postings"))
+        .filter(F.col("term").isin(q_terms))
+    )
+    dfs = (
+        spark.read.parquet(os.path.join(out_base, "dfparts"))
+        .filter(F.col("term").isin(q_terms))
+        .groupBy("term")
+        .agg(F.sum("df").cast("long").alias("df"))
+    )
+    stats = (
+        spark.read.parquet(os.path.join(out_base, "statsparts"))
+        .agg(
+            F.sum("n_docs").cast("long").alias("n_docs"),
+            (F.sum(F.col("avgdl") * F.col("n_docs")) / F.sum("n_docs")).alias(
+                "avgdl"
+            ),
+        )
+    )
+    matched = postings.join(F.broadcast(dfs), "term").crossJoin(
+        F.broadcast(stats)
+    )
+    return _bm25_score(matched, k, k1, b, score_decimals)
+
+
 # ---------------------------------------------------------------------------
 # query-likelihood language-model scoring (Dirichlet smoothing)
 # ---------------------------------------------------------------------------

@@ -454,3 +454,69 @@ def dedup_ingest_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def index_ingest_stream(
+    docs_stream: DataFrame,
+    out_base: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> "StreamingQuery":
+    """Streaming maintenance of the inverted index — the live-service
+    twin of keyword.build_postings_index_v2/update_postings_index_v2.
+
+    Per micro-batch, THREE associative partials land as epoch_id
+    partitions with dynamic overwrite (a replayed epoch replaces its
+    own partitions — the exactly-once pattern every sink here uses):
+    the batch's postings rows, its per-term df partial, and its
+    (n_docs, avgdl) stats partial. Because document frequency and
+    corpus stats are MERGEABLE (keyed sum / weighted mean), nothing
+    historical is ever rewritten — unlike the batch updater, which
+    rewrites the O(vocab) side tables per append. Query-time merge is
+    keyword.bm25_topk_from_stream_index: filter postings to the query
+    terms, sum the df partials, recombine stats.
+
+    Outputs under out_base: ``postings/``, ``dfparts/``, ``statsparts/``.
+    """
+    def process_batch(batch: DataFrame, epoch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        write_index_epoch(batch, out_base, epoch_id, id_col, text_col)
+
+    return (
+        docs_stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", os.path.join(out_base, "_checkpoint"))
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def write_index_epoch(
+    batch: DataFrame,
+    out_base: str,
+    epoch_id: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> None:
+    """One epoch's index partials (shared by the stream above and its
+    batch twin): postings + df partial + stats partial, each under an
+    epoch_id partition with dynamic overwrite (replay-safe)."""
+    from memfuse_spark.operators.keyword import (
+        build_postings,
+        corpus_stats,
+        document_frequency,
+    )
+
+    postings = build_postings(batch, id_col, text_col)
+    for name, df in (
+        ("postings", postings),
+        ("dfparts", document_frequency(postings)),
+        ("statsparts", corpus_stats(postings)),
+    ):
+        (
+            df.withColumn("epoch_id", F.lit(epoch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("epoch_id")
+            .parquet(os.path.join(out_base, name))
+        )

@@ -350,3 +350,52 @@ def test_complete_workflow_ingest_to_hybrid_query(spark, tmp_path):
     )
     edited = merged.filter(F.col("content").endswith("[edited]")).count()
     assert edited == 1 and merged.count() == m1.count()
+
+
+def test_index_ingest_stream_matches_adhoc_bm25(spark, tmp_path):
+    """Streaming index maintenance over two micro-batches must serve
+    exactly the ad-hoc BM25 ranking of the full corpus, and a replayed
+    epoch must replace its partitions (no double counts)."""
+    from memfuse_spark.catalog import load_table
+    from memfuse_spark.operators.keyword import (
+        bm25_topk,
+        bm25_topk_from_stream_index,
+    )
+    from memfuse_spark.streaming.buffer import write_index_epoch
+    from tests.conftest import SF_DIR_MED
+
+    docs = load_table(spark, SF_DIR_MED, "documents").select("doc_id", "text")
+    src = str(tmp_path / "idx_src")
+    docs.filter("doc_id < 250").coalesce(1).write.mode("append").parquet(src)
+    docs.filter("doc_id >= 250").coalesce(1).write.mode("append").parquet(src)
+
+    out = str(tmp_path / "idx_out")
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = sb.index_ingest_stream(stream, out)
+    q.awaitTermination(240)
+
+    query = "spark table scan query"
+    want = [
+        (r.doc_id, r.score) for r in bm25_topk(docs, query, 10).collect()
+    ]
+    got = [
+        (r.doc_id, r.score)
+        for r in bm25_topk_from_stream_index(spark, out, query, 10).collect()
+    ]
+    assert got == want and len(want) > 0
+
+    # REPLAY epoch 1 (same slice, same epoch id): partials must replace
+    # their partitions, leaving results identical
+    write_index_epoch(docs.filter("doc_id >= 250"), out, 1)
+    replayed = [
+        (r.doc_id, r.score)
+        for r in bm25_topk_from_stream_index(spark, out, query, 10).collect()
+    ]
+    assert replayed == want
+    # exactly one stats partial per epoch
+    stats = spark.read.parquet(os.path.join(out, "statsparts"))
+    assert stats.count() == 2
