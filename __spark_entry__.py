@@ -2847,6 +2847,79 @@ def q_bm25_stream_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_rolling_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly volume-anomaly monitor: z-score of each hour's event
+    count against the trailing 24 hours (strictly-past frame), top-10
+    by |z| (temporal.rolling_anomaly)."""
+    from memfuse_spark.operators.temporal import rolling_anomaly
+
+    (events,) = _tables(spark, sf_dir, "events")
+    return rolling_anomaly(events)
+
+
+def q_retriever_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Judgment-free cross-retriever AGREEMENT audit of the flagship's
+    two first stages: overlap, jaccard and mean rank displacement
+    between the vector and keyword top-30 lists for the same query —
+    the store-drift monitor a retrieval service runs without relevance
+    labels (complements ann_recall_audit, which needs ground truth)."""
+    from pyspark.sql import Window
+
+    from memfuse_spark.operators.similarity import similarity_topk
+
+    docs, emb = _tables(spark, sf_dir, "documents", "embeddings")
+    qvec = anchor_vector(spark, emb, ANCHOR_VEC_ID)
+    vec = similarity_topk(
+        emb, qvec, FIRST_STAGE_K, id_col="vec_id"
+    ).withColumnRenamed("vec_id", "doc_id")
+    kw = kw_ops.bm25_topk(docs, QUERY_TEXT, FIRST_STAGE_K)
+    # rank windows over k rows — bounded, not a scale concern
+    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    rv = vec.select("doc_id", F.row_number().over(w).alias("r_v"))
+    rk = kw.select("doc_id", F.row_number().over(w).alias("r_k"))
+    return rv.join(rk, "doc_id").agg(
+        F.lit(FIRST_STAGE_K).cast("int").alias("k"),
+        F.count("*").cast("long").alias("n_common"),
+        F.round(
+            F.count("*") / (F.lit(2 * FIRST_STAGE_K) - F.count("*")), 6
+        ).alias("jaccard"),
+        F.round(
+            F.avg(F.abs(F.col("r_v") - F.col("r_k")).cast("double")), 6
+        ).alias("mean_rank_shift"),
+    )
+
+
+def q_corpus_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-addressed snapshot manifest per source: row count, total
+    chars, id range, and an ORDER-INSENSITIVE content digest (sum of
+    per-row 32-bit md5 prefixes — associative, so it merges across
+    partitions/epochs) — the reproducibility primitive a dataset
+    freeze records and a later re-read re-verifies."""
+    (docs,) = _tables(spark, sf_dir, "documents")
+    row_sig = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(F.col("doc_id").cast("string"), F.lit(":"), F.col("text"))
+            ),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("long")
+    return (
+        docs.groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+            F.min("doc_id").alias("min_id"),
+            F.max("doc_id").alias("max_id"),
+            F.sum(row_sig).cast("long").alias("content_digest"),
+        )
+        .orderBy("source")
+    )
+
+
 QUERY_TYPO = "sparc tabel scann queyr"
 
 
@@ -3164,6 +3237,9 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_store_lifecycle": q_ann_store_lifecycle,
         "spellfix_search": q_spellfix_search,
         "bm25_stream_index": q_bm25_stream_index,
+        "retriever_agreement": q_retriever_agreement,
+        "corpus_manifest": q_corpus_manifest,
+        "rolling_anomaly": q_rolling_anomaly,
         # (1) round-4 additions
         "tpch_q5": q_tpch_q5,
         "tpch_q10": q_tpch_q10,
@@ -3903,6 +3979,24 @@ LIMIT {TOP_K}
         "index_compact": kw_ops.bm25_topk_sql(QUERY_TEXT, TOP_K),
         "spellfix_search": kw_ops.spellfix_topk_sql(QUERY_TYPO, TOP_K),
         "bm25_stream_index": kw_ops.bm25_topk_sql(QUERY_TEXT, TOP_K),
+        "retriever_agreement": _fusion_ctes(FIRST_STAGE_K)
+        + f""",
+rv AS (SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id ASC) AS r_v FROM vec),
+rk AS (SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id ASC) AS r_k FROM kw)
+SELECT CAST({FIRST_STAGE_K} AS INTEGER) AS k,
+       CAST(count(*) AS BIGINT) AS n_common,
+       round(CAST(count(*) AS DOUBLE) / (2 * {FIRST_STAGE_K} - count(*)), 6) AS jaccard,
+       round(avg(CAST(abs(r_v - r_k) AS DOUBLE)), 6) AS mean_rank_shift
+FROM rv JOIN rk USING (doc_id)
+""",
+        "corpus_manifest": """
+SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars,
+       min(doc_id) AS min_id, max(doc_id) AS max_id,
+       CAST(sum(CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR) || ':' || text), 1, 8)) AS BIGINT)) AS BIGINT) AS content_digest
+FROM documents GROUP BY source ORDER BY source
+""",
+        "rolling_anomaly": _temporal.rolling_anomaly_sql(),
         "mutual_knn": oracles.mutual_knn_sql(5, 2),
         "tokenizer_fertility": _bpe_ops.tokenizer_fertility_sql(_TOKENIZE_SQL),
         "embedding_outliers": oracles.label_outliers_sql(5),

@@ -772,3 +772,67 @@ WHERE {where}
 WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 ORDER BY user_id, ts, event_id
 """
+
+
+def rolling_anomaly(
+    events: DataFrame,
+    trailing: int = 24,
+    top_n: int = 10,
+    ts_col: str = "ts",
+    decimals: int = 6,
+) -> DataFrame:
+    """(bucket, n_events, base_mean, z) — hourly event-count anomalies:
+    each hour's count z-scored against the TRAILING `trailing` hours'
+    mean/stddev (a strictly-past frame — no leakage from the hour being
+    judged), ranked by |z|. The volume-spike/outage monitor over an
+    event firehose.
+
+    Scale shape: one groupBy(hour) shuffle (map-side combined), then a
+    window over the BOUNDED hourly series (thousands of rows per year —
+    the stats.py:192 bounded-window convention) and a top-n."""
+    hourly = events.groupBy(
+        F.date_trunc("hour", F.col(ts_col)).alias("bucket")
+    ).agg(F.count("*").cast("long").alias("n_events"))
+    w = Window.orderBy("bucket").rowsBetween(-trailing, -1)
+    scored = hourly.select(
+        "bucket",
+        "n_events",
+        F.avg("n_events").over(w).alias("mu"),
+        F.stddev_samp("n_events").over(w).alias("sd"),
+    ).filter(F.col("sd").isNotNull() & (F.col("sd") > 0))
+    return (
+        scored.select(
+            "bucket",
+            "n_events",
+            F.round("mu", decimals).alias("base_mean"),
+            F.round((F.col("n_events") - F.col("mu")) / F.col("sd"), decimals).alias(
+                "z"
+            ),
+        )
+        .orderBy(F.abs(F.col("z")).desc(), F.asc("bucket"))
+        .limit(top_n)
+    )
+
+
+def rolling_anomaly_sql(
+    trailing: int = 24, top_n: int = 10, decimals: int = 6
+) -> str:
+    """DuckDB twin of :func:`rolling_anomaly`."""
+    return f"""
+WITH hourly AS (
+  SELECT date_trunc('hour', ts) AS bucket, CAST(count(*) AS BIGINT) AS n_events
+  FROM events GROUP BY bucket
+),
+scored AS (
+  SELECT bucket, n_events,
+         avg(n_events) OVER w AS mu,
+         stddev_samp(n_events) OVER w AS sd
+  FROM hourly
+  WINDOW w AS (ORDER BY bucket ROWS BETWEEN {trailing} PRECEDING AND 1 PRECEDING)
+)
+SELECT bucket, n_events, round(mu, {decimals}) AS base_mean,
+       round((n_events - mu) / sd, {decimals}) AS z
+FROM scored WHERE sd IS NOT NULL AND sd > 0
+ORDER BY abs(z) DESC, bucket ASC
+LIMIT {top_n}
+"""

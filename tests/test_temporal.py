@@ -230,3 +230,30 @@ def test_ewma_smooth_matches_python_reference(spark):
         assert g == round(want, 6), t
     # head equals the raw value (single-term window)
     assert got[0] == vals[0]
+
+
+def test_rolling_anomaly_flags_injected_spike(spark):
+    """A 10x volume spike in one hour must surface as the #1 anomaly
+    with a positive z; the spike hour must not contaminate its own
+    baseline (strictly-past frame)."""
+    import datetime
+
+    from memfuse_spark.operators.temporal import rolling_anomaly
+
+    t0 = datetime.datetime(2025, 6, 1)
+    rows = []
+    eid = 0
+    for h in range(48):
+        n = 60 if h != 30 else 600  # hour 30 spikes 10x
+        # mild deterministic jitter so the trailing stddev is nonzero
+        n += (h % 3) - 1
+        for i in range(n):
+            rows.append((eid, t0 + datetime.timedelta(hours=h, seconds=i)))
+            eid += 1
+    ev = spark.createDataFrame(rows, "event_id long, ts timestamp")
+    got = rolling_anomaly(ev, trailing=24, top_n=3).collect()
+    top = got[0]
+    assert top.bucket == t0 + datetime.timedelta(hours=30)
+    assert top.z > 10
+    # baseline of the spike hour reflects ~60/hour, not the spike
+    assert 55 <= top.base_mean <= 65
