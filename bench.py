@@ -143,6 +143,19 @@ EXTRA = [
     "hybrid_batch",
     "bq_store_topk",
     "hybrid_batch_3way",
+    # round 7-late (driver r4): lifecycle, graph, curation, monitoring
+    "index_compact",
+    "mutual_knn",
+    "tokenizer_fertility",
+    "embedding_outliers",
+    "backfill_queue",
+    "graph_kcore",
+    "ann_store_lifecycle",
+    "spellfix_search",
+    "bm25_stream_index",
+    "retriever_agreement",
+    "corpus_manifest",
+    "rolling_anomaly",
 ]
 # Real-model-tier twins (deterministic stand-in models, models.py):
 # resolved from q_* functions directly — deliberately NOT queries()
