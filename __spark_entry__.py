@@ -2847,6 +2847,73 @@ def q_bm25_stream_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_forecast_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-naive forecast audit over hourly event volume: predict
+    each hour as the same hour 24 rows earlier, report MAE and MASE
+    (MAE scaled by the one-step naive baseline) — the sanity floor any
+    real forecaster must beat before it earns pipeline compute.
+    Bounded hourly series → one groupBy + one bounded window."""
+    from pyspark.sql import Window
+
+    (events,) = _tables(spark, sf_dir, "events")
+    hourly = events.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("bucket")
+    ).agg(F.count("*").cast("long").alias("n"))
+    w = Window.orderBy("bucket")
+    scored = hourly.select(
+        "n",
+        F.lag("n", 24).over(w).alias("f"),
+        F.lag("n", 1).over(w).alias("prev"),
+    )
+    return scored.agg(
+        F.count("f").cast("long").alias("n_hours"),
+        F.round(F.avg(F.abs(F.col("n") - F.col("f"))), 6).alias("mae"),
+        F.round(
+            F.avg(F.abs(F.col("n") - F.col("f")))
+            / F.avg(F.abs(F.col("n") - F.col("prev"))),
+            6,
+        ).alias("mase"),
+    )
+
+
+def q_signal_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson correlation matrix of the cheap quality signals
+    (heuristic quality, unigram-LM logprob, char entropy, length) —
+    the redundancy audit that decides which curation signals earn
+    their compute. F.corr is a one-pass distributed aggregate (no
+    global sort/rank anywhere — the scale-safe choice over Spearman)."""
+    from memfuse_spark.operators.textanalysis import (
+        char_entropy,
+        quality_score,
+        unigram_logprob,
+    )
+
+    (docs,) = _tables(spark, sf_dir, "documents")
+    sig = (
+        quality_score(docs)
+        .join(unigram_logprob(docs), "doc_id")
+        .join(char_entropy(docs).select("doc_id", "entropy_bits"), "doc_id")
+        .join(
+            docs.select(
+                "doc_id", F.col("n_chars").cast("double").alias("length")
+            ),
+            "doc_id",
+        )
+    )
+    names = ["quality", "avg_logprob", "entropy_bits", "length"]
+    pairs = [(a, b) for i, a in enumerate(names) for b in names[i + 1 :]]
+    wide = sig.agg(
+        *[
+            F.round(F.corr(a, b), 6).alias(f"{a}__{b}")
+            for a, b in pairs
+        ]
+    )
+    stack_args = ", ".join(f"'{a}', '{b}', `{a}__{b}`" for a, b in pairs)
+    return wide.selectExpr(
+        f"stack({len(pairs)}, {stack_args}) AS (signal_a, signal_b, pearson)"
+    ).orderBy("signal_a", "signal_b")
+
+
 def q_rolling_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hourly volume-anomaly monitor: z-score of each hour's event
     count against the trailing 24 hours (strictly-past frame), top-10
@@ -3240,6 +3307,8 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "retriever_agreement": q_retriever_agreement,
         "corpus_manifest": q_corpus_manifest,
         "rolling_anomaly": q_rolling_anomaly,
+        "signal_correlation": q_signal_correlation,
+        "forecast_error": q_forecast_error,
         # (1) round-4 additions
         "tpch_q5": q_tpch_q5,
         "tpch_q10": q_tpch_q10,
@@ -3997,6 +4066,39 @@ SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
 FROM documents GROUP BY source ORDER BY source
 """,
         "rolling_anomaly": _temporal.rolling_anomaly_sql(),
+        "forecast_error": """
+WITH hourly AS (
+  SELECT date_trunc('hour', ts) AS bucket, CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY bucket
+),
+scored AS (
+  SELECT n, lag(n, 24) OVER (ORDER BY bucket) AS f,
+         lag(n, 1) OVER (ORDER BY bucket) AS prev
+  FROM hourly
+)
+SELECT CAST(count(f) AS BIGINT) AS n_hours,
+       round(avg(abs(n - f)), 6) AS mae,
+       round(avg(abs(n - f)) / avg(abs(n - prev)), 6) AS mase
+FROM scored
+""",
+        "signal_correlation": f"""
+WITH s AS (
+  SELECT q.doc_id, q.quality, u.avg_logprob, e.entropy_bits,
+         CAST(d.n_chars AS DOUBLE) AS length
+  FROM ({oracles.quality_score_sql()}) q
+  JOIN ({oracles.unigram_logprob_sql()}) u USING (doc_id)
+  JOIN (SELECT doc_id, entropy_bits FROM ({ta_ops.char_entropy_sql()})) e USING (doc_id)
+  JOIN documents d USING (doc_id)
+)
+SELECT signal_a, signal_b, pearson FROM (
+  SELECT 'quality' AS signal_a, 'avg_logprob' AS signal_b, round(corr(quality, avg_logprob), 6) AS pearson FROM s
+  UNION ALL SELECT 'quality', 'entropy_bits', round(corr(quality, entropy_bits), 6) FROM s
+  UNION ALL SELECT 'quality', 'length', round(corr(quality, length), 6) FROM s
+  UNION ALL SELECT 'avg_logprob', 'entropy_bits', round(corr(avg_logprob, entropy_bits), 6) FROM s
+  UNION ALL SELECT 'avg_logprob', 'length', round(corr(avg_logprob, length), 6) FROM s
+  UNION ALL SELECT 'entropy_bits', 'length', round(corr(entropy_bits, length), 6) FROM s
+) ORDER BY signal_a, signal_b
+""",
         "mutual_knn": oracles.mutual_knn_sql(5, 2),
         "tokenizer_fertility": _bpe_ops.tokenizer_fertility_sql(_TOKENIZE_SQL),
         "embedding_outliers": oracles.label_outliers_sql(5),

@@ -156,6 +156,8 @@ EXTRA = [
     "retriever_agreement",
     "corpus_manifest",
     "rolling_anomaly",
+    "signal_correlation",
+    "forecast_error",
 ]
 # Real-model-tier twins (deterministic stand-in models, models.py):
 # resolved from q_* functions directly — deliberately NOT queries()
