@@ -2847,6 +2847,67 @@ def q_bm25_stream_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SNAPSHOT_AT = "2024-01-15 12:00:00"
+
+
+def q_scd2_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIME-TRAVEL read over the SCD2 history: reconstruct each user's
+    state as of SNAPSHOT_AT (the interval containing T) — the as-of
+    query that makes type-2 historization useful; one filter over the
+    versioned intervals, no extra shuffle."""
+    (events,) = _tables(spark, sf_dir, "events")
+    iv = _temporal.scd2_intervals(events.filter(F.col("user_id") < 25))
+    at = F.lit(SNAPSHOT_AT).cast("timestamp")
+    return (
+        iv.filter(
+            (F.col("valid_from") <= at)
+            & (F.col("valid_to").isNull() | (F.col("valid_to") > at))
+        )
+        .select("user_id", "event_type", "valid_from")
+        .orderBy("user_id")
+    )
+
+
+MLT_ANCHOR_DOC = 7
+
+
+def q_more_like_this(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """More-like-this retrieval in TERM space: TF-IDF cosine between an
+    anchor document and the corpus via a postings self-join restricted
+    to the anchor's terms (one doc's terms broadcast — O(anchor terms ×
+    their postings), never corpus × corpus). The lexical complement to
+    vector_knn_of_item."""
+    (docs,) = _tables(spark, sf_dir, "documents")
+    return kw_ops.more_like_this(docs, MLT_ANCHOR_DOC, TOP_K)
+
+
+def q_classifier_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calibration/agreement curve of the hashed-BoW quality classifier
+    against the heuristic quality score: fixed-width score bands (no
+    global sort — scale-safe vs ntile) with per-band counts and mean
+    heuristic quality. The audit that catches a mis-trained filter
+    before it curates a corpus."""
+    from memfuse_spark.operators.textanalysis import (
+        quality_classifier,
+        quality_score,
+    )
+
+    (docs,) = _tables(spark, sf_dir, "documents")
+    joined = quality_classifier(docs).join(quality_score(docs), "doc_id")
+    band = F.least(F.floor(F.col("clf_score") * 10).cast("int"), F.lit(9))
+    return (
+        joined.groupBy(band.alias("band"))
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.round(F.avg("quality"), 6).alias("mean_quality"),
+            F.round(F.avg(F.col("clf_keep").cast("double")), 6).alias(
+                "keep_rate"
+            ),
+        )
+        .orderBy("band")
+    )
+
+
 def q_forecast_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Seasonal-naive forecast audit over hourly event volume: predict
     each hour as the same hour 24 rows earlier, report MAE and MASE
@@ -3309,6 +3370,9 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rolling_anomaly": q_rolling_anomaly,
         "signal_correlation": q_signal_correlation,
         "forecast_error": q_forecast_error,
+        "scd2_snapshot": q_scd2_snapshot,
+        "more_like_this": q_more_like_this,
+        "classifier_calibration": q_classifier_calibration,
         # (1) round-4 additions
         "tpch_q5": q_tpch_q5,
         "tpch_q10": q_tpch_q10,
@@ -4066,6 +4130,27 @@ SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
 FROM documents GROUP BY source ORDER BY source
 """,
         "rolling_anomaly": _temporal.rolling_anomaly_sql(),
+        "scd2_snapshot": f"""
+SELECT user_id, event_type, valid_from
+FROM ({_temporal.scd2_intervals_sql(table="(SELECT * FROM events WHERE user_id < 25)")})
+WHERE valid_from <= TIMESTAMP '{SNAPSHOT_AT}'
+  AND (valid_to IS NULL OR valid_to > TIMESTAMP '{SNAPSHOT_AT}')
+ORDER BY user_id
+""",
+        "more_like_this": kw_ops.more_like_this_sql(MLT_ANCHOR_DOC, TOP_K),
+        "classifier_calibration": f"""
+WITH clf AS ({oracles.quality_classifier_sql()}),
+q AS ({oracles.quality_score_sql()}),
+joined AS (
+  SELECT least(CAST(floor(c.clf_score * 10) AS INTEGER), 9) AS band,
+         q.quality, CASE WHEN c.clf_keep THEN 1.0 ELSE 0.0 END AS kept
+  FROM clf c JOIN q USING (doc_id)
+)
+SELECT CAST(band AS INTEGER) AS band, CAST(count(*) AS BIGINT) AS n_docs,
+       round(avg(quality), 6) AS mean_quality,
+       round(avg(kept), 6) AS keep_rate
+FROM joined GROUP BY band ORDER BY band
+""",
         "forecast_error": """
 WITH hourly AS (
   SELECT date_trunc('hour', ts) AS bucket, CAST(count(*) AS BIGINT) AS n

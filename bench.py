@@ -158,6 +158,9 @@ EXTRA = [
     "rolling_anomaly",
     "signal_correlation",
     "forecast_error",
+    "scd2_snapshot",
+    "more_like_this",
+    "classifier_calibration",
 ]
 # Real-model-tier twins (deterministic stand-in models, models.py):
 # resolved from q_* functions directly — deliberately NOT queries()

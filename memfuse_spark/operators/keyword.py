@@ -257,6 +257,111 @@ LIMIT {k}
 """
 
 
+def more_like_this(
+    docs: DataFrame,
+    anchor_id: int,
+    k: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    score_decimals: int = 6,
+) -> DataFrame:
+    """(doc_id, score) — documents most similar to ``anchor_id`` by
+    TF-IDF COSINE in term space (the lexical complement to the
+    embedding-space neighbors_of_item). Weights w = (tf/dl) ·
+    ln((N+1)/(df+1)), cosine over full per-doc weight vectors.
+
+    Scale shape: the anchor's weighted terms are ONE document's rows
+    (broadcast); candidate scoring joins only postings OF THOSE TERMS
+    — O(anchor terms × their posting lists), never corpus × corpus.
+    Per-doc norms are one map-side-combined aggregation over the
+    weighted postings (an index-time artifact in a served system)."""
+    spark = docs.sparkSession
+    postings = build_postings(docs, id_col, text_col)
+    stats = corpus_stats(postings)
+    dfs = document_frequency(postings)
+    w_expr = (F.col("tf") / F.col("dl")) * F.log(
+        (F.col("n_docs") + 1.0) / (F.col("df") + 1.0)
+    )
+    weighted = (
+        postings.join(dfs, "term")
+        .crossJoin(F.broadcast(stats))
+        .select("doc_id", "term", w_expr.alias("w"))
+        .persist()
+    )
+    try:
+        norms = weighted.groupBy("doc_id").agg(
+            F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("nrm")
+        )
+        anchor = weighted.filter(F.col("doc_id") == anchor_id).select(
+            "term", F.col("w").alias("wa")
+        )
+        anorm = norms.filter(F.col("doc_id") == anchor_id).select(
+            F.col("nrm").alias("anrm")
+        )
+        dots = (
+            weighted.join(F.broadcast(anchor), "term")
+            .filter(F.col("doc_id") != anchor_id)
+            .groupBy("doc_id")
+            .agg(F.sum(F.col("w") * F.col("wa")).alias("dot"))
+        )
+        result = (
+            dots.join(norms, "doc_id")
+            .crossJoin(F.broadcast(anorm))
+            .select(
+                "doc_id",
+                F.round(
+                    F.col("dot") / (F.col("nrm") * F.col("anrm")),
+                    score_decimals,
+                ).alias("score"),
+            )
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+            .limit(k)
+        )
+        rows = result.collect()  # ≤ k rows
+        return spark.createDataFrame(rows, schema=result.schema)
+    finally:
+        weighted.unpersist()
+
+
+def more_like_this_sql(
+    anchor_id: int, k: int, score_decimals: int = 6
+) -> str:
+    """DuckDB twin of :func:`more_like_this`."""
+    return f"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                     t -> len(t) > 0) AS tokens
+  FROM documents
+),
+postings AS (
+  SELECT doc_id, len(tokens) AS dl, t.term, count(*) AS tf
+  FROM toks, unnest(tokens) AS t(term)
+  GROUP BY doc_id, dl, t.term
+),
+stats AS (SELECT count(*) AS n_docs FROM (SELECT DISTINCT doc_id FROM postings)),
+dfs AS (SELECT term, count(DISTINCT doc_id) AS df FROM postings GROUP BY term),
+weighted AS MATERIALIZED (
+  SELECT p.doc_id, p.term,
+         (p.tf::DOUBLE / p.dl) * ln((s.n_docs + 1.0) / (d.df + 1.0)) AS w
+  FROM postings p JOIN dfs d USING (term), stats s
+),
+norms AS (SELECT doc_id, sqrt(sum(w * w)) AS nrm FROM weighted GROUP BY doc_id),
+anchor AS (SELECT term, w AS wa FROM weighted WHERE doc_id = {anchor_id}),
+anorm AS (SELECT nrm AS anrm FROM norms WHERE doc_id = {anchor_id}),
+dots AS (
+  SELECT v.doc_id, sum(v.w * a.wa) AS dot
+  FROM weighted v JOIN anchor a USING (term)
+  WHERE v.doc_id <> {anchor_id}
+  GROUP BY v.doc_id
+)
+SELECT d.doc_id, round(d.dot / (n.nrm * an.anrm), {score_decimals}) AS score
+FROM dots d JOIN norms n USING (doc_id), anorm an
+ORDER BY score DESC, doc_id ASC
+LIMIT {k}
+"""
+
+
 def like_search(
     docs: DataFrame,
     terms: list[str],
