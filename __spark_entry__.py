@@ -2847,6 +2847,41 @@ def q_bm25_stream_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_query_difficulty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-retrieval query-performance prediction (QPP): per query term
+    report df, collection frequency, and BM25 idf — the specificity
+    stats a router uses to predict query difficulty BEFORE spending a
+    retrieval pass (low-idf-only queries route to vector / get
+    expansion). One bucket-prunable probe of the df/postings stats."""
+    (docs,) = _tables(spark, sf_dir, "documents")
+    q_terms = sorted(set(kw_ops._py_tokenize(QUERY_TEXT)))
+    postings = kw_ops.build_postings(docs)
+    n_docs = kw_ops.corpus_stats(postings).select("n_docs")
+    per_term = (
+        postings.filter(F.col("term").isin(q_terms))
+        .groupBy("term")
+        .agg(
+            F.countDistinct("doc_id").cast("long").alias("df"),
+            F.sum("tf").cast("long").alias("cf"),
+        )
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "term",
+            "df",
+            "cf",
+            F.round(
+                F.log(
+                    (F.col("n_docs") - F.col("df") + 0.5)
+                    / (F.col("df") + 0.5)
+                    + 1.0
+                ),
+                6,
+            ).alias("idf"),
+        )
+    )
+    return per_term.orderBy("term")
+
+
 SNAPSHOT_AT = "2024-01-15 12:00:00"
 
 
@@ -3373,6 +3408,7 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scd2_snapshot": q_scd2_snapshot,
         "more_like_this": q_more_like_this,
         "classifier_calibration": q_classifier_calibration,
+        "query_difficulty": q_query_difficulty,
         # (1) round-4 additions
         "tpch_q5": q_tpch_q5,
         "tpch_q10": q_tpch_q10,
@@ -4130,6 +4166,28 @@ SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
 FROM documents GROUP BY source ORDER BY source
 """,
         "rolling_anomaly": _temporal.rolling_anomaly_sql(),
+        "query_difficulty": f"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                     t -> len(t) > 0) AS tokens
+  FROM documents
+),
+postings AS (
+  SELECT doc_id, t.term, count(*) AS tf
+  FROM toks, unnest(tokens) AS t(term)
+  GROUP BY doc_id, t.term
+),
+stats AS (SELECT count(DISTINCT doc_id) AS n_docs FROM postings),
+qterms(term) AS (VALUES {", ".join(f"('{t}')" for t in sorted(set(kw_ops._py_tokenize(QUERY_TEXT))))})
+SELECT p.term, CAST(count(DISTINCT p.doc_id) AS BIGINT) AS df,
+       CAST(sum(p.tf) AS BIGINT) AS cf,
+       round(ln((s.n_docs - count(DISTINCT p.doc_id) + 0.5)
+                / (count(DISTINCT p.doc_id) + 0.5) + 1.0), 6) AS idf
+FROM postings p JOIN qterms q USING (term), stats s
+GROUP BY p.term, s.n_docs
+ORDER BY term
+""",
         "scd2_snapshot": f"""
 SELECT user_id, event_type, valid_from
 FROM ({_temporal.scd2_intervals_sql(table="(SELECT * FROM events WHERE user_id < 25)")})

@@ -161,6 +161,7 @@ EXTRA = [
     "scd2_snapshot",
     "more_like_this",
     "classifier_calibration",
+    "query_difficulty",
 ]
 # Real-model-tier twins (deterministic stand-in models, models.py):
 # resolved from q_* functions directly — deliberately NOT queries()

@@ -440,3 +440,25 @@ def test_spellfix_corrects_to_plain_bm25(spark):
         ).collect()
     ]
     assert with_junk == clean
+
+
+def test_more_like_this_prefers_term_overlap(spark):
+    """The doc sharing the anchor's rare terms must outrank docs with
+    only common-term overlap; the anchor itself is excluded."""
+    from memfuse_spark.operators.keyword import more_like_this
+
+    docs = spark.createDataFrame(
+        [
+            (0, "quantum flux capacitor drives the machine"),
+            (1, "quantum flux capacitor in a different machine"),
+            (2, "the machine is loud"),
+            (3, "gardening tips for spring"),
+        ],
+        "doc_id bigint, text string",
+    )
+    got = more_like_this(docs, 0, 10).collect()
+    ids = [r.doc_id for r in got]
+    assert 0 not in ids
+    assert ids[0] == 1                      # rare-term overlap wins
+    assert 3 not in ids                     # zero shared terms absent
+    assert all(0.0 < r.score <= 1.0 + 1e-9 for r in got)
