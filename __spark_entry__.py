@@ -2847,6 +2847,79 @@ def q_bm25_stream_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_VEC_STREAM_STORE: dict[tuple[int, str], str] = {}
+
+
+def q_ann_stream_store(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING vector-store ingest, batch twin (streaming.
+    vector_ingest_stream): three md5 epoch slices land under
+    (epoch_id, bucket) partitions — epoch 1 deliberately REPLAYED to
+    prove dynamic-overwrite idempotence — then the partition-pruned
+    LSH top-k serves from the store. Oracle: whole-corpus LSH top-k.
+    Completes the streaming-maintenance triple (postings index /
+    hierarchy / vector store)."""
+    import hashlib
+    import tempfile
+
+    from memfuse_spark.operators.ann import bucketed_topk
+    from memfuse_spark.streaming.buffer import write_vector_epoch
+
+    (emb,) = _tables(spark, sf_dir, "embeddings")
+    qvec = anchor_vector(spark, emb, ANCHOR_VEC_ID)
+    key = (id(spark.sparkContext), sf_dir)
+    if key not in _VEC_STREAM_STORE:
+        tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+        base = os.path.join(tempfile.gettempdir(), "memfuse_vec_stream", tag)
+        epoch_of = F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("vse"), F.col("vec_id").cast("string"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long") % 3
+        for e in (0, 1, 2, 1):  # epoch 1 replayed
+            write_vector_epoch(
+                emb.filter(epoch_of == (e % 3)),
+                base,
+                e % 3,
+                dim=len(qvec),
+                num_planes=4,
+            )
+        _VEC_STREAM_STORE[key] = os.path.join(base, "vectors")
+    return bucketed_topk(
+        spark, _VEC_STREAM_STORE[key], qvec, 10, num_planes=4
+    )
+
+
+QUOTA_PER_SOURCE = 2
+
+
+def q_quota_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diversity-quota top-k: BM25 first stage, then at most 2 results
+    per source before the global top-k — the SERP-style coverage
+    constraint (MMR's cheap deterministic cousin: no pairwise
+    similarity, one per-source rank window over k rows)."""
+    from pyspark.sql import Window
+
+    (docs,) = _tables(spark, sf_dir, "documents")
+    first = kw_ops.bm25_topk(docs, QUERY_TEXT, FIRST_STAGE_K)
+    with_src = first.join(
+        F.broadcast(docs.select("doc_id", "source")), "doc_id"
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.desc("score"), F.asc("doc_id")
+    )
+    return (
+        with_src.withColumn("src_rank", F.row_number().over(w))
+        .filter(F.col("src_rank") <= QUOTA_PER_SOURCE)
+        .select("doc_id", "source", "score")
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(TOP_K)
+    )
+
+
 def q_query_difficulty(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pre-retrieval query-performance prediction (QPP): per query term
     report df, collection frequency, and BM25 idf — the specificity
@@ -3409,6 +3482,8 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "more_like_this": q_more_like_this,
         "classifier_calibration": q_classifier_calibration,
         "query_difficulty": q_query_difficulty,
+        "quota_topk": q_quota_topk,
+        "ann_stream_store": q_ann_stream_store,
         # (1) round-4 additions
         "tpch_q5": q_tpch_q5,
         "tpch_q10": q_tpch_q10,
@@ -4166,6 +4241,19 @@ SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
 FROM documents GROUP BY source ORDER BY source
 """,
         "rolling_anomaly": _temporal.rolling_anomaly_sql(),
+        "quota_topk": f"""
+WITH first AS ({kw_ops.bm25_topk_sql(QUERY_TEXT, FIRST_STAGE_K)}),
+with_src AS (
+  SELECT f.doc_id, d.source, f.score,
+         row_number() OVER (PARTITION BY d.source
+                            ORDER BY f.score DESC, f.doc_id ASC) AS src_rank
+  FROM first f JOIN documents d USING (doc_id)
+)
+SELECT doc_id, source, score FROM with_src
+WHERE src_rank <= {QUOTA_PER_SOURCE}
+ORDER BY score DESC, doc_id ASC
+LIMIT {TOP_K}
+""",
         "query_difficulty": f"""
 WITH toks AS (
   SELECT doc_id,
@@ -5009,6 +5097,10 @@ ORDER BY p.purchase_id
         # identical semantics: the incrementally-built + compacted store
         # holds exactly the full corpus
         "ann_store_lifecycle": oracles.ann_lsh_topk_sql(
+            ANCHOR_VEC_ID, 10, num_planes=4
+        ),
+        # streaming-ingested store holds exactly the full corpus
+        "ann_stream_store": oracles.ann_lsh_topk_sql(
             ANCHOR_VEC_ID, 10, num_planes=4
         ),
         "bq_topk": _ann_bq_sql(),

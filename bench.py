@@ -162,6 +162,8 @@ EXTRA = [
     "more_like_this",
     "classifier_calibration",
     "query_difficulty",
+    "quota_topk",
+    "ann_stream_store",
 ]
 # Real-model-tier twins (deterministic stand-in models, models.py):
 # resolved from q_* functions directly — deliberately NOT queries()

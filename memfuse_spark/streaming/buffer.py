@@ -520,3 +520,56 @@ def write_index_epoch(
             .partitionBy("epoch_id")
             .parquet(os.path.join(out_base, name))
         )
+
+
+def write_vector_epoch(
+    batch: DataFrame,
+    out_base: str,
+    epoch_id: int,
+    dim: int,
+    num_planes: int = 8,
+    vec_col: str = "embedding",
+) -> None:
+    """One epoch of vector-store ingest (shared by the stream below and
+    its batch twin): rows land under (epoch_id, bucket) partitions with
+    dynamic overwrite — bucket derivation is the same plan-time LSH as
+    ann.write_bucketed_corpus, so a replayed epoch rewrites exactly its
+    own partitions and query-time bucket pruning still applies (bucket
+    is a partition column regardless of the epoch level above it)."""
+    from memfuse_spark.operators.ann import lsh_bucket
+
+    (
+        batch.withColumn("bucket", lsh_bucket(vec_col, dim, num_planes))
+        .withColumn("epoch_id", F.lit(epoch_id))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("epoch_id", "bucket")
+        .parquet(os.path.join(out_base, "vectors"))
+    )
+
+
+def vector_ingest_stream(
+    vec_stream: DataFrame,
+    out_base: str,
+    dim: int,
+    num_planes: int = 8,
+    vec_col: str = "embedding",
+) -> "StreamingQuery":
+    """Streaming maintenance of the LSH-bucketed vector store — the
+    vector-side twin of index_ingest_stream. Per micro-batch the new
+    vectors land under (epoch_id, bucket) partitions (dynamic
+    overwrite: replay-safe); the store is queryable at any time with
+    bucket partition pruning (ann.bucketed topk shape). Nothing
+    historical is ever rewritten."""
+
+    def process_batch(batch: DataFrame, epoch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        write_vector_epoch(batch, out_base, epoch_id, dim, num_planes, vec_col)
+
+    return (
+        vec_stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", os.path.join(out_base, "_checkpoint"))
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -399,3 +399,54 @@ def test_index_ingest_stream_matches_adhoc_bm25(spark, tmp_path):
     # exactly one stats partial per epoch
     stats = spark.read.parquet(os.path.join(out, "statsparts"))
     assert stats.count() == 2
+
+
+def test_vector_ingest_stream_serves_pruned_lsh_topk(spark, tmp_path):
+    """Streaming vector ingest over two micro-batches must serve the
+    whole-corpus LSH ranking with bucket partition pruning intact, and
+    a replayed epoch must replace its own (epoch, bucket) partitions."""
+    from memfuse_spark.catalog import load_table
+    from memfuse_spark.operators.ann import ann_lsh_topk, bucketed_topk
+    from memfuse_spark.plans.pipeline import anchor_vector
+    from memfuse_spark.streaming.buffer import (
+        vector_ingest_stream,
+        write_vector_epoch,
+    )
+    from tests.conftest import SF_DIR_MED
+
+    emb = load_table(spark, SF_DIR_MED, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    qvec = anchor_vector(spark, emb, 0)
+    src = str(tmp_path / "vec_src")
+    emb.filter("vec_id < 250").coalesce(1).write.mode("append").parquet(src)
+    emb.filter("vec_id >= 250").coalesce(1).write.mode("append").parquet(src)
+
+    out = str(tmp_path / "vec_out")
+    stream = (
+        spark.readStream.schema("vec_id long, embedding array<float>")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = vector_ingest_stream(stream, out, dim=len(qvec), num_planes=4)
+    q.awaitTermination(240)
+
+    store = os.path.join(out, "vectors")
+    got = bucketed_topk(spark, store, qvec, 10, num_planes=4)
+    plan = got._sc._jvm.PythonSQLUtils.explainString(
+        got._jdf.queryExecution(), "formatted"
+    )
+    pf_line = [l for l in plan.splitlines() if "PartitionFilters" in l][0]
+    assert "bucket" in pf_line
+    want = [(r.vec_id, r.score) for r in ann_lsh_topk(emb, qvec, 10, num_planes=4).collect()]
+    assert [(r.vec_id, r.score) for r in got.collect()] == want
+
+    # replay epoch 1: same slice, same epoch id — results unchanged,
+    # and the store holds each vector exactly once
+    write_vector_epoch(
+        emb.filter("vec_id >= 250"), out, 1, dim=len(qvec), num_planes=4
+    )
+    replayed = [(r.vec_id, r.score) for r in bucketed_topk(spark, store, qvec, 10, num_planes=4).collect()]
+    assert replayed == want
+    total = spark.read.parquet(store).count()
+    assert total == emb.count()
