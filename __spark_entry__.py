@@ -2893,6 +2893,18 @@ def q_ann_stream_store(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_train_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Logistic-regression quality-classifier TRAINING in the engine:
+    hashed-BoW features, heuristic-quality bootstrap labels, 5
+    full-batch GD rounds (driver carries only the 64-float model;
+    rounds are rounded for cross-engine determinism). The trained
+    vector drops into quality_classifier(weights=...)."""
+    from memfuse_spark.operators.textanalysis import train_classifier
+
+    (docs,) = _tables(spark, sf_dir, "documents")
+    return train_classifier(docs)
+
+
 QUOTA_PER_SOURCE = 2
 
 
@@ -3484,6 +3496,7 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "query_difficulty": q_query_difficulty,
         "quota_topk": q_quota_topk,
         "ann_stream_store": q_ann_stream_store,
+        "train_classifier": q_train_classifier,
         # (1) round-4 additions
         "tpch_q5": q_tpch_q5,
         "tpch_q10": q_tpch_q10,
@@ -4241,6 +4254,9 @@ SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
 FROM documents GROUP BY source ORDER BY source
 """,
         "rolling_anomaly": _temporal.rolling_anomaly_sql(),
+        "train_classifier": ta_ops.train_classifier_sql(
+            quality_sql=oracles.quality_score_sql()
+        ),
         "quota_topk": f"""
 WITH first AS ({kw_ops.bm25_topk_sql(QUERY_TEXT, FIRST_STAGE_K)}),
 with_src AS (

@@ -164,6 +164,7 @@ EXTRA = [
     "query_difficulty",
     "quota_topk",
     "ann_stream_store",
+    "train_classifier",
 ]
 # Real-model-tier twins (deterministic stand-in models, models.py):
 # resolved from q_* functions directly — deliberately NOT queries()

@@ -1250,3 +1250,162 @@ FROM g JOIN first f USING (g)
 GROUP BY g.doc_id
 ORDER BY g.doc_id
 """
+
+
+TRAIN_CLF_BUCKETS = 64
+TRAIN_CLF_STEPS = 5
+TRAIN_CLF_LR = 1.0
+TRAIN_CLF_LABEL_T = 0.7
+
+
+def train_classifier(
+    docs: DataFrame,
+    steps: int = TRAIN_CLF_STEPS,
+    lr: float = TRAIN_CLF_LR,
+    buckets: int = TRAIN_CLF_BUCKETS,
+    label_threshold: float = TRAIN_CLF_LABEL_T,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(bucket, weight) — logistic-regression TRAINING in the engine:
+    hashed-BoW length-normalized features, labels from the heuristic
+    quality score (y = quality >= threshold — the fastText-style
+    bootstrap where a cheap heuristic labels the trainset), ``steps``
+    full-batch gradient-descent rounds.
+
+    Driver-coordinated iterative shape (the bpe/pagerank convention):
+    each round is two keyed aggregations over the (doc, bucket, x)
+    feature rows plus a collect of <= ``buckets`` weight rows — model-
+    sized, never data-sized — folded back as an array literal. z and
+    the gradient are ROUNDED to 6 decimals every round (the PCA
+    power-iteration discipline) so aggregation order and libm ulp
+    differences cannot diverge the trajectory across engines; the
+    DuckDB twin replays the identical rounds as unrolled MATERIALIZED
+    CTEs with no trained state injected.
+
+    The trained vector drops into quality_classifier(weights=...) —
+    closing the loop from signal bootstrap to served filter."""
+    from memfuse_spark.operators.dedup import _token_hash32
+
+    spark = docs.sparkSession
+    occ = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode_outer(tokenize(text_col)).alias("tok"),
+    ).filter(F.col("tok").isNotNull())
+    counts = occ.groupBy(
+        "doc_id", (_token_hash32(F.col("tok")) % F.lit(buckets)).alias("bkt")
+    ).agg(F.count("*").alias("cnt"))
+    dl = counts.groupBy("doc_id").agg(F.sum("cnt").alias("dl"))
+    labels = quality_score(docs, id_col, text_col).select(
+        "doc_id",
+        F.when(F.col("quality") >= label_threshold, 1.0)
+        .otherwise(0.0)
+        .alias("y"),
+    )
+    base = (
+        counts.join(dl, "doc_id")
+        .join(labels, "doc_id")
+        .select("doc_id", "bkt", (F.col("cnt") / F.col("dl")).alias("x"), "y")
+        .persist()
+    )
+    try:
+        n = base.select("doc_id").distinct().count()
+        w = [0.0] * buckets
+        for _ in range(steps):
+            arr = F.array(*[F.lit(float(v)) for v in w])
+            z = base.groupBy("doc_id").agg(
+                F.round(
+                    F.sum(F.col("x") * F.element_at(arr, F.col("bkt").cast("int") + 1)),
+                    6,
+                ).alias("z"),
+                F.first("y").alias("y"),
+            )
+            err = z.select(
+                "doc_id",
+                (F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("z"))) - F.col("y")).alias(
+                    "err"
+                ),
+            )
+            grad_rows = (
+                base.join(err, "doc_id")
+                .groupBy("bkt")
+                .agg(
+                    F.round(F.sum(F.col("err") * F.col("x")) / F.lit(float(n)), 6).alias("g")
+                )
+                .collect()
+            )
+            grad = {r.bkt: r.g for r in grad_rows}
+            w = [round(v - lr * grad.get(b, 0.0), 6) for b, v in enumerate(w)]
+    finally:
+        base.unpersist()
+    return spark.createDataFrame(
+        [(b, v) for b, v in enumerate(w)], "bucket int, weight double"
+    )
+
+
+def train_classifier_sql(
+    steps: int = TRAIN_CLF_STEPS,
+    lr: float = TRAIN_CLF_LR,
+    buckets: int = TRAIN_CLF_BUCKETS,
+    label_threshold: float = TRAIN_CLF_LABEL_T,
+    quality_sql: str = "",
+) -> str:
+    """DuckDB twin of :func:`train_classifier`: the same GD rounds
+    unrolled as MATERIALIZED CTEs (each w{t} feeds z{t+1} and the
+    update — double references inline exponentially otherwise)."""
+    parts = [
+        f"""occ AS (
+  SELECT doc_id,
+         CAST('0x' || substring(md5(u.tok), 1, 8) AS BIGINT) % {buckets} AS bkt
+  FROM (SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                           t -> len(t) > 0) AS tk
+        FROM documents) toks, unnest(tk) AS u(tok)
+)""",
+        f"""counts AS (SELECT doc_id, bkt, count(*) AS cnt FROM occ GROUP BY doc_id, bkt)""",
+        """dl AS (SELECT doc_id, sum(cnt) AS dl FROM counts GROUP BY doc_id)""",
+        f"""labels AS (
+  SELECT doc_id, CASE WHEN quality >= {label_threshold} THEN 1.0 ELSE 0.0 END AS y
+  FROM ({quality_sql})
+)""",
+        """base AS MATERIALIZED (
+  SELECT c.doc_id, c.bkt, CAST(c.cnt AS DOUBLE) / d.dl AS x, l.y
+  FROM counts c JOIN dl d USING (doc_id) JOIN labels l USING (doc_id)
+)""",
+        """nn AS (SELECT CAST(count(DISTINCT doc_id) AS DOUBLE) AS n FROM base)""",
+        f"""w0 AS (SELECT CAST(t.i AS BIGINT) AS bkt, CAST(0.0 AS DOUBLE) AS w
+  FROM range(0, {buckets}) t(i))""",
+    ]
+    for t in range(1, steps + 1):
+        parts.append(
+            f"""z{t} AS MATERIALIZED (
+  SELECT b.doc_id, round(sum(b.x * w.w), 6) AS z, any_value(b.y) AS y
+  FROM base b JOIN w{t - 1} w USING (bkt) GROUP BY b.doc_id
+)"""
+        )
+        parts.append(
+            f"""e{t} AS (
+  SELECT doc_id, CAST(1.0 AS DOUBLE)/(CAST(1.0 AS DOUBLE)+exp(-z)) - y AS err
+  FROM z{t}
+)"""
+        )
+        parts.append(
+            f"""g{t} AS (
+  SELECT b.bkt, round(sum(e.err * b.x) / nn.n, 6) AS g
+  FROM base b JOIN e{t} e USING (doc_id), nn GROUP BY b.bkt, nn.n
+)"""
+        )
+        parts.append(
+            f"""w{t} AS MATERIALIZED (
+  SELECT w.bkt, round(w.w - {lr} * coalesce(g.g, 0.0), 6) AS w
+  FROM w{t - 1} w LEFT JOIN g{t} g USING (bkt)
+)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"""
+SELECT CAST(bkt AS INTEGER) AS bucket, w AS weight
+FROM w{steps} ORDER BY bucket
+"""
+    )

@@ -62,3 +62,36 @@ def test_gopher_flags(spark):
     assert got[1].keep is True
     assert got[2].keep is False and got[2].repetition_ok is False
     assert got[2].top_token_share == pytest.approx(0.8)
+
+
+def test_train_classifier_learns_separation(spark):
+    """After 5 GD rounds on heuristic-bootstrap labels, the trained
+    weights must score labeled-positive docs above labeled-negative
+    docs on average (and beat the untrained zero model, whose scores
+    are all exactly 0.5)."""
+    from memfuse_spark.operators.textanalysis import (
+        TRAIN_CLF_BUCKETS,
+        TRAIN_CLF_LABEL_T,
+        quality_classifier,
+        quality_score,
+        train_classifier,
+    )
+
+    rows = [
+        (i, "informative technical explanation with substantial detailed "
+            "content about distributed query execution " * 3)
+        for i in range(8)
+    ] + [
+        (100 + i, "the a of and to in is it " * 2) for i in range(8)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    w = [r.weight for r in train_classifier(docs, steps=5).collect()]
+    assert len(w) == TRAIN_CLF_BUCKETS
+    assert any(v != 0.0 for v in w)
+
+    scored = quality_classifier(docs, buckets=TRAIN_CLF_BUCKETS, weights=w)
+    labeled = scored.join(quality_score(docs), "doc_id").collect()
+    pos = [r.clf_score for r in labeled if r.quality >= TRAIN_CLF_LABEL_T]
+    neg = [r.clf_score for r in labeled if r.quality < TRAIN_CLF_LABEL_T]
+    assert pos and neg
+    assert sum(pos) / len(pos) > sum(neg) / len(neg)
