@@ -2905,6 +2905,58 @@ def q_train_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return train_classifier(docs)
 
 
+_TRAINED_W: dict[tuple[int, str], list] = {}
+
+
+def q_classifier_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full train→score→evaluate loop: confusion counts and
+    accuracy/precision/recall of the GD-trained classifier against its
+    bootstrap labels (in-sample fit — the sanity report that the
+    training moved the model off the prior; held-out evaluation is
+    train_split's job)."""
+    from memfuse_spark.operators.textanalysis import (
+        TRAIN_CLF_BUCKETS,
+        TRAIN_CLF_LABEL_T,
+        quality_classifier,
+        quality_score,
+        train_classifier,
+    )
+
+    (docs,) = _tables(spark, sf_dir, "documents")
+    key = (id(spark.sparkContext), sf_dir)
+    if key not in _TRAINED_W:
+        _TRAINED_W[key] = [
+            r.weight for r in train_classifier(docs).collect()
+        ]
+    scored = quality_classifier(
+        docs, buckets=TRAIN_CLF_BUCKETS, weights=_TRAINED_W[key]
+    )
+    labels = quality_score(docs).select(
+        "doc_id",
+        F.when(F.col("quality") >= TRAIN_CLF_LABEL_T, 1)
+        .otherwise(0)
+        .alias("y"),
+    )
+    j = scored.join(labels, "doc_id").select(
+        F.col("clf_keep").cast("int").alias("pred"), "y"
+    )
+    conf = j.agg(
+        F.sum(((F.col("pred") == 1) & (F.col("y") == 1)).cast("long")).alias("tp"),
+        F.sum(((F.col("pred") == 1) & (F.col("y") == 0)).cast("long")).alias("fp"),
+        F.sum(((F.col("pred") == 0) & (F.col("y") == 1)).cast("long")).alias("fn"),
+        F.sum(((F.col("pred") == 0) & (F.col("y") == 0)).cast("long")).alias("tn"),
+    )
+    tp, fp, fn, tn = F.col("tp"), F.col("fp"), F.col("fn"), F.col("tn")
+    return conf.select(
+        "tp", "fp", "fn", "tn",
+        F.round((tp + tn) / (tp + fp + fn + tn), 6).alias("accuracy"),
+        F.round(
+            F.when(tp + fp > 0, tp / (tp + fp)), 6
+        ).alias("precision"),
+        F.round(F.when(tp + fn > 0, tp / (tp + fn)), 6).alias("recall"),
+    )
+
+
 QUOTA_PER_SOURCE = 2
 
 
@@ -3497,6 +3549,7 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quota_topk": q_quota_topk,
         "ann_stream_store": q_ann_stream_store,
         "train_classifier": q_train_classifier,
+        "classifier_eval": q_classifier_eval,
         # (1) round-4 additions
         "tpch_q5": q_tpch_q5,
         "tpch_q10": q_tpch_q10,
@@ -4255,6 +4308,9 @@ FROM documents GROUP BY source ORDER BY source
 """,
         "rolling_anomaly": _temporal.rolling_anomaly_sql(),
         "train_classifier": ta_ops.train_classifier_sql(
+            quality_sql=oracles.quality_score_sql()
+        ),
+        "classifier_eval": ta_ops.classifier_eval_sql(
             quality_sql=oracles.quality_score_sql()
         ),
         "quota_topk": f"""

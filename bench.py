@@ -165,6 +165,7 @@ EXTRA = [
     "quota_topk",
     "ann_stream_store",
     "train_classifier",
+    "classifier_eval",
 ]
 # Real-model-tier twins (deterministic stand-in models, models.py):
 # resolved from q_* functions directly — deliberately NOT queries()

@@ -1409,3 +1409,56 @@ SELECT CAST(bkt AS INTEGER) AS bucket, w AS weight
 FROM w{steps} ORDER BY bucket
 """
     )
+
+
+def classifier_eval_sql(
+    steps: int = TRAIN_CLF_STEPS,
+    lr: float = TRAIN_CLF_LR,
+    buckets: int = TRAIN_CLF_BUCKETS,
+    label_threshold: float = TRAIN_CLF_LABEL_T,
+    quality_sql: str = "",
+) -> str:
+    """DuckDB twin of the train→score→evaluate loop: the trained
+    weights come from the full training twin (as a subquery — no
+    learned state injected), scoring replays quality_classifier's
+    z = Σ x·w, and the confusion counts/metrics aggregate per corpus."""
+    train = train_classifier_sql(steps, lr, buckets, label_threshold, quality_sql)
+    return f"""
+WITH wts AS ({train}),
+occ AS (
+  SELECT doc_id,
+         CAST('0x' || substring(md5(u.tok), 1, 8) AS BIGINT) % {buckets} AS bkt
+  FROM (SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                           t -> len(t) > 0) AS tk
+        FROM documents) toks, unnest(tk) AS u(tok)
+),
+counts AS (SELECT doc_id, bkt, count(*) AS cnt FROM occ GROUP BY doc_id, bkt),
+dl AS (SELECT doc_id, sum(cnt) AS dl FROM counts GROUP BY doc_id),
+labels AS (
+  SELECT doc_id, CASE WHEN quality >= {label_threshold} THEN 1 ELSE 0 END AS y
+  FROM ({quality_sql})
+),
+scores AS (
+  SELECT c.doc_id, sum((CAST(c.cnt AS DOUBLE) / d.dl) * w.weight) AS z,
+         any_value(l.y) AS y
+  FROM counts c JOIN dl d USING (doc_id) JOIN labels l USING (doc_id)
+  JOIN wts w ON w.bucket = c.bkt
+  GROUP BY c.doc_id
+),
+conf AS (
+  SELECT CAST(sum(CASE WHEN pred = 1 AND y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+         CAST(sum(CASE WHEN pred = 1 AND y = 0 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+         CAST(sum(CASE WHEN pred = 0 AND y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+         CAST(sum(CASE WHEN pred = 0 AND y = 0 THEN 1 ELSE 0 END) AS BIGINT) AS tn
+  FROM (SELECT y,
+               CASE WHEN CAST(1.0 AS DOUBLE)/(CAST(1.0 AS DOUBLE)+exp(-z))
+                         >= CAST(0.5 AS DOUBLE) THEN 1 ELSE 0 END AS pred
+        FROM scores)
+)
+SELECT tp, fp, fn, tn,
+       round(CAST(tp + tn AS DOUBLE) / (tp + fp + fn + tn), 6) AS accuracy,
+       round(CAST(tp AS DOUBLE) / nullif(tp + fp, 0), 6) AS precision,
+       round(CAST(tp AS DOUBLE) / nullif(tp + fn, 0), 6) AS recall
+FROM conf
+"""
