@@ -2493,6 +2493,46 @@ def q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dup_clusters(docs)
 
 
+def q_dup_clusters_inc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL duplicate clustering (daily-crawl shape): cluster a
+    ~75% base corpus once, compute near-dup pairs for the remaining
+    batch against the prebuilt LSH index (corpus never re-signed),
+    then MERGE into the existing assignment via star-edge connected
+    components (dedup.merge_dup_clusters). Oracle: the FULL-corpus
+    dup_clusters recursive SQL — the merge must be indistinguishable
+    from a recompute."""
+    from memfuse_spark.operators.dedup import (
+        banded_signatures,
+        dup_clusters,
+        incremental_neardup_pairs,
+        merge_dup_clusters,
+    )
+
+    (docs,) = _tables(spark, sf_dir, "documents")
+    is_batch = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("dc"), F.col("doc_id").cast("string"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 4
+        == 0
+    )
+    old_docs = docs.filter(~is_batch)
+    batch_docs = docs.filter(is_batch)
+    assign_old = dup_clusters(old_docs).select("doc_id", "component")
+    pairs, _ = incremental_neardup_pairs(
+        batch_docs, docs, banded_signatures(old_docs)
+    )
+    return merge_dup_clusters(
+        assign_old, pairs, batch_docs.select("doc_id")
+    )
+
+
 EVAL_QUERY_IDS = [3, 29, 57, 101, 188, 260, 333, 449]
 
 
@@ -3550,6 +3590,7 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_stream_store": q_ann_stream_store,
         "train_classifier": q_train_classifier,
         "classifier_eval": q_classifier_eval,
+        "dup_clusters_inc": q_dup_clusters_inc,
         # (1) round-4 additions
         "tpch_q5": q_tpch_q5,
         "tpch_q10": q_tpch_q10,
@@ -5373,6 +5414,8 @@ ORDER BY o_orderstatus, o_orderpriority
         "top_ngrams": oracles.top_ngrams_sql(n=3, k=20),
         "global_shuffle": oracles.global_shuffle_sql(limit=100),
         "dup_clusters": oracles.dup_clusters_sql(),
+        # incremental merge must equal the full recompute
+        "dup_clusters_inc": oracles.dup_clusters_sql(),
         "quality_classifier": oracles.quality_classifier_sql(),
         "importance_weights": oracles.importance_weights_sql(DECONTAM_BENCH_MOD),
         "hll_users": _sketches.hll_vs_exact_sql("events", "user_id"),

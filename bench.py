@@ -166,6 +166,7 @@ EXTRA = [
     "ann_stream_store",
     "train_classifier",
     "classifier_eval",
+    "dup_clusters_inc",
 ]
 # Real-model-tier twins (deterministic stand-in models, models.py):
 # resolved from q_* functions directly — deliberately NOT queries()

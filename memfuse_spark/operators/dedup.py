@@ -746,6 +746,53 @@ def incremental_neardup_pairs(
     return verified, new_bands
 
 
+def merge_dup_clusters(
+    assign: DataFrame,
+    new_pairs: DataFrame,
+    new_ids: DataFrame,
+    node_col: str = "doc_id",
+    comp_col: str = "component",
+) -> DataFrame:
+    """(doc_id, component, cluster_size) after merging NEW near-dup
+    pairs into an EXISTING cluster assignment without re-clustering
+    the full pair graph — the incremental companion to
+    :func:`dup_clusters` for the daily-crawl shape.
+
+    Existing components collapse to STAR edges (member → root), which
+    preserve exactly their connectivity; connected components then run
+    over (star edges ∪ new pairs) — a graph whose size is O(clustered
+    nodes + new pairs), independent of how many historical pairs built
+    the old assignment. Component ids stay the min reachable doc_id,
+    so merge(assign(old corpus), incremental pairs of the batch) ==
+    full recompute over the union — the tested (and oracle) contract.
+    """
+    from pyspark.sql import Window
+
+    from memfuse_spark.operators.graph import connected_components
+
+    star = assign.filter(F.col(node_col) != F.col(comp_col)).select(
+        F.col(node_col).alias("doc_a"), F.col(comp_col).alias("doc_b")
+    )
+    edges = star.unionByName(new_pairs.select("doc_a", "doc_b"))
+    comp = connected_components(edges, "doc_a", "doc_b")
+    nodes = (
+        assign.select(F.col(node_col).alias("doc_id"))
+        .unionByName(new_ids.select(F.col(node_col).alias("doc_id")))
+        .distinct()
+    )
+    out = (
+        nodes
+        .join(comp.withColumnRenamed("node", "doc_id"), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("component", F.col("doc_id")).alias("component"),
+        )
+    )
+    return out.withColumn(
+        "cluster_size", F.count("*").over(Window.partitionBy("component"))
+    ).orderBy("doc_id")
+
+
 # ---------------------------------------------------------------------------
 # prefix-filtering set-similarity join (AllPairs / PPJoin family)
 # ---------------------------------------------------------------------------

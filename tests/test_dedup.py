@@ -289,3 +289,43 @@ def test_minhash_accuracy_estimator_sane(spark, tables):
     # 12-hash estimator: mean |error| over candidates should be modest
     mean_err = sum(r.abs_err for r in rows) / len(rows)
     assert mean_err < 0.25
+
+
+def test_merge_dup_clusters_bridges_existing_components(spark):
+    """A new pair linking two pre-existing clusters must merge them to
+    the min root; untouched clusters and new singletons keep their
+    ids; result equals a from-scratch clustering of the union graph."""
+    from memfuse_spark.operators.dedup import merge_dup_clusters
+    from memfuse_spark.operators.graph import connected_components
+
+    # old assignment: {1,2,3} root 1, {10,11} root 10, {20} singleton
+    assign = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (10, 10), (11, 11 - 1), (20, 20)],
+        "doc_id bigint, component bigint",
+    )
+    # batch doc 30 links 3 and 11 (bridging both clusters); 40 is alone
+    new_pairs = spark.createDataFrame(
+        [(3, 30), (11, 30)], "doc_a bigint, doc_b bigint"
+    )
+    new_ids = spark.createDataFrame([(30,), (40,)], "doc_id bigint")
+    got = {
+        r.doc_id: (r.component, r.cluster_size)
+        for r in merge_dup_clusters(assign, new_pairs, new_ids).collect()
+    }
+    assert got == {
+        1: (1, 6), 2: (1, 6), 3: (1, 6),
+        10: (1, 6), 11: (1, 6), 30: (1, 6),
+        20: (20, 1), 40: (40, 1),
+    }
+
+    # equivalence with a from-scratch CC over old star edges + new pairs
+    full_edges = spark.createDataFrame(
+        [(2, 1), (3, 1), (11, 10), (3, 30), (11, 30)],
+        "doc_a bigint, doc_b bigint",
+    )
+    cc = {
+        r.node: r.component
+        for r in connected_components(full_edges, "doc_a", "doc_b").collect()
+    }
+    for d, (comp, _) in got.items():
+        assert cc.get(d, d) == comp
