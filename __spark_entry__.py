@@ -2533,6 +2533,38 @@ def q_dup_clusters_inc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source NEAR-duplication report off the cluster assignment:
+    docs, docs sitting in multi-doc clusters, near-dup rate, and the
+    redundant-doc count (cluster size minus its representative) — the
+    per-domain number a curation run reports before and after dedup
+    (corpus_report's dup_share counts only EXACT duplicates; this is
+    the near-dup sibling)."""
+    from memfuse_spark.operators.dedup import dup_clusters
+
+    (docs,) = _tables(spark, sf_dir, "documents")
+    assign = dup_clusters(docs)
+    j = assign.join(F.broadcast(docs.select("doc_id", "source")), "doc_id")
+    return (
+        j.groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum((F.col("cluster_size") > 1).cast("long")).alias(
+                "clustered_docs"
+            ),
+            F.round(
+                F.sum((F.col("cluster_size") > 1).cast("int"))
+                / F.count("*"),
+                6,
+            ).alias("neardup_rate"),
+            F.sum((F.col("doc_id") != F.col("component")).cast("long")).alias(
+                "redundant_docs"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
 EVAL_QUERY_IDS = [3, 29, 57, 101, 188, 260, 333, 449]
 
 
@@ -3591,6 +3623,7 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "train_classifier": q_train_classifier,
         "classifier_eval": q_classifier_eval,
         "dup_clusters_inc": q_dup_clusters_inc,
+        "dedup_rate_by_source": q_dedup_rate_by_source,
         # (1) round-4 additions
         "tpch_q5": q_tpch_q5,
         "tpch_q10": q_tpch_q10,
@@ -5416,6 +5449,18 @@ ORDER BY o_orderstatus, o_orderpriority
         "dup_clusters": oracles.dup_clusters_sql(),
         # incremental merge must equal the full recompute
         "dup_clusters_inc": oracles.dup_clusters_sql(),
+        "dedup_rate_by_source": f"""
+WITH assign AS ({oracles.dup_clusters_sql()})
+SELECT d.source, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN a.cluster_size > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS clustered_docs,
+       round(CAST(sum(CASE WHEN a.cluster_size > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+             / count(*), 6) AS neardup_rate,
+       CAST(sum(CASE WHEN a.doc_id <> a.component THEN 1 ELSE 0 END) AS BIGINT)
+         AS redundant_docs
+FROM assign a JOIN documents d USING (doc_id)
+GROUP BY d.source ORDER BY d.source
+""",
         "quality_classifier": oracles.quality_classifier_sql(),
         "importance_weights": oracles.importance_weights_sql(DECONTAM_BENCH_MOD),
         "hll_users": _sketches.hll_vs_exact_sql("events", "user_id"),

@@ -167,6 +167,7 @@ EXTRA = [
     "train_classifier",
     "classifier_eval",
     "dup_clusters_inc",
+    "dedup_rate_by_source",
 ]
 # Real-model-tier twins (deterministic stand-in models, models.py):
 # resolved from q_* functions directly — deliberately NOT queries()
