@@ -317,14 +317,17 @@ def q_orders_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """J4-style hydration chain: lineitem→orders→customer→nation→region,
-    dims broadcast (SURVEY §2.3 J4; TPC-H Q5 shape)."""
+    """J4-style hydration chain: lineitem→orders→customer→nation→region
+    (SURVEY §2.3 J4; TPC-H Q5 shape). Fixed-size dims (nation/region)
+    broadcast by hint; customer GROWS with scale factor (150k×SF), so
+    its strategy is left to AQE's size-gated dynamic conversion — a
+    forced hint would OOM executors at 100×."""
     li, orders, cust, nation, region = _tables(
         spark, sf_dir, "lineitem", "orders", "customer", "nation", "region"
     )
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
         .groupBy("n_name")
@@ -404,7 +407,8 @@ def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
     li, orders, cust = _tables(spark, sf_dir, "lineitem", "orders", "customer")
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        # customer is SF-scaling: no forced broadcast, AQE decides
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .filter(
             (F.col("c_mktsegment") == "BUILDING")
             & (F.col("o_orderdate") < F.lit("1998-03-15"))
@@ -438,9 +442,11 @@ def q_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q5 shape: 6-table join + regional revenue agg. Dimension
-    chain (region→nation→customer/supplier) broadcasts; only the
-    lineitem⋈orders fact join shuffles."""
+    """TPC-H Q5 shape: 6-table join + regional revenue agg. Fixed-size
+    dims (region→nation) broadcast by hint; customer/supplier are
+    SF-scaling (150k×SF / 10k×SF) so their joins are size-gated by AQE
+    — forcing them would OOM executors at 100×. The lineitem⋈orders
+    fact join shuffles on its key."""
     li, orders, cust, supp, nat, reg = _tables(
         spark, sf_dir, "lineitem", "orders", "customer", "supplier", "nation", "region"
     )
@@ -454,8 +460,8 @@ def q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("o_orderdate") >= F.lit("1996-01-01"))
             & (F.col("o_orderdate") < F.lit("1997-01-01"))
         )
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
-        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
         .filter(F.col("c_nationkey") == F.col("s_nationkey"))
         .join(F.broadcast(dims), F.col("s_nationkey") == F.col("n_nationkey"))
         .groupBy("n_name")
@@ -480,7 +486,7 @@ def q_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("o_orderdate") >= F.lit("1996-10-01"))
             & (F.col("o_orderdate") < F.lit("1997-01-01"))
         )
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey)
         .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
         .agg(
@@ -506,7 +512,8 @@ def q_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         big.join(orders, big.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        # customer is SF-scaling: no forced broadcast, AQE decides
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .select(
             "c_name",
             "c_custkey",
@@ -2544,7 +2551,11 @@ def q_dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     (docs,) = _tables(spark, sf_dir, "documents")
     assign = dup_clusters(docs)
-    j = assign.join(F.broadcast(docs.select("doc_id", "source")), "doc_id")
+    # Both sides are corpus-sized (one row per doc): NO broadcast hint —
+    # at 10B docs a broadcast build side OOMs every executor. AQE picks
+    # the strategy by measured size; on a bucketed doc_id layout this is
+    # a co-located join with no exchange at all.
+    j = assign.join(docs.select("doc_id", "source"), "doc_id")
     return (
         j.groupBy("source")
         .agg(
@@ -3041,8 +3052,10 @@ def q_quota_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     (docs,) = _tables(spark, sf_dir, "documents")
     first = kw_ops.bm25_topk(docs, QUERY_TEXT, FIRST_STAGE_K)
-    with_src = first.join(
-        F.broadcast(docs.select("doc_id", "source")), "doc_id"
+    # Broadcast the ≤FIRST_STAGE_K-row first stage into the corpus-sized
+    # source lookup — never the reverse (docs is the 10B-row side).
+    with_src = docs.select("doc_id", "source").join(
+        F.broadcast(first), "doc_id"
     )
     w = Window.partitionBy("source").orderBy(
         F.desc("score"), F.asc("doc_id")
@@ -3536,54 +3549,52 @@ def entry(spark: SparkSession) -> DataFrame:
 
 # The driver oracle-checks the FIRST 50 declared queries per round; the
 # window ROTATES to maximize the union of direct driver rows
-# (COVERAGE.md rotation table). Driver-round-4 window (frozen for the
-# round; rotation applied at round start per the r3 lesson), in
-# priority order: (1) the new three-store flagship hybrid_rrf_3way and
-# round_buffer_batch, whose oracle is NEW this round (was rows-only in
-# r03); (2) the 41 queries that sat at positions 51+ in r03 — the
-# round-5/6 additions with no driver row yet, incl. the re-derived
-# item_cooccurrence (basket cap) and the re-planned uniform_negatives /
-# fk_integrity; (3) the six events aggregates whose green rows predate
-# the events.ts NTZ schema switch, plus sessionize (same stale-row
-# class). Demoted past 50: the entire r03 driver-green window (49/50
-# green on unchanged code), then earlier-green sets —
+# (COVERAGE.md rotation table). Driver-round-5 window (frozen for the
+# round; rotation applied ONCE at round start per the r3 lesson), in
+# priority order: (1) the 40 round-7/7b additions (prefix_filter_stats
+# … dedup_rate_by_source) — zero driver rows, verified only by the
+# local full-suite verify_oracle runs so far; (2) the first 10 of the
+# r03-driver-green set demoted in r4 (tpch_q5 … event_funnel), whose
+# rows are now two rounds old. Demoted past 50: the entire r04
+# driver-green window (50/50 fresh green rows, CORRECTNESS_r04), then
+# the remaining r03-green set, then earlier-green sets —
 # tools/verify_oracle.py (full suite, re-run each round) remains the
-# superset check for everything demoted.
-_DRIVER_WINDOW_R4 = [
-    "hybrid_rrf_3way",
-    "round_buffer_batch",
-    "reservoir_sample", "corpus_report", "pca_top", "value_drift_psi",
-    "snapshot_diff", "hll_by_type", "asof_forward", "graph_ppr",
-    "salted_event_totals", "fk_integrity", "containment_pairs",
-    "rm3_expand", "ann_recall_audit", "time_grid_fill",
-    "vocab_overlap_hll", "weighted_sample", "graph_communities",
-    "bpe_merges_batched", "routed_hybrid", "scd2_versions",
-    "events_profile", "uniform_negatives", "click_attribution",
-    "bm25_v2_topk", "fusion_percentile", "late_interaction",
-    "token_budget_mix", "quality_dedup_keep", "ql_dirichlet",
-    "hist_quantiles_by_type", "ltr_features", "entity_cooccurrence",
-    "minhash_accuracy", "source_concentration", "asof_nearest",
-    "ohlc_bars", "dau_growth", "ewma_smooth", "item_cooccurrence",
-    "doc_keyterms", "search_highlights",
-    "moving_avg", "event_pivot", "event_percentiles", "distinct_users",
-    "props_json_extract", "buffer_quality", "sessionize",
+# superset check for everything demoted. Queries added mid-round go at
+# positions 51+ only and head the round-6 rotation.
+_DRIVER_WINDOW_R5 = [
+    "prefix_filter_stats", "m2_facts_extractor", "media_resize_plan",
+    "media_frame_plan", "char_entropy", "ngram_novelty",
+    "routed_hybrid_3way", "bq_topk", "hybrid_text_query",
+    "sentence_chunks", "compaction_plan", "join_skew_report",
+    "split_leakage", "hybrid_batch", "bq_store_topk",
+    "hybrid_batch_3way", "index_compact", "mutual_knn",
+    "tokenizer_fertility", "embedding_outliers", "backfill_queue",
+    "graph_kcore", "ann_store_lifecycle", "spellfix_search",
+    "bm25_stream_index", "retriever_agreement", "corpus_manifest",
+    "rolling_anomaly", "signal_correlation", "forecast_error",
+    "scd2_snapshot", "more_like_this", "classifier_calibration",
+    "query_difficulty", "quota_topk", "ann_stream_store",
+    "train_classifier", "classifier_eval", "dup_clusters_inc",
+    "dedup_rate_by_source",
+    "tpch_q5", "tpch_q10", "tpch_q18", "hll_users",
+    "cms_heavy_hitters", "cdc_chunks", "prefix_filter_pairs",
+    "value_outliers_mad", "graph_triangles", "event_funnel",
 ]
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     reg = _query_registry()
-    ordered = {n: reg[n] for n in _DRIVER_WINDOW_R4}
+    ordered = {n: reg[n] for n in _DRIVER_WINDOW_R5}
     ordered.update((n, f) for n, f in reg.items() if n not in ordered)
     return ordered
 
 
 def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Grouped by the round each query was added / last verified —
-    # queries() reorders so _DRIVER_WINDOW_R4 leads.
+    # queries() reorders so _DRIVER_WINDOW_R5 leads.
     return {
         "hybrid_rrf_3way": q_hybrid_rrf_3way,
-        # added after the r4 rotation freeze → position 51+, heads the
-        # round-5 window
+        # added after the r4 rotation freeze → in-window for r5
         "prefix_filter_stats": q_prefix_filter_stats,
         "m2_facts_extractor": q_m2_facts_extractor,
         "media_resize_plan": q_media_resize_plan,

@@ -9,9 +9,15 @@ the pgai SQL store) could throw at the engine: correlated scalar subqueries,
 EXISTS/NOT EXISTS double correlation, disjunctive predicates, scalar-subquery
 HAVING, and distribution histograms.
 
-Scale notes (100 TB): every dimension (part/supplier/customer/nation/region)
-broadcasts — only fact⋈fact joins (lineitem⋈orders) shuffle, on their join
-key. Correlated subqueries are re-expressed as aggregate-then-join, which is
+Scale notes (100 TB): only FIXED-SIZE inputs carry an explicit broadcast
+hint — nation/region (25/5 rows regardless of SF) and single-row scalar
+aggregates (q11 total, q15 best_rev, q22 avg_bal). customer / part /
+supplier GROW with scale factor (150k/200k/10k × SF): their joins carry NO
+hint and are size-gated by AQE's dynamic broadcast conversion — at bench
+SFs AQE still broadcasts them, at 100× it falls back to a shuffle join
+instead of OOMing every executor on a multi-GB forced build side
+(`tests/test_plans.py::test_tpch_no_forced_sf_scaling_broadcast`).
+Correlated subqueries are re-expressed as aggregate-then-join, which is
 the shuffle-once distributed form (a per-row correlated probe would be a
 driver loop). Adaptations substitute lineitem-derived facts for partsupp
 (supply cost → observed unit price; availqty → shipped quantity).
@@ -35,7 +41,7 @@ def q2_min_cost_supplier(
         (F.col("p_size") == 15) & (F.col("p_type") == "STANDARD")
     ).select("p_partkey", "p_name")
     supply = (
-        li.join(F.broadcast(parts), li.l_partkey == parts.p_partkey)
+        li.join(parts, li.l_partkey == parts.p_partkey)
         .select(
             "p_partkey",
             "p_name",
@@ -47,13 +53,13 @@ def q2_min_cost_supplier(
         F.min("unit_cost").alias("min_unit_cost")
     )
     winners = (
-        supply.join(F.broadcast(min_cost), "p_partkey")
+        supply.join(min_cost, "p_partkey")
         .filter(F.col("unit_cost") == F.col("min_unit_cost"))
         .select("p_partkey", "p_name", "l_suppkey", "min_unit_cost")
         .distinct()
     )
     return (
-        winners.join(F.broadcast(supplier), winners.l_suppkey == supplier.s_suppkey)
+        winners.join(supplier, winners.l_suppkey == supplier.s_suppkey)
         .join(F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey)
         .select(
             "s_acctbal",
@@ -118,8 +124,8 @@ def q7_volume_shipping(
             & (F.col("l_shipdate") < F.lit("1998-01-01"))
         )
         .join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
-        .join(F.broadcast(supplier), li.l_suppkey == supplier.s_suppkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
+        .join(supplier, li.l_suppkey == supplier.s_suppkey)
         .join(F.broadcast(n1), F.col("c_nationkey") == F.col("c_nk"))
         .join(F.broadcast(n2), F.col("s_nationkey") == F.col("s_nk"))
         .filter(
@@ -170,9 +176,9 @@ def q8_market_share(
             (F.col("o_orderdate") >= F.lit("1996-01-01"))
             & (F.col("o_orderdate") < F.lit("1998-01-01"))
         )
-        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
         .join(F.broadcast(asia_nations), F.col("c_nationkey") == F.col("c_nk"))
-        .join(F.broadcast(supplier), li.l_suppkey == supplier.s_suppkey)
+        .join(supplier, li.l_suppkey == supplier.s_suppkey)
         .join(F.broadcast(supp_nation), F.col("s_nationkey") == F.col("s_nk"))
         .groupBy(F.year("o_orderdate").alias("o_year"))
         .agg(
@@ -211,9 +217,9 @@ def q9_product_profit(
         0,
     ).cast("long")
     return (
-        li.join(F.broadcast(widget), li.l_partkey == widget.p_partkey)
+        li.join(widget, li.l_partkey == widget.p_partkey)
         .join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(supplier), li.l_suppkey == supplier.s_suppkey)
+        .join(supplier, li.l_suppkey == supplier.s_suppkey)
         .join(F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey)
         .groupBy(
             F.col("n_name").alias("nation"), F.year("o_orderdate").alias("o_year")
@@ -286,7 +292,7 @@ def q14_promo_share(li: DataFrame, part: DataFrame) -> DataFrame:
             (F.col("l_shipdate") >= F.lit("1996-09-01"))
             & (F.col("l_shipdate") < F.lit("1996-10-01"))
         )
-        .join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(part, li.l_partkey == part.p_partkey)
         .agg(
             F.round(
                 100.0
@@ -318,7 +324,7 @@ def q15_top_supplier(li: DataFrame, supplier: DataFrame) -> DataFrame:
         F.col("total_revenue") == F.col("max_revenue")
     )
     return (
-        best.join(F.broadcast(supplier), best.l_suppkey == supplier.s_suppkey)
+        best.join(supplier, best.l_suppkey == supplier.s_suppkey)
         .select(
             "s_suppkey", "s_name", F.round("total_revenue", 2).alias("total_revenue")
         )
@@ -341,8 +347,8 @@ def q16_supplier_part_counts(
     )
     return (
         li.select("l_partkey", "l_suppkey")
-        .join(F.broadcast(bad), "l_suppkey", "left_anti")
-        .join(F.broadcast(parts), F.col("l_partkey") == parts.p_partkey)
+        .join(bad, "l_suppkey", "left_anti")
+        .join(parts, F.col("l_partkey") == parts.p_partkey)
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
         .orderBy(
@@ -355,12 +361,12 @@ def q17_small_quantity_revenue(li: DataFrame, part: DataFrame) -> DataFrame:
     """Q17: small-quantity-order revenue (correlated AVG subquery →
     aggregate-then-join)."""
     brand = part.filter(F.col("p_brand") == "Brand#3").select("p_partkey")
-    brand_lines = li.join(F.broadcast(brand), li.l_partkey == brand.p_partkey)
+    brand_lines = li.join(brand, li.l_partkey == brand.p_partkey)
     avg_qty = brand_lines.groupBy("p_partkey").agg(
         (0.5 * F.avg("l_quantity")).alias("qty_limit")
     )
     return (
-        brand_lines.join(F.broadcast(avg_qty), "p_partkey")
+        brand_lines.join(avg_qty, "p_partkey")
         .filter(F.col("l_quantity") < F.col("qty_limit"))
         .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
     )
@@ -368,7 +374,7 @@ def q17_small_quantity_revenue(li: DataFrame, part: DataFrame) -> DataFrame:
 
 def q19_disjunctive_revenue(li: DataFrame, part: DataFrame) -> DataFrame:
     """Q19: disjunctive brand/size/quantity predicate revenue."""
-    joined = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    joined = li.join(part, li.l_partkey == part.p_partkey)
     cond = (
         (
             (F.col("p_brand") == "Brand#3")
@@ -406,7 +412,7 @@ def q20_excess_suppliers(
             (F.col("l_shipdate") >= F.lit("1996-01-01"))
             & (F.col("l_shipdate") < F.lit("1997-01-01"))
         )
-        .join(F.broadcast(bolts), li.l_partkey == bolts.p_partkey)
+        .join(bolts, li.l_partkey == bolts.p_partkey)
         .groupBy("l_suppkey", "l_partkey")
         .agg(F.sum("l_quantity").alias("shipped_qty"))
         .filter(F.col("shipped_qty") > 50)
@@ -416,7 +422,7 @@ def q20_excess_suppliers(
     europe = nation.filter(F.col("n_regionkey") == 3).select("n_nationkey")
     return (
         supplier.join(
-            F.broadcast(heavy), supplier.s_suppkey == heavy.l_suppkey, "left_semi"
+            heavy, supplier.s_suppkey == heavy.l_suppkey, "left_semi"
         )
         .join(
             F.broadcast(europe), supplier.s_nationkey == europe.n_nationkey, "left_semi"
@@ -463,7 +469,7 @@ def q21_waiting_suppliers(
         )
     )
     return (
-        lone.join(F.broadcast(supplier), lone.l_suppkey == supplier.s_suppkey)
+        lone.join(supplier, lone.l_suppkey == supplier.s_suppkey)
         .groupBy("s_name")
         .agg(F.countDistinct("l_orderkey").alias("numwait"))
         .orderBy(F.desc("numwait"), F.asc("s_name"))
@@ -485,7 +491,7 @@ def q22_idle_customers(customer: DataFrame, orders: DataFrame) -> DataFrame:
     return (
         customer.join(F.broadcast(avg_bal))
         .filter(F.col("c_acctbal") > F.col("avg_bal"))
-        .join(F.broadcast(recent), "c_custkey", "left_anti")
+        .join(recent, "c_custkey", "left_anti")
         .groupBy("c_nationkey")
         .agg(
             F.count("*").alias("numcust"),

@@ -264,3 +264,74 @@ def test_graph_store_neighbor_expansion_bucket_prunes(spark):
         assert "SelectedBucketsCount: 1 out of" in plan
     finally:
         spark.conf.unset("spark.sql.sources.bucketing.autoBucketedScan.enabled")
+
+
+def _analyzed_nodes(node):
+    stack = [node]
+    while stack:
+        n = stack.pop()
+        yield n
+        cs = n.children()
+        for i in range(cs.size()):
+            stack.append(cs.apply(i))
+
+
+# One marker attribute per SF-scaling table: customer is 150k×SF,
+# supplier 10k×SF, part 200k×SF, documents/embeddings grow with the
+# corpus. nation/region are FIXED (25/5 rows) and may broadcast freely.
+_SF_SCALING_MARKERS = {
+    "c_mktsegment": "customer",
+    "s_acctbal": "supplier",
+    "p_brand": "part",
+    "n_chars": "documents",
+}
+
+
+def _forced_scaling_broadcasts(df) -> list[str]:
+    """Every ResolvedHint(broadcast) in the analyzed logical plan whose
+    subtree scans an SF-scaling parquet relation WITHOUT a
+    cardinality-bounding node in between (empty-grouping scalar
+    aggregate, LIMIT, or a literal-IN filter over query terms)."""
+    plan = df._jdf.queryExecution().analyzed()
+    bad = []
+    for n in _analyzed_nodes(plan):
+        if n.nodeName() != "ResolvedHint":
+            continue
+        scaling, bounded = [], False
+        for s in _analyzed_nodes(n):
+            nm = s.nodeName()
+            if "Relation" in nm and s.children().isEmpty():
+                out = s.output()
+                names = {out.apply(i).name() for i in range(out.size())}
+                scaling += [t for a, t in _SF_SCALING_MARKERS.items() if a in names]
+            if nm == "Aggregate" and s.groupingExpressions().isEmpty():
+                bounded = True
+            if nm in ("GlobalLimit", "LocalLimit"):
+                bounded = True
+            if nm == "Filter" and " IN (" in s.simpleString(25):
+                bounded = True
+        if scaling and not bounded:
+            bad.append(f"broadcast hint over {scaling}")
+    return bad
+
+
+def test_no_forced_broadcast_of_sf_scaling_inputs(spark):
+    """A broadcast HINT overrides AQE's size gate, so it may only take
+    cardinality-BOUNDED inputs: fixed dims (nation/region), scalar
+    aggregates, top-k stages. customer/part/supplier/documents all grow
+    with scale factor — at 100× a forced hint on them is a multi-GB
+    build side on every executor (the r4 scale-killer warts). Checked
+    across the full TPC-H family and the two repaired queries."""
+    import __spark_entry__ as m
+
+    reg = m._query_registry()
+    targets = [f"tpch_q{i}" for i in range(1, 23)] + [
+        "revenue_by_nation",
+        "quota_topk",
+        "dedup_rate_by_source",
+    ]
+    failures = []
+    for name in targets:
+        for finding in _forced_scaling_broadcasts(reg[name](spark, SF_DIR)):
+            failures.append(f"{name}: {finding}")
+    assert not failures, failures
