@@ -182,8 +182,14 @@ MODEL_TIER = [
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     from memfuse_spark.session import get_spark
+    from tools.runlock import acquire_run_lock
 
     import __spark_entry__ as entrymod
+
+    # Never time a bench while a verify/pytest run is eating the host's
+    # cores: the r3/r4 logs both recorded 2x-inflated numbers from
+    # exactly that overlap. Blocks until the other run finishes.
+    _lock = acquire_run_lock("bench")  # noqa: F841 — held to exit
 
     spark = get_spark("memfuse-bench")
     spark.sparkContext.setLogLevel("ERROR")

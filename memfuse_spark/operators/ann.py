@@ -195,7 +195,15 @@ def compact_bucketed_corpus(spark, path: str) -> dict:
     atomic directory swap (the tables.py compact pattern — on a
     lakehouse this is OPTIMIZE). N incremental appends otherwise leave
     N files per touched bucket and query-time IO degrades linearly in
-    segment count. Returns {"files_before", "files_after"}."""
+    segment count. Returns {"files_before", "files_after"}.
+
+    Concurrency: the swap is two sequential os.rename calls, so there
+    is a window where ``path`` does not exist — a CONCURRENT READER
+    (not just a concurrent writer) errors during that gap. This
+    single-writer, paused-reader contract differs from the postings
+    index, whose catalog-rename swap stays readable throughout; if
+    concurrent reads during compaction are needed, front the path with
+    a symlink or catalog indirection and repoint it atomically."""
     import os
     import shutil
     import uuid
@@ -898,6 +906,15 @@ def bq_pack_words(vec_col, dim: int = 64, word_bits: int = BQ_WORD_BITS):
     words (bit b of word w = vec[w*word_bits + b] > 0) — 32× smaller
     than float32, 64× smaller than float64. 16-bit words sidestep
      64-bit shift/sign pitfalls and mirror the proven simhash packing."""
+    if dim % word_bits != 0:
+        # a partial trailing word would silently DROP dim % word_bits
+        # dimensions from the packed code and skew the Hamming ranking
+        # with no error — fail loudly instead
+        raise ValueError(
+            f"dim={dim} is not a multiple of word_bits={word_bits}; "
+            f"the trailing {dim % word_bits} dimensions would be "
+            "silently excluded from the binary code"
+        )
     vec = F.col(vec_col) if isinstance(vec_col, str) else vec_col
     words = []
     for w in range(dim // word_bits):

@@ -1178,7 +1178,18 @@ def compact_postings_index_v2(
     )
     old_loc = None
     if path is not None:
-        old_loc = f"{path}/{name}"
+        # The superseded segment directory is the table's ACTUAL
+        # location (after a first compaction that is
+        # {path}/{name}__g<tag>, not the {path}/{name} convention) —
+        # read it from the catalog so a second compaction reclaims the
+        # real directory instead of rmtree'ing a nonexistent path and
+        # leaking the old segment.
+        desc = spark.sql(f"DESCRIBE EXTENDED {name}").collect()
+        loc = next(
+            (r.data_type for r in desc if r.col_name == "Location"), None
+        )
+        if loc is not None:
+            old_loc = loc.removeprefix("file:")
         writer = writer.option("path", f"{path}/{name}__g{uuid.uuid4().hex[:8]}")
     writer.bucketBy(num_buckets, "term").sortBy("term").saveAsTable(tmp)
 

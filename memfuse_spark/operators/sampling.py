@@ -373,11 +373,19 @@ def uniform_negatives(
     """
     from pyspark.sql import Window
 
+    # Pin the range-partitioned catalog: offsets and ranked BOTH read
+    # (__p, item) off this frame, and the global rank is only correct
+    # when both see the SAME range boundaries and partition ids. A
+    # recompute (AQE replan, stage retry, cache eviction) could
+    # resample boundaries and misalign __p between the two branches —
+    # localCheckpoint truncates lineage so the partitioning is
+    # materialized exactly once (lazy: first action triggers it).
     cat = (
         items.select(F.col(item_col).alias("item"))
         .distinct()
         .repartitionByRange(32, "item")
         .withColumn("__p", F.spark_partition_id())
+        .localCheckpoint(eager=False)
     )
     intra_w = Window.partitionBy("__p").orderBy("item")
     totals_w = Window.orderBy("__p")  # bounded: ≤ 32 partition-count rows

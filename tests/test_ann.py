@@ -292,3 +292,15 @@ def test_label_outliers_flags_injected_noise(spark):
     assert len(by_label[0]) == 2 and len(by_label[1]) == 2
     scores = [r.score for r in out if r.label == 0]
     assert scores == sorted(scores)
+
+
+def test_bq_pack_words_rejects_non_multiple_dim():
+    """dim not divisible by word_bits must fail loudly — a partial
+    trailing word would silently drop dimensions from the packed code
+    and skew the Hamming ranking."""
+    import pytest
+
+    from memfuse_spark.operators.ann import bq_pack_words
+
+    with pytest.raises(ValueError, match="not a multiple"):
+        bq_pack_words("embedding", dim=70, word_bits=16)

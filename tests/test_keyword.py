@@ -375,6 +375,29 @@ def test_v2_index_compaction_merges_segments_and_preserves_results(
             map(tuple, bm25_topk_from_index_v2(spark, name, "spark query scan", 5).collect())
         )
         assert before_q == after_q
+
+        # SECOND compaction: old_loc must be the table's ACTUAL
+        # directory ({name}__g<tag> after the first compaction), so the
+        # superseded segment is reclaimed — not orphaned — and queries
+        # still serve. Exactly one data dir remains under the path.
+        import os
+
+        update_postings_index_v2(
+            spark,
+            name,
+            spark.createDataFrame(
+                [(6, "another spark scan batch")], "doc_id bigint, text string"
+            ),
+            path=str(tmp_path / "a"),
+        )
+        compact_postings_index_v2(spark, name, path=str(tmp_path / "a"))
+        seg_dirs = [
+            d
+            for d in os.listdir(tmp_path / "a")
+            if d == name or d.startswith(name + "__g")
+        ]
+        assert len(seg_dirs) == 1, f"orphaned segment dirs: {seg_dirs}"
+        assert bm25_topk_from_index_v2(spark, name, "spark query scan", 5).count() > 0
     finally:
         for n in ("v2_cmp", "v2_cmp_reb", "v2_cmp__compact"):
             for side in ("", "_df", "_stats"):

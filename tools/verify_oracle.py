@@ -38,8 +38,12 @@ def _canon(rows, cols):
 def main() -> int:
     import duckdb
 
+    from tools.runlock import acquire_run_lock
+
     import __spark_entry__ as entrymod
     from memfuse_spark.session import get_spark
+
+    _lock = acquire_run_lock("verify_oracle")  # noqa: F841 — held to exit
 
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
