@@ -1907,6 +1907,39 @@ def q_m2_facts(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("chunk_id")
 
 
+def _msmg_instances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from memfuse_spark.operators import hierarchy as h
+    from memfuse_spark.operators import msmg
+
+    (events,) = _tables(spark, sf_dir, "events")
+    m2 = h.m2_facts_from_m1(h.m1_from_m0(h.m0_from_events(events)))
+    return msmg.instances_from_m2(m2)
+
+
+def q_msmg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MSMG instance→ontology rollup (reference schemas/msmg.sql:9-50
+    two-layer graph): every instance counts toward its class and all
+    ancestor classes, so the root row totals the instance layer. The
+    ontology closure broadcasts; the instance side aggregates once."""
+    from memfuse_spark.operators import msmg
+
+    inst = _msmg_instances(spark, sf_dir)
+    return msmg.rollup_by_class(inst, msmg.ontology(spark))
+
+
+def q_msmg_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MSMG cross-layer 1-hop neighborhood off the lineage arrays
+    (msmg.sql:31-33 parent/child/related_instances): entity instance →
+    sibling entities via related_instances (J7 explode + equi-join),
+    each side labeled with its ontology class."""
+    from memfuse_spark.operators import msmg
+
+    inst = _msmg_instances(spark, sf_dir)
+    return msmg.cross_layer_neighborhood(inst).orderBy(
+        "instance_id", "neighbor_id"
+    )
+
+
 def q_m0_m1_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J7 lineage join: chunk -> member messages via array explode."""
     from memfuse_spark.operators import hierarchy as h
@@ -3594,6 +3627,10 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # queries() reorders so _DRIVER_WINDOW_R5 leads.
     return {
         "hybrid_rrf_3way": q_hybrid_rrf_3way,
+        # added after the r5 rotation freeze → positions 51+, heads the
+        # round-6 window
+        "msmg_rollup": q_msmg_rollup,
+        "msmg_neighborhood": q_msmg_neighborhood,
         # added after the r4 rotation freeze → in-window for r5
         "prefix_filter_stats": q_prefix_filter_stats,
         "m2_facts_extractor": q_m2_facts_extractor,
@@ -5270,6 +5307,8 @@ ORDER BY p.purchase_id
         "m0_records": oracles.m0_records_sql(),
         "m1_chunks": oracles.m1_chunks_sql(),
         "m2_facts": oracles.m2_facts_sql(),
+        "msmg_rollup": oracles.msmg_rollup_sql(),
+        "msmg_neighborhood": oracles.msmg_neighborhood_sql(),
         "m2_facts_extractor": f"""
 WITH {oracles.M0_CTE.strip()},{oracles._m1_cte(5, 16)},
 tk AS (

@@ -462,6 +462,91 @@ ORDER BY pattern_id
 """
 
 
+# entity → ontology leaf class (operators/msmg.classify_entity twin)
+_MSMG_CLS = (
+    "CASE WHEN regexp_full_match({e}, '[0-9]+') THEN 'numeric' "
+    "WHEN len({e}) <= 4 THEN 'short_term' ELSE 'long_term' END"
+)
+
+_MSMG_ONTO_CTES = """
+onto(class_id, parent_class_id, hierarchy_level) AS (
+  VALUES ('thing', CAST(NULL AS VARCHAR), 0),
+         ('entity', 'thing', 1), ('relation', 'thing', 1),
+         ('numeric', 'entity', 2), ('short_term', 'entity', 2),
+         ('long_term', 'entity', 2), ('co_occurrence', 'relation', 2)
+),
+anc AS (
+  SELECT class_id, class_id AS ancestor_id FROM onto
+  UNION ALL
+  SELECT class_id, parent_class_id FROM onto WHERE parent_class_id IS NOT NULL
+  UNION ALL
+  SELECT o.class_id, p.parent_class_id FROM onto o JOIN onto p
+    ON o.parent_class_id = p.class_id WHERE p.parent_class_id IS NOT NULL
+)"""
+
+
+def msmg_rollup_sql() -> str:
+    """Instance→ontology rollup over the MSMG two-layer graph
+    (operators/msmg.rollup_by_class twin)."""
+    cls = _MSMG_CLS.format(e="u.entity")
+    return f"""
+WITH m2 AS (SELECT * FROM ({m2_facts_sql()})),
+einst AS (
+  SELECT m.conversation_id AS context_id, m.confidence AS source_confidence,
+         {cls} AS ontology_class_id
+  FROM m2 m, unnest(string_split(m.entities_csv, ',')) AS u(entity)
+),
+rinst AS (
+  SELECT conversation_id AS context_id, confidence AS source_confidence,
+         'co_occurrence' AS ontology_class_id
+  FROM m2
+),
+inst AS (SELECT * FROM einst UNION ALL SELECT * FROM rinst),{_MSMG_ONTO_CTES}
+SELECT a.ancestor_id AS class_id, o2.hierarchy_level,
+       CAST(count(*) AS BIGINT) AS n_instances,
+       CAST(count(DISTINCT i.context_id) AS BIGINT) AS n_contexts,
+       round(avg(i.source_confidence), 6) AS mean_confidence
+FROM inst i
+JOIN anc a ON i.ontology_class_id = a.class_id
+JOIN onto o2 ON a.ancestor_id = o2.class_id
+GROUP BY a.ancestor_id, o2.hierarchy_level
+ORDER BY o2.hierarchy_level, class_id
+"""
+
+
+def msmg_neighborhood_sql() -> str:
+    """Cross-layer sibling neighborhood off the MSMG lineage arrays
+    (operators/msmg.cross_layer_neighborhood twin). Each m2 fact has
+    exactly two distinct entities, so the sibling expansion is both
+    directed pairs of (entity_a, entity_b)."""
+    cls_a = _MSMG_CLS.format(e="a")
+    cls_b = _MSMG_CLS.format(e="b")
+    return f"""
+WITH m2 AS (SELECT * FROM ({m2_facts_sql()})),
+pairs AS (
+  SELECT chunk_id, conversation_id,
+         string_split(entities_csv, ',')[1] AS a,
+         string_split(entities_csv, ',')[2] AS b
+  FROM m2
+),
+both_dirs AS (
+  SELECT chunk_id, conversation_id, a, b FROM pairs
+  UNION ALL
+  SELECT chunk_id, conversation_id, b AS a, a AS b FROM pairs
+)
+SELECT chunk_id || ':' || a AS instance_id,
+       a AS instance_name,
+       {cls_a} AS instance_class,
+       chunk_id || ':' || b AS neighbor_id,
+       b AS neighbor_name,
+       {cls_b} AS neighbor_class,
+       chunk_id || ':fact' AS via_relation,
+       conversation_id AS context_id
+FROM both_dirs
+ORDER BY instance_id, neighbor_id
+"""
+
+
 def contextual_chunks_sql(
     batch_size: int = 5, dim: int = 16, n_prev: int = 2
 ) -> str:
