@@ -1891,6 +1891,37 @@ def q_m1_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("chunk_id")
 
 
+def q_m1_episodes_former(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M4 LLM-mode seam end-to-end under the driver gate: a
+    deterministic stand-in episode former (headline from batch size +
+    first/last message line) injected via m1_from_m0(former=) — the
+    Arrow-batched mapInPandas path a real LLM would ride (reference
+    episode_formation_processor.py:31-628) — hash-compared against a
+    DuckDB twin of the same formation rule. Token count, quality and
+    embedding all derive from the FORMED content, proving the seam
+    feeds the full downstream m1 pipeline."""
+    from memfuse_spark.operators import hierarchy as h
+
+    (events,) = _tables(spark, sf_dir, "events")
+
+    def headline_former(batches):
+        return [f"EPISODE {len(ls)}: {ls[0]} | {ls[-1]}" for ls in batches]
+
+    m1 = h.m1_from_m0(h.m0_from_events(events), former=headline_former)
+    return m1.select(
+        "chunk_id",
+        "conversation_id",
+        "batch_id",
+        "content",
+        F.concat_ws(
+            ",", F.transform("m0_raw_ids", lambda x: x.cast("string"))
+        ).alias("m0_raw_ids_csv"),
+        "token_count",
+        "chunk_quality_score",
+        _fmt6_csv("embedding").alias("embedding_csv"),
+    ).orderBy("chunk_id")
+
+
 def q_m2_facts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """M2 semantic facts: rule-based extraction + confidence >= 0.7."""
     from memfuse_spark.operators import hierarchy as h
@@ -3631,6 +3662,7 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round-6 window
         "msmg_rollup": q_msmg_rollup,
         "msmg_neighborhood": q_msmg_neighborhood,
+        "m1_episodes_former": q_m1_episodes_former,
         # added after the r4 rotation freeze → in-window for r5
         "prefix_filter_stats": q_prefix_filter_stats,
         "m2_facts_extractor": q_m2_facts_extractor,
@@ -5309,6 +5341,7 @@ ORDER BY p.purchase_id
         "m2_facts": oracles.m2_facts_sql(),
         "msmg_rollup": oracles.msmg_rollup_sql(),
         "msmg_neighborhood": oracles.msmg_neighborhood_sql(),
+        "m1_episodes_former": oracles.m1_former_sql(),
         "m2_facts_extractor": f"""
 WITH {oracles.M0_CTE.strip()},{oracles._m1_cte(5, 16)},
 tk AS (

@@ -45,11 +45,27 @@ def m0_from_events(events: DataFrame) -> DataFrame:
     )
 
 
-def m1_from_m0(m0: DataFrame, batch_size: int = M1_BATCH_SIZE, dim: int = EMBED_DIM) -> DataFrame:
+def m1_from_m0(
+    m0: DataFrame,
+    batch_size: int = M1_BATCH_SIZE,
+    dim: int = EMBED_DIM,
+    former=None,
+) -> DataFrame:
     """M1 episodic chunks: batches of `batch_size` consecutive messages
     per conversation → C1 concat, lineage array, token count, quality
     score, deterministic hash embedding (X8 — the reference's fallback
     embedder, utils/embeddings.py:212-261).
+
+    ``former=`` is the M4 LLM-mode plug point (the reference's PRIMARY
+    episode-formation path, episode_formation_processor.py:31-628),
+    mirroring ``m2_facts_from_m1(extractor=)``: a callable
+    ``batches_of_lines -> episode_contents`` — given one ``[role]:
+    content`` line list per message batch, return the FORMED episode
+    content string per batch — run as an Arrow-batched mapInPandas over
+    the grouped batches. Everything downstream (token count, quality,
+    lineage array, embedding) derives from the formed content, exactly
+    as the rule-based concat tier. The default (None) keeps the
+    rule-based plan unchanged — the oracle-checked tier.
     """
     batched = m0.withColumn(
         "batch_id", F.floor((F.col("sequence_number") - 1) / batch_size).cast("int")
@@ -66,12 +82,37 @@ def m1_from_m0(m0: DataFrame, batch_size: int = M1_BATCH_SIZE, dim: int = EMBED_
     )
     lines = F.transform(ordered, lambda s: F.format_string("[%s]: %s", s["__role"], s["__content"]))
     member_ids = F.transform(ordered, lambda s: s["__id"])
-    chunks = (
-        batched.groupBy("conversation_id", "batch_id")
-        .agg(
+    if former is not None:
+        import pandas as pd
+        from pyspark.sql.types import StringType, StructField, StructType
+
+        grouped = batched.groupBy("conversation_id", "batch_id").agg(
+            lines.alias("__lines"), member_ids.alias("m0_raw_ids")
+        )
+        schema = StructType(
+            [
+                grouped.schema["conversation_id"],
+                grouped.schema["batch_id"],
+                grouped.schema["m0_raw_ids"],
+                StructField("content", StringType()),
+            ]
+        )
+
+        def form(batches):
+            for pdf in batches:
+                contents = former([list(ls) for ls in pdf["__lines"]])
+                out = pdf[["conversation_id", "batch_id", "m0_raw_ids"]].copy()
+                out["content"] = [str(c) for c in contents]
+                yield out
+
+        chunks_base = grouped.mapInPandas(form, schema)
+    else:
+        chunks_base = batched.groupBy("conversation_id", "batch_id").agg(
             F.concat_ws("\n\n", lines).alias("content"),
             member_ids.alias("m0_raw_ids"),
         )
+    chunks = (
+        chunks_base
         .withColumn(
             "chunk_id", F.concat_ws("-", F.col("conversation_id"), F.col("batch_id"))
         )

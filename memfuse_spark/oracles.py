@@ -462,6 +462,51 @@ ORDER BY pattern_id
 """
 
 
+def m1_former_sql(batch_size: int = 5, dim: int = 16) -> str:
+    """DuckDB twin of the deterministic stand-in episode former
+    (q_m1_episodes_former): content = 'EPISODE <n>: <first> | <last>'
+    over the ordered message lines, then the standard m1 tail (token
+    count, quality, hash embedding) derived from the FORMED content."""
+    from memfuse_spark.functions.vector import hash_embedding_sql
+
+    emb = hash_embedding_sql("content", dim)
+    return f"""
+WITH {M0_CTE.strip()},
+batched AS (
+  SELECT *, CAST(floor((sequence_number - 1) / {batch_size}) AS INT) AS batch_id
+  FROM m0
+),
+grp AS (
+  SELECT conversation_id, batch_id,
+         list('[' || role || ']: ' || content ORDER BY sequence_number) AS ls,
+         list(message_id ORDER BY sequence_number) AS m0_raw_ids
+  FROM batched GROUP BY conversation_id, batch_id
+),
+formed AS (
+  SELECT conversation_id, batch_id, m0_raw_ids,
+         'EPISODE ' || len(ls) || ': ' || ls[1] || ' | ' || ls[len(ls)]
+           AS content
+  FROM grp
+),
+m1 AS (
+  SELECT conversation_id || '-' || batch_id AS chunk_id,
+         conversation_id, batch_id, content, m0_raw_ids,
+         CAST(ceil(len(content) / 4.0) AS INT) AS token_count,
+         round(least(CAST(ceil(len(content) / 4.0) AS INT) / 200.0, 1.0), 6)
+           AS chunk_quality_score,
+         list_transform({emb}, x -> round(x, 6)) AS embedding
+  FROM formed
+)
+SELECT chunk_id, conversation_id, batch_id, content,
+       array_to_string(list_transform(m0_raw_ids,
+         x -> CAST(x AS VARCHAR)), ',') AS m0_raw_ids_csv,
+       token_count, chunk_quality_score,
+       array_to_string(list_transform(embedding,
+         x -> printf('%.6f', x)), ',') AS embedding_csv
+FROM m1 ORDER BY chunk_id
+"""
+
+
 # entity → ontology leaf class (operators/msmg.classify_entity twin)
 _MSMG_CLS = (
     "CASE WHEN regexp_full_match({e}, '[0-9]+') THEN 'numeric' "

@@ -96,3 +96,34 @@ def test_m2_extractor_seam_injects_llm_mode(events):
     # one fact per chunk survives (0.9), one is threshold-dropped (0.3)
     assert len(rows) == n_chunks
     assert all(r.confidence == 0.9 and r.fact_content.endswith("mentioned") for r in rows)
+
+
+def test_m1_former_seam_injects_llm_mode(events):
+    """The former= plug point (reference primary LLM episode-formation
+    path, episode_formation_processor.py:31-628): a fake batch former
+    runs Arrow-batched over the grouped message batches, its output
+    REPLACES the concat content, and token count / quality / embedding
+    all derive from the formed content — same output schema as the
+    rule-based default."""
+    m0 = h.m0_from_events(events)
+
+    def fake_llm(batches):
+        return [f"summary of {len(ls)} msgs" for ls in batches]
+
+    got = h.m1_from_m0(m0, batch_size=5, former=fake_llm)
+    rule = h.m1_from_m0(m0, batch_size=5)
+    assert got.columns == rule.columns
+    assert [f.dataType for f in got.schema.fields] == [
+        f.dataType for f in rule.schema.fields
+    ]
+    rows = {r.chunk_id: r for r in got.collect()}
+    rule_rows = {r.chunk_id: r for r in rule.collect()}
+    assert rows.keys() == rule_rows.keys()
+    for cid, r in rows.items():
+        n = len(rule_rows[cid].m0_raw_ids)
+        assert r.content == f"summary of {n} msgs"
+        # lineage preserved; downstream stats recomputed off the FORMED
+        # content, not the concat
+        assert r.m0_raw_ids == rule_rows[cid].m0_raw_ids
+        assert r.token_count == -(-len(r.content) // 4)
+        assert r.embedding != rule_rows[cid].embedding
