@@ -215,6 +215,106 @@ def q_hybrid_text_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+KNOWLEDGE_MOD = 7  # every 7th document doubles as a knowledge item
+KNOWLEDGE_ID_OFFSET = 10_000_000  # keeps knowledge ids disjoint from docs
+KNOWLEDGE_EMBED_DIM = 16
+
+
+def _typed_corpus_with_knowledge(docs: DataFrame) -> DataFrame:
+    """(doc_id, text, item_type) union of the chunk corpus and a
+    deterministic knowledge-table fixture (reference
+    database/sqlite.py:128-137: id, user_id, content) derived from
+    every KNOWLEDGE_MOD-th document."""
+    chunks = docs.select("doc_id", "text", F.lit("chunk").alias("item_type"))
+    knowledge = docs.filter(F.col("doc_id") % KNOWLEDGE_MOD == 0).select(
+        (F.col("doc_id") + KNOWLEDGE_ID_OFFSET).alias("doc_id"),
+        F.concat(F.lit("knowledge: "), F.col("text")).alias("text"),
+        F.lit("knowledge").alias("item_type"),
+    )
+    return chunks.unionByName(knowledge)
+
+
+def q_hybrid_with_knowledge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's include_knowledge=true read path: hybrid fusion
+    over the typed chunk ∪ knowledge corpus with the F3 include flags
+    applied BEFORE top-k (reference vector_store/base.py:477-490
+    post-filters after top_k and can return < k — the SURVEY §4 wart
+    fixed by design). Knowledge items carry no pre-stored vectors, so
+    both branches embed content with the X8 hash embedder end-to-end."""
+    from memfuse_spark.functions.vector import py_hash_embedding
+    from memfuse_spark.plans.pipeline import hybrid_retrieval_with_flags
+
+    (docs,) = _tables(spark, sf_dir, "documents")
+    qvec = py_hash_embedding(QUERY_TEXT, KNOWLEDGE_EMBED_DIM)
+    return hybrid_retrieval_with_flags(
+        _typed_corpus_with_knowledge(docs),
+        QUERY_TEXT,
+        qvec,
+        k=TOP_K,
+        first_stage_k=FIRST_STAGE_K,
+        include_types=("chunk", "knowledge"),
+        weights=HYBRID_WEIGHTS,
+        rrf_k=RRF_K,
+        dim=KNOWLEDGE_EMBED_DIM,
+    )
+
+
+def _hybrid_with_knowledge_sql() -> str:
+    from memfuse_spark.functions.vector import hash_embedding_sql
+
+    w_vec, w_kw = HYBRID_WEIGHTS["vector"], HYBRID_WEIGHTS["keyword"]
+    weight_case = (
+        f"CASE WHEN store_type = 'vector' THEN {w_vec} ELSE {w_kw} END"
+    )
+    qlit = QUERY_TEXT.replace("'", "''")
+    qemb = hash_embedding_sql(f"'{qlit}'", KNOWLEDGE_EMBED_DIM)
+    demb = hash_embedding_sql("text", KNOWLEDGE_EMBED_DIM)
+    bm25 = kw_ops.bm25_topk_sql(
+        QUERY_TEXT, FIRST_STAGE_K, table="corpus"
+    )
+    return f"""
+WITH corpus AS (
+  SELECT doc_id, text, 'chunk' AS item_type FROM documents
+  UNION ALL
+  SELECT doc_id + {KNOWLEDGE_ID_OFFSET} AS doc_id,
+         'knowledge: ' || text AS text,
+         'knowledge' AS item_type
+  FROM documents WHERE doc_id % {KNOWLEDGE_MOD} = 0
+),
+q AS (SELECT {qemb} AS qv),
+vecemb AS (SELECT doc_id, {demb} AS embedding FROM corpus),
+vec AS (
+  SELECT e.doc_id,
+         round(list_dot_product(e.embedding, q.qv) /
+               (sqrt(list_dot_product(e.embedding, e.embedding)) *
+                sqrt(list_dot_product(q.qv, q.qv))), 6) AS score
+  FROM vecemb e, q
+  ORDER BY score DESC, e.doc_id ASC
+  LIMIT {FIRST_STAGE_K}
+),
+kw AS (SELECT * FROM ({bm25})),
+unioned AS (
+  SELECT doc_id, score, 'vector' AS store_type FROM vec
+  UNION ALL
+  SELECT doc_id, score, 'keyword' AS store_type FROM kw
+),
+ranked AS (
+  SELECT doc_id, store_type,
+         row_number() OVER (PARTITION BY store_type
+                            ORDER BY score DESC, doc_id ASC) AS rnk
+  FROM unioned
+),
+fused AS (
+  SELECT doc_id, round(sum({weight_case} / ({RRF_K} + rnk)), 6) AS score
+  FROM ranked GROUP BY doc_id
+)
+SELECT f.doc_id, c.item_type, f.score, c.text
+FROM fused f JOIN corpus c USING (doc_id)
+ORDER BY f.score DESC, f.doc_id ASC
+LIMIT {TOP_K}
+"""
+
+
 QUERY_BATCH = {
     0: QUERY_TEXT,
     1: "fast vector merge",
@@ -3663,6 +3763,7 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "msmg_rollup": q_msmg_rollup,
         "msmg_neighborhood": q_msmg_neighborhood,
         "m1_episodes_former": q_m1_episodes_former,
+        "hybrid_with_knowledge": q_hybrid_with_knowledge,
         # added after the r4 rotation freeze → in-window for r5
         "prefix_filter_stats": q_prefix_filter_stats,
         "m2_facts_extractor": q_m2_facts_extractor,
@@ -5342,6 +5443,7 @@ ORDER BY p.purchase_id
         "msmg_rollup": oracles.msmg_rollup_sql(),
         "msmg_neighborhood": oracles.msmg_neighborhood_sql(),
         "m1_episodes_former": oracles.m1_former_sql(),
+        "hybrid_with_knowledge": _hybrid_with_knowledge_sql(),
         "m2_facts_extractor": f"""
 WITH {oracles.M0_CTE.strip()},{oracles._m1_cte(5, 16)},
 tk AS (

@@ -71,7 +71,9 @@ def hybrid_retrieval(
         weights=weights or {"vector": 0.5, "keyword": 0.2},
         rrf_k=rrf_k,
     )
-    hydrated = fused.join(F.broadcast(documents.select("doc_id", "text")), "doc_id")
+    # Broadcast the <=2*fsk-row fused result into the corpus-sized text
+    # lookup — never the reverse (documents is the 10B-row side at scale).
+    hydrated = documents.select("doc_id", "text").join(F.broadcast(fused), "doc_id")
     return hydrated.select("doc_id", "score", "text").orderBy(
         F.desc("score"), F.asc("doc_id")
     ).limit(k)
@@ -136,7 +138,9 @@ def hybrid_retrieval_3way(
         weights=weights or {"vector": 0.5, "graph": 0.3, "keyword": 0.2},
         rrf_k=rrf_k,
     )
-    hydrated = fused.join(F.broadcast(documents.select("doc_id", "text")), "doc_id")
+    # Broadcast the <=2*fsk-row fused result into the corpus-sized text
+    # lookup — never the reverse (documents is the 10B-row side at scale).
+    hydrated = documents.select("doc_id", "text").join(F.broadcast(fused), "doc_id")
     return hydrated.select("doc_id", "score", "text").orderBy(
         F.desc("score"), F.asc("doc_id")
     ).limit(k)
@@ -214,9 +218,17 @@ def hybrid_batch_retrieval(
     )
     topk_w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
     return (
-        fused.withColumn("__r", F.row_number().over(topk_w))
-        .filter(F.col("__r") <= k)
-        .join(F.broadcast(documents.select("doc_id", "text")), "doc_id")
+        # broadcast the (queries x k)-row top-k into the corpus-sized
+        # text lookup — never the reverse
+        documents.select("doc_id", "text")
+        .join(
+            F.broadcast(
+                fused.withColumn("__r", F.row_number().over(topk_w)).filter(
+                    F.col("__r") <= k
+                )
+            ),
+            "doc_id",
+        )
         .select("query_id", "doc_id", "score", "text")
         .orderBy("query_id", F.desc("score"), F.asc("doc_id"))
     )
@@ -326,9 +338,71 @@ def hybrid_batch_retrieval_3way(
     )
     topk_w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
     return (
-        fused.withColumn("__r", F.row_number().over(topk_w))
-        .filter(F.col("__r") <= k)
-        .join(F.broadcast(documents.select("doc_id", "text")), "doc_id")
+        # broadcast the (queries x k)-row top-k into the corpus-sized
+        # text lookup — never the reverse
+        documents.select("doc_id", "text")
+        .join(
+            F.broadcast(
+                fused.withColumn("__r", F.row_number().over(topk_w)).filter(
+                    F.col("__r") <= k
+                )
+            ),
+            "doc_id",
+        )
         .select("query_id", "doc_id", "score", "text")
         .orderBy("query_id", F.desc("score"), F.asc("doc_id"))
+    )
+
+
+def hybrid_retrieval_with_flags(
+    corpus: DataFrame,
+    query_text: str,
+    qvec: Sequence[float],
+    k: int = 15,
+    first_stage_k: int | None = None,
+    include_types: Sequence[str] = ("chunk", "knowledge"),
+    weights: dict[str, float] | None = None,
+    rrf_k: float = DEFAULT_RRF_K,
+    dim: int = 16,
+) -> DataFrame:
+    """Hybrid retrieval over a TYPED corpus with include-flag filtering
+    (reference ``include_messages`` / ``include_knowledge`` /
+    ``include_chunks``, vector_store/base.py:477-490; the knowledge
+    table itself is database/sqlite.py:128-137).
+
+    ``corpus`` is (doc_id, text, item_type). The type flags filter
+    BEFORE both retrieval branches (F3 applied pre-top-k — the
+    reference post-filters AFTER top_k and can return < k rows, the
+    SURVEY §4 wart this engine fixes by design), so k survivors are
+    always k. Knowledge items carry no pre-stored vectors; both sides
+    embed content with the deterministic X8 hash embedder, exactly the
+    reference's fallback-encoder behavior for not-yet-embedded rows.
+
+    Returns (doc_id, item_type, score, text) ordered by score desc.
+    """
+    from memfuse_spark.functions.vector import hash_embedding
+
+    fsk = first_stage_k or 2 * k
+    allowed = corpus.filter(F.col("item_type").isin(list(include_types)))
+    emb = allowed.select(
+        "doc_id", hash_embedding("text", dim).alias("embedding")
+    )
+    vec = tag_store(
+        similarity_topk(emb, qvec, fsk, id_col="doc_id"), "vector"
+    )
+    kw = tag_store(bm25_topk(allowed, query_text, fsk), "keyword")
+    fused = rrf_fusion(
+        union_results(vec, kw),
+        weights=weights or {"vector": 0.5, "keyword": 0.2},
+        rrf_k=rrf_k,
+    )
+    # broadcast the <=2*fsk-row fused result into the corpus-sized
+    # lookup — never the reverse
+    hydrated = allowed.select("doc_id", "item_type", "text").join(
+        F.broadcast(fused), "doc_id"
+    )
+    return (
+        hydrated.select("doc_id", "item_type", "score", "text")
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
     )

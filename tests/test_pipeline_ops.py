@@ -428,3 +428,41 @@ def test_driver_window_and_registry_consistency():
     assert not missing_window, missing_window
     missing_any = [n for n in qs if n not in osql]
     assert not missing_any, missing_any
+
+
+def test_include_knowledge_flags_filter_before_topk(spark):
+    """F3 include flags (reference include_knowledge,
+    vector_store/base.py:477-490): excluding a type removes its items
+    from BOTH retrieval branches BEFORE top-k, so the result still has
+    k rows (the reference post-filters after top_k and can return < k —
+    the SURVEY §4 wart this engine fixes)."""
+    import __spark_entry__ as m
+    from memfuse_spark.functions.vector import py_hash_embedding
+    from memfuse_spark.plans.pipeline import hybrid_retrieval_with_flags
+
+    docs = m._tables(spark, SF_DIR, "documents")[0]
+    corpus = m._typed_corpus_with_knowledge(docs)
+    qvec = py_hash_embedding(m.QUERY_TEXT, m.KNOWLEDGE_EMBED_DIM)
+    kwargs = dict(
+        k=10, first_stage_k=30, weights=m.HYBRID_WEIGHTS, rrf_k=m.RRF_K,
+        dim=m.KNOWLEDGE_EMBED_DIM,
+    )
+    both = hybrid_retrieval_with_flags(
+        corpus, m.QUERY_TEXT, qvec,
+        include_types=("chunk", "knowledge"), **kwargs,
+    ).collect()
+    no_knowledge = hybrid_retrieval_with_flags(
+        corpus, m.QUERY_TEXT, qvec, include_types=("chunk",), **kwargs,
+    ).collect()
+    # knowledge items compete when included (ids offset into the
+    # knowledge range exist in the corpus and CAN surface)…
+    assert {r.item_type for r in both} <= {"chunk", "knowledge"}
+    # …and are fully absent when excluded, with NO row-count loss
+    assert all(r.item_type == "chunk" for r in no_knowledge)
+    assert len(no_knowledge) == 10
+    assert all(r.doc_id < m.KNOWLEDGE_ID_OFFSET for r in no_knowledge)
+    # knowledge twins of chunk docs outrank or tie their originals on
+    # the keyword branch only through real scoring — sanity: scores are
+    # monotone non-increasing in rank order
+    scores = [r.score for r in no_knowledge]
+    assert scores == sorted(scores, reverse=True)
