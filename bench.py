@@ -223,6 +223,13 @@ def main() -> None:
     # query
     entrymod._postings_index(spark, sf_dir)
     entrymod._graph_edges(spark, sf_dir)
+    # served-index side tables (norms + FastSS variants) and the
+    # incremental-dedup base state (assignment + LSH signatures) are
+    # likewise ingest-time artifacts — built once, so the timed slots
+    # measure the per-query serve/merge cost, not a rebuild the system
+    # already paid for (r4 VERDICT items 7-9)
+    entrymod._postings_index_v2(spark, sf_dir)
+    entrymod._dup_base(spark, sf_dir)
 
     timings: dict[str, float] = {}
     for name in HEADLINE + EXTRA + MODEL_TIER:

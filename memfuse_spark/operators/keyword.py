@@ -1210,6 +1210,15 @@ def compact_postings_index_v2(
 
     spark.sql(f"DROP TABLE {name}")
     spark.sql(f"ALTER TABLE {tmp} RENAME TO {name}")
+    # self-heal the served side tables (norms / FastSS variants) if the
+    # index carries them: they are exact-as-of-last-compaction artifacts
+    # (incremental updates leave them stale by design — O(batch) appends
+    # cannot rewrite corpus-sized tables), so compaction is where they
+    # re-sync with the postings
+    if spark.catalog.tableExists(f"{name}_norms"):
+        build_norms_index_v2(spark, name, num_buckets, path)
+    if spark.catalog.tableExists(f"{name}_delvar"):
+        build_spellfix_index_v2(spark, name, path)
     if old_loc is not None:
         # reclaim the superseded segment files (local FS here; a real
         # deployment reclaims via the table format's vacuum)
@@ -1461,4 +1470,247 @@ def bm25_batch_topk_from_index(
         scored.withColumn("__r", F.row_number().over(w))
         .filter(F.col("__r") <= k)
         .drop("__r")
+    )
+
+
+# ---------------------------------------------------------------------------
+# served-index artifacts: per-doc norms + FastSS deletion-variant vocabulary
+# ---------------------------------------------------------------------------
+
+
+def build_norms_index_v2(
+    spark, name: str, num_buckets: int = 16, path: str | None = None
+) -> None:
+    """Materialize per-doc TF-IDF norms as an INDEX-TIME side table
+    ``{name}_norms`` (doc_id, dl, nrm) of a v2 postings index — the
+    artifact :func:`more_like_this_from_index` reads instead of
+    re-aggregating the whole weighted-postings table per query.
+
+    w = (tf/dl) · ln((N+1)/(df+1)); nrm = sqrt(Σ_t w²) per document.
+
+    Bucketed by doc_id so the query-time dots⋈norms join never
+    shuffles the corpus-sized norms side. Norms depend on corpus-global
+    df/N, so they are EXACT as of the last build/compaction:
+    :func:`update_postings_index_v2` leaves them stale (the standard
+    IR-index convention — a batch append cannot rewrite a corpus-sized
+    artifact and stay O(batch)); :func:`compact_postings_index_v2`
+    self-heals them, asserted by the lifecycle test."""
+    postings = spark.table(name)
+    dfs = spark.table(f"{name}_df")
+    stats = spark.table(f"{name}_stats")
+    w = (F.col("tf") / F.col("dl")) * F.log(
+        (F.col("n_docs") + 1.0) / (F.col("df") + 1.0)
+    )
+    norms = (
+        postings.join(dfs, "term")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(F.sqrt(F.sum(w * w)).alias("nrm"))
+    )
+    spark.sql(f"DROP TABLE IF EXISTS {name}_norms")
+    writer = norms.write.mode("overwrite").format("parquet")
+    if path is not None:
+        writer = writer.option("path", f"{path}/{name}_norms")
+    writer.bucketBy(num_buckets, "doc_id").sortBy("doc_id").saveAsTable(
+        f"{name}_norms"
+    )
+
+
+def more_like_this_from_index(
+    spark,
+    name: str,
+    anchor_id: int,
+    k: int,
+    score_decimals: int = 6,
+) -> DataFrame:
+    """:func:`more_like_this` against a prebuilt v2 index with a
+    ``{name}_norms`` side table (build_norms_index_v2) — the served
+    shape: per-doc norms are a SCAN, not a per-query re-aggregation of
+    the whole corpus, and candidate postings are bucket-pruned to the
+    anchor's terms.
+
+    Plan: (1) point-lookup the anchor's term list (≤ one document's
+    terms on the driver — the same bounded two-job shape as RM3);
+    (2) one isin-pruned postings scan over those terms, broadcast df
+    rows, JVM-side weights; (3) dot products grouped by doc_id;
+    (4) join the STORED norms table (doc_id-bucketed — no shuffle of
+    the corpus side). Per-query cost is O(anchor terms × their posting
+    lists), with the only corpus-sized aggregation paid at index time."""
+    result = more_like_this_plan(spark, name, anchor_id, k, score_decimals)
+    rows = result.collect()  # ≤ k rows
+    return spark.createDataFrame(rows, schema=result.schema)
+
+
+def more_like_this_plan(
+    spark,
+    name: str,
+    anchor_id: int,
+    k: int,
+    score_decimals: int = 6,
+) -> DataFrame:
+    """The LAZY plan behind :func:`more_like_this_from_index` (exposed
+    so the plan-shape test can assert the norms subtree is a table
+    scan, not a re-aggregation)."""
+    postings = spark.table(name)
+    terms = sorted(
+        {
+            r.term
+            for r in postings.filter(F.col("doc_id") == anchor_id)
+            .select("term")
+            .collect()  # ≤ one document's distinct terms
+        }
+    )
+    norms = spark.table(f"{name}_norms")
+    if not terms:
+        return spark.createDataFrame([], "doc_id long, score double")
+    dfs = spark.table(f"{name}_df").filter(F.col("term").isin(terms))
+    stats = spark.table(f"{name}_stats")
+    w_expr = (F.col("tf") / F.col("dl")) * F.log(
+        (F.col("n_docs") + 1.0) / (F.col("df") + 1.0)
+    )
+    cand = (
+        postings.filter(F.col("term").isin(terms))
+        .join(F.broadcast(dfs), "term")
+        .crossJoin(F.broadcast(stats))
+    )
+    anchor = cand.filter(F.col("doc_id") == anchor_id).select(
+        "term", w_expr.alias("wa")
+    )
+    dots = (
+        cand.filter(F.col("doc_id") != anchor_id)
+        .select("doc_id", "term", w_expr.alias("w"))
+        .join(F.broadcast(anchor), "term")
+        .groupBy("doc_id")
+        .agg(F.sum(F.col("w") * F.col("wa")).alias("dot"))
+    )
+    anorm = norms.filter(F.col("doc_id") == anchor_id).select(
+        F.col("nrm").alias("anrm")
+    )
+    result = (
+        dots.join(norms, "doc_id")
+        .crossJoin(F.broadcast(anorm))
+        .select(
+            "doc_id",
+            F.round(
+                F.col("dot") / (F.col("nrm") * F.col("anrm")), score_decimals
+            ).alias("score"),
+        )
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+    )
+    return result
+
+
+def _deletion_variants(tok: str) -> list[str]:
+    """U2(tok) = {tok} ∪ del1(tok) ∪ del2(tok) — driver-side twin of
+    the index-side FastSS variant generator (few query terms only)."""
+    out = {tok}
+    n = len(tok)
+    for i in range(n):
+        out.add(tok[:i] + tok[i + 1:])
+    for i in range(n - 1):
+        for j in range(i + 1, n):
+            out.add(tok[:i] + tok[i + 1:j] + tok[j + 1:])
+    return sorted(out)
+
+
+def build_spellfix_index_v2(spark, name: str, path: str | None = None) -> None:
+    """Materialize the FastSS (Bocek et al. '07) deletion-variant
+    vocabulary index ``{name}_delvar`` (variant, term, freq) from a v2
+    postings table — the served replacement for spellfix_topk's
+    per-query full-vocabulary levenshtein scan. Same k=2 blocking as
+    textanalysis.typo_pairs: dist(a,b) ≤ 2 ⟹ U2(a) ∩ U2(b) ≠ ∅, so a
+    query-time EQUI-join on the variant key yields a candidate superset
+    verified with levenshtein on candidate-count rows only.
+
+    Full vocabulary (no length/frequency floor — correction must reach
+    every term spellfix_topk can reach); fan-out is O(len²) variants
+    per term, constant per token. freq (corpus tf sum, the tie-break
+    key) is denormalized onto the variant rows; like the norms table
+    it is exact as of the last build/compaction."""
+    vocab = spark.table(name).groupBy("term").agg(F.sum("tf").alias("freq"))
+    del1 = (
+        "transform(sequence(1, length(term)), "
+        "i -> concat(substring(term, 1, i - 1), "
+        "substring(term, i + 1, length(term))))"
+    )
+    # guard: sequence() DESCENDS when start > stop, so the del2 outer
+    # sequence over 1..len-1 must not run for single-char terms
+    del2 = (
+        "if(length(term) >= 2, "
+        "flatten(transform(sequence(1, length(term) - 1), "
+        "i -> transform(sequence(i + 1, length(term)), "
+        "j -> concat(substring(term, 1, i - 1), "
+        "substring(term, i + 1, j - i - 1), "
+        "substring(term, j + 1, length(term)))))), "
+        "array())"
+    )
+    delvar = vocab.select(
+        "term",
+        "freq",
+        F.explode(
+            F.array_union(
+                F.array(F.col("term")),
+                F.array_union(F.expr(del1), F.expr(del2)),
+            )
+        ).alias("variant"),
+    )
+    spark.sql(f"DROP TABLE IF EXISTS {name}_delvar")
+    writer = delvar.write.mode("overwrite").format("parquet")
+    if path is not None:
+        writer = writer.option("path", f"{path}/{name}_delvar")
+    writer.saveAsTable(f"{name}_delvar")
+
+
+def spellfix_topk_from_index(
+    spark,
+    name: str,
+    query: str,
+    k: int,
+    max_dist: int = SPELLFIX_MAX_DIST,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+    score_decimals: int = 6,
+) -> DataFrame:
+    """:func:`spellfix_topk` against a prebuilt v2 index with a
+    ``{name}_delvar`` FastSS side table (build_spellfix_index_v2) —
+    the served shape the ad-hoc docstring promises: correction
+    candidates come from an index EQUI-join on the deletion-variant
+    key (the query's U2 set, a few dozen broadcast rows), never a
+    full-vocabulary levenshtein scan; then BM25 serves from the same
+    index. Output is identical to spellfix_topk by the FastSS
+    completeness bound (requires max_dist ≤ 2, asserted)."""
+    from pyspark.sql import Window
+
+    if max_dist > 2:
+        raise ValueError(
+            f"FastSS k=2 index only covers edit distance <= 2, got {max_dist}"
+        )
+    q_terms = sorted({t for t in _py_tokenize(query)})
+    if not q_terms:
+        return bm25_topk_from_index_v2(spark, name, "", k, k1, b, score_decimals)
+    qvar = [(t, v) for t in q_terms for v in _deletion_variants(t)]
+    qdf = spark.createDataFrame(qvar, "qterm string, variant string")
+    cand = (
+        spark.table(f"{name}_delvar")
+        .join(F.broadcast(qdf), "variant")
+        .select("qterm", "term", "freq")
+        .distinct()
+        .withColumn("dist", F.levenshtein("qterm", "term"))
+        .filter(F.col("dist") <= max_dist)
+    )
+    w = Window.partitionBy("qterm").orderBy(
+        F.asc("dist"), F.desc("freq"), F.asc("term")
+    )
+    corrected = sorted(
+        {
+            r.term
+            for r in cand.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("term")
+            .collect()  # ≤ |query terms| rows
+        }
+    )
+    return bm25_topk_from_index_v2(
+        spark, name, " ".join(corrected), k, k1, b, score_decimals
     )

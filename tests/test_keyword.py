@@ -485,3 +485,164 @@ def test_more_like_this_prefers_term_overlap(spark):
     assert ids[0] == 1                      # rare-term overlap wins
     assert 3 not in ids                     # zero shared terms absent
     assert all(0.0 < r.score <= 1.0 + 1e-9 for r in got)
+
+
+def test_more_like_this_index_matches_adhoc(spark, tmp_path):
+    """Index-served MLT (stored norms table) must equal the ad-hoc
+    per-query recompute — the 'hash unchanged' contract of the served
+    rewrite."""
+    from memfuse_spark.operators.keyword import (
+        build_norms_index_v2,
+        build_postings_index_v2,
+        more_like_this,
+        more_like_this_from_index,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (0, "spark shuffles data between stages"),
+            (1, "a table scan reads parquet row groups"),
+            (2, "the query planner reorders joins"),
+            (3, "spark query execution uses whole stage codegen"),
+            (4, "spark shuffles and spark scans tables"),
+            (5, "row groups and stages and joins"),
+        ],
+        "doc_id bigint, text string",
+    )
+    build_postings_index_v2(spark, docs, "t_mlt", path=str(tmp_path / "wh"))
+    build_norms_index_v2(spark, "t_mlt", path=str(tmp_path / "wh"))
+    adhoc = [(r.doc_id, r.score) for r in more_like_this(docs, 0, 5).collect()]
+    served = [
+        (r.doc_id, r.score)
+        for r in more_like_this_from_index(spark, "t_mlt", 0, 5).collect()
+    ]
+    assert adhoc == served and len(adhoc) > 0
+
+
+def test_more_like_this_index_plan_norms_are_a_scan(spark, tmp_path):
+    """The norms subtree must be a FileScan of {name}_norms — ONE
+    aggregation in the whole plan (the dot products), no per-query
+    re-derivation of corpus-sized norms (which would add a second
+    corpus-wide HashAggregate)."""
+    from memfuse_spark.operators.keyword import (
+        build_norms_index_v2,
+        build_postings_index_v2,
+        more_like_this_plan,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"term{i % 3} shared word spark scan row{i}") for i in range(8)],
+        "doc_id bigint, text string",
+    )
+    build_postings_index_v2(spark, docs, "t_mltp", path=str(tmp_path / "wh"))
+    build_norms_index_v2(spark, "t_mltp", path=str(tmp_path / "wh"))
+    plan = (
+        more_like_this_plan(spark, "t_mltp", 0, 5)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "t_mltp_norms" in plan
+    # the dots aggregation is the ONLY aggregate: partial+final = 2
+    # HashAggregate nodes; a norms recompute would add 2 more
+    assert plan.count("HashAggregate") <= 2
+    assert "documents" not in plan
+
+
+def test_spellfix_index_matches_adhoc(spark, tmp_path):
+    """FastSS-indexed spellfix must equal the full-vocabulary-scan
+    spellfix (k=2 deletion-neighborhood completeness)."""
+    from memfuse_spark.operators.keyword import (
+        build_postings_index_v2,
+        build_spellfix_index_v2,
+        spellfix_topk,
+        spellfix_topk_from_index,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (0, "spark shuffles data between stages"),
+            (1, "a table scan reads parquet row groups"),
+            (2, "the query planner reorders joins"),
+            (3, "spark query execution uses whole stage codegen"),
+            (4, "scan scan scan query q"),
+        ],
+        "doc_id bigint, text string",
+    )
+    build_postings_index_v2(spark, docs, "t_sfx", path=str(tmp_path / "wh"))
+    build_spellfix_index_v2(spark, "t_sfx", path=str(tmp_path / "wh"))
+    typo_q = "sparc tabel scann queyr z"
+    adhoc = [(r.doc_id, r.score) for r in spellfix_topk(docs, typo_q, 5).collect()]
+    served = [
+        (r.doc_id, r.score)
+        for r in spellfix_topk_from_index(spark, "t_sfx", typo_q, 5).collect()
+    ]
+    assert adhoc == served and len(adhoc) > 0
+    # single-char vocab terms must not break the del2 variant guard
+    # and must remain reachable (dist("z","q")=1 via the "" variant)
+
+
+def test_spellfix_index_rejects_out_of_bound_distance(spark, tmp_path):
+    import pytest as _pytest
+
+    from memfuse_spark.operators.keyword import spellfix_topk_from_index
+
+    with _pytest.raises(ValueError):
+        spellfix_topk_from_index(spark, "whatever", "q", 5, max_dist=3)
+
+
+def test_compaction_refreshes_norms_and_delvar(spark, tmp_path):
+    """norms/delvar are exact-as-of-last-compaction artifacts: an
+    incremental update leaves them stale (O(batch) contract), and
+    compact_postings_index_v2 self-heals BOTH to match a from-scratch
+    rebuild over the full corpus."""
+    from memfuse_spark.operators.keyword import (
+        build_norms_index_v2,
+        build_postings_index_v2,
+        build_spellfix_index_v2,
+        compact_postings_index_v2,
+        update_postings_index_v2,
+    )
+
+    base = spark.createDataFrame(
+        [(0, "spark table scan"), (1, "query planner joins")],
+        "doc_id bigint, text string",
+    )
+    delta = spark.createDataFrame(
+        [(2, "spark spark codegen"), (3, "zephyr token appears")],
+        "doc_id bigint, text string",
+    )
+    wh = str(tmp_path / "wh")
+    build_postings_index_v2(spark, base, "t_cmp", path=wh)
+    build_norms_index_v2(spark, "t_cmp", path=wh)
+    build_spellfix_index_v2(spark, "t_cmp", path=wh)
+    update_postings_index_v2(spark, "t_cmp", delta, path=wh)
+    compact_postings_index_v2(spark, "t_cmp", path=wh)
+
+    # reference: rebuild from the full corpus in fresh tables
+    full = base.unionByName(delta)
+    build_postings_index_v2(spark, full, "t_ref", path=wh)
+    build_norms_index_v2(spark, "t_ref", path=wh)
+    build_spellfix_index_v2(spark, "t_ref", path=wh)
+
+    got_norms = {
+        (r.doc_id, round(r.nrm, 9))
+        for r in spark.table("t_cmp_norms").collect()
+    }
+    want_norms = {
+        (r.doc_id, round(r.nrm, 9))
+        for r in spark.table("t_ref_norms").collect()
+    }
+    assert got_norms == want_norms and len(got_norms) == 4
+
+    got_var = {
+        (r.variant, r.term, r.freq)
+        for r in spark.table("t_cmp_delvar").collect()
+    }
+    want_var = {
+        (r.variant, r.term, r.freq)
+        for r in spark.table("t_ref_delvar").collect()
+    }
+    assert got_var == want_var
+    # the post-compaction variants must include the delta-only term
+    assert any(t == "zephyr" for _, t, _ in got_var)
