@@ -2211,6 +2211,52 @@ def q_contextual_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("chunk_id")
 
 
+def q_api_key_scope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Control-plane auth (reference api_keys table, database/
+    sqlite.py:140-151): set-based validate_api_key — expiry check as of
+    a fixed instant + permission-CSV gate (database/base.py:1071-1092)
+    — then each surviving key scoped to its user's visible activity.
+    Key table derived deterministically from the event-log users (the
+    testdata has no control-plane tables); validation is a scan-side
+    filter, the rollup one map-side-combined aggregation."""
+    from memfuse_spark.operators import authz
+
+    (events,) = _tables(spark, sf_dir, "events")
+    return authz.scoped_activity(authz.api_keys_fixture(events), events)
+
+
+def q_m6_contextual_enhancer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M6 LLM-mode seam end-to-end under the driver gate: a
+    deterministic stand-in paraphraser (CTXSUM(len(context)): content)
+    injected via contextual_enhance(enhancer=) — the Arrow-batched
+    mapInPandas path a real LLM would ride (reference rag/chunk/
+    contextual.py:30-67 prompts with exactly this context/content
+    pair) — hash-compared against a DuckDB twin replaying the same
+    rule over the same previous-2 window assembly."""
+    from memfuse_spark.operators import hierarchy as h
+    from memfuse_spark.operators.chunking import contextual_enhance
+
+    (events,) = _tables(spark, sf_dir, "events")
+    m1 = h.m1_from_m0(h.m0_from_events(events))
+
+    def ctxsum_enhancer(contexts, contents):
+        return [
+            f"CTXSUM({len(ctx)}): {content}"
+            for ctx, content in zip(contexts, contents)
+        ]
+
+    out = contextual_enhance(
+        m1, "conversation_id", "batch_id", "content", enhancer=ctxsum_enhancer
+    )
+    return out.select(
+        "chunk_id",
+        "conversation_id",
+        "batch_id",
+        F.length("context").cast("long").alias("context_len"),
+        "enhanced_content",
+    ).orderBy("chunk_id")
+
+
 def q_fixed_char_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C2 fixed-window character chunking (size 200, overlap 20)."""
     from memfuse_spark.operators.chunking import fixed_char_chunks
@@ -3921,6 +3967,8 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "read_your_writes": q_read_your_writes,
         "round_buffer_batch": q_round_buffer_batch,
         "contextual_chunks": q_contextual_chunks,
+        "m6_contextual_enhancer": q_m6_contextual_enhancer,
+        "api_key_scope": q_api_key_scope,
         "fixed_char_chunks": q_fixed_char_chunks,
         "events_window_agg": q_events_window_agg,
         "asof_join": q_asof_join,
@@ -5628,6 +5676,8 @@ LIMIT {TOP_K}
             QUALITY_KEEP_THRESHOLD
         ),
         "contextual_chunks": oracles.contextual_chunks_sql(),
+        "m6_contextual_enhancer": oracles.m6_enhancer_sql(),
+        "api_key_scope": oracles.api_key_scope_sql(),
         "graph_weighted_2hop": oracles.graph_weighted_2hop_sql(
             KNN_ANCHOR_ID, _SIM_T, "SIMILAR_TO", GRAPH_MIN_WEIGHT
         ),

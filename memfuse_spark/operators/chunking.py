@@ -139,12 +139,21 @@ def contextual_enhance(
     content_col: str = "content",
     n_prev: int = 2,
     sep: str = "\n---\n",
+    enhancer=None,
 ) -> DataFrame:
-    """M6 (deterministic part): prepend the previous `n_prev` chunks of
-    the same group as a context window (reference rag/chunk/
-    contextual.py:30-67 assembles exactly this window before the LLM
-    call; the LLM paraphrase itself is skipped in deterministic mode,
-    SURVEY §7).
+    """M6: prepend the previous `n_prev` chunks of the same group as a
+    context window (reference rag/chunk/contextual.py:30-67 assembles
+    exactly this window before the LLM call).
+
+    ``enhancer=`` is the M6 LLM-mode plug point, mirroring
+    ``m1_from_m0(former=)`` / ``m2_facts_from_m1(extractor=)``: a
+    callable ``(contexts, contents) -> enhanced_contents`` — given the
+    assembled context window and the chunk content per row, return the
+    LLM-paraphrased enhanced content — run as an Arrow-batched
+    mapInPandas AFTER the deterministic window assembly (the reference
+    calls the LLM with exactly this prompt pair). The default (None)
+    keeps the deterministic [CTX]/[CHUNK] concatenation — the
+    oracle-checked tier.
 
     One window (lag) per previous chunk over the existing group
     partitioning — a single shuffle on the group key; no self-join.
@@ -154,6 +163,27 @@ def contextual_enhance(
     w = Window.partitionBy(group_col).orderBy(order_col)
     prevs = [F.lag(content_col, i).over(w) for i in range(n_prev, 0, -1)]
     ctx = F.concat_ws(sep, *prevs)  # concat_ws drops NULL lags
+    if enhancer is not None:
+        from pyspark.sql.types import StringType, StructField, StructType
+
+        staged = chunks.withColumn("context", ctx)
+        schema = StructType(
+            list(staged.schema.fields)
+            + [StructField("enhanced_content", StringType())]
+        )
+
+        def enhance(batches):
+            for pdf in batches:
+                out = pdf.copy()
+                out["enhanced_content"] = [
+                    str(x)
+                    for x in enhancer(
+                        list(pdf["context"]), list(pdf[content_col])
+                    )
+                ]
+                yield out
+
+        return staged.mapInPandas(enhance, schema)
     enhanced = F.when(
         ctx != F.lit(""),
         F.concat(F.lit("[CTX]\n"), ctx, F.lit("\n[CHUNK]\n"), F.col(content_col)),

@@ -619,6 +619,33 @@ FROM ctx ORDER BY chunk_id
     )
 
 
+def m6_enhancer_sql(
+    batch_size: int = 5, dim: int = 16, n_prev: int = 2
+) -> str:
+    """M6 LLM-mode seam twin: same previous-n window assembly, then the
+    deterministic stand-in enhancer rule CTXSUM(len(context)): content
+    replayed in SQL."""
+    lags = ",\n           ".join(
+        f"lag(content, {i}) OVER (PARTITION BY conversation_id ORDER BY batch_id)"
+        for i in range(n_prev, 0, -1)
+    )
+    return (
+        f"WITH {M0_CTE.strip()},{_m1_cte(batch_size, dim)},"
+        + f"""
+ctx AS (
+  SELECT chunk_id, conversation_id, batch_id, content,
+         concat_ws(e'\\n---\\n',
+           {lags}) AS context
+  FROM m1
+)
+SELECT chunk_id, conversation_id, batch_id,
+       CAST(len(context) AS BIGINT) AS context_len,
+       'CTXSUM(' || len(context) || '): ' || content AS enhanced_content
+FROM ctx ORDER BY chunk_id
+"""
+    )
+
+
 def unigram_logprob_sql() -> str:
     return f"""
 WITH {TOKS_CTE.strip()},
@@ -1956,3 +1983,52 @@ JOIN shingles gb ON gb.doc_id = doc_b
 ORDER BY doc_a, doc_b
 """
     )
+
+
+def api_key_scope_sql(
+    as_of: str = "2024-01-10",
+    permission: str = "read",
+    epoch: str = "2024-01-01",
+    keys_per_user: int = 2,
+    expiry_mod: int = 20,
+) -> str:
+    """Control-plane auth twin (reference database/base.py:1071-1092
+    validate_api_key + sqlite.py:140-151 schema): replay the
+    deterministic api_keys fixture, the expiry/permission validation,
+    and the per-key scoped activity rollup."""
+    return f"""
+WITH users AS (SELECT DISTINCT user_id FROM events),
+keys AS (
+  SELECT user_id, u.k
+  FROM users, unnest([{", ".join(str(i) for i in range(keys_per_user))}]) AS u(k)
+),
+api_keys AS (
+  SELECT user_id * {keys_per_user} + k AS key_id,
+         user_id,
+         'key-' || CAST(k AS VARCHAR) AS name,
+         (['read', 'read,write', 'write'])[CAST((user_id + k) % 3 AS INTEGER) + 1]
+           AS permissions,
+         CASE WHEN k = 0 THEN NULL
+              ELSE DATE '{epoch}' + CAST(user_id % {expiry_mod} AS INTEGER)
+         END AS expires_at
+  FROM keys
+),
+active AS (
+  SELECT * FROM api_keys
+  WHERE (expires_at IS NULL OR expires_at >= DATE '{as_of}')
+    AND list_contains(string_split(permissions, ','), '{permission}')
+),
+rollup AS (
+  SELECT user_id,
+         CAST(count(*) AS BIGINT) AS n_events,
+         CAST(count(DISTINCT event_type) AS BIGINT) AS n_event_types,
+         max(ts) AS last_ts
+  FROM events GROUP BY user_id
+)
+SELECT a.key_id, a.user_id, a.name, a.permissions,
+       CAST(coalesce(r.n_events, 0) AS BIGINT) AS n_events,
+       CAST(coalesce(r.n_event_types, 0) AS BIGINT) AS n_event_types,
+       r.last_ts
+FROM active a LEFT JOIN rollup r USING (user_id)
+ORDER BY key_id
+"""

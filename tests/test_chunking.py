@@ -100,3 +100,43 @@ def test_sentence_chunks_groups_and_remainder(spark):
     assert rows[(2, 0)].n_sentences == 1
     # sentence content survives grouping: total chars bounded by input
     assert sum(rows[(1, i)].chunk_len for i in range(3)) <= len(text)
+
+
+def test_contextual_enhance_enhancer_seam_injects_llm_mode(spark):
+    """The enhancer= plug point (reference M6 LLM paraphrase path,
+    rag/chunk/contextual.py:30-67): a fake paraphraser runs
+    Arrow-batched over the (context, content) pairs AFTER the
+    deterministic window assembly, its output REPLACES the
+    [CTX]/[CHUNK] concatenation, and the default path is unchanged."""
+    chunks = spark.createDataFrame(
+        [
+            ("c1", 0, "alpha"),
+            ("c1", 1, "bravo"),
+            ("c1", 2, "charlie"),
+            ("c2", 0, "delta"),
+        ],
+        "conversation_id string, batch_id int, content string",
+    )
+
+    def fake_llm(contexts, contents):
+        return [f"para<{ctx}|{c}>" for ctx, c in zip(contexts, contents)]
+
+    got = {
+        (r.conversation_id, r.batch_id): r
+        for r in ch.contextual_enhance(chunks, enhancer=fake_llm).collect()
+    }
+    rule = {
+        (r.conversation_id, r.batch_id): r
+        for r in ch.contextual_enhance(chunks).collect()
+    }
+    assert got.keys() == rule.keys()
+    # context assembly identical between modes; enhanced content swapped
+    for k, r in got.items():
+        assert r.context == rule[k].context
+        assert r.enhanced_content == f"para<{r.context}|{r.content}>"
+    # window semantics: batch 2 of c1 sees the previous TWO chunks
+    assert got[("c1", 2)].context == "alpha\n---\nbravo"
+    assert got[("c2", 0)].context == ""
+    # default deterministic tier untouched by the new parameter
+    assert rule[("c1", 2)].enhanced_content.startswith("[CTX]\n")
+    assert rule[("c2", 0)].enhanced_content == "delta"
