@@ -2926,6 +2926,80 @@ def q_item_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+COOC_KCORE_WMIN = 2  # edge = pair co-ordered by >= 2 customers
+COOC_KCORE_K = 3
+
+
+def _cooc_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Thresholded item co-occurrence graph: the capped bipartite
+    projection of q_item_cooccurrence (same md5 reservoir cap), kept
+    as edges where >= COOC_KCORE_WMIN customers co-ordered the pair."""
+    from memfuse_spark.operators.sampling import reservoir_per_group
+
+    orders, li = _tables(spark, sf_dir, "orders", "lineitem")
+    ui = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .select(
+            F.col("o_custkey").alias("u"), F.col("l_partkey").alias("item")
+        )
+        .distinct()
+    )
+    ui = reservoir_per_group(
+        ui, COOC_BASKET_CAP, group_col="u", id_col="item", salt="coocap"
+    )
+    a = ui.select("u", F.col("item").alias("item_a"))
+    b = ui.select("u", F.col("item").alias("item_b"))
+    return (
+        a.join(b, "u")
+        .filter(F.col("item_a") < F.col("item_b"))
+        .groupBy("item_a", "item_b")
+        .agg(F.count("*").alias("n_users"))
+        .filter(F.col("n_users") >= COOC_KCORE_WMIN)
+        .select(F.col("item_a").alias("src"), F.col("item_b").alias("dst"))
+    )
+
+
+def q_cooc_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense-core extraction of the item co-occurrence graph (ROADMAP
+    r5 candidate): k-core peeling over the thresholded "customers also
+    bought" projection — the stable frequently-bought-together
+    community that survives after pruning incidental pairings (the
+    recsys sibling of the interaction-graph k-core). Same capped
+    projection as item_cooccurrence (whale baskets bounded BEFORE the
+    self-join), then the fixed-round peeling of graph.kcore_nodes.
+    Note: the synthetic uniform TPC-H co-ordering is near-REGULAR, so
+    its core structure is all-or-nothing (any k above the threshold
+    unravels the whole graph — measured at sf0.01: k=3 keeps all
+    nodes, k=8 on the wmin=4 projection keeps none); the peeling and
+    its oracle are fully exercised either way, and on real power-law
+    baskets the same query prunes the incidental tail."""
+    from memfuse_spark.operators.graph import kcore_nodes
+
+    return kcore_nodes(_cooc_edges(spark, sf_dir), k=COOC_KCORE_K, rounds=6)
+
+
+def _cooc_edges_cte() -> str:
+    return f"""ui0 AS (
+  SELECT DISTINCT o_custkey AS u, l_partkey AS item
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+),
+ui AS (
+  SELECT u, item FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY u
+      ORDER BY md5('coocap' || CAST(item AS VARCHAR)), item
+    ) AS __rk
+    FROM ui0
+  ) WHERE __rk <= {COOC_BASKET_CAP}
+),
+edges AS (
+  SELECT a.item AS src, b.item AS dst
+  FROM ui a JOIN ui b ON a.u = b.u AND a.item < b.item
+  GROUP BY src, dst
+  HAVING count(*) >= {COOC_KCORE_WMIN}
+)"""
+
+
 def q_dau_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Daily active users decomposed into new vs returning (growth
     accounting over the event stream)."""
@@ -3133,28 +3207,14 @@ def q_late_interaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     return late_interaction_topk(docs, qtoks, TOP_K)
 
 
-_POSTINGS_IDX_V2: dict[tuple[int, str], str] = {}
-
-
 def q_bm25_v2_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BM25 against the incrementally-maintainable v2 index (postings
     without embedded df + keyed-add df table + recombinable stats);
-    same scores as the v1 path by construction."""
-    import hashlib
-    import tempfile
-
-    key = (id(spark.sparkContext), sf_dir)
-    if key not in _POSTINGS_IDX_V2:
-        tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-        name = f"mfs_postings2_{tag}"
-        (docs,) = _tables(spark, sf_dir, "documents")
-        kw_ops.build_postings_index_v2(
-            spark, docs, name,
-            path=os.path.join(tempfile.gettempdir(), "memfuse_idx_v2"),
-        )
-        _POSTINGS_IDX_V2[key] = name
+    same scores as the v1 path by construction. Shares the
+    _postings_index_v2 served-index fixture (one build per session+sf
+    across BM25 / more-like-this / spellfix)."""
     return kw_ops.bm25_topk_from_index_v2(
-        spark, _POSTINGS_IDX_V2[key], QUERY_TEXT, TOP_K
+        spark, _postings_index_v2(spark, sf_dir), QUERY_TEXT, TOP_K
     )
 
 
@@ -4014,6 +4074,7 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dau_growth": q_dau_growth,
         "ewma_smooth": q_ewma_smooth,
         "item_cooccurrence": q_item_cooccurrence,
+        "cooc_kcore": q_cooc_kcore,
         "doc_keyterms": q_doc_keyterms,
         "search_highlights": q_search_highlights,
         # --- rows on
@@ -5837,6 +5898,9 @@ ORDER BY media_id, frame_index
         ),
         "graph_kcore": _graph_mod.kcore_nodes_sql(
             oracles.edges_cte(_SIM_T), 3, 6
+        ),
+        "cooc_kcore": _graph_mod.kcore_nodes_sql(
+            _cooc_edges_cte(), COOC_KCORE_K, 6
         ),
         "event_funnel": _temporal.funnel_counts_sql(),
         "user_retention": _temporal.user_retention_sql(),

@@ -168,6 +168,15 @@ EXTRA = [
     "classifier_eval",
     "dup_clusters_inc",
     "dedup_rate_by_source",
+    # round 5 (driver r5): MSMG, LLM-mode seams, knowledge corpus,
+    # control plane, served-index paths, co-occurrence core
+    "msmg_rollup",
+    "msmg_neighborhood",
+    "m1_episodes_former",
+    "m6_contextual_enhancer",
+    "hybrid_with_knowledge",
+    "api_key_scope",
+    "cooc_kcore",
 ]
 # Real-model-tier twins (deterministic stand-in models, models.py):
 # resolved from q_* functions directly — deliberately NOT queries()

@@ -304,3 +304,65 @@ def test_bq_pack_words_rejects_non_multiple_dim():
 
     with pytest.raises(ValueError, match="not a multiple"):
         bq_pack_words("embedding", dim=70, word_bits=16)
+
+
+def test_mutual_knn_over_kmeans_cells_matches_bruteforce(spark):
+    """ROADMAP r5: mutual-kNN over LEARNED KMeans cells
+    (ivf_kmeans_centroids) instead of label cells. With nprobe =
+    n_cells the probe is exhaustive, so the learned partitioning must
+    not change the reciprocal graph — same brute-force equivalence
+    bar as the label-cell test."""
+    import itertools
+    import math
+
+    from memfuse_spark.operators.ann import (
+        ivf_kmeans_centroids,
+        mutual_knn_pairs,
+    )
+
+    vecs = {
+        0: [1.0, 0.0, 0.0], 1: [0.9, 0.1, 0.0], 2: [0.0, 1.0, 0.0],
+        3: [0.1, 0.9, 0.0], 4: [0.0, 0.0, 1.0], 5: [0.5, 0.5, 0.0],
+        6: [0.6, 0.4, 0.1], 7: [0.0, 0.1, 0.9],
+    }
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in vecs.items()],
+        "vec_id bigint, embedding array<double>",
+    )
+    n_cells = 3
+    _, assigned = ivf_kmeans_centroids(df, n_cells=n_cells)
+    k = 2
+
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        return round(
+            d
+            / (
+                math.sqrt(sum(x * x for x in a))
+                * math.sqrt(sum(y * y for y in b))
+            ),
+            6,
+        )
+
+    knn = {
+        i: [
+            j
+            for j, _ in sorted(
+                ((j, cos(vecs[i], vecs[j])) for j in vecs if j != i),
+                key=lambda t: (-t[1], t[0]),
+            )[:k]
+        ]
+        for i in vecs
+    }
+    want = sorted(
+        (a, b)
+        for a, b in itertools.combinations(sorted(vecs), 2)
+        if b in knn[a] and a in knn[b]
+    )
+    got = [
+        (r.vec_a, r.vec_b)
+        for r in mutual_knn_pairs(
+            assigned, k=k, nprobe=n_cells, cell_col="cell"
+        ).collect()
+    ]
+    assert got == want and len(want) > 0
