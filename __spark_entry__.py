@@ -2926,7 +2926,7 @@ def q_item_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-COOC_KCORE_WMIN = 2  # edge = pair co-ordered by >= 2 customers
+COOC_KCORE_WMIN = 3  # edge = pair co-ordered by >= 3 customers (min support)
 COOC_KCORE_K = 3
 
 
@@ -2967,15 +2967,24 @@ def q_cooc_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     recsys sibling of the interaction-graph k-core). Same capped
     projection as item_cooccurrence (whale baskets bounded BEFORE the
     self-join), then the fixed-round peeling of graph.kcore_nodes.
-    Note: the synthetic uniform TPC-H co-ordering is near-REGULAR, so
-    its core structure is all-or-nothing (any k above the threshold
-    unravels the whole graph — measured at sf0.01: k=3 keeps all
-    nodes, k=8 on the wmin=4 projection keeps none); the peeling and
-    its oracle are fully exercised either way, and on real power-law
-    baskets the same query prunes the incidental tail."""
+    Note: the synthetic uniform TPC-H co-ordering has NO real
+    co-occurrence signal (pair counts are Poisson noise), so the
+    min-support edge filter + core peeling behave all-or-nothing:
+    at sf0.01 the wmin=3 graph is dense (median degree 47) and the
+    3-core keeps ~all items; at sf0.1 only 8k of 12.3M candidate
+    pairs pass support and the core is empty. The projection, support
+    filter, peeling and oracle are fully exercised either way; on
+    real power-law baskets the same query isolates the head."""
     from memfuse_spark.operators.graph import kcore_nodes
 
-    return kcore_nodes(_cooc_edges(spark, sf_dir), k=COOC_KCORE_K, rounds=6)
+    # Materialize the projection ONCE before peeling: kcore_nodes
+    # symmetrizes via union of two references to the edge subtree, and
+    # Spark does no CSE across union branches — an unmaterialized
+    # projection (the cap-window + self-join + aggregation) would run
+    # twice (measured 14.2s -> ~halved at sf0.1). Executor-side
+    # materialization only; nothing lands on the driver.
+    edges = _cooc_edges(spark, sf_dir).localCheckpoint(eager=True)
+    return kcore_nodes(edges, k=COOC_KCORE_K, rounds=6)
 
 
 def _cooc_edges_cte() -> str:
