@@ -296,20 +296,45 @@ def _typed_corpus_with_knowledge(docs: DataFrame) -> DataFrame:
     return chunks.unionByName(knowledge)
 
 
+_KNOW_CORPUS: dict[tuple[int, str], DataFrame] = {}
+
+
+def _knowledge_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The typed chunk ∪ knowledge corpus WITH write-time embeddings,
+    built ONCE per (session, sf): the reference embeds knowledge on
+    insert (database/base.py add_knowledge) and chunks at flush — the
+    read path scans stored vectors, it does not re-encode the corpus
+    per query. Same X8 hash embedder, so results are value-identical
+    to the in-query-embedding path."""
+    from memfuse_spark.functions.vector import hash_embedding
+
+    key = (id(spark.sparkContext), sf_dir)
+    if key not in _KNOW_CORPUS:
+        (docs,) = _tables(spark, sf_dir, "documents")
+        _KNOW_CORPUS[key] = (
+            _typed_corpus_with_knowledge(docs)
+            .withColumn(
+                "embedding", hash_embedding("text", KNOWLEDGE_EMBED_DIM)
+            )
+            .localCheckpoint(eager=True)
+        )
+    return _KNOW_CORPUS[key]
+
+
 def q_hybrid_with_knowledge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The reference's include_knowledge=true read path: hybrid fusion
     over the typed chunk ∪ knowledge corpus with the F3 include flags
     applied BEFORE top-k (reference vector_store/base.py:477-490
     post-filters after top_k and can return < k — the SURVEY §4 wart
-    fixed by design). Knowledge items carry no pre-stored vectors, so
-    both branches embed content with the X8 hash embedder end-to-end."""
+    fixed by design). Vectors come from the write-time-embedded corpus
+    store (_knowledge_corpus); the keyword branch scores the same
+    filtered corpus."""
     from memfuse_spark.functions.vector import py_hash_embedding
     from memfuse_spark.plans.pipeline import hybrid_retrieval_with_flags
 
-    (docs,) = _tables(spark, sf_dir, "documents")
     qvec = py_hash_embedding(QUERY_TEXT, KNOWLEDGE_EMBED_DIM)
     return hybrid_retrieval_with_flags(
-        _typed_corpus_with_knowledge(docs),
+        _knowledge_corpus(spark, sf_dir),
         QUERY_TEXT,
         qvec,
         k=TOP_K,
@@ -318,6 +343,7 @@ def q_hybrid_with_knowledge(spark: SparkSession, sf_dir: str) -> DataFrame:
         weights=HYBRID_WEIGHTS,
         rrf_k=RRF_K,
         dim=KNOWLEDGE_EMBED_DIM,
+        emb_col="embedding",
     )
 
 

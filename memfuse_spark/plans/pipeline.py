@@ -364,6 +364,7 @@ def hybrid_retrieval_with_flags(
     weights: dict[str, float] | None = None,
     rrf_k: float = DEFAULT_RRF_K,
     dim: int = 16,
+    emb_col: str | None = None,
 ) -> DataFrame:
     """Hybrid retrieval over a TYPED corpus with include-flag filtering
     (reference ``include_messages`` / ``include_knowledge`` /
@@ -374,9 +375,12 @@ def hybrid_retrieval_with_flags(
     BEFORE both retrieval branches (F3 applied pre-top-k — the
     reference post-filters AFTER top_k and can return < k rows, the
     SURVEY §4 wart this engine fixes by design), so k survivors are
-    always k. Knowledge items carry no pre-stored vectors; both sides
-    embed content with the deterministic X8 hash embedder, exactly the
+    always k. ``emb_col`` names a pre-stored embedding column on the
+    corpus (the reference embeds knowledge at WRITE time,
+    database/base.py add_knowledge); when None, both sides embed
+    content in-query with the deterministic X8 hash embedder — the
     reference's fallback-encoder behavior for not-yet-embedded rows.
+    The two paths are value-identical by the embedder's determinism.
 
     Returns (doc_id, item_type, score, text) ordered by score desc.
     """
@@ -385,7 +389,11 @@ def hybrid_retrieval_with_flags(
     fsk = first_stage_k or 2 * k
     allowed = corpus.filter(F.col("item_type").isin(list(include_types)))
     emb = allowed.select(
-        "doc_id", hash_embedding("text", dim).alias("embedding")
+        "doc_id",
+        (
+            F.col(emb_col) if emb_col is not None
+            else hash_embedding("text", dim)
+        ).alias("embedding"),
     )
     vec = tag_store(
         similarity_topk(emb, qvec, fsk, id_col="doc_id"), "vector"
