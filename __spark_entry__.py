@@ -2755,6 +2755,17 @@ def q_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return span_dedup(docs, span_words=10).orderBy("doc_id")
 
 
+def q_boilerplate_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate removal (CCNet/RefinedWeb line-dedup rule): segments
+    whose distinct-document frequency reaches 3 are dropped from EVERY
+    document — the nav-menu/cookie-banner sweep, complementary to
+    span_dedup's first-occurrence-wins rule."""
+    from memfuse_spark.operators.dedup import boilerplate_dedup
+
+    (docs,) = _tables(spark, sf_dir, "documents")
+    return boilerplate_dedup(docs, span_words=10).orderBy("doc_id")
+
+
 def q_top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-wide top-k word trigrams (boilerplate sweep)."""
     (docs,) = _tables(spark, sf_dir, "documents")
@@ -4107,6 +4118,7 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hard_negatives": q_hard_negatives,
         "gopher_quality": q_gopher_quality,
         "span_dedup": q_span_dedup,
+        "boilerplate_removal": q_boilerplate_removal,
         # (3) events-reading: green rows predate the events.ts schema switch
         "m1_chunks": q_m1_chunks,
         "m2_facts": q_m2_facts,
@@ -5888,6 +5900,7 @@ ORDER BY o_orderstatus, o_orderpriority
         "pii_redact": oracles.pii_redact_sql(),
         "train_split": oracles.split_assign_sql(SPLIT_WEIGHTS),
         "span_dedup": oracles.span_dedup_sql(span_words=10),
+        "boilerplate_removal": dedup_ops.boilerplate_dedup_sql(span_words=10),
         "top_ngrams": oracles.top_ngrams_sql(n=3, k=20),
         "global_shuffle": oracles.global_shuffle_sql(limit=100),
         "dup_clusters": oracles.dup_clusters_sql(),

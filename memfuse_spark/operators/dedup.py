@@ -1186,3 +1186,112 @@ def minhash_accuracy(
         )
         .orderBy("doc_a", "doc_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# boilerplate span removal (CCNet-style high-document-frequency lines)
+# ---------------------------------------------------------------------------
+
+BOILERPLATE_MIN_DF = 3
+
+
+def boilerplate_dedup(
+    docs: DataFrame,
+    span_words: int = 10,
+    min_df: int = BOILERPLATE_MIN_DF,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Boilerplate removal (the CCNet/RefinedWeb line-dedup rule): drop
+    every segment whose distinct-DOCUMENT frequency reaches ``min_df``
+    from ALL documents — nav menus, cookie banners, license headers.
+    Complementary to :func:`span_dedup` (first occurrence wins there;
+    here no occurrence survives — boilerplate is noise, not content).
+
+    Segments are ``span_words``-word windows over the shared tokenizer
+    (the span_dedup convention; a newline/paragraph splitter is the
+    identical plan with a different segmenter — this corpus has no
+    newlines).
+
+    Returns (doc_id, n_spans, n_kept, kept_hash), kept_hash = md5 of
+    the space-joined surviving spans in document order.
+
+    Shape at scale: one distinct-doc count keyed on the span hash and
+    one join of the spans back to their df — BOTH shuffle on the same
+    key, so the exchange is reused — then the groupBy(doc_id)
+    reassembly. The hot-span set is tiny but the join stays keyed
+    (no driver-side collect of the boilerplate list).
+    """
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"), tokenize(text_col).alias("tk")
+    )
+    n_spans = F.ceil(F.size("tk") / F.lit(span_words)).cast("int")
+    span_arr = F.when(
+        F.size("tk") > 0,
+        F.transform(
+            F.sequence(F.lit(0), n_spans - 1),
+            lambda i: F.array_join(
+                F.slice(F.col("tk"), i * span_words + 1, span_words), " "
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    spans = toks.select(
+        "doc_id", F.posexplode(span_arr).alias("idx", "span")
+    ).withColumn("h", F.md5("span"))
+    dfreq = spans.groupBy("h").agg(
+        F.countDistinct("doc_id").alias("span_df")
+    )
+    flagged = spans.join(dfreq, "h").withColumn(
+        "keep", F.col("span_df") < min_df
+    )
+    kept_struct = F.when(F.col("keep"), F.struct("idx", "span"))
+    return (
+        flagged.groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_spans"),
+            F.sum(F.col("keep").cast("int")).cast("long").alias("n_kept"),
+            F.md5(
+                F.concat_ws(
+                    " ",
+                    F.transform(
+                        F.array_sort(F.collect_list(kept_struct)),
+                        lambda x: x["span"],
+                    ),
+                )
+            ).alias("kept_hash"),
+        )
+    )
+
+
+def boilerplate_dedup_sql(
+    span_words: int = 10, min_df: int = BOILERPLATE_MIN_DF
+) -> str:
+    """DuckDB twin of :func:`boilerplate_dedup`."""
+    return f"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                     t -> len(t) > 0) AS tk
+  FROM documents
+),
+spans AS (
+  SELECT doc_id, CAST(g AS INTEGER) AS idx,
+         array_to_string(tk[(g*{span_words}+1):(g*{span_words}+{span_words})], ' ') AS span
+  FROM toks,
+       unnest(range(CAST(ceil(len(tk)/{span_words}.0) AS BIGINT))) AS u(g)
+),
+dfreq AS (
+  SELECT span, count(DISTINCT doc_id) AS span_df FROM spans GROUP BY span
+),
+flagged AS (
+  SELECT s.doc_id, s.idx, s.span, (d.span_df < {min_df}) AS keep
+  FROM spans s JOIN dfreq d USING (span)
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_spans,
+       CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       md5(coalesce(string_agg(CASE WHEN keep THEN span END, ' ' ORDER BY idx),
+                    '')) AS kept_hash
+FROM flagged
+GROUP BY doc_id
+"""

@@ -329,3 +329,37 @@ def test_merge_dup_clusters_bridges_existing_components(spark):
     }
     for d, (comp, _) in got.items():
         assert cc.get(d, d) == comp
+
+
+def test_boilerplate_dedup_drops_every_occurrence(spark):
+    """The CCNet rule: a span at document frequency >= min_df vanishes
+    from ALL documents (including the first), while unique content and
+    below-threshold repeats survive."""
+    from memfuse_spark.operators.dedup import boilerplate_dedup
+
+    banner = "accept all cookies to continue using this site now please"
+    docs = spark.createDataFrame(
+        [
+            (0, banner + " alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+            (1, banner + " one two three four five six seven eight nine ten"),
+            (2, banner + " red orange yellow green blue indigo violet pink black white"),
+            (3, "completely unique document about spark query planning here today ok"),
+        ],
+        "doc_id bigint, text string",
+    )
+    out = {
+        r.doc_id: r
+        for r in boilerplate_dedup(docs, span_words=10, min_df=3).collect()
+    }
+    # 10-word banner is the first span of docs 0-2 (df=3) -> dropped
+    assert all(out[i].n_spans == 2 and out[i].n_kept == 1 for i in (0, 1, 2))
+    # the unique doc keeps everything
+    assert out[3].n_kept == out[3].n_spans == 1
+    # surviving content differs across docs (reassembly is per-doc)
+    assert len({out[i].kept_hash for i in (0, 1, 2)}) == 3
+    # at min_df=4 the banner is below threshold and survives everywhere
+    out4 = {
+        r.doc_id: r
+        for r in boilerplate_dedup(docs, span_words=10, min_df=4).collect()
+    }
+    assert all(out4[i].n_kept == 2 for i in (0, 1, 2))
