@@ -1075,6 +1075,18 @@ def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus as driver-coordinated iterative jobs. Populates the shared
     merge-table cache so tokenizer_fertility applies the same trained
     tokenizer instead of re-training (train once, apply many)."""
+    _, rows, schema = _bpe_model(spark, sf_dir)
+    return spark.createDataFrame(rows, schema)
+
+
+_BPE_MERGES: dict[tuple[int, str], tuple] = {}
+
+
+def _bpe_model(spark: SparkSession, sf_dir: str) -> tuple:
+    """Train the BPE merge table ONCE per (session, sf) and share it
+    between the trainer-demo slot and the appliers (train once, apply
+    many — the _trained_classifier pattern). Returns
+    (merge_triples, rows, schema); all three are model-sized."""
     from memfuse_spark.operators.bpe import bpe_merges
 
     key = (id(spark.sparkContext), sf_dir)
@@ -1086,11 +1098,7 @@ def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
             rows,
             mdf.schema,
         )
-    _, rows, schema = _BPE_MERGES[key]
-    return spark.createDataFrame(rows, schema)
-
-
-_BPE_MERGES: dict[tuple[int, str], list] = {}
+    return _BPE_MERGES[key]
 
 
 def q_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1099,19 +1107,11 @@ def q_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     (no UDF), and report bpe/raw sequence-length ratio per domain —
     the tokenizer-fit signal that prices training sequence length by
     data source."""
-    from memfuse_spark.operators.bpe import bpe_merges, tokenizer_fertility
+    from memfuse_spark.operators.bpe import tokenizer_fertility
 
     (docs,) = _tables(spark, sf_dir, "documents")
-    key = (id(spark.sparkContext), sf_dir)
-    if key not in _BPE_MERGES:
-        mdf = bpe_merges(docs)
-        rows = mdf.collect()  # model-sized: one row per learned merge
-        _BPE_MERGES[key] = (
-            [(r.rank, r.left, r.right) for r in rows],
-            rows,
-            mdf.schema,
-        )
-    return tokenizer_fertility(docs, _BPE_MERGES[key][0])
+    merges, _, _ = _bpe_model(spark, sf_dir)
+    return tokenizer_fertility(docs, merges)
 
 
 def q_session_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2981,39 +2981,24 @@ def q_item_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
     reservoir, reservoir_per_group) BEFORE the projection, so one whale
     customer contributes at most cap²/2 candidate pairs instead of
     going quadratic at scale. The oracle applies the identical cap."""
-    from memfuse_spark.operators.sampling import reservoir_per_group
-
-    orders, li = _tables(spark, sf_dir, "orders", "lineitem")
-    ui = (
-        orders.join(li, orders.o_orderkey == li.l_orderkey)
-        .select(
-            F.col("o_custkey").alias("u"), F.col("l_partkey").alias("item")
-        )
-        .distinct()
-    )
-    ui = reservoir_per_group(
-        ui, COOC_BASKET_CAP, group_col="u", id_col="item", salt="coocap"
-    )
-    a = ui.select("u", F.col("item").alias("item_a"))
-    b = ui.select("u", F.col("item").alias("item_b"))
+    pairs = _cooc_pairs(spark, sf_dir)
     return (
-        a.join(b, "u")
-        .filter(F.col("item_a") < F.col("item_b"))
-        .groupBy("item_a", "item_b")
-        .agg(F.count("*").cast("long").alias("n_users"))
+        pairs.select(
+            "item_a", "item_b", F.col("n_users").cast("long").alias("n_users")
+        )
         .orderBy(F.desc("n_users"), F.asc("item_a"), F.asc("item_b"))
         .limit(20)
     )
 
 
-COOC_KCORE_WMIN = 3  # edge = pair co-ordered by >= 3 customers (min support)
-COOC_KCORE_K = 3
-
-
-def _cooc_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Thresholded item co-occurrence graph: the capped bipartite
-    projection of q_item_cooccurrence (same md5 reservoir cap), kept
-    as edges where >= COOC_KCORE_WMIN customers co-ordered the pair."""
+def _cooc_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The capped bipartite co-occurrence projection shared by
+    q_item_cooccurrence and the k-core edge builder: distinct
+    (customer, item) pairs, md5-reservoir-capped at COOC_BASKET_CAP
+    items per customer BEFORE the self-join (one whale contributes at
+    most cap²/2 candidates), then per-pair distinct-customer counts.
+    One definition keeps both Spark consumers and both DuckDB twins
+    replaying the identical cap/salt."""
     from memfuse_spark.operators.sampling import reservoir_per_group
 
     orders, li = _tables(spark, sf_dir, "orders", "lineitem")
@@ -3034,6 +3019,19 @@ def _cooc_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("item_a") < F.col("item_b"))
         .groupBy("item_a", "item_b")
         .agg(F.count("*").alias("n_users"))
+    )
+
+
+COOC_KCORE_WMIN = 3  # edge = pair co-ordered by >= 3 customers (min support)
+COOC_KCORE_K = 3
+
+
+def _cooc_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Thresholded item co-occurrence graph: the capped bipartite
+    projection of q_item_cooccurrence (same md5 reservoir cap), kept
+    as edges where >= COOC_KCORE_WMIN customers co-ordered the pair."""
+    return (
+        _cooc_pairs(spark, sf_dir)
         .filter(F.col("n_users") >= COOC_KCORE_WMIN)
         .select(F.col("item_a").alias("src"), F.col("item_b").alias("dst"))
     )
@@ -3063,8 +3061,17 @@ def q_cooc_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     # projection (the cap-window + self-join + aggregation) would run
     # twice (measured 14.2s -> ~halved at sf0.1). Executor-side
     # materialization only; nothing lands on the driver.
-    edges = _cooc_edges(spark, sf_dir).localCheckpoint(eager=True)
-    return kcore_nodes(edges, k=COOC_KCORE_K, rounds=6)
+    from memfuse_spark import cache as _cache
+
+    edges, eids = _cache.tracked_local_checkpoint(
+        _cooc_edges(spark, sf_dir), "entry.cooc_kcore"
+    )
+    out = kcore_nodes(edges, k=COOC_KCORE_K, rounds=6)
+    # kcore's rounds are eager, so the returned plan reads only the
+    # FINAL round's checkpoint — the edge materialization can be
+    # released immediately instead of leaking one generation per call
+    _cache.unpersist_rdd_ids(spark, eids)
+    return out
 
 
 def _cooc_edges_cte() -> str:

@@ -490,6 +490,29 @@ def decontaminate(
 # span-level (paragraph/line analog) dedup
 # ---------------------------------------------------------------------------
 
+def _word_spans(
+    docs: DataFrame, span_words: int, id_col: str, text_col: str
+) -> DataFrame:
+    """(doc_id, idx, span) — fixed `span_words`-word windows over the
+    shared tokenizer, the segmenter both span-level dedup rules use
+    (swap in split(text, sep) for a paragraph/newline segmenter — the
+    identical plan)."""
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"), tokenize(text_col).alias("tk")
+    )
+    n_spans = F.ceil(F.size("tk") / F.lit(span_words)).cast("int")
+    span_arr = F.when(
+        F.size("tk") > 0,
+        F.transform(
+            F.sequence(F.lit(0), n_spans - 1),
+            lambda i: F.array_join(
+                F.slice(F.col("tk"), i * span_words + 1, span_words), " "
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return toks.select("doc_id", F.posexplode(span_arr).alias("idx", "span"))
+
+
 def span_dedup(
     docs: DataFrame,
     span_words: int = 10,
@@ -519,20 +542,7 @@ def span_dedup(
     """
     from pyspark.sql import Window
 
-    toks = docs.select(
-        F.col(id_col).alias("doc_id"), tokenize(text_col).alias("tk")
-    )
-    n_spans = F.ceil(F.size("tk") / F.lit(span_words)).cast("int")
-    span_arr = F.when(
-        F.size("tk") > 0,
-        F.transform(
-            F.sequence(F.lit(0), n_spans - 1),
-            lambda i: F.array_join(
-                F.slice(F.col("tk"), i * span_words + 1, span_words), " "
-            ),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    spans = toks.select("doc_id", F.posexplode(span_arr).alias("idx", "span"))
+    spans = _word_spans(docs, span_words, id_col, text_col)
     w = Window.partitionBy(F.md5(F.col("span"))).orderBy("doc_id", "idx")
     ranked = spans.withColumn("keep", F.row_number().over(w) == 1)
     kept_struct = F.when(F.col("keep"), F.struct("idx", "span"))
@@ -1222,22 +1232,9 @@ def boilerplate_dedup(
     reassembly. The hot-span set is tiny but the join stays keyed
     (no driver-side collect of the boilerplate list).
     """
-    toks = docs.select(
-        F.col(id_col).alias("doc_id"), tokenize(text_col).alias("tk")
+    spans = _word_spans(docs, span_words, id_col, text_col).withColumn(
+        "h", F.md5("span")
     )
-    n_spans = F.ceil(F.size("tk") / F.lit(span_words)).cast("int")
-    span_arr = F.when(
-        F.size("tk") > 0,
-        F.transform(
-            F.sequence(F.lit(0), n_spans - 1),
-            lambda i: F.array_join(
-                F.slice(F.col("tk"), i * span_words + 1, span_words), " "
-            ),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    spans = toks.select(
-        "doc_id", F.posexplode(span_arr).alias("idx", "span")
-    ).withColumn("h", F.md5("span"))
     dfreq = spans.groupBy("h").agg(
         F.countDistinct("doc_id").alias("span_df")
     )

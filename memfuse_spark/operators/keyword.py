@@ -1126,14 +1126,22 @@ def update_postings_index_v2(
     # via localCheckpoint (executor-side materialization that truncates
     # lineage) so the overwrite no longer references the table it reads
     # and nothing vocab-sized ever lands on the driver
+    from memfuse_spark import cache as _cache
+
     for tbl, df_new in ((f"{name}_df", merged_df), (f"{name}_stats", merged_stats)):
-        snap = df_new.localCheckpoint(eager=True)
+        # tracked checkpoint: DataFrame.unpersist() does NOT release a
+        # localCheckpoint's underlying RDD blocks — release by RDD id
+        # (the graph/kcore discipline) or repeated updates leak 2
+        # cached RDDs each
+        snap, snap_ids = _cache.tracked_local_checkpoint(
+            df_new, "keyword.update_v2"
+        )
         writer = snap.write.mode("overwrite").format("parquet")
         if path is not None:
             suffix = tbl[len(name):]
             writer = writer.option("path", f"{path}/{name}{suffix}")
         writer.saveAsTable(tbl)
-        snap.unpersist()
+        _cache.unpersist_rdd_ids(spark, snap_ids)
 
 
 def compact_postings_index_v2(
@@ -1196,17 +1204,23 @@ def compact_postings_index_v2(
     # re-derive the side tables from the compacted postings (tiny:
     # O(vocab) and O(1) rows; localCheckpoint breaks the read-write
     # cycle exactly as update_postings_index_v2 does)
+    from memfuse_spark import cache as _cache
+
     compacted = spark.table(tmp)
     for suffix, df_new in (
         ("_df", document_frequency(compacted)),
         ("_stats", corpus_stats(compacted)),
     ):
-        snap = df_new.localCheckpoint(eager=True)
+        # tracked checkpoint (see update_postings_index_v2): plain
+        # DataFrame.unpersist() leaks the checkpoint's RDD blocks
+        snap, snap_ids = _cache.tracked_local_checkpoint(
+            df_new, "keyword.compact_v2"
+        )
         w = snap.write.mode("overwrite").format("parquet")
         if path is not None:
             w = w.option("path", f"{path}/{name}{suffix}")
         w.saveAsTable(f"{name}{suffix}")
-        snap.unpersist()
+        _cache.unpersist_rdd_ids(spark, snap_ids)
 
     spark.sql(f"DROP TABLE {name}")
     spark.sql(f"ALTER TABLE {tmp} RENAME TO {name}")
@@ -1481,20 +1495,24 @@ def bm25_batch_topk_from_index(
 def build_norms_index_v2(
     spark, name: str, num_buckets: int = 16, path: str | None = None
 ) -> None:
-    """Materialize per-doc TF-IDF norms as an INDEX-TIME side table
-    ``{name}_norms`` (doc_id, dl, nrm) of a v2 postings index — the
-    artifact :func:`more_like_this_from_index` reads instead of
-    re-aggregating the whole weighted-postings table per query.
+    """Materialize the per-doc FORWARD side table ``{name}_norms``
+    (doc_id, nrm, terms) of a v2 postings index: the TF-IDF norm plus
+    the document's sorted distinct term list — the artifacts
+    :func:`more_like_this_from_index` reads instead of re-aggregating
+    (norm) or corpus-scanning (anchor term lookup) per query.
 
     w = (tf/dl) · ln((N+1)/(df+1)); nrm = sqrt(Σ_t w²) per document.
 
-    Bucketed by doc_id so the query-time dots⋈norms join never
-    shuffles the corpus-sized norms side. Norms depend on corpus-global
-    df/N, so they are EXACT as of the last build/compaction:
-    :func:`update_postings_index_v2` leaves them stale (the standard
-    IR-index convention — a batch append cannot rewrite a corpus-sized
-    artifact and stay O(batch)); :func:`compact_postings_index_v2`
-    self-heals them, asserted by the lifecycle test."""
+    Bucketed by doc_id, so the query-time dots⋈norms join never
+    shuffles the corpus-sized norms side AND the anchor's forward row
+    is a bucket-pruned point lookup (the postings table itself is
+    term-bucketed — a doc_id filter there cannot prune). Norms depend
+    on corpus-global df/N, so they are EXACT as of the last
+    build/compaction: :func:`update_postings_index_v2` leaves them
+    stale (the standard IR-index convention — a batch append cannot
+    rewrite a corpus-sized artifact and stay O(batch));
+    :func:`compact_postings_index_v2` self-heals them, asserted by the
+    lifecycle test."""
     postings = spark.table(name)
     dfs = spark.table(f"{name}_df")
     stats = spark.table(f"{name}_stats")
@@ -1505,7 +1523,10 @@ def build_norms_index_v2(
         postings.join(dfs, "term")
         .crossJoin(F.broadcast(stats))
         .groupBy("doc_id")
-        .agg(F.sqrt(F.sum(w * w)).alias("nrm"))
+        .agg(
+            F.sqrt(F.sum(w * w)).alias("nrm"),
+            F.array_sort(F.collect_list("term")).alias("terms"),
+        )
     )
     spark.sql(f"DROP TABLE IF EXISTS {name}_norms")
     writer = norms.write.mode("overwrite").format("parquet")
@@ -1552,15 +1573,17 @@ def more_like_this_plan(
     so the plan-shape test can assert the norms subtree is a table
     scan, not a re-aggregation)."""
     postings = spark.table(name)
-    terms = sorted(
-        {
-            r.term
-            for r in postings.filter(F.col("doc_id") == anchor_id)
-            .select("term")
-            .collect()  # ≤ one document's distinct terms
-        }
+    norms = spark.table(f"{name}_norms").select("doc_id", "nrm")
+    # anchor term list: bucket-pruned point lookup on the doc_id-
+    # bucketed forward table (≤ one document's distinct terms on the
+    # driver — the RM3-style bounded two-job shape)
+    fwd = (
+        spark.table(f"{name}_norms")
+        .filter(F.col("doc_id") == anchor_id)
+        .select("terms")
+        .collect()
     )
-    norms = spark.table(f"{name}_norms")
+    terms = sorted(fwd[0].terms) if fwd else []
     if not terms:
         return spark.createDataFrame([], "doc_id long, score double")
     dfs = spark.table(f"{name}_df").filter(F.col("term").isin(terms))
