@@ -2257,6 +2257,14 @@ def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ta_ops.unigram_logprob(docs).orderBy("doc_id")
 
 
+def q_tag_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rule-based domain tagging (percolate-style standing keyword
+    queries): conjunctive term rules broadcast against a vocabulary-
+    pruned distinct-term explosion — the pre-classifier curation tagger."""
+    (docs,) = _tables(spark, sf_dir, "documents")
+    return ta_ops.tag_documents(docs)
+
+
 def q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style corpus filter rules as flag columns + keep verdict."""
     (docs,) = _tables(spark, sf_dir, "documents")
@@ -4124,6 +4132,7 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mmr_rerank": q_mmr_rerank,
         "hard_negatives": q_hard_negatives,
         "gopher_quality": q_gopher_quality,
+        "tag_documents": q_tag_documents,
         "span_dedup": q_span_dedup,
         "boilerplate_removal": q_boilerplate_removal,
         # (3) events-reading: green rows predate the events.ts schema switch
@@ -5713,6 +5722,7 @@ ORDER BY p.purchase_id
         "m3_patterns": oracles.m3_patterns_sql(),
         "unigram_logprob": oracles.unigram_logprob_sql(),
         "gopher_quality": oracles.gopher_quality_sql(),
+        "tag_documents": ta_ops.tag_documents_sql(),
         "m0_records": oracles.m0_records_sql(),
         "m1_chunks": oracles.m1_chunks_sql(),
         "m2_facts": oracles.m2_facts_sql(),

@@ -177,6 +177,8 @@ EXTRA = [
     "hybrid_with_knowledge",
     "api_key_scope",
     "cooc_kcore",
+    "boilerplate_removal",
+    "tag_documents",
 ]
 # Real-model-tier twins (deterministic stand-in models, models.py):
 # resolved from q_* functions directly — deliberately NOT queries()

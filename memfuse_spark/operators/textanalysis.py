@@ -1462,3 +1462,104 @@ SELECT tp, fp, fn, tn,
        round(CAST(tp AS DOUBLE) / nullif(tp + fn, 0), 6) AS recall
 FROM conf
 """
+
+
+# ---------------------------------------------------------------------------
+# rule-based document tagging (percolate-style standing keyword queries)
+# ---------------------------------------------------------------------------
+
+# (rule_id, tag, required terms) — a rule matches a document when EVERY
+# required term occurs in it (conjunctive keyword rule, the
+# Elasticsearch-percolate / Luwak shape inverted: queries are the
+# stored side, documents stream through)
+TAG_RULES = [
+    (0, "analytics", ["query", "scan", "join"]),
+    (1, "streaming", ["stream", "window", "batch"]),
+    (2, "storage", ["table", "row", "data"]),
+    (3, "tuning", ["slow", "fast"]),
+]
+
+
+def tag_documents(
+    docs: DataFrame,
+    rules: list[tuple[int, str, list[str]]] | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, rule_id, tag) — every (document, rule) match under
+    conjunctive keyword rules: rule r matches doc d iff ALL of r's
+    terms occur in d. The standing-query/percolate shape every
+    curation pipeline uses for rule-based domain tagging before a
+    learned classifier exists.
+
+    Scale shape: docs explode to DISTINCT (doc_id, term) postings
+    restricted to the rule vocabulary (the isin filter prunes the
+    explosion output before the shuffle); rules explode to (rule_id,
+    term) and BROADCAST (rule tables are organizationally small);
+    match = count of satisfied terms per (doc, rule) == rule arity.
+    One narrow shuffle on (doc_id, rule_id); document text never
+    moves. A million-rule table would swap the broadcast for a
+    term-keyed shuffle join — same plan otherwise.
+    """
+    from memfuse_spark.functions.text import tokenize
+
+    spark = docs.sparkSession
+    rules = TAG_RULES if rules is None else rules
+    vocab = sorted({t for _, _, ts in rules for t in ts})
+    rule_rows = [(rid, tag, t) for rid, tag, ts in rules for t in set(ts)]
+    rdf = spark.createDataFrame(
+        rule_rows, "rule_id int, tag string, term string"
+    )
+    arity = rdf.groupBy("rule_id").agg(F.count("*").alias("__need"))
+    postings = (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(F.array_distinct(tokenize(text_col))).alias("term"),
+        )
+        .filter(F.col("term").isin(vocab))
+    )
+    hits = (
+        postings.join(F.broadcast(rdf), "term")
+        .groupBy("doc_id", "rule_id", "tag")
+        .agg(F.count("*").alias("__got"))
+        .join(F.broadcast(arity), "rule_id")
+        .filter(F.col("__got") == F.col("__need"))
+    )
+    return hits.select("doc_id", "rule_id", "tag").orderBy(
+        "doc_id", "rule_id"
+    )
+
+
+def tag_documents_sql(
+    rules: list[tuple[int, str, list[str]]] | None = None,
+) -> str:
+    """DuckDB twin of :func:`tag_documents`."""
+    rules = TAG_RULES if rules is None else rules
+    rule_rows = ", ".join(
+        f"({rid}, '{tag}', '{t}')"
+        for rid, tag, ts in rules
+        for t in sorted(set(ts))
+    )
+    return f"""
+WITH rules(rule_id, tag, term) AS (VALUES {rule_rows}),
+arity AS (SELECT rule_id, count(*) AS need FROM rules GROUP BY rule_id),
+postings AS (
+  SELECT DISTINCT doc_id, u.term
+  FROM (
+    SELECT doc_id,
+           list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                       t -> len(t) > 0) AS tk
+    FROM documents
+  ), unnest(tk) AS u(term)
+  WHERE u.term IN (SELECT DISTINCT term FROM rules)
+),
+hits AS (
+  SELECT p.doc_id, r.rule_id, r.tag, count(*) AS got
+  FROM postings p JOIN rules r USING (term)
+  GROUP BY p.doc_id, r.rule_id, r.tag
+)
+SELECT h.doc_id, CAST(h.rule_id AS INTEGER) AS rule_id, h.tag
+FROM hits h JOIN arity a USING (rule_id)
+WHERE h.got = a.need
+ORDER BY doc_id, rule_id
+"""

@@ -296,3 +296,21 @@ def test_ngram_novelty_duplicate_docs(spark):
     assert got[2].novelty == 0.0 and got[2].n_novel == 0
     assert got[3].novelty == 1.0
     assert got[4].n_grams == 1 and got[4].novelty == 1.0
+
+
+def test_tag_documents_conjunctive_rules(spark):
+    """A rule matches only when ALL its terms occur; repeats don't
+    double-count; multi-rule docs emit one row per matched rule."""
+    from memfuse_spark.operators.textanalysis import tag_documents
+
+    docs = spark.createDataFrame(
+        [
+            (0, "query scan join and more query"),       # analytics only
+            (1, "query scan but no third term here"),    # none (join missing)
+            (2, "stream window batch table row data"),   # streaming + storage
+            (3, "slow slow slow"),                       # none (fast missing)
+        ],
+        "doc_id bigint, text string",
+    )
+    got = {(r.doc_id, r.tag) for r in tag_documents(docs).collect()}
+    assert got == {(0, "analytics"), (2, "streaming"), (2, "storage")}
