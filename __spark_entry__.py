@@ -2138,6 +2138,58 @@ def q_m2_facts(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("chunk_id")
 
 
+def q_fact_conflicts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M2 fact conflict detection (reference ConflictDetectionEngine,
+    hierarchy/conflict_detection.py:55-147): every (existing, new) fact
+    pair in conflict — same-subject later-batch VALUE_MISMATCH or
+    reversed-pair SEMANTIC_CONFLICT — with the reference's 0.9/0.5
+    resolve_conflicts threshold ladder (:180-191) mapped onto
+    severity + action. Candidates are equi-join-blocked on
+    (conversation, subject entity), never all-pairs."""
+    from memfuse_spark.operators.conflicts import fact_conflicts
+
+    return fact_conflicts(_m2_store(spark, sf_dir)).orderBy(
+        "conversation_id", "new_chunk_id", "existing_chunk_id", "conflict_type"
+    )
+
+
+def q_fact_conflicts_detector(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The conflict-detection LLM seam end-to-end under the driver gate
+    (the reference's PRIMARY detector is an LLM prompt per candidate
+    pair, conflict_detection.py:110-147): a deterministic stand-in
+    detector — flag lexically-ordered pairs, confidence from combined
+    fact length, None = not a conflict — injected via
+    fact_conflicts(detector=), the Arrow-batched mapInPandas path a
+    real LLM client would ride, hash-compared against a DuckDB twin of
+    the same stand-in rule over the same blocked candidates."""
+    from memfuse_spark.operators.conflicts import fact_conflicts
+
+    def llm_detector(existing, new):
+        return [
+            ("LLM_FLAGGED", min(1.0, (len(e) + len(n)) / 100.0))
+            if e <= n
+            else None
+            for e, n in zip(existing, new)
+        ]
+
+    return fact_conflicts(_m2_store(spark, sf_dir), detector=llm_detector).orderBy(
+        "conversation_id", "new_chunk_id", "existing_chunk_id", "conflict_type"
+    )
+
+
+def q_fact_consolidation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M2 fact consolidation (reference ConsolidationResult,
+    hierarchy/base.py:164-171): temporal-priority survivor per
+    (conversation, subject) plus removed-duplicate and
+    resolved-conflict counts — two keyed aggregations on the conflict
+    blocking key."""
+    from memfuse_spark.operators.conflicts import consolidate_facts
+
+    return consolidate_facts(_m2_store(spark, sf_dir)).orderBy(
+        "conversation_id", "subject"
+    )
+
+
 def _msmg_instances(spark: SparkSession, sf_dir: str) -> DataFrame:
     from memfuse_spark.operators import hierarchy as h
     from memfuse_spark.operators import msmg
@@ -4044,6 +4096,9 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "msmg_neighborhood": q_msmg_neighborhood,
         "m1_episodes_former": q_m1_episodes_former,
         "hybrid_with_knowledge": q_hybrid_with_knowledge,
+        "fact_conflicts": q_fact_conflicts,
+        "fact_conflicts_detector": q_fact_conflicts_detector,
+        "fact_consolidation": q_fact_consolidation,
         # added after the r4 rotation freeze → in-window for r5
         "prefix_filter_stats": q_prefix_filter_stats,
         "m2_facts_extractor": q_m2_facts_extractor,
@@ -5730,6 +5785,9 @@ ORDER BY p.purchase_id
         "msmg_neighborhood": oracles.msmg_neighborhood_sql(),
         "m1_episodes_former": oracles.m1_former_sql(),
         "hybrid_with_knowledge": _hybrid_with_knowledge_sql(),
+        "fact_conflicts": oracles.fact_conflicts_sql(),
+        "fact_conflicts_detector": oracles.fact_conflicts_detector_sql(),
+        "fact_consolidation": oracles.fact_consolidation_sql(),
         "m2_facts_extractor": f"""
 WITH {oracles.M0_CTE.strip()},{oracles._m1_cte(5, 16)},
 tk AS (

@@ -2032,3 +2032,145 @@ SELECT a.key_id, a.user_id, a.name, a.permissions,
 FROM active a LEFT JOIN rollup r USING (user_id)
 ORDER BY key_id
 """
+
+
+# --- M2 fact conflict detection / consolidation oracles ---------------------
+
+FACT_PARTS_CTE = r"""f AS (
+  SELECT chunk_id, conversation_id, fact_content, confidence,
+         split_part(entities_csv, ',', 1) AS subject,
+         split_part(entities_csv, ',', 2) AS object,
+         CAST(regexp_extract(chunk_id, '(\d+)$', 1) AS INT) AS batch_id
+  FROM m2
+),
+mx AS (
+  SELECT conversation_id, max(batch_id) AS max_batch
+  FROM f GROUP BY conversation_id
+),
+fe AS (
+  SELECT f.* FROM f JOIN mx USING (conversation_id)
+  WHERE batch_id < max_batch
+),
+fn AS (
+  SELECT f.* FROM f JOIN mx USING (conversation_id)
+  WHERE batch_id = max_batch
+)"""
+
+
+def fact_conflicts_sql(
+    auto_resolve_threshold: float = 0.9, escalation_threshold: float = 0.5
+) -> str:
+    """DuckDB twin of conflicts.fact_conflicts (rule tier): same-subject
+    later-batch VALUE_MISMATCH pairs (duplicates excluded) plus
+    reversed-pair SEMANTIC_CONFLICT, the reference's 0.9/0.5 threshold
+    ladder mapped onto severity + action."""
+    m2 = m2_facts_sql()
+    a, e = auto_resolve_threshold, escalation_threshold
+    return f"""
+WITH m2 AS (SELECT * FROM ({m2})),
+{FACT_PARTS_CTE},
+pairs AS (
+  SELECT n.conversation_id,
+         e.chunk_id AS existing_chunk_id, n.chunk_id AS new_chunk_id,
+         n.subject,
+         e.fact_content AS existing_fact, n.fact_content AS new_fact,
+         'VALUE_MISMATCH' AS conflict_type,
+         round((e.confidence + n.confidence) / 2, 6) AS confidence
+  FROM fe e JOIN fn n
+    ON e.conversation_id = n.conversation_id
+   AND e.subject = n.subject AND e.batch_id < n.batch_id
+  WHERE e.fact_content <> n.fact_content
+  UNION ALL
+  SELECT n.conversation_id, e.chunk_id, n.chunk_id, n.subject,
+         e.fact_content, n.fact_content, 'SEMANTIC_CONFLICT',
+         round((e.confidence + n.confidence) / 2, 6)
+  FROM fe e JOIN fn n
+    ON e.conversation_id = n.conversation_id
+   AND e.subject = n.object AND e.object = n.subject
+   AND e.batch_id < n.batch_id
+)
+SELECT *,
+  CASE WHEN confidence >= {a} THEN 'HIGH'
+       WHEN confidence >= {e} THEN 'MEDIUM' ELSE 'LOW' END AS severity,
+  CASE WHEN confidence >= {a} THEN 'auto_resolve'
+       WHEN confidence >= {e} THEN 'escalate' ELSE 'ignore' END AS action,
+  'temporal_priority' AS resolution_strategy
+FROM pairs
+ORDER BY conversation_id, new_chunk_id, existing_chunk_id, conflict_type
+"""
+
+
+def fact_consolidation_sql() -> str:
+    """DuckDB twin of conflicts.consolidate_facts: temporal-priority
+    survivor per (conversation, subject) + duplicate/conflict counts."""
+    m2 = m2_facts_sql()
+    return f"""
+WITH m2 AS (SELECT * FROM ({m2})),
+{FACT_PARTS_CTE},
+ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY conversation_id, subject
+    ORDER BY batch_id DESC, chunk_id DESC) AS rk
+  FROM f
+),
+stats AS (
+  SELECT conversation_id, subject,
+         count(*) AS n_facts,
+         count(*) - count(DISTINCT fact_content) AS removed_duplicates,
+         count(DISTINCT fact_content) - 1 AS resolved_conflicts
+  FROM f GROUP BY conversation_id, subject
+)
+SELECT r.conversation_id, r.subject,
+       r.chunk_id AS kept_chunk_id, r.fact_content AS kept_fact,
+       r.confidence AS kept_confidence,
+       s.n_facts, s.removed_duplicates, s.resolved_conflicts
+FROM ranked r JOIN stats s USING (conversation_id, subject)
+WHERE rk = 1
+ORDER BY conversation_id, subject
+"""
+
+
+def fact_conflicts_detector_sql(
+    auto_resolve_threshold: float = 0.9, escalation_threshold: float = 0.5
+) -> str:
+    """DuckDB twin of the detector-seam stand-in: same blocked candidate
+    pairs as the rule tier, flagged only when existing_fact <= new_fact
+    lexically, confidence from combined fact length."""
+    m2 = m2_facts_sql()
+    a, e = auto_resolve_threshold, escalation_threshold
+    return f"""
+WITH m2 AS (SELECT * FROM ({m2})),
+{FACT_PARTS_CTE},
+cand AS (
+  SELECT n.conversation_id,
+         e.chunk_id AS existing_chunk_id, n.chunk_id AS new_chunk_id,
+         n.subject,
+         e.fact_content AS existing_fact, n.fact_content AS new_fact
+  FROM fe e JOIN fn n
+    ON e.conversation_id = n.conversation_id
+   AND e.subject = n.subject AND e.batch_id < n.batch_id
+  WHERE e.fact_content <> n.fact_content
+  UNION ALL
+  SELECT n.conversation_id, e.chunk_id, n.chunk_id, n.subject,
+         e.fact_content, n.fact_content
+  FROM fe e JOIN fn n
+    ON e.conversation_id = n.conversation_id
+   AND e.subject = n.object AND e.object = n.subject
+   AND e.batch_id < n.batch_id
+),
+flagged AS (
+  SELECT *, 'LLM_FLAGGED' AS conflict_type,
+         round(least(1.0,
+           (length(existing_fact) + length(new_fact)) / 100.0), 6)
+           AS confidence
+  FROM cand WHERE existing_fact <= new_fact
+)
+SELECT *,
+  CASE WHEN confidence >= {a} THEN 'HIGH'
+       WHEN confidence >= {e} THEN 'MEDIUM' ELSE 'LOW' END AS severity,
+  CASE WHEN confidence >= {a} THEN 'auto_resolve'
+       WHEN confidence >= {e} THEN 'escalate' ELSE 'ignore' END AS action,
+  'temporal_priority' AS resolution_strategy
+FROM flagged
+ORDER BY conversation_id, new_chunk_id, existing_chunk_id, conflict_type
+"""
