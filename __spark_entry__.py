@@ -2190,6 +2190,20 @@ def q_fact_consolidation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_fact_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact validation against the original context (reference
+    validate_fact_consistency, hierarchy/llm_service.py:144-199 +
+    ValidationStatus, hierarchy/base.py:25-30): entity groundedness in
+    the source chunk, confidence banding at the reference's 0.7/0.9
+    thresholds, conflict cross-check → status / is_valid /
+    ACCEPT-REVISE-REJECT recommendation per fact."""
+    from memfuse_spark.operators.conflicts import validate_facts
+
+    return validate_facts(
+        _m2_store(spark, sf_dir), _m1_store(spark, sf_dir)
+    ).orderBy("chunk_id", "fact_content")
+
+
 def _msmg_instances(spark: SparkSession, sf_dir: str) -> DataFrame:
     from memfuse_spark.operators import hierarchy as h
     from memfuse_spark.operators import msmg
@@ -4099,6 +4113,7 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fact_conflicts": q_fact_conflicts,
         "fact_conflicts_detector": q_fact_conflicts_detector,
         "fact_consolidation": q_fact_consolidation,
+        "fact_validation": q_fact_validation,
         # added after the r4 rotation freeze → in-window for r5
         "prefix_filter_stats": q_prefix_filter_stats,
         "m2_facts_extractor": q_m2_facts_extractor,
@@ -5788,6 +5803,7 @@ ORDER BY p.purchase_id
         "fact_conflicts": oracles.fact_conflicts_sql(),
         "fact_conflicts_detector": oracles.fact_conflicts_detector_sql(),
         "fact_consolidation": oracles.fact_consolidation_sql(),
+        "fact_validation": oracles.fact_validation_sql(),
         "m2_facts_extractor": f"""
 WITH {oracles.M0_CTE.strip()},{oracles._m1_cte(5, 16)},
 tk AS (

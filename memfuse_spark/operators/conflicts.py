@@ -248,3 +248,101 @@ def consolidate_facts(m2: DataFrame) -> DataFrame:
         F.col("confidence").alias("kept_confidence"),
     )
     return kept.join(stats, ["conversation_id", "subject"])
+
+
+MIN_CONFIDENCE = 0.7  # llm_service.py:74 min_confidence_threshold
+VALIDATED_CONFIDENCE = 0.9  # high-confidence auto-accept band
+
+
+def validate_facts(
+    m2: DataFrame,
+    m1: DataFrame,
+    min_confidence: float = MIN_CONFIDENCE,
+    validated_confidence: float = VALIDATED_CONFIDENCE,
+) -> DataFrame:
+    """Fact validation against the ORIGINAL context (reference
+    ``validate_fact_consistency``, hierarchy/llm_service.py:144-199, and
+    the ValidationStatus lattice, hierarchy/base.py:25-30): each fact is
+    joined back to its source chunk, graded on entity groundedness and
+    confidence, and cross-checked against the conflict detector.
+
+    (chunk_id, conversation_id, fact_content, confidence,
+    entity_support, validation_score, status, is_valid, recommendation)
+
+    Deterministic rule tier (the reference's LLM prompt replaced by the
+    groundedness check its prompt asks for):
+
+    - ``conflicted`` — the fact participates in a detected conflict
+      pair (base.py:30; overrides everything else).
+    - ``rejected`` / REJECT — an entity is not grounded in the source
+      chunk's tokens (entity_support < 1).
+    - ``validated`` / ACCEPT — grounded and confidence ≥ 0.9.
+    - ``pending`` / REVISE — grounded but confidence in the
+      [min_confidence, 0.9) band: extraction accepted it, validation
+      wants more evidence.
+
+    ``validation_score = round(confidence × entity_support, 6)``
+    (llm_service.py:45 validation_score). Scale: one equi-join to the
+    chunk store on chunk_id + one semi-join against the conflict pairs
+    — both on bucketable keys; the groundedness check is per-row array
+    arithmetic.
+    """
+    from memfuse_spark.functions.text import tokenize
+
+    ctx = m1.select("chunk_id", tokenize("content").alias("__toks"))
+    conflicts = fact_conflicts(m2)
+    in_conflict = (
+        conflicts.select(
+            F.col("existing_chunk_id").alias("chunk_id"),
+            F.col("existing_fact").alias("fact_content"),
+        )
+        .unionByName(
+            conflicts.select(
+                F.col("new_chunk_id").alias("chunk_id"),
+                F.col("new_fact").alias("fact_content"),
+            )
+        )
+        .distinct()
+        .withColumn("__conflicted", F.lit(True))
+    )
+    graded = (
+        m2.join(ctx, "chunk_id")
+        .join(in_conflict, ["chunk_id", "fact_content"], "left")
+        .withColumn(
+            "entity_support",
+            F.round(
+                F.size(
+                    F.array_intersect(F.array_distinct("entities"), "__toks")
+                )
+                / F.size(F.array_distinct("entities")),
+                6,
+            ),
+        )
+        .withColumn(
+            "validation_score",
+            F.round(F.col("confidence") * F.col("entity_support"), 6),
+        )
+        .withColumn(
+            "status",
+            F.when(F.col("__conflicted"), F.lit("conflicted"))
+            .when(F.col("entity_support") < 1.0, F.lit("rejected"))
+            .when(
+                F.col("confidence") >= validated_confidence, F.lit("validated")
+            )
+            .otherwise(F.lit("pending")),
+        )
+    )
+    return graded.select(
+        "chunk_id",
+        "conversation_id",
+        "fact_content",
+        "confidence",
+        "entity_support",
+        "validation_score",
+        "status",
+        (F.col("status") == "validated").alias("is_valid"),
+        F.when(F.col("status") == "validated", F.lit("ACCEPT"))
+        .when(F.col("status") == "rejected", F.lit("REJECT"))
+        .otherwise(F.lit("REVISE"))
+        .alias("recommendation"),
+    )

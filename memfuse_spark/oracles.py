@@ -2174,3 +2174,64 @@ SELECT *,
 FROM flagged
 ORDER BY conversation_id, new_chunk_id, existing_chunk_id, conflict_type
 """
+
+
+def fact_validation_sql(
+    min_confidence: float = 0.7, validated_confidence: float = 0.9
+) -> str:
+    """DuckDB twin of conflicts.validate_facts: entity groundedness in
+    the source chunk + confidence banding + conflict cross-check."""
+    m2 = m2_facts_sql()
+    same_on = """e.conversation_id = n.conversation_id
+   AND e.subject = n.subject AND e.batch_id < n.batch_id"""
+    rev_on = """e.conversation_id = n.conversation_id
+   AND e.subject = n.object AND e.object = n.subject
+   AND e.batch_id < n.batch_id"""
+    return f"""
+WITH {M0_CTE.strip()},{_m1_cte(5, 16)},
+m2 AS (SELECT * FROM ({m2})),
+{FACT_PARTS_CTE},
+pairs AS (
+  SELECT e.chunk_id, e.fact_content FROM fe e JOIN fn n ON {same_on}
+  WHERE e.fact_content <> n.fact_content
+  UNION
+  SELECT n.chunk_id, n.fact_content FROM fe e JOIN fn n ON {same_on}
+  WHERE e.fact_content <> n.fact_content
+  UNION
+  SELECT e.chunk_id, e.fact_content FROM fe e JOIN fn n ON {rev_on}
+  UNION
+  SELECT n.chunk_id, n.fact_content FROM fe e JOIN fn n ON {rev_on}
+),
+ctx AS (
+  SELECT chunk_id,
+         list_distinct(list_filter(
+           string_split_regex(lower(content), '[^a-z0-9]+'),
+           x -> len(x) > 0)) AS toks
+  FROM m1
+),
+graded AS (
+  SELECT f.chunk_id, f.conversation_id, f.fact_content, f.confidence,
+         round(len(list_intersect(
+           list_distinct([f.subject, f.object]), c.toks)) /
+           CAST(len(list_distinct([f.subject, f.object])) AS DOUBLE),
+           6) AS entity_support,
+         (p.chunk_id IS NOT NULL) AS conflicted
+  FROM f JOIN ctx c USING (chunk_id)
+  LEFT JOIN pairs p
+    ON f.chunk_id = p.chunk_id AND f.fact_content = p.fact_content
+)
+SELECT chunk_id, conversation_id, fact_content, confidence, entity_support,
+  round(confidence * entity_support, 6) AS validation_score,
+  CASE WHEN conflicted THEN 'conflicted'
+       WHEN entity_support < 1.0 THEN 'rejected'
+       WHEN confidence >= {validated_confidence} THEN 'validated'
+       ELSE 'pending' END AS status,
+  (NOT conflicted AND entity_support >= 1.0
+   AND confidence >= {validated_confidence}) AS is_valid,
+  CASE WHEN conflicted THEN 'REVISE'
+       WHEN entity_support < 1.0 THEN 'REJECT'
+       WHEN confidence >= {validated_confidence} THEN 'ACCEPT'
+       ELSE 'REVISE' END AS recommendation
+FROM graded
+ORDER BY chunk_id, fact_content
+"""

@@ -139,3 +139,47 @@ def test_consolidation_counts_and_survivor(m2_fixture):
     # c3 untouched single fact
     p = rows[("c3", "p")]
     assert p.n_facts == 1 and p.resolved_conflicts == 0
+
+
+def test_validation_status_lattice(spark):
+    """All four ValidationStatus values (base.py:25-30) reachable:
+    conflicted overrides, ungrounded entity rejects, 0.9 band splits
+    validated from pending; recommendation follows."""
+    from memfuse_spark.operators.conflicts import validate_facts
+
+    m2 = _m2(
+        spark,
+        [
+            # c1: latest batch reverses -> both sides conflicted
+            ("c1-0", "c1", "a co_occurs_with b", ["a", "b"], 0.95),
+            ("c1-1", "c1", "b co_occurs_with a", ["b", "a"], 0.95),
+            # c2: grounded + high confidence -> validated
+            ("c2-0", "c2", "x co_occurs_with y", ["x", "y"], 0.92),
+            # c3: grounded but mid-band confidence -> pending
+            ("c3-0", "c3", "p co_occurs_with q", ["p", "q"], 0.8),
+            # c4: entity 'ghost' absent from the source chunk -> rejected
+            ("c4-0", "c4", "m co_occurs_with ghost", ["m", "ghost"], 0.95),
+        ],
+    )
+    m1 = spark.createDataFrame(
+        [
+            ("c1-0", "a b filler"),
+            ("c1-1", "b a filler"),
+            ("c2-0", "x y filler"),
+            ("c3-0", "p q filler"),
+            ("c4-0", "m only here"),
+        ],
+        "chunk_id string, content string",
+    )
+    rows = {r.chunk_id: r for r in validate_facts(m2, m1).collect()}
+    assert rows["c1-0"].status == "conflicted"
+    assert rows["c1-1"].status == "conflicted"
+    assert rows["c1-0"].recommendation == "REVISE" and not rows["c1-0"].is_valid
+    assert rows["c2-0"].status == "validated" and rows["c2-0"].is_valid
+    assert rows["c2-0"].recommendation == "ACCEPT"
+    assert rows["c3-0"].status == "pending"
+    assert rows["c3-0"].recommendation == "REVISE"
+    assert rows["c4-0"].status == "rejected"
+    assert rows["c4-0"].recommendation == "REJECT"
+    assert rows["c4-0"].entity_support == pytest.approx(0.5)
+    assert rows["c4-0"].validation_score == pytest.approx(0.475)
