@@ -179,6 +179,10 @@ EXTRA = [
     "cooc_kcore",
     "boilerplate_removal",
     "tag_documents",
+    "fact_conflicts",
+    "fact_conflicts_detector",
+    "fact_consolidation",
+    "fact_validation",
 ]
 # Real-model-tier twins (deterministic stand-in models, models.py):
 # resolved from q_* functions directly — deliberately NOT queries()

@@ -100,7 +100,8 @@ def fact_conflicts(
     LATEST batch per conversation as the new side and everything
     earlier as existing. That keeps the pair count LINEAR in the new
     batch (new × blocked-existing), never the quadratic all-history
-    self-join.
+    self-join. The streaming ingest path calls
+    ``fact_conflicts_between`` directly with its own epoch split.
     """
     f = _with_fact_parts(m2)
     latest = f.groupBy("conversation_id").agg(
@@ -113,9 +114,42 @@ def fact_conflicts(
     old_side = f2.filter(F.col("batch_id") < F.col("__max_batch")).drop(
         "__max_batch"
     )
-    e = old_side.select([F.col(c).alias(f"e_{c}") for c in f.columns])
-    n = new_side.select([F.col(c).alias(f"n_{c}") for c in f.columns])
-    later = F.col("e_batch_id") < F.col("n_batch_id")
+    return fact_conflicts_between(
+        old_side,
+        new_side,
+        auto_resolve_threshold=auto_resolve_threshold,
+        escalation_threshold=escalation_threshold,
+        detector=detector,
+        require_batch_order=True,
+        _parsed=True,
+    )
+
+
+def fact_conflicts_between(
+    existing: DataFrame,
+    new: DataFrame,
+    auto_resolve_threshold: float = AUTO_RESOLVE_THRESHOLD,
+    escalation_threshold: float = ESCALATION_THRESHOLD,
+    detector=None,
+    require_batch_order: bool = False,
+    _parsed: bool = False,
+) -> DataFrame:
+    """Two-sided conflict kernel: detect conflicts of ``new`` facts
+    against ``existing`` facts (both the stored M2 shape). The
+    streaming ingest twin feeds each micro-batch as ``new`` and the
+    accumulated store as ``existing`` (epoch order already implies
+    temporal order, so ``require_batch_order=False`` there)."""
+    if not _parsed:
+        existing = _with_fact_parts(existing)
+        new = _with_fact_parts(new)
+    cols = existing.columns
+    e = existing.select([F.col(c).alias(f"e_{c}") for c in cols])
+    n = new.select([F.col(c).alias(f"n_{c}") for c in cols])
+    later = (
+        (F.col("e_batch_id") < F.col("n_batch_id"))
+        if require_batch_order
+        else F.lit(True)
+    )
 
     # same-subject candidates (the reference blocks on the new fact's
     # entity overlap before prompting); duplicates excluded by rule

@@ -573,3 +573,66 @@ def vector_ingest_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def conflict_ingest_stream(
+    facts_stream: DataFrame,
+    out_base: str,
+) -> "StreamingQuery":
+    """Streaming insert-time fact conflict detection: each micro-batch
+    of M2 facts is checked against the accumulated fact store, then
+    absorbed into it — the continuous form of the reference's
+    per-write conflict pass (hierarchy/conflict_detection.py:85-108,
+    triggered from the write path memory_layer_impl.py:191).
+
+    Per epoch: conflicts = fact_conflicts_between(prior store, batch)
+    — epoch order IS temporal order, so the within-conversation
+    batch_id comparison is not re-required — and both the conflict
+    rows and the batch's facts land under ``out_base`` partitioned by
+    epoch_id with dynamic overwrite: a replayed epoch REPLACES its own
+    partitions (prior state read excludes them), the same exactly-once
+    contract as ingest_stream / dedup_ingest_stream.
+
+    Outputs under out_base: ``conflicts/`` (the fact_conflicts shape +
+    epoch_id), ``facts/`` (the accumulated store).
+    """
+    from memfuse_spark.operators.conflicts import fact_conflicts_between
+
+    spark = facts_stream.sparkSession
+    fact_schema = (
+        "chunk_id string, conversation_id string, fact_content string, "
+        "entities array<string>, confidence double, epoch_id long"
+    )
+
+    def write_epoch(df: DataFrame, name: str, epoch_id: int) -> None:
+        (
+            df.withColumn("epoch_id", F.lit(epoch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("epoch_id")
+            .parquet(os.path.join(out_base, name))
+        )
+
+    def process_batch(batch: DataFrame, epoch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        try:
+            prior = spark.read.parquet(os.path.join(out_base, "facts"))
+        except Exception:  # first epoch: nothing written yet
+            prior = spark.createDataFrame([], fact_schema)
+        prior = prior.filter(F.col("epoch_id") != epoch_id).drop("epoch_id")
+        # vs the store, plus within-batch (earlier chunks of the same
+        # write batch are "existing" by the time later ones insert —
+        # batch_id order supplies the within-epoch temporal order)
+        conflicts = fact_conflicts_between(prior, batch).unionByName(
+            fact_conflicts_between(batch, batch, require_batch_order=True)
+        )
+        write_epoch(conflicts, "conflicts", epoch_id)
+        write_epoch(batch, "facts", epoch_id)
+
+    return (
+        facts_stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", os.path.join(out_base, "_checkpoint"))
+        .trigger(availableNow=True)
+        .start()
+    )
