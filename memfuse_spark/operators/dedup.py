@@ -1107,6 +1107,7 @@ def quality_dedup_keep(
     id_col: str = "doc_id",
     text_col: str = "text",
     threshold: float = JACCARD_THRESHOLD,
+    clusters_df: DataFrame | None = None,
 ) -> DataFrame:
     """Best-quality representative per near-dup cluster: connected
     components over the verified near-dup graph (:func:`dup_clusters`),
@@ -1114,6 +1115,9 @@ def quality_dedup_keep(
     least doc_id) — the RefinedWeb/Dolma refinement of keep-first
     dedup: when an article and its boilerplate-wrapped copy cluster
     together, the CLEANER one survives, not the lower-id one.
+    ``clusters_df=`` accepts a precomputed (doc_id, component,
+    cluster_size) assignment — in a served pipeline the clustering is
+    an ingest-time artifact, not per-report work.
 
     Output: (doc_id, component, cluster_size, quality) — keepers only.
     The quality join and the keep window both run over the full doc
@@ -1124,7 +1128,11 @@ def quality_dedup_keep(
 
     from memfuse_spark.operators.textanalysis import quality_score
 
-    clusters = dup_clusters(docs, id_col, text_col, threshold)
+    clusters = (
+        clusters_df
+        if clusters_df is not None
+        else dup_clusters(docs, id_col, text_col, threshold)
+    )
     quality = quality_score(docs, id_col, text_col)
     joined = clusters.join(quality, "doc_id")
     w = Window.partitionBy("component").orderBy(
