@@ -2138,6 +2138,25 @@ def q_m2_facts(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("chunk_id")
 
 
+def q_semdedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup semantic dedup (Abbas et al. \'23) over deterministic
+    hashed-BoW count vectors (the model-embedding stand-in with real
+    near-dup geometry on this fixture): sign-LSH cells, within-cell
+    cosine >= 0.95 duplicate groups, keep = farthest from the cell
+    centroid. Catches the paraphrase/re-render family MinHash\'s
+    shingle space and SimHash share, but from pure embedding geometry
+    — the third, vector-native dedup tier."""
+    from memfuse_spark.operators.dedup import semdedup_keep
+    from memfuse_spark.operators.textanalysis import hashed_bow_vectors
+
+    (docs,) = _tables(spark, sf_dir, "documents")
+    vecs = hashed_bow_vectors(docs)
+    return semdedup_keep(
+        vecs, id_col="doc_id", vec_col="vector", dim=64, num_planes=4,
+        threshold=0.95,
+    )
+
+
 def q_fact_conflicts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """M2 fact conflict detection (reference ConflictDetectionEngine,
     hierarchy/conflict_detection.py:55-147): every (existing, new) fact
@@ -4131,6 +4150,7 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fact_conflicts_detector": q_fact_conflicts_detector,
         "fact_consolidation": q_fact_consolidation,
         "fact_validation": q_fact_validation,
+        "semdedup_keep": q_semdedup_keep,
         # added after the r4 rotation freeze → in-window for r5
         "prefix_filter_stats": q_prefix_filter_stats,
         "m2_facts_extractor": q_m2_facts_extractor,
@@ -5821,6 +5841,7 @@ ORDER BY p.purchase_id
         "fact_conflicts_detector": oracles.fact_conflicts_detector_sql(),
         "fact_consolidation": oracles.fact_consolidation_sql(),
         "fact_validation": oracles.fact_validation_sql(),
+        "semdedup_keep": oracles.semdedup_sql(),
         "m2_facts_extractor": f"""
 WITH {oracles.M0_CTE.strip()},{oracles._m1_cte(5, 16)},
 tk AS (

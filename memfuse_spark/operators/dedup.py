@@ -1300,3 +1300,101 @@ SELECT doc_id,
 FROM flagged
 GROUP BY doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup — semantic (embedding-space) deduplication
+# ---------------------------------------------------------------------------
+
+
+def semdedup_keep(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    num_planes: int = 4,
+    threshold: float = 0.95,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. '23): semantic near-duplicates found in
+    EMBEDDING space — paraphrases and re-renderings that shingle-based
+    MinHash/SimHash cannot see. Vectors are bucketed into cells
+    (sign-LSH here; the paper uses k-means — `ann.ivf_kmeans_centroids`
+    is the learned drop-in), within-cell pairs above the cosine
+    threshold form duplicate groups (connected components), and each
+    group keeps the member FARTHEST from its cell centroid — the
+    paper's keep rule: the most atypical exemplar survives, the
+    redundant near-centroid copies go.
+
+    Output: (vec_id, cell, component, cluster_size, centroid_dist,
+    keep) — one row per vector; ``keep`` marks survivors (singletons
+    always survive).
+
+    Scale shape: pairwise comparison happens ONLY within a cell
+    (equi-join on the cell key — never corpus × corpus; the per-cell
+    cogrouped numpy matmul of `ann.mutual_knn_pairs` is the kernel
+    upgrade at billion scale). The centroid table is |cells| × dim and
+    broadcasts; components run over the (small) duplicate-pair graph
+    only.
+    """
+    from pyspark.sql import Window
+
+    from memfuse_spark.functions.vector import cosine_similarity
+    from memfuse_spark.operators.ann import lsh_bucket
+    from memfuse_spark.operators.graph import connected_components
+
+    cells = emb.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+        lsh_bucket(F.col(vec_col).cast("array<double>"), dim, num_planes).alias(
+            "cell"
+        ),
+    )
+    per_dim = (
+        cells.select("cell", F.posexplode("v").alias("pos", "x"))
+        .groupBy("cell", "pos")
+        .agg(F.avg("x").alias("m"))
+    )
+    cents = (
+        per_dim.groupBy("cell")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
+        .select("cell", F.transform("pm", lambda s: s["m"]).alias("centroid"))
+    )
+    with_dist = cells.join(F.broadcast(cents), "cell").withColumn(
+        "centroid_dist",
+        F.round(1 - cosine_similarity("v", "centroid"), 6),
+    )
+    a = with_dist.select(
+        "cell", F.col("vec_id").alias("a_id"), F.col("v").alias("a_v")
+    )
+    b = with_dist.select(
+        "cell", F.col("vec_id").alias("b_id"), F.col("v").alias("b_v")
+    )
+    pairs = (
+        a.join(b, "cell")
+        .filter(F.col("a_id") < F.col("b_id"))
+        .withColumn("cos", F.round(cosine_similarity("a_v", "b_v"), 6))
+        .filter(F.col("cos") >= threshold)
+        .select("a_id", "b_id")
+    )
+    comp = connected_components(pairs, "a_id", "b_id").withColumnRenamed(
+        "node", "vec_id"
+    )
+    labeled = (
+        with_dist.join(comp, "vec_id", "left")
+        .withColumn("component", F.coalesce("component", F.col("vec_id")))
+    )
+    w_sz = Window.partitionBy("component")
+    w_keep = Window.partitionBy("component").orderBy(
+        F.desc("centroid_dist"), F.asc("vec_id")
+    )
+    return (
+        labeled.withColumn(
+            "cluster_size", F.count("*").over(w_sz).cast("long")
+        )
+        .withColumn("keep", F.row_number().over(w_keep) == 1)
+        .select(
+            "vec_id", "cell", "component", "cluster_size",
+            "centroid_dist", "keep",
+        )
+        .orderBy("vec_id")
+    )

@@ -1563,3 +1563,53 @@ FROM hits h JOIN arity a USING (rule_id)
 WHERE h.got = a.need
 ORDER BY doc_id, rule_id
 """
+
+
+def hashed_bow_vectors(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    dim: int = 64,
+) -> DataFrame:
+    """(doc_id, vector) — deterministic hashed bag-of-words COUNT
+    vector per document: token → md5 bucket (mod dim), bucket counts as
+    a dense ``array<double>``. The deterministic stand-in for a model
+    embedding wherever genuinely SEMANTIC geometry is needed on this
+    fixture (X8's digest-hash embedding is orthogonal for any non-equal
+    texts; these vectors give near-dup texts cosine ≈ 1): the input
+    tier for SemDeDup. Integer counts make every downstream dot product
+    a sum of exact doubles — bit-identical across engines.
+
+    Plan shape: one wordcount-shaped aggregation, then a per-doc dense
+    assembly via map lookup — no joins, no dim × corpus explode.
+    """
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode_outer(tokenize(text_col)).alias("tok"),
+    ).filter(F.col("tok").isNotNull())
+    counts = toks.groupBy(
+        "doc_id",
+        (
+            F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("bigint")
+            % dim
+        )
+        .cast("int")
+        .alias("b"),
+    ).agg(F.count("*").cast("double").alias("c"))
+    return (
+        counts.groupBy("doc_id")
+        .agg(
+            F.map_from_entries(
+                F.collect_list(F.struct("b", "c"))
+            ).alias("__mp")
+        )
+        .select(
+            "doc_id",
+            F.transform(
+                F.sequence(F.lit(0), F.lit(dim - 1)),
+                lambda i: F.coalesce(
+                    F.element_at("__mp", i.cast("int")), F.lit(0.0)
+                ),
+            ).alias("vector"),
+        )
+    )

@@ -2235,3 +2235,93 @@ SELECT chunk_id, conversation_id, fact_content, confidence, entity_support,
 FROM graded
 ORDER BY chunk_id, fact_content
 """
+
+
+# --- SemDeDup (embedding-space dedup) oracle --------------------------------
+
+def hashed_bow_cte(dim: int = 64) -> str:
+    """CTEs ``toks``/``bk``/``grid``/``vecs`` — DuckDB twin of
+    textanalysis.hashed_bow_vectors: vecs(doc_id, v DOUBLE[])."""
+    return f"""toks AS (
+  SELECT doc_id, t.tok FROM documents,
+    unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                       x -> len(x) > 0)) AS t(tok)
+),
+bk AS (
+  SELECT doc_id,
+         CAST(CAST('0x' || substring(md5(tok), 1, 8) AS BIGINT) % {dim} AS INT) AS b,
+         CAST(count(*) AS DOUBLE) AS c
+  FROM toks GROUP BY doc_id, b
+),
+grid AS (
+  SELECT d.doc_id, i.i, coalesce(bk.c, 0.0) AS c
+  FROM (SELECT DISTINCT doc_id FROM bk) d
+  CROSS JOIN range(0, {dim}) AS i(i)
+  LEFT JOIN bk ON bk.doc_id = d.doc_id AND bk.b = i.i
+),
+vecs AS (SELECT doc_id, list(c ORDER BY i) AS v FROM grid GROUP BY doc_id)"""
+
+
+def semdedup_sql(
+    dim: int = 64, num_planes: int = 4, threshold: float = 0.95
+) -> str:
+    """DuckDB twin of dedup.semdedup_keep over the hashed-BoW vectors:
+    sign-LSH cells, per-cell centroids, within-cell cosine >= threshold
+    pairs, recursive min-label components, farthest-from-centroid
+    keep rule."""
+    from memfuse_spark.operators.ann import lsh_bucket_sql
+
+    bucket = lsh_bucket_sql("v", dim, num_planes)
+    cos_vc = (
+        "list_dot_product(c.v, ct.centroid)"
+        " / (sqrt(list_dot_product(c.v, c.v))"
+        " * sqrt(list_dot_product(ct.centroid, ct.centroid)))"
+    )
+    cos_ab = (
+        "round(list_dot_product(a.v, b.v)"
+        " / (sqrt(list_dot_product(a.v, a.v))"
+        " * sqrt(list_dot_product(b.v, b.v))), 6)"
+    )
+    return f"""
+WITH RECURSIVE {hashed_bow_cte(dim)},
+cells AS (SELECT doc_id, v, {bucket} AS cell FROM vecs),
+per_dim AS (
+  SELECT cell, t.i AS pos, avg(v[t.i + 1]) AS m
+  FROM cells, range(0, {dim}) AS t(i) GROUP BY cell, t.i
+),
+cents AS (
+  SELECT cell, list(m ORDER BY pos) AS centroid FROM per_dim GROUP BY cell
+),
+wd AS (
+  SELECT c.doc_id, c.cell,
+         round(1 - {cos_vc}, 6) AS centroid_dist
+  FROM cells c JOIN cents ct USING (cell)
+),
+dpairs AS (
+  SELECT a.doc_id AS a_id, b.doc_id AS b_id
+  FROM cells a JOIN cells b ON a.cell = b.cell AND a.doc_id < b.doc_id
+  WHERE {cos_ab} >= {threshold}
+),
+sym AS (
+  SELECT a_id AS a, b_id AS b FROM dpairs
+  UNION
+  SELECT b_id AS a, a_id AS b FROM dpairs
+),
+reach(node, label) AS (
+  SELECT doc_id, doc_id FROM vecs
+  UNION
+  SELECT s.b, r.label FROM reach r JOIN sym s ON s.a = r.node
+),
+comp AS (
+  SELECT node AS doc_id, min(label) AS component FROM reach GROUP BY node
+)
+SELECT w.doc_id AS vec_id, w.cell, c.component,
+       CAST(count(*) OVER (PARTITION BY c.component) AS BIGINT)
+         AS cluster_size,
+       w.centroid_dist,
+       (row_number() OVER (PARTITION BY c.component
+                           ORDER BY w.centroid_dist DESC, w.doc_id ASC) = 1)
+         AS keep
+FROM wd w JOIN comp c USING (doc_id)
+ORDER BY w.doc_id
+"""

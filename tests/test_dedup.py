@@ -363,3 +363,77 @@ def test_boilerplate_dedup_drops_every_occurrence(spark):
         for r in boilerplate_dedup(docs, span_words=10, min_df=4).collect()
     }
     assert all(out4[i].n_kept == 2 for i in (0, 1, 2))
+
+
+def test_semdedup_clusters_paraphrase_family(spark):
+    """SemDeDup over hashed-BoW vectors: token-overlap near-dups
+    cluster (transitively), the farthest-from-centroid member is the
+    keeper, distinct docs survive as singletons."""
+    from memfuse_spark.operators.dedup import semdedup_keep
+    from memfuse_spark.operators.textanalysis import hashed_bow_vectors
+
+    base = ("the quick brown fox jumps over the lazy dog near the river "
+            "bank every single morning before dawn breaks") * 3
+    docs = spark.createDataFrame(
+        [
+            (1, base),
+            (2, base + " extra"),          # near-dup of 1
+            (3, base + " extra words"),    # near-dup of 2 (chain)
+            (4, "completely different content about database engines "
+                "query optimizers and distributed shuffle exchanges " * 3),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r.vec_id: r
+        for r in semdedup_keep(
+            hashed_bow_vectors(docs), id_col="doc_id", vec_col="vector",
+            dim=64, num_planes=4, threshold=0.95,
+        ).collect()
+    }
+    # 1,2,3 in one component (transitive), 4 a singleton
+    assert out[1].component == out[2].component == out[3].component
+    assert out[4].component == 4 and out[4].cluster_size == 1 and out[4].keep
+    assert out[1].cluster_size == 3
+    # exactly one keeper, and it is the max-centroid-dist member
+    members = [out[1], out[2], out[3]]
+    keepers = [m for m in members if m.keep]
+    assert len(keepers) == 1
+    far = max(members, key=lambda m: (m.centroid_dist, -m.vec_id))
+    assert keepers[0].vec_id == far.vec_id
+
+
+def test_semdedup_pairs_only_within_cell(spark):
+    """The blocking contract: vectors in different LSH cells never
+    pair, whatever their cosine — the paper's clustering recall
+    caveat, kept faithfully (and the property that makes the plan
+    corpus-scalable)."""
+    from pyspark.sql import functions as F
+
+    from memfuse_spark.operators.ann import lsh_bucket
+    from memfuse_spark.operators.dedup import semdedup_keep
+    from memfuse_spark.operators.textanalysis import hashed_bow_vectors
+
+    docs = spark.createDataFrame(
+        [(i, f"token{i} filler words alpha beta gamma") for i in range(8)],
+        "doc_id long, text string",
+    )
+    vecs = hashed_bow_vectors(docs)
+    out = semdedup_keep(
+        vecs, id_col="doc_id", vec_col="vector", threshold=0.0
+    )
+    cells = {
+        r.doc_id: r.cell
+        for r in vecs.select(
+            "doc_id", lsh_bucket("vector", 64, 4).alias("cell")
+        ).collect()
+    }
+    # with threshold 0 everything same-cell merges: component count ==
+    # number of distinct cells
+    comp = {r.vec_id: r.component for r in out.collect()}
+    cell_groups = {}
+    for d, c in cells.items():
+        cell_groups.setdefault(c, set()).add(comp[d])
+    for c, comps in cell_groups.items():
+        assert len(comps) == 1  # one component per cell at threshold 0
+    assert len(set(comp.values())) == len(set(cells.values()))
