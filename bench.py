@@ -183,6 +183,7 @@ EXTRA = [
     "fact_conflicts_detector",
     "fact_consolidation",
     "fact_validation",
+    "semdedup_keep",
 ]
 # Real-model-tier twins (deterministic stand-in models, models.py):
 # resolved from q_* functions directly — deliberately NOT queries()

@@ -1342,6 +1342,8 @@ def semdedup_keep(
     from memfuse_spark.operators.ann import lsh_bucket
     from memfuse_spark.operators.graph import connected_components
 
+    from memfuse_spark import cache as _cache
+
     cells = emb.select(
         F.col(id_col).alias("vec_id"),
         F.col(vec_col).cast("array<double>").alias("v"),
@@ -1349,6 +1351,12 @@ def semdedup_keep(
             "cell"
         ),
     )
+    # Materialize ONCE: cells feeds four subplans (centroids, dists,
+    # both pair sides) and Spark does no CSE across them — without this
+    # the input-vector subtree (for hashed-BoW inputs, a full wordcount
+    # aggregation) executes four times. Executor-side only; rows are
+    # (id, dim doubles, cell) — narrow.
+    cells, _ids = _cache.tracked_local_checkpoint(cells, "dedup.semdedup")
     per_dim = (
         cells.select("cell", F.posexplode("v").alias("pos", "x"))
         .groupBy("cell", "pos")
