@@ -2157,6 +2157,58 @@ def q_semdedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval overlap join with two BIG sides (the case
+    band_range_join's broadcast cannot handle): gap-based user
+    sessions x per-type busy windows (hours with >= 5 events of one
+    type), every (session, window) pair whose time spans intersect.
+    Both sides are discretized onto an hourly bucket grid and
+    equi-joined on the bucket key — never a theta-join — with the
+    greatest-start-bucket trick making each pair emit exactly once,
+    no distinct. Per event_type: pair count, distinct sessions
+    touched, total overlap microseconds (integer-exact via
+    unix_micros on both engines)."""
+    from memfuse_spark.operators.temporal import (
+        interval_overlap_join,
+        sessionize,
+    )
+
+    (events,) = _tables(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    sessions = (
+        sessionize(events, gap_minutes=480)
+        .groupBy("user_id", "session_seq")
+        .agg(F.min(us).alias("s_start"), F.max(us).alias("s_end"))
+    )
+    windows = (
+        events.groupBy(
+            "event_type", F.date_trunc("hour", "ts").alias("__h")
+        )
+        .agg(
+            F.min(us).alias("w_start"),
+            F.max(us).alias("w_end"),
+            F.count("*").alias("__n"),
+        )
+        .filter(F.col("__n") >= 5)
+        .drop("__h", "__n")
+    )
+    pairs = interval_overlap_join(
+        sessions, windows, "s_start", "s_end", "w_start", "w_end",
+        bucket_seconds=3600,
+    )
+    return (
+        pairs.groupBy("event_type")
+        .agg(
+            F.count("*").cast("long").alias("n_pairs"),
+            F.countDistinct("user_id", "session_seq").alias("n_sessions"),
+            F.sum(
+                F.least("s_end", "w_end") - F.greatest("s_start", "w_start")
+            ).alias("overlap_us"),
+        )
+        .orderBy("event_type")
+    )
+
+
 def q_fact_conflicts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """M2 fact conflict detection (reference ConflictDetectionEngine,
     hierarchy/conflict_detection.py:55-147): every (existing, new) fact
@@ -4151,6 +4203,7 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fact_consolidation": q_fact_consolidation,
         "fact_validation": q_fact_validation,
         "semdedup_keep": q_semdedup_keep,
+        "interval_overlap": q_interval_overlap,
         # added after the r4 rotation freeze → in-window for r5
         "prefix_filter_stats": q_prefix_filter_stats,
         "m2_facts_extractor": q_m2_facts_extractor,
@@ -5842,6 +5895,51 @@ ORDER BY p.purchase_id
         "fact_consolidation": oracles.fact_consolidation_sql(),
         "fact_validation": oracles.fact_validation_sql(),
         "semdedup_keep": oracles.semdedup_sql(),
+        "interval_overlap": """
+WITH lagd AS (
+  SELECT user_id, event_id, ts,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS prev_ts
+  FROM events
+),
+marked AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN prev_ts IS NULL
+                   OR floor(epoch(ts))::BIGINT
+                      - floor(epoch(prev_ts))::BIGINT > 480 * 60
+              THEN 1 ELSE 0 END AS new_session
+  FROM lagd
+),
+assigned AS (
+  SELECT user_id, ts,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS session_seq
+  FROM marked
+),
+sessions AS (
+  SELECT user_id, session_seq,
+         min(epoch_us(ts)) AS s_start, max(epoch_us(ts)) AS s_end
+  FROM assigned GROUP BY user_id, session_seq
+),
+wins AS (
+  SELECT event_type,
+         min(epoch_us(ts)) AS w_start, max(epoch_us(ts)) AS w_end
+  FROM events
+  GROUP BY event_type, date_trunc('hour', ts)
+  HAVING count(*) >= 5
+)
+SELECT w.event_type,
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       CAST(count(DISTINCT (s.user_id, s.session_seq)) AS BIGINT)
+         AS n_sessions,
+       CAST(sum(least(s.s_end, w.w_end)
+                - greatest(s.s_start, w.w_start)) AS BIGINT) AS overlap_us
+FROM sessions s
+JOIN wins w ON s.s_start <= w.w_end AND w.w_start <= s.s_end
+GROUP BY w.event_type
+ORDER BY w.event_type
+""",
         "m2_facts_extractor": f"""
 WITH {oracles.M0_CTE.strip()},{oracles._m1_cte(5, 16)},
 tk AS (

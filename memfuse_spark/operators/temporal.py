@@ -836,3 +836,80 @@ FROM scored WHERE sd IS NOT NULL AND sd > 0
 ORDER BY abs(z) DESC, bucket ASC
 LIMIT {top_n}
 """
+
+
+# ---------------------------------------------------------------------------
+# interval overlap join (two big sides)
+# ---------------------------------------------------------------------------
+
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    l_start: str,
+    l_end: str,
+    r_start: str,
+    r_end: str,
+    bucket_seconds: int = 3600,
+) -> DataFrame:
+    """Inner overlap join of two interval tables: emit every (left,
+    right) pair whose [start, end] intervals intersect (closed ends:
+    touching at a point counts, with zero overlap duration).
+
+    Start/end columns are epoch-MICROSECOND longs (callers convert
+    timestamps with ``unix_micros(ts)``) so duration arithmetic stays
+    integer-exact across engines.
+
+    The reference has equi-joins only (SURVEY §2.3); this is the
+    Spark-native interval extension for the case `band_range_join`
+    cannot handle: BOTH sides too big to broadcast. A theta-join on
+    the overlap predicate degenerates to a per-partition cross
+    product, so instead both sides are discretized onto a shared
+    bucket grid and equi-joined on the bucket key:
+
+    - each interval explodes into the buckets it touches
+      (replication factor = interval span / bucket width + 1 — pick
+      ``bucket_seconds`` near the median interval length);
+    - the equi-join on ``__bucket`` shuffles both sides on a narrow
+      key that Catalyst hash-partitions; AQE splits hot buckets;
+    - the residual overlap predicate filters within the bucket;
+    - each overlapping pair would match once per SHARED bucket, so a
+      pair is emitted only in the bucket containing
+      ``greatest(l_start, r_start)`` — that bucket is always shared
+      (max-of-starts <= min-of-ends for overlapping intervals), making
+      the emit exactly-once WITHOUT a distinct (no second shuffle).
+
+    Integer `div` (not float division) computes bucket ids: epoch-µs
+    magnitudes (~1.7e15) are near double's 53-bit exactness edge and a
+    float floor can flip at bucket boundaries.
+    """
+    if bucket_seconds <= 0:
+        raise ValueError("bucket_seconds must be positive")
+    w = bucket_seconds * 1_000_000
+    lb = left.withColumn(
+        "__bucket",
+        F.explode(
+            F.sequence(
+                F.expr(f"{l_start} div {w}"), F.expr(f"{l_end} div {w}")
+            )
+        ),
+    )
+    rb = right.withColumn(
+        "__bucket",
+        F.explode(
+            F.sequence(
+                F.expr(f"{r_start} div {w}"), F.expr(f"{r_end} div {w}")
+            )
+        ),
+    )
+    return (
+        lb.join(rb, "__bucket")
+        .filter(
+            (F.col(l_start) <= F.col(r_end))
+            & (F.col(r_start) <= F.col(l_end))
+            & (
+                F.col("__bucket")
+                == F.expr(f"greatest({l_start}, {r_start}) div {w}")
+            )
+        )
+        .drop("__bucket")
+    )

@@ -257,3 +257,39 @@ def test_rolling_anomaly_flags_injected_spike(spark):
     assert top.z > 10
     # baseline of the spike hour reflects ~60/hour, not the spike
     assert 55 <= top.base_mean <= 65
+
+
+def test_interval_overlap_join_exactly_once_and_boundaries(spark):
+    from memfuse_spark.operators.temporal import interval_overlap_join
+
+    H = 3_600_000_000  # one hour in µs
+    # left: a 5-hour interval (explodes into 6 buckets), a point
+    # interval, and one that ends exactly where a right one starts
+    left = spark.createDataFrame(
+        [(1, 0, 5 * H), (2, 2 * H + 7, 2 * H + 7), (3, 0, 10 * H)],
+        "lid long, s long, e long",
+    )
+    right = spark.createDataFrame(
+        [
+            (10, H, 4 * H),        # overlaps lid 1 across 4 shared buckets
+            (20, 2 * H, 2 * H + 7),  # touches lid 2 at a point
+            (30, 10 * H, 12 * H),  # touches lid 3 exactly at its end
+            (40, 20 * H, 21 * H),  # overlaps nothing
+        ],
+        "rid long, rs long, re long",
+    )
+    got = interval_overlap_join(
+        left, right, "s", "e", "rs", "re", bucket_seconds=3600
+    )
+    pairs = sorted((r.lid, r.rid) for r in got.collect())
+    # lid1 x rid10 shares buckets 1..4 but must emit exactly ONCE;
+    # closed-end touches (point interval, end==start) count
+    assert pairs == [
+        (1, 10), (1, 20), (2, 10), (2, 20), (3, 10), (3, 20), (3, 30)
+    ]
+    # overlap durations are recoverable and integer-exact
+    d = {
+        (r.lid, r.rid): min(r.e, r.re) - max(r.s, r.rs)
+        for r in got.collect()
+    }
+    assert d[(1, 10)] == 3 * H and d[(2, 20)] == 0 and d[(3, 30)] == 0
