@@ -335,3 +335,27 @@ def test_no_forced_broadcast_of_sf_scaling_inputs(spark):
         for finding in _forced_scaling_broadcasts(reg[name](spark, SF_DIR)):
             failures.append(f"{name}: {finding}")
     assert not failures, failures
+
+
+def test_interval_overlap_join_is_bucket_equi_join(spark):
+    """The overlap predicate must never become the JOIN condition (a
+    nested-loop / theta join is the all-pairs shape that dies at scale):
+    the equi-key is the discretized __bucket column, with the overlap
+    predicate as an in-bucket residual filter."""
+    from memfuse_spark.operators.temporal import interval_overlap_join
+
+    H = 3_600_000_000
+    left = spark.range(2000).select(
+        F.col("id").alias("lid"),
+        (F.col("id") * H).alias("s"),
+        (F.col("id") * H + H).alias("e"),
+    )
+    right = spark.range(2000).select(
+        F.col("id").alias("rid"),
+        (F.col("id") * H + H // 2).alias("rs"),
+        (F.col("id") * H + H).alias("re"),
+    )
+    df = interval_overlap_join(left, right, "s", "e", "rs", "re")
+    plan = _plan(df)
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+    assert "SortMergeJoin" in plan or "BroadcastHashJoin" in plan or "ShuffledHashJoin" in plan
