@@ -184,6 +184,7 @@ EXTRA = [
     "fact_consolidation",
     "fact_validation",
     "semdedup_keep",
+    "interval_overlap",
 ]
 # Real-model-tier twins (deterministic stand-in models, models.py):
 # resolved from q_* functions directly — deliberately NOT queries()

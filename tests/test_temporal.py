@@ -293,3 +293,40 @@ def test_interval_overlap_join_exactly_once_and_boundaries(spark):
         for r in got.collect()
     }
     assert d[(1, 10)] == 3 * H and d[(2, 20)] == 0 and d[(3, 30)] == 0
+
+
+def test_interval_overlap_join_matches_naive_on_random_intervals(spark):
+    """Randomized equivalence: the bucket-grid join must emit exactly
+    the naive O(n²) overlap set — across bucket-straddling spans, point
+    intervals, and bucket-boundary-aligned endpoints."""
+    import random
+
+    from memfuse_spark.operators.temporal import interval_overlap_join
+
+    rng = random.Random(20260815)
+    H = 3_600_000_000
+    # endpoints biased onto bucket boundaries to stress the div edges
+    def span():
+        s = rng.choice(
+            [rng.randrange(0, 50 * H), rng.randrange(0, 50) * H]
+        )
+        ln = rng.choice([0, 1, H // 2, H, 3 * H, rng.randrange(0, 5 * H)])
+        return s, s + ln
+
+    lrows = [(i, *span()) for i in range(120)]
+    rrows = [(i, *span()) for i in range(120)]
+    left = spark.createDataFrame(lrows, "lid long, s long, e long")
+    right = spark.createDataFrame(rrows, "rid long, rs long, re long")
+    got = sorted(
+        (r.lid, r.rid)
+        for r in interval_overlap_join(
+            left, right, "s", "e", "rs", "re", bucket_seconds=3600
+        ).collect()
+    )
+    want = sorted(
+        (lid, rid)
+        for lid, s, e in lrows
+        for rid, rs, re in rrows
+        if s <= re and rs <= e
+    )
+    assert got == want
