@@ -1149,12 +1149,26 @@ def q_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cdc_chunks(docs)
 
 
+def _prefix_toks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Served-index token projection for the exact dedup tier: DISTINCT
+    (doc_id, tok) read straight off the persistent postings index
+    (unique per (doc_id, term) by construction — no re-tokenization of
+    the corpus; the index used the shared tokenizer, so results are
+    byte-identical to the derive-from-text default)."""
+    return spark.table(_postings_index(spark, sf_dir)).select(
+        "doc_id", F.col("term").alias("tok")
+    )
+
+
 def q_prefix_filter_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact set-similarity self-join with prefix filtering (AllPairs)."""
+    """Exact set-similarity self-join with prefix filtering (AllPairs),
+    token sets served from the persistent postings index."""
     from memfuse_spark.operators.dedup import PREFIX_JACCARD_T, prefix_filter_pairs
 
     (docs,) = _tables(spark, sf_dir, "documents")
-    return prefix_filter_pairs(docs, PREFIX_JACCARD_T)
+    return prefix_filter_pairs(
+        docs, PREFIX_JACCARD_T, toks=_prefix_toks(spark, sf_dir)
+    )
 
 
 def q_prefix_filter_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1167,7 +1181,9 @@ def q_prefix_filter_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from memfuse_spark.operators.dedup import PREFIX_JACCARD_T, prefix_filter_pairs
 
     (docs,) = _tables(spark, sf_dir, "documents")
-    pairs = prefix_filter_pairs(docs, PREFIX_JACCARD_T)
+    pairs = prefix_filter_pairs(
+        docs, PREFIX_JACCARD_T, toks=_prefix_toks(spark, sf_dir)
+    )
     bands = pairs.withColumn("band", F.floor(F.col("jaccard") * 20).cast("int"))
     # ONE pass over the pair pipeline: explode both endpoints, then
     # n_pairs = rows/2 (each pair contributes exactly 2 endpoint rows)

@@ -818,6 +818,7 @@ def prefix_filter_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     score_decimals: int = 6,
+    toks: DataFrame | None = None,
 ) -> DataFrame:
     """(doc_a, doc_b, jaccard) — token-set similarity self-join with
     PREFIX FILTERING (Bayardo et al. WWW'07 "Scaling Up All Pairs
@@ -847,6 +848,15 @@ def prefix_filter_pairs(
 
     Exact counterpart to the probabilistic minhash_lsh_pairs: no false
     negatives at the threshold. No reference analog.
+
+    ``toks=`` is the served-index path: a precomputed DISTINCT
+    ``(doc_id, tok)`` projection — e.g. ``SELECT doc_id, term FROM`` the
+    persistent postings index, whose rows are unique per (doc_id, term)
+    by construction. A dedup job on a corpus that already carries an
+    inverted index should never re-tokenize 100 TB of text; the default
+    (None) derives the projection from ``docs`` for standalone use.
+    Results are identical as long as the index used the shared
+    tokenizer.
     """
     from pyspark.sql import Window
 
@@ -857,13 +867,12 @@ def prefix_filter_pairs(
     # the token-set rehydration — scoped so the next prefix-filter query
     # releases this generation (cache.py; lazy-result-safe).
     cache.begin("dedup.prefix_toks")
-    toks = cache.scoped_persist(
-        docs.select(
+    if toks is None:
+        toks = docs.select(
             F.col(id_col).alias("doc_id"),
             F.explode_outer(F.array_distinct(tokenize(text_col))).alias("tok"),
-        ).filter(F.col("tok").isNotNull()),
-        "dedup.prefix_toks",
-    )
+        ).filter(F.col("tok").isNotNull())
+    toks = cache.scoped_persist(toks, "dedup.prefix_toks")
     freq = toks.groupBy("tok").agg(F.count("*").alias("df"))
     ranked = toks.join(freq, "tok").withColumn(
         "rnk",
@@ -882,6 +891,11 @@ def prefix_filter_pairs(
         # real token arrays, so exactness is unaffected
         "doc_id", F.xxhash64("tok").alias("tok"), "sz", "rnk"
     )
+    # persist: BOTH sides of the self-join below read this subtree, and
+    # Spark does no CSE across self-join branches — unpersisted, the
+    # per-doc ranking window (a full shuffle + sort of the postings)
+    # executes twice. Scoped with the toks generation.
+    prefix = cache.scoped_persist(prefix, "dedup.prefix_toks")
     a, b = prefix.alias("a"), prefix.alias("b")
     # required overlap for jaccard >= t; positional upper bound from
     # the shared token's canonical ranks (PPJoin).
