@@ -2166,7 +2166,9 @@ def q_semdedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     from memfuse_spark.operators.textanalysis import hashed_bow_vectors
 
     (docs,) = _tables(spark, sf_dir, "documents")
-    vecs = hashed_bow_vectors(docs)
+    vecs = hashed_bow_vectors(
+        docs, postings=spark.table(_postings_index(spark, sf_dir))
+    )
     return semdedup_keep(
         vecs, id_col="doc_id", vec_col="vector", dim=64, num_planes=4,
         threshold=0.95,

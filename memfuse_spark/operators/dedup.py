@@ -1045,7 +1045,12 @@ def containment_pairs(
         .filter(F.col("df") <= max_df)
         .select("sh")
     )
-    rp = postings.join(rare, "sh")
+    # persist: both candidate-join sides read this subtree (no CSE
+    # across self-join branches) — unpersisted, the shingle explode and
+    # the df aggregation execute twice. Rare-posting rows only (df ≤
+    # max_df), so the footprint is the distribution's tail, not the
+    # corpus.
+    rp = cache.scoped_persist(postings.join(rare, "sh"), "dedup.containment")
     a, b = rp.alias("a"), rp.alias("b")
     cand = (
         a.join(b, "sh")

@@ -1570,6 +1570,7 @@ def hashed_bow_vectors(
     id_col: str = "doc_id",
     text_col: str = "text",
     dim: int = 64,
+    postings: DataFrame | None = None,
 ) -> DataFrame:
     """(doc_id, vector) — deterministic hashed bag-of-words COUNT
     vector per document: token → md5 bucket (mod dim), bucket counts as
@@ -1582,12 +1583,24 @@ def hashed_bow_vectors(
 
     Plan shape: one wordcount-shaped aggregation, then a per-doc dense
     assembly via map lookup — no joins, no dim × corpus explode.
+
+    ``postings=`` is the served-index path: given the persistent
+    inverted index's ``(doc_id, term, tf)`` rows (shared tokenizer),
+    the bucket counts are ``sum(tf)`` per md5 bucket — identical
+    vectors with no re-tokenization of the corpus text.
     """
-    toks = docs.select(
-        F.col(id_col).alias("doc_id"),
-        F.explode_outer(tokenize(text_col)).alias("tok"),
-    ).filter(F.col("tok").isNotNull())
-    counts = toks.groupBy(
+    if postings is not None:
+        base = postings.select(
+            F.col(id_col).alias("doc_id"),
+            F.col("term").alias("tok"),
+            F.col("tf").cast("double").alias("__n"),
+        )
+    else:
+        base = docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode_outer(tokenize(text_col)).alias("tok"),
+        ).filter(F.col("tok").isNotNull()).withColumn("__n", F.lit(1.0))
+    counts = base.groupBy(
         "doc_id",
         (
             F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("bigint")
@@ -1595,7 +1608,7 @@ def hashed_bow_vectors(
         )
         .cast("int")
         .alias("b"),
-    ).agg(F.count("*").cast("double").alias("c"))
+    ).agg(F.sum("__n").alias("c"))
     return (
         counts.groupBy("doc_id")
         .agg(
