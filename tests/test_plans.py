@@ -359,3 +359,31 @@ def test_interval_overlap_join_is_bucket_equi_join(spark):
     plan = _plan(df)
     assert "NestedLoop" not in plan and "CartesianProduct" not in plan
     assert "SortMergeJoin" in plan or "BroadcastHashJoin" in plan or "ShuffledHashJoin" in plan
+
+
+def test_exact_dedup_tier_serves_from_postings_index(spark):
+    """The exact AllPairs tier and the hashed-BoW vector build must read
+    the persistent postings index, never re-tokenize the corpus: their
+    plans scan the mfs_postings_* table and touch documents.parquet not
+    at all (served-index contract, r4 VERDICT items 7-9 pattern)."""
+    import __spark_entry__ as m
+    from memfuse_spark import cache
+
+    stats = _plan(m.q_prefix_filter_stats(spark, SF_DIR))
+    assert "mfs_postings_" in stats
+    assert "documents.parquet" not in stats
+    cache.release("dedup.prefix_toks")
+
+    # semdedup's final plan starts at an eager localCheckpoint (cells
+    # LogicalRDD), so the index read is asserted on the vector-build
+    # subplan it materializes from.
+    from memfuse_spark.operators.textanalysis import hashed_bow_vectors
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    vecs = _plan(
+        hashed_bow_vectors(
+            docs, postings=spark.table(m._postings_index(spark, SF_DIR))
+        )
+    )
+    assert "mfs_postings_" in vecs
+    assert "documents.parquet" not in vecs
