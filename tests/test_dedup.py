@@ -437,3 +437,29 @@ def test_semdedup_pairs_only_within_cell(spark):
     for c, comps in cell_groups.items():
         assert len(comps) == 1  # one component per cell at threshold 0
     assert len(set(comp.values())) == len(set(cells.values()))
+
+
+def test_hashed_bow_postings_path_is_identical(spark):
+    """The served-index path (postings= from the inverted index) must
+    produce bit-identical vectors to the tokenize-from-text default —
+    the identity the semdedup oracle relies on."""
+    from memfuse_spark.operators.keyword import build_postings
+    from memfuse_spark.operators.textanalysis import hashed_bow_vectors
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma alpha alpha"),
+            (2, "beta beta delta epsilon"),
+            (3, "zeta zeta zeta zeta eta theta iota kappa"),
+            (4, ""),
+        ],
+        "doc_id long, text string",
+    )
+    a = {r.doc_id: r.vector for r in hashed_bow_vectors(docs).collect()}
+    b = {
+        r.doc_id: r.vector
+        for r in hashed_bow_vectors(
+            docs, postings=build_postings(docs)
+        ).collect()
+    }
+    assert a == b
