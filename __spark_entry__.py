@@ -989,10 +989,12 @@ def q_fk_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def orphans(fact, fk, dim, pk, edge):
+        # no forced broadcast: customer/supplier key columns grow with
+        # scale factor (the r4 wart class) — AQE's size gate broadcasts
+        # them while they fit and falls back to a shuffled anti-join
+        # when they don't.
         return (
-            fact.join(
-                F.broadcast(dim.select(F.col(pk).alias(fk))), fk, "left_anti"
-            )
+            fact.join(dim.select(F.col(pk).alias(fk)), fk, "left_anti")
             .agg(F.count("*").alias("n_orphans"))
             .select(F.lit(edge).alias("fk_edge"), "n_orphans")
         )

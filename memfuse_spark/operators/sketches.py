@@ -427,11 +427,12 @@ def bloom_semi_join_stats(
         word = F.element_at(bits_lit, F.shiftright(F.col(name), 6).cast("int") + 1)
         mask = F.expr(f"shiftleft(1L, CAST({name} % 64 AS INT))")
         member = member & (word.bitwiseAND(mask) != F.lit(0))
-    # Single fact scan: bloom membership + exact match both resolve
-    # map-side (bitset ≤ m rows; the key set here is dimension-sized so
-    # the exact tag can broadcast too — at a scale where keys CANNOT
-    # broadcast, n_true_match instead comes from joining only the
-    # bloom-passing survivors, which is precisely the filter's purpose).
+    # Single fact scan: bloom membership resolves map-side (bitset ≤ m
+    # rows, hint-broadcast above). The exact-match tag joins the
+    # DIMENSION-sized key set — size-gated by AQE, never forced: while
+    # the keys fit they broadcast; at a scale where they cannot,
+    # n_true_match instead comes from joining only the bloom-passing
+    # survivors, which is precisely the filter's purpose.
     dkeys = keys.select(F.col(key_col).alias(fact_key)).distinct().withColumn(
         "__match", F.lit(1)
     )
@@ -439,7 +440,7 @@ def bloom_semi_join_stats(
     for name, expr in probe_cols.items():
         probed = probed.withColumn(name, expr)
     return (
-        probed.join(F.broadcast(dkeys), fact_key, "left")
+        probed.join(dkeys, fact_key, "left")
         .agg(
             F.count("*").cast("long").alias("n_fact"),
             F.sum(F.when(member, 1).otherwise(0)).cast("long").alias("n_bloom_pass"),

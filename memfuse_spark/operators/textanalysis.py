@@ -128,7 +128,11 @@ def unigram_logprob(
     ).filter(F.col("tok").isNotNull())
     lm = toks.groupBy("tok").agg(F.count("*").alias("ctf"))
     total = lm.agg(F.sum("ctf").alias("total"))
-    scored = toks.join(F.broadcast(lm), "tok").crossJoin(F.broadcast(total))
+    # the LM table is VOCABULARY-sized (Heaps-law growth — unbounded at
+    # corpus scale): no forced broadcast; AQE's size gate broadcasts it
+    # while it fits and falls back to a shuffled equi-join on tok when
+    # it doesn't. Only the 1-row total is hint-broadcast.
+    scored = toks.join(lm, "tok").crossJoin(F.broadcast(total))
     return (
         scored.groupBy("doc_id")
         .agg(F.round(F.avg(F.log(F.col("ctf") / F.col("total"))), 6).alias("avg_logprob"))
@@ -465,9 +469,12 @@ def importance_weights(
     stats = clm.agg(
         F.sum("cc").alias("cn"), F.count("*").cast("double").alias("vocab")
     ).crossJoin(tlm.agg(F.sum("tc").alias("tn")))
+    # clm/tlm are vocabulary-sized — size-gated by AQE, never forced
+    # (the docstring's "equi-join on tok is what AQE falls back to");
+    # only the scalar stats row keeps the hint.
     scored = (
-        ctoks.join(F.broadcast(clm), "tok")
-        .join(F.broadcast(tlm), "tok", "left")
+        ctoks.join(clm, "tok")
+        .join(tlm, "tok", "left")
         .crossJoin(F.broadcast(stats))
         .select(
             "doc_id",
@@ -780,10 +787,12 @@ def bigram_logprob(
     logp = F.log(
         (F.col("cbg") + F.lit(k)) / (F.col("cctx") + F.lit(k) * F.col("v"))
     )
+    # bi_lm/ctx are vocabulary²/vocabulary-sized — size-gated by AQE,
+    # never forced; only the 1-row vocab count keeps the hint.
     scored = (
-        bgs.join(F.broadcast(bi_lm), "gram")
+        bgs.join(bi_lm, "gram")
         .join(
-            F.broadcast(ctx),
+            ctx,
             F.split("gram", " ").getItem(0) == F.col("w"),
         )
         .crossJoin(F.broadcast(vocab))

@@ -149,8 +149,11 @@ def test_collocations_single_corpus_scan(spark, tables):
 
 def test_bloom_fact_side_never_sort_merge_joins(spark, tables):
     """The Bloom pre-filter's point is that the fact table is never
-    shuffled for a join: bitset and key tags broadcast, so the plan has
-    broadcast joins only."""
+    shuffled for a join: the bitset is hint-broadcast, and the key-tag
+    join is AQE-converted to broadcast while the keys fit (it is
+    deliberately NOT hinted — customer keys grow with scale factor, so
+    the size gate must stay in charge). Checked on the FINAL adaptive
+    plan: after execution the fact side joined without a sort-merge."""
     from pyspark.sql import functions as F
 
     from memfuse_spark.operators.sketches import bloom_semi_join_stats
@@ -158,7 +161,10 @@ def test_bloom_fact_side_never_sort_merge_joins(spark, tables):
     keys = tables["customer"].filter(F.col("c_mktsegment") == "BUILDING").select(
         F.col("c_custkey").alias("o_custkey")
     )
-    plan = _plan(bloom_semi_join_stats(tables["orders"], keys, "o_custkey", "o_custkey"))
+    df = bloom_semi_join_stats(tables["orders"], keys, "o_custkey", "o_custkey")
+    df.collect()  # run so AQE finalizes the join strategies
+    plan = _plan(df)
+    assert "isFinalPlan=true" in plan
     assert "SortMergeJoin" not in plan
     assert "BroadcastExchange" in plan
 
@@ -315,24 +321,34 @@ def _forced_scaling_broadcasts(df) -> list[str]:
     return bad
 
 
+# Hinted broadcasts whose build side is bounded by CONTRACT rather than
+# by a plan node the detector can see. Each entry must say why.
+_BOUNDED_BY_CONTRACT = {
+    # the benchmark side of decontamination is a fixed external eval
+    # suite — bounded by definition, whatever table the test fixture
+    # derives it from
+    "decontaminate",
+    # the packing offset table has one row per pack bucket (a fixed
+    # partition-count-sized grouping), not one per document
+    "sequence_pack",
+}
+
+
 def test_no_forced_broadcast_of_sf_scaling_inputs(spark):
     """A broadcast HINT overrides AQE's size gate, so it may only take
     cardinality-BOUNDED inputs: fixed dims (nation/region), scalar
     aggregates, top-k stages. customer/part/supplier/documents all grow
     with scale factor — at 100× a forced hint on them is a multi-GB
     build side on every executor (the r4 scale-killer warts). Checked
-    across the full TPC-H family and the two repaired queries."""
+    across EVERY declared query; bounded-by-contract hints are
+    allowlisted above with justification."""
     import __spark_entry__ as m
 
-    reg = m._query_registry()
-    targets = [f"tpch_q{i}" for i in range(1, 23)] + [
-        "revenue_by_nation",
-        "quota_topk",
-        "dedup_rate_by_source",
-    ]
     failures = []
-    for name in targets:
-        for finding in _forced_scaling_broadcasts(reg[name](spark, SF_DIR)):
+    for name, fn in m.queries().items():
+        if name in _BOUNDED_BY_CONTRACT:
+            continue
+        for finding in _forced_scaling_broadcasts(fn(spark, SF_DIR)):
             failures.append(f"{name}: {finding}")
     assert not failures, failures
 
