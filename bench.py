@@ -248,6 +248,7 @@ def main() -> None:
     entrymod._postings_index_v2(spark, sf_dir)
     entrymod._dup_base(spark, sf_dir)
     entrymod._dup_assign(spark, sf_dir)
+    entrymod._shingle_store(spark, sf_dir)
     # stored hierarchy layers (flush-pipeline artifacts) and the
     # write-time-embedded knowledge corpus — same contract
     entrymod._m1_store(spark, sf_dir)

@@ -1013,6 +1013,7 @@ def containment_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     n: int = SHINGLE_N,
+    sets: DataFrame | None = None,
 ) -> DataFrame:
     """(inner_doc, outer_doc, containment) — ASYMMETRIC near-dup
     detection: containment(A→B) = |shingles(A) ∩ shingles(B)| / |A| ≥ t
@@ -1032,9 +1033,14 @@ def containment_pairs(
     """
     from memfuse_spark import cache
 
+    # sets= is the served-store path: a precomputed (doc_id, shingles)
+    # table (the ingest-time shingle store a dedup service maintains —
+    # the _dup_base signature-store sibling); the default derives it
+    # from docs for standalone use.
     cache.begin("dedup.containment")
     sets = cache.scoped_persist(
-        shingle_sets(docs, id_col, text_col, n), "dedup.containment"
+        shingle_sets(docs, id_col, text_col, n) if sets is None else sets,
+        "dedup.containment",
     )
     postings = sets.select(
         "doc_id", F.explode_outer("shingles").alias("sh")

@@ -1192,6 +1192,7 @@ def ngram_novelty(
     id_col: str = "doc_id",
     text_col: str = "text",
     decimals: int = 6,
+    shingled: DataFrame | None = None,
 ) -> DataFrame:
     """(doc_id, n_grams, n_novel, novelty) — the share of a document's
     distinct word n-grams that FIRST appear in it (global first
@@ -1210,16 +1211,22 @@ def ngram_novelty(
     from memfuse_spark import cache
     from memfuse_spark.functions.text import tokenize, word_shingles
 
+    # shingled= is the served-store path: a precomputed (doc_id,
+    # shingles array) table — the ingest-time shingle store the dedup
+    # tiers share; the default derives it from docs for standalone use.
     cache.begin("textanalysis.novelty")
-    g = cache.scoped_persist(
-        docs.select(
+    if shingled is not None:
+        src = shingled.select(
+            F.col(id_col).alias("doc_id"), F.explode("shingles").alias("g")
+        )
+    else:
+        src = docs.select(
             F.col(id_col).alias("doc_id"),
             F.explode(
                 F.array_distinct(word_shingles(tokenize(text_col), n))
             ).alias("g"),
-        ),
-        "textanalysis.novelty",
-    )
+        )
+    g = cache.scoped_persist(src, "textanalysis.novelty")
     per_doc = g.groupBy("doc_id").agg(F.count("*").alias("n_grams"))
     novel = (
         g.groupBy("g")
