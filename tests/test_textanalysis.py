@@ -314,3 +314,29 @@ def test_tag_documents_conjunctive_rules(spark):
     )
     got = {(r.doc_id, r.tag) for r in tag_documents(docs).collect()}
     assert got == {(0, "analytics"), (2, "streaming"), (2, "storage")}
+
+
+def test_ngram_novelty_served_shingles_identical(spark):
+    """The served-store path (shingled= from the ingest-time shingle
+    table) must produce identical novelty rows to the derive-from-text
+    default — the identity the driver oracle relies on."""
+    from memfuse_spark.operators.dedup import shingle_sets
+    from memfuse_spark.operators.textanalysis import ngram_novelty
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta"),
+            (2, "alpha beta gamma delta different tail here"),
+            (3, "totally novel content with fresh trigrams only"),
+            (4, "xy"),  # fewer than n tokens -> no shingles
+        ],
+        "doc_id long, text string",
+    )
+    a = sorted(map(tuple, ngram_novelty(docs).collect()))
+    b = sorted(
+        map(
+            tuple,
+            ngram_novelty(docs, shingled=shingle_sets(docs)).collect(),
+        )
+    )
+    assert a == b
