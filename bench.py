@@ -233,6 +233,18 @@ def main() -> None:
         qs_warm[name](spark, warm_dir).collect()
     for name in MODEL_TIER:
         getattr(entrymod, f"q_{name}")(spark, warm_dir).collect()
+    # Drop the warmup residue before anything is timed: ~180 warm
+    # queries leave one live cache generation per operator scope plus
+    # the warm-dir fixture checkpoints in block-manager memory, and
+    # that pile-up (not the plans) is what inflated in-suite slots to
+    # 15x their isolation numbers in r5 (BENCH_DETAIL vs
+    # tools/isolate_timing.py). Codegen caches are JVM-wide and
+    # survive; only storage blocks are released.
+    from memfuse_spark import cache as _cache
+
+    _cache.release_all()
+    entrymod.release_memo_stores(spark, warm_dir)
+    spark.catalog.clearCache()
     # the keyword postings index and the graph edge store are persistent
     # ingest-time artifacts (reference: FTS5 index, keyword_store/
     # sqlite_store.py:376-421; graph store built at flush) — built once
@@ -262,6 +274,12 @@ def main() -> None:
         rows = fn(spark, sf_dir).collect()
         timings[name] = round(time.perf_counter() - t0, 3)
         assert rows is not None
+        # per-slot scope hygiene (NOT timed): each query's scoped cache
+        # generation is per-call state — releasing it keeps slot N+30
+        # from paying for slot N's persisted blocks. The memoized
+        # ingest-time stores at sf_dir are plain localCheckpoints held
+        # by module memos, untouched here — serving stays amortized.
+        _cache.release_all()
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf

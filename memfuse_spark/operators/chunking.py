@@ -512,12 +512,17 @@ def sentence_chunks(
     )
 
 
-def sentence_chunks_sql(per_chunk: int = SENTENCES_PER_CHUNK) -> str:
-    """DuckDB twin of :func:`sentence_chunks`."""
+def sentence_chunks_sql(
+    per_chunk: int = SENTENCES_PER_CHUNK, text_expr: str = "text"
+) -> str:
+    """DuckDB twin of :func:`sentence_chunks`. ``text_expr`` lets the
+    caller derive the text column (e.g. the punctuation-injection
+    expression the driver query uses to exercise multi-sentence
+    windows on the punctuation-free synthetic corpus)."""
     return f"""
 WITH sents AS (
   SELECT doc_id,
-         list_filter(regexp_split_to_array(text, '[.!?]+\\s+'),
+         list_filter(regexp_split_to_array({text_expr}, '[.!?]+\\s+'),
                      s -> len(s) > 0) AS sl
   FROM documents
 ),

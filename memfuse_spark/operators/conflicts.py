@@ -163,14 +163,22 @@ def fact_conflicts_between(
         .filter(F.col("e_fact_content") != F.col("n_fact_content"))
         .withColumn("conflict_type", F.lit("VALUE_MISMATCH"))
     )
+    # subject != object on the new side: a self-referential fact
+    # (possible via the extractor/detector seams) would otherwise match
+    # BOTH branches for the same (existing, new) pair, and an exact
+    # duplicate would be flagged SEMANTIC_CONFLICT despite the
+    # "duplicates are not conflicts" rule — hence also the
+    # fact_content inequality mirror of the same_subject branch.
     reversed_pair = (
         e.join(
             n,
             (F.col("e_conversation_id") == F.col("n_conversation_id"))
             & (F.col("e_subject") == F.col("n_object"))
             & (F.col("e_object") == F.col("n_subject"))
+            & (F.col("n_subject") != F.col("n_object"))
             & later,
         )
+        .filter(F.col("e_fact_content") != F.col("n_fact_content"))
         .withColumn("conflict_type", F.lit("SEMANTIC_CONFLICT"))
     )
     pairs = same_subject.unionByName(reversed_pair)
@@ -320,6 +328,18 @@ def validate_facts(
     chunk store on chunk_id + one semi-join against the conflict pairs
     — both on bucketable keys; the groundedness check is per-row array
     arithmetic.
+
+    KNOWN LIMITATION (latest-batch-only conflict blocking): the
+    ``conflicted`` status derives from :func:`fact_conflicts`, which —
+    matching the reference's insert-time detection — pairs only the
+    LATEST batch per conversation against earlier batches. Facts whose
+    conflicts lie purely among historical batches grade
+    validated/pending here. The reference checked each insert
+    cumulatively, so over a full replay it would have flagged those at
+    their own insert time; a batch-snapshot caller needing the
+    cumulative semantics should union ``fact_conflicts_between`` over
+    each batch prefix (O(#batches) equi-joins) before grading. The
+    DuckDB oracle twin replicates this same latest-batch blocking.
     """
     from memfuse_spark.functions.text import tokenize
 

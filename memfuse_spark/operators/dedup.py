@@ -1381,7 +1381,10 @@ def semdedup_keep(
     # both pair sides) and Spark does no CSE across them — without this
     # the input-vector subtree (for hashed-BoW inputs, a full wordcount
     # aggregation) executes four times. Executor-side only; rows are
-    # (id, dim doubles, cell) — narrow.
+    # (id, dim doubles, cell) — narrow. begin() rotates the scope's
+    # generation so repeated calls keep at most one prior corpus-sized
+    # checkpoint alive (same pattern as the other dedup.* scopes).
+    _cache.begin("dedup.semdedup")
     cells, _ids = _cache.tracked_local_checkpoint(cells, "dedup.semdedup")
     per_dim = (
         cells.select("cell", F.posexplode("v").alias("pos", "x"))

@@ -881,9 +881,21 @@ def interval_overlap_join(
     Integer `div` (not float division) computes bucket ids: epoch-µs
     magnitudes (~1.7e15) are near double's 53-bit exactness edge and a
     float floor can flip at bucket boundaries.
+
+    Left and right column names must be DISJOINT (the residual filter
+    and emit-once predicate resolve start/end by bare name after the
+    join — a shared name would bind ambiguously), enforced up front;
+    callers with overlapping schemas alias one side first.
     """
     if bucket_seconds <= 0:
         raise ValueError("bucket_seconds must be positive")
+    shared = set(left.columns) & set(right.columns)
+    if shared:
+        raise ValueError(
+            "interval_overlap_join requires disjoint left/right column "
+            f"names; shared: {sorted(shared)} — alias one side "
+            "(e.g. r_ prefixes) before joining"
+        )
     w = bucket_seconds * 1_000_000
     lb = left.withColumn(
         "__bucket",

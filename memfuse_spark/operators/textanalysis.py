@@ -1214,6 +1214,18 @@ def ngram_novelty(
     # shingled= is the served-store path: a precomputed (doc_id,
     # shingles array) table — the ingest-time shingle store the dedup
     # tiers share; the default derives it from docs for standalone use.
+    # The store is built at dedup.SHINGLE_N, so a non-default n cannot
+    # be honored from it — fail loudly instead of silently serving
+    # SHINGLE_N-gram novelty for a different n.
+    if shingled is not None:
+        from memfuse_spark.operators.dedup import SHINGLE_N
+
+        if n != SHINGLE_N:
+            raise ValueError(
+                f"ngram_novelty(shingled=...) serves the stored "
+                f"{SHINGLE_N}-gram shingle table and cannot honor n={n}; "
+                f"omit shingled= to compute {n}-grams from the text"
+            )
     cache.begin("textanalysis.novelty")
     if shingled is not None:
         src = shingled.select(

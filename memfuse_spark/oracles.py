@@ -2087,7 +2087,9 @@ pairs AS (
   FROM fe e JOIN fn n
     ON e.conversation_id = n.conversation_id
    AND e.subject = n.object AND e.object = n.subject
+   AND n.subject <> n.object
    AND e.batch_id < n.batch_id
+  WHERE e.fact_content <> n.fact_content
 )
 SELECT *,
   CASE WHEN confidence >= {a} THEN 'HIGH'
@@ -2156,7 +2158,9 @@ cand AS (
   FROM fe e JOIN fn n
     ON e.conversation_id = n.conversation_id
    AND e.subject = n.object AND e.object = n.subject
+   AND n.subject <> n.object
    AND e.batch_id < n.batch_id
+  WHERE e.fact_content <> n.fact_content
 ),
 flagged AS (
   SELECT *, 'LLM_FLAGGED' AS conflict_type,
@@ -2186,7 +2190,9 @@ def fact_validation_sql(
    AND e.subject = n.subject AND e.batch_id < n.batch_id"""
     rev_on = """e.conversation_id = n.conversation_id
    AND e.subject = n.object AND e.object = n.subject
-   AND e.batch_id < n.batch_id"""
+   AND n.subject <> n.object
+   AND e.batch_id < n.batch_id
+   AND e.fact_content <> n.fact_content"""
     return f"""
 WITH {M0_CTE.strip()},{_m1_cte(5, 16)},
 m2 AS (SELECT * FROM ({m2})),

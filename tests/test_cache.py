@@ -48,3 +48,22 @@ def test_release_all_clears_every_scope(spark):
     _, b = cache.tracked_local_checkpoint(spark.range(5), "cache.b")
     cache.release_all()
     assert _persisted(spark, a) == [] and _persisted(spark, b) == []
+
+def test_semdedup_scope_rotates_generations(spark):
+    """Regression (ADVICE r5): semdedup_clusters must begin() its cache
+    scope per call so repeated calls release old corpus-sized
+    checkpoints instead of accumulating one per call forever."""
+    from memfuse_spark.operators.dedup import semdedup_keep
+
+    emb = spark.createDataFrame(
+        [(i, [float(i % 3), float((i * 7) % 5), 1.0]) for i in range(30)],
+        "vec_id long, v array<double>",
+    )
+    before = len(cache._GENS.get("dedup.semdedup", []))
+    for _ in range(3):
+        semdedup_keep(emb, id_col="vec_id", vec_col="v", dim=3).count()
+    gens = cache._GENS["dedup.semdedup"]
+    # begin() keeps at most current + KEEP_PRIOR_GENERATIONS entries
+    assert len(gens) <= cache.KEEP_PRIOR_GENERATIONS + 1, (before, len(gens))
+    live = [i for (_s, ids) in (p for g in gens for p in g.rdds) for i in ids]
+    assert len(_persisted(spark, live)) <= 2 * len(gens)

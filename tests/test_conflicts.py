@@ -81,6 +81,31 @@ def test_only_latest_batch_is_new_side(spark):
     assert all(r.new_chunk_id == "c1-2" for r in out)
 
 
+def test_self_referential_facts_not_double_flagged(spark):
+    """A fact whose subject == object (possible via the extractor seam)
+    must not match BOTH rule branches for the same pair, and an exact
+    duplicate of it is never a conflict ('duplicates are not
+    conflicts'), even though the reversed-pair pattern matches it."""
+    from memfuse_spark.operators.conflicts import fact_conflicts
+
+    m2 = _m2(
+        spark,
+        [
+            # c5: exact duplicate self-referential fact -> NO conflict
+            ("c5-0", "c5", "s co_occurs_with s", ["s", "s"], 0.9),
+            ("c5-1", "c5", "s co_occurs_with s", ["s", "s"], 0.9),
+            # c6: self-referential subject, content changed -> exactly
+            # ONE VALUE_MISMATCH row (reversed branch must not re-emit)
+            ("c6-0", "c6", "t co_occurs_with t", ["t", "t"], 0.9),
+            ("c6-1", "c6", "t also_seen_with t", ["t", "t"], 0.9),
+        ],
+    )
+    out = fact_conflicts(m2).collect()
+    assert [(r.conversation_id, r.conflict_type) for r in out] == [
+        ("c6", "VALUE_MISMATCH")
+    ]
+
+
 def test_detector_seam_honored_and_skippable(m2_fixture):
     """The LLM plug point: verdict tuples flow through to the output
     (type + confidence), None drops the pair, and the threshold ladder

@@ -295,6 +295,20 @@ def test_interval_overlap_join_exactly_once_and_boundaries(spark):
     assert d[(1, 10)] == 3 * H and d[(2, 20)] == 0 and d[(3, 30)] == 0
 
 
+def test_interval_overlap_join_rejects_shared_column_names(spark):
+    """The residual filter resolves start/end by bare name post-join:
+    shared left/right names would bind ambiguously, so they are
+    rejected up front with an actionable message."""
+    import pytest as _pytest
+
+    from memfuse_spark.operators.temporal import interval_overlap_join
+
+    left = spark.createDataFrame([(1, 0, 10)], "lid long, s long, e long")
+    right = spark.createDataFrame([(2, 5, 15)], "rid long, s long, re long")
+    with _pytest.raises(ValueError, match="disjoint"):
+        interval_overlap_join(left, right, "s", "e", "s", "re")
+
+
 def test_interval_overlap_join_matches_naive_on_random_intervals(spark):
     """Randomized equivalence: the bucket-grid join must emit exactly
     the naive O(n²) overlap set — across bucket-straddling spans, point

@@ -340,3 +340,10 @@ def test_ngram_novelty_served_shingles_identical(spark):
         )
     )
     assert a == b
+    # the stored table is built at SHINGLE_N: asking for another n
+    # while serving from it must fail loudly, never silently serve
+    # SHINGLE_N-gram novelty for the requested n
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="cannot honor n=2"):
+        ngram_novelty(docs, n=2, shingled=shingle_sets(docs))
