@@ -1,0 +1,275 @@
+"""Prompt-construction + parse-contract twin (memfuse_spark/prompts.py)
+for the LLM seams — reference llm/prompts/manager.py,
+hierarchy/llm_service.py, hierarchy/conflict_detection.py,
+store/pgai_store/fact_extraction_processor.py."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from memfuse_spark import prompts as P
+
+
+# ---------------------------------------------------------------------------
+# templating
+# ---------------------------------------------------------------------------
+
+def test_build_prompt_substitutes_and_coerces_none():
+    p = P.build_prompt(
+        "fact_extraction",
+        content="alice likes tea",
+        user_id="u1",
+        session_id=None,  # manager.py:85 None -> ""
+        timestamp=1234,   # stringified
+    )
+    assert "<conversation_content>\nalice likes tea\n" in p
+    assert "User ID: u1" in p
+    assert "Session ID: \n" in p
+    assert "Timestamp: 1234" in p
+    assert '"facts"' in p  # the JSON contract is part of the prompt
+
+
+def test_build_prompt_safe_substitute_and_unknown_template():
+    # missing variables stay as placeholders (safe_substitute), extras
+    # are ignored — manager.py:88 behavior
+    p = P.build_prompt("conflict_detection", new_fact="x", bogus="y")
+    assert "<new_fact>\nx\n</new_fact>" in p
+    assert "$existing_facts" in p
+    with pytest.raises(ValueError, match="not found"):
+        P.build_prompt("no_such_template")
+
+
+def test_all_reference_templates_present_with_their_placeholders():
+    # one template per reference templates/*.txt, same placeholder names
+    expect = {
+        "fact_extraction": {"content", "user_id", "session_id", "timestamp"},
+        "fact_validation": {
+            "fact", "original_context", "user_id", "min_confidence",
+            "quality_standards",
+        },
+        "conflict_detection": {
+            "new_fact", "existing_facts", "user_id", "threshold",
+        },
+        "contextual_chunking": {
+            "past_messages", "current_messages", "chunk_content",
+        },
+    }
+    import string
+
+    for name, want in expect.items():
+        got = {
+            m.group("named") or m.group("braced")
+            for m in string.Template(P.TEMPLATES[name]).pattern.finditer(
+                P.TEMPLATES[name]
+            )
+            if m.group("named") or m.group("braced")
+        }
+        assert got == want, (name, got)
+
+
+# ---------------------------------------------------------------------------
+# parse ladders
+# ---------------------------------------------------------------------------
+
+def test_parse_fact_extraction_json_defaults_threshold_and_cap():
+    resp = json.dumps(
+        {
+            "facts": [
+                {"content": "a", "confidence": 0.95, "entities": ["x"]},
+                {"content": "b"},  # defaults: type general, conf 0.5
+                {"content": "c", "confidence": 0.9},
+                {"content": "d", "confidence": 0.85},
+            ]
+        }
+    )
+    got = P.parse_fact_extraction_response(resp, min_confidence=0.7, max_facts=2)
+    # 'b' dropped by threshold, then capped at 2
+    assert [(f["content"], f["confidence"]) for f in got] == [("a", 0.95), ("c", 0.9)]
+    assert got[0]["entities"] == ["x"] and got[1]["entities"] == []
+    assert got[1]["type"] == "general"
+
+
+def test_parse_fact_extraction_text_and_malformed_fallbacks():
+    text = "alice prefers oolong tea\nshort\nbob moved to lisbon recently"
+    got = P.parse_fact_extraction_response(text)
+    assert [f["content"] for f in got] == [
+        "alice prefers oolong tea",
+        "bob moved to lisbon recently",
+    ]
+    assert all(f["confidence"] == 0.6 and f["type"] == "general" for f in got)
+    # malformed JSON starting with '{' falls back to the text parser too
+    got2 = P.parse_fact_extraction_response('{"facts": [oops...........]}')
+    assert len(got2) == 1 and got2[0]["confidence"] == 0.6
+
+
+def test_parse_validation_ladder():
+    ok = P.parse_validation_response(
+        json.dumps(
+            {
+                "is_valid": True,
+                "validation_score": 0.92,
+                "recommendation": "ACCEPT",
+            }
+        )
+    )
+    assert ok["is_valid"] and ok["validation_score"] == 0.92
+    assert ok["issues"] == [] and ok["corrected_fact"] is None
+    # keyword fallback
+    txt = P.parse_validation_response("This fact looks valid to me.")
+    assert txt["is_valid"] and txt["validation_score"] == 0.7
+    txt2 = P.parse_validation_response("nope, garbage")
+    assert not txt2["is_valid"] and txt2["recommendation"] == "REJECT"
+
+
+def test_parse_conflict_ladder_and_enum_coercion():
+    ok = P.parse_conflict_response(
+        json.dumps(
+            {
+                "conflicts_detected": True,
+                "conflicts": [
+                    {"type": "WEIRD_TYPE", "severity": "EXTREME", "confidence": 0.8}
+                ],
+                "overall_assessment": "one conflict",
+            }
+        )
+    )
+    # unknown enum values coerce to the reference defaults
+    assert ok["conflicts_detected"]
+    assert ok["conflicts"][0]["type"] == "SEMANTIC_CONFLICT"
+    assert ok["conflicts"][0]["severity"] == "MEDIUM"
+    assert ok["conflicts"][0]["confidence"] == 0.8
+    # text fallback keys on the word 'conflict'
+    assert P.parse_conflict_response("these facts conflict")["conflicts_detected"]
+    assert not P.parse_conflict_response("all consistent")["conflicts_detected"]
+    # malformed JSON -> no conflicts, error surfaced in the assessment
+    bad = P.parse_conflict_response('{"conflicts_detected": tru')
+    assert not bad["conflicts_detected"]
+    assert "Parse error" in bad["overall_assessment"]
+
+
+# ---------------------------------------------------------------------------
+# seam round-trips with a fake LLM (the injection tests VERDICT r5 #4
+# asked for: the REAL build -> call -> parse path, a fake provider)
+# ---------------------------------------------------------------------------
+
+def _make_fake_extraction_llm():
+    """Deterministic fake provider: reads the content back OUT of the
+    built prompt (proving substitution happened) and answers in the
+    reference JSON contract. Built as a local closure so cloudpickle
+    ships it by VALUE to executors (a module-level test function would
+    pickle by reference and fail to import worker-side)."""
+    import json as _json
+
+    def _fake_extraction_llm(prompt: str) -> str:
+        body = prompt.split("<conversation_content>\n")[1].split(
+            "\n</conversation_content>"
+        )[0]
+        toks = body.split()
+        return _json.dumps(
+            {
+                "facts": [
+                    {
+                        "content": f"{toks[0]} mentioned with {toks[-1]}",
+                        "type": "general",
+                        "confidence": 0.9,
+                        "entities": [toks[0], toks[-1]],
+                    }
+                ]
+            }
+        )
+
+    return _fake_extraction_llm
+
+
+def test_llm_extractor_through_m2_seam(spark):
+    from memfuse_spark.operators.hierarchy import m2_facts_from_m1
+
+    m1 = spark.createDataFrame(
+        [
+            ("c1-0", "c1", "alpha beta gamma"),
+            ("c1-1", "c1", "delta epsilon zeta"),
+        ],
+        "chunk_id string, conversation_id string, content string",
+    )
+    ext = P.llm_extractor(_make_fake_extraction_llm(), user_id="u1")
+    rows = {
+        r.chunk_id: r
+        for r in m2_facts_from_m1(m1, extractor=ext).collect()
+    }
+    assert rows["c1-0"].fact_content == "alpha mentioned with gamma"
+    assert rows["c1-0"].entities == ["alpha", "gamma"]
+    assert rows["c1-0"].confidence == pytest.approx(0.9)
+    assert rows["c1-1"].fact_content == "delta mentioned with zeta"
+
+
+def test_llm_extractor_threshold_drops_low_confidence_facts(spark):
+    from memfuse_spark.operators.hierarchy import m2_facts_from_m1
+
+    def low_conf_llm(prompt: str) -> str:
+        import json as _json
+
+        return _json.dumps(
+            {"facts": [{"content": "meh", "confidence": 0.2}]}
+        )
+
+    m1 = spark.createDataFrame(
+        [("c1-0", "c1", "alpha beta")],
+        "chunk_id string, conversation_id string, content string",
+    )
+    out = m2_facts_from_m1(
+        m1, extractor=P.llm_extractor(low_conf_llm)
+    ).collect()
+    # the seam's 0.7 threshold (fact_extraction_processor.py:543-557)
+    # applies AFTER the parse path
+    assert out == []
+
+
+def _make_fake_conflict_llm():
+    import json as _json
+
+    def _fake_conflict_llm(prompt: str) -> str:
+        new = prompt.split("<new_fact>\n")[1].split("\n</new_fact>")[0]
+        existing = prompt.split("<existing_facts>\n")[1].split(
+            "\n</existing_facts>"
+        )[0]
+        if "tea" in new and "coffee" in existing:
+            return _json.dumps(
+                {
+                    "conflicts_detected": True,
+                    "conflicts": [
+                        {
+                            "type": "PREFERENCE_CHANGE",
+                            "severity": "HIGH",
+                            "confidence": 0.97,
+                        }
+                    ],
+                }
+            )
+        return "no issues found"  # exercises the text fallback -> None
+
+    return _fake_conflict_llm
+
+
+def test_llm_detector_through_conflicts_seam(spark):
+    from memfuse_spark.operators.conflicts import fact_conflicts
+
+    m2 = spark.createDataFrame(
+        [
+            ("c1-0", "c1", "likes coffee a lot", ["alice", "coffee"], 0.9),
+            ("c1-1", "c1", "now prefers tea", ["alice", "tea"], 0.9),
+            ("c2-0", "c2", "works at acme", ["bob", "acme"], 0.9),
+            ("c2-1", "c2", "still works at acme", ["bob", "acme"], 0.9),
+        ],
+        "chunk_id string, conversation_id string, fact_content string, "
+        "entities array<string>, confidence double",
+    )
+    out = fact_conflicts(
+        m2, detector=P.llm_detector(_make_fake_conflict_llm())
+    ).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r.conflict_type == "PREFERENCE_CHANGE"
+    assert r.confidence == pytest.approx(0.97)
+    assert r.severity == "HIGH" and r.action == "auto_resolve"
