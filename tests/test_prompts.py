@@ -273,3 +273,55 @@ def test_llm_detector_through_conflicts_seam(spark):
     assert r.conflict_type == "PREFERENCE_CHANGE"
     assert r.confidence == pytest.approx(0.97)
     assert r.severity == "HIGH" and r.action == "auto_resolve"
+
+
+def test_llm_enhancer_through_m6_seam(spark):
+    from memfuse_spark.operators.chunking import contextual_enhance
+
+    def _make_fake():
+        def fake(prompt: str) -> str:
+            chunk = prompt.split("<message_chunk>\n")[1].split(
+                "\n</message_chunk>"
+            )[0]
+            return f"about:{chunk.split()[0]}"
+
+        return fake
+
+    chunks = spark.createDataFrame(
+        [("c1", 0, "alpha beta"), ("c1", 1, "gamma delta")],
+        "conversation_id string, batch_id int, content string",
+    )
+    rows = {
+        r.batch_id: r.enhanced_content
+        for r in contextual_enhance(
+            chunks, enhancer=P.llm_enhancer(_make_fake())
+        ).collect()
+    }
+    # the blurb the fake derives from the REAL prompt is prepended
+    assert rows[0] == "about:alpha\nalpha beta"
+    assert rows[1] == "about:gamma\ngamma delta"
+
+
+def test_llm_former_through_m1_seam(spark):
+    from memfuse_spark.operators.hierarchy import m1_from_m0
+
+    def _make_fake():
+        def fake(prompt: str) -> str:
+            body = prompt.split("<message_chunk>\n")[1].split(
+                "\n</message_chunk>"
+            )[0]
+            return f"episode about {len(body.splitlines())} messages"
+
+        return fake
+
+    m0 = spark.createDataFrame(
+        [
+            ("m1", "c1", 1, "user", "hello there"),
+            ("m2", "c1", 2, "assistant", "hi, how can i help"),
+        ],
+        "message_id string, conversation_id string, sequence_number int, "
+        "role string, content string",
+    )
+    out = m1_from_m0(m0, former=P.llm_former(_make_fake())).collect()
+    assert len(out) == 1
+    assert out[0].content == "episode about 2 messages"

@@ -11,13 +11,21 @@ gives the measured first two decades. Reading the ratios:
   check PLANS.md for whether that's inherent (e.g. pair enumeration on
   a near-dup-dense corpus) or a plan regression
 
-Usage: python tools/scaling_probe.py [q1 q2 ...]  (default: the probe set)
+Usage: python tools/scaling_probe.py [--sfs=dir1,dir2,...] [q1 q2 ...]
+       (default: the probe set over sf0.001/0.01/0.1)
+--sfs overrides the measured directories — e.g. the derived 10x set
+from tools/synth_scale.py for a third decade:
+  python tools/synth_scale.py
+  python tools/scaling_probe.py \
+    --sfs=/root/testdata/sf0.01,/root/testdata/sf0.1,/tmp/memfuse_sf1 \
+    semdedup_keep interval_overlap fact_conflicts cooc_kcore msmg_rollup
 Prints one JSON line per query and a final markdown table.
 """
 
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 
@@ -48,42 +56,54 @@ def main() -> None:
 
     import __spark_entry__ as entrymod
 
-    names = sys.argv[1:] or PROBE_SET
+    args = sys.argv[1:]
+    sfs = list(SFS)
+    if args and args[0].startswith("--sfs="):
+        sfs = args[0][len("--sfs="):].split(",")
+        args = args[1:]
+    names = args or PROBE_SET
     spark = get_spark("memfuse-scaling")
     spark.sparkContext.setLogLevel("ERROR")
     qs = entrymod.queries()
 
-    # warm the JVM/codegen path once so sf0.001 isn't charged the
-    # session cold-start
-    qs["vector_topk"](spark, SFS[0]).count()
+    # warm the JVM/codegen path once so the smallest SF isn't charged
+    # the session cold-start (vector_topk needs the embeddings table,
+    # which derived dirs may not carry — fall back to the first probe)
+    warm = "vector_topk" if os.path.exists(
+        os.path.join(sfs[0], "embeddings.parquet")
+    ) else names[0]
+    qs[warm](spark, sfs[0]).count()
 
     rows = []
     for name in names:
         times = []
-        for sf_dir in SFS:
+        for sf_dir in sfs:
             t0 = time.time()
             qs[name](spark, sf_dir).collect()
             times.append(round(time.time() - t0, 3))
-        r1 = round(times[1] / times[0], 2) if times[0] else None
-        r2 = round(times[2] / times[1], 2) if times[1] else None
-        row = {
-            "query": name,
-            "t_sf0.001": times[0],
-            "t_sf0.01": times[1],
-            "t_sf0.1": times[2],
-            "ratio_10x_a": r1,
-            "ratio_10x_b": r2,
-        }
+        labels = [os.path.basename(d.rstrip("/")) for d in sfs]
+        row = {"query": name}
+        for lab, t in zip(labels, times):
+            row[f"t_{lab}"] = t
+        for i in range(1, len(times)):
+            row[f"ratio_{i}"] = (
+                round(times[i] / times[i - 1], 2) if times[i - 1] else None
+            )
         rows.append(row)
         print(json.dumps(row))
 
-    print("\n| query | sf0.001 | sf0.01 | sf0.1 | 10x ratio (a) | 10x ratio (b) |")
-    print("|---|---|---|---|---|---|")
+    labels = [os.path.basename(d.rstrip("/")) for d in sfs]
+    hdr = (
+        "| query | " + " | ".join(labels) + " | "
+        + " | ".join(f"r{i}" for i in range(1, len(labels))) + " |"
+    )
+    print("\n" + hdr)
+    print("|" + "---|" * (2 * len(labels)))
     for r in rows:
-        print(
-            f"| {r['query']} | {r['t_sf0.001']}s | {r['t_sf0.01']}s "
-            f"| {r['t_sf0.1']}s | {r['ratio_10x_a']} | {r['ratio_10x_b']} |"
-        )
+        cells = [str(r[f"t_{lab}"]) + "s" for lab in labels] + [
+            str(r[f"ratio_{i}"]) for i in range(1, len(labels))
+        ]
+        print(f"| {r['query']} | " + " | ".join(cells) + " |")
 
 
 if __name__ == "__main__":
