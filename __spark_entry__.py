@@ -2253,6 +2253,20 @@ def q_fact_conflicts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_fact_conflicts_cumulative(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Insert-time conflict REPLAY (cumulative form): every later-batch
+    conflicting pair within the (conversation, subject) blocking key —
+    the union of what the reference's per-insert check would have
+    flagged across the full ingest history, a strict superset of
+    q_fact_conflicts' latest-batch window. Same equi-join blocking;
+    the batch inequality is a residual predicate, not a join key."""
+    from memfuse_spark.operators.conflicts import fact_conflicts_cumulative
+
+    return fact_conflicts_cumulative(_m2_store(spark, sf_dir)).orderBy(
+        "conversation_id", "new_chunk_id", "existing_chunk_id", "conflict_type"
+    )
+
+
 def q_fact_conflicts_detector(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The conflict-detection LLM seam end-to-end under the driver gate
     (the reference's PRIMARY detector is an LLM prompt per candidate
@@ -4298,8 +4312,10 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # queries() reorders so _DRIVER_WINDOW_R6 leads.
     return {
         "hybrid_rrf_3way": q_hybrid_rrf_3way,
-        # added after the r5 rotation freeze → positions 51+, heads the
-        # round-6 window
+        # added after the r6 rotation freeze → positions 51+, heads the
+        # round-7 window
+        "fact_conflicts_cumulative": q_fact_conflicts_cumulative,
+        # added after the r5 rotation freeze → in-window for r6
         "msmg_rollup": q_msmg_rollup,
         "msmg_neighborhood": q_msmg_neighborhood,
         "m1_episodes_former": q_m1_episodes_former,
@@ -5997,6 +6013,7 @@ ORDER BY p.purchase_id
         "m1_episodes_former": oracles.m1_former_sql(),
         "hybrid_with_knowledge": _hybrid_with_knowledge_sql(),
         "fact_conflicts": oracles.fact_conflicts_sql(),
+        "fact_conflicts_cumulative": oracles.fact_conflicts_cumulative_sql(),
         "fact_conflicts_detector": oracles.fact_conflicts_detector_sql(),
         "fact_consolidation": oracles.fact_consolidation_sql(),
         "fact_validation": oracles.fact_validation_sql(),

@@ -180,6 +180,8 @@ EXTRA = [
     "boilerplate_removal",
     "tag_documents",
     "fact_conflicts",
+    # round 6
+    "fact_conflicts_cumulative",
     "fact_conflicts_detector",
     "fact_consolidation",
     "fact_validation",

@@ -125,6 +125,40 @@ def fact_conflicts(
     )
 
 
+def fact_conflicts_cumulative(
+    m2: DataFrame,
+    auto_resolve_threshold: float = AUTO_RESOLVE_THRESHOLD,
+    escalation_threshold: float = ESCALATION_THRESHOLD,
+    detector=None,
+) -> DataFrame:
+    """Insert-time conflict REPLAY over the whole store: every
+    (existing, new) pair with ``existing.batch_id < new.batch_id``
+    inside the blocking key — exactly the union of what the reference's
+    per-insert check (conflict_detection.py:85-108) would have flagged
+    across the full ingest history, including conflicts purely among
+    historical batches that :func:`fact_conflicts` (latest-batch-only)
+    does not re-detect. This is the batch-snapshot cumulative form the
+    ``validate_facts`` docstring points at.
+
+    Same schema and rule/detector tiers as :func:`fact_conflicts`.
+    Scale: still ONE equi-join per rule branch on
+    ``(conversation_id, subject)`` — the batch inequality is a residual
+    predicate, not a join multiplier; pair count is quadratic only in
+    facts-per-blocking-key (bounded by chunks-per-conversation), never
+    in the corpus.
+    """
+    f = _with_fact_parts(m2)
+    return fact_conflicts_between(
+        f,
+        f,
+        auto_resolve_threshold=auto_resolve_threshold,
+        escalation_threshold=escalation_threshold,
+        detector=detector,
+        require_batch_order=True,
+        _parsed=True,
+    )
+
+
 def fact_conflicts_between(
     existing: DataFrame,
     new: DataFrame,
@@ -301,6 +335,7 @@ def validate_facts(
     m1: DataFrame,
     min_confidence: float = MIN_CONFIDENCE,
     validated_confidence: float = VALIDATED_CONFIDENCE,
+    cumulative: bool = False,
 ) -> DataFrame:
     """Fact validation against the ORIGINAL context (reference
     ``validate_fact_consistency``, hierarchy/llm_service.py:144-199, and
@@ -336,15 +371,17 @@ def validate_facts(
     conflicts lie purely among historical batches grade
     validated/pending here. The reference checked each insert
     cumulatively, so over a full replay it would have flagged those at
-    their own insert time; a batch-snapshot caller needing the
-    cumulative semantics should union ``fact_conflicts_between`` over
-    each batch prefix (O(#batches) equi-joins) before grading. The
-    DuckDB oracle twin replicates this same latest-batch blocking.
+    their own insert time; pass ``cumulative=True`` to grade against
+    :func:`fact_conflicts_cumulative` (the insert-time replay) instead.
+    The default matches the DuckDB oracle twin, which replicates the
+    latest-batch blocking.
     """
     from memfuse_spark.functions.text import tokenize
 
     ctx = m1.select("chunk_id", tokenize("content").alias("__toks"))
-    conflicts = fact_conflicts(m2)
+    conflicts = (
+        fact_conflicts_cumulative(m2) if cumulative else fact_conflicts(m2)
+    )
     in_conflict = (
         conflicts.select(
             F.col("existing_chunk_id").alias("chunk_id"),

@@ -1413,9 +1413,14 @@ def semdedup_keep(
     # min-label propagation) replaces the whole distributed pass.
     # The matmul keeps the exact dot/(||a||·||b||) operation order, so
     # integer-count vectors stay bit-identical to the SQL expression.
-    # Executor memory is O(cell²) floats: at real scale `num_planes`
-    # grows with the corpus to bound cell size (SemDeDup's k scales the
-    # same way); oversized cells compose pairwise_scores_blocked.
+    # Executor memory is O(block × cell) floats (the kernel sweeps the
+    # upper triangle in row blocks — see _cell_components); COMPUTE per
+    # cell is still O(cell² × dim), so at real scale `num_planes` grows
+    # with the corpus to keep cell size ~constant (SemDeDup's k scales
+    # the same way): num_planes ≈ log2(corpus / target_cell_size).
+    # Measured (tools/synth_scale.py 10x probe, PLANS.md): fixed
+    # planes=4 at 10x data → 14.6x wall (quadratic cell growth);
+    # corpus-scaled planes keep the within-cell pair work flat.
     import numpy as np
     import pandas as pd
     from pyspark.sql import types as T
@@ -1438,11 +1443,6 @@ def semdedup_keep(
         mat = np.stack(pdf["v"].to_numpy()).astype(np.float64)
         norms = np.sqrt(np.einsum("ij,ij->i", mat, mat))
         norms[norms == 0] = 1.0
-        sims = _round_half_away((mat @ mat.T) / np.outer(norms, norms), 6)
-        iu, ju = np.triu_indices(n, k=1)
-        hit = sims[iu, ju] >= threshold
-        if not hit.any():
-            return empty
         parent: dict = {}
 
         def find(x):
@@ -1451,14 +1451,32 @@ def semdedup_keep(
                 x = parent[x]
             return x
 
-        for x, y in zip(ids[iu[hit]], ids[ju[hit]]):
-            parent.setdefault(x, x)
-            parent.setdefault(y, y)
-            rx, ry = find(x), find(y)
-            if rx != ry:
-                # min-id representative = min-label propagation's label
-                lo, hi = (rx, ry) if rx < ry else (ry, rx)
-                parent[hi] = lo
+        # Row-BLOCKED upper-triangle scan: peak memory O(block × n)
+        # floats instead of the full O(n²) sims matrix (plus the two
+        # n²/2 triu index arrays) — a skewed/oversized cell no longer
+        # OOMs the Python worker, it just takes more block sweeps.
+        # Each pairwise dot is computed by the same matmul + rounding,
+        # so values stay bit-identical to the unblocked form. ~128 MB
+        # of float64 per block at the cap below.
+        block = max(1, int(16_000_000 // max(n, 1)))
+        for a in range(0, n - 1, block):
+            b = min(a + block, n)
+            sims = _round_half_away(
+                (mat[a:b] @ mat.T) / np.outer(norms[a:b], norms), 6
+            )
+            rows, cols = np.nonzero(sims >= threshold)
+            keep = cols > (rows + a)  # strict upper triangle, globally
+            for x, y in zip(ids[rows[keep] + a], ids[cols[keep]]):
+                parent.setdefault(x, x)
+                parent.setdefault(y, y)
+                rx, ry = find(x), find(y)
+                if rx != ry:
+                    # min-id representative = min-label propagation's
+                    # label
+                    lo, hi = (rx, ry) if rx < ry else (ry, rx)
+                    parent[hi] = lo
+        if not parent:
+            return empty
         nodes = list(parent)
         return pd.DataFrame(
             {"vec_id": nodes, "component": [find(x) for x in nodes]}

@@ -2102,6 +2102,50 @@ ORDER BY conversation_id, new_chunk_id, existing_chunk_id, conflict_type
 """
 
 
+def fact_conflicts_cumulative_sql(
+    auto_resolve_threshold: float = 0.9, escalation_threshold: float = 0.5
+) -> str:
+    """DuckDB twin of conflicts.fact_conflicts_cumulative: the
+    insert-time replay — every later-batch pair within the blocking
+    key, not just pairs ending at the latest batch."""
+    m2 = m2_facts_sql()
+    a, e = auto_resolve_threshold, escalation_threshold
+    return f"""
+WITH m2 AS (SELECT * FROM ({m2})),
+{FACT_PARTS_CTE},
+pairs AS (
+  SELECT n.conversation_id,
+         e.chunk_id AS existing_chunk_id, n.chunk_id AS new_chunk_id,
+         n.subject,
+         e.fact_content AS existing_fact, n.fact_content AS new_fact,
+         'VALUE_MISMATCH' AS conflict_type,
+         round((e.confidence + n.confidence) / 2, 6) AS confidence
+  FROM f e JOIN f n
+    ON e.conversation_id = n.conversation_id
+   AND e.subject = n.subject AND e.batch_id < n.batch_id
+  WHERE e.fact_content <> n.fact_content
+  UNION ALL
+  SELECT n.conversation_id, e.chunk_id, n.chunk_id, n.subject,
+         e.fact_content, n.fact_content, 'SEMANTIC_CONFLICT',
+         round((e.confidence + n.confidence) / 2, 6)
+  FROM f e JOIN f n
+    ON e.conversation_id = n.conversation_id
+   AND e.subject = n.object AND e.object = n.subject
+   AND n.subject <> n.object
+   AND e.batch_id < n.batch_id
+  WHERE e.fact_content <> n.fact_content
+)
+SELECT *,
+  CASE WHEN confidence >= {a} THEN 'HIGH'
+       WHEN confidence >= {e} THEN 'MEDIUM' ELSE 'LOW' END AS severity,
+  CASE WHEN confidence >= {a} THEN 'auto_resolve'
+       WHEN confidence >= {e} THEN 'escalate' ELSE 'ignore' END AS action,
+  'temporal_priority' AS resolution_strategy
+FROM pairs
+ORDER BY conversation_id, new_chunk_id, existing_chunk_id, conflict_type
+"""
+
+
 def fact_consolidation_sql() -> str:
     """DuckDB twin of conflicts.consolidate_facts: temporal-priority
     survivor per (conversation, subject) + duplicate/conflict counts."""

@@ -81,6 +81,36 @@ def test_only_latest_batch_is_new_side(spark):
     assert all(r.new_chunk_id == "c1-2" for r in out)
 
 
+def test_cumulative_replay_catches_historical_conflicts(spark):
+    """fact_conflicts_cumulative = the per-insert replay: it must flag
+    the (batch0, batch1) conflict that the latest-batch-only form
+    misses, and be a strict superset of it on the same store."""
+    from memfuse_spark.operators.conflicts import (
+        fact_conflicts,
+        fact_conflicts_cumulative,
+    )
+
+    m2 = _m2(
+        spark,
+        [
+            ("c1-0", "c1", "a co_occurs_with b", ["a", "b"], 0.9),
+            ("c1-1", "c1", "a co_occurs_with c", ["a", "c"], 0.9),  # hist.
+            ("c1-2", "c1", "a co_occurs_with d", ["a", "d"], 0.9),
+        ],
+    )
+    latest = {
+        (r.existing_chunk_id, r.new_chunk_id)
+        for r in fact_conflicts(m2).collect()
+    }
+    cumulative = {
+        (r.existing_chunk_id, r.new_chunk_id)
+        for r in fact_conflicts_cumulative(m2).collect()
+    }
+    assert latest == {("c1-0", "c1-2"), ("c1-1", "c1-2")}
+    # the historical (c1-0, c1-1) insert-time conflict only shows here
+    assert cumulative == latest | {("c1-0", "c1-1")}
+
+
 def test_self_referential_facts_not_double_flagged(spark):
     """A fact whose subject == object (possible via the extractor seam)
     must not match BOTH rule branches for the same pair, and an exact
