@@ -2318,6 +2318,19 @@ def q_fact_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("chunk_id", "fact_content")
 
 
+def q_fact_validation_cumulative(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q_fact_validation with the conflict cross-check running the
+    insert-time REPLAY (fact_conflicts_cumulative): facts whose
+    conflicts lie purely among historical batches grade `conflicted`
+    here — the cumulative semantics the reference's per-insert checking
+    accumulated, which the latest-batch snapshot form cannot see."""
+    from memfuse_spark.operators.conflicts import validate_facts
+
+    return validate_facts(
+        _m2_store(spark, sf_dir), _m1_store(spark, sf_dir), cumulative=True
+    ).orderBy("chunk_id", "fact_content")
+
+
 def _msmg_instances(spark: SparkSession, sf_dir: str) -> DataFrame:
     from memfuse_spark.operators import hierarchy as h
     from memfuse_spark.operators import msmg
@@ -4315,6 +4328,7 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # added after the r6 rotation freeze → positions 51+, heads the
         # round-7 window
         "fact_conflicts_cumulative": q_fact_conflicts_cumulative,
+        "fact_validation_cumulative": q_fact_validation_cumulative,
         # added after the r5 rotation freeze → in-window for r6
         "msmg_rollup": q_msmg_rollup,
         "msmg_neighborhood": q_msmg_neighborhood,
@@ -6017,6 +6031,9 @@ ORDER BY p.purchase_id
         "fact_conflicts_detector": oracles.fact_conflicts_detector_sql(),
         "fact_consolidation": oracles.fact_consolidation_sql(),
         "fact_validation": oracles.fact_validation_sql(),
+        "fact_validation_cumulative": oracles.fact_validation_sql(
+            cumulative=True
+        ),
         "semdedup_keep": oracles.semdedup_sql(),
         "interval_overlap": """
 WITH lagd AS (

@@ -182,6 +182,7 @@ EXTRA = [
     "fact_conflicts",
     # round 6
     "fact_conflicts_cumulative",
+    "fact_validation_cumulative",
     "fact_conflicts_detector",
     "fact_consolidation",
     "fact_validation",

@@ -2225,11 +2225,17 @@ ORDER BY conversation_id, new_chunk_id, existing_chunk_id, conflict_type
 
 
 def fact_validation_sql(
-    min_confidence: float = 0.7, validated_confidence: float = 0.9
+    min_confidence: float = 0.7,
+    validated_confidence: float = 0.9,
+    cumulative: bool = False,
 ) -> str:
     """DuckDB twin of conflicts.validate_facts: entity groundedness in
-    the source chunk + confidence banding + conflict cross-check."""
+    the source chunk + confidence banding + conflict cross-check.
+    ``cumulative=True`` mirrors ``validate_facts(cumulative=True)`` —
+    the conflict cross-check pairs EVERY later batch (the insert-time
+    replay), not just the latest batch per conversation."""
     m2 = m2_facts_sql()
+    ex, nw = ("f", "f") if cumulative else ("fe", "fn")
     same_on = """e.conversation_id = n.conversation_id
    AND e.subject = n.subject AND e.batch_id < n.batch_id"""
     rev_on = """e.conversation_id = n.conversation_id
@@ -2242,15 +2248,15 @@ WITH {M0_CTE.strip()},{_m1_cte(5, 16)},
 m2 AS (SELECT * FROM ({m2})),
 {FACT_PARTS_CTE},
 pairs AS (
-  SELECT e.chunk_id, e.fact_content FROM fe e JOIN fn n ON {same_on}
+  SELECT e.chunk_id, e.fact_content FROM {ex} e JOIN {nw} n ON {same_on}
   WHERE e.fact_content <> n.fact_content
   UNION
-  SELECT n.chunk_id, n.fact_content FROM fe e JOIN fn n ON {same_on}
+  SELECT n.chunk_id, n.fact_content FROM {ex} e JOIN {nw} n ON {same_on}
   WHERE e.fact_content <> n.fact_content
   UNION
-  SELECT e.chunk_id, e.fact_content FROM fe e JOIN fn n ON {rev_on}
+  SELECT e.chunk_id, e.fact_content FROM {ex} e JOIN {nw} n ON {rev_on}
   UNION
-  SELECT n.chunk_id, n.fact_content FROM fe e JOIN fn n ON {rev_on}
+  SELECT n.chunk_id, n.fact_content FROM {ex} e JOIN {nw} n ON {rev_on}
 ),
 ctx AS (
   SELECT chunk_id,

@@ -111,6 +111,41 @@ def test_cumulative_replay_catches_historical_conflicts(spark):
     assert cumulative == latest | {("c1-0", "c1-1")}
 
 
+def test_validate_facts_cumulative_grades_historical_conflicts(spark):
+    """validate_facts(cumulative=True) must grade a fact `conflicted`
+    when its conflict lies purely among historical batches — the case
+    the latest-batch default (matching the oracle) cannot see."""
+    from memfuse_spark.operators.conflicts import validate_facts
+
+    m2 = _m2(
+        spark,
+        [
+            ("c1-0", "c1", "a co_occurs_with b", ["a", "b"], 0.95),
+            ("c1-1", "c1", "a co_occurs_with c", ["a", "c"], 0.95),
+            # batch 2's fact has a DIFFERENT subject: no conflict pairs
+            # end at the latest batch, so the default sees none at all
+            ("c1-2", "c1", "x co_occurs_with y", ["x", "y"], 0.95),
+        ],
+    )
+    m1 = spark.createDataFrame(
+        [("c1-0", "a b"), ("c1-1", "a c"), ("c1-2", "x y")],
+        "chunk_id string, content string",
+    )
+    default = {
+        r.chunk_id: r.status for r in validate_facts(m2, m1).collect()
+    }
+    cumul = {
+        r.chunk_id: r.status
+        for r in validate_facts(m2, m1, cumulative=True).collect()
+    }
+    assert default == {
+        "c1-0": "validated", "c1-1": "validated", "c1-2": "validated"
+    }
+    assert cumul == {
+        "c1-0": "conflicted", "c1-1": "conflicted", "c1-2": "validated"
+    }
+
+
 def test_self_referential_facts_not_double_flagged(spark):
     """A fact whose subject == object (possible via the extractor seam)
     must not match BOTH rule branches for the same pair, and an exact
