@@ -641,3 +641,125 @@ def media_neardup_pairs(
         .filter(F.col("hamming") <= max_hamming)
     )
     return verified.select("id_a", "id_b", "hamming").orderBy("id_a", "id_b")
+
+
+# ---------------------------------------------------------------------------
+# container header sniffing — metadata WITHOUT decode
+# ---------------------------------------------------------------------------
+
+def sniff_media_bytes(payload: bytes) -> dict:
+    """Parse container metadata straight from the leading bytes of a
+    media payload — pure stdlib, NO decode: the triage pass a 100 TB
+    ingest runs to build/verify typed metadata columns (and catch
+    mislabeled or truncated files) before any decoder task is
+    scheduled. Real parsers, including JPEG (whose PIXEL decode stays
+    an honest lib-needing stub in ``DECODERS`` — dimensions live in the
+    SOF header and need no IDCT):
+
+    - PNG: IHDR width/height/bit-depth/color-type (RFC 2083 §4.1.1)
+    - GIF87a/89a: logical screen descriptor (little-endian)
+    - JPEG: marker walk to the first SOF0/1/2/3/5/6/7/9/10/11/13/14/15
+      frame header (ITU T.81 §B.2.2) → height/width/components
+    - WAV: RIFF/WAVE fmt chunk → channels/sample-rate/bits-per-sample
+
+    Returns {container, width, height, n_channels, sample_rate,
+    bit_depth, ok}; unknown/truncated payloads come back
+    container='unknown'/ok=False instead of raising — corrupt bytes are
+    data, not exceptions, at scale.
+    """
+    import struct
+
+    out = {
+        "container": "unknown", "width": None, "height": None,
+        "n_channels": None, "sample_rate": None, "bit_depth": None,
+        "ok": False,
+    }
+    try:
+        if payload[:8] == b"\x89PNG\r\n\x1a\n" and payload[12:16] == b"IHDR":
+            w, h = struct.unpack(">II", payload[16:24])
+            out.update(
+                container="png", width=w, height=h,
+                bit_depth=payload[24], ok=True,
+            )
+        elif payload[:6] in (b"GIF87a", b"GIF89a"):
+            w, h = struct.unpack("<HH", payload[6:10])
+            out.update(container="gif", width=w, height=h, ok=True)
+        elif payload[:2] == b"\xff\xd8":  # JPEG SOI
+            sof = {0xC0, 0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+                   0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF}
+            i = 2
+            while i + 4 <= len(payload):
+                if payload[i] != 0xFF:
+                    break
+                marker = payload[i + 1]
+                if marker == 0xD8 or 0xD0 <= marker <= 0xD7:
+                    i += 2  # standalone markers carry no length
+                    continue
+                (seglen,) = struct.unpack(">H", payload[i + 2:i + 4])
+                if marker in sof and i + 9 <= len(payload):
+                    prec = payload[i + 4]
+                    h, w = struct.unpack(">HH", payload[i + 5:i + 9])
+                    out.update(
+                        container="jpeg", width=w, height=h,
+                        bit_depth=prec,
+                        n_channels=payload[i + 9] if i + 10 <= len(payload) else None,
+                        ok=True,
+                    )
+                    break
+                i += 2 + seglen
+        elif payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+            i = 12
+            while i + 8 <= len(payload):
+                cid = payload[i:i + 4]
+                (clen,) = struct.unpack("<I", payload[i + 4:i + 8])
+                if cid == b"fmt " and i + 24 <= len(payload):
+                    ch, rate = struct.unpack("<HI", payload[i + 10:i + 16])
+                    (bits,) = struct.unpack("<H", payload[i + 22:i + 24])
+                    out.update(
+                        container="wav", n_channels=ch, sample_rate=rate,
+                        bit_depth=bits, ok=True,
+                    )
+                    break
+                i += 8 + clen + (clen & 1)  # RIFF chunks are word-aligned
+    except (struct.error, IndexError):
+        # truncated mid-field — a partial header is not trustworthy
+        # metadata; ok stays False
+        pass
+    return out
+
+
+def sniff_media_meta(
+    media: DataFrame, id_col: str = "media_id", payload_col: str = "payload"
+) -> DataFrame:
+    """(media_id, container, width, height, n_channels, sample_rate,
+    bit_depth, ok) — :func:`sniff_media_bytes` over a binary column as
+    Arrow-batched ``mapInPandas``: payload bytes move zero-copy into
+    the worker, only the small typed metadata columns come back (the
+    shuffle never carries the binaries)."""
+    from pyspark.sql import types as T
+
+    id_type = media.schema[id_col].dataType
+    schema = T.StructType(
+        [
+            T.StructField("media_id", id_type),
+            T.StructField("container", T.StringType()),
+            T.StructField("width", T.IntegerType()),
+            T.StructField("height", T.IntegerType()),
+            T.StructField("n_channels", T.IntegerType()),
+            T.StructField("sample_rate", T.IntegerType()),
+            T.StructField("bit_depth", T.IntegerType()),
+            T.StructField("ok", T.BooleanType()),
+        ]
+    )
+
+    def sniff(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            metas = [
+                sniff_media_bytes(bytes(p) if p is not None else b"")
+                for p in pdf[payload_col]
+            ]
+            out = pd.DataFrame(metas)
+            out.insert(0, "media_id", pdf[id_col].values)
+            yield out
+
+    return media.select(id_col, payload_col).mapInPandas(sniff, schema)

@@ -333,3 +333,75 @@ def test_phash_real_gif_matches_png_twin(spark):
     )
     got = {r.media_id: r.phash for r in phash64(df).collect()}
     assert got["g"] == got["p"]
+
+
+def _jpeg_header_bytes(w=320, h=200, ncomp=3, progressive=False):
+    """Minimal structurally-valid JPEG prefix: SOI, APP0 (JFIF), a
+    skippable COM segment, then SOF0/SOF2 — enough for a header sniff
+    (no entropy-coded data; a decoder would reject it, the sniffer must
+    not need one)."""
+    import struct
+
+    app0 = b"JFIF\x00\x01\x02\x00\x00\x01\x00\x01\x00\x00"
+    com = b"made by tests"
+    sof_marker = 0xC2 if progressive else 0xC0
+    sof = struct.pack(">BHH", 8, h, w) + bytes([ncomp]) + b"\x01\x11\x00" * ncomp
+    return (
+        b"\xff\xd8"
+        + b"\xff\xe0" + struct.pack(">H", len(app0) + 2) + app0
+        + b"\xff\xfe" + struct.pack(">H", len(com) + 2) + com
+        + bytes([0xFF, sof_marker]) + struct.pack(">H", len(sof) + 2) + sof
+    )
+
+
+def test_sniff_media_bytes_all_containers():
+    import numpy as np
+
+    png = mm.encode_png(np.arange(12, dtype=np.uint8).reshape(2, 2, 3))
+    m = mm.sniff_media_bytes(png)
+    assert (m["container"], m["width"], m["height"], m["ok"]) == ("png", 2, 2, True)
+    assert m["bit_depth"] == 8
+
+    gif = mm.encode_gif(np.zeros((3, 5, 3), dtype=np.uint8))
+    m = mm.sniff_media_bytes(gif)
+    assert (m["container"], m["width"], m["height"], m["ok"]) == ("gif", 5, 3, True)
+
+    m = mm.sniff_media_bytes(_jpeg_header_bytes(320, 200, 3))
+    assert (m["container"], m["width"], m["height"], m["n_channels"], m["ok"]) == (
+        "jpeg", 320, 200, 3, True
+    )
+    # progressive SOF2 and grayscale
+    m = mm.sniff_media_bytes(_jpeg_header_bytes(64, 48, 1, progressive=True))
+    assert (m["container"], m["width"], m["height"], m["n_channels"]) == (
+        "jpeg", 64, 48, 1
+    )
+
+    m = mm.sniff_media_bytes(_wav_bytes(nch=2))
+    assert (m["container"], m["n_channels"], m["sample_rate"], m["bit_depth"],
+            m["ok"]) == ("wav", 2, 8000, 16, True)
+
+
+def test_sniff_media_bytes_corrupt_is_data_not_exception():
+    for payload in (b"", b"\x00" * 40, b"\x89PNG\r\n\x1a\n",  # truncated PNG
+                    b"\xff\xd8\xff\xe0\x00",                   # truncated JPEG
+                    b"RIFF\x00\x00\x00\x00WAVE"):              # fmt-less WAV
+        m = mm.sniff_media_bytes(payload)
+        assert m["ok"] is False
+    # mislabeled: GIF magic but truncated screen descriptor
+    assert mm.sniff_media_bytes(b"GIF89a\x05")["ok"] is False
+
+
+def test_sniff_media_meta_dataframe_path(spark):
+    import numpy as np
+
+    rows = [
+        ("p1", "image/png", None,
+         bytearray(mm.encode_png(np.zeros((4, 7, 3), dtype=np.uint8))), 0, 0, 0),
+        ("j1", "image/jpeg", None, bytearray(_jpeg_header_bytes(99, 77)), 0, 0, 0),
+        ("x1", "application/junk", None, bytearray(b"not media"), 0, 0, 0),
+    ]
+    media = spark.createDataFrame(rows, mm.MEDIA_SCHEMA)
+    got = {r.media_id: r for r in mm.sniff_media_meta(media).collect()}
+    assert (got["p1"].container, got["p1"].width, got["p1"].height) == ("png", 7, 4)
+    assert (got["j1"].container, got["j1"].width, got["j1"].height) == ("jpeg", 99, 77)
+    assert got["x1"].container == "unknown" and got["x1"].ok is False
