@@ -226,7 +226,7 @@ def parse_fact_extraction_response(
             ]
         else:
             facts = _parse_text_facts(response_content)
-    except (json.JSONDecodeError, KeyError, TypeError, ValueError):
+    except (json.JSONDecodeError, AttributeError, KeyError, TypeError, ValueError):
         facts = _parse_text_facts(response_content)
     facts = [f for f in facts if f["confidence"] >= min_confidence]
     return facts[:max_facts]
@@ -273,7 +273,7 @@ def parse_validation_response(response_content: str) -> dict[str, Any]:
             "corrected_fact": None,
             "recommendation": "ACCEPT" if is_valid else "REJECT",
         }
-    except (json.JSONDecodeError, TypeError, ValueError) as e:
+    except (json.JSONDecodeError, AttributeError, TypeError, ValueError) as e:
         return {
             "is_valid": False,
             "validation_score": 0.0,
@@ -334,7 +334,7 @@ def parse_conflict_response(response_content: str) -> dict[str, Any]:
             "conflicts": [],
             "overall_assessment": response_content[:200],
         }
-    except (json.JSONDecodeError, TypeError, ValueError) as e:
+    except (json.JSONDecodeError, AttributeError, TypeError, ValueError) as e:
         return {
             "conflicts_detected": False,
             "conflicts": [],

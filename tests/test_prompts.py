@@ -102,6 +102,17 @@ def test_parse_fact_extraction_text_and_malformed_fallbacks():
     # malformed JSON starting with '{' falls back to the text parser too
     got2 = P.parse_fact_extraction_response('{"facts": [oops...........]}')
     assert len(got2) == 1 and got2[0]["confidence"] == 0.6
+    # VALID json with the wrong shapes inside (non-dict facts, non-list
+    # facts, non-numeric score) must degrade, never raise
+    got3 = P.parse_fact_extraction_response('{"facts": ["bare string"]}')
+    assert got3 and got3[0]["type"] == "general"
+    assert P.parse_fact_extraction_response('{"facts": 7}')
+    assert P.parse_conflict_response(
+        '{"conflicts_detected": true, "conflicts": ["x"]}'
+    )["conflicts_detected"] is False
+    assert P.parse_validation_response(
+        '{"is_valid": true, "validation_score": {"a": 1}}'
+    )["recommendation"] == "REJECT"
 
 
 def test_parse_validation_ladder():
@@ -325,3 +336,56 @@ def test_llm_former_through_m1_seam(spark):
     out = m1_from_m0(m0, former=P.llm_former(_make_fake())).collect()
     assert len(out) == 1
     assert out[0].content == "episode about 2 messages"
+
+
+# ---------------------------------------------------------------------------
+# fuzz: a model can emit ANYTHING — the parse ladders must never raise
+# and always return the full contract shape
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_any_text = st.one_of(
+    st.text(max_size=300),
+    # JSON-ish payloads, valid and broken
+    st.builds(
+        json.dumps,
+        st.recursive(
+            st.one_of(st.none(), st.booleans(), st.floats(allow_nan=False),
+                      st.integers(), st.text(max_size=20)),
+            lambda kids: st.one_of(
+                st.lists(kids, max_size=4),
+                st.dictionaries(st.text(max_size=10), kids, max_size=4),
+            ),
+            max_leaves=10,
+        ),
+    ),
+    st.builds(lambda s: "{" + s, st.text(max_size=80)),
+)
+
+
+@settings(max_examples=150, deadline=None)
+@given(_any_text)
+def test_parse_ladders_total_on_arbitrary_output(resp):
+    facts = P.parse_fact_extraction_response(resp)
+    assert isinstance(facts, list) and len(facts) <= 10
+    for f in facts:
+        assert set(f) == {
+            "content", "type", "confidence", "entities", "temporal_info",
+            "source_context",
+        }
+        assert isinstance(f["confidence"], float)
+
+    v = P.parse_validation_response(resp)
+    assert set(v) == {
+        "is_valid", "validation_score", "issues", "corrected_fact",
+        "recommendation",
+    }
+    assert isinstance(v["validation_score"], float)
+
+    c = P.parse_conflict_response(resp)
+    assert set(c) == {"conflicts_detected", "conflicts", "overall_assessment"}
+    for cf in c["conflicts"]:
+        assert cf["type"] in P._CONFLICT_TYPES
+        assert cf["severity"] in ("HIGH", "MEDIUM", "LOW")
