@@ -578,6 +578,7 @@ def vector_ingest_stream(
 def conflict_ingest_stream(
     facts_stream: DataFrame,
     out_base: str,
+    detector=None,
 ) -> "StreamingQuery":
     """Streaming insert-time fact conflict detection: each micro-batch
     of M2 facts is checked against the accumulated fact store, then
@@ -595,6 +596,12 @@ def conflict_ingest_stream(
 
     Outputs under out_base: ``conflicts/`` (the fact_conflicts shape +
     epoch_id), ``facts/`` (the accumulated store).
+
+    ``detector=``: the same LLM plug point as the batch kernel
+    (``fact_conflicts_between(detector=)``) — e.g.
+    ``prompts.llm_detector(provider)``, which rides the real
+    prompt-build → call → parse contract per candidate pair. The
+    default keeps the deterministic rule tier.
     """
     from memfuse_spark.operators.conflicts import fact_conflicts_between
 
@@ -624,8 +631,12 @@ def conflict_ingest_stream(
         # vs the store, plus within-batch (earlier chunks of the same
         # write batch are "existing" by the time later ones insert —
         # batch_id order supplies the within-epoch temporal order)
-        conflicts = fact_conflicts_between(prior, batch).unionByName(
-            fact_conflicts_between(batch, batch, require_batch_order=True)
+        conflicts = fact_conflicts_between(
+            prior, batch, detector=detector
+        ).unionByName(
+            fact_conflicts_between(
+                batch, batch, require_batch_order=True, detector=detector
+            )
         )
         write_epoch(conflicts, "conflicts", epoch_id)
         write_epoch(batch, "facts", epoch_id)

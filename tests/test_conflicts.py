@@ -343,3 +343,68 @@ def test_conflict_ingest_stream_matches_batch_kernel(spark, tmp_path):
     assert {r.action for r in got.collect()} <= {
         "auto_resolve", "escalate", "ignore"
     }
+
+
+def test_conflict_ingest_stream_with_llm_detector_seam(spark, tmp_path):
+    """The streaming insert-time path accepts the same detector= plug
+    as the batch kernel — wired here through prompts.llm_detector, so
+    the REAL prompt-build -> call -> parse contract runs inside the
+    foreachBatch epochs."""
+    import os
+
+    from memfuse_spark import prompts as P
+    from memfuse_spark.streaming import buffer as sb
+
+    def _make_fake():
+        import json as _json
+
+        def fake(prompt: str) -> str:
+            new = prompt.split("<new_fact>\n")[1].split("\n</new_fact>")[0]
+            if "co_occurs_with c" in new:
+                return _json.dumps(
+                    {
+                        "conflicts_detected": True,
+                        "conflicts": [
+                            {"type": "VALUE_MISMATCH", "severity": "HIGH",
+                             "confidence": 0.96}
+                        ],
+                    }
+                )
+            return "all consistent"
+
+        return fake
+
+    src = str(tmp_path / "facts_src")
+    _m2(
+        spark, [("c1-0", "c1", "a co_occurs_with b", ["a", "b"], 0.9)]
+    ).coalesce(1).write.mode("append").parquet(src)
+    _m2(
+        spark,
+        [
+            ("c1-5", "c1", "a co_occurs_with c", ["a", "c"], 0.9),
+            ("c1-6", "c1", "a co_occurs_with d", ["a", "d"], 0.9),
+        ],
+    ).coalesce(1).write.mode("append").parquet(src)
+
+    out = str(tmp_path / "conflict_det_out")
+    stream = (
+        spark.readStream.schema(
+            "chunk_id string, conversation_id string, fact_content string, "
+            "entities array<string>, confidence double"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = sb.conflict_ingest_stream(
+        stream, out, detector=P.llm_detector(_make_fake())
+    )
+    q.awaitTermination(240)
+
+    got = spark.read.parquet(os.path.join(out, "conflicts")).collect()
+    # the fake flags ONLY pairs whose new fact asserts "co_occurs_with
+    # c"; the rule tier would also have flagged c1-6's mismatch, so a
+    # c1-6 row would mean the detector was ignored on some path
+    assert {(r.new_chunk_id, r.conflict_type) for r in got} == {
+        ("c1-5", "VALUE_MISMATCH")
+    }
+    assert all(r.confidence == 0.96 and r.severity == "HIGH" for r in got)
