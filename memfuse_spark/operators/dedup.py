@@ -1337,8 +1337,9 @@ def semdedup_keep(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dim: int = 64,
-    num_planes: int = 4,
+    num_planes: int | None = 4,
     threshold: float = 0.95,
+    target_cell_size: int = 4000,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. '23): semantic near-duplicates found in
     EMBEDDING space — paraphrases and re-renderings that shingle-based
@@ -1369,6 +1370,19 @@ def semdedup_keep(
     from memfuse_spark.operators.ann import lsh_bucket
 
     from memfuse_spark import cache as _cache
+
+    if num_planes is None:
+        # the measured design rule (PLANS.md 10x probe): cells grow
+        # WITH the corpus so cell size — and the O(cell² · dim)
+        # within-cell pair work — stays ~constant. One count() job at
+        # what is an ingest-time operation anyway; fixed planes=4 at a
+        # 10x corpus measured 14.6x wall vs 4.06x with this rule.
+        import math
+
+        n_vecs = emb.count()
+        num_planes = max(
+            1, math.ceil(math.log2(max(n_vecs / target_cell_size, 2.0)))
+        )
 
     cells = emb.select(
         F.col(id_col).alias("vec_id"),

@@ -67,3 +67,36 @@ def test_semdedup_scope_rotates_generations(spark):
     assert len(gens) <= cache.KEEP_PRIOR_GENERATIONS + 1, (before, len(gens))
     live = [i for (_s, ids) in (p for g in gens for p in g.rdds) for i in ids]
     assert len(_persisted(spark, live)) <= 2 * len(gens)
+
+
+def test_semdedup_auto_planes_scales_with_corpus(spark):
+    """num_planes=None derives cell count from corpus size (the
+    PLANS.md-measured rule): bigger corpora get more cells so the
+    within-cell pair work stays ~constant; keep-rule invariants hold
+    under the auto mode."""
+    import pyspark.sql.functions as F
+
+    from memfuse_spark.operators.dedup import semdedup_keep
+
+    emb = spark.range(200).select(
+        F.col("id").alias("vec_id"),
+        F.array(
+            (F.col("id") % 5).cast("double"),
+            (F.col("id") % 7).cast("double"),
+            F.lit(1.0),
+        ).alias("v"),
+    )
+    out = semdedup_keep(
+        emb, id_col="vec_id", vec_col="v", dim=3,
+        num_planes=None, target_cell_size=25,
+    )
+    rows = out.collect()
+    assert len(rows) == 200  # one row per vector
+    # 200/25 = 8 cells -> 3 planes; at most 2^3 distinct sign-LSH cells
+    assert len({r.cell for r in rows}) <= 8
+    # keep-rule invariant: exactly one survivor per component
+    comps = {}
+    for r in rows:
+        comps.setdefault(r.component, []).append(r)
+    for members in comps.values():
+        assert sum(1 for m in members if m.keep) == 1
