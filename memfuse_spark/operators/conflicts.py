@@ -336,6 +336,7 @@ def validate_facts(
     min_confidence: float = MIN_CONFIDENCE,
     validated_confidence: float = VALIDATED_CONFIDENCE,
     cumulative: bool = False,
+    validator=None,
 ) -> DataFrame:
     """Fact validation against the ORIGINAL context (reference
     ``validate_fact_consistency``, hierarchy/llm_service.py:144-199, and
@@ -375,10 +376,27 @@ def validate_facts(
     :func:`fact_conflicts_cumulative` (the insert-time replay) instead.
     The default matches the DuckDB oracle twin, which replicates the
     latest-batch blocking.
+
+    ``validator=`` is the validation LLM seam (the reference's
+    validation IS an LLM call — llm_service.py:144-199 prompts with
+    the fact + its original context and parses a ValidationResult): a
+    callable ``(facts, contexts) -> [(is_valid, validation_score,
+    recommendation), ...]`` run Arrow-batched over each (fact, source
+    chunk) pair — e.g. ``prompts.llm_validator(provider)``, which rides
+    the real fact_validation prompt + parse ladder. The seam replaces
+    the score/recommendation grading; ``entity_support`` stays the
+    deterministic column and a detected conflict still overrides the
+    status to ``conflicted`` (the reference's conflict engine is a
+    separate pass there too). Default None keeps the oracle-checked
+    rule tier byte-identical.
     """
     from memfuse_spark.functions.text import tokenize
 
-    ctx = m1.select("chunk_id", tokenize("content").alias("__toks"))
+    ctx = m1.select(
+        "chunk_id",
+        tokenize("content").alias("__toks"),
+        F.col("content").alias("__context"),
+    )
     conflicts = (
         fact_conflicts_cumulative(m2) if cumulative else fact_conflicts(m2)
     )
@@ -423,6 +441,52 @@ def validate_facts(
             .otherwise(F.lit("pending")),
         )
     )
+    if validator is not None:
+        import pandas as pd
+        from pyspark.sql.types import (
+            DoubleType,
+            StringType,
+            StructField,
+            StructType,
+        )
+
+        narrow = graded.select(
+            "chunk_id", "fact_content", "__context"
+        ).dropDuplicates(["chunk_id", "fact_content"])
+        v_schema = StructType(
+            [
+                narrow.schema["chunk_id"],
+                narrow.schema["fact_content"],
+                StructField("__v_score", DoubleType()),
+                StructField("__v_rec", StringType()),
+            ]
+        )
+
+        def grade(batches):
+            for pdf in batches:
+                res = validator(
+                    list(pdf["fact_content"]), list(pdf["__context"])
+                )
+                out = pdf[["chunk_id", "fact_content"]].copy()
+                out["__v_score"] = [float(r[1]) for r in res]
+                out["__v_rec"] = [str(r[2]) for r in res]
+                yield out
+
+        v = narrow.mapInPandas(grade, v_schema)
+        graded = (
+            graded.join(v, ["chunk_id", "fact_content"])
+            .withColumn("validation_score", F.round(F.col("__v_score"), 6))
+            .withColumn(
+                "status",
+                # the conflict cross-check stays authoritative (the
+                # reference's conflict engine is a separate pass too);
+                # the seam's recommendation drives the rest
+                F.when(F.col("__conflicted"), F.lit("conflicted"))
+                .when(F.col("__v_rec") == "ACCEPT", F.lit("validated"))
+                .when(F.col("__v_rec") == "REJECT", F.lit("rejected"))
+                .otherwise(F.lit("pending")),
+            )
+        )
     return graded.select(
         "chunk_id",
         "conversation_id",

@@ -447,6 +447,41 @@ def llm_former(
     return form
 
 
+def llm_validator(
+    llm: Callable[[str], str],
+    user_id: str = "unknown",
+    min_confidence: float = 0.7,
+    quality_standards: str = "high",
+) -> Callable[[list[str], list[str]], list[tuple[bool, float, str]]]:
+    """Wrap a ``prompt -> response_text`` provider into the
+    ``validate_facts(validator=)`` contract (``(facts, contexts) ->
+    [(is_valid, validation_score, recommendation), ...]``) via the real
+    fact_validation prompt + parse ladder (reference
+    llm_service.py:144-199 validate_fact_consistency, one call per
+    fact with its original context)."""
+
+    def validate(
+        facts: list[str], contexts: list[str]
+    ) -> list[tuple[bool, float, str]]:
+        out = []
+        for fact, context in zip(facts, contexts):
+            prompt = build_prompt(
+                "fact_validation",
+                fact=fact,
+                original_context=context,
+                user_id=user_id,
+                min_confidence=min_confidence,
+                quality_standards=quality_standards,
+            )
+            v = parse_validation_response(llm(prompt))
+            out.append(
+                (v["is_valid"], v["validation_score"], v["recommendation"])
+            )
+        return out
+
+    return validate
+
+
 def llm_detector(
     llm: Callable[[str], str],
     user_id: str = "unknown",

@@ -389,3 +389,66 @@ def test_parse_ladders_total_on_arbitrary_output(resp):
     for cf in c["conflicts"]:
         assert cf["type"] in P._CONFLICT_TYPES
         assert cf["severity"] in ("HIGH", "MEDIUM", "LOW")
+
+
+def test_llm_validator_through_validate_facts_seam(spark):
+    """The validation LLM seam end-to-end: the fake grades via the REAL
+    fact_validation prompt (reads the fact back out), its ACCEPT/
+    REJECT/REVISE drives status, and a detected conflict still
+    overrides to `conflicted`."""
+    from memfuse_spark.operators.conflicts import validate_facts
+
+    def _make_fake():
+        import json as _json
+
+        def fake(prompt: str) -> str:
+            fact = prompt.split("<fact_to_validate>\n")[1].split(
+                "\n</fact_to_validate>"
+            )[0]
+            rec = (
+                "REJECT" if "bogus" in fact
+                else "REVISE" if "maybe" in fact
+                else "ACCEPT"
+            )
+            return _json.dumps(
+                {
+                    "is_valid": rec == "ACCEPT",
+                    "validation_score": 0.42 if rec != "ACCEPT" else 0.91,
+                    "recommendation": rec,
+                }
+            )
+
+        return fake
+
+    m2 = spark.createDataFrame(
+        [
+            # conflicting pair (same subject, later batch, new object):
+            # conflict override must win over the seam's ACCEPT
+            ("c1-0", "c1", "a co_occurs_with b", ["a", "b"], 0.9),
+            ("c1-1", "c1", "a co_occurs_with c", ["a", "c"], 0.9),
+            ("c2-0", "c2", "bogus co_occurs_with x", ["bogus", "x"], 0.9),
+            ("c3-0", "c3", "maybe co_occurs_with y", ["maybe", "y"], 0.9),
+        ],
+        "chunk_id string, conversation_id string, fact_content string, "
+        "entities array<string>, confidence double",
+    )
+    m1 = spark.createDataFrame(
+        [("c1-0", "a b"), ("c1-1", "a c"), ("c2-0", "bogus x"),
+         ("c3-0", "maybe y")],
+        "chunk_id string, content string",
+    )
+    got = {
+        r.chunk_id: r
+        for r in validate_facts(
+            m2, m1, validator=P.llm_validator(_make_fake())
+        ).collect()
+    }
+    assert got["c1-0"].status == "conflicted"  # override wins
+    assert got["c1-1"].status == "conflicted"
+    assert got["c2-0"].status == "rejected"
+    assert got["c2-0"].recommendation == "REJECT"
+    assert got["c3-0"].status == "pending"
+    assert got["c3-0"].recommendation == "REVISE"
+    assert got["c3-0"].validation_score == pytest.approx(0.42)
+    # entity_support stays the deterministic column under the seam
+    assert got["c2-0"].entity_support == pytest.approx(1.0)
