@@ -68,8 +68,27 @@ def build(spark, copies: int = 10, out: str = "/tmp/memfuse_sf1") -> str:
             "text", F.concat(F.array_join(kept, " "), F.lit(f" copytag{k}"))
         ).withColumn("n_chars", F.length("text"))
 
+    emb = spark.read.parquet(f"{SRC}/embeddings.parquet")
+
+    def perturb_vec(d, k):
+        if k == 0:
+            return d
+        # rotate one dimension per copy so cross-copy vectors are not
+        # exact duplicates but the per-copy geometry (cluster radii,
+        # norms to first order) is preserved
+        return d.withColumn(
+            "embedding",
+            F.transform(
+                "embedding",
+                lambda x, i: F.when(
+                    i == F.lit(k % 64), x + F.lit(0.37 * k)
+                ).otherwise(x).cast("float"),
+            ),
+        )
+
     jobs = {
         "documents": shifted_union(docs, ["doc_id"], perturb_text),
+        "embeddings": shifted_union(emb, ["vec_id"], perturb_vec),
         "events": shifted_union(
             spark.read.parquet(f"{SRC}/events.parquet"),
             ["event_id", "user_id"],
