@@ -45,10 +45,39 @@ def main() -> int:
 
     _lock = acquire_run_lock("verify_oracle")  # noqa: F841 — held to exit
 
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    args = sys.argv[1:]
+    vanilla = "--vanilla" in args
+    if vanilla:
+        args = [a for a in args if a != "--vanilla"]
+    window = "--window" in args
+    if window:
+        args = [a for a in args if a != "--window"]
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    only = set(args[1:])
+    if window:  # the driver's t2 gate: the FIRST 50 declared queries
+        only = set(list(entrymod.queries())[:50])
 
-    spark = get_spark("verify-oracle")
+    if vanilla:
+        # Replicate the driver's environment: an untuned session created
+        # FIRST so getOrCreate() returns it everywhere (exercises the
+        # runtime-conf fallbacks in catalog.py, e.g. nanosAsLong) + the
+        # entry() smoke with schema-stability check. The round-start
+        # rotation recipe is now one command:
+        #   python tools/verify_oracle.py --vanilla --window <sf_dir>
+        from pyspark.sql import SparkSession
+
+        spark = (
+            SparkSession.builder.master("local[8]")
+            .config("spark.ui.enabled", "false")
+            .config("spark.ui.showConsoleProgress", "false")
+            .getOrCreate()
+        )
+        r1 = entrymod.entry(spark)
+        s1, n1 = r1.schema, r1.count()
+        s2 = entrymod.entry(spark).schema
+        print(f"ENTRY rows={n1} schema_stable={s1 == s2}")
+    else:
+        spark = get_spark("verify-oracle")
     con = duckdb.connect()
     for t in (
         "region nation customer supplier part orders lineitem events "
