@@ -1349,6 +1349,16 @@ def q_sentence_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sentence_chunks(punct).orderBy("doc_id", "chunk_index")
 
 
+def q_source_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source distribution shift: KL(P_source || P_corpus) in bits
+    over add-one-smoothed unigram distributions — the domain-mixture
+    diagnostic run before setting sampling weights (the DoReMi/DSIR
+    input). Observed-pairs join only; the missing-token mass closes in
+    one algebraic term, so nothing densifies to sources x vocab."""
+    (docs,) = _tables(spark, sf_dir, "documents")
+    return ta_ops.source_unigram_kl(docs)
+
+
 def q_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Character-level Shannon entropy per document — the cheap
     gibberish/boilerplate quality signal (exact-SQL sibling of the
@@ -4329,6 +4339,7 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round-7 window
         "fact_conflicts_cumulative": q_fact_conflicts_cumulative,
         "fact_validation_cumulative": q_fact_validation_cumulative,
+        "source_kl": q_source_kl,
         # added after the r5 rotation freeze → in-window for r6
         "msmg_rollup": q_msmg_rollup,
         "msmg_neighborhood": q_msmg_neighborhood,
@@ -6313,6 +6324,7 @@ ORDER BY band
 """,
         "value_outliers_mad": _stats.mad_outlier_stats_sql(),
         "char_entropy": ta_ops.char_entropy_sql(),
+        "source_kl": ta_ops.source_unigram_kl_sql(),
         "sentence_chunks": _chunking.sentence_chunks_sql(
             text_expr=(
                 r"regexp_replace(text, '((\S+ ){4}\S+) ', '\1. ', 'g')"

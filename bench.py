@@ -183,6 +183,7 @@ EXTRA = [
     # round 6
     "fact_conflicts_cumulative",
     "fact_validation_cumulative",
+    "source_kl",
     "fact_conflicts_detector",
     "fact_consolidation",
     "fact_validation",

@@ -1654,3 +1654,131 @@ def hashed_bow_vectors(
             ).alias("vector"),
         )
     )
+
+
+def source_unigram_kl(
+    docs: DataFrame,
+    source_col: str = "source",
+    text_col: str = "text",
+    decimals: int = 6,
+) -> DataFrame:
+    """(source, n_tokens, vocab, kl_bits) — per-source distribution
+    shift: KL(P_source ‖ P_corpus) in bits over smoothed unigram
+    distributions. The domain-mixture diagnostic a curation pipeline
+    runs before setting sampling weights (DoReMi/DSIR-style): a source
+    whose token distribution sits far from the corpus mixture carries
+    disproportionate (or junk) signal, and this is the cheapest
+    quantity that ranks them.
+
+    Add-one smoothing over the CORPUS vocabulary on both sides keeps
+    KL finite when a source lacks a corpus token (P and Q share
+    support by construction; smoothing is applied symmetrically so
+    kl_bits = 0 exactly when the source IS the corpus distribution
+    restricted to identical counts).
+
+    Shape: one wordcount shuffle keyed (source, token), a vocab-sized
+    rollup to corpus counts, one join back on token (vocab-bounded —
+    never corpus-row-bounded), then a per-source sum. The missing
+    (source, token) pairs contribute only through the closed-form
+    missing-mass term Σ_miss p_smooth·log(p/q), computed from the
+    per-source aggregate and the corpus side — the join stays on
+    OBSERVED pairs; nothing densifies to |sources| × |vocab| rows.
+    """
+    toks = docs.select(
+        F.col(source_col).alias("source"),
+        F.explode(tokenize(text_col)).alias("tok"),
+    )
+    st = toks.groupBy("source", "tok").agg(F.count("*").alias("c_st"))
+    corpus = st.groupBy("tok").agg(F.sum("c_st").alias("c_t"))
+    per_source = st.groupBy("source").agg(
+        F.sum("c_st").alias("n_s"), F.count("*").alias("vocab_s")
+    )
+    totals = corpus.agg(
+        F.sum("c_t").alias("n_total"), F.count("*").alias("v")
+    )
+    joined = (
+        st.join(corpus, "tok")
+        .join(F.broadcast(per_source), "source")
+        .crossJoin(F.broadcast(totals))
+    )
+    # smoothed probabilities over the shared corpus vocab V:
+    #   p = (c_st + 1) / (n_s + V),   q = (c_t + 1) / (n_total + V)
+    p = (F.col("c_st") + 1) / (F.col("n_s") + F.col("v"))
+    q = (F.col("c_t") + 1) / (F.col("n_total") + F.col("v"))
+    observed = joined.groupBy("source", "n_s", "vocab_s", "v").agg(
+        F.sum(p * F.log2(p / q)).alias("kl_obs"),
+        # the same tokens' q mass, needed to close the missing term
+        F.sum((F.lit(1) / (F.col("n_s") + F.col("v"))) * F.log2(
+            (F.lit(1) / (F.col("n_s") + F.col("v")))
+            / ((F.col("c_t") + 1) / (F.col("n_total") + F.col("v")))
+        )).alias("miss_if_obs"),
+    )
+    # Missing-mass term: tokens in V but absent from the source each
+    # contribute p0·log2(p0/q) with p0 = 1/(n_s+V). Σ over ALL V tokens
+    # of that quantity minus the observed tokens' share (miss_if_obs)
+    # equals the missing-token sum — closed form via corpus-side Σ:
+    #   Σ_V p0·log2(p0/q) = p0·( V·log2(p0) - Σ_V log2(q) )
+    sum_log_q = corpus.crossJoin(F.broadcast(totals)).agg(
+        F.sum(
+            F.log2((F.col("c_t") + 1) / (F.col("n_total") + F.col("v")))
+        ).alias("slq")
+    )
+    p0 = F.lit(1) / (F.col("n_s") + F.col("v"))
+    return (
+        observed.crossJoin(F.broadcast(sum_log_q))
+        .select(
+            "source",
+            F.col("n_s").cast("long").alias("n_tokens"),
+            F.col("vocab_s").cast("long").alias("vocab"),
+            F.round(
+                F.col("kl_obs")
+                + (p0 * (F.col("v") * F.log2(p0) - F.col("slq")))
+                - F.col("miss_if_obs"),
+                decimals,
+            ).alias("kl_bits"),
+        )
+        .orderBy(F.desc("kl_bits"), F.asc("source"))
+    )
+
+
+def source_unigram_kl_sql(decimals: int = 6) -> str:
+    """DuckDB twin of :func:`source_unigram_kl` (same smoothing and
+    closed-form missing-mass algebra)."""
+    return f"""
+WITH toks AS (
+  SELECT source, unnest(list_filter(
+           string_split_regex(lower(text), '[^a-z0-9]+'),
+           x -> len(x) > 0)) AS tok
+  FROM documents
+),
+st AS (SELECT source, tok, count(*) AS c_st FROM toks GROUP BY source, tok),
+corpus AS (SELECT tok, sum(c_st) AS c_t FROM st GROUP BY tok),
+per_source AS (
+  SELECT source, sum(c_st) AS n_s, count(*) AS vocab_s FROM st GROUP BY source
+),
+totals AS (SELECT sum(c_t) AS n_total, count(*) AS v FROM corpus),
+obs AS (
+  SELECT s.source, ps.n_s, ps.vocab_s, t.v,
+         sum(((s.c_st + 1.0) / (ps.n_s + t.v))
+             * log2(((s.c_st + 1.0) / (ps.n_s + t.v))
+                    / ((c.c_t + 1.0) / (t.n_total + t.v)))) AS kl_obs,
+         sum((1.0 / (ps.n_s + t.v))
+             * log2((1.0 / (ps.n_s + t.v))
+                    / ((c.c_t + 1.0) / (t.n_total + t.v)))) AS miss_if_obs
+  FROM st s JOIN corpus c USING (tok)
+            JOIN per_source ps USING (source), totals t
+  GROUP BY s.source, ps.n_s, ps.vocab_s, t.v
+),
+slq AS (
+  SELECT sum(log2((c.c_t + 1.0) / (t.n_total + t.v))) AS slq
+  FROM corpus c, totals t
+)
+SELECT source,
+       CAST(n_s AS BIGINT) AS n_tokens,
+       CAST(vocab_s AS BIGINT) AS vocab,
+       round(kl_obs
+             + ((1.0 / (n_s + v)) * (v * log2(1.0 / (n_s + v)) - slq.slq))
+             - miss_if_obs, {decimals}) AS kl_bits
+FROM obs, slq
+ORDER BY kl_bits DESC, source ASC
+"""

@@ -347,3 +347,52 @@ def test_ngram_novelty_served_shingles_identical(spark):
 
     with _pytest.raises(ValueError, match="cannot honor n=2"):
         ngram_novelty(docs, n=2, shingled=shingle_sets(docs))
+
+
+def test_source_unigram_kl_matches_bruteforce(spark):
+    """The closed-form missing-mass algebra must equal the naive dense
+    KL over the full corpus vocabulary, and a source identical to the
+    corpus distribution scores 0."""
+    import math
+    from collections import Counter
+
+    from memfuse_spark.operators.textanalysis import source_unigram_kl
+
+    rows = [
+        (1, "alpha beta beta gamma", "en", "web", 0),
+        (2, "alpha alpha delta", "en", "web", 0),
+        (3, "epsilon epsilon epsilon zeta", "en", "book", 0),
+        (4, "alpha beta", "en", "code", 0),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    got = {
+        r.source: r for r in source_unigram_kl(docs).collect()
+    }
+
+    # dense brute force
+    per_src, corpus = {}, Counter()
+    for _, text, _, src, _ in rows:
+        toks = text.split()
+        per_src.setdefault(src, Counter()).update(toks)
+        corpus.update(toks)
+    V, n_total = len(corpus), sum(corpus.values())
+    for src, cnt in per_src.items():
+        n_s = sum(cnt.values())
+        kl = 0.0
+        for tok in corpus:
+            p = (cnt.get(tok, 0) + 1) / (n_s + V)
+            q = (corpus[tok] + 1) / (n_total + V)
+            kl += p * math.log2(p / q)
+        assert got[src].kl_bits == pytest.approx(kl, abs=2e-6), src
+        assert got[src].n_tokens == n_s
+        assert got[src].vocab == len(cnt)
+
+    # a single-source corpus IS the corpus distribution -> KL exactly 0
+    solo = spark.createDataFrame(
+        [(1, "a b b c", "en", "only", 0)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    (r,) = source_unigram_kl(solo).collect()
+    assert r.kl_bits == 0.0
