@@ -1359,6 +1359,15 @@ def q_source_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ta_ops.source_unigram_kl(docs)
 
 
+def q_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source rank-frequency power-law fit: least-squares slope of
+    log2(freq) vs log2(rank) over each source's head vocabulary, with
+    the fit's r^2. Natural text ~ -1; boilerplate steeper, gibberish
+    flatter — the rank-space sibling of source_kl's shift signal."""
+    (docs,) = _tables(spark, sf_dir, "documents")
+    return ta_ops.source_zipf_slope(docs)
+
+
 def q_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Character-level Shannon entropy per document — the cheap
     gibberish/boilerplate quality signal (exact-SQL sibling of the
@@ -4340,6 +4349,7 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fact_conflicts_cumulative": q_fact_conflicts_cumulative,
         "fact_validation_cumulative": q_fact_validation_cumulative,
         "source_kl": q_source_kl,
+        "zipf_slope": q_zipf_slope,
         # added after the r5 rotation freeze → in-window for r6
         "msmg_rollup": q_msmg_rollup,
         "msmg_neighborhood": q_msmg_neighborhood,
@@ -6325,6 +6335,7 @@ ORDER BY band
         "value_outliers_mad": _stats.mad_outlier_stats_sql(),
         "char_entropy": ta_ops.char_entropy_sql(),
         "source_kl": ta_ops.source_unigram_kl_sql(),
+        "zipf_slope": ta_ops.source_zipf_slope_sql(),
         "sentence_chunks": _chunking.sentence_chunks_sql(
             text_expr=(
                 r"regexp_replace(text, '((\S+ ){4}\S+) ', '\1. ', 'g')"

@@ -184,6 +184,7 @@ EXTRA = [
     "fact_conflicts_cumulative",
     "fact_validation_cumulative",
     "source_kl",
+    "zipf_slope",
     "fact_conflicts_detector",
     "fact_consolidation",
     "fact_validation",

@@ -1782,3 +1782,112 @@ SELECT source,
 FROM obs, slq
 ORDER BY kl_bits DESC, source ASC
 """
+
+
+def source_zipf_slope(
+    docs: DataFrame,
+    source_col: str = "source",
+    text_col: str = "text",
+    top_n: int = 1000,
+    decimals: int = 6,
+) -> DataFrame:
+    """(source, n_tokens, vocab, zipf_slope, fit_r2) — least-squares
+    slope of log2(freq) against log2(rank) over each source's top
+    ``top_n`` tokens: the rank-frequency power-law exponent. Natural
+    text sits near -1 (Zipf); templated/boilerplate output skews much
+    steeper (a few tokens dominate) and gibberish flatter — a
+    vocabulary-health diagnostic per source, the rank-space sibling of
+    :func:`source_unigram_kl`'s distribution-shift signal.
+
+    Deterministic ranking: ties broken by token text ascending. The
+    regression is the closed form b = cov(x,y)/var(x) computed in one
+    per-source aggregate; the per-source rank window runs over
+    vocab-bounded wordcount rows (top_n caps the fitted head), never
+    corpus rows.
+    """
+    from pyspark.sql import Window
+
+    toks = docs.select(
+        F.col(source_col).alias("source"),
+        F.explode(tokenize(text_col)).alias("tok"),
+    )
+    st = toks.groupBy("source", "tok").agg(F.count("*").alias("c"))
+    per_source = st.groupBy("source").agg(
+        F.sum("c").alias("n_tokens"), F.count("*").alias("vocab")
+    )
+    w = Window.partitionBy("source").orderBy(F.desc("c"), F.asc("tok"))
+    ranked = (
+        st.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top_n)
+        .withColumn("x", F.log2("rank"))
+        .withColumn("y", F.log2("c"))
+    )
+    fit = ranked.groupBy("source").agg(
+        F.count("*").alias("m"),
+        F.avg("x").alias("mx"),
+        F.avg("y").alias("my"),
+        F.avg(F.col("x") * F.col("y")).alias("mxy"),
+        F.avg(F.col("x") * F.col("x")).alias("mxx"),
+        F.avg(F.col("y") * F.col("y")).alias("myy"),
+    )
+    cov = F.col("mxy") - F.col("mx") * F.col("my")
+    varx = F.col("mxx") - F.col("mx") * F.col("mx")
+    vary = F.col("myy") - F.col("my") * F.col("my")
+    return (
+        fit.join(per_source, "source")
+        .filter(F.col("m") >= 2)  # a 1-token vocabulary has no slope
+        .select(
+            "source",
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            F.col("vocab").cast("long").alias("vocab"),
+            F.round(cov / varx, decimals).alias("zipf_slope"),
+            F.round(
+                F.when(vary > 0, (cov * cov) / (varx * vary)).otherwise(
+                    F.lit(None)
+                ),
+                decimals,
+            ).alias("fit_r2"),
+        )
+        .orderBy("source")
+    )
+
+
+def source_zipf_slope_sql(top_n: int = 1000, decimals: int = 6) -> str:
+    """DuckDB twin of :func:`source_zipf_slope`."""
+    return f"""
+WITH toks AS (
+  SELECT source, unnest(list_filter(
+           string_split_regex(lower(text), '[^a-z0-9]+'),
+           x -> len(x) > 0)) AS tok
+  FROM documents
+),
+st AS (SELECT source, tok, count(*) AS c FROM toks GROUP BY source, tok),
+per_source AS (
+  SELECT source, sum(c) AS n_tokens, count(*) AS vocab FROM st GROUP BY source
+),
+ranked AS (
+  SELECT source, log2(row_number() OVER (
+           PARTITION BY source ORDER BY c DESC, tok ASC)) AS x,
+         log2(c) AS y,
+         row_number() OVER (
+           PARTITION BY source ORDER BY c DESC, tok ASC) AS rank
+  FROM st
+),
+fit AS (
+  SELECT source, count(*) AS m,
+         avg(x) AS mx, avg(y) AS my, avg(x*y) AS mxy,
+         avg(x*x) AS mxx, avg(y*y) AS myy
+  FROM ranked WHERE rank <= {top_n}
+  GROUP BY source
+)
+SELECT f.source,
+       CAST(ps.n_tokens AS BIGINT) AS n_tokens,
+       CAST(ps.vocab AS BIGINT) AS vocab,
+       round((mxy - mx*my) / (mxx - mx*mx), {decimals}) AS zipf_slope,
+       round(CASE WHEN (myy - my*my) > 0
+             THEN ((mxy - mx*my) * (mxy - mx*my))
+                  / ((mxx - mx*mx) * (myy - my*my)) END, {decimals}) AS fit_r2
+FROM fit f JOIN per_source ps USING (source)
+WHERE m >= 2
+ORDER BY source
+"""

@@ -396,3 +396,41 @@ def test_source_unigram_kl_matches_bruteforce(spark):
     )
     (r,) = source_unigram_kl(solo).collect()
     assert r.kl_bits == 0.0
+
+
+def test_source_zipf_slope_matches_numpy_fit(spark):
+    """Closed-form regression equals numpy polyfit on the same
+    (log-rank, log-freq) points; a perfect zipf source fits slope -1
+    with r^2 = 1."""
+    import numpy as np
+
+    from memfuse_spark.operators.textanalysis import source_zipf_slope
+
+    # source 'z': exact zipf counts 12/6/4/3 ~ 12/rank
+    z_text = " ".join(
+        ["a"] * 12 + ["b"] * 6 + ["c"] * 4 + ["d"] * 3
+    )
+    # source 'w': arbitrary counts
+    w_text = " ".join(["x"] * 9 + ["y"] * 9 + ["zz"] * 2)
+    docs = spark.createDataFrame(
+        [(1, z_text, "en", "z", 0), (2, w_text, "en", "w", 0)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    got = {r.source: r for r in source_zipf_slope(docs).collect()}
+
+    for src, counts in (("z", [12, 6, 4, 3]), ("w", [9, 9, 2])):
+        x = np.log2(np.arange(1, len(counts) + 1))
+        y = np.log2(np.array(counts, dtype=float))
+        b, _a = np.polyfit(x, y, 1)
+        assert got[src].zipf_slope == pytest.approx(b, abs=2e-6), src
+    # the zipf-12/rank source: log2(12/r) = log2 12 - log2 r exactly
+    # for ranks 1,2,4 (counts 12,6,3) and near for rank 3 (4 vs 4.0)
+    assert got["z"].zipf_slope == pytest.approx(-1.0, abs=0.02)
+    assert got["z"].fit_r2 > 0.999
+    assert got["z"].n_tokens == 25 and got["z"].vocab == 4
+    # single-token source has no slope and is excluded
+    solo = spark.createDataFrame(
+        [(1, "only only only", "en", "s", 0)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    assert source_zipf_slope(solo).collect() == []
