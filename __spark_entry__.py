@@ -1368,6 +1368,16 @@ def q_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ta_ops.source_zipf_slope(docs)
 
 
+def q_centroid_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space distribution shift per source: cosine distance
+    between each source's mean document embedding (X8 oracle-tier
+    embedder) and the corpus mean — the vector-native sibling of
+    source_kl/zipf_slope; shuffle rows are sources x dim, one corpus
+    scan."""
+    (docs,) = _tables(spark, sf_dir, "documents")
+    return ta_ops.source_centroid_shift(docs)
+
+
 def q_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Character-level Shannon entropy per document — the cheap
     gibberish/boilerplate quality signal (exact-SQL sibling of the
@@ -4350,6 +4360,7 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fact_validation_cumulative": q_fact_validation_cumulative,
         "source_kl": q_source_kl,
         "zipf_slope": q_zipf_slope,
+        "centroid_shift": q_centroid_shift,
         # added after the r5 rotation freeze → in-window for r6
         "msmg_rollup": q_msmg_rollup,
         "msmg_neighborhood": q_msmg_neighborhood,
@@ -6336,6 +6347,7 @@ ORDER BY band
         "char_entropy": ta_ops.char_entropy_sql(),
         "source_kl": ta_ops.source_unigram_kl_sql(),
         "zipf_slope": ta_ops.source_zipf_slope_sql(),
+        "centroid_shift": ta_ops.source_centroid_shift_sql(),
         "sentence_chunks": _chunking.sentence_chunks_sql(
             text_expr=(
                 r"regexp_replace(text, '((\S+ ){4}\S+) ', '\1. ', 'g')"

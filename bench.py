@@ -185,6 +185,7 @@ EXTRA = [
     "fact_validation_cumulative",
     "source_kl",
     "zipf_slope",
+    "centroid_shift",
     "fact_conflicts_detector",
     "fact_consolidation",
     "fact_validation",

@@ -1891,3 +1891,95 @@ FROM fit f JOIN per_source ps USING (source)
 WHERE m >= 2
 ORDER BY source
 """
+
+
+def source_centroid_shift(
+    docs: DataFrame,
+    source_col: str = "source",
+    text_col: str = "text",
+    dim: int = 16,
+    decimals: int = 6,
+) -> DataFrame:
+    """(source, n_docs, centroid_shift) — embedding-space distribution
+    shift per source: cosine DISTANCE between the source's mean
+    document embedding and the corpus mean. The vector-native third
+    sibling of :func:`source_unigram_kl` (token space) and
+    :func:`source_zipf_slope` (rank space): a source whose centroid
+    sits far from the corpus centroid contributes a different region
+    of embedding space — the signal embedding-based mixture tuning and
+    SemDeDup-style pruning act on.
+
+    Uses the deterministic X8 hash embedder (the engine's oracle-tier
+    model seam) so both engines embed identically; swap the embedding
+    column in for real vectors and the aggregation is unchanged.
+
+    Shape: one (source, dim-position) aggregate off a posexplode —
+    shuffle rows are sources × dim, never corpus-sized; the corpus
+    centroid derives from the same aggregate (weighted by per-source
+    doc counts), so the corpus is scanned ONCE. Cosine closes from
+    Σab/√Σa²√Σb² over dim positions — no array materialization.
+    """
+    from memfuse_spark.functions.vector import hash_embedding
+
+    per_doc = docs.select(
+        F.col(source_col).alias("source"),
+        F.posexplode(hash_embedding(text_col, dim)).alias("pos", "x"),
+    )
+    src_pos = per_doc.groupBy("source", "pos").agg(
+        F.sum("x").alias("sx"), F.count("*").alias("n")
+    )
+    # per-source centroid component a = sx/n_docs; corpus centroid
+    # component b = Σ_sources sx / Σ_sources n (doc-weighted mean),
+    # derived from the SAME aggregate — one corpus scan total
+    corpus_pos = src_pos.groupBy("pos").agg(
+        (F.sum("sx") / F.sum("n")).alias("b")
+    )
+    j = src_pos.withColumn("a", F.col("sx") / F.col("n")).join(
+        F.broadcast(corpus_pos), "pos"
+    )
+    return (
+        j.groupBy("source")
+        .agg(
+            (F.max("n")).cast("long").alias("n_docs"),
+            F.round(
+                1
+                - F.sum(F.col("a") * F.col("b"))
+                / (
+                    F.sqrt(F.sum(F.col("a") * F.col("a")))
+                    * F.sqrt(F.sum(F.col("b") * F.col("b")))
+                ),
+                decimals,
+            ).alias("centroid_shift"),
+        )
+        .orderBy(F.desc("centroid_shift"), F.asc("source"))
+    )
+
+
+def source_centroid_shift_sql(dim: int = 16, decimals: int = 6) -> str:
+    """DuckDB twin of :func:`source_centroid_shift`."""
+    from memfuse_spark.functions.vector import hash_embedding_sql
+
+    emb = hash_embedding_sql("text", dim)
+    return f"""
+WITH per_doc AS (
+  SELECT source, generate_subscripts(e, 1) - 1 AS pos, unnest(e) AS x
+  FROM (SELECT source, {emb} AS e FROM documents)
+),
+src_pos AS (
+  SELECT source, pos, sum(x) AS sx, count(*) AS n
+  FROM per_doc GROUP BY source, pos
+),
+corpus_pos AS (
+  SELECT pos, sum(sx) / sum(n) AS b FROM src_pos GROUP BY pos
+),
+j AS (
+  SELECT s.source, s.n, s.sx / s.n AS a, c.b
+  FROM src_pos s JOIN corpus_pos c USING (pos)
+)
+SELECT source,
+       CAST(max(n) AS BIGINT) AS n_docs,
+       round(1 - sum(a*b) / (sqrt(sum(a*a)) * sqrt(sum(b*b))),
+             {decimals}) AS centroid_shift
+FROM j GROUP BY source
+ORDER BY centroid_shift DESC, source ASC
+"""

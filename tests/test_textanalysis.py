@@ -434,3 +434,38 @@ def test_source_zipf_slope_matches_numpy_fit(spark):
         "doc_id long, text string, lang string, source string, n_chars long",
     )
     assert source_zipf_slope(solo).collect() == []
+
+
+def test_source_centroid_shift_matches_numpy(spark):
+    """Aggregate cosine equals a dense numpy recompute over the same
+    X8 embeddings; identical sources shift identically and a source
+    equal to the corpus mean direction scores ~0."""
+    import numpy as np
+
+    from memfuse_spark.functions.vector import py_hash_embedding
+    from memfuse_spark.operators.textanalysis import source_centroid_shift
+
+    rows = [
+        (1, "alpha beta gamma", "en", "web", 0),
+        (2, "alpha beta delta", "en", "web", 0),
+        (3, "totally different vocabulary here", "en", "book", 0),
+        (4, "another kind of text entirely now", "en", "code", 0),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    got = {r.source: r for r in source_centroid_shift(docs).collect()}
+
+    vecs = {s: [] for s in {r[3] for r in rows}}
+    for _, text, _, src, _ in rows:
+        vecs[src].append(np.array(py_hash_embedding(text, 16)))
+    corpus = np.mean([v for vs in vecs.values() for v in vs], axis=0)
+    for src, vs in vecs.items():
+        a = np.mean(vs, axis=0)
+        cos = float(a @ corpus / (np.linalg.norm(a) * np.linalg.norm(corpus)))
+        assert got[src].centroid_shift == pytest.approx(1 - cos, abs=2e-6), src
+        assert got[src].n_docs == len(vs)
+    # a single-source corpus: centroid IS the corpus mean -> shift 0
+    solo = docs.filter("source = 'web'")
+    (r,) = source_centroid_shift(solo).collect()
+    assert r.centroid_shift == pytest.approx(0.0, abs=1e-6)
