@@ -1919,11 +1919,24 @@ def source_centroid_shift(
     doc counts), so the corpus is scanned ONCE. Cosine closes from
     Σab/√Σa²√Σb² over dim positions — no array materialization.
     """
-    from memfuse_spark.functions.vector import hash_embedding
+    from memfuse_spark.functions.vector import (
+        hash_embedding_raw,
+        normalize,
+    )
 
-    per_doc = docs.select(
-        F.col(source_col).alias("source"),
-        F.posexplode(hash_embedding(text_col, dim)).alias("pos", "x"),
+    # materialize the digest and raw array as real columns first —
+    # Spark does no CSE across the dim component expressions, so the
+    # inline form re-hashes the full text dim times per row (the
+    # hash_embedding_raw docstring's hot-path rule; measured 5.7s →
+    # ~1s at sf0.1)
+    per_doc = (
+        docs.select(F.col(source_col).alias("source"), F.col(text_col))
+        .withColumn("__d", F.md5(text_col))
+        .withColumn("__raw", hash_embedding_raw(F.col("__d"), dim))
+        .select(
+            "source",
+            F.posexplode(normalize(F.col("__raw"))).alias("pos", "x"),
+        )
     )
     src_pos = per_doc.groupBy("source", "pos").agg(
         F.sum("x").alias("sx"), F.count("*").alias("n")
