@@ -1696,9 +1696,12 @@ def source_unigram_kl(
     totals = corpus.agg(
         F.sum("c_t").alias("n_total"), F.count("*").alias("v")
     )
+    # per_source is one row per source — tiny in practice, but it
+    # derives from the SF-scaling documents table, so no forced hint:
+    # AQE size-gates the join at runtime (the repo-wide broadcast rule)
     joined = (
         st.join(corpus, "tok")
-        .join(F.broadcast(per_source), "source")
+        .join(per_source, "source")
         .crossJoin(F.broadcast(totals))
     )
     # smoothed probabilities over the shared corpus vocab V:
@@ -1947,8 +1950,11 @@ def source_centroid_shift(
     corpus_pos = src_pos.groupBy("pos").agg(
         (F.sum("sx") / F.sum("n")).alias("b")
     )
+    # corpus_pos is dim-bounded by construction, but it derives from
+    # the SF-scaling documents table — AQE size-gates the join rather
+    # than a forced hint (the repo-wide broadcast rule)
     j = src_pos.withColumn("a", F.col("sx") / F.col("n")).join(
-        F.broadcast(corpus_pos), "pos"
+        corpus_pos, "pos"
     )
     return (
         j.groupBy("source")
