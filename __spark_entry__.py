@@ -4266,6 +4266,42 @@ def entry(spark: SparkSession) -> DataFrame:
 # green sets — tools/verify_oracle.py (full suite, re-run each round)
 # remains the superset check for everything demoted. Queries added
 # mid-round go at positions 51+ only and head the round-7 rotation.
+# Round-7 window (rotated ONCE at round start, then frozen — the
+# standing discipline). Ground truth recomputed from CORRECTNESS_r01-06:
+# 231 of 236 registered queries have at least one green driver row;
+# priority order: (1) the FIVE queries with no driver row ever (added
+# after the r6 freeze; judge-verified locally in VERDICT r6, this is
+# the independent driver replication); (2) the six queries whose
+# latest green row dates to round 1; (3) 39 of the 42 queries whose
+# latest green row dates to round 2 — dropped to fit 50: `vector_topk`
+# / `vector_threshold` (same similarity.py top-k path as the r6-green
+# `vector_knn_of_item`) and `dup_clusters` (checked every round by
+# `dup_clusters_inc`'s full-recompute-equality oracle, r5-green).
+# Demoted: everything with an r3+ row — tools/verify_oracle.py (full
+# suite, re-run each round) remains the superset check. Queries added
+# mid-round go at positions 51+ only and head the round-8 rotation.
+_DRIVER_WINDOW_R7 = [
+    # (1) never driver-checked (r6 positions 51-55)
+    "fact_conflicts_cumulative", "fact_validation_cumulative",
+    "source_kl", "zipf_slope", "centroid_shift",
+    # (2) latest green row = round 1
+    "tpch_q6", "window_running_sum", "vector_batch_topk",
+    "minhash_dedup_keep", "bm25_wrapped_score", "tfidf_topk",
+    # (3) latest green row = round 2 (39 of 42)
+    "m0_records", "bm25_topk", "like_search", "hybrid_rrf",
+    "fusion_weighted", "fusion_normalized", "quantized_topk",
+    "rerank_two_stage", "ann_lsh_topk", "ivf_centroids",
+    "ann_ivf_topk", "ivf_knn_join", "embedding_neardup",
+    "exact_dedup", "minhash_pairs", "simhash_pairs", "ngram_jaccard",
+    "unigram_logprob", "corpus_filter_pipeline", "token_stats",
+    "semantic_dedup", "decontaminate", "fingerprint", "sequence_pack",
+    "doc_repetition", "stratified_sample", "pii_redact", "train_split",
+    "tenant_filtered_topk", "speculative_prefetch", "graph_edges",
+    "graph_neighbors", "graph_edges_between", "graph_weighted_2hop",
+    "quality_classifier", "importance_weights", "length_buckets",
+    "domain_mixture", "graph_contextual",
+]
+
 _DRIVER_WINDOW_R6 = [
     # (1) round-5 additions — first driver rows
     "msmg_rollup", "msmg_neighborhood", "m1_episodes_former",
@@ -4344,14 +4380,14 @@ def release_memo_stores(spark: SparkSession, sf_dir: str) -> int:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     reg = _query_registry()
-    ordered = {n: reg[n] for n in _DRIVER_WINDOW_R6}
+    ordered = {n: reg[n] for n in _DRIVER_WINDOW_R7}
     ordered.update((n, f) for n, f in reg.items() if n not in ordered)
     return ordered
 
 
 def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Grouped by the round each query was added / last verified —
-    # queries() reorders so _DRIVER_WINDOW_R6 leads.
+    # queries() reorders so _DRIVER_WINDOW_R7 leads.
     return {
         "hybrid_rrf_3way": q_hybrid_rrf_3way,
         # added after the r6 rotation freeze → positions 51+, heads the
