@@ -1371,34 +1371,37 @@ def semdedup_keep(
 
     from memfuse_spark import cache as _cache
 
+    # Materialize the input ONCE, and BEFORE any derived job: cells
+    # feeds four subplans (centroids, dists, both pair sides) and Spark
+    # does no CSE across them — without the checkpoint the input-vector
+    # subtree (for hashed-BoW inputs, a full wordcount aggregation)
+    # executes four times. Executor-side only; rows are (id, dim
+    # doubles[, cell]) — narrow. begin() rotates the scope's generation
+    # so repeated calls keep at most one prior corpus-sized checkpoint
+    # alive (same pattern as the other dedup.* scopes).
+    _cache.begin("dedup.semdedup")
+    base = emb.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+    )
     if num_planes is None:
         # the measured design rule (PLANS.md 10x probe): cells grow
         # WITH the corpus so cell size — and the O(cell² · dim)
-        # within-cell pair work — stays ~constant. One count() job at
-        # what is an ingest-time operation anyway; fixed planes=4 at a
-        # 10x corpus measured 14.6x wall vs 4.06x with this rule.
+        # within-cell pair work — stays ~constant. Checkpoint the
+        # (id, vector) projection FIRST and count the checkpointed
+        # frame, so the expensive input subtree runs exactly once
+        # rather than once for the count and again for the checkpoint
+        # (ADVICE r6). Fixed planes=4 at a 10x corpus measured 14.6x
+        # wall vs 4.06x with this rule.
         import math
 
-        n_vecs = emb.count()
+        base, _ = _cache.tracked_local_checkpoint(base, "dedup.semdedup")
+        n_vecs = base.count()
         num_planes = max(
             1, math.ceil(math.log2(max(n_vecs / target_cell_size, 2.0)))
         )
 
-    cells = emb.select(
-        F.col(id_col).alias("vec_id"),
-        F.col(vec_col).cast("array<double>").alias("v"),
-        lsh_bucket(F.col(vec_col).cast("array<double>"), dim, num_planes).alias(
-            "cell"
-        ),
-    )
-    # Materialize ONCE: cells feeds four subplans (centroids, dists,
-    # both pair sides) and Spark does no CSE across them — without this
-    # the input-vector subtree (for hashed-BoW inputs, a full wordcount
-    # aggregation) executes four times. Executor-side only; rows are
-    # (id, dim doubles, cell) — narrow. begin() rotates the scope's
-    # generation so repeated calls keep at most one prior corpus-sized
-    # checkpoint alive (same pattern as the other dedup.* scopes).
-    _cache.begin("dedup.semdedup")
+    cells = base.withColumn("cell", lsh_bucket(F.col("v"), dim, num_planes))
     cells, _ids = _cache.tracked_local_checkpoint(cells, "dedup.semdedup")
     per_dim = (
         cells.select("cell", F.posexplode("v").alias("pos", "x"))

@@ -665,7 +665,11 @@ def sniff_media_bytes(payload: bytes) -> dict:
     Returns {container, width, height, n_channels, sample_rate,
     bit_depth, ok}; unknown/truncated payloads come back
     container='unknown'/ok=False instead of raising — corrupt bytes are
-    data, not exceptions, at scale.
+    data, not exceptions, at scale. Unsigned header fields (PNG/WAV are
+    32-bit) are range-checked against the IntegerType columns of
+    :func:`sniff_media_meta` — a corrupt width of 2^31+ is rejected
+    (ok=False) here rather than overflowing the Arrow conversion and
+    failing the executor task (ADVICE r6).
     """
     import struct
 
@@ -674,13 +678,15 @@ def sniff_media_bytes(payload: bytes) -> dict:
         "n_channels": None, "sample_rate": None, "bit_depth": None,
         "ok": False,
     }
+    _I32_MAX = 2**31 - 1
     try:
         if payload[:8] == b"\x89PNG\r\n\x1a\n" and payload[12:16] == b"IHDR":
             w, h = struct.unpack(">II", payload[16:24])
-            out.update(
-                container="png", width=w, height=h,
-                bit_depth=payload[24], ok=True,
-            )
+            if w <= _I32_MAX and h <= _I32_MAX:
+                out.update(
+                    container="png", width=w, height=h,
+                    bit_depth=payload[24], ok=True,
+                )
         elif payload[:6] in (b"GIF87a", b"GIF89a"):
             w, h = struct.unpack("<HH", payload[6:10])
             out.update(container="gif", width=w, height=h, ok=True)
@@ -691,9 +697,16 @@ def sniff_media_bytes(payload: bytes) -> dict:
             while i + 4 <= len(payload):
                 if payload[i] != 0xFF:
                     break
+                # ITU T.81 B.1.1.2: any number of 0xFF fill bytes may
+                # pad the gap before a marker — skip them so the fill
+                # byte is never read as the marker code (ADVICE r6)
+                while i + 2 <= len(payload) and payload[i + 1] == 0xFF:
+                    i += 1
+                if i + 4 > len(payload):
+                    break
                 marker = payload[i + 1]
-                if marker == 0xD8 or 0xD0 <= marker <= 0xD7:
-                    i += 2  # standalone markers carry no length
+                if marker == 0xD8 or 0xD0 <= marker <= 0xD7 or marker == 0x01:
+                    i += 2  # SOI/RSTn/TEM are standalone — no length
                     continue
                 (seglen,) = struct.unpack(">H", payload[i + 2:i + 4])
                 if marker in sof and i + 9 <= len(payload):
@@ -715,10 +728,11 @@ def sniff_media_bytes(payload: bytes) -> dict:
                 if cid == b"fmt " and i + 24 <= len(payload):
                     ch, rate = struct.unpack("<HI", payload[i + 10:i + 16])
                     (bits,) = struct.unpack("<H", payload[i + 22:i + 24])
-                    out.update(
-                        container="wav", n_channels=ch, sample_rate=rate,
-                        bit_depth=bits, ok=True,
-                    )
+                    if rate <= _I32_MAX:
+                        out.update(
+                            container="wav", n_channels=ch, sample_rate=rate,
+                            bit_depth=bits, ok=True,
+                        )
                     break
                 i += 8 + clen + (clen & 1)  # RIFF chunks are word-aligned
     except (struct.error, IndexError):

@@ -292,27 +292,38 @@ _CONFLICT_TYPES = {
 }
 
 
+def _require_enum(value: Any, allowed) -> str:
+    """Enum-constructor stand-in: return value if it is a member of
+    `allowed`, else raise ValueError — the same contract as the
+    reference's ConflictType(value)/ConflictSeverity(value) calls
+    (conflict_detection.py:212-213), whose ValueError the outer except
+    turns into a whole-response no-conflicts result."""
+    if value in allowed:
+        return value
+    raise ValueError(f"{value!r} is not a valid conflict enum value")
+
+
 def parse_conflict_response(response_content: str) -> dict[str, Any]:
     """Parse an LLM conflict-detection response
     (conflict_detection.py:201-240). Keys: conflicts_detected,
     conflicts (list of dicts), overall_assessment. Ladder: JSON
-    contract (unknown conflict type/severity coerced to the reference
-    enum defaults SEMANTIC_CONFLICT/MEDIUM) -> 'conflict'-keyword text
+    contract (a MISSING type/severity key takes the reference defaults
+    SEMANTIC_CONFLICT/MEDIUM; a PRESENT-but-invalid value raises, which
+    — exactly like the reference's ConflictType(...)/
+    ConflictSeverity(...) ValueError — drops the whole response to the
+    no-conflicts parse-error result) -> 'conflict'-keyword text
     fallback -> no-conflicts on parse error."""
     try:
         if response_content.strip().startswith("{"):
             data = json.loads(response_content)
             conflicts = [
                 {
-                    "type": (
-                        cd.get("type")
-                        if cd.get("type") in _CONFLICT_TYPES
-                        else "SEMANTIC_CONFLICT"
+                    "type": _require_enum(
+                        cd.get("type", "SEMANTIC_CONFLICT"), _CONFLICT_TYPES
                     ),
-                    "severity": (
-                        cd.get("severity")
-                        if cd.get("severity") in ("HIGH", "MEDIUM", "LOW")
-                        else "MEDIUM"
+                    "severity": _require_enum(
+                        cd.get("severity", "MEDIUM"),
+                        ("HIGH", "MEDIUM", "LOW"),
                     ),
                     "confidence": float(cd.get("confidence", 0.5)),
                     "existing_fact_id": cd.get("existing_fact_id", "unknown"),

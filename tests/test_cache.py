@@ -69,6 +69,40 @@ def test_semdedup_scope_rotates_generations(spark):
     assert len(_persisted(spark, live)) <= 2 * len(gens)
 
 
+def test_semdedup_auto_planes_runs_input_subtree_once(spark):
+    """Regression (ADVICE r6): num_planes=None must checkpoint the
+    (id, vector) projection FIRST and count the checkpointed frame —
+    counting the raw input ran the expensive input subtree (e.g. a
+    hashed-BoW wordcount aggregation) one extra time per call."""
+    import pyspark.sql.functions as F
+
+    from memfuse_spark.operators.dedup import semdedup_keep
+
+    acc = spark.sparkContext.accumulator(0)
+
+    @F.udf("double")
+    def counted(x):
+        acc.add(1)
+        return float(x)
+
+    emb = spark.range(40).select(
+        F.col("id").alias("vec_id"),
+        F.array(
+            counted(F.col("id") % 5),
+            (F.col("id") % 7).cast("double"),
+            F.lit(1.0),
+        ).alias("v"),
+    )
+    semdedup_keep(
+        emb, id_col="vec_id", vec_col="v", dim=3,
+        num_planes=None, target_cell_size=10,
+    ).count()
+    # one evaluation per input row: the subtree ran exactly once (the
+    # checkpoint materialization), not again for the planes count nor
+    # for any of the four downstream subplans
+    assert acc.value == 40, acc.value
+
+
 def test_semdedup_auto_planes_scales_with_corpus(spark):
     """num_planes=None derives cell count from corpus size (the
     PLANS.md-measured rule): bigger corpora get more cells so the

@@ -381,6 +381,51 @@ def test_sniff_media_bytes_all_containers():
             m["ok"]) == ("wav", 2, 8000, 16, True)
 
 
+def test_sniff_media_bytes_jpeg_fill_bytes_and_tem():
+    """ITU T.81 B.1.1.2 allows any number of 0xFF fill bytes before a
+    marker, and TEM (0x01) is a standalone length-less marker; a valid
+    padded JPEG must still sniff (ADVICE r6 — the walk previously read
+    the fill byte as the marker code)."""
+    import struct
+
+    base = _jpeg_header_bytes(320, 200, 3)
+    # splice: SOI, fill bytes + TEM, more fill bytes, then the rest
+    padded = base[:2] + b"\xff\xff\xff" + b"\xff\x01" + b"\xff\xff" + base[2:]
+    m = mm.sniff_media_bytes(padded)
+    assert (m["container"], m["width"], m["height"], m["ok"]) == (
+        "jpeg", 320, 200, True
+    )
+    # fill bytes immediately before the SOF marker itself
+    sof = struct.pack(">BHH", 8, 10, 20) + bytes([1]) + b"\x01\x11\x00"
+    padded2 = (
+        b"\xff\xd8" + b"\xff\xff\xff\xc0" + struct.pack(">H", len(sof) + 2) + sof
+    )
+    m2 = mm.sniff_media_bytes(padded2)
+    assert (m2["width"], m2["height"], m2["ok"]) == (20, 10, True)
+    # a run of fill bytes that ends at the payload edge must not raise
+    assert mm.sniff_media_bytes(b"\xff\xd8" + b"\xff" * 5)["ok"] is False
+
+
+def test_sniff_media_bytes_rejects_i32_overflow_dims():
+    """Corrupt unsigned 32-bit header fields above 2^31-1 must come
+    back ok=False instead of overflowing sniff_media_meta's
+    IntegerType Arrow columns in the executor (ADVICE r6)."""
+    import struct
+
+    huge_png = (
+        b"\x89PNG\r\n\x1a\n" + b"\x00\x00\x00\x0dIHDR"
+        + struct.pack(">II", 2**31, 7) + bytes([8, 2, 0, 0, 0])
+    )
+    m = mm.sniff_media_bytes(huge_png)
+    assert m["ok"] is False and m["width"] is None
+    huge_wav = (
+        b"RIFF\x24\x00\x00\x00WAVE" + b"fmt " + struct.pack("<I", 16)
+        + struct.pack("<HHIIHH", 1, 2, 2**31 + 5, 0, 4, 16)
+    )
+    m2 = mm.sniff_media_bytes(huge_wav)
+    assert m2["ok"] is False and m2["sample_rate"] is None
+
+
 def test_sniff_media_bytes_corrupt_is_data_not_exception():
     for payload in (b"", b"\x00" * 40, b"\x89PNG\r\n\x1a\n",  # truncated PNG
                     b"\xff\xd8\xff\xe0\x00",                   # truncated JPEG

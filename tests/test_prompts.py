@@ -135,22 +135,47 @@ def test_parse_validation_ladder():
 
 
 def test_parse_conflict_ladder_and_enum_coercion():
+    # MISSING type/severity keys take the reference constructor
+    # defaults (ConflictType(get("type", "SEMANTIC_CONFLICT")),
+    # conflict_detection.py:212-213)
     ok = P.parse_conflict_response(
+        json.dumps(
+            {
+                "conflicts_detected": True,
+                "conflicts": [{"confidence": 0.8}],
+                "overall_assessment": "one conflict",
+            }
+        )
+    )
+    assert ok["conflicts_detected"]
+    assert ok["conflicts"][0]["type"] == "SEMANTIC_CONFLICT"
+    assert ok["conflicts"][0]["severity"] == "MEDIUM"
+    assert ok["conflicts"][0]["confidence"] == 0.8
+    # PRESENT-but-invalid enum values raise inside the try — like the
+    # reference's ConflictType("WEIRD_TYPE") ValueError — dropping the
+    # WHOLE response to the no-conflicts parse-error result (ADVICE r6)
+    bad_enum = P.parse_conflict_response(
         json.dumps(
             {
                 "conflicts_detected": True,
                 "conflicts": [
                     {"type": "WEIRD_TYPE", "severity": "EXTREME", "confidence": 0.8}
                 ],
-                "overall_assessment": "one conflict",
             }
         )
     )
-    # unknown enum values coerce to the reference defaults
-    assert ok["conflicts_detected"]
-    assert ok["conflicts"][0]["type"] == "SEMANTIC_CONFLICT"
-    assert ok["conflicts"][0]["severity"] == "MEDIUM"
-    assert ok["conflicts"][0]["confidence"] == 0.8
+    assert bad_enum["conflicts_detected"] is False
+    assert bad_enum["conflicts"] == []
+    assert "Parse error" in bad_enum["overall_assessment"]
+    bad_sev = P.parse_conflict_response(
+        json.dumps(
+            {
+                "conflicts_detected": True,
+                "conflicts": [{"type": "VALUE_MISMATCH", "severity": "EXTREME"}],
+            }
+        )
+    )
+    assert bad_sev["conflicts_detected"] is False and bad_sev["conflicts"] == []
     # text fallback keys on the word 'conflict'
     assert P.parse_conflict_response("these facts conflict")["conflicts_detected"]
     assert not P.parse_conflict_response("all consistent")["conflicts_detected"]
