@@ -1609,6 +1609,92 @@ def q_round_buffer_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("session_id", "group_id")
 
 
+def q_token_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C-integrated: token-budget chunking + chunk validation (the
+    reference's fourth strategy, rag/chunk/integrated.py:219-319 +
+    validate_chunks integrated.py:167-207). Greedy token-estimate
+    grouping per conversation (applyInPandas; RECURSIVE-CTE oracle),
+    then the pure-column validation filter. max_tokens=24 / max_len=100
+    here instead of the reference defaults 200/10000 so the grouping,
+    the min-length drop AND the truncation branch all fire on this
+    corpus (~9-char props → 2 est. tokens per message; the defaults
+    would make every conversation one never-truncated chunk — same
+    budget-scaling rationale as round_buffer_batch's budget=20)."""
+    from memfuse_spark.operators import hierarchy as h
+    from memfuse_spark.operators.chunking import (
+        token_budget_chunks,
+        validate_chunks,
+    )
+
+    (events,) = _tables(spark, sf_dir, "events")
+    m0 = h.m0_from_events(events).withColumn(
+        "session_id", F.col("conversation_id").cast("string")
+    )
+    out = validate_chunks(
+        token_budget_chunks(m0, max_tokens=24), max_len=100
+    )
+    return out.select(
+        "session_id", "chunk_index", "content", "roles", "n_messages",
+        "est_tokens", "estimated_tokens", "estimated_words",
+        "content_length",
+    ).orderBy("session_id", "chunk_index")
+
+
+def _token_chunks_sql(
+    max_tokens: int = 24, min_len: int = 10, max_len: int = 100
+) -> str:
+    """DuckDB twin of q_token_chunks: the greedy token-budget walk as a
+    RECURSIVE CTE (same shape as _round_buffer_batch_sql), then the
+    validate_chunks filter/truncate/metadata in plain SQL."""
+    tc = "greatest(1, CAST(floor(len(content) / 4) AS INTEGER))"
+    return f"""
+WITH RECURSIVE {oracles.M0_CTE.strip()},
+tcs AS (
+  SELECT CAST(conversation_id AS VARCHAR) AS session_id, sequence_number,
+         role, content, {tc} AS tc
+  FROM m0
+),
+msgs AS (
+  SELECT session_id, role, content, tc,
+         row_number() OVER (PARTITION BY session_id ORDER BY sequence_number) AS rn
+  FROM tcs
+),
+walk(session_id, rn, tc, gid, acc) AS (
+  SELECT session_id, rn, tc, 0, tc FROM msgs WHERE rn = 1
+  UNION ALL
+  SELECT m.session_id, m.rn, m.tc,
+         CASE WHEN wk.acc + m.tc > {max_tokens} THEN wk.gid + 1 ELSE wk.gid END,
+         CASE WHEN wk.acc + m.tc > {max_tokens} THEN m.tc ELSE wk.acc + m.tc END
+  FROM walk wk JOIN msgs m ON m.session_id = wk.session_id AND m.rn = wk.rn + 1
+),
+grouped AS (
+  SELECT w.session_id, w.gid,
+         string_agg(m.content, ' ' ORDER BY w.rn) AS content,
+         string_agg(m.role, ',' ORDER BY w.rn) AS roles,
+         count(*) AS n, sum(w.tc) AS est
+  FROM walk w JOIN msgs m ON m.session_id = w.session_id AND m.rn = w.rn
+  GROUP BY w.session_id, w.gid
+),
+validated AS (
+  SELECT session_id, gid,
+         CASE WHEN len(content) > {max_len}
+              THEN substring(content, 1, {max_len}) || '...'
+              ELSE content END AS content,
+         roles, n, est
+  FROM grouped
+  WHERE content IS NOT NULL AND len(trim(content)) >= {min_len}
+)
+SELECT session_id, CAST(gid AS INTEGER) AS chunk_index, content, roles,
+       CAST(n AS INTEGER) AS n_messages, CAST(est AS INTEGER) AS est_tokens,
+       CAST(greatest(1, CAST(floor(len(content) / 4) AS INTEGER))
+            AS INTEGER) AS estimated_tokens,
+       CAST(len(list_filter(string_split_regex(content, '\\s+'),
+                            x -> len(x) > 0)) AS INTEGER) AS estimated_words,
+       CAST(len(content) AS INTEGER) AS content_length
+FROM validated ORDER BY session_id, chunk_index
+"""
+
+
 def q_bm25_wrapped_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X3: FTS5-style score wrapper 1/(1+|bm25|) on the BM25 top-k
     (reference keyword_store/sqlite_store.py:406-417)."""
@@ -3952,12 +4038,19 @@ def q_retriever_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from memfuse_spark.operators.similarity import similarity_topk
 
-    docs, emb = _tables(spark, sf_dir, "documents", "embeddings")
+    (emb,) = _tables(spark, sf_dir, "embeddings")
     qvec = anchor_vector(spark, emb, ANCHOR_VEC_ID)
     vec = similarity_topk(
         emb, qvec, FIRST_STAGE_K, id_col="vec_id"
     ).withColumnRenamed("vec_id", "doc_id")
-    kw = kw_ops.bm25_topk(docs, QUERY_TEXT, FIRST_STAGE_K)
+    # served-index pattern: score from the ingest-time postings store
+    # (bucket-pruned scan), not a per-call re-tokenization of the
+    # documents corpus — byte-identical scores by the shared-tokenizer
+    # contract (isolation showed the derive-from-docs path charging
+    # ~5s of corpus re-tokenization to this slot at sf0.1)
+    kw = kw_ops.bm25_topk_from_index(
+        spark, _postings_index(spark, sf_dir), QUERY_TEXT, FIRST_STAGE_K
+    )
     # rank windows over k rows — bounded, not a scale concern
     w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
     rv = vec.select("doc_id", F.row_number().over(w).alias("r_v"))
@@ -4390,6 +4483,9 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # queries() reorders so _DRIVER_WINDOW_R7 leads.
     return {
         "hybrid_rrf_3way": q_hybrid_rrf_3way,
+        # added after the r7 rotation freeze → positions 51+, heads the
+        # round-8 window
+        "token_chunks": q_token_chunks,
         # added after the r6 rotation freeze → positions 51+, heads the
         # round-7 window
         "fact_conflicts_cumulative": q_fact_conflicts_cumulative,
@@ -5930,6 +6026,7 @@ GROUP BY 1, 2
 ORDER BY hour, event_type
 """,
         "round_buffer_batch": _round_buffer_batch_sql(),
+        "token_chunks": _token_chunks_sql(),
         "read_your_writes": f"""
 WITH {oracles.M0_CTE.strip()},
 m0s AS (SELECT message_id, conversation_id, content FROM m0),

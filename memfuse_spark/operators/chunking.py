@@ -27,6 +27,18 @@ from pyspark.sql import functions as F
 CHAR_CHUNK_SIZE = 1000
 CHAR_CHUNK_OVERLAP = 100
 WORD_BUDGET = 800
+MAX_TOKENS_PER_CHUNK = 200
+CHUNK_MIN_LEN = 10
+CHUNK_MAX_LEN = 10000
+
+
+def token_estimate(content) -> F.Column:
+    """The reference's heuristic token estimate ``max(1, len(text)//4)``
+    (rag/chunk/integrated.py:158-161) as a JVM-side column — shared by
+    the token-budget chunker and chunk validation so both agree with
+    the DuckDB oracle twin character-for-character."""
+    c = F.col(content) if isinstance(content, str) else content
+    return F.greatest(F.lit(1), F.floor(F.length(c) / 4)).cast("int")
 
 
 def message_chunks(
@@ -259,6 +271,115 @@ def contextual_chunks(
         )
 
     return with_wc.groupBy(session_col).applyInPandas(per_session, out_schema)
+
+
+def token_budget_chunks(
+    messages: DataFrame,
+    session_col: str = "session_id",
+    order_col: str = "sequence_number",
+    role_col: str = "role",
+    content_col: str = "content",
+    id_col: str = "message_id",
+    max_tokens: int = MAX_TOKENS_PER_CHUNK,
+) -> DataFrame:
+    """C-integrated: the reference's fourth chunking strategy —
+    token-budget message grouping (rag/chunk/integrated.py:219-319,
+    ``TokenBasedChunkingProcessor.create_token_based_chunks``): walk
+    each session's messages in order accumulating the heuristic token
+    estimate; a message that would push the running total past
+    ``max_tokens`` starts a new chunk — unless the current chunk is
+    empty, so an oversized message still forms its own chunk
+    (integrated.py:264-276). Chunk content is the members joined by a
+    single space (integrated.py:301), roles are carried as metadata
+    (integrated.py:311-317), ``est_tokens`` is the SUM of per-message
+    estimates (integrated.py:305 — not the estimate of the joined
+    text).
+
+    The greedy accumulation is the same stateful-scan shape as C3:
+    sequential per session, embarrassingly parallel across sessions →
+    ``applyInPandas`` keyed by session (each group is one session's
+    messages, bounded by construction). The greedy rule is
+    :func:`word_budget_groups_py` fed token counts — one audited
+    implementation for both budget chunkers.
+
+    Output: (session_id, chunk_index, content, m0_raw_ids, roles,
+    n_messages, est_tokens).
+    """
+    with_tc = messages.withColumn("__tc", token_estimate(content_col))
+    out_schema = (
+        f"{session_col} string, chunk_index int, content string, "
+        f"m0_raw_ids array<string>, roles string, n_messages int, "
+        f"est_tokens int"
+    )
+
+    def per_session(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(order_col, kind="mergesort")
+        gids = word_budget_groups_py(list(pdf["__tc"]), max_tokens)
+        pdf = pdf.assign(__gid=gids)
+        rows = []
+        for gid, grp in pdf.groupby("__gid", sort=True):
+            rows.append(
+                (
+                    str(grp[session_col].iloc[0]),
+                    int(gid),
+                    " ".join(str(x) for x in grp[content_col]),
+                    [str(x) for x in grp[id_col]],
+                    ",".join(str(x) for x in grp[role_col]),
+                    int(len(grp)),
+                    int(grp["__tc"].sum()),
+                )
+            )
+        return pd.DataFrame(
+            rows,
+            columns=[
+                session_col, "chunk_index", "content", "m0_raw_ids",
+                "roles", "n_messages", "est_tokens",
+            ],
+        )
+
+    return with_tc.groupBy(session_col).applyInPandas(per_session, out_schema)
+
+
+def validate_chunks(
+    chunks: DataFrame,
+    content_col: str = "content",
+    min_len: int = CHUNK_MIN_LEN,
+    max_len: int = CHUNK_MAX_LEN,
+) -> DataFrame:
+    """Chunk validation filter (rag/chunk/integrated.py:167-207,
+    ``IntegratedChunkingProcessor.validate_chunks``): drop chunks whose
+    stripped content is empty or shorter than ``min_len``; truncate
+    content longer than ``max_len`` to ``max_len`` chars + ``'...'``;
+    stamp the quality metadata the reference adds — ``estimated_tokens``
+    / ``estimated_words`` / ``content_length`` are computed on the
+    POST-truncation content, exactly as the reference mutates
+    ``chunk.content`` before reading it back (integrated.py:189-200).
+
+    Pure JVM-side column expressions — a row filter + projection that
+    pushes down and stays inside whole-stage codegen; no shuffle.
+    """
+    c = F.col(content_col)
+    kept = chunks.filter(c.isNotNull() & (F.length(F.trim(c)) >= min_len))
+    truncated = kept.withColumn(
+        content_col,
+        F.when(
+            F.length(c) > max_len,
+            F.concat(F.substring(c, 1, max_len), F.lit("...")),
+        ).otherwise(c),
+    )
+    return (
+        truncated.withColumn("estimated_tokens", token_estimate(content_col))
+        .withColumn(
+            "estimated_words",
+            F.size(
+                F.filter(
+                    F.split(F.col(content_col), r"\s+"), lambda x: x != ""
+                )
+            ),
+        )
+        .withColumn("content_length", F.length(F.col(content_col)).cast("int"))
+        .withColumn("quality_validated", F.lit(True))
+    )
 
 
 TOKEN_BUDGET = 256

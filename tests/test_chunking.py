@@ -140,3 +140,81 @@ def test_contextual_enhance_enhancer_seam_injects_llm_mode(spark):
     # default deterministic tier untouched by the new parameter
     assert rule[("c1", 2)].enhanced_content.startswith("[CTX]\n")
     assert rule[("c2", 0)].enhanced_content == "delta"
+
+
+def test_token_estimate_matches_reference_heuristic(spark):
+    """max(1, len//4) — rag/chunk/integrated.py:158-161; empty and
+    sub-4-char content floor at 1 token."""
+    df = spark.createDataFrame(
+        [("", ), ("abc",), ("abcd",), ("x" * 9,), ("y" * 800,)], "c string"
+    )
+    got = [r.t for r in df.select(ch.token_estimate("c").alias("t")).collect()]
+    assert got == [1, 1, 1, 2, 200]
+
+
+def test_token_budget_chunks_boundaries(spark):
+    """Greedy token grouping (integrated.py:264-283): flush when the
+    running estimate would exceed max_tokens and the chunk is
+    non-empty; an oversized message forms its own chunk; content is
+    space-joined (integrated.py:301); est_tokens sums the per-message
+    estimates (integrated.py:305)."""
+    rows = [
+        # s1: 8 chars = 2 tokens each; budget 5 -> groups of 2 messages
+        ("s1", 1, "user", "aaaabbbb", "m1"),
+        ("s1", 2, "assistant", "ccccdddd", "m2"),
+        ("s1", 3, "user", "eeeeffff", "m3"),
+        ("s1", 4, "assistant", "gggghhhh", "m4"),
+        ("s1", 5, "user", "iiiijjjj", "m5"),
+        # s2: oversized first message (40 chars = 10 tokens > budget 5)
+        ("s2", 1, "user", "z" * 40, "m6"),
+        ("s2", 2, "assistant", "tail", "m7"),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "session_id string, sequence_number int, role string, "
+        "content string, message_id string",
+    )
+    got = {
+        (r.session_id, r.chunk_index): r
+        for r in ch.token_budget_chunks(df, max_tokens=5).collect()
+    }
+    assert {k for k in got} == {
+        ("s1", 0), ("s1", 1), ("s1", 2), ("s2", 0), ("s2", 1)
+    }
+    c0 = got[("s1", 0)]
+    assert c0.content == "aaaabbbb ccccdddd"
+    assert c0.m0_raw_ids == ["m1", "m2"]
+    assert c0.roles == "user,assistant"
+    assert c0.n_messages == 2 and c0.est_tokens == 4
+    assert got[("s1", 2)].m0_raw_ids == ["m5"]
+    # the oversized message stands alone; its follower starts fresh
+    assert got[("s2", 0)].m0_raw_ids == ["m6"]
+    assert got[("s2", 0)].est_tokens == 10
+    assert got[("s2", 1)].content == "tail" and got[("s2", 1)].est_tokens == 1
+
+
+def test_validate_chunks_filter_truncate_metadata(spark):
+    """validate_chunks (integrated.py:167-207): empty/short dropped,
+    oversized truncated to max_len + '...', metadata computed on the
+    POST-truncation content."""
+    df = spark.createDataFrame(
+        [
+            ("empty", ""),
+            ("blank", "   \t "),
+            ("short", "tiny txt"),          # strip len 8 < 10 -> drop
+            ("ok", "one two  three four!"),
+            ("big", "w" * 120),
+        ],
+        "chunk_id string, content string",
+    )
+    got = {r.chunk_id: r for r in ch.validate_chunks(df, max_len=100).collect()}
+    assert set(got) == {"ok", "big"}
+    ok = got["ok"]
+    assert ok.content_length == 20
+    assert ok.estimated_tokens == 5  # 20 // 4
+    assert ok.estimated_words == 4   # whitespace runs collapse
+    assert ok.quality_validated is True
+    big = got["big"]
+    assert big.content == "w" * 100 + "..."
+    assert big.content_length == 103          # post-truncation length
+    assert big.estimated_tokens == 103 // 4   # estimate on truncated text
