@@ -1120,6 +1120,20 @@ def q_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tokenizer_fertility(docs, merges)
 
 
+def q_token_stats_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6 exact tier: the reference token-counting ladder
+    (utils/token_counter.py:26-70 — real-tokenizer counts preferred,
+    heuristic fallback) with the trained BPE merge table as the
+    deterministic tokenizer. Serves the shared _bpe_model merge cache
+    (train once, apply many); per-doc exact vs heuristic counts +
+    calibration ratio."""
+    from memfuse_spark.operators.bpe import token_counter_stats
+
+    (docs,) = _tables(spark, sf_dir, "documents")
+    merges, _, _ = _bpe_model(spark, sf_dir)
+    return token_counter_stats(docs, merges).orderBy("doc_id")
+
+
 def q_session_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F.session_window gap sessionization (batch twin of the streaming
     session aggregation in streaming/windows.py), per-session rollup."""
@@ -4486,6 +4500,7 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # added after the r7 rotation freeze → positions 51+, heads the
         # round-8 window
         "token_chunks": q_token_chunks,
+        "token_stats_bpe": q_token_stats_bpe,
         # added after the r6 rotation freeze → positions 51+, heads the
         # round-7 window
         "fact_conflicts_cumulative": q_fact_conflicts_cumulative,
@@ -5404,6 +5419,9 @@ SELECT signal_a, signal_b, pearson FROM (
 """,
         "mutual_knn": oracles.mutual_knn_sql(5, 2),
         "tokenizer_fertility": _bpe_ops.tokenizer_fertility_sql(_TOKENIZE_SQL),
+        "token_stats_bpe": _bpe_ops.token_counter_stats_sql(
+            _TOKENIZE_SQL, oracles.WC_CJK_SQL_TPL
+        ),
         "embedding_outliers": oracles.label_outliers_sql(5),
         "backfill_queue": f"""
 SELECT doc_id,

@@ -194,6 +194,136 @@ def bpe_token_counts(
     )
 
 
+def exact_token_count(text_col, merges: list[tuple]):
+    """COLUMN: deterministic EXACT token count — tokenize, encode under
+    the trained merge table (:func:`apply_merges`, a plan-time replace
+    chain: whole-stage codegen, no UDF), count. This is the engine's
+    tokenizer-preferred tier of the reference's token-counting ladder
+    (utils/token_counter.py:26-70 prefers real tokenizer counts via
+    tiktoken and only then falls back to a heuristic): the trained BPE
+    table plays the role of the real tokenizer, which keeps the count
+    deterministic and therefore oracle-checkable. Empty/whitespace text
+    encodes to zero tokens — the reference also returns 0 for empty
+    text."""
+    from memfuse_spark.functions.text import tokenize
+
+    return F.size(apply_merges(tokenize(text_col), merges)).cast("long")
+
+
+def heuristic_token_count(text_col):
+    """COLUMN: the reference's FALLBACK token estimate
+    (utils/token_counter.py:114-130): ``int(max(cjk_word_count, 1) *
+    1.3)`` for non-empty text, 0 for empty/NULL. Word counting is the
+    engine's shared X9 CJK rule (functions/text.py — whitespace words +
+    one per CJK char; the reference's _count_words_with_cjk:132-155 is
+    the same shape with a slightly wider CJK range)."""
+    from memfuse_spark.functions.text import word_count_cjk
+
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    wc = F.greatest(word_count_cjk(c), F.lit(1))
+    return (
+        F.when(c.isNull() | (F.length(c) == 0), F.lit(0))
+        .otherwise(F.floor(wc * 1.3))
+        .cast("long")
+    )
+
+
+def token_counter_stats(
+    docs: DataFrame,
+    merges: list[tuple],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Both tiers of the reference token-counting ladder side by side,
+    per document: (doc_id, n_tokens_exact, n_tokens_heuristic,
+    heuristic_ratio). ``n_tokens_exact`` is the trained-BPE encode
+    length (the count that actually prices a context-window budget);
+    ``heuristic_ratio`` = heuristic/exact is the calibration signal for
+    the fallback multiplier. One narrow projection over the corpus —
+    no shuffle, no UDF."""
+    exact = exact_token_count(text_col, merges)
+    heur = heuristic_token_count(text_col)
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        exact.alias("n_tokens_exact"),
+        heur.alias("n_tokens_heuristic"),
+        F.round(
+            F.when(exact > 0, heur.cast("double") / exact).otherwise(
+                F.lit(0.0)
+            ),
+            6,
+        ).alias("heuristic_ratio"),
+    )
+
+
+def token_counter_stats_sql(
+    tokenize_sql_tpl: str,
+    wc_cjk_sql_tpl: str,
+    rounds: int = BPE_ROUNDS,
+) -> str:
+    """DuckDB twin of :func:`token_counter_stats`: re-derives the merge
+    table with the same chained argmax CTEs as tokenizer_fertility_sql
+    (no learned state injected), counts the encoded tokens per doc, and
+    computes the heuristic from the shared X9 wordcount SQL template
+    (``{col}``-parameterized)."""
+    tokenize_sql = tokenize_sql_tpl.format(col="text")
+    # str.replace, not .format: the wordcount template's CJK ranges use
+    # DuckDB's \x{...} regex escapes, which .format would parse as fields
+    wc = wc_cjk_sql_tpl.replace("{col}", "d.text")
+
+    def counts(src: str) -> str:
+        return f"""
+  SELECT concat(l[i], ' ', l[i + 1]) AS pair, count(*) AS cnt
+  FROM (SELECT string_split(trim(s, '{SEP}'), '{SEP}{SEP}') AS l FROM {src}),
+       unnest(range(1, len(l))) AS t(i)
+  GROUP BY pair"""
+
+    parts = [
+        f"""t0 AS MATERIALIZED (
+  SELECT doc_id,
+         concat('{SEP}', array_to_string({tokenize_sql}, '{SEP}{SEP}'),
+                '{SEP}') AS s
+  FROM documents
+)"""
+    ]
+    for r in range(1, rounds + 1):
+        parts.append(
+            f"""m{r} AS (
+  SELECT pair, cnt, split_part(pair, ' ', 1) AS l,
+         split_part(pair, ' ', 2) AS rr
+  FROM ({counts(f't{r - 1}')})
+  ORDER BY cnt DESC, pair ASC LIMIT 1
+)"""
+        )
+        parts.append(
+            f"""t{r} AS MATERIALIZED (
+  SELECT doc_id,
+         replace(s, concat('{SEP}', l, '{SEP}{SEP}', rr, '{SEP}'),
+                 concat('{SEP}', l, rr, '{SEP}')) AS s
+  FROM t{r - 1}, m{r}
+)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f""",
+per_doc AS (
+  SELECT t.doc_id,
+         len(list_filter(string_split(trim(t.s, '{SEP}'), '{SEP}{SEP}'),
+                         x -> len(x) > 0)) AS exact,
+         CASE WHEN d.text IS NULL OR len(d.text) = 0 THEN 0
+              ELSE CAST(floor(greatest(({wc}), 1) * 1.3) AS BIGINT)
+         END AS heur
+  FROM t{rounds} t JOIN documents d USING (doc_id)
+)
+SELECT doc_id, CAST(exact AS BIGINT) AS n_tokens_exact,
+       CAST(heur AS BIGINT) AS n_tokens_heuristic,
+       round(CASE WHEN exact > 0 THEN CAST(heur AS DOUBLE) / exact
+                  ELSE 0.0 END, 6) AS heuristic_ratio
+FROM per_doc ORDER BY doc_id"""
+    )
+
+
 # ---------------------------------------------------------------------------
 # batched training: K symbol-disjoint merges per round
 # ---------------------------------------------------------------------------

@@ -332,6 +332,17 @@ FROM scored ORDER BY doc_id
 
 # --- hierarchy oracles (events as M0) ----------------------------------------
 
+# X9 CJK-aware word count as a {col}-parameterized DuckDB template —
+# whitespace words (after blanking CJK chars) + one per CJK char; the
+# SQL twin of functions/text.py word_count_cjk (same regex ranges).
+_WC_CJK_RANGES = r"[\x{4e00}-\x{9fff}\x{3040}-\x{30ff}\x{ac00}-\x{d7af}]"
+WC_CJK_SQL_TPL = (
+    "len(list_filter(string_split_regex("
+    f"regexp_replace({{col}}, '{_WC_CJK_RANGES}', ' ', 'g'), '\\s+'),"
+    " x -> len(x) > 0))"
+    f" + (len({{col}}) - len(regexp_replace({{col}}, '{_WC_CJK_RANGES}', '', 'g')))"
+)
+
 M0_CTE = """
 m0 AS (
   SELECT event_id AS message_id, user_id AS conversation_id,

@@ -176,3 +176,51 @@ def test_tokenizer_fertility_python_reference(spark):
     }
     for src, (n, raw, bpe) in agg.items():
         assert got[src] == (n, raw, bpe, round(bpe / raw, 6), raw - bpe)
+
+
+def test_token_counter_ladder_tiers(spark):
+    """Reference utils/token_counter.py ladder: exact (trained-BPE
+    encode length) preferred, CJK-wordcount x1.3 heuristic fallback;
+    empty text counts 0 in both tiers."""
+    from pyspark.sql import functions as F
+
+    from memfuse_spark.operators.bpe import (
+        bpe_merges,
+        exact_token_count,
+        heuristic_token_count,
+        token_counter_stats,
+    )
+
+    corpus = spark.createDataFrame(
+        [(i, "red fox red fox jumps") for i in range(6)],
+        "doc_id bigint, text string",
+    )
+    merges = [
+        (r.rank, r.left, r.right)
+        for r in bpe_merges(corpus, rounds=1).collect()
+    ]
+    # top pair is (red, fox) -> 'redfox'
+    df = spark.createDataFrame(
+        [
+            (1, "red fox jumps"),       # 3 raw -> 2 exact; wc 3 -> heur 3
+            (2, ""),                    # empty: 0 / 0
+            (3, "你好 world"),           # 2 CJK chars + 1 word = 3 words
+        ],
+        "doc_id bigint, text string",
+    )
+    got = {r.doc_id: r for r in token_counter_stats(df, merges).collect()}
+    assert got[1].n_tokens_exact == 2
+    assert got[1].n_tokens_heuristic == 3       # int(3 * 1.3)
+    assert got[1].heuristic_ratio == 1.5
+    assert got[2].n_tokens_exact == 0 and got[2].n_tokens_heuristic == 0
+    assert got[2].heuristic_ratio == 0.0
+    assert got[3].n_tokens_heuristic == 3       # int(3 * 1.3) = 3
+    # column functions agree with the stats operator
+    cols = df.select(
+        exact_token_count("text", merges).alias("e"),
+        heuristic_token_count("text").alias("h"),
+        "doc_id",
+    ).collect()
+    for r in cols:
+        assert r.e == got[r.doc_id].n_tokens_exact
+        assert r.h == got[r.doc_id].n_tokens_heuristic

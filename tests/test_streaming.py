@@ -73,6 +73,61 @@ def test_round_buffer_triggers(spark, tmp_path):
     q.stop()
 
 
+def test_round_buffer_token_trigger_with_exact_bpe_counts(spark, tmp_path):
+    """B1's token trigger fed by the EXACT token tier (VERDICT r6 #5):
+    token_count computed by the trained-BPE tokenizer column
+    (bpe.exact_token_count) instead of the len/4 heuristic — mirrors
+    the reference preferring real tokenizer counts for its buffer
+    budgets (utils/token_counter.py:26-70). The trigger operator is
+    count-source-agnostic; this drives the real streaming path with
+    exact counts end-to-end."""
+    from memfuse_spark.operators.bpe import bpe_merges, exact_token_count
+
+    # train a tiny merge table on a corpus where merges actually fire
+    corpus = spark.createDataFrame(
+        [(i, "alpha beta alpha beta gamma") for i in range(8)],
+        "doc_id bigint, text string",
+    )
+    merges = [
+        (r.rank, r.left, r.right) for r in bpe_merges(corpus, rounds=2).collect()
+    ]
+    assert merges, "training produced no merges"
+
+    # 150 repeats: 450 raw tokens -> 300 exact ('alpha beta' merges,
+    # gamma separates the merged pairs). The len/4 heuristic would read
+    # ~638 tokens (2550 chars) and flush after ONE message; the exact
+    # count flushes after TWO (300+300=600, +300 would exceed 800) —
+    # the trigger behavior observably follows the exact tier.
+    msgs = [
+        ("s1", f"m{i}", i, "alpha beta gamma " * 150) for i in range(1, 4)
+    ]
+    df = spark.createDataFrame(
+        msgs, "session_id string, message_id string, sequence_number int, content string"
+    ).withColumn(
+        "token_count", exact_token_count(F.col("content"), merges).cast("int")
+    )
+    rows = df.collect()
+    assert all(r.token_count == 300 for r in rows), rows  # exact, not len/4
+
+    src = str(tmp_path / "msgs_bpe")
+    df.coalesce(1).write.mode("append").parquet(src)
+    stream = spark.readStream.schema(MSG_SCHEMA).parquet(src)
+    q = (
+        sb.round_buffer_stream(stream)
+        .writeStream.format("memory")
+        .queryName("flushes_bpe")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_bpe"))
+        .start()
+    )
+    q.processAllAvailable()
+    got = spark.sql("select * from flushes_bpe").collect()
+    q.stop()
+    assert len(got) == 1 and got[0].trigger == "tokens"
+    assert got[0].message_ids == ["m1", "m2"]
+    assert got[0].token_count == 600  # sum of EXACT counts, not len//4
+
+
 def test_ingest_stream_builds_hierarchy(spark, tmp_path):
     src = str(tmp_path / "events")
     t0 = datetime.datetime(2025, 1, 1)
