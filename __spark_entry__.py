@@ -2148,7 +2148,10 @@ def q_mutual_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     takes its IVF-probed top-5; pairs survive only if MUTUAL (each end
     in the other's top-5) — the mutual-neighbor graph for semantic
     clustering and high-precision near-dup candidates. All-item kNN
-    rides the ivf_knn_join probing plan (corpus never shuffles)."""
+    rides the ivf_knn_join probing plan (corpus never shuffles); cells
+    are the operator's corpus-scaled sign-LSH default (VERDICT r6 #4 —
+    fixed cells made the per-cell kernel quadratic at scale), and the
+    oracle derives the same plane count from count(*) in SQL."""
     from memfuse_spark.operators.ann import mutual_knn_pairs
 
     (emb,) = _tables(spark, sf_dir, "embeddings")
@@ -5417,7 +5420,7 @@ SELECT signal_a, signal_b, pearson FROM (
   UNION ALL SELECT 'entropy_bits', 'length', round(corr(entropy_bits, length), 6) FROM s
 ) ORDER BY signal_a, signal_b
 """,
-        "mutual_knn": oracles.mutual_knn_sql(5, 2),
+        "mutual_knn": oracles.mutual_knn_scaled_sql(5, 2),
         "tokenizer_fertility": _bpe_ops.tokenizer_fertility_sql(_TOKENIZE_SQL),
         "token_stats_bpe": _bpe_ops.token_counter_stats_sql(
             _TOKENIZE_SQL, oracles.WC_CJK_SQL_TPL

@@ -32,6 +32,19 @@ from memfuse_spark.functions.vector import cosine_similarity, dot
 NUM_HYPERPLANES = 8
 
 
+def scaled_num_planes(n: int, target_cell_size: int) -> int:
+    """The corpus-scaled cell rule (measured, PLANS.md 10x probes):
+    ``max(1, ceil(log2(max(n / target_cell_size, 2))))`` sign-LSH
+    planes, so cell COUNT grows with the corpus and cell SIZE — and
+    any O(cell²) within-cell kernel — stays ~constant. Shared by
+    mutual_knn_pairs' default cells and dedup.semdedup_keep's
+    num_planes=None mode; the DuckDB twin derives the same value from
+    count(*) (oracles.mutual_knn_scaled_sql)."""
+    import math
+
+    return max(1, math.ceil(math.log2(max(n / target_cell_size, 2.0))))
+
+
 def _hyperplane(j: int, dim: int) -> Column:
     """Deterministic hyperplane j: component i = md5-hash of "j|i" mapped
     to [-1, 1] (same derivation as functions.vector.hash_embedding)."""
@@ -462,20 +475,33 @@ def ivf_knn_join(
     )
 
 
+MUTUAL_KNN_TARGET_CELL = 500
+
+
 def mutual_knn_pairs(
     corpus: DataFrame,
     k: int,
     nprobe: int = 2,
-    cell_col: str = "label",
+    cell_col: str | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     score_decimals: int = 6,
+    target_cell_size: int = MUTUAL_KNN_TARGET_CELL,
 ) -> DataFrame:
     """Reciprocal-kNN pair mining: (vec_a, vec_b, score) where each is
     in the other's IVF-probed top-k — the mutual-neighbor graph used
     for semantic clustering, re-ranking (reciprocal rank constraints),
     and high-precision near-dup candidates (mutuality filters the
     asymmetric hub matches that plain kNN graphs accumulate).
+
+    Cells: the DEFAULT (``cell_col=None``) derives CORPUS-SCALED
+    sign-LSH cells — ``num_planes = max(1, ceil(log2(max(n /
+    target_cell_size, 2))))`` — the measured semdedup rule (PLANS.md
+    10x probe: a FIXED cell count makes the per-cell kernel quadratic
+    in corpus size, 4.5x wall at 10x data; scaling cells with the
+    corpus keeps cell size — and the O(cell² · dim) kernel — flat).
+    Pass ``cell_col=`` to probe existing data labels or learned KMeans
+    cells (:func:`ivf_kmeans_centroids`) instead.
 
     Scale shape: the all-item kNN graph rides the same probing plan as
     :func:`ivf_knn_join` (corpus never shuffles; each item scores only
@@ -489,6 +515,21 @@ def mutual_knn_pairs(
     import pandas as pd
 
     from memfuse_spark.operators.similarity import _round_half_away
+
+    if cell_col is None:
+        # one tiny job: corpus size (for the scaled-planes rule) + the
+        # actual vector dimensionality (the hyperplanes must match it)
+        n, dim = corpus.select(
+            F.count(id_col), F.first(F.size(vec_col))
+        ).first()
+        num_planes = scaled_num_planes(n, target_cell_size)
+        corpus = corpus.withColumn(
+            "__cell",
+            lsh_bucket(
+                F.col(vec_col).cast("array<double>"), int(dim), num_planes
+            ),
+        )
+        cell_col = "__cell"
 
     queries = corpus.select(
         F.col(id_col).alias("query_id"),

@@ -634,14 +634,23 @@ def embedding_neardup_topk(
     vec_col: str = "embedding",
     score_decimals: int = 6,
 ) -> DataFrame:
-    """Top-k most-similar embedding pairs.
+    """Top-k most-similar embedding pairs — the EXACT tier.
 
     Distributed block-pair matmul scoring (similarity.
     pairwise_scores_blocked — no driver collect, no corpus broadcast),
     each block pair pre-truncated to its local top-k so only k·pairs
-    rows reach the final TakeOrdered. For approximate near-dup at
-    extreme scale use operators/ann.py LSH buckets as the candidate
-    generator and the same cosine verify.
+    rows reach the final TakeOrdered.
+
+    ESCALATION RULE (measured, PLANS.md footnote ⁷): exactness is
+    inherently quadratic — the 10x probe read 6.3x wall (block-pair
+    parallelism absorbed the rest of the 100x pair growth). This tier
+    is for corpora where an exact audit is affordable (≲ a few M
+    vectors); beyond that, escalate to the ANN siblings that ride
+    sub-quadratic candidate generation with the SAME cosine verify:
+    `semdedup_keep` (corpus-scaled LSH cells, ~4x at 10x),
+    `ann.mutual_knn_pairs` (corpus-scaled cells by default), or
+    `ann.lsh_bucket` candidates + pairwise verify. Same split as
+    exact-vs-banded in shingle dedup (prefix_filter vs MinHash+LSH).
     """
     from memfuse_spark.operators.similarity import pairwise_scores_blocked
 
@@ -1393,13 +1402,10 @@ def semdedup_keep(
         # rather than once for the count and again for the checkpoint
         # (ADVICE r6). Fixed planes=4 at a 10x corpus measured 14.6x
         # wall vs 4.06x with this rule.
-        import math
+        from memfuse_spark.operators.ann import scaled_num_planes
 
         base, _ = _cache.tracked_local_checkpoint(base, "dedup.semdedup")
-        n_vecs = base.count()
-        num_planes = max(
-            1, math.ceil(math.log2(max(n_vecs / target_cell_size, 2.0)))
-        )
+        num_planes = scaled_num_planes(base.count(), target_cell_size)
 
     cells = base.withColumn("cell", lsh_bucket(F.col("v"), dim, num_planes))
     cells, _ids = _cache.tracked_local_checkpoint(cells, "dedup.semdedup")

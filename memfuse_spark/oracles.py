@@ -861,10 +861,83 @@ ORDER BY query_id, score DESC, vec_id
     )
 
 
+def mutual_knn_scaled_sql(
+    k: int, nprobe: int = 2, dim: int = 64, target_cell_size: int = 500
+) -> str:
+    """Twin of ann.mutual_knn_pairs' DEFAULT (corpus-scaled sign-LSH
+    cells): num_planes is derived from count(*) INSIDE the SQL (scalar
+    subquery), so the oracle stays corpus-adaptive at any SF — the same
+    rule the Spark side computes (max(1, ceil(log2(max(n/target, 2))))).
+    The per-plane bit is the proven lsh_bucket_sql derivation with the
+    plane index j coming from range() instead of being unrolled."""
+    plane = (
+        f"list_transform(range({dim}), i -> "
+        "(CAST('0x' || substring(md5(j::VARCHAR || '|' || i::VARCHAR), 1, 8)"
+        " AS BIGINT) / 4294967295.0) * 2.0 - 1.0)"
+    )
+    cos_c = (
+        "list_dot_product(c.centroid, q.qv)"
+        " / (sqrt(list_dot_product(c.centroid, c.centroid))"
+        " * sqrt(list_dot_product(q.qv, q.qv)))"
+    )
+    cos_e = (
+        "round(list_dot_product(e.v, p.qv)"
+        " / (sqrt(list_dot_product(e.v, e.v))"
+        " * sqrt(list_dot_product(p.qv, p.qv))), 6)"
+    )
+    return f"""
+WITH params AS (
+  SELECT greatest(1, CAST(ceil(log2(greatest(count(*) / {target_cell_size}.0,
+                                             2.0))) AS INT)) AS planes
+  FROM embeddings
+),
+cells AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+         array_to_string(
+           list_transform(range((SELECT planes FROM params)), j ->
+             CASE WHEN list_dot_product(CAST(embedding AS DOUBLE[]),
+                                        {plane}) > 0
+                  THEN '1' ELSE '0' END), '') AS cell
+  FROM embeddings
+),
+exploded AS (
+  SELECT cell, t.i AS pos, v[t.i + 1] AS x FROM cells, range(0, {dim}) AS t(i)
+),
+means AS (SELECT cell, pos, avg(x) AS m FROM exploded GROUP BY cell, pos),
+cents AS (
+  SELECT cell, list(round(m, 6) ORDER BY pos) AS centroid
+  FROM means GROUP BY cell
+),
+q AS (SELECT vec_id AS query_id, v AS qv FROM cells),
+probe AS (
+  SELECT query_id, cell, qv FROM (
+    SELECT q.query_id, c.cell, q.qv,
+           row_number() OVER (PARTITION BY q.query_id
+                              ORDER BY {cos_c} DESC, c.cell ASC) AS rn
+    FROM cents c, q
+  ) WHERE rn <= {nprobe}
+),
+knn AS (
+  SELECT query_id, vec_id, score FROM (
+    SELECT p.query_id, e.vec_id, {cos_e} AS score,
+           row_number() OVER (PARTITION BY p.query_id
+                              ORDER BY {cos_e} DESC, e.vec_id ASC) AS rn
+    FROM cells e
+    JOIN probe p ON e.cell = p.cell AND e.vec_id <> p.query_id
+  ) WHERE rn <= {k}
+)
+SELECT f.query_id AS vec_a, f.vec_id AS vec_b, f.score
+FROM knn f
+JOIN knn r ON r.query_id = f.vec_id AND r.vec_id = f.query_id
+WHERE f.query_id < f.vec_id
+ORDER BY vec_a, vec_b
+"""
+
+
 def mutual_knn_sql(k: int, nprobe: int = 2, dim: int = 64) -> str:
-    """Reciprocal-kNN pairs: every embedding probes its nprobe best IVF
-    cells, takes top-k non-self neighbors; a pair survives iff each end
-    is in the other's top-k (twin of ann.mutual_knn_pairs)."""
+    """Reciprocal-kNN pairs over DATA-LABEL cells (the explicit
+    ``cell_col='label'`` tier of ann.mutual_knn_pairs; the default is
+    corpus-scaled LSH cells — :func:`mutual_knn_scaled_sql`)."""
     cos_c = (
         "list_dot_product(c.centroid, q.qv)"
         " / (sqrt(list_dot_product(c.centroid, c.centroid))"

@@ -366,3 +366,37 @@ def test_mutual_knn_over_kmeans_cells_matches_bruteforce(spark):
         ).collect()
     ]
     assert got == want and len(want) > 0
+
+
+def test_scaled_num_planes_rule():
+    """The corpus-scaled cell rule: planes grow log2 with corpus size
+    so expected cell size stays ~target; floors at 1 plane (2 cells)
+    for tiny corpora."""
+    from memfuse_spark.operators.ann import scaled_num_planes
+
+    assert scaled_num_planes(10, 500) == 1
+    assert scaled_num_planes(1000, 500) == 1
+    assert scaled_num_planes(5000, 500) == 4      # ceil(log2(10))
+    assert scaled_num_planes(60_000, 500) == 7    # ceil(log2(120))
+    assert scaled_num_planes(600_000, 500) == 11
+    # 10x corpus -> ~log2(10) = +3-4 planes -> cell size ~flat
+    assert scaled_num_planes(6_000_000, 500) - scaled_num_planes(600_000, 500) <= 4
+
+
+def test_mutual_knn_default_uses_corpus_scaled_cells(spark):
+    """The DEFAULT cell mode (cell_col=None) derives sign-LSH cells
+    from the corpus size and never touches a label column — a corpus
+    WITHOUT labels must work out of the box."""
+    import numpy as np
+
+    from memfuse_spark.operators.ann import mutual_knn_pairs
+
+    rng = np.random.default_rng(3)
+    rows = [
+        (i, [float(x) for x in rng.normal(size=8)]) for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    pairs = mutual_knn_pairs(df, k=3, nprobe=2).collect()
+    # mutuality contract holds under the scaled-cell default
+    seen = {(r.vec_a, r.vec_b) for r in pairs}
+    assert all(a < b for a, b in seen)
