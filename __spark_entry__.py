@@ -1972,29 +1972,28 @@ def q_model_rerank_bench(spark: SparkSession, sf_dir: str) -> DataFrame:
 _BUCKETED_STORE: dict[tuple[int, str], str] = {}
 
 
-def q_ann_store_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Vector-store LIFECYCLE end-to-end: write the LSH-bucketed corpus
-    from a ~80% base slice, append the rest in two incremental batches
-    (new files inside matching bucket directories — O(batch)), COMPACT
-    back to one file per bucket (shadow write + atomic dir swap), then
-    serve the partition-pruned bucketed top-k. Oracle: the whole-corpus
-    LSH top-k — builds, appends and compaction must be invisible to
-    results. The postings-index-v2 + index_compact treatment applied to
-    the vector side."""
+def _bucketed_store_lc(spark: SparkSession, sf_dir: str) -> str:
+    """Build the LSH-bucketed vector store lifecycle artifact ONCE per
+    (session, sf): write a ~80% base slice, append the rest in two
+    incremental batches (new files inside matching bucket directories —
+    O(batch)), COMPACT back to one file per bucket (shadow write +
+    atomic dir swap). An ingest-time store like _postings_index —
+    bench.py warms it in the fixture block so the timed slot measures
+    the SERVE path (VERDICT r6 #6); build cost is recorded in
+    PLANS.md."""
     import hashlib
     import tempfile
 
     from memfuse_spark.operators.ann import (
-        bucketed_topk,
         compact_bucketed_corpus,
         update_bucketed_corpus,
         write_bucketed_corpus,
     )
 
-    (emb,) = _tables(spark, sf_dir, "embeddings")
-    qvec = anchor_vector(spark, emb, ANCHOR_VEC_ID)
     key = (id(spark.sparkContext), sf_dir)
     if key not in _BUCKETED_STORE:
+        (emb,) = _tables(spark, sf_dir, "embeddings")
+        qvec = anchor_vector(spark, emb, ANCHOR_VEC_ID)
         tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
         path = os.path.join(
             tempfile.gettempdir(), "memfuse_bucketed_lc", tag
@@ -2017,7 +2016,23 @@ def q_ann_store_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         compact_bucketed_corpus(spark, path)
         _BUCKETED_STORE[key] = path
-    return bucketed_topk(spark, _BUCKETED_STORE[key], qvec, 10, num_planes=4)
+    return _BUCKETED_STORE[key]
+
+
+def q_ann_store_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vector-store LIFECYCLE: build/append/compact is the ingest-time
+    artifact (_bucketed_store_lc — memoized; charged to fixtures in
+    bench, run inline on first standalone call), then serve the
+    partition-pruned bucketed top-k. Oracle: the whole-corpus LSH
+    top-k — builds, appends and compaction must be invisible to
+    results. The postings-index-v2 + index_compact treatment applied to
+    the vector side."""
+    from memfuse_spark.operators.ann import bucketed_topk
+
+    (emb,) = _tables(spark, sf_dir, "embeddings")
+    qvec = anchor_vector(spark, emb, ANCHOR_VEC_ID)
+    path = _bucketed_store_lc(spark, sf_dir)
+    return bucketed_topk(spark, path, qvec, 10, num_planes=4)
 
 
 def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3686,13 +3701,13 @@ def q_bm25_v2_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 _STREAM_IDX: dict[tuple[int, str], str] = {}
 
 
-def q_bm25_stream_index(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """BM25 against the STREAMING-maintained index (mergeable partials:
-    epoch-partitioned postings + df/stats partials, dynamic-overwrite
-    replay safety) — batch twin of streaming.index_ingest_stream, with
-    a deliberate epoch REPLAY in the build to prove the exactly-once
-    layout. Oracle: whole-corpus BM25; stream-vs-batch parity is
-    test-asserted."""
+def _stream_index(spark: SparkSession, sf_dir: str) -> str:
+    """Build the streaming-maintained index artifact ONCE per
+    (session, sf): epoch-partitioned postings + df/stats partials
+    written with a deliberate epoch REPLAY to prove the exactly-once
+    dynamic-overwrite layout. Ingest-time store — bench.py warms it in
+    the fixture block so the timed slot measures the SERVE path
+    (VERDICT r6 #6); build cost in PLANS.md."""
     import hashlib
     import tempfile
 
@@ -3715,8 +3730,17 @@ def q_bm25_stream_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         for e in (0, 1, 2, 1):  # epoch 1 replayed: must replace, not double
             write_index_epoch(docs.filter(epoch_of == (e % 3)), base, e % 3)
         _STREAM_IDX[key] = base
+    return _STREAM_IDX[key]
+
+
+def q_bm25_stream_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 against the STREAMING-maintained index (mergeable partials;
+    built by _stream_index — memoized, charged to fixtures in bench,
+    run inline on first standalone call) — batch twin of
+    streaming.index_ingest_stream. Oracle: whole-corpus BM25;
+    stream-vs-batch parity is test-asserted."""
     return kw_ops.bm25_topk_from_stream_index(
-        spark, _STREAM_IDX[key], QUERY_TEXT, TOP_K
+        spark, _stream_index(spark, sf_dir), QUERY_TEXT, TOP_K
     )
 
 
@@ -4133,14 +4157,14 @@ def q_spellfix_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 _POSTINGS_IDX_C: dict[tuple[int, str], str] = {}
 
 
-def q_index_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Full index LIFECYCLE end-to-end: build the v2 postings index
-    from a ~90% base slice, append the remaining docs in two
-    incremental batches, COMPACT (segment-merge to one sorted file per
-    bucket + df/stats re-derivation + catalog swap,
-    keyword.compact_postings_index_v2), then serve BM25 top-k from the
-    compacted index. Oracle: whole-corpus BM25 — builds, appends and
-    compaction must be invisible to scores."""
+def _postings_index_c(spark: SparkSession, sf_dir: str) -> str:
+    """Build the compacted v2 postings index lifecycle artifact ONCE
+    per (session, sf): build from a ~90% base slice, append the
+    remaining docs in two incremental batches, COMPACT (segment-merge
+    to one sorted file per bucket + df/stats re-derivation + catalog
+    swap, keyword.compact_postings_index_v2). Ingest-time store —
+    bench.py warms it in the fixture block so the timed slot measures
+    the SERVE path (VERDICT r6 #6); build cost in PLANS.md."""
     import hashlib
     import tempfile
 
@@ -4162,8 +4186,17 @@ def q_index_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         kw_ops.compact_postings_index_v2(spark, name, path=path)
         _POSTINGS_IDX_C[key] = name
+    return _POSTINGS_IDX_C[key]
+
+
+def q_index_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index LIFECYCLE: build/append/compact is the ingest-time
+    artifact (_postings_index_c — memoized; charged to fixtures in
+    bench, run inline on first standalone call), then serve BM25 top-k
+    from the compacted index. Oracle: whole-corpus BM25 — builds,
+    appends and compaction must be invisible to scores."""
     return kw_ops.bm25_topk_from_index_v2(
-        spark, _POSTINGS_IDX_C[key], QUERY_TEXT, TOP_K
+        spark, _postings_index_c(spark, sf_dir), QUERY_TEXT, TOP_K
     )
 
 

@@ -272,6 +272,22 @@ def main() -> None:
     entrymod._m1_store(spark, sf_dir)
     entrymod._m2_store(spark, sf_dir)
     entrymod._knowledge_corpus(spark, sf_dir)
+    # lifecycle-store builds (compacted v2 index, bucketed vector
+    # store, streaming index): build/append/compact is ingest-time work
+    # a live service pays at flush, not per query — charge it to the
+    # fixture block (timed separately, reported as fixture_builds) so
+    # the index_compact / ann_store_lifecycle / bm25_stream_index slots
+    # time the SERVE path (VERDICT r6 #6; the dup_clusters_inc split
+    # from r5)
+    fixture_builds: dict[str, float] = {}
+    for fixture_name, builder in (
+        ("postings_index_c", entrymod._postings_index_c),
+        ("bucketed_store_lc", entrymod._bucketed_store_lc),
+        ("stream_index", entrymod._stream_index),
+    ):
+        t0 = time.perf_counter()
+        builder(spark, sf_dir)
+        fixture_builds[fixture_name] = round(time.perf_counter() - t0, 3)
 
     timings: dict[str, float] = {}
     for name in HEADLINE + EXTRA + MODEL_TIER:
@@ -299,6 +315,7 @@ def main() -> None:
         "metric": "full_suite_detail",
         "unit": "sec",
         "queries": timings,
+        "fixture_builds": fixture_builds,
         "sf": sf_val,
     }
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
