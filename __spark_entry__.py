@@ -1739,6 +1739,58 @@ def q_props_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _perf_metrics(events: DataFrame) -> DataFrame:
+    """events → the reference PerformanceMetric shape
+    (monitoring/performance_monitor.py:25-33): operation = event_type,
+    duration = value, success derived deterministically from the props
+    payload (k % 7 ≠ 0) — the metrics-warehouse projection the A7 read
+    paths aggregate."""
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    return events.select(
+        F.col("event_type").alias("operation"),
+        F.col("value").alias("duration"),
+        "ts",
+        F.col("event_id").alias("metric_id"),
+        ((k % 7) != 0).alias("success"),
+    )
+
+
+def q_perf_monitor_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7 read path 1: PerformanceStats per operation over the newest
+    1000 metrics (the reference's deque-maxlen sliding window,
+    performance_monitor.py:55-158) — count/avg/min/max/p95/p99/
+    success_rate with the reference's linear-interpolation percentile
+    (:221-235 = Spark percentile() = DuckDB quantile_cont). The window
+    BINDS on this corpus (~2000 events per operation)."""
+    from memfuse_spark.operators.monitoring import perf_monitor_stats
+
+    (events,) = _tables(spark, sf_dir, "events")
+    return perf_monitor_stats(_perf_metrics(events))
+
+
+def q_perf_regressions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7 read path 2: detect_regressions
+    (performance_monitor.py:167-189) — operations whose current avg
+    duration exceeds the baseline avg × 1.2, reported with the percent
+    increase. Baseline = the first half of the event-id range; current
+    = the second half with a DETERMINISTIC simulated per-operation
+    drift (× (1 + (len(op) % 3) · 0.15)) so both detector branches are
+    exercised on this stationary corpus — in production `current` is
+    simply a later metrics slice."""
+    from memfuse_spark.operators.monitoring import detect_regressions
+
+    (events,) = _tables(spark, sf_dir, "events")
+    lo, hi = events.agg(F.min("event_id"), F.max("event_id")).first()
+    mid = (lo + hi) / 2
+    metrics = _perf_metrics(events)
+    baseline = metrics.filter(F.col("metric_id") < mid)
+    drift = 1 + (F.length("operation") % 3) * 0.15
+    current = metrics.filter(F.col("metric_id") >= mid).withColumn(
+        "duration", F.col("duration") * drift
+    )
+    return detect_regressions(baseline, current)
+
+
 def q_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TF-IDF top-k (length-normalized; BM25 sibling)."""
     (docs,) = _tables(spark, sf_dir, "documents")
@@ -4537,6 +4589,8 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round-8 window
         "token_chunks": q_token_chunks,
         "token_stats_bpe": q_token_stats_bpe,
+        "perf_monitor_stats": q_perf_monitor_stats,
+        "perf_regressions": q_perf_regressions,
         # added after the r6 rotation freeze → positions 51+, heads the
         # round-7 window
         "fact_conflicts_cumulative": q_fact_conflicts_cumulative,
@@ -6081,6 +6135,44 @@ ORDER BY hour, event_type
 """,
         "round_buffer_batch": _round_buffer_batch_sql(),
         "token_chunks": _token_chunks_sql(),
+        "perf_monitor_stats": """
+WITH metrics AS (
+  SELECT event_type AS operation, value AS duration, ts, event_id,
+         (CAST(json_extract_string(props, '$.k') AS BIGINT) % 7) <> 0 AS success
+  FROM events
+),
+recent AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY operation
+                                 ORDER BY ts DESC, event_id DESC) AS rn
+    FROM metrics
+  ) WHERE rn <= 1000
+)
+SELECT operation, CAST(count(*) AS BIGINT) AS count,
+       round(avg(duration), 6) AS avg_duration,
+       round(min(duration), 6) AS min_duration,
+       round(max(duration), 6) AS max_duration,
+       round(quantile_cont(duration, 0.95), 6) AS p95_duration,
+       round(quantile_cont(duration, 0.99), 6) AS p99_duration,
+       round(avg(CAST(success AS INT)), 6) AS success_rate
+FROM recent GROUP BY operation ORDER BY operation
+""",
+        "perf_regressions": """
+WITH mid AS (SELECT (min(event_id) + max(event_id)) / 2 AS m FROM events),
+base AS (
+  SELECT event_type AS operation, avg(value) AS b
+  FROM events WHERE event_id < (SELECT m FROM mid) GROUP BY 1
+),
+cur AS (
+  SELECT event_type AS operation,
+         avg(value * (1 + (length(event_type) % 3) * 0.15)) AS c
+  FROM events WHERE event_id >= (SELECT m FROM mid) GROUP BY 1
+)
+SELECT operation, round(b, 6) AS baseline_avg, round(c, 6) AS current_avg,
+       round((c / b - 1) * 100, 1) AS pct_increase
+FROM base JOIN cur USING (operation)
+WHERE c > b * 1.2 ORDER BY operation
+""",
         "read_your_writes": f"""
 WITH {oracles.M0_CTE.strip()},
 m0s AS (SELECT message_id, conversation_id, content FROM m0),
