@@ -191,6 +191,11 @@ EXTRA = [
     "fact_validation",
     "semdedup_keep",
     "interval_overlap",
+    # round 7: token-budget chunker, exact token tier, A7 read paths
+    "token_chunks",
+    "token_stats_bpe",
+    "perf_monitor_stats",
+    "perf_regressions",
 ]
 # Real-model-tier twins (deterministic stand-in models, models.py):
 # resolved from q_* functions directly — deliberately NOT queries()

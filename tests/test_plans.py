@@ -403,3 +403,29 @@ def test_exact_dedup_tier_serves_from_postings_index(spark):
     )
     assert "mfs_postings_" in vecs
     assert "documents.parquet" not in vecs
+
+
+def test_lifecycle_slots_serve_from_prebuilt_stores(spark):
+    """Round-7 lifecycle split (VERDICT r6 #6): with the fixture
+    builders warm, the index_compact / bm25_stream_index /
+    ann_store_lifecycle query plans are index/store probes — they scan
+    the prebuilt artifact, never documents.parquet / embeddings.parquet
+    (the build is ingest-time work charged to fixtures in bench)."""
+    import __spark_entry__ as m
+
+    # warm the memoized builders (what bench.py's fixture block does)
+    m._postings_index_c(spark, SF_DIR)
+    m._stream_index(spark, SF_DIR)
+    m._bucketed_store_lc(spark, SF_DIR)
+
+    p1 = _plan(m.q_index_compact(spark, SF_DIR))
+    assert "mfs_postings2c_" in p1
+    assert "documents.parquet" not in p1
+
+    p2 = _plan(m.q_bm25_stream_index(spark, SF_DIR))
+    assert "memfuse_stream_idx" in p2
+    assert "documents.parquet" not in p2
+
+    p3 = _plan(m.q_ann_store_lifecycle(spark, SF_DIR))
+    assert "memfuse_bucketed_lc" in p3
+    assert "embeddings.parquet" not in p3
