@@ -52,6 +52,10 @@ SFS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1"
 
 
 def main() -> None:
+    from tools.runlock import acquire_run_lock
+
+    _lock = acquire_run_lock("scaling_probe")  # noqa: F841 — held to exit
+
     from memfuse_spark.session import get_spark
 
     import __spark_entry__ as entrymod
