@@ -1961,6 +1961,15 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_ops.ngram_jaccard_pairs(docs, cands)
 
 
+def q_minhash_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate-recall audit of the production MinHash banding against
+    exact shingle Jaccard (prefix-filter truth) per jaccard tenth-band
+    — the dedup twin of ann_recall_audit; at 100 TB this runs on a
+    per-source sample, not per ingest."""
+    (docs,) = _tables(spark, sf_dir, "documents")
+    return dedup_ops.minhash_recall_audit(docs)
+
+
 def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-50 most similar embedding pairs (brute-force baseline)."""
     (emb,) = _tables(spark, sf_dir, "embeddings")
@@ -4591,6 +4600,7 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_stats_bpe": q_token_stats_bpe,
         "perf_monitor_stats": q_perf_monitor_stats,
         "perf_regressions": q_perf_regressions,
+        "minhash_recall_audit": q_minhash_recall_audit,
         # added after the r6 rotation freeze → positions 51+, heads the
         # round-7 window
         "fact_conflicts_cumulative": q_fact_conflicts_cumulative,
@@ -6307,6 +6317,7 @@ ORDER BY p.purchase_id
 """,
         "exact_dedup": oracles.exact_dedup_sql(),
         "minhash_pairs": oracles.minhash_pairs_sql(),
+        "minhash_recall_audit": dedup_ops.minhash_recall_audit_sql(),
         "minhash_dedup_keep": oracles.minhash_dedup_keep_sql(),
         "simhash": oracles.simhash_sql(),
         "simhash_pairs": oracles.simhash_pairs_sql(),

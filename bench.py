@@ -196,6 +196,7 @@ EXTRA = [
     "token_stats_bpe",
     "perf_monitor_stats",
     "perf_regressions",
+    "minhash_recall_audit",
 ]
 # Real-model-tier twins (deterministic stand-in models, models.py):
 # resolved from q_* functions directly — deliberately NOT queries()

@@ -196,6 +196,89 @@ def minhash_lsh_pairs(
     return verified.filter(F.col("jaccard") >= threshold).orderBy("doc_a", "doc_b")
 
 
+def minhash_recall_audit(
+    docs: DataFrame,
+    truth_threshold: float = 0.05,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = SHINGLE_N,
+    num_hashes: int = NUM_HASHES,
+    bands: int = BANDS,
+) -> DataFrame:
+    """Candidate-RECALL audit of the banded MinHash LSH against exact
+    shingle-set Jaccard — the dedup twin of evalmetrics.ann_recall_audit
+    (is the banding catching the true near-dups, and how does recall
+    track the theoretical S-curve 1-(1-j^(H/B))^B?). Without this a
+    100 TB dedup run has no way to notice its banding parameters are
+    silently missing duplicates.
+
+    Ground truth comes from the EXACT prefix-filter tier
+    (:func:`prefix_filter_pairs`, Bayardo/PPJoin — no false negatives)
+    fed the SAME distinct word-shingle universe the MinHash signatures
+    hash, so truth and candidates measure the identical similarity.
+    Output: (band_tenths, n_true, n_caught, recall) — one row per
+    jaccard tenth-band at/above ``truth_threshold``. The default 0.05
+    reaches below the banding's operating point on purpose: low bands
+    SHOULD read recall ~0 (the S-curve's left tail) while bands at the
+    dedup threshold read ~1 — an audit that only looks above the
+    threshold can't see over-aggressive banding.
+
+    Scale: truth is the exact tier (sub-quadratic via prefix filtering,
+    but inherently heavier than banding) — the audit is a SAMPLED
+    side-channel at 100 TB (run it on a per-source sample), not a
+    per-ingest pass; candidates reuse the production banding.
+    """
+    sh = shingle_sets(docs, id_col, text_col, n)
+    toks = sh.select("doc_id", F.explode("shingles").alias("tok"))
+    truth = prefix_filter_pairs(docs, threshold=truth_threshold, toks=toks)
+    cands = lsh_candidate_pairs(
+        minhash_signature(sh, num_hashes), bands, num_hashes
+    ).withColumn("__c", F.lit(1))
+    joined = truth.join(cands, ["doc_a", "doc_b"], "left")
+    return (
+        joined.withColumn(
+            "band_tenths", F.floor(F.col("jaccard") * 10).cast("int")
+        )
+        .groupBy("band_tenths")
+        .agg(
+            F.count("*").cast("long").alias("n_true"),
+            F.count("__c").cast("long").alias("n_caught"),
+            F.round(F.count("__c") / F.count("*"), 6).alias("recall"),
+        )
+        .orderBy("band_tenths")
+    )
+
+
+def minhash_recall_audit_sql(
+    truth_threshold: float = 0.05, n: int = SHINGLE_N
+) -> str:
+    """DuckDB twin: brute-force exact jaccard for truth (oracle-scale
+    corpora only) against the shared signature/band/candidate CTEs."""
+    from memfuse_spark import oracles
+
+    j = (
+        "round(len(list_intersect(a.s, b.s))::DOUBLE"
+        " / len(list_distinct(list_concat(a.s, b.s))), 6)"
+    )
+    return (
+        oracles._minhash_prefix(n)
+        + f""",
+truth AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, {j} AS j
+  FROM shingles a JOIN shingles b ON a.doc_id < b.doc_id
+  WHERE {j} >= {truth_threshold}
+)
+SELECT CAST(floor(t.j * 10) AS INT) AS band_tenths,
+       CAST(count(*) AS BIGINT) AS n_true,
+       CAST(count(c.doc_a) AS BIGINT) AS n_caught,
+       round(count(c.doc_a)::DOUBLE / count(*), 6) AS recall
+FROM truth t
+LEFT JOIN cands c ON c.doc_a = t.doc_a AND c.doc_b = t.doc_b
+GROUP BY 1 ORDER BY 1
+"""
+    )
+
+
 def minhash_dedup_keep(
     docs: DataFrame,
     id_col: str = "doc_id",

@@ -463,3 +463,34 @@ def test_hashed_bow_postings_path_is_identical(spark):
         ).collect()
     }
     assert a == b
+
+
+def test_minhash_recall_audit_invariants(spark):
+    """Identical docs (jaccard 1.0) share identical signatures, so the
+    top band's recall is exactly 1.0 by construction; every band obeys
+    n_caught <= n_true; pairs with zero shingle overlap never enter
+    the truth set."""
+    from memfuse_spark.operators.dedup import minhash_recall_audit
+
+    w = lambda *xs: " ".join(xs)
+    docs = spark.createDataFrame(
+        [
+            (1, w(*(f"tok{i}" for i in range(12)))),          # identical pair
+            (2, w(*(f"tok{i}" for i in range(12)))),
+            (3, w(*(f"zzz{i}" for i in range(12)))),          # disjoint
+            # partial overlap with doc 1: shares the first 8 tokens
+            (4, w(*(f"tok{i}" for i in range(8)),
+                  *(f"qqq{i}" for i in range(8)))),
+        ],
+        "doc_id bigint, text string",
+    )
+    rows = minhash_recall_audit(docs, truth_threshold=0.05).collect()
+    assert rows, "no truth pairs found"
+    by_band = {r.band_tenths: r for r in rows}
+    top = by_band[max(by_band)]
+    assert top.recall == 1.0 and top.n_true >= 1   # identical pair caught
+    for r in rows:
+        assert 0 <= r.n_caught <= r.n_true
+        assert r.recall == round(r.n_caught / r.n_true, 6)
+    # the partial-overlap pair lands in a mid band of the truth set
+    assert len(by_band) >= 2
