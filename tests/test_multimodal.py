@@ -450,3 +450,30 @@ def test_sniff_media_meta_dataframe_path(spark):
     assert (got["p1"].container, got["p1"].width, got["p1"].height) == ("png", 7, 4)
     assert (got["j1"].container, got["j1"].width, got["j1"].height) == ("jpeg", 99, 77)
     assert got["x1"].container == "unknown" and got["x1"].ok is False
+
+
+def test_sniff_media_bytes_total_on_arbitrary_bytes():
+    """Fuzz the 'corrupt bytes are data, not exceptions' contract: any
+    byte string — including ones opening with valid magics — must
+    return the typed dict, never raise, and every numeric field must
+    fit the mapInPandas IntegerType columns (ADVICE r6)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    magics = [b"", b"\x89PNG\r\n\x1a\n", b"GIF89a", b"GIF87a",
+              b"\xff\xd8", b"\xff\xd8\xff\xff\xff", b"RIFF",
+              b"RIFF0000WAVE"]
+
+    @settings(max_examples=300, deadline=None)
+    @given(st.sampled_from(magics), st.binary(max_size=120))
+    def run(prefix, tail):
+        m = mm.sniff_media_bytes(prefix + tail)
+        assert set(m) == {"container", "width", "height", "n_channels",
+                          "sample_rate", "bit_depth", "ok"}
+        assert isinstance(m["ok"], bool)
+        for k in ("width", "height", "n_channels", "sample_rate",
+                  "bit_depth"):
+            v = m[k]
+            assert v is None or (0 <= v <= 2**31 - 1), (k, v)
+
+    run()
