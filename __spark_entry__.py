@@ -1964,10 +1964,13 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_minhash_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Candidate-recall audit of the production MinHash banding against
     exact shingle Jaccard (prefix-filter truth) per jaccard tenth-band
-    — the dedup twin of ann_recall_audit; at 100 TB this runs on a
-    per-source sample, not per ingest."""
+    — the dedup twin of ann_recall_audit. Runs on the deterministic 50%
+    md5 doc sample (audit_sample), exactly as a 100 TB audit would: the
+    exact-truth tier is the expensive side, and recall estimates don't
+    need the full corpus (unsampled, the truth tier alone charged ~12s
+    at sf0.1). Oracle applies the identical sample predicate."""
     (docs,) = _tables(spark, sf_dir, "documents")
-    return dedup_ops.minhash_recall_audit(docs)
+    return dedup_ops.minhash_recall_audit(dedup_ops.audit_sample(docs, 2))
 
 
 def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -6317,7 +6320,9 @@ ORDER BY p.purchase_id
 """,
         "exact_dedup": oracles.exact_dedup_sql(),
         "minhash_pairs": oracles.minhash_pairs_sql(),
-        "minhash_recall_audit": dedup_ops.minhash_recall_audit_sql(),
+        "minhash_recall_audit": dedup_ops.minhash_recall_audit_sql(
+            sample_mod=2
+        ),
         "minhash_dedup_keep": oracles.minhash_dedup_keep_sql(),
         "simhash": oracles.simhash_sql(),
         "simhash_pairs": oracles.simhash_pairs_sql(),

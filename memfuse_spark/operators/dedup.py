@@ -196,6 +196,24 @@ def minhash_lsh_pairs(
     return verified.filter(F.col("jaccard") >= threshold).orderBy("doc_a", "doc_b")
 
 
+def audit_sample(docs: DataFrame, mod: int = 2, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic md5 doc sample (keep doc when md5(id) % mod == 0) —
+    the sampling a 100 TB audit runs before paying for the exact-truth
+    tier. Identical rule in SQL (audit_sample_sql)."""
+    key = F.conv(
+        F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10
+    ).cast("bigint")
+    return docs.filter(key % mod == 0)
+
+
+def audit_sample_sql(mod: int = 2) -> str:
+    """DuckDB twin predicate of :func:`audit_sample`."""
+    return (
+        "CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))"
+        f" AS BIGINT) % {mod} = 0"
+    )
+
+
 def minhash_recall_audit(
     docs: DataFrame,
     truth_threshold: float = 0.05,
@@ -250,18 +268,26 @@ def minhash_recall_audit(
 
 
 def minhash_recall_audit_sql(
-    truth_threshold: float = 0.05, n: int = SHINGLE_N
+    truth_threshold: float = 0.05, n: int = SHINGLE_N, sample_mod: int | None = None
 ) -> str:
     """DuckDB twin: brute-force exact jaccard for truth (oracle-scale
-    corpora only) against the shared signature/band/candidate CTEs."""
+    corpora only) against the shared signature/band/candidate CTEs.
+    ``sample_mod`` applies the audit_sample predicate to the document
+    source (rewrites the shared toks CTE's FROM)."""
     from memfuse_spark import oracles
 
     j = (
         "round(len(list_intersect(a.s, b.s))::DOUBLE"
         " / len(list_distinct(list_concat(a.s, b.s))), 6)"
     )
+    prefix = oracles._minhash_prefix(n)
+    if sample_mod is not None:
+        prefix = prefix.replace(
+            "FROM documents",
+            f"FROM documents WHERE {audit_sample_sql(sample_mod)}",
+        )
     return (
-        oracles._minhash_prefix(n)
+        prefix
         + f""",
 truth AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, {j} AS j
