@@ -1973,6 +1973,16 @@ def q_minhash_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_ops.minhash_recall_audit(dedup_ops.audit_sample(docs, 2))
 
 
+def q_simhash_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Byte-banded simhash candidate recall vs nibble-banded exact
+    truth per hamming distance (0..7): pinned at 1.0 inside the ≤3
+    pigeonhole guarantee, decaying beyond it. Same 50% md5 sample as
+    minhash_recall_audit — the audit's truth tier is the expensive
+    side."""
+    (docs,) = _tables(spark, sf_dir, "documents")
+    return dedup_ops.simhash_recall_audit(dedup_ops.audit_sample(docs, 2))
+
+
 def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-50 most similar embedding pairs (brute-force baseline)."""
     (emb,) = _tables(spark, sf_dir, "embeddings")
@@ -4604,6 +4614,7 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "perf_monitor_stats": q_perf_monitor_stats,
         "perf_regressions": q_perf_regressions,
         "minhash_recall_audit": q_minhash_recall_audit,
+        "simhash_recall_audit": q_simhash_recall_audit,
         # added after the r6 rotation freeze → positions 51+, heads the
         # round-7 window
         "fact_conflicts_cumulative": q_fact_conflicts_cumulative,
@@ -6321,6 +6332,9 @@ ORDER BY p.purchase_id
         "exact_dedup": oracles.exact_dedup_sql(),
         "minhash_pairs": oracles.minhash_pairs_sql(),
         "minhash_recall_audit": dedup_ops.minhash_recall_audit_sql(
+            sample_mod=2
+        ),
+        "simhash_recall_audit": dedup_ops.simhash_recall_audit_sql(
             sample_mod=2
         ),
         "minhash_dedup_keep": oracles.minhash_dedup_keep_sql(),

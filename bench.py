@@ -197,6 +197,7 @@ EXTRA = [
     "perf_monitor_stats",
     "perf_regressions",
     "minhash_recall_audit",
+    "simhash_recall_audit",
 ]
 # Real-model-tier twins (deterministic stand-in models, models.py):
 # resolved from q_* functions directly — deliberately NOT queries()

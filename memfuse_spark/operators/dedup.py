@@ -305,6 +305,147 @@ GROUP BY 1 ORDER BY 1
     )
 
 
+def simhash_recall_audit(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bits: int = SIMHASH_BITS,
+    band_bits: int = 8,
+    truth_band_bits: int = 4,
+) -> DataFrame:
+    """Recall audit of the production BYTE-banded simhash candidates
+    against NIBBLE-banded exact truth — the simhash sibling of
+    :func:`minhash_recall_audit`, and fully equi-join (no cross join):
+    by pigeonhole, pairs within hamming ≤ bits/truth_band_bits − 1
+    (7 for 32-bit/4-bit) MUST share a whole nibble, so the truth set is
+    EXACT up to that distance while still coming from band equi-joins.
+    Production byte-banding guarantees only hamming ≤ 3 — the audit
+    shows recall pinned at 1.0 inside the guarantee and decaying
+    beyond it (the blind spots a wider-than-designed dedup threshold
+    silently hits).
+
+    Output: (hamming, n_true, n_caught, recall), hamming 0..7.
+
+    Scale: the narrow truth bands have a small value space (16), so
+    truth candidate volume ~ n²/16 per band — run on a sample at real
+    scale, like minhash_recall_audit (this is the audit's exact tier,
+    not the production path).
+    """
+    from memfuse_spark import cache
+
+    cache.begin("dedup.simhash_audit")
+    sh = cache.scoped_persist(
+        simhash(docs, id_col, text_col, bits), "dedup.simhash_audit"
+    )
+
+    def banded_pairs(width: int) -> DataFrame:
+        mask = (1 << width) - 1
+        parts = None
+        for i in range(bits // width):
+            one = sh.select(
+                "doc_id",
+                "simhash",
+                F.lit(i).alias("bidx"),
+                F.shiftright(F.col("simhash"), i * width)
+                .bitwiseAND(F.lit(mask))
+                .alias("bval"),
+            )
+            parts = one if parts is None else parts.unionByName(one)
+        a = parts.select(
+            F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sim_a"),
+            "bidx", "bval",
+        )
+        b = parts.select(
+            F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sim_b"),
+            "bidx", "bval",
+        )
+        return (
+            a.join(b, ["bidx", "bval"])
+            .filter(F.col("doc_a") < F.col("doc_b"))
+            .select("doc_a", "doc_b", "sim_a", "sim_b")
+            .distinct()
+        )
+
+    max_h = bits // truth_band_bits - 1
+    truth = (
+        banded_pairs(truth_band_bits)
+        .withColumn(
+            "hamming",
+            F.bit_count(
+                F.col("sim_a").bitwiseXOR(F.col("sim_b"))
+            ).cast("int"),
+        )
+        .filter(F.col("hamming") <= max_h)
+        .select("doc_a", "doc_b", "hamming")
+    )
+    caught = banded_pairs(band_bits).select(
+        "doc_a", "doc_b", F.lit(1).alias("__c")
+    )
+    return (
+        truth.join(caught, ["doc_a", "doc_b"], "left")
+        .groupBy("hamming")
+        .agg(
+            F.count("*").cast("long").alias("n_true"),
+            F.count("__c").cast("long").alias("n_caught"),
+            F.round(F.count("__c") / F.count("*"), 6).alias("recall"),
+        )
+        .orderBy("hamming")
+    )
+
+
+def simhash_recall_audit_sql(
+    bits: int = SIMHASH_BITS,
+    band_bits: int = 8,
+    truth_band_bits: int = 4,
+    sample_mod: int | None = None,
+) -> str:
+    """DuckDB twin of :func:`simhash_recall_audit`."""
+    from memfuse_spark import oracles
+
+    inner = (
+        oracles.simhash_sql(bits).strip().removesuffix("ORDER BY doc_id\n").rstrip()
+    )
+    if sample_mod is not None:
+        inner = inner.replace(
+            "FROM documents",
+            f"FROM documents WHERE {audit_sample_sql(sample_mod)}",
+        )
+    nib = "\n  UNION ALL\n".join(
+        f"SELECT doc_id, simhash, {i} AS bidx,"
+        f" (simhash >> {i * truth_band_bits}) &"
+        f" {(1 << truth_band_bits) - 1} AS bval FROM sim"
+        for i in range(bits // truth_band_bits)
+    )
+    byt = "\n  UNION ALL\n".join(
+        f"SELECT doc_id, simhash, {i} AS bidx,"
+        f" (simhash >> {i * band_bits}) & {(1 << band_bits) - 1} AS bval FROM sim"
+        for i in range(bits // band_bits)
+    )
+    max_h = bits // truth_band_bits - 1
+    return f"""
+WITH sim AS ({inner}),
+nb AS ({nib}),
+bb AS ({byt}),
+truth AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+  FROM nb a JOIN nb b ON a.bidx = b.bidx AND a.bval = b.bval
+                     AND a.doc_id < b.doc_id
+  WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_h}
+),
+caught AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bb a JOIN bb b ON a.bidx = b.bidx AND a.bval = b.bval
+                     AND a.doc_id < b.doc_id
+)
+SELECT hamming, CAST(count(*) AS BIGINT) AS n_true,
+       CAST(count(c.doc_a) AS BIGINT) AS n_caught,
+       round(count(c.doc_a)::DOUBLE / count(*), 6) AS recall
+FROM truth t LEFT JOIN caught c ON c.doc_a = t.doc_a AND c.doc_b = t.doc_b
+GROUP BY 1 ORDER BY 1
+"""
+
+
 def minhash_dedup_keep(
     docs: DataFrame,
     id_col: str = "doc_id",

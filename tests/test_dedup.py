@@ -494,3 +494,24 @@ def test_minhash_recall_audit_invariants(spark):
         assert r.recall == round(r.n_caught / r.n_true, 6)
     # the partial-overlap pair lands in a mid band of the truth set
     assert len(by_band) >= 2
+
+
+def test_simhash_recall_audit_pigeonhole_guarantee(spark):
+    """Inside the byte-banding's design range (hamming <= 3) recall is
+    EXACTLY 1.0 for every corpus — the pigeonhole proof observed;
+    all bands obey n_caught <= n_true."""
+    from memfuse_spark.operators.dedup import simhash_recall_audit
+
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta gamma delta tok{i % 7} tok{i % 3} word{i % 11}")
+         for i in range(40)],
+        "doc_id bigint, text string",
+    )
+    rows = simhash_recall_audit(docs).collect()
+    assert rows, "no truth pairs"
+    for r in rows:
+        assert 0 <= r.hamming <= 7
+        assert 0 <= r.n_caught <= r.n_true
+        assert r.recall == round(r.n_caught / r.n_true, 6)
+        if r.hamming <= 3:
+            assert r.recall == 1.0, r
