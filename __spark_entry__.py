@@ -1696,7 +1696,8 @@ validated AS (
               ELSE content END AS content,
          roles, n, est
   FROM grouped
-  WHERE content IS NOT NULL AND len(trim(content)) >= {min_len}
+  WHERE content IS NOT NULL
+    AND len(regexp_replace(content, '^\\s+|\\s+$', '', 'g')) >= {min_len}
 )
 SELECT session_id, CAST(gid AS INTEGER) AS chunk_index, content, roles,
        CAST(n AS INTEGER) AS n_messages, CAST(est AS INTEGER) AS est_tokens,
@@ -4497,6 +4498,42 @@ def entry(spark: SparkSession) -> DataFrame:
 # Demoted: everything with an r3+ row — tools/verify_oracle.py (full
 # suite, re-run each round) remains the superset check. Queries added
 # mid-round go at positions 51+ only and head the round-8 rotation.
+# Round-8 window (rotated ONCE at round start, then frozen). Ground
+# truth derived by tools/rotation_table.py from CORRECTNESS_r01-r07:
+# 236/242 registered queries have a green driver row; priority order:
+# (1) the SIX queries with no driver row ever (added after the r7
+# freeze; judge-verified locally in VERDICT r7 — this is the
+# independent driver replication); (2) the three r2-vintage rows
+# dropped from the r7 rotation (`vector_topk`/`vector_threshold`/
+# `dup_clusters`); (3) all 39 queries whose latest green row dates to
+# round 3; (4) the first two of the r4-vintage block (`hybrid_rrf_3way`
+# — the flagship, worth a fresh row — and `round_buffer_batch`) to
+# fill 50. Demoted: everything with an r4+ row — tools/verify_oracle.py
+# (full suite, re-run each round) remains the superset check. Queries
+# added mid-round go at positions 51+ only and head the round-9
+# rotation.
+_DRIVER_WINDOW_R8 = [
+    # (1) never driver-checked (r7 positions 51-56)
+    "token_chunks", "token_stats_bpe", "perf_monitor_stats",
+    "perf_regressions", "minhash_recall_audit", "simhash_recall_audit",
+    # (2) latest green row = round 2 (dropped from the r7 window)
+    "vector_topk", "vector_threshold", "dup_clusters",
+    # (3) latest green row = round 3 (all 39)
+    "user_retention", "bloom_semi_join", "ivfpq_topk", "tpch_q2",
+    "tpch_q11", "tpch_q15", "tpch_q17", "tpch_q20", "tpch_q21",
+    "zorder_stats", "hist_quantiles", "centroid_topk",
+    "matryoshka_topk", "session_rollup", "proximity_search",
+    "typo_pairs", "bpe_merges", "temperature_resample",
+    "graph_pagerank", "phrase_search", "ann_multiprobe", "pq_topk",
+    "collocations_pmi", "cluster_keywords", "bigram_logprob",
+    "mmr_rerank", "hard_negatives", "gopher_quality", "span_dedup",
+    "m1_chunks", "m2_facts", "m3_patterns", "m0_m1_lineage",
+    "read_your_writes", "contextual_chunks", "fixed_char_chunks",
+    "events_window_agg", "asof_join", "session_listing",
+    # (4) head of the r4-vintage block
+    "hybrid_rrf_3way", "round_buffer_batch",
+]
+
 _DRIVER_WINDOW_R7 = [
     # (1) never driver-checked (r6 positions 51-55)
     "fact_conflicts_cumulative", "fact_validation_cumulative",
@@ -4597,7 +4634,7 @@ def release_memo_stores(spark: SparkSession, sf_dir: str) -> int:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     reg = _query_registry()
-    ordered = {n: reg[n] for n in _DRIVER_WINDOW_R7}
+    ordered = {n: reg[n] for n in _DRIVER_WINDOW_R8}
     ordered.update((n, f) for n, f in reg.items() if n not in ordered)
     return ordered
 
