@@ -518,10 +518,17 @@ def mutual_knn_pairs(
 
     if cell_col is None:
         # one tiny job: corpus size (for the scaled-planes rule) + the
-        # actual vector dimensionality (the hyperplanes must match it)
+        # actual vector dimensionality (the hyperplanes must match it).
+        # count(1), not count(id_col): the oracle counts rows (count(*)),
+        # and an empty corpus must short-circuit — F.first(size) is None
+        # then, and int(None) would raise (ADVICE r7).
         n, dim = corpus.select(
-            F.count(id_col), F.first(F.size(vec_col))
+            F.count(F.lit(1)), F.first(F.size(vec_col))
         ).first()
+        if n == 0 or dim is None:
+            return corpus.sparkSession.createDataFrame(
+                [], "vec_a long, vec_b long, score double"
+            )
         num_planes = scaled_num_planes(n, target_cell_size)
         corpus = corpus.withColumn(
             "__cell",

@@ -204,10 +204,15 @@ def exact_token_count(text_col, merges: list[tuple]):
     table plays the role of the real tokenizer, which keeps the count
     deterministic and therefore oracle-checkable. Empty/whitespace text
     encodes to zero tokens — the reference also returns 0 for empty
-    text."""
+    text, and NULL text counts 0 as well (size() alone would return
+    NULL — or -1 under legacy sizeOfNull — breaking oracle parity with
+    the DuckDB twin, which yields 0; same guard as
+    heuristic_token_count)."""
     from memfuse_spark.functions.text import tokenize
 
-    return F.size(apply_merges(tokenize(text_col), merges)).cast("long")
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    n = F.size(apply_merges(tokenize(c), merges)).cast("long")
+    return F.when(c.isNull(), F.lit(0).cast("long")).otherwise(n)
 
 
 def heuristic_token_count(text_col):

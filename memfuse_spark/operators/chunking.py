@@ -359,7 +359,12 @@ def validate_chunks(
     pushes down and stays inside whole-stage codegen; no shuffle.
     """
     c = F.col(content_col)
-    kept = chunks.filter(c.isNotNull() & (F.length(F.trim(c)) >= min_len))
+    # str.strip() in the reference removes ALL whitespace, not just
+    # ASCII spaces — F.trim would keep a tab/newline-padded chunk the
+    # reference drops (ADVICE r7). Regexp strip mirrors str.strip();
+    # the DuckDB twin uses the identical pattern.
+    stripped_len = F.length(F.regexp_replace(c, r"^\s+|\s+$", ""))
+    kept = chunks.filter(c.isNotNull() & (stripped_len >= min_len))
     truncated = kept.withColumn(
         content_col,
         F.when(

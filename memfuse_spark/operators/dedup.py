@@ -403,7 +403,7 @@ def simhash_recall_audit_sql(
     from memfuse_spark import oracles
 
     inner = (
-        oracles.simhash_sql(bits).strip().removesuffix("ORDER BY doc_id\n").rstrip()
+        oracles.simhash_sql(bits).strip().removesuffix("ORDER BY doc_id").rstrip()
     )
     if sample_mod is not None:
         inner = inner.replace(
@@ -1654,11 +1654,20 @@ def semdedup_keep(
         # wall vs 4.06x with this rule.
         from memfuse_spark.operators.ann import scaled_num_planes
 
-        base, _ = _cache.tracked_local_checkpoint(base, "dedup.semdedup")
+        base, base_ids = _cache.tracked_local_checkpoint(base, "dedup.semdedup")
         num_planes = scaled_num_planes(base.count(), target_cell_size)
+    else:
+        base_ids = None
 
     cells = base.withColumn("cell", lsh_bucket(F.col("v"), dim, num_planes))
     cells, _ids = _cache.tracked_local_checkpoint(cells, "dedup.semdedup")
+    if base_ids:
+        # the cells checkpoint (eager) subsumes the base checkpoint —
+        # release the base blocks NOW instead of carrying two
+        # corpus-sized checkpoints until the second-next begin()
+        # (ADVICE r7; scope release later is a no-op for already-dropped
+        # ids).
+        _cache.unpersist_rdd_ids(emb.sparkSession, base_ids)
     per_dim = (
         cells.select("cell", F.posexplode("v").alias("pos", "x"))
         .groupBy("cell", "pos")

@@ -208,7 +208,7 @@ def simhash_pairs_sql(max_hamming: int = 3, bits: int = SIMHASH_BITS) -> str:
         f"SELECT doc_id, simhash, {i} AS byte_idx, (simhash >> {i * 8}) & 255 AS byte_val FROM sim"
         for i in range(n_bytes)
     )
-    inner = simhash_sql(bits).strip().removesuffix("ORDER BY doc_id\n").rstrip()
+    inner = simhash_sql(bits).strip().removesuffix("ORDER BY doc_id").rstrip()
     # wrap the per-doc simhash as a CTE
     return f"""
 WITH sim AS ({inner}),

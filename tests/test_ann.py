@@ -400,3 +400,17 @@ def test_mutual_knn_default_uses_corpus_scaled_cells(spark):
     # mutuality contract holds under the scaled-cell default
     seen = {(r.vec_a, r.vec_b) for r in pairs}
     assert all(a < b for a, b in seen)
+
+
+def test_mutual_knn_empty_corpus_returns_empty(spark):
+    """ADVICE r7: default-cell mode on an EMPTY corpus used to raise
+    TypeError (int(None) on the F.first(size) dimension probe); it must
+    short-circuit to an empty (vec_a, vec_b, score) frame. The row
+    count also uses count(1) now — count(id_col) would skip NULL ids
+    while the oracle counts rows."""
+    from memfuse_spark.operators.ann import mutual_knn_pairs
+
+    empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    out = mutual_knn_pairs(empty, k=3)
+    assert out.columns == ["vec_a", "vec_b", "score"]
+    assert out.count() == 0

@@ -224,3 +224,32 @@ def test_token_counter_ladder_tiers(spark):
     for r in cols:
         assert r.e == got[r.doc_id].n_tokens_exact
         assert r.h == got[r.doc_id].n_tokens_heuristic
+
+
+def test_exact_token_count_null_text_counts_zero(spark):
+    """ADVICE r7: exact_token_count on NULL text must return 0 (the
+    docstring's promise and the DuckDB twin's behavior) — bare F.size
+    would return NULL (or -1 under legacy sizeOfNull), failing oracle
+    parity on a NULL-text document. The heuristic tier already guards
+    NULL; the exact tier must match."""
+    from memfuse_spark.operators.bpe import (
+        exact_token_count,
+        heuristic_token_count,
+    )
+
+    merges = [(0, "a", "b")]
+    df = spark.createDataFrame(
+        [(1, None), (2, "a b"), (3, "")],
+        "doc_id bigint, text string",
+    )
+    got = {
+        r.doc_id: (r.e, r.h)
+        for r in df.select(
+            "doc_id",
+            exact_token_count("text", merges).alias("e"),
+            heuristic_token_count("text").alias("h"),
+        ).collect()
+    }
+    assert got[1] == (0, 0)   # NULL -> 0 on BOTH tiers
+    assert got[2][0] == 1     # 'a b' merges to one token
+    assert got[3] == (0, 0)   # empty -> 0

@@ -218,3 +218,21 @@ def test_validate_chunks_filter_truncate_metadata(spark):
     assert big.content == "w" * 100 + "..."
     assert big.content_length == 103          # post-truncation length
     assert big.estimated_tokens == 103 // 4   # estimate on truncated text
+
+
+def test_validate_chunks_strips_all_whitespace_like_str_strip(spark):
+    """ADVICE r7: the reference validates with str.strip() (ALL
+    whitespace), while F.trim strips only ASCII spaces — a chunk padded
+    with tabs/newlines whose stripped length is < min_len must be
+    DROPPED (F.trim would have kept it). The DuckDB twin uses the same
+    regexp strip, so the engines stay in lockstep."""
+    df = spark.createDataFrame(
+        [
+            ("tab_pad", "\t\n  tiny txt \n\t"),   # strip -> 8 < 10: drop
+            ("nl_blank", "\n\t\n"),                # strip -> empty: drop
+            ("ok_pad", "\t a chunk long enough to keep \n"),
+        ],
+        "chunk_id string, content string",
+    )
+    got = {r.chunk_id for r in ch.validate_chunks(df, max_len=100).collect()}
+    assert got == {"ok_pad"}

@@ -515,3 +515,58 @@ def test_simhash_recall_audit_pigeonhole_guarantee(spark):
         assert r.recall == round(r.n_caught / r.n_true, 6)
         if r.hamming <= 3:
             assert r.recall == 1.0, r
+
+
+def test_simhash_cte_wrappers_strip_inner_order_by():
+    """ADVICE r7: the simhash CTE wrappers removesuffix'd
+    "ORDER BY doc_id\\n" AFTER .strip() had already eaten the trailing
+    newline — a no-op that left a dead ORDER BY (and a wasted sort)
+    inside the sim CTE. Both wrappers must emit exactly ONE ORDER BY:
+    their own outer one."""
+    from memfuse_spark import oracles
+    from memfuse_spark.operators.dedup import simhash_recall_audit_sql
+
+    pairs = oracles.simhash_pairs_sql()
+    audit = simhash_recall_audit_sql(sample_mod=2)
+    assert pairs.count("ORDER BY") == 1, pairs
+    assert audit.count("ORDER BY") == 1, audit
+
+
+def test_semdedup_auto_planes_releases_base_checkpoint(spark):
+    """ADVICE r7: the num_planes=None path checkpoints the (id, vector)
+    projection to count it, then checkpoints the cells frame — the base
+    checkpoint is superseded at that instant and must be unpersisted
+    immediately, not carried (corpus-sized) until the second-next
+    begin(). Asserts the release call fires with the base ids and that
+    those RDD ids are no longer persistent when semdedup_keep returns."""
+    from unittest import mock
+
+    from memfuse_spark import cache
+    from memfuse_spark.operators.dedup import semdedup_keep
+    from memfuse_spark.operators.textanalysis import hashed_bow_vectors
+
+    docs = spark.createDataFrame(
+        [(i, f"some text body number {i} with shared tokens") for i in range(12)],
+        "doc_id long, text string",
+    )
+    emb = hashed_bow_vectors(docs)
+
+    released: list[frozenset] = []
+    real = cache.unpersist_rdd_ids
+
+    def spy(sp, ids):
+        released.append(frozenset(ids))
+        return real(sp, ids)
+
+    with mock.patch.object(cache, "unpersist_rdd_ids", side_effect=spy):
+        out = semdedup_keep(
+            emb, id_col="doc_id", vec_col="vector", dim=64,
+            num_planes=None, threshold=0.95,
+        )
+        out.collect()
+
+    assert released and all(released), "base checkpoint was never released"
+    jmap = spark.sparkContext._jsc.getPersistentRDDs()
+    for ids in released[:1]:  # the base-checkpoint release (first call)
+        for i in ids:
+            assert not jmap.containsKey(i), f"base RDD {i} still persistent"
