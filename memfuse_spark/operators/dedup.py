@@ -1217,14 +1217,22 @@ def prefix_filter_pairs(
 
 
 def prefix_filter_pairs_sql(
-    tokenize_sql: str, threshold: float = PREFIX_JACCARD_T
+    tokenize_sql: str,
+    threshold: float = PREFIX_JACCARD_T,
+    sample_mod: int | None = None,
 ) -> str:
     """DuckDB twin of :func:`prefix_filter_pairs` (verify step only needs
     candidates, but SQL computes the same prefix-filtered candidates for
-    a faithful plan mirror)."""
+    a faithful plan mirror). ``sample_mod`` bounds the exact tier to the
+    deterministic md5 doc sample (:func:`audit_sample_sql`) — the
+    sampled-audit form the band-recall audits established; identical
+    predicate on both engines."""
+    where = (
+        f" WHERE {audit_sample_sql(sample_mod)}" if sample_mod is not None else ""
+    )
     return f"""
 WITH toks AS (
-  SELECT DISTINCT doc_id, unnest({tokenize_sql}) AS tok FROM documents
+  SELECT DISTINCT doc_id, unnest({tokenize_sql}) AS tok FROM documents{where}
 ),
 freq AS (SELECT tok, count(*) AS df FROM toks GROUP BY tok),
 sizes AS (SELECT doc_id, count(*) AS sz FROM toks GROUP BY doc_id),

@@ -570,3 +570,43 @@ def test_semdedup_auto_planes_releases_base_checkpoint(spark):
     for ids in released[:1]:  # the base-checkpoint release (first call)
         for i in ids:
             assert not jmap.containsKey(i), f"base RDD {i} still persistent"
+
+
+def test_audit_sample_contract_spark_matches_duckdb(spark):
+    """VERDICT r7 #7: the audit-sample predicate is a CROSS-ENGINE
+    contract — every sampled audit (minhash/simhash recall,
+    prefix_filter_stats) relies on Spark's audit_sample and DuckDB's
+    audit_sample_sql selecting the SAME doc set. Mutating the md5
+    expression on either side must fail here: (a) data parity over ids
+    that exercise hex range and sign, (b) the oracle strings of the
+    three sampled audits must embed the shared predicate verbatim."""
+    import duckdb
+
+    import __spark_entry__ as m
+    from memfuse_spark.operators.dedup import audit_sample, audit_sample_sql
+
+    ids = list(range(0, 4000, 7)) + [10**12 + 3, 10**15 + 7]
+    docs = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+    for mod in (2, 3, 5):
+        got = {
+            r.doc_id for r in audit_sample(docs, mod).collect()
+        }
+        con = duckdb.connect()
+        con.execute(
+            "CREATE TABLE documents AS SELECT unnest(?::BIGINT[]) AS doc_id",
+            [ids],
+        )
+        want = {
+            r[0]
+            for r in con.execute(
+                f"SELECT doc_id FROM documents WHERE {audit_sample_sql(mod)}"
+            ).fetchall()
+        }
+        con.close()
+        assert got == want, f"mod={mod}: {len(got)} spark vs {len(want)} duckdb"
+        assert 0 < len(got) < len(ids)  # non-degenerate sample
+
+    osql = m.oracle_sql()
+    pred = audit_sample_sql(2)
+    for q in ("minhash_recall_audit", "simhash_recall_audit", "prefix_filter_stats"):
+        assert pred in osql[q], f"{q} oracle no longer embeds the shared predicate"
