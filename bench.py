@@ -318,21 +318,73 @@ def main() -> None:
     # front (BENCH_r03 "parsed": null). The LAST line stays compact —
     # headline per-query timings + a rollup of the extra suite — so the
     # driver always parses it.
+    # BENCH_DETAIL.json carries the RUN BAND, not just the last sample
+    # (VERDICT r7: host variance on this box is ±45%, so a single-run
+    # artifact can't answer a regression question without git
+    # archaeology): a rolling history of the last few runs plus a
+    # per-slot min/median/max band across the retained same-SF runs.
+    # Every run gets a run_id, echoed on BOTH stdout JSON lines, so a
+    # driver BENCH_r{N} row is attributable to its exact run.
+    run_id = time.strftime("%Y%m%dT%H%M%SZ", time.gmtime())
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
+    )
+    prior_runs: list[dict] = []
+    try:
+        with open(detail_path) as fh:
+            prior = json.load(fh)
+        prior_runs = prior.get("runs") or []
+        if not prior_runs and prior.get("queries"):
+            # migrate a pre-band artifact: keep its sample as one run
+            prior_runs = [{
+                "run_id": "pre-band",
+                "sf": prior.get("sf"),
+                "queries": prior["queries"],
+                "fixture_builds": prior.get("fixture_builds", {}),
+            }]
+    except (OSError, ValueError):
+        pass
+    this_run = {
+        "run_id": run_id,
+        "sf": sf_val,
+        "queries": timings,
+        "fixture_builds": fixture_builds,
+        "headline_total": round(sum(timings[n] for n in HEADLINE), 3),
+    }
+    runs = (prior_runs + [this_run])[-6:]  # rolling window of runs
+    same_sf = [r for r in runs if r.get("sf") == sf_val]
+    band: dict[str, dict] = {}
+    for name in timings:
+        vals = sorted(
+            r["queries"][name] for r in same_sf if name in r.get("queries", {})
+        )
+        band[name] = {
+            "min": vals[0],
+            "med": vals[len(vals) // 2],
+            "max": vals[-1],
+            "n": len(vals),
+        }
     detail = {
         "metric": "full_suite_detail",
         "unit": "sec",
+        "run_id": run_id,
         "queries": timings,
         "fixture_builds": fixture_builds,
         "sf": sf_val,
+        "band": band,
+        "runs": runs,
     }
-    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                           "BENCH_DETAIL.json"), "w") as fh:
+    with open(detail_path, "w") as fh:
         json.dump(detail, fh, indent=1)
-    print(json.dumps(detail))
+    # the early log line stays band-free (stdout size discipline)
+    print(json.dumps({k: detail[k] for k in
+                      ("metric", "unit", "run_id", "queries",
+                       "fixture_builds", "sf")}))
     out = {
         "metric": "headline_suite_total_runtime",
         "value": round(sum(timings[n] for n in HEADLINE), 3),
         "unit": "sec",
+        "run_id": run_id,
         "queries": {n: timings[n] for n in HEADLINE},
         "extra_total": round(sum(timings[n] for n in EXTRA), 3),
         "n_extra": len(EXTRA),
