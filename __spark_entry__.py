@@ -2417,6 +2417,29 @@ def q_semdedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_semdedup_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup in its SCALE MODE — num_planes=None, the corpus-scaled
+    cell rule (planes = max(1, ceil(log2(max(n/target, 2))))) that the
+    r6 10× probe measured at 4.06× vs 14.6× for fixed planes. This is
+    the configuration a 100 TB run uses (cell size — and the O(cell²)
+    within-cell kernel — stays ~constant as the corpus grows);
+    `semdedup_keep` keeps the fixed-4-plane tier oracle-checked, this
+    query pins the adaptive rule itself, with the oracle deriving the
+    same plane count from count(*) inside the SQL
+    (oracles.semdedup_scaled_sql, the mutual_knn_scaled_sql pattern)."""
+    from memfuse_spark.operators.dedup import semdedup_keep
+    from memfuse_spark.operators.textanalysis import hashed_bow_vectors
+
+    (docs,) = _tables(spark, sf_dir, "documents")
+    vecs = hashed_bow_vectors(
+        docs, postings=spark.table(_postings_index(spark, sf_dir))
+    )
+    return semdedup_keep(
+        vecs, id_col="doc_id", vec_col="vector", dim=64, num_planes=None,
+        threshold=0.95,
+    )
+
+
 def q_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Interval overlap join with two BIG sides (the case
     band_range_join's broadcast cannot handle): gap-based user
@@ -4653,6 +4676,9 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # queries() reorders so _DRIVER_WINDOW_R7 leads.
     return {
         "hybrid_rrf_3way": q_hybrid_rrf_3way,
+        # added after the r8 rotation freeze → positions 51+, heads the
+        # round-9 window
+        "semdedup_scaled": q_semdedup_scaled,
         # added after the r7 rotation freeze → positions 51+, heads the
         # round-8 window
         "token_chunks": q_token_chunks,
@@ -6422,6 +6448,7 @@ ORDER BY p.purchase_id
             cumulative=True
         ),
         "semdedup_keep": oracles.semdedup_sql(),
+        "semdedup_scaled": oracles.semdedup_scaled_sql(),
         "interval_overlap": """
 WITH lagd AS (
   SELECT user_id, event_id, ts,

@@ -2402,16 +2402,11 @@ grid AS (
 vecs AS (SELECT doc_id, list(c ORDER BY i) AS v FROM grid GROUP BY doc_id)"""
 
 
-def semdedup_sql(
-    dim: int = 64, num_planes: int = 4, threshold: float = 0.95
-) -> str:
-    """DuckDB twin of dedup.semdedup_keep over the hashed-BoW vectors:
-    sign-LSH cells, per-cell centroids, within-cell cosine >= threshold
-    pairs, recursive min-label components, farthest-from-centroid
-    keep rule."""
-    from memfuse_spark.operators.ann import lsh_bucket_sql
-
-    bucket = lsh_bucket_sql("v", dim, num_planes)
+def _semdedup_body_sql(cells_sql: str, dim: int, threshold: float) -> str:
+    """Shared tail of the semdedup twins: per-cell centroids,
+    within-cell cosine >= threshold pairs, recursive min-label
+    components, farthest-from-centroid keep — parameterized on the
+    cells CTE (fixed-plane vs corpus-scaled bucketing)."""
     cos_vc = (
         "list_dot_product(c.v, ct.centroid)"
         " / (sqrt(list_dot_product(c.v, c.v))"
@@ -2424,7 +2419,7 @@ def semdedup_sql(
     )
     return f"""
 WITH RECURSIVE {hashed_bow_cte(dim)},
-cells AS (SELECT doc_id, v, {bucket} AS cell FROM vecs),
+{cells_sql},
 per_dim AS (
   SELECT cell, t.i AS pos, avg(v[t.i + 1]) AS m
   FROM cells, range(0, {dim}) AS t(i) GROUP BY cell, t.i
@@ -2465,3 +2460,47 @@ SELECT w.doc_id AS vec_id, w.cell, c.component,
 FROM wd w JOIN comp c USING (doc_id)
 ORDER BY w.doc_id
 """
+
+
+def semdedup_sql(
+    dim: int = 64, num_planes: int = 4, threshold: float = 0.95
+) -> str:
+    """DuckDB twin of dedup.semdedup_keep over the hashed-BoW vectors:
+    sign-LSH cells, per-cell centroids, within-cell cosine >= threshold
+    pairs, recursive min-label components, farthest-from-centroid
+    keep rule."""
+    from memfuse_spark.operators.ann import lsh_bucket_sql
+
+    bucket = lsh_bucket_sql("v", dim, num_planes)
+    cells = f"cells AS (SELECT doc_id, v, {bucket} AS cell FROM vecs)"
+    return _semdedup_body_sql(cells, dim, threshold)
+
+
+def semdedup_scaled_sql(
+    dim: int = 64, threshold: float = 0.95, target_cell_size: int = 4000
+) -> str:
+    """Twin of dedup.semdedup_keep's num_planes=None SCALE MODE: the
+    plane count is derived from count(*) INSIDE the SQL (the
+    mutual_knn_scaled_sql pattern), so the oracle applies the same
+    corpus-scaled cell rule at any SF — planes = max(1,
+    ceil(log2(max(n / target_cell_size, 2)))), bits from the shared
+    md5 hyperplane derivation."""
+    plane = (
+        f"list_transform(range({dim}), i -> "
+        "(CAST('0x' || substring(md5(j::VARCHAR || '|' || i::VARCHAR), 1, 8)"
+        " AS BIGINT) / 4294967295.0) * 2.0 - 1.0)"
+    )
+    cells = f"""params AS (
+  SELECT greatest(1, CAST(ceil(log2(greatest(count(*) / {target_cell_size}.0,
+                                             2.0))) AS INT)) AS planes
+  FROM documents
+),
+cells AS (
+  SELECT doc_id, v,
+         array_to_string(
+           list_transform(range((SELECT planes FROM params)), j ->
+             CASE WHEN list_dot_product(v, {plane}) > 0
+                  THEN '1' ELSE '0' END), '') AS cell
+  FROM vecs
+)"""
+    return _semdedup_body_sql(cells, dim, threshold)
