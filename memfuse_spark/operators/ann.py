@@ -63,14 +63,129 @@ def _hyperplane(j: int, dim: int) -> Column:
     )
 
 
-def lsh_bucket(vec_col: Column | str, dim: int, num_planes: int = NUM_HYPERPLANES) -> Column:
-    """Sign-bit bucket string for a vector column."""
+def lsh_bucket(
+    vec_col: Column | str,
+    dim: int,
+    num_planes: int = NUM_HYPERPLANES,
+    plane_offset: int = 0,
+) -> Column:
+    """Sign-bit bucket string for a vector column. ``plane_offset``
+    starts the deterministic hyperplane sequence at plane j=offset —
+    the hot-cell split (:func:`split_hot_cells`) extends a cell key
+    with the NEXT planes in the same sequence."""
     v = F.col(vec_col) if isinstance(vec_col, str) else vec_col
     bits = [
         F.when(dot(v, _hyperplane(j, dim)) > 0, F.lit("1")).otherwise(F.lit("0"))
-        for j in range(num_planes)
+        for j in range(plane_offset, plane_offset + num_planes)
     ]
     return F.concat(*bits)
+
+
+HOT_CELL_MAX_EXTRA = 8  # split cap: one hot cell fans out to <= 256 subcells
+
+
+def split_hot_cells(
+    df: DataFrame,
+    vec_col: str,
+    dim: int,
+    base_planes: int,
+    target_cell_size: int,
+    cell_col: str = "cell",
+    max_extra: int = HOT_CELL_MAX_EXTRA,
+    ext_bits_col: str | None = None,
+) -> DataFrame:
+    """Rebalance skewed sign-LSH cells by EXTENDING hot cells' keys with
+    extra deterministic planes: a cell holding ``c`` rows gains
+    ``extra = min(max_extra, max(0, ceil(log2(c / target))))`` more sign
+    bits (hyperplanes ``base_planes .. base_planes+extra-1`` — the same
+    md5 sequence, so the rule is reproducible in SQL), splitting it into
+    up to ``2^extra`` subcells of ~target size.
+
+    Why: the corpus-scaled plane-count rule (:func:`scaled_num_planes`)
+    keeps the AVERAGE cell at target size, but sign-LSH cells on
+    correlated data skew hard — the round-8 100× probe measured a max
+    cell 19× target and a Σcell² work integral 9.1× the n·target ideal
+    for semdedup's BoW vectors (6.1× for the embedding corpus), which is
+    exactly the superlinearity the decade-4 wall times showed. Splitting
+    is per-cell and data-driven: only cells over target pay it, and a
+    cell of genuinely near-identical vectors (a true duplicate family)
+    stays together — that residual quadratic mass is work the
+    within-cell comparison MUST do anyway.
+
+    Cost: one tiny aggregation (|cells| rows, broadcast back) plus
+    ``max_extra`` additional sign bits computed per row. One pass, no
+    extra shuffle of the corpus.
+
+    ``df`` must already carry ``cell_col`` = lsh_bucket(v, dim,
+    base_planes); returns the frame with ``cell_col`` replaced by the
+    extended key (other columns untouched). ``ext_bits_col`` names a
+    PRECOMPUTED max_extra-bit extension column (callers that checkpoint
+    the celled frame include the bits in the checkpoint so downstream
+    consumers pay string ops, not hyperplane dot products) — it is
+    consumed and dropped.
+    """
+    v = F.col(vec_col)
+    counts = df.groupBy(cell_col).agg(F.count(F.lit(1)).alias("__cn"))
+    ext = counts.select(
+        cell_col,
+        F.least(
+            F.lit(max_extra),
+            F.greatest(
+                F.lit(0).cast("bigint"),
+                F.ceil(F.log2(F.col("__cn") / float(target_cell_size))),
+            ),
+        ).cast("int").alias("__extra"),
+    )
+    if ext_bits_col is None:
+        df = df.withColumn(
+            "__extbits", lsh_bucket(v, dim, max_extra, plane_offset=base_planes)
+        )
+        ext_bits_col = "__extbits"
+    return (
+        df.join(F.broadcast(ext), cell_col)
+        .withColumn(
+            cell_col,
+            F.concat(
+                F.col(cell_col),
+                F.expr(f"substring({ext_bits_col}, 1, __extra)"),
+            ),
+        )
+        .drop(ext_bits_col, "__extra")
+    )
+
+
+def split_hot_cells_sql(
+    cells_cte: str,
+    base_planes_expr: str,
+    dim: int,
+    target_cell_size: int,
+    max_extra: int = HOT_CELL_MAX_EXTRA,
+) -> str:
+    """DuckDB twin of :func:`split_hot_cells`: given a CTE name exposing
+    (.., v, cell), emits CTE SQL ``cell_counts``/``cells`` where the
+    final ``cells`` carries the extended key. ``base_planes_expr`` is a
+    SQL expression for the base plane count (a literal, or the scaled
+    params subquery)."""
+    plane = (
+        f"list_transform(range({dim}), i -> "
+        "(CAST('0x' || substring(md5(j::VARCHAR || '|' || i::VARCHAR), 1, 8)"
+        " AS BIGINT) / 4294967295.0) * 2.0 - 1.0)"
+    )
+    return f"""cell_counts AS (
+  SELECT cell,
+         least({max_extra}, greatest(0,
+           CAST(ceil(log2(count(*) / {target_cell_size}.0)) AS INT))) AS extra
+  FROM {cells_cte} GROUP BY cell
+),
+cells AS (
+  SELECT c0.* REPLACE (
+    c0.cell || coalesce(array_to_string(
+      list_transform(range({base_planes_expr},
+                           {base_planes_expr} + cc.extra), j ->
+        CASE WHEN list_dot_product(c0.v, {plane}) > 0
+             THEN '1' ELSE '0' END), ''), '') AS cell)
+  FROM {cells_cte} c0 JOIN cell_counts cc USING (cell)
+)"""
 
 
 def lsh_bucket_sql(vec_expr: str, dim: int, num_planes: int = NUM_HYPERPLANES) -> str:
@@ -531,11 +646,19 @@ def mutual_knn_pairs(
             )
         num_planes = scaled_num_planes(n, target_cell_size)
         corpus = corpus.withColumn(
-            "__cell",
-            lsh_bucket(
-                F.col(vec_col).cast("array<double>"), int(dim), num_planes
-            ),
+            "__vd", F.col(vec_col).cast("array<double>")
+        ).withColumn(
+            "__cell", lsh_bucket(F.col("__vd"), int(dim), num_planes)
         )
+        # SCALE-MODE default: rebalance skewed cells (round-8 100×
+        # probe: max cell 11× target, Σcell² work 6.1× the n·target
+        # ideal on the embedding corpus) — hot cells get extra
+        # deterministic planes; the oracle applies the identical rule
+        # (split_hot_cells_sql inside mutual_knn_scaled_sql).
+        corpus = split_hot_cells(
+            corpus, "__vd", int(dim), num_planes, target_cell_size,
+            cell_col="__cell",
+        ).drop("__vd")
         cell_col = "__cell"
 
     queries = corpus.select(

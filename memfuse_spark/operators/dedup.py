@@ -1651,7 +1651,8 @@ def semdedup_keep(
         F.col(id_col).alias("vec_id"),
         F.col(vec_col).cast("array<double>").alias("v"),
     )
-    if num_planes is None:
+    scale_mode = num_planes is None
+    if scale_mode:
         # the measured design rule (PLANS.md 10x probe): cells grow
         # WITH the corpus so cell size — and the O(cell² · dim)
         # within-cell pair work — stays ~constant. Checkpoint the
@@ -1668,6 +1669,18 @@ def semdedup_keep(
         base_ids = None
 
     cells = base.withColumn("cell", lsh_bucket(F.col("v"), dim, num_planes))
+    if scale_mode:
+        # carry the hot-cell-split extension bits INTO the checkpoint so
+        # downstream consumers pay string ops, not 8 more hyperplane
+        # dots per evaluation
+        from memfuse_spark.operators.ann import HOT_CELL_MAX_EXTRA
+
+        cells = cells.withColumn(
+            "__extbits",
+            lsh_bucket(
+                F.col("v"), dim, HOT_CELL_MAX_EXTRA, plane_offset=num_planes
+            ),
+        )
     cells, _ids = _cache.tracked_local_checkpoint(cells, "dedup.semdedup")
     if base_ids:
         # the cells checkpoint (eager) subsumes the base checkpoint —
@@ -1676,6 +1689,19 @@ def semdedup_keep(
         # (ADVICE r7; scope release later is a no-op for already-dropped
         # ids).
         _cache.unpersist_rdd_ids(emb.sparkSession, base_ids)
+    if scale_mode:
+        # SCALE-MODE default: rebalance skewed cells — the corpus-scaled
+        # rule keeps the AVERAGE cell at target, but sign-LSH on
+        # correlated data skews hard (round-8 100× probe: max cell 19×
+        # target, Σcell² work 9.1× the n·target ideal). Hot cells get
+        # extra deterministic planes; the oracle applies the identical
+        # rule in SQL (split_hot_cells_sql).
+        from memfuse_spark.operators.ann import split_hot_cells
+
+        cells = split_hot_cells(
+            cells, "v", dim, num_planes, target_cell_size,
+            ext_bits_col="__extbits",
+        )
     per_dim = (
         cells.select("cell", F.posexplode("v").alias("pos", "x"))
         .groupBy("cell", "pos")

@@ -885,13 +885,15 @@ def mutual_knn_scaled_sql(
         " / (sqrt(list_dot_product(e.v, e.v))"
         " * sqrt(list_dot_product(p.qv, p.qv))), 6)"
     )
+    from memfuse_spark.operators.ann import split_hot_cells_sql
+
     return f"""
 WITH params AS (
   SELECT greatest(1, CAST(ceil(log2(greatest(count(*) / {target_cell_size}.0,
                                              2.0))) AS INT)) AS planes
   FROM embeddings
 ),
-cells AS (
+cells0 AS (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
          array_to_string(
            list_transform(range((SELECT planes FROM params)), j ->
@@ -900,6 +902,9 @@ cells AS (
                   THEN '1' ELSE '0' END), '') AS cell
   FROM embeddings
 ),
+{split_hot_cells_sql(
+        "cells0", "(SELECT planes FROM params)", dim, target_cell_size
+    )},
 exploded AS (
   SELECT cell, t.i AS pos, v[t.i + 1] AS x FROM cells, range(0, {dim}) AS t(i)
 ),
@@ -2484,7 +2489,11 @@ def semdedup_scaled_sql(
     mutual_knn_scaled_sql pattern), so the oracle applies the same
     corpus-scaled cell rule at any SF — planes = max(1,
     ceil(log2(max(n / target_cell_size, 2)))), bits from the shared
-    md5 hyperplane derivation."""
+    md5 hyperplane derivation — followed by the HOT-CELL SPLIT
+    (ann.split_hot_cells: cells over target gain
+    min(8, ceil(log2(c/target))) extra planes)."""
+    from memfuse_spark.operators.ann import split_hot_cells_sql
+
     plane = (
         f"list_transform(range({dim}), i -> "
         "(CAST('0x' || substring(md5(j::VARCHAR || '|' || i::VARCHAR), 1, 8)"
@@ -2495,12 +2504,15 @@ def semdedup_scaled_sql(
                                              2.0))) AS INT)) AS planes
   FROM documents
 ),
-cells AS (
+cells0 AS (
   SELECT doc_id, v,
          array_to_string(
            list_transform(range((SELECT planes FROM params)), j ->
              CASE WHEN list_dot_product(v, {plane}) > 0
                   THEN '1' ELSE '0' END), '') AS cell
   FROM vecs
-)"""
+),
+{split_hot_cells_sql(
+        "cells0", "(SELECT planes FROM params)", dim, target_cell_size
+    )}"""
     return _semdedup_body_sql(cells, dim, threshold)

@@ -34,7 +34,12 @@ def get_spark(
     if shuffle_partitions is None:
         # local: ~1 partition per core. On a cluster you'd set this to
         # 2-3x total cores (or rely on AQE coalescing from a high start).
-        shuffle_partitions = cpus
+        # $SPARK_GRAFT_SHUFFLE_PARTITIONS overrides for scale probes —
+        # at derived 100x inputs, cpus partitions can exceed per-task
+        # memory and spill (the decade-4 experiment knob).
+        shuffle_partitions = int(
+            os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", cpus)
+        )
 
     builder = (
         SparkSession.builder.appName(app_name)

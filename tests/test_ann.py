@@ -414,3 +414,53 @@ def test_mutual_knn_empty_corpus_returns_empty(spark):
     out = mutual_knn_pairs(empty, k=3)
     assert out.columns == ["vec_a", "vec_b", "score"]
     assert out.count() == 0
+
+
+def test_split_hot_cells_rebalances_skewed_cells(spark):
+    """Round-8 scale rule: the corpus-scaled plane count keeps the
+    AVERAGE cell at target, but correlated data skews sign-LSH cells
+    (100x probe: max cell 19x target). split_hot_cells extends a hot
+    cell's key with extra deterministic planes: (a) a hot cell of
+    DIVERSE vectors splits to ~target-sized subcells, (b) a hot cell of
+    IDENTICAL vectors stays together (the residual quadratic mass is
+    true-duplicate work), (c) the rule is deterministic, (d) cells at
+    or under target are untouched."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from memfuse_spark.operators.ann import split_hot_cells
+
+    rng = np.random.default_rng(11)
+    diverse = [
+        (i, [float(x) for x in rng.normal(size=8)], "hot")
+        for i in range(1200)
+    ]
+    same = [
+        (10_000 + i, [1.0, 2.0, -1.0, 0.5, 0.0, 3.0, -2.0, 1.5], "dup")
+        for i in range(300)
+    ]
+    cold = [
+        (20_000 + i, [float(x) for x in rng.normal(size=8)], "cld")
+        for i in range(50)
+    ]
+    df = spark.createDataFrame(
+        diverse + same + cold, "vec_id long, v array<double>, cell string"
+    )
+    out = split_hot_cells(df, "v", 8, base_planes=1, target_cell_size=100)
+    sizes = {
+        (r.pref, r.cell): r.n
+        for r in out.select(
+            F.substring("cell", 1, 3).alias("pref"), "cell"
+        ).groupBy("pref", "cell").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    hot_cells = {c: n for (p, c), n in sizes.items() if p == "hot"}
+    assert len(hot_cells) > 4               # the diverse hot cell split
+    assert max(hot_cells.values()) < 600    # no subcell near the original 1200
+    dup_cells = {c: n for (p, c), n in sizes.items() if p == "dup"}
+    assert len(dup_cells) == 1              # identical vectors cannot split
+    assert set(dup_cells.values()) == {300}
+    cold_cells = {c: n for (p, c), n in sizes.items() if p == "cld"}
+    assert set(cold_cells) == {"cld"}       # <= target: key untouched
+    # deterministic: a second application of the same rule is identical
+    again = split_hot_cells(df, "v", 8, base_planes=1, target_cell_size=100)
+    assert sorted(map(tuple, out.collect())) == sorted(map(tuple, again.collect()))

@@ -134,6 +134,8 @@ def main() -> None:
         else:
             df.collect()
 
+    from memfuse_spark import cache as _cache
+
     rows = []
     for name in names:
         times = []
@@ -146,6 +148,12 @@ def main() -> None:
                 t0 = time.time()
                 run_once(name, sf_dir)
                 seconds.append(round(time.time() - t0, 3))
+            # per-slot scope hygiene (bench.py discipline): at derived
+            # 100x inputs a leftover scoped checkpoint from the PREVIOUS
+            # query (e.g. semdedup's corpus-sized cells) occupies heap
+            # another query's broadcast build then needs — without this,
+            # one slot's residue OOMs the next slot's plan.
+            _cache.release_all()
         labels = [os.path.basename(d.rstrip("/")) for d in sfs]
         row = {"query": name}
         for lab, t in zip(labels, times):
