@@ -666,16 +666,53 @@ def mutual_knn_pairs(
         F.col(vec_col).cast("array<double>").alias("qvec"),
     )
     cents = ivf_centroids(corpus, cell_col, id_col, vec_col)
-    probe_scored = queries.crossJoin(F.broadcast(cents)).withColumn(
-        "__sim", cosine_similarity(F.col("qvec"), F.col("centroid"))
+    # Probe stage as ONE numpy matmul per Arrow batch against the
+    # COLLECTED centroid table (bounded: |cells| ≈ n/target rows of dim
+    # doubles — the same table the previous plan broadcast). The
+    # previous expression — crossJoin(broadcast(cents)) + a per-query
+    # row_number window — materialized n × |cells| rows through a
+    # window sort; with corpus-scaled cells |cells| grows with n, and
+    # the round-8 100× probe measured that explosion at 27.8× wall per
+    # 10× data. Probe sims are rounded (half-away, score_decimals) with
+    # (sim DESC, cell ASC) tie order — the oracle twins apply the
+    # identical round() in their probe CTE.
+    cent_rows = sorted(cents.collect(), key=lambda r: r["cell"])
+    if not cent_rows:
+        return corpus.sparkSession.createDataFrame(
+            [], "vec_a long, vec_b long, score double"
+        )
+    probe_cells = [r["cell"] for r in cent_rows]
+    cmat = np.stack(
+        [np.asarray(r["centroid"], dtype=np.float64) for r in cent_rows]
     )
-    w_probe = Window.partitionBy("query_id").orderBy(
-        F.desc("__sim"), F.asc("cell")
-    )
-    probed = (
-        probe_scored.withColumn("__rn", F.row_number().over(w_probe))
-        .filter(F.col("__rn") <= nprobe)
-        .select("query_id", "qvec", "cell")
+    cnorm = np.linalg.norm(cmat, axis=1, keepdims=True)
+    cnorm[cnorm == 0] = 1.0
+    cmat = cmat / cnorm
+    npb = min(nprobe, len(probe_cells))
+
+    def probe_batches(batches):
+        cells_arr = np.asarray(probe_cells, dtype=object)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            q_mat = np.stack(pdf["qvec"].to_numpy()).astype(np.float64)
+            qn = np.linalg.norm(q_mat, axis=1, keepdims=True)
+            qn[qn == 0] = 1.0
+            sims = _round_half_away(q_mat / qn @ cmat.T, score_decimals)
+            # stable argsort on -sims over cell-ascending columns ==
+            # (sim desc, cell asc) — the window's total order
+            take = np.argsort(-sims, axis=1, kind="stable")[:, :npb]
+            out = pdf.iloc[
+                np.repeat(np.arange(len(pdf)), npb)
+            ][["query_id", "qvec"]].copy()
+            out["cell"] = cells_arr[take.ravel()]
+            yield out
+
+    cell_type = corpus.schema[cell_col].dataType.simpleString()
+    qid_type = queries.schema["query_id"].dataType.simpleString()
+    probed = queries.mapInPandas(
+        probe_batches,
+        f"query_id {qid_type}, qvec array<double>, cell {cell_type}",
     )
     members = corpus.select(
         F.col(cell_col).alias("cell"),

@@ -918,7 +918,7 @@ probe AS (
   SELECT query_id, cell, qv FROM (
     SELECT q.query_id, c.cell, q.qv,
            row_number() OVER (PARTITION BY q.query_id
-                              ORDER BY {cos_c} DESC, c.cell ASC) AS rn
+                              ORDER BY round({cos_c}, 6) DESC, c.cell ASC) AS rn
     FROM cents c, q
   ) WHERE rn <= {nprobe}
 ),
@@ -964,7 +964,7 @@ probe AS (
   SELECT query_id, cell, qv FROM (
     SELECT q.query_id, c.cell, q.qv,
            row_number() OVER (PARTITION BY q.query_id
-                              ORDER BY {cos_c} DESC, c.cell ASC) AS rn
+                              ORDER BY round({cos_c}, 6) DESC, c.cell ASC) AS rn
     FROM cents c, q
   ) WHERE rn <= {nprobe}
 ),
