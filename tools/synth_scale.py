@@ -60,10 +60,30 @@ def build(spark, copies: int = 10, out: str = "/tmp/memfuse_sf1") -> str:
     docs = spark.read.parquet(f"{SRC}/documents.parquet")
 
     def perturb_text(d, k):
+        # v2 (round 8): the drop pattern must be COPY-UNIQUE. v1 dropped
+        # token i where (i*7 + k) % 3 == 0, which has only THREE distinct
+        # patterns — copies k ≡ k' (mod 3) were near-identical twins, so
+        # a 100-copy corpus carried ~33-copy duplicate families per
+        # template and every pair-enumeration tier measured the
+        # quadratic-in-copies artifact, not the operator. v2 drops token
+        # i where md5(i|k) % 3 == 0 — a distinct ~1/3 pattern per copy,
+        # so cross-copy similarity stays below every dedup threshold
+        # while within-copy dup density is preserved.
         if k == 0:
             return d
         toks = F.split("text", " ")
-        kept = F.filter(toks, lambda t, i: ((i * 7 + k) % 3) != 0)
+        kept = F.filter(
+            toks,
+            lambda t, i: (
+                F.conv(
+                    F.substring(
+                        F.md5(F.concat(i.cast("string"), F.lit(f"|{k}"))),
+                        1, 8,
+                    ),
+                    16, 10,
+                ).cast("bigint") % 3
+            ) != 0,
+        )
         return d.withColumn(
             "text", F.concat(F.array_join(kept, " "), F.lit(f" copytag{k}"))
         ).withColumn("n_chars", F.length("text"))
@@ -71,18 +91,38 @@ def build(spark, copies: int = 10, out: str = "/tmp/memfuse_sf1") -> str:
     emb = spark.read.parquet(f"{SRC}/embeddings.parquet")
 
     def perturb_vec(d, k):
+        # v2 (round 8): translate copy k by a COPY-UNIQUE md5-derived
+        # vector delta_k (component i = md5(k|i) mapped to [-1,1],
+        # scaled 0.25). A translation preserves within-copy Euclidean
+        # geometry exactly (cluster radii, relative distances) while
+        # |delta_k - delta_k'| keeps cross-copy cosine ~0.4-0.6 — below
+        # every near-dup threshold. v1 shifted ONE dimension (k % 64) by
+        # 0.37k, so copies k ≡ k' (mod 64) shared 63 dims and collided
+        # near cosine 1 on a 100-copy corpus.
         if k == 0:
             return d
-        # rotate one dimension per copy so cross-copy vectors are not
-        # exact duplicates but the per-copy geometry (cluster radii,
-        # norms to first order) is preserved
         return d.withColumn(
             "embedding",
             F.transform(
                 "embedding",
-                lambda x, i: F.when(
-                    i == F.lit(k % 64), x + F.lit(0.37 * k)
-                ).otherwise(x).cast("float"),
+                lambda x, i: (
+                    x
+                    + (
+                        F.conv(
+                            F.substring(
+                                F.md5(
+                                    F.concat(F.lit(f"{k}|"), i.cast("string"))
+                                ),
+                                1, 8,
+                            ),
+                            16, 10,
+                        ).cast("double")
+                        / F.lit(float(0xFFFFFFFF))
+                        * 2.0
+                        - 1.0
+                    )
+                    * 0.25
+                ).cast("float"),
             ),
         )
 
