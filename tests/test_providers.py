@@ -1,0 +1,260 @@
+"""Live-provider adapter (`memfuse_spark.providers`) tests.
+
+A local ThreadingHTTPServer plays the OpenAI-compatible endpoint, so
+the full stack — env gate -> HTTPChatProvider -> prompts adapter ->
+seam mapInPandas — runs against a REAL HTTP round-trip with zero
+external network. Reference behaviors covered:
+llm/providers/openai.py (wire shape, auth header, content extraction),
+llm/base.py retry ladder (429/5xx backoff, Retry-After), and
+llm/config.py from_env.
+"""
+
+from __future__ import annotations
+
+import json
+import pickle
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+import pytest
+
+from memfuse_spark import providers as PR
+
+
+def _chat_payload(text: str) -> bytes:
+    return json.dumps(
+        {
+            "id": "chatcmpl-test",
+            "model": "fake-model",
+            "choices": [
+                {
+                    "index": 0,
+                    "message": {"role": "assistant", "content": text},
+                    "finish_reason": "stop",
+                }
+            ],
+            "usage": {
+                "prompt_tokens": 1,
+                "completion_tokens": 1,
+                "total_tokens": 2,
+            },
+        }
+    ).encode()
+
+
+class _FakeEndpoint:
+    """Scriptable chat-completions endpoint: a queue of
+    (status, body_text_or_reply, headers) steps; the last step repeats.
+    Records every request body + headers for assertions."""
+
+    def __init__(self, steps):
+        self.steps = list(steps)
+        self.requests = []
+        ep = self
+
+        class Handler(BaseHTTPRequestHandler):
+            def do_POST(self):  # noqa: N802 — stdlib name
+                n = int(self.headers.get("Content-Length", "0"))
+                body = json.loads(self.rfile.read(n).decode())
+                ep.requests.append(
+                    {"path": self.path, "body": body, "headers": dict(self.headers)}
+                )
+                i = min(len(ep.requests) - 1, len(ep.steps) - 1)
+                status, reply, headers = ep.steps[i]
+                data = _chat_payload(reply) if status == 200 else reply.encode()
+                self.send_response(status)
+                for k, v in (headers or {}).items():
+                    self.send_header(k, v)
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(data)))
+                self.end_headers()
+                self.wfile.write(data)
+
+            def log_message(self, *a):  # silence
+                pass
+
+        self.server = ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+        self.thread = threading.Thread(target=self.server.serve_forever, daemon=True)
+        self.thread.start()
+        self.base_url = f"http://127.0.0.1:{self.server.server_address[1]}/v1"
+
+    def close(self):
+        self.server.shutdown()
+        self.server.server_close()
+
+
+def _provider(ep, **over):
+    kw = dict(
+        base_url=ep.base_url,
+        api_key="sk-test",
+        model="fake-model",
+        max_retries=3,
+        retry_delay=0.01,
+        backoff_factor=2.0,
+        timeout=5.0,
+    )
+    kw.update(over)
+    return PR.HTTPChatProvider(PR.ProviderConfig(**kw))
+
+
+def test_happy_path_wire_shape_and_auth_header():
+    ep = _FakeEndpoint([(200, "the answer", None)])
+    try:
+        out = _provider(ep)("what is 2+2?")
+        assert out == "the answer"
+        (req,) = ep.requests
+        assert req["path"] == "/v1/chat/completions"
+        assert req["headers"]["Authorization"] == "Bearer sk-test"
+        assert req["body"]["model"] == "fake-model"
+        assert req["body"]["messages"] == [
+            {"role": "user", "content": "what is 2+2?"}
+        ]
+        assert req["body"]["temperature"] == pytest.approx(0.3)
+        assert req["body"]["max_tokens"] == 150
+    finally:
+        ep.close()
+
+
+def test_max_tokens_zero_is_omitted_from_the_wire():
+    ep = _FakeEndpoint([(200, "ok", None)])
+    try:
+        _provider(ep, max_tokens=0)("hi")
+        assert "max_tokens" not in ep.requests[0]["body"]
+    finally:
+        ep.close()
+
+
+def test_retries_transient_500_then_succeeds():
+    ep = _FakeEndpoint([(500, "boom", None), (200, "recovered", None)])
+    try:
+        assert _provider(ep)("hi") == "recovered"
+        assert len(ep.requests) == 2
+    finally:
+        ep.close()
+
+
+def test_429_honors_retry_after_then_succeeds():
+    ep = _FakeEndpoint([(429, "slow down", {"Retry-After": "0.01"}), (200, "ok", None)])
+    try:
+        assert _provider(ep)("hi") == "ok"
+        assert len(ep.requests) == 2
+    finally:
+        ep.close()
+
+
+def test_exhausted_retries_raise_provider_error():
+    ep = _FakeEndpoint([(503, "down", None)])
+    try:
+        with pytest.raises(PR.ProviderError, match="after 3 attempts"):
+            _provider(ep, max_retries=2)("hi")
+        assert len(ep.requests) == 3  # initial + 2 retries
+    finally:
+        ep.close()
+
+
+def test_non_retryable_http_error_raises_immediately():
+    ep = _FakeEndpoint([(401, "bad key", None)])
+    try:
+        with pytest.raises(PR.ProviderError, match="HTTP 401"):
+            _provider(ep)("hi")
+        assert len(ep.requests) == 1
+    finally:
+        ep.close()
+
+
+def test_malformed_response_body_is_a_provider_error(monkeypatch):
+    class _FakeResp:
+        def __enter__(self):
+            return self
+
+        def __exit__(self, *a):
+            return False
+
+        def read(self):
+            return b'{"not_choices": []}'
+
+    import urllib.request as _ur
+
+    monkeypatch.setattr(_ur, "urlopen", lambda *a, **k: _FakeResp())
+    p = PR.HTTPChatProvider(PR.ProviderConfig(base_url="http://127.0.0.1:1/v1"))
+    with pytest.raises(PR.ProviderError, match="malformed"):
+        p("hi")
+
+
+def test_env_gate_returns_none_without_base_url(monkeypatch):
+    monkeypatch.delenv("MEMFUSE_SPARK_LLM_BASE_URL", raising=False)
+    assert PR.provider_from_env() is None
+
+
+def test_env_gate_builds_configured_provider(monkeypatch):
+    monkeypatch.setenv("MEMFUSE_SPARK_LLM_BASE_URL", "http://127.0.0.1:1/v1")
+    monkeypatch.setenv("MEMFUSE_SPARK_LLM_API_KEY", "sk-env")
+    monkeypatch.setenv("MEMFUSE_SPARK_LLM_MODEL", "my-model")
+    monkeypatch.setenv("MEMFUSE_SPARK_LLM_MAX_RETRIES", "7")
+    p = PR.provider_from_env()
+    assert isinstance(p, PR.HTTPChatProvider)
+    assert p.config.api_key == "sk-env"
+    assert p.config.model == "my-model"
+    assert p.config.max_retries == 7
+
+
+def test_provider_pickles_for_executor_shipping():
+    p = PR.HTTPChatProvider(
+        PR.ProviderConfig(base_url="http://127.0.0.1:1/v1", min_interval=1.0)
+    )
+    p2 = pickle.loads(pickle.dumps(p))
+    assert p2.config.base_url == p.config.base_url
+    assert p2._last_request_t == 0.0  # throttle clock reset per process
+
+
+def test_mock_provider_replays_then_repeats():
+    m = PR.MockChatProvider(["a", "b"])
+    assert [m("1"), m("2"), m("3")] == ["a", "b", "b"]
+    assert m.calls == ["1", "2", "3"]
+
+
+def test_bind_seams_shapes_all_five_callables():
+    facts_json = json.dumps(
+        {"facts": [{"content": "x likes y", "entities": ["x"], "confidence": 0.9}]}
+    )
+    seams = PR.bind_seams(PR.MockChatProvider([facts_json]))
+    assert set(seams) == {"extractor", "detector", "validator", "former", "enhancer"}
+    [facts] = seams["extractor"](["x likes y a lot"])
+    assert facts == [
+        {"fact_content": "x likes y", "entities": ["x"], "confidence": 0.9}
+    ]
+
+
+def test_live_provider_through_m2_seam_end_to_end(spark):
+    """The full stack the reference runs per chunk: seam mapInPandas
+    -> prompt build -> HTTP chat call -> JSON parse -> fact rows. The
+    executor IS a separate worker process in local mode, so this also
+    proves the provider pickles into workers and opens its own
+    connection there."""
+    from memfuse_spark.operators.hierarchy import m2_facts_from_m1
+
+    facts = {
+        "facts": [
+            {"content": "alpha prefers beta", "entities": ["alpha"], "confidence": 0.95}
+        ]
+    }
+    ep = _FakeEndpoint([(200, json.dumps(facts), None)])
+    try:
+        from memfuse_spark import prompts as P
+
+        provider = _provider(ep)
+        m1 = spark.createDataFrame(
+            [("c1-0", "c1", "alpha beta gamma")],
+            "chunk_id string, conversation_id string, content string",
+        )
+        rows = m2_facts_from_m1(
+            m1, extractor=P.llm_extractor(provider, user_id="u1")
+        ).collect()
+        assert len(rows) == 1
+        assert rows[0].fact_content == "alpha prefers beta"
+        assert rows[0].confidence == pytest.approx(0.95)
+        # the prompt that went over the wire was the real template build
+        sent = ep.requests[0]["body"]["messages"][0]["content"]
+        assert "alpha beta gamma" in sent and "User ID: u1" in sent
+    finally:
+        ep.close()
