@@ -145,6 +145,14 @@ def main() -> None:
             run_once(name, sf_dir)
             times.append(round(time.time() - t0, 3))
             if second:
+                # warm-JVM / COLD-CACHE steady state: run 1 is fully
+                # materialized (noop sink / collect), so nothing lazy
+                # needs its scoped generation — but cache.begin() keeps
+                # one prior generation by contract, and at 100x two
+                # corpus-sized shingle caches exceed the 8g heap and
+                # the second run times eviction/GC, not the plan
+                # (decade-4 finding: minhash t2 > t1 only at 100x).
+                _cache.release_all()
                 t0 = time.time()
                 run_once(name, sf_dir)
                 seconds.append(round(time.time() - t0, 3))
