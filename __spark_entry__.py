@@ -1202,16 +1202,21 @@ def q_prefix_filter_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     and oracle-checked as prefix_filter_pairs; this slot times the
     sampled-audit COMPUTE a production run would pay."""
     from memfuse_spark.operators.dedup import (
+        AUDIT_SAMPLE_TARGET,
         PREFIX_JACCARD_T,
         audit_sample,
         prefix_filter_pairs,
     )
 
     (docs,) = _tables(spark, sf_dir, "documents")
+    # corpus-scaled sample mod, derived from the DOCS count (the SQL
+    # twin's scalar subquery counts documents, not toks rows) and
+    # applied to the toks frame the prefix filter consumes
+    mod = max(2, -(-docs.count() // AUDIT_SAMPLE_TARGET))
     pairs = prefix_filter_pairs(
         docs,
         PREFIX_JACCARD_T,
-        toks=audit_sample(_prefix_toks(spark, sf_dir), 2),
+        toks=audit_sample(_prefix_toks(spark, sf_dir), mod),
     )
     bands = pairs.withColumn("band", F.floor(F.col("jaccard") * 20).cast("int"))
     # ONE pass over the pair pipeline: explode both endpoints, then
@@ -1974,23 +1979,25 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_minhash_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Candidate-recall audit of the production MinHash banding against
     exact shingle Jaccard (prefix-filter truth) per jaccard tenth-band
-    — the dedup twin of ann_recall_audit. Runs on the deterministic 50%
-    md5 doc sample (audit_sample), exactly as a 100 TB audit would: the
-    exact-truth tier is the expensive side, and recall estimates don't
-    need the full corpus (unsampled, the truth tier alone charged ~12s
-    at sf0.1). Oracle applies the identical sample predicate."""
+    — the dedup twin of ann_recall_audit. Runs on the deterministic
+    CORPUS-SCALED md5 doc sample (audit_sample_scaled: ~20k docs at any
+    corpus size; mod=2 at the driver SFs), exactly as a 100 TB audit
+    would: recall estimates need statistical power, not corpus
+    coverage, and the decade-4 probe showed a fixed 50% sample makes
+    the exact-truth tier unbounded at 100x. Oracle derives the
+    identical mod from count(*)."""
     (docs,) = _tables(spark, sf_dir, "documents")
-    return dedup_ops.minhash_recall_audit(dedup_ops.audit_sample(docs, 2))
+    return dedup_ops.minhash_recall_audit(dedup_ops.audit_sample_scaled(docs))
 
 
 def q_simhash_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Byte-banded simhash candidate recall vs nibble-banded exact
     truth per hamming distance (0..7): pinned at 1.0 inside the ≤3
-    pigeonhole guarantee, decaying beyond it. Same 50% md5 sample as
-    minhash_recall_audit — the audit's truth tier is the expensive
-    side."""
+    pigeonhole guarantee, decaying beyond it. Same corpus-scaled md5
+    sample as minhash_recall_audit — the audit's truth tier is the
+    expensive side."""
     (docs,) = _tables(spark, sf_dir, "documents")
-    return dedup_ops.simhash_recall_audit(dedup_ops.audit_sample(docs, 2))
+    return dedup_ops.simhash_recall_audit(dedup_ops.audit_sample_scaled(docs))
 
 
 def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -6404,10 +6411,10 @@ ORDER BY p.purchase_id
         "exact_dedup": oracles.exact_dedup_sql(),
         "minhash_pairs": oracles.minhash_pairs_sql(),
         "minhash_recall_audit": dedup_ops.minhash_recall_audit_sql(
-            sample_mod=2
+            sample_target=dedup_ops.AUDIT_SAMPLE_TARGET
         ),
         "simhash_recall_audit": dedup_ops.simhash_recall_audit_sql(
-            sample_mod=2
+            sample_target=dedup_ops.AUDIT_SAMPLE_TARGET
         ),
         "minhash_dedup_keep": oracles.minhash_dedup_keep_sql(),
         "simhash": oracles.simhash_sql(),
@@ -6712,7 +6719,7 @@ GROUP BY d.source ORDER BY d.source
         "prefix_filter_stats": f"""
 WITH pf AS ({dedup_ops.prefix_filter_pairs_sql(
             _TOKENIZE_SQL.format(col="text"), dedup_ops.PREFIX_JACCARD_T,
-            sample_mod=2,
+            sample_target=dedup_ops.AUDIT_SAMPLE_TARGET,
         )}),
 bands AS (
   SELECT CAST(floor(jaccard * 20) AS INT) AS band, doc_a, doc_b FROM pf

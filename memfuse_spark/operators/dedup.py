@@ -214,6 +214,54 @@ def audit_sample_sql(mod: int = 2) -> str:
     )
 
 
+# Absolute audit-sample size the scaled rule holds constant: recall
+# estimates need statistical power, not corpus coverage, so the sample
+# stays ~this many docs as the corpus grows (mod = ceil(n / target)).
+AUDIT_SAMPLE_TARGET = 20_000
+
+
+def audit_sample_scaled(
+    docs: DataFrame,
+    target: int = AUDIT_SAMPLE_TARGET,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Corpus-SCALED audit sample: md5(id) % mod == 0 with
+    mod = max(2, ceil(n / target)) — the absolute sample stays ~target
+    docs at any corpus size, so the exact-truth audit tier is bounded
+    at every decade. The fourth-decade probe showed why a FIXED mod
+    cannot be the default: at 100x derived scale the 50% sample put
+    250k docs through the exact prefix-filter tier and the audit ran
+    unbounded (>25 min, vs ~2s steady at sf0.1). One count() scan
+    derives mod; the SQL twin (:func:`audit_sample_scaled_sql`)
+    derives the identical mod from count(*)."""
+    n = docs.count()
+    mod = max(2, -(-n // target))
+    return audit_sample(docs, mod, id_col)
+
+
+def audit_sample_scaled_sql(
+    target: int = AUDIT_SAMPLE_TARGET, table: str = "documents"
+) -> str:
+    """DuckDB twin predicate of :func:`audit_sample_scaled` — the mod
+    comes from a scalar subquery over the same table, so one static
+    SQL string applies the corpus-adaptive rule at any scale."""
+    return (
+        "CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))"
+        " AS BIGINT) % (SELECT greatest(2, CAST(ceil(count(*) /"
+        f" {target}.0) AS BIGINT)) FROM {table}) = 0"
+    )
+
+
+def _sample_pred(sample_mod: int | None, sample_target: int | None) -> str | None:
+    """Sampling predicate for the audit SQL builders: fixed mod wins,
+    else the corpus-scaled rule, else no sampling."""
+    if sample_mod is not None:
+        return audit_sample_sql(sample_mod)
+    if sample_target is not None:
+        return audit_sample_scaled_sql(sample_target)
+    return None
+
+
 def minhash_recall_audit(
     docs: DataFrame,
     truth_threshold: float = 0.05,
@@ -268,12 +316,16 @@ def minhash_recall_audit(
 
 
 def minhash_recall_audit_sql(
-    truth_threshold: float = 0.05, n: int = SHINGLE_N, sample_mod: int | None = None
+    truth_threshold: float = 0.05,
+    n: int = SHINGLE_N,
+    sample_mod: int | None = None,
+    sample_target: int | None = None,
 ) -> str:
     """DuckDB twin: brute-force exact jaccard for truth (oracle-scale
     corpora only) against the shared signature/band/candidate CTEs.
-    ``sample_mod`` applies the audit_sample predicate to the document
-    source (rewrites the shared toks CTE's FROM)."""
+    ``sample_mod`` applies the fixed audit_sample predicate to the
+    document source (rewrites the shared toks CTE's FROM);
+    ``sample_target`` applies the corpus-scaled rule instead."""
     from memfuse_spark import oracles
 
     j = (
@@ -281,10 +333,10 @@ def minhash_recall_audit_sql(
         " / len(list_distinct(list_concat(a.s, b.s))), 6)"
     )
     prefix = oracles._minhash_prefix(n)
-    if sample_mod is not None:
+    pred = _sample_pred(sample_mod, sample_target)
+    if pred is not None:
         prefix = prefix.replace(
-            "FROM documents",
-            f"FROM documents WHERE {audit_sample_sql(sample_mod)}",
+            "FROM documents", f"FROM documents WHERE {pred}"
         )
     return (
         prefix
@@ -398,6 +450,7 @@ def simhash_recall_audit_sql(
     band_bits: int = 8,
     truth_band_bits: int = 4,
     sample_mod: int | None = None,
+    sample_target: int | None = None,
 ) -> str:
     """DuckDB twin of :func:`simhash_recall_audit`."""
     from memfuse_spark import oracles
@@ -405,10 +458,10 @@ def simhash_recall_audit_sql(
     inner = (
         oracles.simhash_sql(bits).strip().removesuffix("ORDER BY doc_id").rstrip()
     )
-    if sample_mod is not None:
+    pred = _sample_pred(sample_mod, sample_target)
+    if pred is not None:
         inner = inner.replace(
-            "FROM documents",
-            f"FROM documents WHERE {audit_sample_sql(sample_mod)}",
+            "FROM documents", f"FROM documents WHERE {pred}"
         )
     nib = "\n  UNION ALL\n".join(
         f"SELECT doc_id, simhash, {i} AS bidx,"
@@ -1220,16 +1273,17 @@ def prefix_filter_pairs_sql(
     tokenize_sql: str,
     threshold: float = PREFIX_JACCARD_T,
     sample_mod: int | None = None,
+    sample_target: int | None = None,
 ) -> str:
     """DuckDB twin of :func:`prefix_filter_pairs` (verify step only needs
     candidates, but SQL computes the same prefix-filtered candidates for
     a faithful plan mirror). ``sample_mod`` bounds the exact tier to the
-    deterministic md5 doc sample (:func:`audit_sample_sql`) — the
+    deterministic md5 doc sample (:func:`audit_sample_sql`);
+    ``sample_target`` applies the corpus-scaled rule — the
     sampled-audit form the band-recall audits established; identical
     predicate on both engines."""
-    where = (
-        f" WHERE {audit_sample_sql(sample_mod)}" if sample_mod is not None else ""
-    )
+    pred = _sample_pred(sample_mod, sample_target)
+    where = f" WHERE {pred}" if pred is not None else ""
     return f"""
 WITH toks AS (
   SELECT DISTINCT doc_id, unnest({tokenize_sql}) AS tok FROM documents{where}

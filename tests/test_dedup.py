@@ -606,7 +606,50 @@ def test_audit_sample_contract_spark_matches_duckdb(spark):
         assert got == want, f"mod={mod}: {len(got)} spark vs {len(want)} duckdb"
         assert 0 < len(got) < len(ids)  # non-degenerate sample
 
+    from memfuse_spark.operators.dedup import audit_sample_scaled_sql
+
     osql = m.oracle_sql()
-    pred = audit_sample_sql(2)
+    pred = audit_sample_scaled_sql()
     for q in ("minhash_recall_audit", "simhash_recall_audit", "prefix_filter_stats"):
         assert pred in osql[q], f"{q} oracle no longer embeds the shared predicate"
+
+
+def test_audit_sample_scaled_contract_spark_matches_duckdb(spark):
+    """The corpus-SCALED sample rule (mod = max(2, ceil(n/target)))
+    must derive the identical mod — and therefore the identical doc
+    set — on both engines, across corpus sizes that cross the mod
+    boundaries (n <= target -> 2; larger corpora -> ceil)."""
+    import duckdb
+
+    from memfuse_spark.operators.dedup import (
+        audit_sample_scaled,
+        audit_sample_scaled_sql,
+    )
+
+    for n_docs, target, want_mod in ((40, 100, 2), (250, 100, 3), (1000, 100, 10)):
+        ids = [i * 13 + 1 for i in range(n_docs)]
+        docs = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+        got = {
+            r.doc_id
+            for r in audit_sample_scaled(docs, target=target).collect()
+        }
+        con = duckdb.connect()
+        con.execute(
+            "CREATE TABLE documents AS SELECT unnest(?::BIGINT[]) AS doc_id",
+            [ids],
+        )
+        want = {
+            r[0]
+            for r in con.execute(
+                "SELECT doc_id FROM documents WHERE "
+                + audit_sample_scaled_sql(target)
+            ).fetchall()
+        }
+        mod_sql = con.execute(
+            "SELECT greatest(2, CAST(ceil(count(*) / "
+            f"{target}.0) AS BIGINT)) FROM documents"
+        ).fetchone()[0]
+        con.close()
+        assert mod_sql == want_mod
+        assert got == want, f"n={n_docs}: {len(got)} spark vs {len(want)} duckdb"
+        assert 0 < len(got) < len(ids)
