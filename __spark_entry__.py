@@ -1192,7 +1192,8 @@ def q_prefix_filter_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_prefix_filter_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact-tier dedup REPORT on the deterministic 50% audit sample:
+    """Exact-tier dedup REPORT on the deterministic corpus-scaled md5
+    audit sample (~AUDIT_SAMPLE_TARGET docs at any corpus size):
     the AllPairs/PPJoin pair set reduced to a jaccard-band histogram
     (band, n_pairs, n_docs) — the bounded output a 100-TB dedup job
     actually ships downstream. The exact tier is an AUDIT of the banded
@@ -1202,17 +1203,17 @@ def q_prefix_filter_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     and oracle-checked as prefix_filter_pairs; this slot times the
     sampled-audit COMPUTE a production run would pay."""
     from memfuse_spark.operators.dedup import (
-        AUDIT_SAMPLE_TARGET,
         PREFIX_JACCARD_T,
         audit_sample,
         prefix_filter_pairs,
+        scaled_sample_mod,
     )
 
     (docs,) = _tables(spark, sf_dir, "documents")
     # corpus-scaled sample mod, derived from the DOCS count (the SQL
     # twin's scalar subquery counts documents, not toks rows) and
     # applied to the toks frame the prefix filter consumes
-    mod = max(2, -(-docs.count() // AUDIT_SAMPLE_TARGET))
+    mod = scaled_sample_mod(docs.count())
     pairs = prefix_filter_pairs(
         docs,
         PREFIX_JACCARD_T,
@@ -1673,7 +1674,11 @@ def _token_chunks_sql(
 ) -> str:
     """DuckDB twin of q_token_chunks: the greedy token-budget walk as a
     RECURSIVE CTE (same shape as _round_buffer_batch_sql), then the
-    validate_chunks filter/truncate/metadata in plain SQL."""
+    validate_chunks filter/truncate/metadata in plain SQL (shared
+    STRIP_PATTERN: the literal unicode-whitespace class, identical
+    bytes on both engines)."""
+    from memfuse_spark.operators.chunking import STRIP_PATTERN
+
     tc = "greatest(1, CAST(floor(len(content) / 4) AS INTEGER))"
     return f"""
 WITH RECURSIVE {oracles.M0_CTE.strip()},
@@ -1711,7 +1716,7 @@ validated AS (
          roles, n, est
   FROM grouped
   WHERE content IS NOT NULL
-    AND len(regexp_replace(content, '^\\s+|\\s+$', '', 'g')) >= {min_len}
+    AND len(regexp_replace(content, '{STRIP_PATTERN}', '', 'g')) >= {min_len}
 )
 SELECT session_id, CAST(gid AS INTEGER) AS chunk_index, content, roles,
        CAST(n AS INTEGER) AS n_messages, CAST(est AS INTEGER) AS est_tokens,
@@ -4680,7 +4685,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Grouped by the round each query was added / last verified —
-    # queries() reorders so _DRIVER_WINDOW_R7 leads.
+    # queries() reorders so the CURRENT _DRIVER_WINDOW_R* leads.
     return {
         "hybrid_rrf_3way": q_hybrid_rrf_3way,
         # added after the r8 rotation freeze → positions 51+, heads the

@@ -631,19 +631,27 @@ def mutual_knn_pairs(
 
     from memfuse_spark.operators.similarity import _round_half_away
 
+    id_type = corpus.schema[id_col].dataType.simpleString()
+    empty_schema = f"vec_a {id_type}, vec_b {id_type}, score double"
+    # a NULL embedding is nobody's neighbor: drop it before anything
+    # else (np.stack in the probe would die on a ragged batch, and a
+    # NULL row's cosine is NULL on both engines anyway). The SQL twins
+    # carry the identical IS NOT NULL predicate — including under the
+    # plane-count subquery, so the corpus-scale rule sees the same n.
+    corpus = corpus.filter(F.col(vec_col).isNotNull())
     if cell_col is None:
         # one tiny job: corpus size (for the scaled-planes rule) + the
         # actual vector dimensionality (the hyperplanes must match it).
-        # count(1), not count(id_col): the oracle counts rows (count(*)),
-        # and an empty corpus must short-circuit — F.first(size) is None
-        # then, and int(None) would raise (ADVICE r7).
+        # count(1), not count(id_col): the oracle counts rows (count(*)
+        # over the null-filtered source), and an empty corpus must
+        # short-circuit — F.first(size) is None then, and int(None)
+        # would raise (ADVICE r7). ignorenulls is belt-and-braces on
+        # top of the NULL-vector filter above.
         n, dim = corpus.select(
-            F.count(F.lit(1)), F.first(F.size(vec_col))
+            F.count(F.lit(1)), F.first(F.size(vec_col), ignorenulls=True)
         ).first()
         if n == 0 or dim is None:
-            return corpus.sparkSession.createDataFrame(
-                [], "vec_a long, vec_b long, score double"
-            )
+            return corpus.sparkSession.createDataFrame([], empty_schema)
         num_planes = scaled_num_planes(n, target_cell_size)
         corpus = corpus.withColumn(
             "__vd", F.col(vec_col).cast("array<double>")
@@ -659,6 +667,20 @@ def mutual_knn_pairs(
             corpus, "__vd", int(dim), num_planes, target_cell_size,
             cell_col="__cell",
         ).drop("__vd")
+        # checkpoint the celled+split frame: it feeds THREE consumers
+        # (queries, centroids, members), and without the cut each one
+        # re-runs the split's corpus-wide cell-count aggregation and
+        # broadcast join (semdedup_keep checkpoints before splitting
+        # for the same reason)
+        from memfuse_spark import cache as _cache
+
+        # begin() rotates the scope's generation: the PREVIOUS call's
+        # checkpoint survives one more begin() (its returned lazy
+        # result may still be unmaterialized), older ones are dropped
+        _cache.begin("ann.mutual_knn")
+        corpus, _ids = _cache.tracked_local_checkpoint(
+            corpus, "ann.mutual_knn"
+        )
         cell_col = "__cell"
 
     queries = corpus.select(
@@ -678,9 +700,7 @@ def mutual_knn_pairs(
     # identical round() in their probe CTE.
     cent_rows = sorted(cents.collect(), key=lambda r: r["cell"])
     if not cent_rows:
-        return corpus.sparkSession.createDataFrame(
-            [], "vec_a long, vec_b long, score double"
-        )
+        return corpus.sparkSession.createDataFrame([], empty_schema)
     probe_cells = [r["cell"] for r in cent_rows]
     cmat = np.stack(
         [np.asarray(r["centroid"], dtype=np.float64) for r in cent_rows]

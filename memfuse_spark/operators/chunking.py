@@ -31,6 +31,18 @@ MAX_TOKENS_PER_CHUNK = 200
 CHUNK_MIN_LEN = 10
 CHUNK_MAX_LEN = 10000
 
+# Python str.strip()'s whitespace set, enumerated as LITERAL characters
+# so one pattern string means the same thing in Java regex (Spark) and
+# RE2 (DuckDB) — both engines' \s is ASCII-only, while the reference's
+# str.strip() removes unicode whitespace too (validate_chunks parity).
+UNICODE_WHITESPACE = (
+    "\t\n\x0b\x0c\r\x1c\x1d\x1e\x1f "
+    "\x85\xa0\u1680"
+    "\u2000\u2001\u2002\u2003\u2004\u2005\u2006\u2007"
+    "\u2008\u2009\u200a\u2028\u2029\u202f\u205f\u3000"
+)
+STRIP_PATTERN = f"^[{UNICODE_WHITESPACE}]+|[{UNICODE_WHITESPACE}]+$"
+
 
 def token_estimate(content) -> F.Column:
     """The reference's heuristic token estimate ``max(1, len(text)//4)``
@@ -361,9 +373,12 @@ def validate_chunks(
     c = F.col(content_col)
     # str.strip() in the reference removes ALL whitespace, not just
     # ASCII spaces — F.trim would keep a tab/newline-padded chunk the
-    # reference drops (ADVICE r7). Regexp strip mirrors str.strip();
-    # the DuckDB twin uses the identical pattern.
-    stripped_len = F.length(F.regexp_replace(c, r"^\s+|\s+$", ""))
+    # reference drops (ADVICE r7), and Java/RE2 \s is ASCII-only so a
+    # bare \s class would still keep U+00A0/U+2028 padding the
+    # reference strips. STRIP_PATTERN enumerates Python's str.strip()
+    # whitespace set as literal characters (identical bytes in the
+    # DuckDB twin).
+    stripped_len = F.length(F.regexp_replace(c, STRIP_PATTERN, ""))
     kept = chunks.filter(c.isNotNull() & (stripped_len >= min_len))
     truncated = kept.withColumn(
         content_col,

@@ -220,6 +220,16 @@ def audit_sample_sql(mod: int = 2) -> str:
 AUDIT_SAMPLE_TARGET = 20_000
 
 
+def scaled_sample_mod(n: int, target: int = AUDIT_SAMPLE_TARGET) -> int:
+    """mod = max(2, ceil(n / target)) — THE corpus-scaled sample rule.
+    One definition for every Spark-side call site (audit_sample_scaled,
+    the entry-module prefix_filter_stats slot); the SQL twins derive
+    the identical mod from a count(*) scalar subquery
+    (:func:`audit_sample_scaled_sql`), and the cross-engine contract
+    test pins both."""
+    return max(2, -(-n // target))
+
+
 def audit_sample_scaled(
     docs: DataFrame,
     target: int = AUDIT_SAMPLE_TARGET,
@@ -235,8 +245,7 @@ def audit_sample_scaled(
     derives mod; the SQL twin (:func:`audit_sample_scaled_sql`)
     derives the identical mod from count(*)."""
     n = docs.count()
-    mod = max(2, -(-n // target))
-    return audit_sample(docs, mod, id_col)
+    return audit_sample(docs, scaled_sample_mod(n, target), id_col)
 
 
 def audit_sample_scaled_sql(

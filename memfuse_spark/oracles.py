@@ -891,7 +891,7 @@ def mutual_knn_scaled_sql(
 WITH params AS (
   SELECT greatest(1, CAST(ceil(log2(greatest(count(*) / {target_cell_size}.0,
                                              2.0))) AS INT)) AS planes
-  FROM embeddings
+  FROM embeddings WHERE embedding IS NOT NULL
 ),
 cells0 AS (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
@@ -900,7 +900,7 @@ cells0 AS (
              CASE WHEN list_dot_product(CAST(embedding AS DOUBLE[]),
                                         {plane}) > 0
                   THEN '1' ELSE '0' END), '') AS cell
-  FROM embeddings
+  FROM embeddings WHERE embedding IS NOT NULL
 ),
 {split_hot_cells_sql(
         "cells0", "(SELECT planes FROM params)", dim, target_cell_size
@@ -958,7 +958,8 @@ def mutual_knn_sql(k: int, nprobe: int = 2, dim: int = 64) -> str:
         + IVF_CENTROIDS_CTE.format(dim=dim).strip()
         + f""",
 q AS (
-  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv FROM embeddings
+  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+  FROM embeddings WHERE embedding IS NOT NULL
 ),
 probe AS (
   SELECT query_id, cell, qv FROM (
@@ -975,6 +976,7 @@ knn AS (
                               ORDER BY {cos_e} DESC, e.vec_id ASC) AS rn
     FROM embeddings e
     JOIN probe p ON e.label = p.cell AND e.vec_id <> p.query_id
+    WHERE e.embedding IS NOT NULL
   ) WHERE rn <= {k}
 )
 SELECT f.query_id AS vec_a, f.vec_id AS vec_b, f.score
@@ -2491,7 +2493,14 @@ def semdedup_scaled_sql(
     ceil(log2(max(n / target_cell_size, 2)))), bits from the shared
     md5 hyperplane derivation — followed by the HOT-CELL SPLIT
     (ann.split_hot_cells: cells over target gain
-    min(8, ceil(log2(c/target))) extra planes)."""
+    min(8, ceil(log2(c/target))) extra planes).
+
+    The params CTE counts FROM vecs, NOT FROM documents: the Spark side
+    derives the plane count from the checkpointed hashed-BoW frame
+    (dedup.py semdedup_keep scale mode), and hashed_bow_vectors emits
+    no row for a document whose text tokenizes to nothing — counting
+    documents would diverge on any corpus with token-less docs and
+    shift every cell key."""
     from memfuse_spark.operators.ann import split_hot_cells_sql
 
     plane = (
@@ -2502,7 +2511,7 @@ def semdedup_scaled_sql(
     cells = f"""params AS (
   SELECT greatest(1, CAST(ceil(log2(greatest(count(*) / {target_cell_size}.0,
                                              2.0))) AS INT)) AS planes
-  FROM documents
+  FROM vecs
 ),
 cells0 AS (
   SELECT doc_id, v,

@@ -176,9 +176,28 @@ class HTTPChatProvider:
                         f"LLM endpoint returned HTTP {err.code}"
                     ) from err
                 last_err = err
-                # rate-limit hint wins over the backoff schedule
+                # rate-limit hint wins over the backoff schedule.
+                # Retry-After is delta-seconds OR an RFC 9110 HTTP-date
+                # — a non-numeric value must fall back to the backoff
+                # schedule, not escape as a ValueError mid-retry.
                 retry_after = err.headers.get("Retry-After") if err.headers else None
-                sleep_s = float(retry_after) if retry_after else delay
+                sleep_s = delay
+                if retry_after:
+                    try:
+                        sleep_s = float(retry_after)
+                    except ValueError:
+                        try:
+                            from email.utils import parsedate_to_datetime
+
+                            dt = parsedate_to_datetime(retry_after)
+                            # bound a far-future date: a retry hint,
+                            # not a schedule the worker should honor
+                            sleep_s = min(
+                                max(0.0, dt.timestamp() - time.time()),
+                                60.0,
+                            )
+                        except (TypeError, ValueError, OverflowError):
+                            pass  # unparseable hint: keep the schedule
             except (urllib.error.URLError, TimeoutError, ConnectionError) as err:
                 last_err = err  # transient transport error
                 sleep_s = delay

@@ -416,6 +416,39 @@ def test_mutual_knn_empty_corpus_returns_empty(spark):
     assert out.count() == 0
 
 
+def test_mutual_knn_null_first_embedding_does_not_empty_result(spark):
+    """A NULL embedding that lands FIRST must not masquerade as an
+    empty corpus: dim now comes from the first row that HAS a vector
+    (F.first ignorenulls) — pre-fix, F.first(size) returned NULL and
+    the short-circuit silently dropped every pair. All-NULL vectors
+    still yield the (correct) empty frame."""
+    from memfuse_spark.operators.ann import mutual_knn_pairs
+
+    rows = [(0, None), (1, [1.0, 0.0]), (2, [0.9, 0.1]), (3, [0.0, 1.0])]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    ).coalesce(1)  # deterministic row order: the NULL row is first
+    pairs = {
+        (r.vec_a, r.vec_b) for r in mutual_knn_pairs(df, k=1, nprobe=4).collect()
+    }
+    assert (1, 2) in pairs  # the near-identical pair survives
+
+    all_null = spark.createDataFrame(
+        [(0, None), (1, None)], "vec_id long, embedding array<double>"
+    )
+    assert mutual_knn_pairs(all_null, k=1).count() == 0
+
+
+def test_mutual_knn_empty_path_preserves_id_type(spark):
+    """The short-circuit frames derive vec_a/vec_b from the corpus id
+    column's type instead of hardcoding long."""
+    from memfuse_spark.operators.ann import mutual_knn_pairs
+
+    empty = spark.createDataFrame([], "vec_id string, embedding array<double>")
+    out = mutual_knn_pairs(empty, k=3)
+    assert dict(out.dtypes)["vec_a"] == "string"
+
+
 def test_split_hot_cells_rebalances_skewed_cells(spark):
     """Round-8 scale rule: the corpus-scaled plane count keeps the
     AVERAGE cell at target, but correlated data skews sign-LSH cells

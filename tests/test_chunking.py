@@ -236,3 +236,25 @@ def test_validate_chunks_strips_all_whitespace_like_str_strip(spark):
     )
     got = {r.chunk_id for r in ch.validate_chunks(df, max_len=100).collect()}
     assert got == {"ok_pad"}
+
+
+def test_validate_chunks_strips_unicode_whitespace(spark):
+    """Java/RE2 \\s is ASCII-only, but Python's str.strip() (the
+    reference) also removes unicode whitespace — a chunk padded to
+    length with U+00A0 / U+2028 / U+3000 must still be dropped when the
+    stripped body is under min_len. STRIP_PATTERN enumerates the full
+    str.strip() set as literal characters (the identical pattern string
+    feeds the DuckDB twin)."""
+    df = spark.createDataFrame(
+        [
+            ("nbsp_pad", "\xa0\xa0tiny txt\xa0\xa0\xa0"),  # 8 < 10: drop
+            ("ls_pad", "\u2028\u2028tiny\u2028\u2028\u2028\u2028"),  # drop
+            ("cjk_pad", "\u3000tiny txt\u3000"),  # drop
+            ("kept", "\xa0 a chunk long enough to keep \xa0"),
+        ],
+        "chunk_id string, content string",
+    )
+    got = {r.chunk_id for r in ch.validate_chunks(df, max_len=100).collect()}
+    assert got == {"kept"}
+    # every char in the shared set really is str.strip() whitespace
+    assert all(c.isspace() for c in ch.UNICODE_WHITESPACE)

@@ -653,3 +653,57 @@ def test_audit_sample_scaled_contract_spark_matches_duckdb(spark):
         assert mod_sql == want_mod
         assert got == want, f"n={n_docs}: {len(got)} spark vs {len(want)} duckdb"
         assert 0 < len(got) < len(ids)
+
+
+def test_semdedup_scaled_plane_count_counts_vectors_not_documents(spark):
+    """The scale-mode plane count is a cross-engine contract: Spark
+    derives it from the hashed-BoW VECTOR count (token-less docs emit
+    no vector row), so the oracle's params CTE must count FROM vecs,
+    not FROM documents. This corpus is built to cross a plane boundary
+    exactly between the two counts (16 vecs -> 2 planes, 17 docs -> 3
+    planes at target 4): counting documents shifts every cell key and
+    the engines diverge."""
+    import duckdb
+    import pandas as pd
+
+    from memfuse_spark import oracles
+    from memfuse_spark.operators.dedup import semdedup_keep
+    from memfuse_spark.operators.textanalysis import hashed_bow_vectors
+
+    rows = []
+    words = ["alpha", "bravo", "charlie", "delta", "echo", "foxtrot",
+             "golf", "hotel"]
+    for i in range(16):
+        w = words[i % len(words)]
+        # two near-identical docs per word family -> real dup structure
+        rows.append((i, f"{w} {w} common tail text {i % 2}"))
+    rows.append((99, "?!?! ... !!!"))  # tokenizes to NOTHING: no vector
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    vecs = hashed_bow_vectors(docs, dim=8)
+    assert vecs.count() == 16  # the token-less doc emitted no row
+    got = sorted(
+        (r.vec_id, r.cell, r.component, r.cluster_size, r.keep)
+        for r in semdedup_keep(
+            vecs, id_col="doc_id", vec_col="vector", dim=8,
+            num_planes=None, threshold=0.9, target_cell_size=4,
+        ).collect()
+    )
+
+    con = duckdb.connect()
+    con.register("pdf", pd.DataFrame(rows, columns=["doc_id", "text"]))
+    con.execute("CREATE TABLE documents AS SELECT * FROM pdf")
+    want = sorted(
+        (r[0], r[1], r[2], r[3], bool(r[5]))
+        for r in con.execute(
+            oracles.semdedup_scaled_sql(
+                dim=8, threshold=0.9, target_cell_size=4
+            )
+        ).fetchall()
+    )
+    con.close()
+    assert got == want
+    # the boundary the test is engineered around: doc-count planes (3)
+    # differ from vec-count planes (2) -- base cell keys are 2 bits
+    # (possibly extended by the hot-cell split)
+    assert all(len(cell) >= 2 for _, cell, *_ in got)

@@ -142,6 +142,35 @@ def test_429_honors_retry_after_then_succeeds():
         ep.close()
 
 
+def test_429_http_date_retry_after_falls_back_and_retries():
+    """RFC 9110 allows Retry-After as an HTTP-date, not just
+    delta-seconds; a non-numeric header must ride the retry ladder
+    (pre-fix: float('Fri, ...') escaped __call__ as a raw ValueError).
+    A past date clamps the computed sleep to 0."""
+    ep = _FakeEndpoint(
+        [
+            (429, "slow down", {"Retry-After": "Fri, 01 Jan 2016 00:00:00 GMT"}),
+            (200, "ok", None),
+        ]
+    )
+    try:
+        assert _provider(ep)("hi") == "ok"
+        assert len(ep.requests) == 2
+    finally:
+        ep.close()
+
+
+def test_429_unparseable_retry_after_keeps_backoff_schedule():
+    ep = _FakeEndpoint(
+        [(429, "slow down", {"Retry-After": "soon-ish"}), (200, "ok", None)]
+    )
+    try:
+        assert _provider(ep)("hi") == "ok"
+        assert len(ep.requests) == 2
+    finally:
+        ep.close()
+
+
 def test_exhausted_retries_raise_provider_error():
     ep = _FakeEndpoint([(503, "down", None)])
     try:
