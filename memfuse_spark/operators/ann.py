@@ -166,11 +166,7 @@ def split_hot_cells_sql(
     final ``cells`` carries the extended key. ``base_planes_expr`` is a
     SQL expression for the base plane count (a literal, or the scaled
     params subquery)."""
-    plane = (
-        f"list_transform(range({dim}), i -> "
-        "(CAST('0x' || substring(md5(j::VARCHAR || '|' || i::VARCHAR), 1, 8)"
-        " AS BIGINT) / 4294967295.0) * 2.0 - 1.0)"
-    )
+    plane = plane_sql_expr(dim)
     return f"""cell_counts AS (
   SELECT cell,
          least({max_extra}, greatest(0,
@@ -186,6 +182,23 @@ cells AS (
              THEN '1' ELSE '0' END), ''), '') AS cell)
   FROM {cells_cte} c0 JOIN cell_counts cc USING (cell)
 )"""
+
+
+def plane_sql_expr(dim: int) -> str:
+    """DuckDB expression for deterministic hyperplane ``j`` (a
+    DOUBLE[dim] list; a variable named ``j`` must be in scope — a
+    list_transform/range lambda var in every caller). This is THE
+    range-based form of the cross-engine bit-parity contract
+    (:func:`_hyperplane` on the Spark side): one definition shared by
+    split_hot_cells_sql, mutual_knn_scaled_sql and semdedup_scaled_sql
+    so the md5 derivation cannot drift between twins.
+    :func:`lsh_bucket_sql` keeps the unrolled literal-``j`` variant of
+    the same derivation (same ``'{j}|{i}'`` md5 input)."""
+    return (
+        f"list_transform(range({dim}), i -> "
+        "(CAST('0x' || substring(md5(j::VARCHAR || '|' || i::VARCHAR), 1, 8)"
+        " AS BIGINT) / 4294967295.0) * 2.0 - 1.0)"
+    )
 
 
 def lsh_bucket_sql(vec_expr: str, dim: int, num_planes: int = NUM_HYPERPLANES) -> str:

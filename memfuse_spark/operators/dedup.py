@@ -1744,7 +1744,7 @@ def semdedup_keep(
                 F.col("v"), dim, HOT_CELL_MAX_EXTRA, plane_offset=num_planes
             ),
         )
-    cells, _ids = _cache.tracked_local_checkpoint(cells, "dedup.semdedup")
+    cells, cells_ids = _cache.tracked_local_checkpoint(cells, "dedup.semdedup")
     if base_ids:
         # the cells checkpoint (eager) subsumes the base checkpoint —
         # release the base blocks NOW instead of carrying two
@@ -1765,6 +1765,19 @@ def semdedup_keep(
             cells, "v", dim, num_planes, target_cell_size,
             ext_bits_col="__extbits",
         )
+        # checkpoint AGAIN after the split and release the pre-split
+        # blocks: cells feeds four subplans (centroids, dists, both
+        # pair sides), and without this cut each one would re-run the
+        # split's corpus-wide cell-count groupBy + broadcast join on
+        # top of the first checkpoint. Materializing from checkpoint
+        # #1 costs string ops + a |cells|-row aggregation — cheap —
+        # and #1 is released immediately after, so peak holds two
+        # corpus-sized checkpoints only transiently (the same handoff
+        # the base→cells release above does).
+        cells, _ids = _cache.tracked_local_checkpoint(
+            cells, "dedup.semdedup"
+        )
+        _cache.unpersist_rdd_ids(emb.sparkSession, cells_ids)
     per_dim = (
         cells.select("cell", F.posexplode("v").alias("pos", "x"))
         .groupBy("cell", "pos")

@@ -870,11 +870,9 @@ def mutual_knn_scaled_sql(
     rule the Spark side computes (max(1, ceil(log2(max(n/target, 2))))).
     The per-plane bit is the proven lsh_bucket_sql derivation with the
     plane index j coming from range() instead of being unrolled."""
-    plane = (
-        f"list_transform(range({dim}), i -> "
-        "(CAST('0x' || substring(md5(j::VARCHAR || '|' || i::VARCHAR), 1, 8)"
-        " AS BIGINT) / 4294967295.0) * 2.0 - 1.0)"
-    )
+    from memfuse_spark.operators.ann import plane_sql_expr
+
+    plane = plane_sql_expr(dim)
     cos_c = (
         "list_dot_product(c.centroid, q.qv)"
         " / (sqrt(list_dot_product(c.centroid, c.centroid))"
@@ -937,55 +935,6 @@ JOIN knn r ON r.query_id = f.vec_id AND r.vec_id = f.query_id
 WHERE f.query_id < f.vec_id
 ORDER BY vec_a, vec_b
 """
-
-
-def mutual_knn_sql(k: int, nprobe: int = 2, dim: int = 64) -> str:
-    """Reciprocal-kNN pairs over DATA-LABEL cells (the explicit
-    ``cell_col='label'`` tier of ann.mutual_knn_pairs; the default is
-    corpus-scaled LSH cells — :func:`mutual_knn_scaled_sql`)."""
-    cos_c = (
-        "list_dot_product(c.centroid, q.qv)"
-        " / (sqrt(list_dot_product(c.centroid, c.centroid))"
-        " * sqrt(list_dot_product(q.qv, q.qv)))"
-    )
-    cos_e = (
-        "round(list_dot_product(CAST(e.embedding AS DOUBLE[]), p.qv)"
-        " / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])))"
-        " * sqrt(list_dot_product(p.qv, p.qv))), 6)"
-    )
-    return (
-        "WITH "
-        + IVF_CENTROIDS_CTE.format(dim=dim).strip()
-        + f""",
-q AS (
-  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
-  FROM embeddings WHERE embedding IS NOT NULL
-),
-probe AS (
-  SELECT query_id, cell, qv FROM (
-    SELECT q.query_id, c.cell, q.qv,
-           row_number() OVER (PARTITION BY q.query_id
-                              ORDER BY round({cos_c}, 6) DESC, c.cell ASC) AS rn
-    FROM cents c, q
-  ) WHERE rn <= {nprobe}
-),
-knn AS (
-  SELECT query_id, vec_id, score FROM (
-    SELECT p.query_id, e.vec_id, {cos_e} AS score,
-           row_number() OVER (PARTITION BY p.query_id
-                              ORDER BY {cos_e} DESC, e.vec_id ASC) AS rn
-    FROM embeddings e
-    JOIN probe p ON e.label = p.cell AND e.vec_id <> p.query_id
-    WHERE e.embedding IS NOT NULL
-  ) WHERE rn <= {k}
-)
-SELECT f.query_id AS vec_a, f.vec_id AS vec_b, f.score
-FROM knn f
-JOIN knn r ON r.query_id = f.vec_id AND r.vec_id = f.query_id
-WHERE f.query_id < f.vec_id
-ORDER BY vec_a, vec_b
-"""
-    )
 
 
 def label_outliers_sql(k: int, dim: int = 64) -> str:
@@ -2503,11 +2452,9 @@ def semdedup_scaled_sql(
     shift every cell key."""
     from memfuse_spark.operators.ann import split_hot_cells_sql
 
-    plane = (
-        f"list_transform(range({dim}), i -> "
-        "(CAST('0x' || substring(md5(j::VARCHAR || '|' || i::VARCHAR), 1, 8)"
-        " AS BIGINT) / 4294967295.0) * 2.0 - 1.0)"
-    )
+    from memfuse_spark.operators.ann import plane_sql_expr
+
+    plane = plane_sql_expr(dim)
     cells = f"""params AS (
   SELECT greatest(1, CAST(ceil(log2(greatest(count(*) / {target_cell_size}.0,
                                              2.0))) AS INT)) AS planes

@@ -184,7 +184,10 @@ class HTTPChatProvider:
                 sleep_s = delay
                 if retry_after:
                     try:
-                        sleep_s = float(retry_after)
+                        # clamp: a negative value would make
+                        # time.sleep raise, and a huge one would stall
+                        # the executor worker — the hint is advisory
+                        sleep_s = min(max(0.0, float(retry_after)), 60.0)
                     except ValueError:
                         try:
                             from email.utils import parsedate_to_datetime

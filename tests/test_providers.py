@@ -171,6 +171,19 @@ def test_429_unparseable_retry_after_keeps_backoff_schedule():
         ep.close()
 
 
+def test_429_negative_retry_after_is_clamped_not_fatal():
+    """time.sleep(-5) raises ValueError — a hostile/buggy numeric
+    Retry-After must be clamped to [0, 60], not escape __call__."""
+    ep = _FakeEndpoint(
+        [(429, "slow down", {"Retry-After": "-5"}), (200, "ok", None)]
+    )
+    try:
+        assert _provider(ep)("hi") == "ok"
+        assert len(ep.requests) == 2
+    finally:
+        ep.close()
+
+
 def test_exhausted_retries_raise_provider_error():
     ep = _FakeEndpoint([(503, "down", None)])
     try:

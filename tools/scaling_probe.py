@@ -83,6 +83,12 @@ def main() -> None:
                 if "=" in args[0]
                 else ["postings_index", "graph_edges"]
             )
+            bad = set(warm) - {"postings_index", "graph_edges"}
+            if bad:
+                raise SystemExit(
+                    f"unknown --warm store(s) {sorted(bad)}; "
+                    "valid: postings_index, graph_edges"
+                )
         elif args[0] == "--second":
             # also time a second execution per (query, dir) — steady
             # state after codegen/fixture warmup, the isolate_timing
