@@ -364,6 +364,20 @@ def main() -> None:
             "max": vals[-1],
             "n": len(vals),
         }
+    # self-describing contention flag: slots where THIS run exceeded 2x
+    # the retained-band median (and by > 1s absolute, so job-floor
+    # noise on sub-second slots doesn't trip it). The documented broad
+    # host-contention signature is many unrelated slots inflating
+    # together (run 20260816T054432Z: 12 slots at +4..20s) — a reader
+    # of a bad driver sample should see WHICH slots, from the artifact
+    # alone.
+    outliers = {
+        name: {"this_run": t, "band_med": band[name]["med"]}
+        for name, t in timings.items()
+        if band[name]["n"] >= 3
+        and t > 2 * band[name]["med"]
+        and t - band[name]["med"] > 1.0
+    }
     detail = {
         "metric": "full_suite_detail",
         "unit": "sec",
@@ -372,6 +386,7 @@ def main() -> None:
         "fixture_builds": fixture_builds,
         "sf": sf_val,
         "band": band,
+        "outliers_vs_band": outliers,
         "runs": runs,
     }
     with open(detail_path, "w") as fh:
@@ -390,6 +405,9 @@ def main() -> None:
         "n_extra": len(EXTRA),
         "model_tier": {n: timings[n] for n in MODEL_TIER},
         "sf": sf_val,
+        # >0 here means read this sample against BENCH_DETAIL.json's
+        # band before calling anything a regression
+        "n_outliers_vs_band": len(outliers),
     }
     print(json.dumps(out))
     spark.stop()
