@@ -365,19 +365,27 @@ def main() -> None:
             "n": len(vals),
         }
     # self-describing contention flag: slots where THIS run exceeded 2x
-    # the retained-band median (and by > 1s absolute, so job-floor
-    # noise on sub-second slots doesn't trip it). The documented broad
+    # the PRIOR-runs median (and by > 1s absolute, so job-floor noise
+    # on sub-second slots doesn't trip it). Prior runs only — a median
+    # that includes this run's own sample would self-mask exactly the
+    # contended runs the key exists to explain. The documented broad
     # host-contention signature is many unrelated slots inflating
     # together (run 20260816T054432Z: 12 slots at +4..20s) — a reader
     # of a bad driver sample should see WHICH slots, from the artifact
     # alone.
-    outliers = {
-        name: {"this_run": t, "band_med": band[name]["med"]}
-        for name, t in timings.items()
-        if band[name]["n"] >= 3
-        and t > 2 * band[name]["med"]
-        and t - band[name]["med"] > 1.0
-    }
+    prior_same_sf = [r for r in prior_runs if r.get("sf") == sf_val][-5:]
+    outliers = {}
+    for name, t in timings.items():
+        vals = sorted(
+            r["queries"][name]
+            for r in prior_same_sf
+            if name in r.get("queries", {})
+        )
+        if len(vals) < 2:
+            continue
+        med = vals[len(vals) // 2]
+        if t > 2 * med and t - med > 1.0:
+            outliers[name] = {"this_run": t, "prior_med": med}
     detail = {
         "metric": "full_suite_detail",
         "unit": "sec",

@@ -666,10 +666,32 @@ def mutual_knn_pairs(
         if n == 0 or dim is None:
             return corpus.sparkSession.createDataFrame([], empty_schema)
         num_planes = scaled_num_planes(n, target_cell_size)
+        from memfuse_spark import cache as _cache
+
+        # begin() rotates the scope's generation: the PREVIOUS call's
+        # checkpoint survives one more begin() (its returned lazy
+        # result may still be unmaterialized), older ones are dropped
+        _cache.begin("ann.mutual_knn")
+        # the semdedup_keep two-checkpoint handoff: (1) checkpoint the
+        # celled frame WITH the precomputed split-extension bits, so
+        # the scan + cast + hyperplane dots run exactly once; (2) split
+        # on top of the checkpoint (its corpus-wide cell-count groupBy
+        # + broadcast join read checkpoint blocks, not raw lineage);
+        # (3) checkpoint the split result — it feeds THREE consumers
+        # (queries, centroids, members) — and release #1 immediately.
         corpus = corpus.withColumn(
             "__vd", F.col(vec_col).cast("array<double>")
         ).withColumn(
             "__cell", lsh_bucket(F.col("__vd"), int(dim), num_planes)
+        ).withColumn(
+            "__extbits",
+            lsh_bucket(
+                F.col("__vd"), int(dim), HOT_CELL_MAX_EXTRA,
+                plane_offset=num_planes,
+            ),
+        )
+        corpus, celled_ids = _cache.tracked_local_checkpoint(
+            corpus, "ann.mutual_knn"
         )
         # SCALE-MODE default: rebalance skewed cells (round-8 100×
         # probe: max cell 11× target, Σcell² work 6.1× the n·target
@@ -678,22 +700,12 @@ def mutual_knn_pairs(
         # (split_hot_cells_sql inside mutual_knn_scaled_sql).
         corpus = split_hot_cells(
             corpus, "__vd", int(dim), num_planes, target_cell_size,
-            cell_col="__cell",
+            cell_col="__cell", ext_bits_col="__extbits",
         ).drop("__vd")
-        # checkpoint the celled+split frame: it feeds THREE consumers
-        # (queries, centroids, members), and without the cut each one
-        # re-runs the split's corpus-wide cell-count aggregation and
-        # broadcast join (semdedup_keep checkpoints before splitting
-        # for the same reason)
-        from memfuse_spark import cache as _cache
-
-        # begin() rotates the scope's generation: the PREVIOUS call's
-        # checkpoint survives one more begin() (its returned lazy
-        # result may still be unmaterialized), older ones are dropped
-        _cache.begin("ann.mutual_knn")
         corpus, _ids = _cache.tracked_local_checkpoint(
             corpus, "ann.mutual_knn"
         )
+        _cache.unpersist_rdd_ids(corpus.sparkSession, celled_ids)
         cell_col = "__cell"
 
     queries = corpus.select(

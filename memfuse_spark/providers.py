@@ -190,9 +190,17 @@ class HTTPChatProvider:
                         sleep_s = min(max(0.0, float(retry_after)), 60.0)
                     except ValueError:
                         try:
+                            from datetime import timezone
                             from email.utils import parsedate_to_datetime
 
                             dt = parsedate_to_datetime(retry_after)
+                            if dt.tzinfo is None:
+                                # '-0000' (unknown zone) parses naive;
+                                # RFC 9110 HTTP-dates are GMT — a naive
+                                # .timestamp() would apply the HOST
+                                # zone and skew the sleep by its UTC
+                                # offset
+                                dt = dt.replace(tzinfo=timezone.utc)
                             # bound a far-future date: a retry hint,
                             # not a schedule the worker should honor
                             sleep_s = min(
