@@ -4556,6 +4556,40 @@ def entry(spark: SparkSession) -> DataFrame:
 # (full suite, re-run each round) remains the superset check. Queries
 # added mid-round go at positions 51+ only and head the round-9
 # rotation.
+# Round-9 window (rotated ONCE at round start, then frozen). Ground
+# truth derived by tools/rotation_table.py from CORRECTNESS_r01-r08:
+# 242/243 registered queries have a green driver row; priority order:
+# (1) `semdedup_scaled` — the ONE query with no driver row ever (added
+# after the r8 freeze; judge-verified in VERDICT r8 — the driver run
+# is the independent replication); (2) all 42 queries whose latest
+# green row dates to round 4; (3) the first seven of the r5-vintage
+# block to fill 50. Demoted: everything with an r5+ row —
+# tools/verify_oracle.py (full suite, re-run each round) remains the
+# superset check. Queries added mid-round go at positions 51+ only and
+# head the round-10 rotation.
+_DRIVER_WINDOW_R9 = [
+    # (1) never driver-checked (added after the r8 freeze)
+    "semdedup_scaled",
+    # (2) latest green row = round 4 (all 42)
+    "reservoir_sample", "corpus_report", "pca_top", "value_drift_psi",
+    "snapshot_diff", "hll_by_type", "asof_forward", "graph_ppr",
+    "salted_event_totals", "fk_integrity", "containment_pairs",
+    "rm3_expand", "ann_recall_audit", "time_grid_fill",
+    "vocab_overlap_hll", "weighted_sample", "graph_communities",
+    "bpe_merges_batched", "routed_hybrid", "scd2_versions",
+    "events_profile", "uniform_negatives", "click_attribution",
+    "bm25_v2_topk", "fusion_percentile", "late_interaction",
+    "token_budget_mix", "quality_dedup_keep", "ql_dirichlet",
+    "hist_quantiles_by_type", "ltr_features", "entity_cooccurrence",
+    "minhash_accuracy", "source_concentration", "asof_nearest",
+    "ohlc_bars", "dau_growth", "ewma_smooth", "item_cooccurrence",
+    "doc_keyterms", "search_highlights", "sessionize",
+    # (3) head of the r5-vintage block
+    "prefix_filter_stats", "m2_facts_extractor", "media_resize_plan",
+    "media_frame_plan", "char_entropy", "ngram_novelty",
+    "routed_hybrid_3way",
+]
+
 _DRIVER_WINDOW_R8 = [
     # (1) never driver-checked (r7 positions 51-56)
     "token_chunks", "token_stats_bpe", "perf_monitor_stats",
@@ -4678,7 +4712,7 @@ def release_memo_stores(spark: SparkSession, sf_dir: str) -> int:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     reg = _query_registry()
-    ordered = {n: reg[n] for n in _DRIVER_WINDOW_R8}
+    ordered = {n: reg[n] for n in _DRIVER_WINDOW_R9}
     ordered.update((n, f) for n, f in reg.items() if n not in ordered)
     return ordered
 

@@ -394,7 +394,11 @@ def main() -> None:
         "fixture_builds": fixture_builds,
         "sf": sf_val,
         "band": band,
-        "outliers_vs_band": outliers,
+        # named for what it is computed against: the PRIOR-runs median
+        # (excluding this run — see the comment above), which can
+        # legitimately differ from band[name].med (which includes this
+        # run's sample)
+        "outliers_vs_prior_med": outliers,
         "runs": runs,
     }
     with open(detail_path, "w") as fh:
@@ -415,7 +419,7 @@ def main() -> None:
         "sf": sf_val,
         # >0 here means read this sample against BENCH_DETAIL.json's
         # band before calling anything a regression
-        "n_outliers_vs_band": len(outliers),
+        "n_outliers_vs_prior_med": len(outliers),
     }
     print(json.dumps(out))
     spark.stop()

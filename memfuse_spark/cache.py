@@ -80,11 +80,25 @@ def unpersist_rdd_ids(spark, ids) -> None:
     """Drop persisted RDDs by id (the only way to release localCheckpoint
     blocks — their DataFrame's unpersist() goes through the SQL cache
     manager, which never held them). The RDD is unusable afterwards:
-    only call once every plan referencing it is materialized."""
+    only call once every plan referencing it is materialized.
+
+    The ids are also scrubbed from every scope's generation registry,
+    so a later generation release never re-issues unpersist on ids a
+    caller already dropped at handoff time. (Double-release happened to
+    be benign only because Spark never reuses RDD ids within a context
+    — an implicit invariant this module no longer leans on.)"""
     m = spark.sparkContext._jsc.getPersistentRDDs()
     for i in ids:
         if m.containsKey(i):
             m.get(i).unpersist(False)
+    drop = frozenset(ids)
+    for gens in _GENS.values():
+        for gen in gens:
+            if any(s is spark and rids & drop for s, rids in gen.rdds):
+                gen.rdds = [
+                    (s, rids - drop if s is spark else rids)
+                    for s, rids in gen.rdds
+                ]
 
 
 def _plan_rdd_ids(df: DataFrame) -> frozenset[int] | None:

@@ -631,6 +631,12 @@ def mutual_knn_pairs(
     Pass ``cell_col=`` to probe existing data labels or learned KMeans
     cells (:func:`ivf_kmeans_centroids`) instead.
 
+    NULL embeddings are dropped up front in BOTH tiers (default sign-LSH
+    cells AND explicit ``cell_col=``): a NULL vector is nobody's
+    neighbor — its cosine is NULL on both engines — and the kernel's
+    ``np.stack`` would die on a ragged batch. Regression-tested for the
+    ``cell_col=`` tier in ``tests/test_ann_scale.py`` (ADVICE r8).
+
     Scale shape: the all-item kNN graph rides the same probing plan as
     :func:`ivf_knn_join` (corpus never shuffles; each item scores only
     its nprobe probed cells — expected nprobe/n_cells of the corpus),

@@ -422,7 +422,7 @@ def test_driver_window_and_registry_consistency():
     import __spark_entry__ as m
 
     qs = list(m.queries())
-    assert qs[:50] == m._DRIVER_WINDOW_R8
+    assert qs[:50] == m._DRIVER_WINDOW_R9
     osql = m.oracle_sql()
     missing_window = [n for n in qs[:50] if n not in osql]
     assert not missing_window, missing_window
