@@ -186,7 +186,20 @@ class HTTPChatProvider:
                     try:
                         # clamp: a negative value would make
                         # time.sleep raise, and a huge one would stall
-                        # the executor worker — the hint is advisory
+                        # the executor worker — the hint is advisory.
+                        # DOCUMENTED TRADEOFF (ADVICE r8): a server
+                        # legitimately asking for > 60s gets retried
+                        # early, and that premature attempt consumes a
+                        # rung of the finite ladder. Deliberate: each
+                        # provider call sits inside a mapInPandas
+                        # worker holding an executor slot — sleeping
+                        # minutes per hint (or exempting 429-with-hint
+                        # from the budget, letting a saturated endpoint
+                        # pin workers indefinitely) costs the cluster
+                        # more than the retried request. Deployments
+                        # that want longer waits raise
+                        # MEMFUSE_SPARK_LLM_MAX_RETRIES /
+                        # _RETRY_DELAY instead.
                         sleep_s = min(max(0.0, float(retry_after)), 60.0)
                     except ValueError:
                         try:

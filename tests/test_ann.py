@@ -497,3 +497,34 @@ def test_split_hot_cells_rebalances_skewed_cells(spark):
     # deterministic: a second application of the same rule is identical
     again = split_hot_cells(df, "v", 8, base_planes=1, target_cell_size=100)
     assert sorted(map(tuple, out.collect())) == sorted(map(tuple, again.collect()))
+
+
+def test_mutual_knn_cell_col_tier_drops_null_embeddings(spark):
+    """ADVICE r8: the NULL-vector filter applies to the explicit
+    cell_col= (label/KMeans) tier too — intentionally. A NULL embedding
+    is nobody's neighbor, and the per-cell kernel's np.stack would die
+    on a ragged batch. The result must equal the same corpus without
+    the NULL rows, not crash and not change surviving pairs."""
+    from memfuse_spark.operators.ann import mutual_knn_pairs
+
+    clean = [
+        (1, [1.0, 0.0], "a"), (2, [0.9, 0.1], "a"),
+        (3, [0.0, 1.0], "b"), (4, [0.1, 0.9], "b"),
+    ]
+    with_nulls = clean + [(5, None, "a"), (6, None, "b")]
+    schema = "vec_id long, embedding array<double>, cell string"
+    got = {
+        (r.vec_a, r.vec_b, r.score)
+        for r in mutual_knn_pairs(
+            spark.createDataFrame(with_nulls, schema),
+            k=1, nprobe=2, cell_col="cell",
+        ).collect()
+    }
+    want = {
+        (r.vec_a, r.vec_b, r.score)
+        for r in mutual_knn_pairs(
+            spark.createDataFrame(clean, schema),
+            k=1, nprobe=2, cell_col="cell",
+        ).collect()
+    }
+    assert got == want and len(want) > 0

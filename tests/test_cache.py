@@ -134,3 +134,30 @@ def test_semdedup_auto_planes_scales_with_corpus(spark):
         comps.setdefault(r.component, []).append(r)
     for members in comps.values():
         assert sum(1 for m in members if m.keep) == 1
+
+
+def test_unpersist_rdd_ids_scrubs_generation_registry(spark):
+    """ADVICE r8: ids dropped early at a handoff (the mutual_knn
+    celled->split checkpoint pattern) must ALSO leave the scope's
+    generation registry, so the later generation release never
+    re-issues unpersist on them — double-release was benign only
+    because Spark never reuses RDD ids, an invariant the registry no
+    longer leans on."""
+    cache.begin("t.scrub")
+    df1, ids1 = cache.tracked_local_checkpoint(
+        spark.range(5).selectExpr("id", "id * 2 as y"), "t.scrub"
+    )
+    df1.count()
+    df2, ids2 = cache.tracked_local_checkpoint(
+        df1.selectExpr("id", "y + 1 as z"), "t.scrub"
+    )
+    df2.count()
+    # handoff: the first checkpoint is superseded -> early release
+    cache.unpersist_rdd_ids(spark, ids1)
+    assert not _persisted(spark, ids1)
+    gens = cache._GENS["t.scrub"]
+    registered = set().union(*(rids for g in gens for _, rids in g.rdds))
+    assert not (registered & set(ids1)), "scrubbed ids still registered"
+    assert set(ids2) <= registered, "live ids must stay registered"
+    cache.release("t.scrub")
+    assert not _persisted(spark, ids2)
