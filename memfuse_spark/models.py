@@ -34,6 +34,17 @@ against THIS tier (MODEL_TIER rows in bench.py). Swapping in true
 MiniLM on a real cluster is the documented two-function replacement
 above and changes no plan shape, so no tested Spark-side behavior is
 deferred by keeping the stand-in.
+
+Round 9 closes the remaining asymmetry with the LLM seams: the ENCODE
+and RERANK steps now also have env-gated LIVE bindings
+(:func:`make_live_embedder` / :func:`make_live_cross_encoder`, wired by
+``providers.bind_model_seams``) that speak the public OpenAI
+``/embeddings`` and Cohere/Jina ``/rerank`` wire formats through the
+same retry ladder as the chat provider. They reuse THIS module's Spark
+shape (dedup-before-encode, Arrow batches, join-back) — only the
+per-batch math is swapped for the HTTP call — and stay OFF unless
+``MEMFUSE_SPARK_EMBED_BASE_URL`` / ``MEMFUSE_SPARK_RERANK_BASE_URL``
+are set, so every oracle-checked query keeps the deterministic tier.
 """
 
 from __future__ import annotations
@@ -120,6 +131,78 @@ def make_batch_embedder(
         return out.join(vecs, "__cid").drop("__cid")
 
     return embedder
+
+
+def make_live_embedder(
+    provider,
+    vec_col: str = "embedding",
+):
+    """Live-tier twin of :func:`make_batch_embedder`: the SAME Spark
+    shape — md5 content ids, dropDuplicates so each distinct text is
+    encoded once (the reference's embedding cache,
+    ``rag/encode/MiniLM.py:139-221``), Arrow-batched mapInPandas, join
+    the vectors back by content hash — with the encode step an HTTP
+    ``/embeddings`` call through ``providers.HTTPEmbeddingProvider``
+    instead of the seeded projection.
+
+    The provider pickles into the workers (config fields only) and each
+    worker opens its own connections; per-request batching, retries and
+    throttling live in the provider. Env-gated wiring:
+    ``providers.bind_model_seams(embed_provider_from_env())`` — with the
+    env unset this function is never reached and the deterministic tier
+    stays the default (the oracle-checkability decision documented
+    above).
+    """
+    import pandas as pd
+
+    def embedder(pending: DataFrame, text_col: str) -> DataFrame:
+        cid = F.md5(F.coalesce(F.col(text_col), F.lit("")))
+        with_id = pending.withColumn("__cid", cid)
+        uniq = with_id.select("__cid", text_col).dropDuplicates(["__cid"])
+
+        def encode(batches):
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                texts = [t if t is not None else "" for t in pdf[text_col]]
+                vecs = provider(texts)
+                yield pd.DataFrame({"__cid": pdf["__cid"], vec_col: vecs})
+
+        vecs = uniq.mapInPandas(encode, f"__cid string, {vec_col} array<double>")
+        out = with_id.drop(vec_col) if vec_col in pending.columns else with_id
+        return out.join(vecs, "__cid").drop("__cid")
+
+    return embedder
+
+
+def make_live_cross_encoder(provider):
+    """Live-tier twin of :func:`make_batch_cross_encoder`: a
+    ``scorer(queries, contents) -> scores`` for ``rerank(scorer=)``
+    backed by a ``/rerank`` wire call
+    (``providers.HTTPRerankProvider``; reference
+    ``rag/rerank/MiniLM.py:141-260``).
+
+    The rerank wire scores ONE query against many documents, while the
+    seam receives parallel (query, content) pair lists — rerank()
+    itself always passes a constant query per batch, but the seam
+    contract allows mixtures, so pairs are grouped by distinct query
+    (one wire call each, insertion-ordered) and the scores scattered
+    back to pair positions.
+    """
+
+    def scorer(queries: Sequence[str], contents: Sequence[str]):
+        out: list[float] = [0.0] * len(queries)
+        by_query: dict[str, list[int]] = {}
+        for i, q in enumerate(queries):
+            by_query.setdefault(q if q is not None else "", []).append(i)
+        for q, idxs in by_query.items():
+            docs = [contents[i] if contents[i] is not None else "" for i in idxs]
+            scores = provider(q, docs)
+            for i, s in zip(idxs, scores):
+                out[i] = float(s)
+        return out
+
+    return scorer
 
 
 def make_batch_cross_encoder(

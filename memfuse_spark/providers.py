@@ -53,6 +53,19 @@ Env vars (unset -> default):
 - ``MEMFUSE_SPARK_LLM_MIN_INTERVAL`` (default ``0``; per-process
   request spacing in seconds — the rate-limit knob, applied
   per executor worker)
+
+The embed/rerank model tier (reference ``rag/encode/MiniLM.py:139-221``
+and ``rag/rerank/MiniLM.py:141-260``) has the same env-gated live
+binding: ``MEMFUSE_SPARK_EMBED_*`` configures an OpenAI-wire
+``/embeddings`` client (``_BASE_URL`` gates it on; ``_MODEL`` default
+``text-embedding-3-small``; ``_BATCH`` caps texts per request, default
+``256``; the retry/timeout family is identical to the LLM one), and
+``MEMFUSE_SPARK_RERANK_*`` a Cohere/Jina-wire ``/rerank`` client
+(``_MODEL`` default ``rerank-english-v3.0``). ``bind_model_seams``
+wraps them into the two model seam callables
+(``backfill_embeddings(embedder=)``, ``rerank(scorer=)``); with the env
+unset every gate returns None and the deterministic seeded-projection
+tier in ``models.py`` remains the default.
 """
 
 from __future__ import annotations
@@ -79,7 +92,12 @@ _RETRYABLE = {429, 500, 502, 503, 504}
 @dataclass
 class ProviderConfig:
     """Plain-field config, picklable into executors
-    (reference ``llm/config.py`` LLMConfig, env-sourced subset)."""
+    (reference ``llm/config.py`` LLMConfig, env-sourced subset).
+
+    One config shape serves all three wire clients (chat / embeddings /
+    rerank); ``from_env`` takes the env-var prefix so each client gates
+    on its own variable family (``MEMFUSE_SPARK_LLM_*``,
+    ``MEMFUSE_SPARK_EMBED_*``, ``MEMFUSE_SPARK_RERANK_*``)."""
 
     base_url: str = ""
     api_key: str = ""
@@ -91,33 +109,46 @@ class ProviderConfig:
     retry_delay: float = 1.0
     backoff_factor: float = 2.0
     min_interval: float = 0.0
+    # max texts per /embeddings request: public endpoints cap request
+    # size, so one Arrow batch may need several wire calls
+    batch_size: int = 256
 
     @classmethod
-    def from_env(cls) -> "ProviderConfig":
+    def from_env(
+        cls,
+        prefix: str = "MEMFUSE_SPARK_LLM",
+        default_model: str = "gpt-4o-mini",
+    ) -> "ProviderConfig":
         e = os.environ.get
         return cls(
-            base_url=e("MEMFUSE_SPARK_LLM_BASE_URL", ""),
-            api_key=e("MEMFUSE_SPARK_LLM_API_KEY", ""),
-            model=e("MEMFUSE_SPARK_LLM_MODEL", "gpt-4o-mini"),
-            temperature=float(e("MEMFUSE_SPARK_LLM_TEMPERATURE", "0.3")),
-            max_tokens=int(e("MEMFUSE_SPARK_LLM_MAX_TOKENS", "150")),
-            timeout=float(e("MEMFUSE_SPARK_LLM_TIMEOUT", "30")),
-            max_retries=int(e("MEMFUSE_SPARK_LLM_MAX_RETRIES", "3")),
-            retry_delay=float(e("MEMFUSE_SPARK_LLM_RETRY_DELAY", "1.0")),
-            backoff_factor=float(e("MEMFUSE_SPARK_LLM_BACKOFF", "2.0")),
-            min_interval=float(e("MEMFUSE_SPARK_LLM_MIN_INTERVAL", "0")),
+            base_url=e(f"{prefix}_BASE_URL", ""),
+            api_key=e(f"{prefix}_API_KEY", ""),
+            model=e(f"{prefix}_MODEL", default_model),
+            temperature=float(e(f"{prefix}_TEMPERATURE", "0.3")),
+            max_tokens=int(e(f"{prefix}_MAX_TOKENS", "150")),
+            timeout=float(e(f"{prefix}_TIMEOUT", "30")),
+            max_retries=int(e(f"{prefix}_MAX_RETRIES", "3")),
+            retry_delay=float(e(f"{prefix}_RETRY_DELAY", "1.0")),
+            backoff_factor=float(e(f"{prefix}_BACKOFF", "2.0")),
+            min_interval=float(e(f"{prefix}_MIN_INTERVAL", "0")),
+            batch_size=int(e(f"{prefix}_BATCH", "256")),
         )
 
 
-class HTTPChatProvider:
-    """``prompt -> response_text`` against any OpenAI-compatible
-    chat-completions endpoint, stdlib-only.
+class _HTTPProviderBase:
+    """Shared machinery of the three wire clients (chat / embeddings /
+    rerank): Bearer-auth JSON POST, per-process throttle, and the
+    reference retry ladder (429/5xx backoff, Retry-After hint,
+    transport-error retry, malformed-body -> ProviderError).
 
     Instances are picklable (config fields only; the per-process
     throttle clock is rebuilt lazily after unpickling), so they pass
-    straight through ``prompts.llm_extractor`` et al. into the seams'
-    mapInPandas workers.
+    straight through the seam adapters into Arrow-batched
+    mapInPandas workers. Subclasses set ``endpoint_path`` and a
+    ``_parse(payload)`` for their response shape.
     """
+
+    endpoint_path = "/override-me"
 
     def __init__(self, config: ProviderConfig):
         if not config.base_url:
@@ -141,29 +172,21 @@ class HTTPChatProvider:
             time.sleep(wait)
         self._last_request_t = time.monotonic()
 
-    def _request_body(self, prompt: str) -> bytes:
-        body: dict[str, Any] = {
-            "model": self.config.model,
-            "messages": [{"role": "user", "content": prompt}],
-            "temperature": self.config.temperature,
-        }
-        if self.config.max_tokens:
-            body["max_tokens"] = self.config.max_tokens
-        return json.dumps(body).encode("utf-8")
+    def _parse(self, payload: dict) -> Any:
+        raise NotImplementedError
 
-    def _post_once(self, data: bytes) -> str:
-        url = self.config.base_url.rstrip("/") + "/chat/completions"
+    def _post_once(self, data: bytes) -> Any:
+        url = self.config.base_url.rstrip("/") + self.endpoint_path
         headers = {"Content-Type": "application/json"}
         if self.config.api_key:
             headers["Authorization"] = f"Bearer {self.config.api_key}"
         req = urllib.request.Request(url, data=data, headers=headers, method="POST")
         with urllib.request.urlopen(req, timeout=self.config.timeout) as resp:
             payload = json.loads(resp.read().decode("utf-8"))
-        content = payload["choices"][0]["message"]["content"]
-        return content if content is not None else ""
+        return self._parse(payload)
 
-    def __call__(self, prompt: str) -> str:
-        data = self._request_body(prompt)
+    def _request(self, body: dict[str, Any]) -> Any:
+        data = json.dumps(body).encode("utf-8")
         delay = self.config.retry_delay
         last_err: Exception | None = None
         for attempt in range(self.config.max_retries + 1):
@@ -235,6 +258,105 @@ class HTTPChatProvider:
         ) from last_err
 
 
+class HTTPChatProvider(_HTTPProviderBase):
+    """``prompt -> response_text`` against any OpenAI-compatible
+    chat-completions endpoint, stdlib-only
+    (reference ``llm/providers/openai.py:22-140``)."""
+
+    endpoint_path = "/chat/completions"
+
+    def _parse(self, payload: dict) -> str:
+        content = payload["choices"][0]["message"]["content"]
+        return content if content is not None else ""
+
+    def __call__(self, prompt: str) -> str:
+        body: dict[str, Any] = {
+            "model": self.config.model,
+            "messages": [{"role": "user", "content": prompt}],
+            "temperature": self.config.temperature,
+        }
+        if self.config.max_tokens:
+            body["max_tokens"] = self.config.max_tokens
+        return self._request(body)
+
+
+class HTTPEmbeddingProvider(_HTTPProviderBase):
+    """``texts -> vectors`` against any OpenAI-compatible
+    ``/embeddings`` endpoint, stdlib-only.
+
+    The live twin of the reference's MiniLM encode tier
+    (``rag/encode/MiniLM.py:139-221``): POST ``{base_url}/embeddings``
+    with ``{"model", "input": [texts]}``, read ``data[*].embedding``
+    re-ordered by ``data[*].index`` (the response order is not
+    guaranteed to match the input order). Inputs beyond
+    ``config.batch_size`` are split across several wire calls — public
+    endpoints cap per-request input counts — and each sub-request rides
+    the full retry ladder independently.
+    """
+
+    endpoint_path = "/embeddings"
+
+    def _parse(self, payload: dict) -> list:
+        items = sorted(payload["data"], key=lambda d: d["index"])
+        return [list(map(float, d["embedding"])) for d in items]
+
+    def __call__(self, texts: "list[str]") -> "list[list[float]]":
+        texts = list(texts)
+        out: list[list[float]] = []
+        step = max(1, self.config.batch_size)
+        for lo in range(0, len(texts), step):
+            chunk = texts[lo : lo + step]
+            vecs = self._request({"model": self.config.model, "input": chunk})
+            if len(vecs) != len(chunk):
+                raise ProviderError(
+                    f"embeddings endpoint returned {len(vecs)} vectors "
+                    f"for {len(chunk)} inputs"
+                )
+            out.extend(vecs)
+        return out
+
+
+class HTTPRerankProvider(_HTTPProviderBase):
+    """``(query, documents) -> relevance scores`` against a
+    Cohere/Jina-wire ``/rerank`` endpoint, stdlib-only.
+
+    The live twin of the reference's cross-encoder rerank tier
+    (``rag/rerank/MiniLM.py:141-260``): POST ``{base_url}/rerank`` with
+    ``{"model", "query", "documents": [...], "top_n": len(documents)}``,
+    read ``results[*].relevance_score`` keyed by ``results[*].index``.
+    ``top_n`` is pinned to the full document count because the seam
+    contract is one score per (query, content) pair — the engine's own
+    top-k happens plan-side.
+    """
+
+    endpoint_path = "/rerank"
+
+    def _parse(self, payload: dict) -> dict:
+        return {
+            int(r["index"]): float(r["relevance_score"])
+            for r in payload["results"]
+        }
+
+    def __call__(self, query: str, documents: "list[str]") -> "list[float]":
+        documents = list(documents)
+        if not documents:
+            return []
+        by_index = self._request(
+            {
+                "model": self.config.model,
+                "query": query,
+                "documents": documents,
+                "top_n": len(documents),
+            }
+        )
+        missing = [i for i in range(len(documents)) if i not in by_index]
+        if missing:
+            raise ProviderError(
+                f"rerank endpoint omitted scores for indices {missing[:5]}"
+            )
+        return [by_index[i] for i in range(len(documents))]
+
+
 class MockChatProvider:
     """No-network provider (reference mock mode): replays canned
     responses in order, then repeats the last one. For tests and
@@ -259,6 +381,26 @@ def provider_from_env() -> Optional[HTTPChatProvider]:
     return HTTPChatProvider(config) if config.base_url else None
 
 
+def embed_provider_from_env() -> Optional[HTTPEmbeddingProvider]:
+    """The embed gate: a configured /embeddings client iff
+    MEMFUSE_SPARK_EMBED_BASE_URL is set, else None (models.py's
+    deterministic seeded-projection tier stays the default — it is what
+    keeps the embedding queries oracle-checkable)."""
+    config = ProviderConfig.from_env(
+        "MEMFUSE_SPARK_EMBED", default_model="text-embedding-3-small"
+    )
+    return HTTPEmbeddingProvider(config) if config.base_url else None
+
+
+def rerank_provider_from_env() -> Optional[HTTPRerankProvider]:
+    """The rerank gate: a configured /rerank client iff
+    MEMFUSE_SPARK_RERANK_BASE_URL is set, else None."""
+    config = ProviderConfig.from_env(
+        "MEMFUSE_SPARK_RERANK", default_model="rerank-english-v3.0"
+    )
+    return HTTPRerankProvider(config) if config.base_url else None
+
+
 def bind_seams(llm: Callable[[str], str], **adapter_kwargs: Any) -> dict[str, Any]:
     """Wrap one ``prompt -> text`` provider into all five seam
     callables via the real prompt/parse contract. Keys match the seam
@@ -279,4 +421,30 @@ def bind_seams(llm: Callable[[str], str], **adapter_kwargs: Any) -> dict[str, An
         "validator": prompts.llm_validator(llm),
         "former": prompts.llm_former(llm),
         "enhancer": prompts.llm_enhancer(llm),
+    }
+
+
+def bind_model_seams(
+    embed: Optional[HTTPEmbeddingProvider] = None,
+    rerank: Optional[HTTPRerankProvider] = None,
+) -> dict[str, Any]:
+    """The model-tier sibling of :func:`bind_seams`: wrap the live
+    embed/rerank providers into the two model seam callables
+    (``backfill_embeddings(embedder=)`` and ``rerank(scorer=)``).
+    Keys match the seam keyword names::
+
+        seams = bind_model_seams(embed_provider_from_env(),
+                                 rerank_provider_from_env())
+        if seams["embedder"]:
+            backfill_embeddings(store, pending, embedder=seams["embedder"])
+
+    A key is None when its provider is None (env unset), so callers
+    fall through to the deterministic tier without branching on env
+    vars themselves.
+    """
+    from memfuse_spark import models
+
+    return {
+        "embedder": models.make_live_embedder(embed) if embed else None,
+        "scorer": models.make_live_cross_encoder(rerank) if rerank else None,
     }

@@ -300,3 +300,229 @@ def test_live_provider_through_m2_seam_end_to_end(spark):
         assert "alpha beta gamma" in sent and "User ID: u1" in sent
     finally:
         ep.close()
+
+
+# ---------------------------------------------------------------------------
+# Live embed/rerank model tier (round 9): /embeddings + /rerank clients
+# ---------------------------------------------------------------------------
+
+
+class _FakeJSONEndpoint:
+    """Generic scriptable JSON endpoint: reply_fn(request_body) -> dict
+    for 200 steps; (status, text) tuples for error steps. Shared by the
+    /embeddings and /rerank tests (the chat-shaped _FakeEndpoint bakes
+    in the chat payload)."""
+
+    def __init__(self, steps):
+        self.steps = list(steps)
+        self.requests = []
+        ep = self
+
+        class Handler(BaseHTTPRequestHandler):
+            def do_POST(self):  # noqa: N802 — stdlib name
+                n = int(self.headers.get("Content-Length", "0"))
+                body = json.loads(self.rfile.read(n).decode())
+                ep.requests.append(
+                    {"path": self.path, "body": body, "headers": dict(self.headers)}
+                )
+                i = min(len(ep.requests) - 1, len(ep.steps) - 1)
+                step = ep.steps[i]
+                if callable(step):
+                    status, data = 200, json.dumps(step(body)).encode()
+                else:
+                    status, text = step
+                    data = text.encode()
+                self.send_response(status)
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(data)))
+                self.end_headers()
+                self.wfile.write(data)
+
+            def log_message(self, *a):
+                pass
+
+        self.server = ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+        self.thread = threading.Thread(target=self.server.serve_forever, daemon=True)
+        self.thread.start()
+        self.base_url = f"http://127.0.0.1:{self.server.server_address[1]}/v1"
+
+    def close(self):
+        self.server.shutdown()
+        self.server.server_close()
+
+
+def _embed_reply(body):
+    """OpenAI /embeddings wire shape; vectors derive from text length so
+    assertions can tie vector -> input. Data returned REVERSED to prove
+    the client re-orders by index."""
+    data = [
+        {"object": "embedding", "index": i, "embedding": [float(len(t)), 1.0]}
+        for i, t in enumerate(body["input"])
+    ]
+    return {"object": "list", "data": list(reversed(data)), "model": body["model"]}
+
+
+def _embed_provider(ep, **over):
+    kw = dict(base_url=ep.base_url, api_key="sk-embed", model="fake-embed",
+              max_retries=2, retry_delay=0.01, timeout=5.0)
+    kw.update(over)
+    return PR.HTTPEmbeddingProvider(PR.ProviderConfig(**kw))
+
+
+def test_embeddings_wire_shape_order_and_auth():
+    ep = _FakeJSONEndpoint([_embed_reply])
+    try:
+        vecs = _embed_provider(ep)(["abc", "defgh"])
+        assert vecs == [[3.0, 1.0], [5.0, 1.0]]  # re-ordered by index
+        (req,) = ep.requests
+        assert req["path"] == "/v1/embeddings"
+        assert req["headers"]["Authorization"] == "Bearer sk-embed"
+        assert req["body"] == {"model": "fake-embed", "input": ["abc", "defgh"]}
+    finally:
+        ep.close()
+
+
+def test_embeddings_batch_size_splits_requests():
+    ep = _FakeJSONEndpoint([_embed_reply])
+    try:
+        vecs = _embed_provider(ep, batch_size=2)(["a", "bb", "ccc", "dddd", "eeeee"])
+        assert [v[0] for v in vecs] == [1.0, 2.0, 3.0, 4.0, 5.0]
+        assert [len(r["body"]["input"]) for r in ep.requests] == [2, 2, 1]
+    finally:
+        ep.close()
+
+
+def test_embeddings_retry_ladder_shared_with_chat():
+    ep = _FakeJSONEndpoint([(503, "down"), _embed_reply])
+    try:
+        assert _embed_provider(ep)(["hi"]) == [[2.0, 1.0]]
+        assert len(ep.requests) == 2
+    finally:
+        ep.close()
+
+
+def test_embeddings_count_mismatch_is_a_provider_error():
+    ep = _FakeJSONEndpoint(
+        [lambda body: {"data": [{"index": 0, "embedding": [1.0]}]}]
+    )
+    try:
+        with pytest.raises(PR.ProviderError, match="1 vectors for 2"):
+            _embed_provider(ep)(["a", "b"])
+    finally:
+        ep.close()
+
+
+def _rerank_reply(body):
+    """Cohere/Jina /rerank wire shape: score = len(document)/10,
+    results returned in score order (not index order) like the real
+    endpoints."""
+    results = [
+        {"index": i, "relevance_score": len(d) / 10.0}
+        for i, d in enumerate(body["documents"])
+    ]
+    return {"results": sorted(results, key=lambda r: -r["relevance_score"])}
+
+
+def _rerank_provider(ep, **over):
+    kw = dict(base_url=ep.base_url, api_key="sk-rr", model="fake-rerank",
+              max_retries=2, retry_delay=0.01, timeout=5.0)
+    kw.update(over)
+    return PR.HTTPRerankProvider(PR.ProviderConfig(**kw))
+
+
+def test_rerank_wire_shape_and_score_alignment():
+    ep = _FakeJSONEndpoint([_rerank_reply])
+    try:
+        scores = _rerank_provider(ep)("q", ["abc", "a", "abcde"])
+        assert scores == [0.3, 0.1, 0.5]  # aligned to document order
+        (req,) = ep.requests
+        assert req["path"] == "/v1/rerank"
+        assert req["body"] == {
+            "model": "fake-rerank", "query": "q",
+            "documents": ["abc", "a", "abcde"], "top_n": 3,
+        }
+        assert _rerank_provider(ep)("q", []) == []  # no wire call for empty
+    finally:
+        ep.close()
+
+
+def test_rerank_missing_index_is_a_provider_error():
+    ep = _FakeJSONEndpoint(
+        [lambda body: {"results": [{"index": 0, "relevance_score": 0.5}]}]
+    )
+    try:
+        with pytest.raises(PR.ProviderError, match="omitted scores"):
+            _rerank_provider(ep)("q", ["a", "b"])
+    finally:
+        ep.close()
+
+
+def test_embed_env_gate(monkeypatch):
+    monkeypatch.delenv("MEMFUSE_SPARK_EMBED_BASE_URL", raising=False)
+    assert PR.embed_provider_from_env() is None
+    monkeypatch.setenv("MEMFUSE_SPARK_EMBED_BASE_URL", "http://127.0.0.1:1/v1")
+    monkeypatch.setenv("MEMFUSE_SPARK_EMBED_BATCH", "33")
+    p = PR.embed_provider_from_env()
+    assert isinstance(p, PR.HTTPEmbeddingProvider)
+    assert p.config.model == "text-embedding-3-small"
+    assert p.config.batch_size == 33
+
+
+def test_rerank_env_gate(monkeypatch):
+    monkeypatch.delenv("MEMFUSE_SPARK_RERANK_BASE_URL", raising=False)
+    assert PR.rerank_provider_from_env() is None
+    monkeypatch.setenv("MEMFUSE_SPARK_RERANK_BASE_URL", "http://127.0.0.1:1/v1")
+    p = PR.rerank_provider_from_env()
+    assert isinstance(p, PR.HTTPRerankProvider)
+    assert p.config.model == "rerank-english-v3.0"
+
+
+def test_bind_model_seams_none_gates():
+    seams = PR.bind_model_seams(None, None)
+    assert seams == {"embedder": None, "scorer": None}
+
+
+def test_live_embedder_through_backfill_seam_end_to_end(spark):
+    """The embed twin of the m2 round-trip test: a real HTTP
+    /embeddings call from inside the mapInPandas worker, through the
+    SAME dedup-before-encode shape as the deterministic tier — three
+    rows, two distinct contents -> the endpoint sees each distinct text
+    exactly once."""
+    ep = _FakeJSONEndpoint([_embed_reply])
+    try:
+        seams = PR.bind_model_seams(embed=_embed_provider(ep))
+        pending = spark.createDataFrame(
+            [(1, "alpha"), (2, "alpha"), (3, "gamma!")], "id long, content string"
+        )
+        rows = {r.id: r.embedding
+                for r in seams["embedder"](pending, "content").collect()}
+        assert rows == {1: [5.0, 1.0], 2: [5.0, 1.0], 3: [6.0, 1.0]}
+        sent = [t for r in ep.requests for t in r["body"]["input"]]
+        assert sorted(sent) == ["alpha", "gamma!"]  # dedup-before-encode
+    finally:
+        ep.close()
+
+
+def test_live_scorer_through_rerank_seam_end_to_end(spark):
+    """rerank(scorer=) with the live /rerank binding: the pandas_udf
+    ships the provider into the worker, one wire call per distinct
+    query, scores land on the right rows and set the top-k order."""
+    from memfuse_spark.operators.rerank import rerank
+
+    ep = _FakeJSONEndpoint([_rerank_reply])
+    try:
+        seams = PR.bind_model_seams(rerank=_rerank_provider(ep))
+        df = spark.createDataFrame(
+            [("d1", "ccc"), ("d2", "eeeee"), ("d3", "a")],
+            "id string, content string",
+        )
+        out = rerank(
+            df, "the query", k=2,
+            content_col="content", id_col="id", scorer=seams["scorer"],
+        ).collect()
+        assert [(r.id, r.rerank_score) for r in out] == [
+            ("d2", 0.5), ("d1", 0.3)
+        ]
+        assert {r["body"]["query"] for r in ep.requests} == {"the query"}
+    finally:
+        ep.close()
