@@ -203,6 +203,29 @@ EXTRA = [
 # resolved from q_* functions directly — deliberately NOT queries()
 # entries (no DuckDB oracle is possible for the seeded projection;
 # python-parity lives in pytest). Timed and reported like EXTRA.
+# Machine-readable environment requirements for slots whose SCALED
+# probe exceeds the default single-JVM bench environment (VERDICT r8
+# #7 — this used to live only in PLANS.md prose). The sf0.1 bench run
+# needs none of these; the field rides BENCH_DETAIL.json so a reader
+# of a probe failure sees the constraint from the artifact alone, and
+# tools/scaling_probe.py warns up front when the running JVM is below
+# a flagged slot's floor.
+SLOT_REQUIRES = {
+    "cooc_kcore": {
+        "at_scale": "100x (60M lineitem)",
+        "driver_memory": "24g",
+        "reason": (
+            "capped candidate projection is ~1.2B narrow rows at 100x "
+            "(linear by the 64-item basket cap) and its one shuffle "
+            "OOMs the 8g default heap's parquet read-ahead on a single "
+            "JVM; the plan shards by customer then item key, so on a "
+            "cluster the per-executor share is corpus/|executors| — a "
+            "single-box measurement ceiling, not a plan property "
+            "(PLANS.md round-8b, measured 588.7s/249.0s at 24g)"
+        ),
+    },
+}
+
 MODEL_TIER = [
     "model_embed_bench",
     "model_rerank_bench",
@@ -399,6 +422,7 @@ def main() -> None:
         # legitimately differ from band[name].med (which includes this
         # run's sample)
         "outliers_vs_prior_med": outliers,
+        "requires": SLOT_REQUIRES,
         "runs": runs,
     }
     with open(detail_path, "w") as fh:

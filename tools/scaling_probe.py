@@ -110,6 +110,33 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     qs = entrymod.queries()
 
+    # surface known environment floors up front (bench.SLOT_REQUIRES,
+    # VERDICT r8 #7): a flagged slot probed above sf0.1 on a JVM below
+    # its floor fails with an opaque executor OOM minutes in — warn
+    # from the artifact'd requirement instead.
+    try:
+        from bench import SLOT_REQUIRES
+    except ImportError:
+        SLOT_REQUIRES = {}
+    heap = int(
+        spark.sparkContext._jvm.java.lang.Runtime.getRuntime().maxMemory()
+    )
+    for name in names:
+        req = SLOT_REQUIRES.get(name)
+        if not req:
+            continue
+        floor = req.get("driver_memory", "0g")
+        floor_bytes = int(float(floor.rstrip("gG"))) << 30
+        if heap < floor_bytes:
+            print(
+                json.dumps({
+                    "warning": f"{name} needs SPARK_DRIVER_MEM>={floor} "
+                               f"at {req['at_scale']} (JVM max heap is "
+                               f"{heap >> 30}g): {req['reason']}"
+                }),
+                flush=True,
+            )
+
     # warm the JVM/codegen path once so the smallest SF isn't charged
     # the session cold-start (vector_topk needs the embeddings table,
     # which derived dirs may not carry — fall back to the first probe)
