@@ -1995,6 +1995,67 @@ def q_minhash_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_ops.minhash_recall_audit(dedup_ops.audit_sample_scaled(docs))
 
 
+LSH_TUNING_CONFIGS = [(6, 2), (4, 3), (3, 4)]  # (bands, rows/band), 12 hashes
+
+
+def q_lsh_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytic banding design table — the closed-form S-curve the
+    empirical `minhash_recall_audit` is checked against: for each
+    candidate (bands b, rows-per-band r) split of the 12-hash signature
+    budget, detection probability p = 1-(1-s^r)^b over the jaccard grid
+    s = 1/20..19/20, plus the config's threshold (1/b)^(1/r) (the
+    similarity where p crosses ~0.5). The production config (6, 2,
+    threshold 0.408) is row-for-row comparable with the alternatives a
+    tuner would consider (4x3 = stricter/steeper at 0.63, 3x4 = 0.76);
+    at 100 TB this table is how banding parameters are CHOSEN before
+    paying for a full dedup pass. Pure closed-form on literal frames —
+    both sides compute the identical expression (round 6); the tiny
+    config frame is broadcast (no CartesianProduct survives the lint)."""
+    grid = spark.range(1, 20).select(
+        (F.col("id").cast("double") / F.lit(20.0)).alias("s")
+    )
+    confs = spark.createDataFrame(
+        LSH_TUNING_CONFIGS, "bands int, rows_per_band int"
+    )
+    return (
+        grid.crossJoin(F.broadcast(confs))
+        .select(
+            "bands",
+            "rows_per_band",
+            "s",
+            F.round(
+                1
+                - F.pow(
+                    1 - F.pow(F.col("s"), F.col("rows_per_band")),
+                    F.col("bands"),
+                ),
+                6,
+            ).alias("p_detect"),
+            F.round(
+                F.pow(
+                    F.lit(1.0) / F.col("bands"),
+                    F.lit(1.0) / F.col("rows_per_band"),
+                ),
+                6,
+            ).alias("threshold"),
+        )
+        .orderBy("bands", "s")
+    )
+
+
+def q_dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-threshold sensitivity curve (pairs + affected docs per
+    candidate jaccard threshold) from the exact prefix-filter tier on
+    the corpus-scaled audit sample — the knob-choosing artifact read
+    alongside `lsh_tuning` before a full dedup pass commits to a
+    threshold+banding. Oracle derives the identical sample mod from
+    count(*)."""
+    (docs,) = _tables(spark, sf_dir, "documents")
+    return dedup_ops.dedup_threshold_sweep(
+        dedup_ops.audit_sample_scaled(docs)
+    )
+
+
 def q_simhash_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Byte-banded simhash candidate recall vs nibble-banded exact
     truth per hamming distance (0..7): pinned at 1.0 inside the ≤3
@@ -4725,6 +4786,10 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # added after the r8 rotation freeze → positions 51+, heads the
         # round-9 window
         "semdedup_scaled": q_semdedup_scaled,
+        # added after the r9 rotation freeze → positions 51+, heads the
+        # round-10 window
+        "lsh_tuning": q_lsh_tuning,
+        "dedup_threshold_sweep": q_dedup_threshold_sweep,
         # added after the r7 rotation freeze → positions 51+, heads the
         # round-8 window
         "token_chunks": q_token_chunks,
@@ -6450,6 +6515,21 @@ ORDER BY p.purchase_id
         "exact_dedup": oracles.exact_dedup_sql(),
         "minhash_pairs": oracles.minhash_pairs_sql(),
         "minhash_recall_audit": dedup_ops.minhash_recall_audit_sql(
+            sample_target=dedup_ops.AUDIT_SAMPLE_TARGET
+        ),
+        "lsh_tuning": f"""
+WITH grid AS (SELECT CAST(i AS DOUBLE) / 20.0 AS s
+              FROM generate_series(1, 19) AS t(i)),
+confs(bands, rows_per_band) AS (VALUES {", ".join(
+            f"({b}, {r})" for b, r in LSH_TUNING_CONFIGS)})
+SELECT bands, rows_per_band, s,
+       round(1 - power(1 - power(s, rows_per_band), bands), 6)
+         AS p_detect,
+       round(power(1.0 / bands, 1.0 / rows_per_band), 6) AS threshold
+FROM grid CROSS JOIN confs
+ORDER BY bands, s
+""",
+        "dedup_threshold_sweep": dedup_ops.dedup_threshold_sweep_sql(
             sample_target=dedup_ops.AUDIT_SAMPLE_TARGET
         ),
         "simhash_recall_audit": dedup_ops.simhash_recall_audit_sql(

@@ -366,6 +366,181 @@ GROUP BY 1 ORDER BY 1
     )
 
 
+DEDUP_SWEEP_THRESHOLDS = (0.5, 0.6, 0.7, 0.8, 0.9)
+
+
+def _sweep_bucket(col, thresholds):
+    """Highest sweep threshold the score clears, decided by the SAME
+    >= comparisons the sweep reports. (A floor(j*10) bucket would
+    misplace exact-boundary doubles — 0.7 * 10 floors to 6 in IEEE;
+    cross-engine consistent, but semantically wrong for a
+    ">= threshold" sweep.)"""
+    expr = None
+    for t in sorted(thresholds, reverse=True):
+        lit = F.lit(float(t))
+        expr = (
+            F.when(col >= lit, lit)
+            if expr is None
+            else expr.when(col >= lit, lit)
+        )
+    return expr
+
+
+def dedup_threshold_sweep(
+    docs: DataFrame,
+    thresholds: tuple = DEDUP_SWEEP_THRESHOLDS,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = SHINGLE_N,
+) -> DataFrame:
+    """(threshold, n_pairs, n_docs) — the dedup-threshold SENSITIVITY
+    curve: for each candidate jaccard threshold, how many exact
+    shingle-jaccard pairs clear it and how many distinct documents sit
+    in at least one such pair. This is the knob-choosing artifact a
+    curation run reads BEFORE committing to a threshold (0.8 vs 0.9
+    can easily halve/double the removed volume on a crawl corpus);
+    pairing it with `lsh_tuning`'s analytic S-curves closes the loop:
+    pick the operating threshold here, pick the banding that detects
+    it there.
+
+    Truth comes from the SAME exact prefix-filter tier the recall
+    audits use (no false negatives at/above min(thresholds)), run ONCE
+    at the lowest threshold; the per-threshold counts are then two
+    tiny histogram+cumsum aggregations (pairs bucketed by the highest
+    threshold cleared; documents by their max pair jaccard), never one
+    pass per threshold. Like the audits, feed it the corpus-scaled
+    sample (:func:`audit_sample_scaled`) — at 100 TB this is a bounded
+    side-channel read, not a corpus pass.
+    """
+    from pyspark.sql import Window
+
+    from memfuse_spark import cache as _cache
+
+    ths = sorted(float(t) for t in thresholds)
+    sh = shingle_sets(docs, id_col, text_col, n)
+    toks = sh.select("doc_id", F.explode("shingles").alias("tok"))
+    pairs = prefix_filter_pairs(docs, threshold=ths[0], toks=toks)
+    # the exact tier feeds THREE subplans (pair histogram + both sides
+    # of the doc union) and Spark does no CSE across them — checkpoint
+    # the sampled pair list (small: audit-sample pairs) so the
+    # prefix-filter join runs once. begin() keeps at most one prior
+    # generation alive across repeated calls (the dedup.* pattern).
+    _cache.begin("dedup.threshold_sweep")
+    pairs, _ids = _cache.tracked_local_checkpoint(
+        pairs, "dedup.threshold_sweep"
+    )
+    pair_hist = (
+        pairs.select(_sweep_bucket(F.col("jaccard"), ths).alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("pc"))
+    )
+    doc_max = (
+        pairs.select(F.col("doc_a").alias("doc"), "jaccard")
+        .unionByName(pairs.select(F.col("doc_b").alias("doc"), "jaccard"))
+        .groupBy("doc")
+        .agg(F.max("jaccard").alias("mj"))
+    )
+    doc_hist = (
+        doc_max.select(_sweep_bucket(F.col("mj"), ths).alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("dc"))
+    )
+    spark = docs.sparkSession
+    ths_df = spark.createDataFrame([(t,) for t in ths], "threshold double")
+    cum = Window.orderBy(F.desc("threshold"))
+    return (
+        ths_df.join(
+            F.broadcast(pair_hist),
+            F.col("threshold") == F.col("bucket"),
+            "left",
+        )
+        .drop("bucket")
+        .join(
+            F.broadcast(doc_hist),
+            F.col("threshold") == F.col("bucket"),
+            "left",
+        )
+        .drop("bucket")
+        .select(
+            "threshold",
+            F.coalesce(F.col("pc"), F.lit(0)).alias("pc"),
+            F.coalesce(F.col("dc"), F.lit(0)).alias("dc"),
+        )
+        .select(
+            "threshold",
+            F.sum("pc").over(cum).cast("long").alias("n_pairs"),
+            F.sum("dc").over(cum).cast("long").alias("n_docs"),
+        )
+        .orderBy("threshold")
+    )
+
+
+def dedup_threshold_sweep_sql(
+    thresholds: tuple = DEDUP_SWEEP_THRESHOLDS,
+    n: int = SHINGLE_N,
+    sample_mod: int | None = None,
+    sample_target: int | None = None,
+) -> str:
+    """DuckDB twin: brute-force exact jaccard truth at the lowest
+    threshold (oracle-scale corpora only) + the identical CASE bucket /
+    histogram / descending-cumsum shape."""
+    from memfuse_spark import oracles
+
+    ths = sorted(float(t) for t in thresholds)
+    j = (
+        "round(len(list_intersect(a.s, b.s))::DOUBLE"
+        " / len(list_distinct(list_concat(a.s, b.s))), 6)"
+    )
+    prefix = "WITH " + oracles.TOKS_CTE + "," + oracles._shingles_cte(n)
+    pred = _sample_pred(sample_mod, sample_target)
+    if pred is not None:
+        prefix = prefix.replace(
+            "FROM documents", f"FROM documents WHERE {pred}"
+        )
+    case = lambda col: (  # noqa: E731 — tiny local template
+        "CASE "
+        + " ".join(
+            f"WHEN {col} >= CAST({t} AS DOUBLE) THEN CAST({t} AS DOUBLE)"
+            for t in sorted(ths, reverse=True)
+        )
+        + " END"
+    )
+    values = ", ".join(f"(CAST({t} AS DOUBLE))" for t in ths)
+    return (
+        prefix
+        + f""",
+truth AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, {j} AS j
+  FROM shingles a JOIN shingles b ON a.doc_id < b.doc_id
+  WHERE {j} >= CAST({ths[0]} AS DOUBLE)
+),
+pair_hist AS (
+  SELECT {case("j")} AS bucket, count(*) AS pc FROM truth GROUP BY 1
+),
+doc_max AS (
+  SELECT doc, max(j) AS mj FROM (
+    SELECT doc_a AS doc, j FROM truth
+    UNION ALL SELECT doc_b AS doc, j FROM truth
+  ) GROUP BY 1
+),
+doc_hist AS (
+  SELECT {case("mj")} AS bucket, count(*) AS dc FROM doc_max GROUP BY 1
+),
+ths(threshold) AS (VALUES {values}),
+joined AS (
+  SELECT t.threshold, coalesce(p.pc, 0) AS pc, coalesce(d.dc, 0) AS dc
+  FROM ths t
+  LEFT JOIN pair_hist p ON p.bucket = t.threshold
+  LEFT JOIN doc_hist d ON d.bucket = t.threshold
+)
+SELECT threshold,
+       CAST(sum(pc) OVER (ORDER BY threshold DESC) AS BIGINT) AS n_pairs,
+       CAST(sum(dc) OVER (ORDER BY threshold DESC) AS BIGINT) AS n_docs
+FROM joined ORDER BY threshold
+"""
+    )
+
+
 def simhash_recall_audit(
     docs: DataFrame,
     id_col: str = "doc_id",

@@ -707,3 +707,59 @@ def test_semdedup_scaled_plane_count_counts_vectors_not_documents(spark):
     # differ from vec-count planes (2) -- base cell keys are 2 bits
     # (possibly extended by the hot-cell split)
     assert all(len(cell) >= 2 for _, cell, *_ in got)
+
+
+def test_dedup_threshold_sweep_counts_and_monotonicity(spark):
+    """The sweep's truth tier is the exact prefix-filter pairs; the
+    per-threshold rows must be the cumulative >= counts (pairs AND
+    distinct docs), monotone non-increasing in threshold, with every
+    configured threshold present even when empty."""
+    from memfuse_spark.operators.dedup import (
+        DEDUP_SWEEP_THRESHOLDS,
+        dedup_threshold_sweep,
+        prefix_filter_pairs,
+        shingle_sets,
+    )
+    import pyspark.sql.functions as F
+
+    rows = [
+        (1, "alpha beta gamma delta epsilon zeta eta theta"),
+        (2, "alpha beta gamma delta epsilon zeta eta iota"),   # ~dup of 1
+        (3, "alpha beta gamma delta epsilon zeta eta theta"),  # exact dup of 1
+        (4, "one two three four five six seven eight"),
+        (5, "nine ten eleven twelve thirteen fourteen"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.threshold: r for r in dedup_threshold_sweep(docs).collect()}
+    assert set(out) == set(DEDUP_SWEEP_THRESHOLDS)
+    # ground truth from the exact tier at each threshold directly
+    sh = shingle_sets(docs, "doc_id", "text")
+    toks = sh.select("doc_id", F.explode("shingles").alias("tok"))
+    pairs = prefix_filter_pairs(docs, threshold=0.5, toks=toks).collect()
+    for t in DEDUP_SWEEP_THRESHOLDS:
+        want_pairs = [p for p in pairs if p.jaccard >= t]
+        want_docs = {d for p in want_pairs for d in (p.doc_a, p.doc_b)}
+        assert out[t].n_pairs == len(want_pairs), t
+        assert out[t].n_docs == len(want_docs), t
+    ns = [out[t].n_pairs for t in sorted(DEDUP_SWEEP_THRESHOLDS)]
+    assert ns == sorted(ns, reverse=True)  # monotone non-increasing
+    assert out[0.9].n_pairs >= 1  # the exact dup survives to 0.9
+
+
+def test_lsh_tuning_closed_form(spark):
+    """The analytic S-curve rows match a plain-python evaluation of
+    1-(1-s^r)^b and (1/b)^(1/r) for every configured (b, r)."""
+    import __spark_entry__ as m
+    from tests.conftest import SF_DIR
+
+    rows = m.q_lsh_tuning(spark, SF_DIR).collect()
+    assert len(rows) == 19 * len(m.LSH_TUNING_CONFIGS)
+    for r in rows:
+        p = 1 - (1 - r.s ** r.rows_per_band) ** r.bands
+        assert abs(r.p_detect - round(p, 6)) < 1e-12, r
+        th = (1.0 / r.bands) ** (1.0 / r.rows_per_band)
+        assert abs(r.threshold - round(th, 6)) < 1e-12, r
+    # the production config's threshold sits near the S-curve midpoint
+    prod = [r for r in rows if (r.bands, r.rows_per_band) == (6, 2)]
+    mid = min(prod, key=lambda r: abs(r.s - r.threshold))
+    assert 0.3 < mid.p_detect < 0.75
