@@ -87,11 +87,14 @@ def unpersist_rdd_ids(spark, ids) -> None:
     caller already dropped at handoff time. (Double-release happened to
     be benign only because Spark never reuses RDD ids within a context
     — an implicit invariant this module no longer leans on.)"""
+    ids = frozenset(ids)  # materialize: a generator arg would be
+    # exhausted by the unpersist loop, turning the registry scrub below
+    # into a silent no-op
     m = spark.sparkContext._jsc.getPersistentRDDs()
     for i in ids:
         if m.containsKey(i):
             m.get(i).unpersist(False)
-    drop = frozenset(ids)
+    drop = ids
     for gens in _GENS.values():
         for gen in gens:
             if any(s is spark and rids & drop for s, rids in gen.rdds):

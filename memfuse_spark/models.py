@@ -86,6 +86,26 @@ def _hash_features(texts: Sequence[str], n_features: int):
     return out
 
 
+def _encode_distinct_and_join(
+    pending: DataFrame, text_col: str, vec_col: str, encode
+) -> DataFrame:
+    """The ONE Spark shape every embedder tier shares (deterministic
+    seeded projection AND the live HTTP tier): md5 content ids →
+    dropDuplicates so each distinct text is encoded exactly once (the
+    reference's embedding cache, SURVEY §4) → Arrow-batched mapInPandas
+    ``encode`` over (__cid, text) batches → join the vectors back on
+    the content hash. Tiers differ ONLY in the per-batch encode body —
+    keeping the scaffolding single-sourced is what guarantees the live
+    tier cannot drift from the oracle-checked one in dedup/join
+    semantics."""
+    cid = F.md5(F.coalesce(F.col(text_col), F.lit("")))
+    with_id = pending.withColumn("__cid", cid)
+    uniq = with_id.select("__cid", text_col).dropDuplicates(["__cid"])
+    vecs = uniq.mapInPandas(encode, f"__cid string, {vec_col} array<double>")
+    out = with_id.drop(vec_col) if vec_col in pending.columns else with_id
+    return out.join(vecs, "__cid").drop("__cid")
+
+
 def make_batch_embedder(
     dim: int = 16,
     n_features: int = 256,
@@ -97,20 +117,15 @@ def make_batch_embedder(
     """Return an ``embedder(pending_df, text_col) -> df + vec_col`` for
     backfill_embeddings(embedder=).
 
-    Pipeline: md5(content) → dropDuplicates (encode each distinct text
-    once, the embedding-cache equivalent) → mapInPandas encode (model
-    loaded once per worker, Arrow batches) → join vectors back on the
-    content hash. `init_acc`/`encoded_acc` are optional Spark
-    accumulators for tests: model-init events and encoded-row counts.
+    Pipeline: :func:`_encode_distinct_and_join` with the
+    seeded-projection encode (model loaded once per worker, Arrow
+    batches). `init_acc`/`encoded_acc` are optional Spark accumulators
+    for tests: model-init events and encoded-row counts.
     """
     import numpy as np
     import pandas as pd
 
     def embedder(pending: DataFrame, text_col: str) -> DataFrame:
-        cid = F.md5(F.coalesce(F.col(text_col), F.lit("")))
-        with_id = pending.withColumn("__cid", cid)
-        uniq = with_id.select("__cid", text_col).dropDuplicates(["__cid"])
-
         def encode(batches):
             for pdf in batches:
                 proj = _get_projection(n_features, dim, seed, init_acc)
@@ -126,9 +141,7 @@ def make_batch_embedder(
                     {"__cid": pdf["__cid"], vec_col: list(map(list, mat))}
                 )
 
-        vecs = uniq.mapInPandas(encode, f"__cid string, {vec_col} array<double>")
-        out = with_id.drop(vec_col) if vec_col in pending.columns else with_id
-        return out.join(vecs, "__cid").drop("__cid")
+        return _encode_distinct_and_join(pending, text_col, vec_col, encode)
 
     return embedder
 
@@ -156,10 +169,6 @@ def make_live_embedder(
     import pandas as pd
 
     def embedder(pending: DataFrame, text_col: str) -> DataFrame:
-        cid = F.md5(F.coalesce(F.col(text_col), F.lit("")))
-        with_id = pending.withColumn("__cid", cid)
-        uniq = with_id.select("__cid", text_col).dropDuplicates(["__cid"])
-
         def encode(batches):
             for pdf in batches:
                 if len(pdf) == 0:
@@ -168,9 +177,7 @@ def make_live_embedder(
                 vecs = provider(texts)
                 yield pd.DataFrame({"__cid": pdf["__cid"], vec_col: vecs})
 
-        vecs = uniq.mapInPandas(encode, f"__cid string, {vec_col} array<double>")
-        out = with_id.drop(vec_col) if vec_col in pending.columns else with_id
-        return out.join(vecs, "__cid").drop("__cid")
+        return _encode_distinct_and_join(pending, text_col, vec_col, encode)
 
     return embedder
 

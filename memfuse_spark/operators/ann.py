@@ -635,7 +635,7 @@ def mutual_knn_pairs(
     cells AND explicit ``cell_col=``): a NULL vector is nobody's
     neighbor — its cosine is NULL on both engines — and the kernel's
     ``np.stack`` would die on a ragged batch. Regression-tested for the
-    ``cell_col=`` tier in ``tests/test_ann_scale.py`` (ADVICE r8).
+    ``cell_col=`` tier in ``tests/test_ann.py`` (ADVICE r8).
 
     Scale shape: the all-item kNN graph rides the same probing plan as
     :func:`ivf_knn_join` (corpus never shuffles; each item scores only

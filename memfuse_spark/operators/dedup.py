@@ -271,6 +271,30 @@ def _sample_pred(sample_mod: int | None, sample_target: int | None) -> str | Non
     return None
 
 
+def _apply_sample_pred(
+    prefix_sql: str, sample_mod: int | None, sample_target: int | None
+) -> str:
+    """Rewrite a CTE prefix's document source with the audit sample
+    predicate — the one shared splice point for every sampled exact-tier
+    SQL twin."""
+    pred = _sample_pred(sample_mod, sample_target)
+    if pred is not None:
+        return prefix_sql.replace(
+            "FROM documents", f"FROM documents WHERE {pred}"
+        )
+    return prefix_sql
+
+
+# THE exact shingle-jaccard oracle expression — one definition shared
+# by every exact-tier SQL twin (recall audit, threshold sweep), so the
+# "same exact tier" artifacts cannot drift on precision or list
+# semantics.
+EXACT_JACCARD_SQL = (
+    "round(len(list_intersect(a.s, b.s))::DOUBLE"
+    " / len(list_distinct(list_concat(a.s, b.s))), 6)"
+)
+
+
 def minhash_recall_audit(
     docs: DataFrame,
     truth_threshold: float = 0.05,
@@ -337,16 +361,10 @@ def minhash_recall_audit_sql(
     ``sample_target`` applies the corpus-scaled rule instead."""
     from memfuse_spark import oracles
 
-    j = (
-        "round(len(list_intersect(a.s, b.s))::DOUBLE"
-        " / len(list_distinct(list_concat(a.s, b.s))), 6)"
+    j = EXACT_JACCARD_SQL
+    prefix = _apply_sample_pred(
+        oracles._minhash_prefix(n), sample_mod, sample_target
     )
-    prefix = oracles._minhash_prefix(n)
-    pred = _sample_pred(sample_mod, sample_target)
-    if pred is not None:
-        prefix = prefix.replace(
-            "FROM documents", f"FROM documents WHERE {pred}"
-        )
     return (
         prefix
         + f""",
@@ -487,16 +505,11 @@ def dedup_threshold_sweep_sql(
     from memfuse_spark import oracles
 
     ths = sorted(float(t) for t in thresholds)
-    j = (
-        "round(len(list_intersect(a.s, b.s))::DOUBLE"
-        " / len(list_distinct(list_concat(a.s, b.s))), 6)"
+    j = EXACT_JACCARD_SQL
+    prefix = _apply_sample_pred(
+        "WITH " + oracles.TOKS_CTE + "," + oracles._shingles_cte(n),
+        sample_mod, sample_target,
     )
-    prefix = "WITH " + oracles.TOKS_CTE + "," + oracles._shingles_cte(n)
-    pred = _sample_pred(sample_mod, sample_target)
-    if pred is not None:
-        prefix = prefix.replace(
-            "FROM documents", f"FROM documents WHERE {pred}"
-        )
     case = lambda col: (  # noqa: E731 — tiny local template
         "CASE "
         + " ".join(

@@ -196,7 +196,8 @@ class _HTTPProviderBase:
             except urllib.error.HTTPError as err:
                 if err.code not in _RETRYABLE:
                     raise ProviderError(
-                        f"LLM endpoint returned HTTP {err.code}"
+                        f"{self.endpoint_path} endpoint returned "
+                        f"HTTP {err.code}"
                     ) from err
                 last_err = err
                 # rate-limit hint wins over the backoff schedule.
@@ -220,9 +221,9 @@ class _HTTPProviderBase:
                         # from the budget, letting a saturated endpoint
                         # pin workers indefinitely) costs the cluster
                         # more than the retried request. Deployments
-                        # that want longer waits raise
-                        # MEMFUSE_SPARK_LLM_MAX_RETRIES /
-                        # _RETRY_DELAY instead.
+                        # that want longer waits raise the provider
+                        # family's _MAX_RETRIES / _RETRY_DELAY env
+                        # vars instead (LLM / EMBED / RERANK alike).
                         sleep_s = min(max(0.0, float(retry_after)), 60.0)
                     except ValueError:
                         try:
@@ -248,13 +249,21 @@ class _HTTPProviderBase:
             except (urllib.error.URLError, TimeoutError, ConnectionError) as err:
                 last_err = err  # transient transport error
                 sleep_s = delay
-            except (KeyError, IndexError, json.JSONDecodeError, ValueError) as err:
+            except (
+                KeyError, IndexError, TypeError,
+                json.JSONDecodeError, ValueError,
+            ) as err:
+                # TypeError included: structurally-null fields (e.g.
+                # "embedding": null -> map(float, None)) must surface as
+                # the documented ProviderError, not a raw TypeError out
+                # of the mapInPandas worker
                 raise ProviderError(f"malformed provider response: {err}") from err
             if attempt < self.config.max_retries:
                 time.sleep(sleep_s)
                 delay *= self.config.backoff_factor
         raise ProviderError(
-            f"LLM request failed after {self.config.max_retries + 1} attempts"
+            f"{self.endpoint_path} request failed "
+            f"after {self.config.max_retries + 1} attempts"
         ) from last_err
 
 
@@ -298,6 +307,15 @@ class HTTPEmbeddingProvider(_HTTPProviderBase):
 
     def _parse(self, payload: dict) -> list:
         items = sorted(payload["data"], key=lambda d: d["index"])
+        # index coverage must be exactly 0..n-1: a duplicate/missing
+        # index that keeps the COUNT intact would otherwise silently
+        # misassign vectors to texts (the rerank client has the same
+        # guard; caught by the ladder's malformed-body clause)
+        if [d["index"] for d in items] != list(range(len(items))):
+            raise ValueError(
+                "embeddings response indices are not a permutation of "
+                "the input positions"
+            )
         return [list(map(float, d["embedding"])) for d in items]
 
     def __call__(self, texts: "list[str]") -> "list[list[float]]":

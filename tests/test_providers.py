@@ -526,3 +526,46 @@ def test_live_scorer_through_rerank_seam_end_to_end(spark):
         assert {r["body"]["query"] for r in ep.requests} == {"the query"}
     finally:
         ep.close()
+
+
+def test_embeddings_duplicate_index_is_a_provider_error():
+    """Self-review r9: a response whose indices are not a permutation
+    of 0..n-1 (duplicate + missing) must raise, not silently misassign
+    vectors — the count check alone cannot see it."""
+    ep = _FakeJSONEndpoint(
+        [lambda body: {"data": [
+            {"index": 0, "embedding": [1.0]},
+            {"index": 0, "embedding": [1.0]},
+        ]}]
+    )
+    try:
+        with pytest.raises(PR.ProviderError, match="permutation"):
+            _embed_provider(ep)(["a", "b"])
+    finally:
+        ep.close()
+
+
+def test_null_embedding_field_is_a_provider_error():
+    """Self-review r9: structurally-null fields (embedding: null ->
+    map(float, None) TypeError) must surface as the documented
+    ProviderError, not a raw TypeError out of the worker."""
+    ep = _FakeJSONEndpoint(
+        [lambda body: {"data": [{"index": 0, "embedding": None}]}]
+    )
+    try:
+        with pytest.raises(PR.ProviderError, match="malformed"):
+            _embed_provider(ep)(["a"])
+    finally:
+        ep.close()
+
+
+def test_error_messages_name_the_endpoint_family():
+    """Self-review r9: a 401 from /embeddings must say /embeddings, not
+    'LLM endpoint' — the operator debugging env vars needs the right
+    family."""
+    ep = _FakeJSONEndpoint([(401, "bad key")])
+    try:
+        with pytest.raises(PR.ProviderError, match="/embeddings"):
+            _embed_provider(ep)(["a"])
+    finally:
+        ep.close()

@@ -17,9 +17,9 @@ provide (mutual_knn / ivf_knn_join, measured flat-to-sublinear at
 decade 4) — so the meaningful scaling question for pagerank/k-core is
 "linear in |E|?", asked on edge lists whose growth IS linear.
 
-This probe generates deterministic bounded-degree graphs (ring + 8
-md5-scattered long-range edges per node, both directions — degree ~18
-at any scale), scales NODES 1x/10x/100x with constant degree, and
+This probe generates deterministic bounded-degree graphs (2 ring + 6
+md5-scattered long-range arcs per node, symmetrized — degree ~16 at
+any scale), scales NODES 1x/10x/100x with constant degree, and
 times the two kernels end-to-end (8 pagerank rounds / 6 peeling
 rounds, the production query parameters, noop sink, steady-state
 second run with cache released between).

@@ -127,7 +127,10 @@ def main() -> None:
             continue
         floor = req.get("driver_memory", "0g")
         floor_bytes = int(float(floor.rstrip("gG"))) << 30
-        if heap < floor_bytes:
+        # 10% slack: Runtime.maxMemory() reports Xmx minus GC reserve
+        # (e.g. one survivor space), so a JVM launched exactly AT the
+        # documented floor must not trip its own warning
+        if heap < floor_bytes * 0.9:
             print(
                 json.dumps({
                     "warning": f"{name} needs SPARK_DRIVER_MEM>={floor} "

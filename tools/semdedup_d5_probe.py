@@ -71,17 +71,17 @@ def prep(spark) -> None:
         d = base.withColumn("doc_id", F.col("doc_id") + F.lit(k * STRIDE))
         if k > 0:
             tag_pos = (7 * k) % 64
+
+            def perturb(kk, tp):
+                # closure factory: pyspark's higher-order-function shim
+                # counts default args as lambda parameters
+                return lambda x, i: (
+                    F.when((i + F.lit(kk)) % 3 == 0, F.lit(0.0)).otherwise(x)
+                    + F.when(i == tp, 0.6 * F.col("__n")).otherwise(F.lit(0.0))
+                )
+
             d = d.withColumn("__n", norm).withColumn(
-                "vector",
-                F.transform(
-                    "vector",
-                    lambda x, i, k=k, tag_pos=tag_pos: F.when(
-                        (i + F.lit(k)) % 3 == 0, F.lit(0.0)
-                    ).otherwise(x)
-                    + F.when(
-                        i == tag_pos, 0.6 * F.col("__n")
-                    ).otherwise(F.lit(0.0)),
-                ),
+                "vector", F.transform("vector", perturb(k, tag_pos))
             ).drop("__n")
         parts.append(d)
     out = parts[0]
@@ -135,7 +135,10 @@ def main() -> None:
             )
         prep(spark)
     elif "--run" in sys.argv:
-        run(spark, sys.argv[sys.argv.index("--run") + 1])
+        i = sys.argv.index("--run") + 1
+        if i >= len(sys.argv):
+            raise SystemExit("pass --prep or --run <vec_dir>")
+        run(spark, sys.argv[i])
     else:
         raise SystemExit("pass --prep or --run <vec_dir>")
 
