@@ -94,12 +94,11 @@ def unpersist_rdd_ids(spark, ids) -> None:
     for i in ids:
         if m.containsKey(i):
             m.get(i).unpersist(False)
-    drop = ids
     for gens in _GENS.values():
         for gen in gens:
-            if any(s is spark and rids & drop for s, rids in gen.rdds):
+            if any(s is spark and rids & ids for s, rids in gen.rdds):
                 gen.rdds = [
-                    (s, rids - drop if s is spark else rids)
+                    (s, rids - ids if s is spark else rids)
                     for s, rids in gen.rdds
                 ]
 

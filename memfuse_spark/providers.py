@@ -350,10 +350,17 @@ class HTTPRerankProvider(_HTTPProviderBase):
     endpoint_path = "/rerank"
 
     def _parse(self, payload: dict) -> dict:
-        return {
-            int(r["index"]): float(r["relevance_score"])
+        pairs = [
+            (int(r["index"]), float(r["relevance_score"]))
             for r in payload["results"]
-        }
+        ]
+        idxs = [i for i, _ in pairs]
+        # duplicate indices would silently keep whichever score comes
+        # last — same guard class as the embeddings permutation check
+        # (caught by the ladder's malformed-body clause)
+        if len(set(idxs)) != len(idxs):
+            raise ValueError("rerank response contains duplicate indices")
+        return dict(pairs)
 
     def __call__(self, query: str, documents: "list[str]") -> "list[float]":
         documents = list(documents)
@@ -367,10 +374,14 @@ class HTTPRerankProvider(_HTTPProviderBase):
                 "top_n": len(documents),
             }
         )
-        missing = [i for i in range(len(documents)) if i not in by_index]
-        if missing:
+        # exact coverage: every document position scored once, no
+        # out-of-range extras (top_n == len(documents) on the wire)
+        if sorted(by_index) != list(range(len(documents))):
+            missing = [i for i in range(len(documents)) if i not in by_index]
+            extras = [i for i in by_index if not 0 <= i < len(documents)]
             raise ProviderError(
-                f"rerank endpoint omitted scores for indices {missing[:5]}"
+                f"rerank endpoint index coverage is wrong (missing "
+                f"{missing[:5]}, out-of-range {extras[:5]})"
             )
         return [by_index[i] for i in range(len(documents))]
 

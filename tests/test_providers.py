@@ -451,7 +451,7 @@ def test_rerank_missing_index_is_a_provider_error():
         [lambda body: {"results": [{"index": 0, "relevance_score": 0.5}]}]
     )
     try:
-        with pytest.raises(PR.ProviderError, match="omitted scores"):
+        with pytest.raises(PR.ProviderError, match="missing"):
             _rerank_provider(ep)("q", ["a", "b"])
     finally:
         ep.close()
@@ -569,3 +569,33 @@ def test_error_messages_name_the_endpoint_family():
             _embed_provider(ep)(["a"])
     finally:
         ep.close()
+
+
+def test_rerank_duplicate_index_is_a_provider_error():
+    """Self-review r9 (high pass): duplicate rerank indices must raise
+    (the dict comprehension would silently keep the last score), and an
+    out-of-range extra index must fail the coverage check rather than
+    be dropped."""
+    dup = _FakeJSONEndpoint(
+        [lambda body: {"results": [
+            {"index": 0, "relevance_score": 0.9},
+            {"index": 0, "relevance_score": 0.1},
+            {"index": 1, "relevance_score": 0.5},
+        ]}]
+    )
+    try:
+        with pytest.raises(PR.ProviderError, match="duplicate"):
+            _rerank_provider(dup)("q", ["a", "b"])
+    finally:
+        dup.close()
+    oor = _FakeJSONEndpoint(
+        [lambda body: {"results": [
+            {"index": 0, "relevance_score": 0.9},
+            {"index": 2, "relevance_score": 0.5},
+        ]}]
+    )
+    try:
+        with pytest.raises(PR.ProviderError, match="out-of-range"):
+            _rerank_provider(oor)("q", ["a", "b"])
+    finally:
+        oor.close()
