@@ -198,6 +198,10 @@ EXTRA = [
     "perf_regressions",
     "minhash_recall_audit",
     "simhash_recall_audit",
+    # round 9
+    "semdedup_scaled",
+    "lsh_tuning",
+    "dedup_threshold_sweep",
 ]
 # Real-model-tier twins (deterministic stand-in models, models.py):
 # resolved from q_* functions directly — deliberately NOT queries()
