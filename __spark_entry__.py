@@ -3229,6 +3229,39 @@ def q_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sequence_pack(docs)
 
 
+def q_pack_density(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-training-sequence composition of the packed stream — the
+    report a pretraining pipeline reads AFTER packing: for each
+    concat-then-cut sequence, how many documents contribute tokens
+    (attention-mask segment count) and how many are fully contained
+    (no boundary crossing — the examples whose loss sees the whole
+    document). Integer-exact on both engines: end_seq is integer
+    division, spans explode via sequence()/range(), zero-token docs
+    are excluded (they occupy no positions). Volume is bounded by
+    n_docs + total_tokens/budget rows — linear, and the explode is
+    JVM-side."""
+    from memfuse_spark.operators.chunking import TOKEN_BUDGET, sequence_pack
+
+    (docs,) = _tables(spark, sf_dir, "documents")
+    sp = sequence_pack(docs).filter(F.col("n_tokens") > 0)
+    spans = sp.selectExpr(
+        "seq_id",
+        f"(start_offset + n_tokens - 1) div {TOKEN_BUDGET} as end_seq",
+    )
+    e = spans.select(
+        F.explode(F.sequence("seq_id", "end_seq")).alias("seq"),
+        (F.col("seq_id") == F.col("end_seq")).cast("int").alias("contained"),
+    )
+    return (
+        e.groupBy("seq")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("contained").cast("long").alias("n_contained"),
+        )
+        .orderBy("seq")
+    )
+
+
 def q_doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher within-document repetition metrics + keep flag."""
     (docs,) = _tables(spark, sf_dir, "documents")
@@ -4790,6 +4823,7 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round-10 window
         "lsh_tuning": q_lsh_tuning,
         "dedup_threshold_sweep": q_dedup_threshold_sweep,
+        "pack_density": q_pack_density,
         # added after the r7 rotation freeze → positions 51+, heads the
         # round-8 window
         "token_chunks": q_token_chunks,
@@ -6532,6 +6566,23 @@ ORDER BY bands, s
         "dedup_threshold_sweep": dedup_ops.dedup_threshold_sweep_sql(
             sample_target=dedup_ops.AUDIT_SAMPLE_TARGET
         ),
+        "pack_density": f"""
+WITH sp AS ({oracles.sequence_pack_sql(_chunking.TOKEN_BUDGET)}),
+spans AS (
+  SELECT seq_id,
+         (start_offset + n_tokens - 1) // {_chunking.TOKEN_BUDGET}
+           AS end_seq
+  FROM sp WHERE n_tokens > 0
+),
+e AS (
+  SELECT unnest(range(seq_id, end_seq + 1)) AS seq,
+         CASE WHEN seq_id = end_seq THEN 1 ELSE 0 END AS contained
+  FROM spans
+)
+SELECT seq, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(contained) AS BIGINT) AS n_contained
+FROM e GROUP BY 1 ORDER BY 1
+""",
         "simhash_recall_audit": dedup_ops.simhash_recall_audit_sql(
             sample_target=dedup_ops.AUDIT_SAMPLE_TARGET
         ),

@@ -202,6 +202,7 @@ EXTRA = [
     "semdedup_scaled",
     "lsh_tuning",
     "dedup_threshold_sweep",
+    "pack_density",
 ]
 # Real-model-tier twins (deterministic stand-in models, models.py):
 # resolved from q_* functions directly — deliberately NOT queries()

@@ -466,3 +466,34 @@ def test_include_knowledge_flags_filter_before_topk(spark):
     # monotone non-increasing in rank order
     scores = [r.score for r in no_knowledge]
     assert scores == sorted(scores, reverse=True)
+
+
+def test_pack_density_counts_contained_and_crossing_docs(spark):
+    """pack_density: per-sequence doc counts from the packed stream.
+    Hand-built corpus at budget=256: doc A (300 tokens) crosses the
+    seq0/seq1 boundary, B (200) sits inside seq1 after A's tail, C (12)
+    ends seq1 exactly at... (300+200+12=512=2*256, so C is contained in
+    seq1). Zero-token docs are excluded."""
+    import __spark_entry__ as m
+
+    docs = spark.createDataFrame(
+        [
+            (1, "w " * 300),
+            (2, "w " * 200),
+            (3, "w " * 12),
+            (4, ""),  # zero tokens: occupies no positions
+        ],
+        "doc_id long, text string",
+    )
+    import memfuse_spark.catalog as _cat
+    orig = m._tables
+    try:
+        m._tables = lambda s, d, *names: (docs,)
+        rows = {r.seq: r for r in m.q_pack_density(spark, "unused").collect()}
+    finally:
+        m._tables = orig
+    # A: offsets 0-299 -> seqs 0,1 (crossing). B: 300-499 -> seq 1
+    # contained. C: 500-511 -> seq 1 contained.
+    assert rows[0].n_docs == 1 and rows[0].n_contained == 0
+    assert rows[1].n_docs == 3 and rows[1].n_contained == 2
+    assert set(rows) == {0, 1}
