@@ -310,8 +310,21 @@ def _forced_scaling_broadcasts(df) -> list[str]:
                 out = s.output()
                 names = {out.apply(i).name() for i in range(out.size())}
                 scaling += [t for a, t in _SF_SCALING_MARKERS.items() if a in names]
-            if nm == "Aggregate" and s.groupingExpressions().isEmpty():
-                bounded = True
+            if nm == "Aggregate":
+                ge = s.groupingExpressions()
+                if ge.isEmpty():
+                    bounded = True
+                else:
+                    # An aggregate grouped ONLY by bounded-domain bucket
+                    # columns has ≤ #buckets output rows regardless of
+                    # input size (sequence_pack's __b is doc_id/width
+                    # with width = ceil(max_id/buckets) → ≤32 values).
+                    names = set()
+                    for i in range(ge.size()):
+                        e = ge.apply(i)
+                        names.add(e.name() if hasattr(e, "name") else e.toString())
+                    if names <= _BOUNDED_GROUPING_COLS:
+                        bounded = True
             if nm in ("GlobalLimit", "LocalLimit"):
                 bounded = True
             if nm == "Filter" and " IN (" in s.simpleString(25):
@@ -321,6 +334,14 @@ def _forced_scaling_broadcasts(df) -> list[str]:
     return bad
 
 
+# Grouping columns whose value domain is bounded by CONSTRUCTION, not by
+# the data: an Aggregate grouped only by these yields ≤ #buckets rows at
+# any corpus size. `__b` is sequence_pack's id-range bucket
+# (doc_id / width, width = ceil(max_id/buckets)) — ≤32 distinct values.
+# Covers sequence_pack AND every query composed on top of it
+# (pack_density, …) without per-query allowlisting.
+_BOUNDED_GROUPING_COLS = {"__b"}
+
 # Hinted broadcasts whose build side is bounded by CONTRACT rather than
 # by a plan node the detector can see. Each entry must say why.
 _BOUNDED_BY_CONTRACT = {
@@ -328,9 +349,6 @@ _BOUNDED_BY_CONTRACT = {
     # suite — bounded by definition, whatever table the test fixture
     # derives it from
     "decontaminate",
-    # the packing offset table has one row per pack bucket (a fixed
-    # partition-count-sized grouping), not one per document
-    "sequence_pack",
 }
 
 
