@@ -4652,7 +4652,40 @@ def entry(spark: SparkSession) -> DataFrame:
 # rotation.
 # Round-9 window (rotated ONCE at round start, then frozen). Ground
 # truth derived by tools/rotation_table.py from CORRECTNESS_r01-r08:
-# 242/243 registered queries have a green driver row; priority order:
+# 243/246 registered queries have a green driver row (per
+# CORRECTNESS_r01–r09); priority order: (1) the THREE queries with no
+# driver row ever (`lsh_tuning`, `dedup_threshold_sweep`,
+# `pack_density` — added after the r9 freeze; judge-verified in
+# VERDICT r9 — the driver run is the independent replication);
+# (2) all 43 queries whose latest green row dates to round 5;
+# (3) the first four of the r6-vintage block to fill 50. Demoted:
+# everything with an r6+ row — tools/verify_oracle.py (full suite,
+# re-run each round) remains the superset check. Queries added
+# mid-round go at positions 51+ only and head the round-11 rotation.
+_DRIVER_WINDOW_R10 = [
+    # (1) never driver-checked (added after the r9 freeze)
+    "lsh_tuning", "dedup_threshold_sweep", "pack_density",
+    # (2) latest green row = round 5 (all 43)
+    "bq_topk", "hybrid_text_query", "sentence_chunks",
+    "compaction_plan", "join_skew_report", "split_leakage",
+    "hybrid_batch", "bq_store_topk", "hybrid_batch_3way",
+    "index_compact", "mutual_knn", "tokenizer_fertility",
+    "embedding_outliers", "backfill_queue", "graph_kcore",
+    "ann_store_lifecycle", "spellfix_search", "bm25_stream_index",
+    "retriever_agreement", "corpus_manifest", "rolling_anomaly",
+    "signal_correlation", "forecast_error", "scd2_snapshot",
+    "more_like_this", "classifier_calibration", "query_difficulty",
+    "quota_topk", "ann_stream_store", "train_classifier",
+    "classifier_eval", "dup_clusters_inc", "dedup_rate_by_source",
+    "tpch_q5", "tpch_q10", "tpch_q18", "hll_users",
+    "cms_heavy_hitters", "cdc_chunks", "prefix_filter_pairs",
+    "value_outliers_mad", "graph_triangles", "event_funnel",
+    # (3) head of the r6-vintage block
+    "msmg_rollup", "msmg_neighborhood", "m1_episodes_former",
+    "hybrid_with_knowledge",
+]
+
+# superseded — round-9 priority order:
 # (1) `semdedup_scaled` — the ONE query with no driver row ever (added
 # after the r8 freeze; judge-verified in VERDICT r8 — the driver run
 # is the independent replication); (2) all 42 queries whose latest
@@ -4806,7 +4839,7 @@ def release_memo_stores(spark: SparkSession, sf_dir: str) -> int:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     reg = _query_registry()
-    ordered = {n: reg[n] for n in _DRIVER_WINDOW_R9}
+    ordered = {n: reg[n] for n in _DRIVER_WINDOW_R10}
     ordered.update((n, f) for n, f in reg.items() if n not in ordered)
     return ordered
 

@@ -422,7 +422,7 @@ def test_driver_window_and_registry_consistency():
     import __spark_entry__ as m
 
     qs = list(m.queries())
-    assert qs[:50] == m._DRIVER_WINDOW_R9
+    assert qs[:50] == m._DRIVER_WINDOW_R10
     osql = m.oracle_sql()
     missing_window = [n for n in qs[:50] if n not in osql]
     assert not missing_window, missing_window
@@ -485,7 +485,6 @@ def test_pack_density_counts_contained_and_crossing_docs(spark):
         ],
         "doc_id long, text string",
     )
-    import memfuse_spark.catalog as _cat
     orig = m._tables
     try:
         m._tables = lambda s, d, *names: (docs,)
