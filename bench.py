@@ -204,10 +204,6 @@ EXTRA = [
     "dedup_threshold_sweep",
     "pack_density",
 ]
-# Real-model-tier twins (deterministic stand-in models, models.py):
-# resolved from q_* functions directly — deliberately NOT queries()
-# entries (no DuckDB oracle is possible for the seeded projection;
-# python-parity lives in pytest). Timed and reported like EXTRA.
 # Machine-readable environment requirements for slots whose SCALED
 # probe exceeds the default single-JVM bench environment (VERDICT r8
 # #7 — this used to live only in PLANS.md prose). The sf0.1 bench run
@@ -231,6 +227,10 @@ SLOT_REQUIRES = {
     },
 }
 
+# Real-model-tier twins (deterministic stand-in models, models.py):
+# resolved from q_* functions directly — deliberately NOT queries()
+# entries (no DuckDB oracle is possible for the seeded projection;
+# python-parity lives in pytest). Timed and reported like EXTRA.
 MODEL_TIER = [
     "model_embed_bench",
     "model_rerank_bench",

@@ -118,20 +118,29 @@ class ProviderConfig:
         cls,
         prefix: str = "MEMFUSE_SPARK_LLM",
         default_model: str = "gpt-4o-mini",
+        chat: bool = True,
     ) -> "ProviderConfig":
+        """Parse the ``{prefix}_*`` variable family. Chat-only knobs
+        (temperature, max_tokens) are skipped for non-chat prefixes
+        (``chat=False``): /embeddings and /rerank never send them, so a
+        malformed MEMFUSE_SPARK_EMBED_TEMPERATURE must not be able to
+        crash embed_provider_from_env."""
         e = os.environ.get
+        kw: dict[str, Any] = {}
+        if chat:
+            kw["temperature"] = float(e(f"{prefix}_TEMPERATURE", "0.3"))
+            kw["max_tokens"] = int(e(f"{prefix}_MAX_TOKENS", "150"))
         return cls(
             base_url=e(f"{prefix}_BASE_URL", ""),
             api_key=e(f"{prefix}_API_KEY", ""),
             model=e(f"{prefix}_MODEL", default_model),
-            temperature=float(e(f"{prefix}_TEMPERATURE", "0.3")),
-            max_tokens=int(e(f"{prefix}_MAX_TOKENS", "150")),
             timeout=float(e(f"{prefix}_TIMEOUT", "30")),
             max_retries=int(e(f"{prefix}_MAX_RETRIES", "3")),
             retry_delay=float(e(f"{prefix}_RETRY_DELAY", "1.0")),
             backoff_factor=float(e(f"{prefix}_BACKOFF", "2.0")),
             min_interval=float(e(f"{prefix}_MIN_INTERVAL", "0")),
             batch_size=int(e(f"{prefix}_BATCH", "256")),
+            **kw,
         )
 
 
@@ -416,7 +425,8 @@ def embed_provider_from_env() -> Optional[HTTPEmbeddingProvider]:
     deterministic seeded-projection tier stays the default — it is what
     keeps the embedding queries oracle-checkable)."""
     config = ProviderConfig.from_env(
-        "MEMFUSE_SPARK_EMBED", default_model="text-embedding-3-small"
+        "MEMFUSE_SPARK_EMBED", default_model="text-embedding-3-small",
+        chat=False,
     )
     return HTTPEmbeddingProvider(config) if config.base_url else None
 
@@ -425,7 +435,8 @@ def rerank_provider_from_env() -> Optional[HTTPRerankProvider]:
     """The rerank gate: a configured /rerank client iff
     MEMFUSE_SPARK_RERANK_BASE_URL is set, else None."""
     config = ProviderConfig.from_env(
-        "MEMFUSE_SPARK_RERANK", default_model="rerank-english-v3.0"
+        "MEMFUSE_SPARK_RERANK", default_model="rerank-english-v3.0",
+        chat=False,
     )
     return HTTPRerankProvider(config) if config.base_url else None
 

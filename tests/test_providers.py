@@ -599,3 +599,43 @@ def test_rerank_duplicate_index_is_a_provider_error():
             _rerank_provider(oor)("q", ["a", "b"])
     finally:
         oor.close()
+
+
+def test_chat_only_knobs_ignored_for_non_chat_prefixes(monkeypatch):
+    """ADVICE r9: a malformed MEMFUSE_SPARK_EMBED_TEMPERATURE must not
+    crash embed_provider_from_env — /embeddings and /rerank never send
+    temperature/max_tokens, so from_env(chat=False) skips parsing them
+    and keeps the dataclass defaults."""
+    monkeypatch.setenv("MEMFUSE_SPARK_EMBED_BASE_URL", "http://127.0.0.1:1/v1")
+    monkeypatch.setenv("MEMFUSE_SPARK_EMBED_TEMPERATURE", "not-a-float")
+    monkeypatch.setenv("MEMFUSE_SPARK_EMBED_MAX_TOKENS", "NaN-ish")
+    p = PR.embed_provider_from_env()
+    assert isinstance(p, PR.HTTPEmbeddingProvider)
+    assert p.config.temperature == 0.3  # default, env garbage untouched
+
+    monkeypatch.setenv("MEMFUSE_SPARK_RERANK_BASE_URL", "http://127.0.0.1:1/v1")
+    monkeypatch.setenv("MEMFUSE_SPARK_RERANK_TEMPERATURE", "')(")
+    assert isinstance(PR.rerank_provider_from_env(), PR.HTTPRerankProvider)
+
+    # the chat family DOES use the knob, so there it still raises loudly
+    monkeypatch.setenv("MEMFUSE_SPARK_LLM_BASE_URL", "http://127.0.0.1:1/v1")
+    monkeypatch.setenv("MEMFUSE_SPARK_LLM_TEMPERATURE", "not-a-float")
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        PR.provider_from_env()
+
+
+def test_scaling_probe_mem_floor_parser_units():
+    """ADVICE r9: the SLOT_REQUIRES heap-floor parser must understand
+    m/g/GB spellings and degrade to None (warn+skip) on garbage instead
+    of killing the probe before any measurement."""
+    from tools.scaling_probe import _mem_bytes
+
+    assert _mem_bytes("24g") == 24 * (1 << 30)
+    assert _mem_bytes("24576m") == 24 * (1 << 30)
+    assert _mem_bytes("24 GB") == 24 * (1 << 30)
+    assert _mem_bytes("512k") == 512 * (1 << 10)
+    assert _mem_bytes("1073741824b") == 1 << 30
+    assert _mem_bytes("0g") == 0.0
+    assert _mem_bytes("twenty-four gigs") is None
+    assert _mem_bytes("") is None

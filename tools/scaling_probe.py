@@ -51,6 +51,24 @@ PROBE_SET = [
 SFS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1"]
 
 
+def _mem_bytes(spec: str) -> float | None:
+    """JVM-style memory size ('24g', '24576m', '24 GB', bare bytes) →
+    bytes, or None when unparseable (the caller warns and skips the
+    check rather than dying before any measurement)."""
+    s = str(spec).strip().lower().replace(" ", "")
+    for suffix, shift in (("gb", 30), ("g", 30), ("mb", 20), ("m", 20),
+                          ("kb", 10), ("k", 10), ("b", 0)):
+        if s.endswith(suffix):
+            s, shift_bits = s[: -len(suffix)], shift
+            break
+    else:
+        shift_bits = 0
+    try:
+        return float(s) * (1 << shift_bits)
+    except ValueError:
+        return None
+
+
 def main() -> None:
     from tools.runlock import acquire_run_lock
 
@@ -130,7 +148,17 @@ def main() -> None:
         if not req:
             continue
         floor = req.get("driver_memory", "0g")
-        floor_bytes = float(floor.rstrip("gG")) * (1 << 30)
+        floor_bytes = _mem_bytes(floor)
+        if floor_bytes is None:
+            print(
+                json.dumps({
+                    "warning": f"{name}: unparseable driver_memory floor "
+                               f"{floor!r} in SLOT_REQUIRES (expected "
+                               f"'<N>g' or '<N>m'); skipping heap check"
+                }),
+                flush=True,
+            )
+            continue
         # 10% slack: Runtime.maxMemory() reports Xmx minus GC reserve
         # (e.g. one survivor space), so a JVM launched exactly AT the
         # documented floor must not trip its own warning
