@@ -2867,6 +2867,7 @@ def q_fixed_char_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- graph path ------------------------------------------------------------
 
 _EDGES_STORE: dict[tuple[int, str], str] = {}
+_KNN_EDGES_STORE: dict[tuple[int, str], str] = {}
 
 
 def _graph_edges(spark: SparkSession, sf_dir: str):
@@ -2959,6 +2960,67 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     _, edges = _graph_edges(spark, sf_dir)
     return g.pagerank(edges, iterations=PAGERANK_ITERS, damping=PAGERANK_DAMPING)
+
+
+KNN_EDGES_K = 5
+
+
+def _knn_graph_edges(spark: SparkSession, sf_dir: str):
+    """Bounded-degree graph store: mutual-kNN SIMILAR_TO arcs +
+    FOLLOWS, built ONCE per (session, sf) as a src-bucketed warehouse
+    table (graph.build_knn_edges_store). The 100-TB physical shape —
+    O(n·k) edges by construction, where the cosine-threshold store
+    densifies quadratically on a saturating space (PLANS.md round-9
+    density probe)."""
+    import hashlib
+    import tempfile
+
+    from memfuse_spark.operators import graph as g
+
+    (emb,) = _tables(spark, sf_dir, "embeddings")
+    key = (id(spark.sparkContext), sf_dir)
+    if key not in _KNN_EDGES_STORE:
+        tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+        name = f"mfs_knn_edges_{tag}"
+        g.build_knn_edges_store(
+            spark, emb, name, k=KNN_EDGES_K,
+            path=os.path.join(tempfile.gettempdir(), "memfuse_idx"),
+        )
+        _KNN_EDGES_STORE[key] = name
+    return emb, spark.table(_KNN_EDGES_STORE[key])
+
+
+def q_knn_edges_store(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-degree kNN edge-store construction: the full edge list
+    of the persistent store (mutual top-5 SIMILAR_TO both arcs +
+    FOLLOWS). Oracle = the single-sourced mutual-kNN CTE chain closed
+    as an edge table (oracles.knn_edges_store_sql)."""
+    _, edges = _knn_graph_edges(spark, sf_dir)
+    return edges.select("src", "dst", "weight", "relation").orderBy(
+        "src", "dst", "relation"
+    )
+
+
+def q_knn_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the BOUNDED-DEGREE kNN store — same kernel, the
+    edge table whose size survives 100× corpus growth. The kernel SQL
+    composes over knn_edges_cte unchanged (same `edges` contract as the
+    threshold store's CTE)."""
+    from memfuse_spark.operators import graph as g
+
+    _, edges = _knn_graph_edges(spark, sf_dir)
+    return g.pagerank(edges, iterations=PAGERANK_ITERS, damping=PAGERANK_DAMPING)
+
+
+def q_knn_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-core over the bounded-degree kNN store (fixed 6 peeling
+    rounds) — the dense-subgraph screen on the store shape that is
+    actually probeable at decade 4 on one box (the threshold store's
+    edge count explodes quadratically on derived corpora)."""
+    from memfuse_spark.operators.graph import kcore_nodes
+
+    _, edges = _knn_graph_edges(spark, sf_dir)
+    return kcore_nodes(edges, k=3, rounds=6)
 
 
 PPR_SEEDS = [0, 7]
@@ -4829,7 +4891,8 @@ def release_memo_stores(spark: SparkSession, sf_dir: str) -> int:
         n += 1
     for memo in (
         _POSTINGS_IDX, _POSTINGS_IDX_V2, _POSTINGS_IDX_C, _BUCKETED_STORE,
-        _BQ_STORE, _EDGES_STORE, _STREAM_IDX, _VEC_STREAM_STORE,
+        _BQ_STORE, _EDGES_STORE, _KNN_EDGES_STORE, _STREAM_IDX,
+        _VEC_STREAM_STORE,
         _BPE_MERGES, _TRAINED_W, _TRAINED_ROWS,
     ):
         if memo.pop(key, None) is not None:
@@ -4857,6 +4920,11 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_tuning": q_lsh_tuning,
         "dedup_threshold_sweep": q_dedup_threshold_sweep,
         "pack_density": q_pack_density,
+        # added after the r10 rotation freeze → positions 51+, heads the
+        # round-11 window
+        "knn_edges_store": q_knn_edges_store,
+        "knn_graph_pagerank": q_knn_graph_pagerank,
+        "knn_graph_kcore": q_knn_graph_kcore,
         # added after the r7 rotation freeze → positions 51+, heads the
         # round-8 window
         "token_chunks": q_token_chunks,
@@ -6838,7 +6906,16 @@ LIMIT {TOP_K}
         "graph_edges_between": oracles.graph_edges_between_sql(0, 1, _SIM_T),
         "graph_2hop": oracles.graph_2hop_sql(0, _SIM_T),
         "graph_contextual": oracles.graph_contextual_sql(ANCHOR_VEC_ID, 10, _SIM_T),
-        "graph_pagerank": oracles.pagerank_sql(_SIM_T, PAGERANK_ITERS, PAGERANK_DAMPING),
+        "graph_pagerank": oracles.pagerank_sql(
+            oracles.edges_cte(_SIM_T), PAGERANK_ITERS, PAGERANK_DAMPING
+        ),
+        "knn_edges_store": oracles.knn_edges_store_sql(KNN_EDGES_K),
+        "knn_graph_pagerank": oracles.pagerank_sql(
+            oracles.knn_edges_cte(KNN_EDGES_K), PAGERANK_ITERS, PAGERANK_DAMPING
+        ),
+        "knn_graph_kcore": _graph_mod.kcore_nodes_sql(
+            oracles.knn_edges_cte(KNN_EDGES_K), 3, 6
+        ),
         "graph_ppr": oracles.ppr_sql(
             _SIM_T, PPR_SEEDS, PAGERANK_ITERS, PAGERANK_DAMPING
         ),

@@ -203,6 +203,10 @@ EXTRA = [
     "lsh_tuning",
     "dedup_threshold_sweep",
     "pack_density",
+    # round 10: bounded-degree kNN graph store + kernels over it
+    "knn_edges_store",
+    "knn_graph_pagerank",
+    "knn_graph_kcore",
 ]
 # Machine-readable environment requirements for slots whose SCALED
 # probe exceeds the default single-JVM bench environment (VERDICT r8

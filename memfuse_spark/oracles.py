@@ -861,15 +861,17 @@ ORDER BY query_id, score DESC, vec_id
     )
 
 
-def mutual_knn_scaled_sql(
+def mutual_knn_ctes(
     k: int, nprobe: int = 2, dim: int = 64, target_cell_size: int = 500
 ) -> str:
-    """Twin of ann.mutual_knn_pairs' DEFAULT (corpus-scaled sign-LSH
-    cells): num_planes is derived from count(*) INSIDE the SQL (scalar
-    subquery), so the oracle stays corpus-adaptive at any SF — the same
-    rule the Spark side computes (max(1, ceil(log2(max(n/target, 2))))).
-    The per-plane bit is the proven lsh_bucket_sql derivation with the
-    plane index j coming from range() instead of being unrolled."""
+    """The shared CTE chain behind ann.mutual_knn_pairs' DEFAULT
+    (corpus-scaled sign-LSH cells): params → cells → hot-cell split →
+    centroids → probe → per-item top-k (`knn`). num_planes is derived
+    from count(*) INSIDE the SQL (scalar subquery), so the oracle stays
+    corpus-adaptive at any SF — the same rule the Spark side computes
+    (max(1, ceil(log2(max(n/target, 2))))). Single-sourced so the pair
+    query (mutual_knn_scaled_sql) and the kNN edge store
+    (knn_edges_cte) can never drift."""
     from memfuse_spark.operators.ann import plane_sql_expr
 
     plane = plane_sql_expr(dim)
@@ -886,7 +888,7 @@ def mutual_knn_scaled_sql(
     from memfuse_spark.operators.ann import split_hot_cells_sql
 
     return f"""
-WITH params AS (
+params AS (
   SELECT greatest(1, CAST(ceil(log2(greatest(count(*) / {target_cell_size}.0,
                                              2.0))) AS INT)) AS planes
   FROM embeddings WHERE embedding IS NOT NULL
@@ -928,13 +930,64 @@ knn AS (
     FROM cells e
     JOIN probe p ON e.cell = p.cell AND e.vec_id <> p.query_id
   ) WHERE rn <= {k}
-)
+)"""
+
+
+def mutual_knn_scaled_sql(
+    k: int, nprobe: int = 2, dim: int = 64, target_cell_size: int = 500
+) -> str:
+    """Twin of ann.mutual_knn_pairs' DEFAULT tier: the shared
+    mutual_knn_ctes chain closed with the reciprocal self-join."""
+    return f"""
+WITH {mutual_knn_ctes(k, nprobe, dim, target_cell_size).strip()}
 SELECT f.query_id AS vec_a, f.vec_id AS vec_b, f.score
 FROM knn f
 JOIN knn r ON r.query_id = f.vec_id AND r.vec_id = f.query_id
 WHERE f.query_id < f.vec_id
 ORDER BY vec_a, vec_b
 """
+
+
+def knn_edges_cte(
+    k: int, nprobe: int = 2, dim: int = 64, target_cell_size: int = 500
+) -> str:
+    """Edge-table CTE block for the BOUNDED-DEGREE graph store (twin of
+    graph.build_knn_edges_store): symmetric SIMILAR_TO arcs from the
+    mutual-kNN pairs (≤ n·k arcs by construction) + sequential FOLLOWS.
+    Same `edges` contract as edges_cte, so every downstream kernel SQL
+    (pagerank_sql, kcore_nodes_sql, triangle_counts_sql) composes over
+    either store unchanged. `knn` is MATERIALIZED: the mutual self-join
+    references it twice and DuckDB would otherwise re-expand the whole
+    LSH-cell chain."""
+    ctes = mutual_knn_ctes(k, nprobe, dim, target_cell_size).strip()
+    ctes = ctes.replace("knn AS (", "knn AS MATERIALIZED (", 1)
+    return f"""
+{ctes},
+mutual AS (
+  SELECT f.query_id AS src, f.vec_id AS dst, f.score AS weight
+  FROM knn f
+  JOIN knn r ON r.query_id = f.vec_id AND r.vec_id = f.query_id
+  WHERE f.query_id < f.vec_id
+),
+edges AS (
+  SELECT src, dst, weight, 'SIMILAR_TO' AS relation FROM mutual
+  UNION ALL
+  SELECT dst AS src, src AS dst, weight, 'SIMILAR_TO' AS relation FROM mutual
+  UNION ALL
+  SELECT a.vec_id AS src, b.vec_id AS dst, CAST(1.0 AS DOUBLE) AS weight,
+         'FOLLOWS' AS relation
+  FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 1
+)"""
+
+
+def knn_edges_store_sql(
+    k: int, nprobe: int = 2, dim: int = 64, target_cell_size: int = 500
+) -> str:
+    return (
+        f"WITH {knn_edges_cte(k, nprobe, dim, target_cell_size).strip()}\n"
+        "SELECT src, dst, weight, relation FROM edges "
+        "ORDER BY src, dst, relation"
+    )
 
 
 def label_outliers_sql(k: int, dim: int = 64) -> str:
@@ -1453,22 +1506,24 @@ GROUP BY doc_id ORDER BY doc_id
 
 # --- pagerank oracle --------------------------------------------------------
 
-def pagerank_sql(threshold: float, iterations: int = 8, damping: float = 0.85) -> str:
-    """Unrolled fixed-iteration PageRank over the similarity+follows
-    graph — one CTE pair (dangling mass, contributions) per round,
-    mirroring operators.graph.pagerank exactly: same base term
-    ((1-d)/n emitted as the Python-computed double so both engines use
-    the identical constant), same dangling redistribution, rounding
-    only at the end."""
+def pagerank_sql(
+    edges_cte_block: str, iterations: int = 8, damping: float = 0.85
+) -> str:
+    """Unrolled fixed-iteration PageRank over any edge construction
+    exposing an `edges(src, dst, …)` CTE (edges_cte / knn_edges_cte) —
+    one CTE pair (dangling mass, contributions) per round, mirroring
+    operators.graph.pagerank exactly: same base term ((1-d)/n emitted
+    as the Python-computed double so both engines use the identical
+    constant), same dangling redistribution, rounding only at the end."""
     om = repr(1.0 - damping)
     d = repr(float(damping))
     # MATERIALIZED: DuckDB inlines CTEs by default, so the unrolled
     # iteration chain (r{t} referenced by d{t+1}, c{t+1}, r{t+1}) would
     # otherwise re-expand the whole prefix 3^t times — materializing
-    # `de` (one evaluation of the O(n²) edge build) and each r{t}
+    # `de` (one evaluation of the edge build) and each r{t}
     # (evaluated once per round) keeps the oracle linear in iterations.
     parts = [
-        edges_cte(threshold).strip(),
+        edges_cte_block.strip(),
         """
 de AS MATERIALIZED (SELECT DISTINCT src, dst FROM edges),
 nodes AS (SELECT src AS node FROM de UNION SELECT dst AS node FROM de),

@@ -236,3 +236,41 @@ def test_kcore_converges_on_corpus_graph(spark, tables):
     # every FOLLOWS-chain interior node and must not be
     two = g.kcore_nodes(edges, k=2, rounds=6).count()
     assert two > 0
+
+
+def test_knn_edges_degree_bounded_by_k(spark, tables):
+    """The bounded-degree store contract: every node's SIMILAR_TO
+    out-degree is ≤ k BY CONSTRUCTION (mutual top-k arcs), total
+    SIMILAR_TO arcs ≤ n·k, and the edge set is symmetric — the physical
+    shape that survives 100× corpus growth where a fixed threshold
+    densifies quadratically (round-9 density probe)."""
+    emb = tables["embeddings"]
+    k = 5
+    edges = g.build_knn_edges(emb, k=k)
+    sim = edges.filter(F.col("relation") == "SIMILAR_TO")
+    max_deg = sim.groupBy("src").count().agg(F.max("count")).first()[0]
+    assert max_deg is not None and max_deg <= k
+    n = emb.count()
+    assert sim.count() <= n * k
+    # symmetry: every (src, dst) arc has its (dst, src) reverse
+    fwd = {(r.src, r.dst) for r in sim.select("src", "dst").collect()}
+    assert all((d, s) in fwd for s, d in fwd)
+
+
+def test_knn_edges_store_bucket_prunes(spark, tables):
+    """The persistent kNN store keeps the threshold store's read path:
+    a 1-hop lookup scans only the frontier's src bucket."""
+    import tempfile
+
+    emb = tables["embeddings"]
+    g.build_knn_edges_store(
+        spark, emb, "mfs_knn_edges_teststore",
+        path=tempfile.mkdtemp(prefix="mfs_knn_store_"),
+    )
+    edges = spark.table("mfs_knn_edges_teststore")
+    spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+    try:
+        plan = g.neighbors(edges, 0)._jdf.queryExecution().executedPlan().toString()
+        assert "SelectedBucketsCount: 1 out of" in plan
+    finally:
+        spark.conf.unset("spark.sql.sources.bucketing.autoBucketedScan.enabled")
