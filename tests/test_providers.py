@@ -12,6 +12,7 @@ llm/config.py from_env.
 from __future__ import annotations
 
 import json
+import os
 import pickle
 import threading
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
@@ -639,3 +640,52 @@ def test_scaling_probe_mem_floor_parser_units():
     assert _mem_bytes("0g") == 0.0
     assert _mem_bytes("twenty-four gigs") is None
     assert _mem_bytes("") is None
+
+
+_LIVE_SMOKE_VARS = ("MEMFUSE_SPARK_EMBED_BASE_URL", "MEMFUSE_SPARK_RERANK_BASE_URL")
+
+
+@pytest.mark.skipif(
+    not all(os.environ.get(v) for v in _LIVE_SMOKE_VARS),
+    reason="live-provider smoke is opt-in: set MEMFUSE_SPARK_EMBED_BASE_URL "
+    "and MEMFUSE_SPARK_RERANK_BASE_URL (+ API keys) to run it",
+)
+def test_live_provider_smoke_end_to_end(spark):
+    """Once-per-round wire-shape drift canary (VERDICT r9 #7): run the
+    REAL env-configured endpoints through both model seams over a
+    10-row frame — backfill_embeddings(embedder=live) then
+    rerank(scorer=live). Skipped by default; the fake-endpoint tests
+    above pin the wire SHAPES every run, this catches a live endpoint
+    drifting away from them."""
+    from memfuse_spark.operators.backfill import backfill_embeddings
+    from memfuse_spark.operators.rerank import rerank
+
+    seams = PR.bind_model_seams(
+        PR.embed_provider_from_env(), PR.rerank_provider_from_env()
+    )
+    assert seams["embedder"] is not None and seams["scorer"] is not None
+
+    texts = [
+        "spark shuffles narrow rows", "bucketed stores prune reads",
+        "mutual knn bounds degree", "thresholds densify quadratically",
+        "epoch writes are idempotent", "arrow batches beat row udfs",
+        "broadcast only bounded sides", "salting spreads skewed keys",
+        "watermarks bound state", "codegen keeps it on the jvm",
+    ]
+    frame = spark.createDataFrame(
+        [(i, t, True) for i, t in enumerate(texts)],
+        "id long, content string, needs_embedding boolean",
+    )
+    out = backfill_embeddings(frame, embedder=seams["embedder"]).collect()
+    assert len(out) == 10
+    dims = {len(r.embedding) for r in out}
+    assert len(dims) == 1 and dims.pop() > 0  # one real model dim, all rows
+    assert all(not r.needs_embedding for r in out)
+
+    ranked = rerank(
+        frame.select("id", "content"), "how do i keep a join from skewing",
+        k=3, content_col="content", id_col="id", scorer=seams["scorer"],
+    ).collect()
+    assert len(ranked) == 3
+    scores = [r.rerank_score for r in ranked]
+    assert scores == sorted(scores, reverse=True)
