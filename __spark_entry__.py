@@ -4712,10 +4712,10 @@ def entry(spark: SparkSession) -> DataFrame:
 # (full suite, re-run each round) remains the superset check. Queries
 # added mid-round go at positions 51+ only and head the round-9
 # rotation.
-# Round-9 window (rotated ONCE at round start, then frozen). Ground
-# truth derived by tools/rotation_table.py from CORRECTNESS_r01-r08:
-# 243/246 registered queries have a green driver row (per
-# CORRECTNESS_r01–r09); priority order: (1) the THREE queries with no
+# Round-10 window (rotated ONCE at round start, then frozen). Ground
+# truth derived by tools/rotation_table.py from CORRECTNESS_r01-r09:
+# 243/246 registered queries have a green driver row;
+# priority order: (1) the THREE queries with no
 # driver row ever (`lsh_tuning`, `dedup_threshold_sweep`,
 # `pack_density` — added after the r9 freeze; judge-verified in
 # VERDICT r9 — the driver run is the independent replication);

@@ -216,6 +216,19 @@ EXTRA = [
 # tools/scaling_probe.py warns up front when the running JVM is below
 # a flagged slot's floor.
 SLOT_REQUIRES = {
+    "fact_conflicts_cumulative": {
+        "at_scale": "1000x (100M events)",
+        "driver_memory": "24g",
+        "reason": (
+            "the decade-5 probe materializes the m1/m2 ingest stores "
+            "(~20M chunk rows localCheckpointed) on one JVM before the "
+            "conflict replay; the 8g default heap OOMs in the store "
+            "build. On a cluster the stores shard by conversation — a "
+            "single-box measurement ceiling, not a plan property "
+            "(PLANS.md round-10, measured 49.9s/30.6s at 24g; the "
+            "10x/100x legs run fine at 8g)"
+        ),
+    },
     "cooc_kcore": {
         "at_scale": "100x (60M lineitem)",
         "driver_memory": "24g",

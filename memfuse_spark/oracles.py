@@ -862,7 +862,11 @@ ORDER BY query_id, score DESC, vec_id
 
 
 def mutual_knn_ctes(
-    k: int, nprobe: int = 2, dim: int = 64, target_cell_size: int = 500
+    k: int,
+    nprobe: int = 2,
+    dim: int = 64,
+    target_cell_size: int = 500,
+    materialize_knn: bool = True,
 ) -> str:
     """The shared CTE chain behind ann.mutual_knn_pairs' DEFAULT
     (corpus-scaled sign-LSH cells): params → cells → hot-cell split →
@@ -922,7 +926,7 @@ probe AS (
     FROM cents c, q
   ) WHERE rn <= {nprobe}
 ),
-knn AS (
+knn AS {"MATERIALIZED " if materialize_knn else ""}(
   SELECT query_id, vec_id, score FROM (
     SELECT p.query_id, e.vec_id, {cos_e} AS score,
            row_number() OVER (PARTITION BY p.query_id
@@ -937,7 +941,9 @@ def mutual_knn_scaled_sql(
     k: int, nprobe: int = 2, dim: int = 64, target_cell_size: int = 500
 ) -> str:
     """Twin of ann.mutual_knn_pairs' DEFAULT tier: the shared
-    mutual_knn_ctes chain closed with the reciprocal self-join."""
+    mutual_knn_ctes chain closed with the reciprocal self-join. `knn`
+    is MATERIALIZED (the default): the self-join references it twice,
+    and DuckDB would otherwise re-expand the whole LSH-cell chain."""
     return f"""
 WITH {mutual_knn_ctes(k, nprobe, dim, target_cell_size).strip()}
 SELECT f.query_id AS vec_a, f.vec_id AS vec_b, f.score
@@ -956,13 +962,11 @@ def knn_edges_cte(
     mutual-kNN pairs (≤ n·k arcs by construction) + sequential FOLLOWS.
     Same `edges` contract as edges_cte, so every downstream kernel SQL
     (pagerank_sql, kcore_nodes_sql, triangle_counts_sql) composes over
-    either store unchanged. `knn` is MATERIALIZED: the mutual self-join
-    references it twice and DuckDB would otherwise re-expand the whole
-    LSH-cell chain."""
-    ctes = mutual_knn_ctes(k, nprobe, dim, target_cell_size).strip()
-    ctes = ctes.replace("knn AS (", "knn AS MATERIALIZED (", 1)
+    either store unchanged. `knn` is MATERIALIZED (mutual_knn_ctes
+    default): the mutual self-join references it twice and DuckDB would
+    otherwise re-expand the whole LSH-cell chain."""
     return f"""
-{ctes},
+{mutual_knn_ctes(k, nprobe, dim, target_cell_size).strip()},
 mutual AS (
   SELECT f.query_id AS src, f.vec_id AS dst, f.score AS weight
   FROM knn f

@@ -322,7 +322,15 @@ def _forced_scaling_broadcasts(df) -> list[str]:
                     names = set()
                     for i in range(ge.size()):
                         e = ge.apply(i)
-                        names.add(e.name() if hasattr(e, "name") else e.toString())
+                        # py4j proxies hasattr() as always-True, so probe
+                        # name() directly: non-NamedExpressions (e.g. an
+                        # un-aliased groupBy(expr(...))) raise and fall
+                        # back to toString(), which never matches the
+                        # bounded set — fail-closed
+                        try:
+                            names.add(e.name())
+                        except Exception:
+                            names.add(e.toString())
                     if names <= _BOUNDED_GROUPING_COLS:
                         bounded = True
             if nm in ("GlobalLimit", "LocalLimit"):
