@@ -437,21 +437,21 @@ def sequence_pack(
     )
     hi = base.agg(F.max("doc_id").alias("mx")).collect()[0]["mx"]
     width = max(1, -(-int(hi + 1) // buckets))
-    bucketed = base.withColumn("__b", (F.col("doc_id") / F.lit(width)).cast("int"))
+    bucketed = base.withColumn("__bounded_bucket", (F.col("doc_id") / F.lit(width)).cast("int"))
 
-    intra_w = Window.partitionBy("__b").orderBy("doc_id")
+    intra_w = Window.partitionBy("__bounded_bucket").orderBy("doc_id")
     intra = bucketed.withColumn(
         "__intra", F.sum("n_tokens").over(intra_w) - F.col("n_tokens")
     )
-    totals_w = Window.orderBy("__b")
+    totals_w = Window.orderBy("__bounded_bucket")
     offsets = (
-        bucketed.groupBy("__b")
+        bucketed.groupBy("__bounded_bucket")
         .agg(F.sum("n_tokens").alias("__t"))
         .withColumn("__off", F.sum("__t").over(totals_w) - F.col("__t"))
-        .select("__b", "__off")
+        .select("__bounded_bucket", "__off")
     )
     return (
-        intra.join(F.broadcast(offsets), "__b")
+        intra.join(F.broadcast(offsets), "__bounded_bucket")
         .select(
             "doc_id",
             "n_tokens",

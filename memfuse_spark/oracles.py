@@ -862,11 +862,7 @@ ORDER BY query_id, score DESC, vec_id
 
 
 def mutual_knn_ctes(
-    k: int,
-    nprobe: int = 2,
-    dim: int = 64,
-    target_cell_size: int = 500,
-    materialize_knn: bool = True,
+    k: int, nprobe: int = 2, dim: int = 64, target_cell_size: int = 500
 ) -> str:
     """The shared CTE chain behind ann.mutual_knn_pairs' DEFAULT
     (corpus-scaled sign-LSH cells): params → cells → hot-cell split →
@@ -875,7 +871,9 @@ def mutual_knn_ctes(
     corpus-adaptive at any SF — the same rule the Spark side computes
     (max(1, ceil(log2(max(n/target, 2))))). Single-sourced so the pair
     query (mutual_knn_scaled_sql) and the kNN edge store
-    (knn_edges_cte) can never drift."""
+    (knn_edges_cte) can never drift. `knn` is always MATERIALIZED:
+    every consumer self-joins it, and DuckDB would otherwise re-expand
+    the whole LSH-cell chain twice."""
     from memfuse_spark.operators.ann import plane_sql_expr
 
     plane = plane_sql_expr(dim)
@@ -926,7 +924,7 @@ probe AS (
     FROM cents c, q
   ) WHERE rn <= {nprobe}
 ),
-knn AS {"MATERIALIZED " if materialize_knn else ""}(
+knn AS MATERIALIZED (
   SELECT query_id, vec_id, score FROM (
     SELECT p.query_id, e.vec_id, {cos_e} AS score,
            row_number() OVER (PARTITION BY p.query_id
@@ -941,9 +939,7 @@ def mutual_knn_scaled_sql(
     k: int, nprobe: int = 2, dim: int = 64, target_cell_size: int = 500
 ) -> str:
     """Twin of ann.mutual_knn_pairs' DEFAULT tier: the shared
-    mutual_knn_ctes chain closed with the reciprocal self-join. `knn`
-    is MATERIALIZED (the default): the self-join references it twice,
-    and DuckDB would otherwise re-expand the whole LSH-cell chain."""
+    mutual_knn_ctes chain closed with the reciprocal self-join."""
     return f"""
 WITH {mutual_knn_ctes(k, nprobe, dim, target_cell_size).strip()}
 SELECT f.query_id AS vec_a, f.vec_id AS vec_b, f.score
@@ -962,9 +958,7 @@ def knn_edges_cte(
     mutual-kNN pairs (≤ n·k arcs by construction) + sequential FOLLOWS.
     Same `edges` contract as edges_cte, so every downstream kernel SQL
     (pagerank_sql, kcore_nodes_sql, triangle_counts_sql) composes over
-    either store unchanged. `knn` is MATERIALIZED (mutual_knn_ctes
-    default): the mutual self-join references it twice and DuckDB would
-    otherwise re-expand the whole LSH-cell chain."""
+    either store unchanged."""
     return f"""
 {mutual_knn_ctes(k, nprobe, dim, target_cell_size).strip()},
 mutual AS (

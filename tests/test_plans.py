@@ -344,11 +344,15 @@ def _forced_scaling_broadcasts(df) -> list[str]:
 
 # Grouping columns whose value domain is bounded by CONSTRUCTION, not by
 # the data: an Aggregate grouped only by these yields ≤ #buckets rows at
-# any corpus size. `__b` is sequence_pack's id-range bucket
+# any corpus size. `__bounded_bucket` is sequence_pack's id-range bucket
 # (doc_id / width, width = ceil(max_id/buckets)) — ≤32 distinct values.
 # Covers sequence_pack AND every query composed on top of it
-# (pack_density, …) without per-query allowlisting.
-_BOUNDED_GROUPING_COLS = {"__b"}
+# (pack_density, …) without per-query allowlisting. The name IS the
+# contract: an operator may only emit a `__bounded_bucket` column if its
+# distinct-value count is corpus-independent by construction — the
+# deliberately unwieldy name exists so a casual `withColumn("__b", …)`
+# with data-dependent cardinality can never collide into this exemption.
+_BOUNDED_GROUPING_COLS = {"__bounded_bucket"}
 
 # Hinted broadcasts whose build side is bounded by CONTRACT rather than
 # by a plan node the detector can see. Each entry must say why.

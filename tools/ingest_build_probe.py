@@ -97,15 +97,21 @@ def main() -> int:
             docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
             rows = docs.count()
             eo = _epoch_col(F, "dd", "doc_id")
+            seen_epochs: set[int] = set()
             for e in (0, 1, 2, 1):
-                batch = docs.filter(eo == (e % 3))
-                seen = docs.filter(eo <= (e % 3)) if e != 1 or len(secs) < 3 else docs
+                e %= 3
+                batch = docs.filter(eo == e)
+                seen = docs.filter(eo.isin(*(seen_epochs | {e})))
                 idx_path = os.path.join(base, "index")
-                try:
+                if seen_epochs:
+                    # later epochs MUST see the accumulated index — a
+                    # silent empty-index fallback here would measure the
+                    # candidate join against nothing and report a
+                    # wrongly-flat epoch time as scaling evidence
                     index = spark.read.parquet(idx_path).filter(
-                        F.col("epoch_id") != (e % 3)
+                        F.col("epoch_id") != e
                     ).select("doc_id", "band", "bucket")
-                except Exception:
+                else:
                     index = spark.createDataFrame(
                         [], "doc_id long, band int, bucket string"
                     )
@@ -122,6 +128,7 @@ def main() -> int:
                     .parquet(idx_path)
                 )
                 secs.append(round(time.time() - t0, 2))
+                seen_epochs.add(e)
         else:
             raise SystemExit(f"unknown component {component!r}")
         print(
