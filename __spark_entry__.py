@@ -3023,6 +3023,29 @@ def q_knn_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kcore_nodes(edges, k=3, rounds=6)
 
 
+def q_knn_graph_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Personalized PageRank from the anchor seeds over the
+    bounded-degree kNN store — the "related memories" proximity
+    ranking on the edge table that stays O(n·k) at any corpus size."""
+    from memfuse_spark.operators import graph as g
+
+    _, edges = _knn_graph_edges(spark, sf_dir)
+    return g.personalized_pagerank(
+        edges, PPR_SEEDS, iterations=PAGERANK_ITERS, damping=PAGERANK_DAMPING
+    )
+
+
+def q_knn_graph_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synchronous label propagation over the bounded-degree kNN store
+    (fixed rounds, least-label tiebreak) — semantic community detection
+    on the mutual-kNN graph, whose hub-filtered arcs are the standard
+    input shape for LPA at scale."""
+    from memfuse_spark.operators import graph as g
+
+    _, edges = _knn_graph_edges(spark, sf_dir)
+    return g.label_propagation(edges, iterations=LPA_ITERS)
+
+
 PPR_SEEDS = [0, 7]
 
 
@@ -4925,6 +4948,8 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_edges_store": q_knn_edges_store,
         "knn_graph_pagerank": q_knn_graph_pagerank,
         "knn_graph_kcore": q_knn_graph_kcore,
+        "knn_graph_ppr": q_knn_graph_ppr,
+        "knn_graph_communities": q_knn_graph_communities,
         # added after the r7 rotation freeze → positions 51+, heads the
         # round-8 window
         "token_chunks": q_token_chunks,
@@ -6813,7 +6838,9 @@ ORDER BY doc_id, chunk_index
             where=f"user_id < {GAPFILL_USER_MAX}"
         ),
         "weighted_sample": _sampling_ops.weighted_sample_sql(100),
-        "graph_communities": oracles.label_propagation_sql(_SIM_T, LPA_ITERS),
+        "graph_communities": oracles.label_propagation_sql(
+            oracles.edges_cte(_SIM_T), LPA_ITERS
+        ),
         "scd2_versions": _temporal.scd2_intervals_sql(
             table="(SELECT * FROM events WHERE user_id < 25)"
         ),
@@ -6917,7 +6944,15 @@ LIMIT {TOP_K}
             oracles.knn_edges_cte(KNN_EDGES_K), 3, 6
         ),
         "graph_ppr": oracles.ppr_sql(
-            _SIM_T, PPR_SEEDS, PAGERANK_ITERS, PAGERANK_DAMPING
+            oracles.edges_cte(_SIM_T), PPR_SEEDS, PAGERANK_ITERS,
+            PAGERANK_DAMPING
+        ),
+        "knn_graph_ppr": oracles.ppr_sql(
+            oracles.knn_edges_cte(KNN_EDGES_K), PPR_SEEDS, PAGERANK_ITERS,
+            PAGERANK_DAMPING
+        ),
+        "knn_graph_communities": oracles.label_propagation_sql(
+            oracles.knn_edges_cte(KNN_EDGES_K), LPA_ITERS
         ),
         "phrase_search": kw_ops.phrase_search_sql(PHRASE, PHRASE_K),
         "pq_topk": oracles.pq_topk_sql(ANCHOR_VEC_ID, 10, PQ_M, EMB_DIM),

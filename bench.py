@@ -207,6 +207,8 @@ EXTRA = [
     "knn_edges_store",
     "knn_graph_pagerank",
     "knn_graph_kcore",
+    "knn_graph_ppr",
+    "knn_graph_communities",
 ]
 # Machine-readable environment requirements for slots whose SCALED
 # probe exceeds the default single-JVM bench environment (VERDICT r8

@@ -1928,12 +1928,13 @@ LIMIT {k}
 
 
 def ppr_sql(
-    threshold: float,
+    edges_cte_block: str,
     seeds: list,
     iterations: int = 8,
     damping: float = 0.85,
 ) -> str:
-    """Unrolled personalized PageRank over the similarity+follows graph —
+    """Unrolled personalized PageRank over any edge construction
+    exposing an `edges(src, dst, …)` CTE (edges_cte / knn_edges_cte) —
     :func:`pagerank_sql` with the uniform restart vector replaced by the
     seed indicator (teleport AND dangling mass return to seeds)."""
     om = repr(1.0 - damping)
@@ -1941,7 +1942,7 @@ def ppr_sql(
     sv = repr(1.0 / len(seeds))
     seed_list = ", ".join(str(s) for s in seeds)
     parts = [
-        edges_cte(threshold).strip(),
+        edges_cte_block.strip(),
         f"""
 de AS MATERIALIZED (SELECT DISTINCT src, dst FROM edges),
 nodes AS (SELECT src AS node FROM de UNION SELECT dst AS node FROM de),
@@ -1984,15 +1985,15 @@ r{t} AS MATERIALIZED (
     )
 
 
-def label_propagation_sql(threshold: float, iterations: int = 4) -> str:
-    """Unrolled fixed-iteration synchronous label propagation over the
-    similarity+follows graph, mirroring operators.graph.label_propagation:
-    symmetrized distinct edges, per-round most-frequent-neighbor-label
-    with least-label tiebreak, isolated nodes keep their label.
-    MATERIALIZED per round for the same CTE-inlining reason as
-    pagerank_sql."""
+def label_propagation_sql(edges_cte_block: str, iterations: int = 4) -> str:
+    """Unrolled fixed-iteration synchronous label propagation over any
+    edge construction exposing an `edges(src, dst, …)` CTE, mirroring
+    operators.graph.label_propagation: symmetrized distinct edges,
+    per-round most-frequent-neighbor-label with least-label tiebreak,
+    isolated nodes keep their label. MATERIALIZED per round for the
+    same CTE-inlining reason as pagerank_sql."""
     parts = [
-        edges_cte(threshold).strip(),
+        edges_cte_block.strip(),
         """
 de AS MATERIALIZED (
   SELECT DISTINCT src, dst FROM (
