@@ -3046,6 +3046,18 @@ def q_knn_graph_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     return g.label_propagation(edges, iterations=LPA_ITERS)
 
 
+def q_knn_graph_contextual(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U7 three-layer contextual retrieval (similar/connected/rescored)
+    over the bounded-degree kNN store — the reference's flagship graph
+    read path on the edge table that survives corpus growth; with this,
+    every graph kernel in the engine runs over either physical tier."""
+    from memfuse_spark.operators import graph as g
+
+    emb, edges = _knn_graph_edges(spark, sf_dir)
+    qvec = anchor_vector(spark, emb, ANCHOR_VEC_ID)
+    return g.contextual_retrieval(emb, edges, qvec, k=10)
+
+
 PPR_SEEDS = [0, 7]
 
 
@@ -4950,6 +4962,7 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_graph_kcore": q_knn_graph_kcore,
         "knn_graph_ppr": q_knn_graph_ppr,
         "knn_graph_communities": q_knn_graph_communities,
+        "knn_graph_contextual": q_knn_graph_contextual,
         # added after the r7 rotation freeze → positions 51+, heads the
         # round-8 window
         "token_chunks": q_token_chunks,
@@ -6932,7 +6945,12 @@ LIMIT {TOP_K}
         "graph_neighbors": oracles.graph_neighbors_sql(0, _SIM_T),
         "graph_edges_between": oracles.graph_edges_between_sql(0, 1, _SIM_T),
         "graph_2hop": oracles.graph_2hop_sql(0, _SIM_T),
-        "graph_contextual": oracles.graph_contextual_sql(ANCHOR_VEC_ID, 10, _SIM_T),
+        "graph_contextual": oracles.graph_contextual_sql(
+            ANCHOR_VEC_ID, 10, oracles.edges_cte(_SIM_T)
+        ),
+        "knn_graph_contextual": oracles.graph_contextual_sql(
+            ANCHOR_VEC_ID, 10, oracles.knn_edges_cte(KNN_EDGES_K)
+        ),
         "graph_pagerank": oracles.pagerank_sql(
             oracles.edges_cte(_SIM_T), PAGERANK_ITERS, PAGERANK_DAMPING
         ),

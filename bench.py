@@ -209,6 +209,7 @@ EXTRA = [
     "knn_graph_kcore",
     "knn_graph_ppr",
     "knn_graph_communities",
+    "knn_graph_contextual",
 ]
 # Machine-readable environment requirements for slots whose SCALED
 # probe exceeds the default single-JVM bench environment (VERDICT r8

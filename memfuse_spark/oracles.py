@@ -1140,18 +1140,21 @@ GROUP BY node_id ORDER BY node_id
 """
 
 
-def graph_contextual_sql(anchor: int, k: int, threshold: float) -> str:
+def graph_contextual_sql(anchor: int, k: int, edges_cte_block: str) -> str:
+    """U7 three-layer contextual retrieval over any edge construction
+    exposing an `edges(src, dst, weight, …)` CTE (edges_cte /
+    knn_edges_cte)."""
     cos_q = (
         "round(list_dot_product(CAST(e.embedding AS DOUBLE[]), q.qv)"
         " / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])))"
         " * sqrt(list_dot_product(q.qv, q.qv))), 6)"
     )
     return f"""
-WITH {edges_cte(threshold).strip()},
-q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = {anchor}),
+WITH {edges_cte_block.strip()},
+anchorq AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = {anchor}),
 l1 AS (
   SELECT e.vec_id, {cos_q} AS score
-  FROM embeddings e, q ORDER BY score DESC, e.vec_id ASC LIMIT {k}
+  FROM embeddings e, anchorq q ORDER BY score DESC, e.vec_id ASC LIMIT {k}
 ),
 connected AS (
   SELECT ed.dst AS vec_id, round(max(ed.weight), 6) AS score
@@ -1161,7 +1164,7 @@ connected AS (
 ),
 rescored AS (
   SELECT e.vec_id, {cos_q} AS score
-  FROM embeddings e JOIN connected c ON e.vec_id = c.vec_id, q
+  FROM embeddings e JOIN connected c ON e.vec_id = c.vec_id, anchorq q
   ORDER BY score DESC, e.vec_id ASC LIMIT {k}
 )
 SELECT vec_id, score, 'similar' AS layer FROM l1
