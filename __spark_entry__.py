@@ -3058,6 +3058,62 @@ def q_knn_graph_contextual(spark: SparkSession, sf_dir: str) -> DataFrame:
     return g.contextual_retrieval(emb, edges, qvec, k=10)
 
 
+KNN_INC_FIT_MOD = 5  # base corpus = vec_id % 5 <> 0; appended batch = rest
+_KNN_INC_STORE: dict[tuple[int, str], str] = {}
+
+
+def _knn_inc_store(spark: SparkSession, sf_dir: str) -> str:
+    """INCREMENTAL (frozen-quantizer) kNN store fixture: built once per
+    (session, sf) on the 80% base corpus, then ONE O(batch) append of
+    the remaining 20% (graph.build_knn_store_inc / append_knn_store).
+    The served state must equal a frozen-quantizer full build over the
+    whole corpus with the base as fit — which is exactly what the
+    DuckDB twin (oracles.knn_store_inc_edges_sql) computes."""
+    import hashlib
+    import tempfile
+
+    from memfuse_spark.operators import graph as g
+
+    key = (id(spark.sparkContext), sf_dir)
+    if key not in _KNN_INC_STORE:
+        tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+        path = os.path.join(
+            tempfile.gettempdir(), "memfuse_idx", f"mfs_knn_inc_{tag}"
+        )
+        (emb,) = _tables(spark, sf_dir, "embeddings")
+        base = emb.filter(F.col("vec_id") % KNN_INC_FIT_MOD != 0)
+        batch = emb.filter(F.col("vec_id") % KNN_INC_FIT_MOD == 0)
+        g.build_knn_store_inc(spark, base, path, k=KNN_EDGES_K, nprobe=2)
+        g.append_knn_store(spark, batch, path)
+        _KNN_INC_STORE[key] = path
+    return _KNN_INC_STORE[key]
+
+
+def q_knn_store_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The incremental kNN store's SERVED edge table after build(80%) +
+    one O(batch) append(20%): base files masked by the append's
+    recompute set, delta files layered on top (graph.knn_store_edges).
+    The oracle recomputes the same state from scratch under the frozen
+    quantizer — the equals-full-recompute contract that makes the
+    O(batch) append path auditable (the dup_clusters_inc pattern)."""
+    from memfuse_spark.operators import graph as g
+
+    path = _knn_inc_store(spark, sf_dir)
+    return g.knn_store_edges(spark, path).orderBy("src", "dst", "relation")
+
+
+def q_knn_store_inc_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank served straight off the incremental store's masked
+    base+delta edge view — every graph kernel composes over the LSM
+    state exactly as over a freshly built store (same `edges`
+    contract), so appends never force a kernel rebuild."""
+    from memfuse_spark.operators import graph as g
+
+    path = _knn_inc_store(spark, sf_dir)
+    edges = g.knn_store_edges(spark, path)
+    return g.pagerank(edges, iterations=PAGERANK_ITERS, damping=PAGERANK_DAMPING)
+
+
 PPR_SEEDS = [0, 7]
 
 
@@ -4963,6 +5019,8 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_graph_ppr": q_knn_graph_ppr,
         "knn_graph_communities": q_knn_graph_communities,
         "knn_graph_contextual": q_knn_graph_contextual,
+        "knn_store_append": q_knn_store_append,
+        "knn_store_inc_pagerank": q_knn_store_inc_pagerank,
         # added after the r7 rotation freeze → positions 51+, heads the
         # round-8 window
         "token_chunks": q_token_chunks,
@@ -6950,6 +7008,15 @@ LIMIT {TOP_K}
         ),
         "knn_graph_contextual": oracles.graph_contextual_sql(
             ANCHOR_VEC_ID, 10, oracles.knn_edges_cte(KNN_EDGES_K)
+        ),
+        "knn_store_append": oracles.knn_store_inc_edges_sql(
+            KNN_EDGES_K, 2, f"vec_id % {KNN_INC_FIT_MOD} <> 0"
+        ),
+        "knn_store_inc_pagerank": oracles.pagerank_sql(
+            oracles.knn_edges_cte(
+                KNN_EDGES_K, fit_pred=f"vec_id % {KNN_INC_FIT_MOD} <> 0"
+            ),
+            PAGERANK_ITERS, PAGERANK_DAMPING,
         ),
         "graph_pagerank": oracles.pagerank_sql(
             oracles.edges_cte(_SIM_T), PAGERANK_ITERS, PAGERANK_DAMPING

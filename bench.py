@@ -210,6 +210,9 @@ EXTRA = [
     "knn_graph_ppr",
     "knn_graph_communities",
     "knn_graph_contextual",
+    # round 10b: incremental (frozen-quantizer) kNN store
+    "knn_store_append",
+    "knn_store_inc_pagerank",
 ]
 # Machine-readable environment requirements for slots whose SCALED
 # probe exceeds the default single-JVM bench environment (VERDICT r8

@@ -124,9 +124,25 @@ def split_hot_cells(
     consumers pay string ops, not hyperplane dot products) — it is
     consumed and dropped.
     """
-    v = F.col(vec_col)
+    cfg = hot_cell_split_config(df, cell_col, target_cell_size, max_extra)
+    return apply_split_config(
+        df, cfg, vec_col, dim, base_planes, cell_col, max_extra, ext_bits_col
+    )
+
+
+def hot_cell_split_config(
+    df: DataFrame,
+    cell_col: str,
+    target_cell_size: int,
+    max_extra: int = HOT_CELL_MAX_EXTRA,
+) -> DataFrame:
+    """The (cell, extra) split table behind :func:`split_hot_cells` —
+    ``extra = min(max_extra, max(0, ceil(log2(count / target))))`` per
+    cell. Exposed separately so a FROZEN-quantizer store (the
+    incremental kNN graph store) can persist the config fitted on its
+    base corpus and re-apply it verbatim to appended batches."""
     counts = df.groupBy(cell_col).agg(F.count(F.lit(1)).alias("__cn"))
-    ext = counts.select(
+    return counts.select(
         cell_col,
         F.least(
             F.lit(max_extra),
@@ -136,13 +152,34 @@ def split_hot_cells(
             ),
         ).cast("int").alias("__extra"),
     )
+
+
+def apply_split_config(
+    df: DataFrame,
+    cfg: DataFrame,
+    vec_col: str,
+    dim: int,
+    base_planes: int,
+    cell_col: str = "cell",
+    max_extra: int = HOT_CELL_MAX_EXTRA,
+    ext_bits_col: str | None = None,
+) -> DataFrame:
+    """Extend ``cell_col`` with each cell's configured extra sign bits
+    (``cfg`` = (cell, __extra) from :func:`hot_cell_split_config`). A
+    cell ABSENT from the config gets extra=0 — the frozen-quantizer
+    append contract: a cell first seen after the fit stays unsplit
+    until the next retrain/compaction. The left-join/coalesce is
+    behavior-identical to the original inner join when cfg was fitted
+    on ``df`` itself (every cell is present then)."""
+    v = F.col(vec_col)
     if ext_bits_col is None:
         df = df.withColumn(
             "__extbits", lsh_bucket(v, dim, max_extra, plane_offset=base_planes)
         )
         ext_bits_col = "__extbits"
     return (
-        df.join(F.broadcast(ext), cell_col)
+        df.join(F.broadcast(cfg), cell_col, "left")
+        .withColumn("__extra", F.coalesce(F.col("__extra"), F.lit(0)))
         .withColumn(
             cell_col,
             F.concat(
@@ -160,27 +197,35 @@ def split_hot_cells_sql(
     dim: int,
     target_cell_size: int,
     max_extra: int = HOT_CELL_MAX_EXTRA,
+    fit_pred: str | None = None,
 ) -> str:
     """DuckDB twin of :func:`split_hot_cells`: given a CTE name exposing
     (.., v, cell), emits CTE SQL ``cell_counts``/``cells`` where the
     final ``cells`` carries the extended key. ``base_planes_expr`` is a
     SQL expression for the base plane count (a literal, or the scaled
-    params subquery)."""
+    params subquery). ``fit_pred`` (a predicate over the CTE's columns)
+    restricts the CONFIG fit to a subset — the frozen-quantizer store
+    contract (hot_cell_split_config + apply_split_config): counts come
+    from the fit rows only, and a cell absent from the fit stays
+    unsplit (LEFT JOIN, extra → 0)."""
     plane = plane_sql_expr(dim)
+    fit_where = f"\n  WHERE {fit_pred}" if fit_pred is not None else ""
+    join_kind = "LEFT JOIN" if fit_pred is not None else "JOIN"
+    extra_expr = "coalesce(cc.extra, 0)" if fit_pred is not None else "cc.extra"
     return f"""cell_counts AS (
   SELECT cell,
          least({max_extra}, greatest(0,
            CAST(ceil(log2(count(*) / {target_cell_size}.0)) AS INT))) AS extra
-  FROM {cells_cte} GROUP BY cell
+  FROM {cells_cte}{fit_where} GROUP BY cell
 ),
 cells AS (
   SELECT c0.* REPLACE (
     c0.cell || coalesce(array_to_string(
       list_transform(range({base_planes_expr},
-                           {base_planes_expr} + cc.extra), j ->
+                           {base_planes_expr} + {extra_expr}), j ->
         CASE WHEN list_dot_product(c0.v, {plane}) > 0
              THEN '1' ELSE '0' END), ''), '') AS cell)
-  FROM {cells_cte} c0 JOIN cell_counts cc USING (cell)
+  FROM {cells_cte} c0 {join_kind} cell_counts cc USING (cell)
 )"""
 
 
@@ -606,6 +651,133 @@ def ivf_knn_join(
 MUTUAL_KNN_TARGET_CELL = 500
 
 
+def probe_via_centroids(
+    queries: DataFrame,
+    cent_rows: list,
+    nprobe: int,
+    score_decimals: int = 6,
+    cell_type: str = "string",
+) -> DataFrame:
+    """Probe stage as ONE numpy matmul per Arrow batch against the
+    COLLECTED centroid table (bounded: |cells| ≈ n/target rows of dim
+    doubles — the same table the previous plan broadcast). The
+    previous expression — crossJoin(broadcast(cents)) + a per-query
+    row_number window — materialized n × |cells| rows through a
+    window sort; with corpus-scaled cells |cells| grows with n, and
+    the round-8 100× probe measured that explosion at 27.8× wall per
+    10× data. Probe sims are rounded (half-away, score_decimals) with
+    (sim DESC, cell ASC) tie order — the oracle twins apply the
+    identical round() in their probe CTE.
+
+    ``queries`` = (query_id, qvec array<double>); ``cent_rows`` = the
+    collected (cell, centroid) rows, sorted by cell ASC. Returns
+    (query_id, qvec, cell) — one row per probed cell. Extracted from
+    mutual_knn_pairs so the frozen-quantizer kNN store append can probe
+    new batches against its PERSISTED centroid table with bit-identical
+    rounding and tie order."""
+    import numpy as np
+
+    from memfuse_spark.operators.similarity import _round_half_away
+
+    probe_cells = [r["cell"] for r in cent_rows]
+    cmat = np.stack(
+        [np.asarray(r["centroid"], dtype=np.float64) for r in cent_rows]
+    )
+    cnorm = np.linalg.norm(cmat, axis=1, keepdims=True)
+    cnorm[cnorm == 0] = 1.0
+    cmat = cmat / cnorm
+    npb = min(nprobe, len(probe_cells))
+
+    def probe_batches(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            cells_arr = np.asarray(probe_cells, dtype=object)
+            q_mat = np.stack(pdf["qvec"].to_numpy()).astype(np.float64)
+            qn = np.linalg.norm(q_mat, axis=1, keepdims=True)
+            qn[qn == 0] = 1.0
+            sims = _round_half_away(q_mat / qn @ cmat.T, score_decimals)
+            # stable argsort on -sims over cell-ascending columns ==
+            # (sim desc, cell asc) — the window's total order
+            take = np.argsort(-sims, axis=1, kind="stable")[:, :npb]
+            out = pdf.iloc[
+                np.repeat(np.arange(len(pdf)), npb)
+            ][["query_id", "qvec"]].copy()
+            out["cell"] = cells_arr[take.ravel()]
+            yield out
+
+    qid_type = queries.schema["query_id"].dataType.simpleString()
+    return queries.mapInPandas(
+        probe_batches,
+        f"query_id {qid_type}, qvec array<double>, cell {cell_type}",
+    )
+
+
+def score_probed_cells(
+    members: DataFrame,
+    probed: DataFrame,
+    k: int,
+    score_decimals: int = 6,
+) -> DataFrame:
+    """Per-cell scoring as ONE normalized float64 matmul per (cell)
+    group — the pairwise_scores_blocked kernel shape. Each cell emits
+    only its per-query top-k (a globally-top-k candidate is top-k
+    within its owning cell, so the global window over nprobe*k partials
+    per query stays exact); candidate volume leaving Python is
+    n*nprobe*k rows, not n * cell_size. Self-matches (vec_id ==
+    query_id) are dropped.
+
+    ``members`` = (cell, vec_id, vec array<double>); ``probed`` =
+    (cell, query_id, qvec array<double>). Returns (query_id, vec_id,
+    score): each query's global top-k over its probed cells. Extracted
+    from mutual_knn_pairs for reuse by the frozen-quantizer store."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import Window
+
+    from memfuse_spark.operators.similarity import _round_half_away
+
+    def _norm(mat: "np.ndarray") -> "np.ndarray":
+        norms = np.linalg.norm(mat, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        return mat / norms
+
+    def score_cell(key, m_pdf: "pd.DataFrame", q_pdf: "pd.DataFrame"):
+        if len(m_pdf) == 0 or len(q_pdf) == 0:
+            return pd.DataFrame({"query_id": [], "vec_id": [], "score": []})
+        m_ids = m_pdf["vec_id"].to_numpy()
+        m_mat = _norm(np.stack(m_pdf["vec"].to_numpy()).astype(np.float64))
+        q_ids = q_pdf["query_id"].to_numpy()
+        q_mat = _norm(np.stack(q_pdf["qvec"].to_numpy()).astype(np.float64))
+        sims = _round_half_away(q_mat @ m_mat.T, score_decimals)
+        sims[q_ids[:, None] == m_ids[None, :]] = -np.inf  # drop self
+        # rank by (rounded score desc, vec_id asc) — identical total
+        # order to the downstream window
+        order = np.lexsort((m_ids[None, :].repeat(len(q_ids), 0), -sims))
+        take = order[:, : min(k, order.shape[1])]
+        qi = np.arange(len(q_ids))[:, None].repeat(take.shape[1], 1)
+        out = pd.DataFrame(
+            {
+                "query_id": q_ids[qi.ravel()],
+                "vec_id": m_ids[take.ravel()],
+                "score": sims[qi.ravel(), take.ravel()],
+            }
+        )
+        return out[np.isfinite(out["score"])]
+
+    partials = members.groupBy("cell").cogroup(
+        probed.groupBy("cell")
+    ).applyInPandas(score_cell, "query_id long, vec_id long, score double")
+    w_k = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.asc("vec_id")
+    )
+    return (
+        partials.withColumn("__rn", F.row_number().over(w_k))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )
+
+
 def mutual_knn_pairs(
     corpus: DataFrame,
     k: int,
@@ -643,13 +815,6 @@ def mutual_knn_pairs(
     then the n·k-row kNN edge list self-joins on the swapped key pair.
     Nothing is all-pairs.
     """
-    from pyspark.sql import Window
-
-    import numpy as np
-    import pandas as pd
-
-    from memfuse_spark.operators.similarity import _round_half_away
-
     id_type = corpus.schema[id_col].dataType.simpleString()
     empty_schema = f"vec_a {id_type}, vec_b {id_type}, score double"
     # a NULL embedding is nobody's neighbor: drop it before anything
@@ -719,103 +884,19 @@ def mutual_knn_pairs(
         F.col(vec_col).cast("array<double>").alias("qvec"),
     )
     cents = ivf_centroids(corpus, cell_col, id_col, vec_col)
-    # Probe stage as ONE numpy matmul per Arrow batch against the
-    # COLLECTED centroid table (bounded: |cells| ≈ n/target rows of dim
-    # doubles — the same table the previous plan broadcast). The
-    # previous expression — crossJoin(broadcast(cents)) + a per-query
-    # row_number window — materialized n × |cells| rows through a
-    # window sort; with corpus-scaled cells |cells| grows with n, and
-    # the round-8 100× probe measured that explosion at 27.8× wall per
-    # 10× data. Probe sims are rounded (half-away, score_decimals) with
-    # (sim DESC, cell ASC) tie order — the oracle twins apply the
-    # identical round() in their probe CTE.
     cent_rows = sorted(cents.collect(), key=lambda r: r["cell"])
     if not cent_rows:
         return corpus.sparkSession.createDataFrame([], empty_schema)
-    probe_cells = [r["cell"] for r in cent_rows]
-    cmat = np.stack(
-        [np.asarray(r["centroid"], dtype=np.float64) for r in cent_rows]
-    )
-    cnorm = np.linalg.norm(cmat, axis=1, keepdims=True)
-    cnorm[cnorm == 0] = 1.0
-    cmat = cmat / cnorm
-    npb = min(nprobe, len(probe_cells))
-
-    def probe_batches(batches):
-        cells_arr = np.asarray(probe_cells, dtype=object)
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            q_mat = np.stack(pdf["qvec"].to_numpy()).astype(np.float64)
-            qn = np.linalg.norm(q_mat, axis=1, keepdims=True)
-            qn[qn == 0] = 1.0
-            sims = _round_half_away(q_mat / qn @ cmat.T, score_decimals)
-            # stable argsort on -sims over cell-ascending columns ==
-            # (sim desc, cell asc) — the window's total order
-            take = np.argsort(-sims, axis=1, kind="stable")[:, :npb]
-            out = pdf.iloc[
-                np.repeat(np.arange(len(pdf)), npb)
-            ][["query_id", "qvec"]].copy()
-            out["cell"] = cells_arr[take.ravel()]
-            yield out
-
     cell_type = corpus.schema[cell_col].dataType.simpleString()
-    qid_type = queries.schema["query_id"].dataType.simpleString()
-    probed = queries.mapInPandas(
-        probe_batches,
-        f"query_id {qid_type}, qvec array<double>, cell {cell_type}",
+    probed = probe_via_centroids(
+        queries, cent_rows, nprobe, score_decimals, cell_type
     )
     members = corpus.select(
         F.col(cell_col).alias("cell"),
         F.col(id_col).alias("vec_id"),
         F.col(vec_col).cast("array<double>").alias("vec"),
     )
-
-    # per-cell scoring as ONE normalized float64 matmul per (cell) group
-    # — the pairwise_scores_blocked kernel shape. Each cell emits only
-    # its per-query top-k (a globally-top-k candidate is top-k within
-    # its owning cell, so the global window over nprobe*k partials per
-    # query stays exact); candidate volume leaving Python is n*nprobe*k
-    # rows, not n * cell_size.
-    def _norm(mat: "np.ndarray") -> "np.ndarray":
-        norms = np.linalg.norm(mat, axis=1, keepdims=True)
-        norms[norms == 0] = 1.0
-        return mat / norms
-
-    def score_cell(key, m_pdf: "pd.DataFrame", q_pdf: "pd.DataFrame"):
-        if len(m_pdf) == 0 or len(q_pdf) == 0:
-            return pd.DataFrame({"query_id": [], "vec_id": [], "score": []})
-        m_ids = m_pdf["vec_id"].to_numpy()
-        m_mat = _norm(np.stack(m_pdf["vec"].to_numpy()).astype(np.float64))
-        q_ids = q_pdf["query_id"].to_numpy()
-        q_mat = _norm(np.stack(q_pdf["qvec"].to_numpy()).astype(np.float64))
-        sims = _round_half_away(q_mat @ m_mat.T, score_decimals)
-        sims[q_ids[:, None] == m_ids[None, :]] = -np.inf  # drop self
-        # rank by (rounded score desc, vec_id asc) — identical total
-        # order to the downstream window
-        order = np.lexsort((m_ids[None, :].repeat(len(q_ids), 0), -sims))
-        take = order[:, : min(k, order.shape[1])]
-        qi = np.arange(len(q_ids))[:, None].repeat(take.shape[1], 1)
-        out = pd.DataFrame(
-            {
-                "query_id": q_ids[qi.ravel()],
-                "vec_id": m_ids[take.ravel()],
-                "score": sims[qi.ravel(), take.ravel()],
-            }
-        )
-        return out[np.isfinite(out["score"])]
-
-    partials = members.groupBy("cell").cogroup(
-        probed.groupBy("cell")
-    ).applyInPandas(score_cell, "query_id long, vec_id long, score double")
-    w_k = Window.partitionBy("query_id").orderBy(
-        F.desc("score"), F.asc("vec_id")
-    )
-    knn = (
-        partials.withColumn("__rn", F.row_number().over(w_k))
-        .filter(F.col("__rn") <= k)
-        .drop("__rn")
-    )
+    knn = score_probed_cells(members, probed, k, score_decimals)
     fwd = knn.select(
         F.col("query_id").alias("vec_a"),
         F.col("vec_id").alias("vec_b"),

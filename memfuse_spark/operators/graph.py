@@ -155,6 +155,416 @@ def build_knn_edges_store(
     writer.bucketBy(num_buckets, "src").sortBy("src", "dst").saveAsTable(name)
 
 
+# ---------------------------------------------------------------------------
+# incremental (frozen-quantizer) kNN graph store
+#
+# build_knn_edges_store rebuilds the whole O(n·k) graph per call — right
+# for the ingest-time batch build, wrong for a store that receives
+# batches forever: at 100 TB you cannot pay O(corpus) per append. This
+# tier freezes the quantizer at build time (plane count, hot-cell split
+# config, centroids — exactly how a served IVF index freezes its
+# codebook) and appends in O(batch): a new vector can only enter an old
+# node's candidate set through one of that node's FROZEN probe cells, so
+# the affected set is computable from the persisted probe lists alone.
+# Re-keyed kNN lists land in LSM-style delta files; serve reads
+# base-minus-dirty plus latest deltas; compaction folds (shadow-write +
+# atomic swap, the compact_bucketed_corpus pattern). Quantizer drift
+# after heavy growth is repaired by a RETRAIN (fresh build), the same
+# contract as IVF retraining.
+#
+# Reference anchor: the similarity-edge flush of
+# store/graph_store/graphml_store.py:770-830 runs per ingest batch —
+# this is its bounded-degree, frozen-codebook Spark twin.
+# ---------------------------------------------------------------------------
+
+
+def _knn_store_dirs(path: str) -> dict:
+    import os
+
+    return {
+        part: os.path.join(path, part)
+        for part in (
+            "meta", "cfg", "cents", "vecs", "probes",
+            "arcs", "edges", "arcs_delta", "edges_delta",
+        )
+    }
+
+
+def _celled_vectors(
+    df: DataFrame,
+    cfg: DataFrame,
+    num_planes: int,
+    dim: int,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """(vec_id, vec array<double>, cell) under the FROZEN quantizer:
+    base sign-LSH cell from `num_planes` hyperplanes, extended by the
+    persisted per-cell split config (absent cell → no split)."""
+    from memfuse_spark.operators.ann import apply_split_config, lsh_bucket
+
+    base = (
+        df.filter(F.col(vec_col).isNotNull())
+        .select(
+            F.col(id_col).alias("vec_id"),
+            F.col(vec_col).cast("array<double>").alias("vec"),
+        )
+        .withColumn("cell", lsh_bucket("vec", dim, num_planes))
+    )
+    return apply_split_config(
+        base, cfg, "vec", dim, num_planes, cell_col="cell"
+    )
+
+
+def build_knn_store_inc(
+    spark,
+    embeddings: DataFrame,
+    path: str,
+    k: int = 5,
+    nprobe: int = 2,
+    target_cell_size: int = 500,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    fit: DataFrame | None = None,
+) -> None:
+    """Build the incremental kNN graph store at ``path``: fit the
+    quantizer (corpus-scaled planes, hot-cell split config, centroids)
+    on ``fit`` (default: the corpus itself), persist it, then persist
+    the celled vectors, per-node probe lists, directed top-k arcs and
+    the mutual SIMILAR_TO + FOLLOWS edge table. ``fit=`` exists so a
+    full rebuild over old∪new with the OLD corpus as fit reproduces
+    exactly what build(old)+append(new) serves — the append parity
+    contract (and the DuckDB twin, oracles.knn_store_inc_edges_sql).
+
+    ids must be unique across the base corpus and every appended batch
+    (the reference's store keys chunks by primary id the same way)."""
+    from memfuse_spark.operators.ann import (
+        HOT_CELL_MAX_EXTRA, hot_cell_split_config, ivf_centroids, lsh_bucket,
+        probe_via_centroids, scaled_num_planes, score_probed_cells,
+    )
+
+    import shutil
+
+    dirs = _knn_store_dirs(path)
+    # a (re)build IS the retrain: it defines a fresh generation-0 state,
+    # so any delta files from a previous store at this path are stale
+    for part in ("arcs_delta", "edges_delta"):
+        shutil.rmtree(dirs[part], ignore_errors=True)
+    corpus = embeddings.filter(F.col(vec_col).isNotNull()).select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).cast("array<double>").alias("vec"),
+    )
+    fit_df = corpus if fit is None else fit.filter(
+        F.col(vec_col).isNotNull()
+    ).select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).cast("array<double>").alias("vec"),
+    )
+    n, dim = fit_df.select(
+        F.count(F.lit(1)), F.first(F.size("vec"), ignorenulls=True)
+    ).first()
+    if n == 0 or dim is None:
+        raise ValueError("knn store build: empty/NULL-only fit corpus")
+    num_planes = scaled_num_planes(n, target_cell_size)
+
+    fit_cells = fit_df.withColumn(
+        "cell", lsh_bucket("vec", int(dim), num_planes)
+    )
+    cfg = hot_cell_split_config(fit_cells, "cell", target_cell_size)
+    cfg.write.mode("overwrite").parquet(dirs["cfg"])
+    cfg = spark.read.parquet(dirs["cfg"])
+
+    spark.createDataFrame(
+        [(num_planes, int(dim), k, nprobe, target_cell_size,
+          HOT_CELL_MAX_EXTRA)],
+        "num_planes int, dim int, k int, nprobe int, "
+        "target_cell_size int, max_extra int",
+    ).write.mode("overwrite").parquet(dirs["meta"])
+
+    fit_celled = _celled_vectors(
+        fit_df, cfg, num_planes, int(dim), "vec_id", "vec"
+    )
+    ivf_centroids(fit_celled, "cell", "vec_id", "vec").write.mode(
+        "overwrite"
+    ).parquet(dirs["cents"])
+
+    all_celled = (
+        fit_celled
+        if fit is None
+        else _celled_vectors(corpus, cfg, num_planes, int(dim), "vec_id", "vec")
+    )
+    all_celled.select("vec_id", "vec", "cell").write.mode(
+        "overwrite"
+    ).parquet(dirs["vecs"])
+    vecs = spark.read.parquet(dirs["vecs"])
+
+    cent_rows = sorted(
+        spark.read.parquet(dirs["cents"]).collect(), key=lambda r: r["cell"]
+    )
+    probed = probe_via_centroids(
+        vecs.select(F.col("vec_id").alias("query_id"),
+                    F.col("vec").alias("qvec")),
+        cent_rows, nprobe,
+        cell_type=vecs.schema["cell"].dataType.simpleString(),
+    )
+    probed.select(
+        F.col("query_id").alias("vec_id"), "cell"
+    ).write.mode("overwrite").parquet(dirs["probes"])
+    probes = spark.read.parquet(dirs["probes"])
+
+    members = vecs.select("cell", "vec_id", "vec")
+    queries = probes.join(vecs.select("vec_id", "vec"), "vec_id").select(
+        F.col("vec_id").alias("query_id"), F.col("vec").alias("qvec"), "cell"
+    )
+    score_probed_cells(members, queries, k).select(
+        F.col("query_id").alias("src"), F.col("vec_id").alias("dst"), "score"
+    ).write.mode("overwrite").parquet(dirs["arcs"])
+    arcs = spark.read.parquet(dirs["arcs"])
+
+    fwd = arcs.filter(F.col("src") < F.col("dst"))
+    rev = arcs.filter(F.col("src") > F.col("dst")).select(
+        F.col("dst").alias("src"), F.col("src").alias("dst")
+    )
+    mutual = fwd.join(rev, ["src", "dst"]).select(
+        "src", "dst", F.col("score").alias("weight")
+    )
+    sym = mutual.unionByName(
+        mutual.select(F.col("dst").alias("src"), F.col("src").alias("dst"),
+                      "weight")
+    ).withColumn("relation", F.lit("SIMILAR_TO"))
+    edges = sym.unionByName(
+        build_follows_edges(vecs, "vec_id")
+    )
+    edges.write.mode("overwrite").parquet(dirs["edges"])
+
+
+def _next_gen(spark, delta_dir: str) -> int:
+    from pyspark.errors import AnalysisException
+
+    try:
+        mx = spark.read.parquet(delta_dir).agg(F.max("gen")).first()[0]
+        return int(mx or 0) + 1
+    except AnalysisException:
+        return 1
+
+
+def append_knn_store(
+    spark,
+    new_vecs: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """O(batch) append under the frozen quantizer. A new vector enters
+    an old node u's candidate set only through a cell in u's persisted
+    probe list, so the affected set = probe-list owners of the batch's
+    cells; the recompute set R = new ∪ affected re-derives its top-k
+    against members of R's probed cells only. Fresh arcs and the
+    recomputed mutual edges touching R land in gen-tagged delta files;
+    FOLLOWS boundary arcs (append-only) join them. Nothing touches the
+    base files — serve masks them (knn_store_arcs/knn_store_edges)."""
+    from memfuse_spark.operators.ann import (
+        probe_via_centroids, score_probed_cells,
+    )
+
+    dirs = _knn_store_dirs(path)
+    meta = spark.read.parquet(dirs["meta"]).first()
+    cfg = spark.read.parquet(dirs["cfg"])
+    cent_rows = sorted(
+        spark.read.parquet(dirs["cents"]).collect(), key=lambda r: r["cell"]
+    )
+    gen = _next_gen(spark, dirs["arcs_delta"])
+
+    # new_celled derives from the CALLER's frame, not from a re-read of
+    # the vecs dir — parquet reads snapshot their file list at read
+    # time, and this lineage stays valid across the appends below
+    new_celled = _celled_vectors(
+        new_vecs, cfg, meta["num_planes"], meta["dim"], id_col, vec_col
+    )
+    new_celled.select("vec_id", "vec", "cell").write.mode("append").parquet(
+        dirs["vecs"]
+    )
+    vecs = spark.read.parquet(dirs["vecs"])
+    new_ids = new_celled.select("vec_id")
+
+    new_probed = probe_via_centroids(
+        new_celled.select(
+            F.col("vec_id").alias("query_id"), F.col("vec").alias("qvec")
+        ),
+        cent_rows, meta["nprobe"],
+        cell_type=vecs.schema["cell"].dataType.simpleString(),
+    )
+    new_probed.select(
+        F.col("query_id").alias("vec_id"), "cell"
+    ).write.mode("append").parquet(dirs["probes"])
+    probes = spark.read.parquet(dirs["probes"])
+
+    # affected olds: anyone whose frozen probe list contains a cell the
+    # batch landed in (minus the batch itself, which is in R anyway)
+    new_cells = new_celled.select("cell").distinct()
+    affected = (
+        probes.join(new_cells, "cell", "left_semi")
+        .select("vec_id").distinct()
+        .join(new_ids, "vec_id", "left_anti")
+    )
+    r_ids = affected.unionByName(new_ids).distinct()
+
+    probes_r = probes.join(r_ids, "vec_id", "left_semi")
+    cells_needed = probes_r.select("cell").distinct()
+    members = vecs.join(cells_needed, "cell", "left_semi").select(
+        "cell", "vec_id", "vec"
+    )
+    queries = probes_r.join(vecs.select("vec_id", "vec"), "vec_id").select(
+        F.col("vec_id").alias("query_id"), F.col("vec").alias("qvec"), "cell"
+    )
+    fresh = score_probed_cells(members, queries, meta["k"]).select(
+        F.col("query_id").alias("src"), F.col("vec_id").alias("dst"), "score"
+    )
+    fresh.withColumn("gen", F.lit(gen)).write.mode("append").parquet(
+        dirs["arcs_delta"]
+    )
+
+    # recomputed mutual edges touching R, checked against the post-append
+    # arc state: (u→v) fresh ∧ (v→u) in the served arcs view. Cosine is
+    # symmetric, so either direction's score is the pair weight.
+    arcs_view = knn_store_arcs(spark, path)
+    fresh_arcs = spark.read.parquet(dirs["arcs_delta"]).filter(
+        F.col("gen") == gen
+    )
+    pairs = fresh_arcs.alias("f").join(
+        arcs_view.alias("a"),
+        (F.col("f.dst") == F.col("a.src")) & (F.col("f.src") == F.col("a.dst")),
+        "left_semi",
+    ).select(
+        F.least("f.src", "f.dst").alias("src"),
+        F.greatest("f.src", "f.dst").alias("dst"),
+        F.col("f.score").alias("weight"),
+    ).distinct()
+    sim = pairs.unionByName(
+        pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"),
+                     "weight")
+    ).withColumn("relation", F.lit("SIMILAR_TO"))
+
+    # FOLLOWS boundary arcs: consecutive-id pairs with a new endpoint
+    all_ids = vecs.select("vec_id")
+    nxt = new_ids.select((F.col("vec_id") + 1).alias("vec_id")).join(
+        all_ids, "vec_id", "left_semi"
+    ).select((F.col("vec_id") - 1).alias("src"), F.col("vec_id").alias("dst"))
+    prv = new_ids.select((F.col("vec_id") - 1).alias("vec_id")).join(
+        all_ids, "vec_id", "left_semi"
+    ).select(F.col("vec_id").alias("src"), (F.col("vec_id") + 1).alias("dst"))
+    # each FOLLOWS arc has a new endpoint, so it cannot already exist in
+    # the base or an earlier delta (ids are unique by contract)
+    follows = nxt.unionByName(prv).distinct().select(
+        "src", "dst", F.lit(1.0).alias("weight"),
+        F.lit("FOLLOWS").alias("relation"),
+    )
+
+    sim.unionByName(follows).withColumn("gen", F.lit(gen)).write.mode(
+        "append"
+    ).parquet(dirs["edges_delta"])
+
+
+def knn_store_arcs(spark, path: str) -> DataFrame:
+    """Served directed top-k arcs: base minus re-keyed srcs, plus each
+    re-keyed src's latest-generation delta rows."""
+    from pyspark.errors import AnalysisException
+
+    dirs = _knn_store_dirs(path)
+    base = spark.read.parquet(dirs["arcs"])
+    try:
+        delta = spark.read.parquet(dirs["arcs_delta"])
+    except AnalysisException:
+        return base
+    latest = delta.groupBy("src").agg(F.max("gen").alias("gen"))
+    live = delta.join(latest, ["src", "gen"]).select("src", "dst", "score")
+    return base.join(
+        delta.select("src").distinct(), "src", "left_anti"
+    ).unionByName(live)
+
+
+def knn_store_edges(spark, path: str) -> DataFrame:
+    """Served edge table. A SIMILAR_TO row is live iff its generation
+    equals the latest re-key generation of EITHER endpoint (0 for
+    never-re-keyed): every append re-emits the full live pair set
+    touching its recompute set, so the per-pair last writer wins.
+    FOLLOWS rows are append-only and pass through."""
+    from pyspark.errors import AnalysisException
+
+    dirs = _knn_store_dirs(path)
+    base = spark.read.parquet(dirs["edges"]).withColumn("gen", F.lit(0))
+    try:
+        owner = spark.read.parquet(dirs["arcs_delta"]).groupBy("src").agg(
+            F.max("gen").alias("og")
+        )
+    except AnalysisException:
+        return base.drop("gen")
+    try:
+        delta = spark.read.parquet(dirs["edges_delta"])
+    except AnalysisException:
+        delta = base.limit(0)
+    allrows = base.unionByName(delta)
+    sim = (
+        allrows.filter(F.col("relation") == "SIMILAR_TO")
+        .join(owner.select(F.col("src").alias("__s"),
+                           F.col("og").alias("__og_s")),
+              F.col("src") == F.col("__s"), "left")
+        .join(owner.select(F.col("src").alias("__d"),
+                           F.col("og").alias("__og_d")),
+              F.col("dst") == F.col("__d"), "left")
+        .filter(
+            F.col("gen")
+            == F.greatest(
+                F.coalesce(F.col("__og_s"), F.lit(0)),
+                F.coalesce(F.col("__og_d"), F.lit(0)),
+            )
+        )
+        .select("src", "dst", "weight", "relation")
+    )
+    fol = allrows.filter(F.col("relation") == "FOLLOWS").select(
+        "src", "dst", "weight", "relation"
+    )
+    return sim.unionByName(fol)
+
+
+def compact_knn_store(spark, path: str) -> dict:
+    """Fold the deltas into the base files (shadow-write + atomic swap,
+    the compact_bucketed_corpus contract: single writer, readers pause
+    for the rename gap). Logical content is unchanged — the serve views
+    read identically before and after; what changes is segment count
+    and the per-read masking joins. Returns delta row counts folded."""
+    import os
+    import shutil
+    import uuid
+
+    dirs = _knn_store_dirs(path)
+    from pyspark.errors import AnalysisException
+
+    counts = {"arcs_delta": 0, "edges_delta": 0}
+    try:
+        counts["arcs_delta"] = spark.read.parquet(dirs["arcs_delta"]).count()
+    except AnalysisException:
+        return counts
+    try:
+        counts["edges_delta"] = spark.read.parquet(dirs["edges_delta"]).count()
+    except AnalysisException:
+        pass
+    tag = uuid.uuid4().hex[:8]
+    for part, view in (
+        ("arcs", knn_store_arcs(spark, path)),
+        ("edges", knn_store_edges(spark, path)),
+    ):
+        tmp = f"{dirs[part]}__tmp_{tag}"
+        view.write.mode("overwrite").parquet(tmp)
+        old = f"{dirs[part]}__old_{tag}"
+        os.rename(dirs[part], old)
+        os.rename(tmp, dirs[part])
+        shutil.rmtree(old, ignore_errors=True)
+    for part in ("arcs_delta", "edges_delta"):
+        shutil.rmtree(dirs[part], ignore_errors=True)
+    return counts
+
+
 def neighbors(
     edges: DataFrame,
     node_id,

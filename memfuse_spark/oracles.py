@@ -862,7 +862,11 @@ ORDER BY query_id, score DESC, vec_id
 
 
 def mutual_knn_ctes(
-    k: int, nprobe: int = 2, dim: int = 64, target_cell_size: int = 500
+    k: int,
+    nprobe: int = 2,
+    dim: int = 64,
+    target_cell_size: int = 500,
+    fit_pred: str | None = None,
 ) -> str:
     """The shared CTE chain behind ann.mutual_knn_pairs' DEFAULT
     (corpus-scaled sign-LSH cells): params → cells → hot-cell split →
@@ -873,7 +877,14 @@ def mutual_knn_ctes(
     query (mutual_knn_scaled_sql) and the kNN edge store
     (knn_edges_cte) can never drift. `knn` is always MATERIALIZED:
     every consumer self-joins it, and DuckDB would otherwise re-expand
-    the whole LSH-cell chain twice."""
+    the whole LSH-cell chain twice.
+
+    ``fit_pred`` (a predicate over embeddings.vec_id) switches the
+    chain to FROZEN-QUANTIZER semantics — the incremental kNN store
+    contract (graph.build_knn_store_inc + append_knn_store): plane
+    count, hot-cell split config and centroids are fitted on the fit
+    rows only, while cells, probes and the kNN run over the FULL
+    corpus. build(fit) + append(rest) must serve exactly this."""
     from memfuse_spark.operators.ann import plane_sql_expr
 
     plane = plane_sql_expr(dim)
@@ -889,11 +900,13 @@ def mutual_knn_ctes(
     )
     from memfuse_spark.operators.ann import split_hot_cells_sql
 
+    fit_and = f" AND ({fit_pred})" if fit_pred is not None else ""
+    fit_where = f" WHERE {fit_pred}" if fit_pred is not None else ""
     return f"""
 params AS (
   SELECT greatest(1, CAST(ceil(log2(greatest(count(*) / {target_cell_size}.0,
                                              2.0))) AS INT)) AS planes
-  FROM embeddings WHERE embedding IS NOT NULL
+  FROM embeddings WHERE embedding IS NOT NULL{fit_and}
 ),
 cells0 AS (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
@@ -905,10 +918,12 @@ cells0 AS (
   FROM embeddings WHERE embedding IS NOT NULL
 ),
 {split_hot_cells_sql(
-        "cells0", "(SELECT planes FROM params)", dim, target_cell_size
+        "cells0", "(SELECT planes FROM params)", dim, target_cell_size,
+        fit_pred=fit_pred,
     )},
 exploded AS (
-  SELECT cell, t.i AS pos, v[t.i + 1] AS x FROM cells, range(0, {dim}) AS t(i)
+  SELECT cell, t.i AS pos, v[t.i + 1] AS x
+  FROM cells, range(0, {dim}) AS t(i){fit_where}
 ),
 means AS (SELECT cell, pos, avg(x) AS m FROM exploded GROUP BY cell, pos),
 cents AS (
@@ -951,16 +966,22 @@ ORDER BY vec_a, vec_b
 
 
 def knn_edges_cte(
-    k: int, nprobe: int = 2, dim: int = 64, target_cell_size: int = 500
+    k: int,
+    nprobe: int = 2,
+    dim: int = 64,
+    target_cell_size: int = 500,
+    fit_pred: str | None = None,
 ) -> str:
     """Edge-table CTE block for the BOUNDED-DEGREE graph store (twin of
     graph.build_knn_edges_store): symmetric SIMILAR_TO arcs from the
     mutual-kNN pairs (≤ n·k arcs by construction) + sequential FOLLOWS.
     Same `edges` contract as edges_cte, so every downstream kernel SQL
     (pagerank_sql, kcore_nodes_sql, triangle_counts_sql) composes over
-    either store unchanged."""
+    either store unchanged. ``fit_pred`` switches the underlying chain
+    to frozen-quantizer semantics (see mutual_knn_ctes) — the twin of
+    the INCREMENTAL store's served state."""
     return f"""
-{mutual_knn_ctes(k, nprobe, dim, target_cell_size).strip()},
+{mutual_knn_ctes(k, nprobe, dim, target_cell_size, fit_pred=fit_pred).strip()},
 mutual AS (
   SELECT f.query_id AS src, f.vec_id AS dst, f.score AS weight
   FROM knn f
@@ -983,6 +1004,28 @@ def knn_edges_store_sql(
 ) -> str:
     return (
         f"WITH {knn_edges_cte(k, nprobe, dim, target_cell_size).strip()}\n"
+        "SELECT src, dst, weight, relation FROM edges "
+        "ORDER BY src, dst, relation"
+    )
+
+
+def knn_store_inc_edges_sql(
+    k: int,
+    nprobe: int,
+    fit_pred: str,
+    dim: int = 64,
+    target_cell_size: int = 500,
+) -> str:
+    """Twin of the INCREMENTAL kNN store's served edge table after
+    build(fit) + append(rest): the frozen-quantizer edge chain — the
+    quantizer (planes / split config / centroids) fitted on the
+    ``fit_pred`` rows, the kNN evaluated over the full corpus. The
+    Spark side must serve EXACTLY this through its base+delta masking
+    (graph.knn_store_edges), whatever sequence of appends produced the
+    state — that equivalence is the whole correctness claim of the
+    O(batch) append path."""
+    return (
+        f"WITH {knn_edges_cte(k, nprobe, dim, target_cell_size, fit_pred=fit_pred).strip()}\n"
         "SELECT src, dst, weight, relation FROM edges "
         "ORDER BY src, dst, relation"
     )

@@ -274,3 +274,149 @@ def test_knn_edges_store_bucket_prunes(spark, tables):
         assert "SelectedBucketsCount: 1 out of" in plan
     finally:
         spark.conf.unset("spark.sql.sources.bucketing.autoBucketedScan.enabled")
+
+
+# ---------------------------------------------------------------------------
+# incremental (frozen-quantizer) kNN store
+# ---------------------------------------------------------------------------
+
+
+def _edge_rows(df):
+    return sorted(
+        (r.src, r.dst, round(r.weight, 6), r.relation)
+        for r in df.select("src", "dst", "weight", "relation").collect()
+    )
+
+
+def _arc_rows(df):
+    return sorted(
+        (r.src, r.dst, round(r.score, 6))
+        for r in df.select("src", "dst", "score").collect()
+    )
+
+
+@pytest.fixture(scope="module")
+def inc_emb(spark, tables):
+    """A deterministic 120-vector slice of the sf0.001 embeddings —
+    small enough for per-test store builds, real enough to exercise
+    multi-cell probing."""
+    return tables["embeddings"].filter(F.col("vec_id") < 120)
+
+
+def test_knn_store_append_equals_frozen_full_build(spark, inc_emb, tmp_path):
+    """THE append contract: build(base) + append(batch) must serve the
+    exact edge table of a frozen-quantizer full build over base∪batch
+    with the base as fit — same quantizer, same kNN, same mutuality.
+    This is the Spark-side twin of oracles.knn_store_inc_edges_sql."""
+    base = inc_emb.filter(F.col("vec_id") % 4 != 0)
+    batch = inc_emb.filter(F.col("vec_id") % 4 == 0)
+
+    p_inc = str(tmp_path / "inc")
+    g.build_knn_store_inc(spark, base, p_inc, k=3, nprobe=2,
+                          target_cell_size=30)
+    g.append_knn_store(spark, batch, p_inc)
+
+    p_full = str(tmp_path / "full")
+    g.build_knn_store_inc(spark, inc_emb, p_full, k=3, nprobe=2,
+                          target_cell_size=30, fit=base)
+
+    got = _edge_rows(g.knn_store_edges(spark, p_inc))
+    want = _edge_rows(g.knn_store_edges(spark, p_full))
+    assert got == want and len(want) > 0
+    assert _arc_rows(g.knn_store_arcs(spark, p_inc)) == _arc_rows(
+        g.knn_store_arcs(spark, p_full)
+    )
+
+
+def test_knn_store_two_appends_compose(spark, inc_emb, tmp_path):
+    """Appends compose: build(A)+append(B)+append(C) serves the same
+    state as the frozen full build with fit=A — per-pair last-writer
+    masking across generations is exact, including pairs whose
+    endpoints were re-keyed in different generations."""
+    a = inc_emb.filter(F.col("vec_id") % 3 == 1)
+    b = inc_emb.filter(F.col("vec_id") % 3 == 2)
+    c = inc_emb.filter(F.col("vec_id") % 3 == 0)
+
+    p_inc = str(tmp_path / "inc")
+    g.build_knn_store_inc(spark, a, p_inc, k=3, nprobe=2,
+                          target_cell_size=30)
+    g.append_knn_store(spark, b, p_inc)
+    g.append_knn_store(spark, c, p_inc)
+
+    p_full = str(tmp_path / "full")
+    g.build_knn_store_inc(spark, inc_emb, p_full, k=3, nprobe=2,
+                          target_cell_size=30, fit=a)
+
+    assert _edge_rows(g.knn_store_edges(spark, p_inc)) == _edge_rows(
+        g.knn_store_edges(spark, p_full)
+    )
+
+
+def test_knn_store_compaction_preserves_served_state(spark, inc_emb, tmp_path):
+    """compact_knn_store folds deltas into the base (shadow-write +
+    swap) without changing the served views, and removes the delta
+    dirs so subsequent reads skip the masking joins."""
+    import os
+
+    base = inc_emb.filter(F.col("vec_id") % 4 != 0)
+    batch = inc_emb.filter(F.col("vec_id") % 4 == 0)
+    p = str(tmp_path / "store")
+    g.build_knn_store_inc(spark, base, p, k=3, nprobe=2,
+                          target_cell_size=30)
+    g.append_knn_store(spark, batch, p)
+
+    before_edges = _edge_rows(g.knn_store_edges(spark, p))
+    before_arcs = _arc_rows(g.knn_store_arcs(spark, p))
+    counts = g.compact_knn_store(spark, p)
+    assert counts["arcs_delta"] > 0 and counts["edges_delta"] > 0
+    assert not os.path.exists(os.path.join(p, "arcs_delta"))
+    assert not os.path.exists(os.path.join(p, "edges_delta"))
+    assert _edge_rows(g.knn_store_edges(spark, p)) == before_edges
+    assert _arc_rows(g.knn_store_arcs(spark, p)) == before_arcs
+    # idempotent on an already-compacted store
+    assert g.compact_knn_store(spark, p)["arcs_delta"] == 0
+
+
+def test_knn_store_rebuild_clears_stale_deltas(spark, inc_emb, tmp_path):
+    """A rebuild at the same path IS the retrain: delta files from the
+    previous store generation must not leak into the fresh state."""
+    base = inc_emb.filter(F.col("vec_id") % 4 != 0)
+    batch = inc_emb.filter(F.col("vec_id") % 4 == 0)
+    p = str(tmp_path / "store")
+    g.build_knn_store_inc(spark, base, p, k=3, nprobe=2,
+                          target_cell_size=30)
+    g.append_knn_store(spark, batch, p)
+    # retrain over the full corpus
+    g.build_knn_store_inc(spark, inc_emb, p, k=3, nprobe=2,
+                          target_cell_size=30)
+
+    p_ref = str(tmp_path / "ref")
+    g.build_knn_store_inc(spark, inc_emb, p_ref, k=3, nprobe=2,
+                          target_cell_size=30)
+    assert _edge_rows(g.knn_store_edges(spark, p)) == _edge_rows(
+        g.knn_store_edges(spark, p_ref)
+    )
+
+
+def test_knn_store_append_drops_null_embeddings(spark, inc_emb, tmp_path):
+    """NULL vectors are nobody's neighbor — an appended batch carrying
+    NULL embeddings serves the same state as the batch without them
+    (the mutual_knn_pairs NULL contract, kept by the store)."""
+    base = inc_emb.filter(F.col("vec_id") % 4 != 0)
+    batch = inc_emb.filter(F.col("vec_id") % 4 == 0)
+    batch = batch.select("vec_id", F.col("embedding").cast("array<float>"))
+    nulls = spark.createDataFrame(
+        [(100000, None), (100001, None)],
+        "vec_id bigint, embedding array<float>",
+    )
+    p_a = str(tmp_path / "with_nulls")
+    g.build_knn_store_inc(spark, base, p_a, k=3, nprobe=2,
+                          target_cell_size=30)
+    g.append_knn_store(spark, batch.unionByName(nulls), p_a)
+    p_b = str(tmp_path / "without")
+    g.build_knn_store_inc(spark, base, p_b, k=3, nprobe=2,
+                          target_cell_size=30)
+    g.append_knn_store(spark, batch, p_b)
+    assert _edge_rows(g.knn_store_edges(spark, p_a)) == _edge_rows(
+        g.knn_store_edges(spark, p_b)
+    )
