@@ -3102,6 +3102,20 @@ def q_knn_store_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     return g.knn_store_edges(spark, path).orderBy("src", "dst", "relation")
 
 
+def q_knn_store_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantizer-drift report off the incremental store's own metadata
+    (thin vecs + frozen centroid tables — no corpus rescan): unreachable
+    rows in never-fitted cells and over-target hot cells, the two recall
+    /cost regressions appends accumulate and a retrain clears. The
+    when-to-retrain knob a 100 TB operator reads before paying for a
+    rebuild — the same artifact family as lsh_tuning /
+    dedup_threshold_sweep."""
+    from memfuse_spark.operators import graph as g
+
+    path = _knn_inc_store(spark, sf_dir)
+    return g.knn_store_drift(spark, path)
+
+
 def q_knn_store_inc_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PageRank served straight off the incremental store's masked
     base+delta edge view — every graph kernel composes over the LSM
@@ -5021,6 +5035,7 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_graph_contextual": q_knn_graph_contextual,
         "knn_store_append": q_knn_store_append,
         "knn_store_inc_pagerank": q_knn_store_inc_pagerank,
+        "knn_store_drift": q_knn_store_drift,
         # added after the r7 rotation freeze → positions 51+, heads the
         # round-8 window
         "token_chunks": q_token_chunks,
@@ -7017,6 +7032,9 @@ LIMIT {TOP_K}
                 KNN_EDGES_K, fit_pred=f"vec_id % {KNN_INC_FIT_MOD} <> 0"
             ),
             PAGERANK_ITERS, PAGERANK_DAMPING,
+        ),
+        "knn_store_drift": oracles.knn_store_drift_sql(
+            f"vec_id % {KNN_INC_FIT_MOD} <> 0"
         ),
         "graph_pagerank": oracles.pagerank_sql(
             oracles.edges_cte(_SIM_T), PAGERANK_ITERS, PAGERANK_DAMPING

@@ -213,6 +213,7 @@ EXTRA = [
     # round 10b: incremental (frozen-quantizer) kNN store
     "knn_store_append",
     "knn_store_inc_pagerank",
+    "knn_store_drift",
 ]
 # Machine-readable environment requirements for slots whose SCALED
 # probe exceeds the default single-JVM bench environment (VERDICT r8

@@ -527,6 +527,55 @@ def knn_store_edges(spark, path: str) -> DataFrame:
     return sim.unionByName(fol)
 
 
+def knn_store_drift(spark, path: str, hot_factor: float = 2.0) -> DataFrame:
+    """One-row quantizer-drift report for the frozen store — the
+    when-to-retrain knob. Appends keep correctness (the parity oracle
+    proves it) but degrade RECALL as the corpus outgrows the frozen
+    codebook, in two measurable ways this query surfaces from the
+    store's own metadata (no corpus rescan beyond the thin vecs table):
+
+    - ``new_cells`` / ``rows_new_cells``: served cells ABSENT from the
+      frozen centroid table. Probing ranks frozen centroids only, so
+      members of an unseen cell are UNREACHABLE as candidates (they
+      still query outward) — rows here are invisible to every other
+      node's kNN until a retrain.
+    - ``hot_cells`` / ``hot_row_share``: cells past hot_factor × the
+      fitted target size. The frozen split config no longer rebalances
+      them, so their within-cell scoring work grows quadratically —
+      the cost regression that the retrain's refreshed split removes.
+    """
+    meta = spark.read.parquet(_knn_store_dirs(path)["meta"]).first()
+    vecs = spark.read.parquet(_knn_store_dirs(path)["vecs"])
+    cents = spark.read.parquet(_knn_store_dirs(path)["cents"])
+    counts = vecs.groupBy("cell").agg(F.count(F.lit(1)).alias("cn"))
+    fresh = counts.join(cents.select("cell"), "cell", "left_anti")
+    hot_cut = float(hot_factor) * meta["target_cell_size"]
+    return (
+        counts.agg(
+            F.sum("cn").cast("long").alias("n_rows"),
+            F.count(F.lit(1)).cast("long").alias("n_cells"),
+            F.max("cn").cast("long").alias("max_cell_rows"),
+            F.sum(F.when(F.col("cn") > hot_cut, F.lit(1)).otherwise(0))
+            .cast("long").alias("hot_cells"),
+            F.sum(F.when(F.col("cn") > hot_cut, F.col("cn")).otherwise(0))
+            .cast("long").alias("hot_rows"),
+        )
+        .crossJoin(
+            fresh.agg(
+                F.count(F.lit(1)).cast("long").alias("new_cells"),
+                F.coalesce(F.sum("cn"), F.lit(0)).cast("long")
+                .alias("rows_new_cells"),
+            )
+        )
+        .select(
+            "n_rows", "n_cells", "new_cells", "rows_new_cells",
+            "max_cell_rows", "hot_cells",
+            F.round(F.col("hot_rows") / F.col("n_rows"), 6)
+            .alias("hot_row_share"),
+        )
+    )
+
+
 def compact_knn_store(spark, path: str) -> dict:
     """Fold the deltas into the base files (shadow-write + atomic swap,
     the compact_bucketed_corpus contract: single writer, readers pause

@@ -1009,6 +1009,61 @@ def knn_edges_store_sql(
     )
 
 
+def knn_store_drift_sql(
+    fit_pred: str,
+    dim: int = 64,
+    target_cell_size: int = 500,
+    hot_factor: float = 2.0,
+) -> str:
+    """Twin of graph.knn_store_drift over the build(fit)+append(rest)
+    store: recompute the frozen cells from scratch (params / split
+    config fitted on the fit rows, applied to all), then the same
+    one-row report — new cells = served cells absent from the FIT's
+    cell set (no frozen centroid → unreachable by probing), hot cells =
+    past hot_factor × the fitted target."""
+    from memfuse_spark.operators.ann import plane_sql_expr, split_hot_cells_sql
+
+    plane = plane_sql_expr(dim)
+    return f"""
+WITH params AS (
+  SELECT greatest(1, CAST(ceil(log2(greatest(count(*) / {target_cell_size}.0,
+                                             2.0))) AS INT)) AS planes
+  FROM embeddings WHERE embedding IS NOT NULL AND ({fit_pred})
+),
+cells0 AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+         array_to_string(
+           list_transform(range((SELECT planes FROM params)), j ->
+             CASE WHEN list_dot_product(CAST(embedding AS DOUBLE[]),
+                                        {plane}) > 0
+                  THEN '1' ELSE '0' END), '') AS cell
+  FROM embeddings WHERE embedding IS NOT NULL
+),
+{split_hot_cells_sql(
+        "cells0", "(SELECT planes FROM params)", dim, target_cell_size,
+        fit_pred=fit_pred,
+    )},
+fit_cells AS (SELECT DISTINCT cell FROM cells WHERE {fit_pred}),
+counts AS (
+  SELECT c.cell, count(*) AS cn,
+         CAST(f.cell IS NULL AS INT) AS is_new
+  FROM cells c LEFT JOIN fit_cells f USING (cell)
+  GROUP BY c.cell, f.cell
+)
+SELECT CAST(sum(cn) AS BIGINT) AS n_rows,
+       CAST(count(*) AS BIGINT) AS n_cells,
+       CAST(sum(is_new) AS BIGINT) AS new_cells,
+       CAST(coalesce(sum(CASE WHEN is_new = 1 THEN cn END), 0) AS BIGINT)
+         AS rows_new_cells,
+       CAST(max(cn) AS BIGINT) AS max_cell_rows,
+       CAST(sum(CASE WHEN cn > {hot_factor} * {target_cell_size} THEN 1
+                ELSE 0 END) AS BIGINT) AS hot_cells,
+       round(sum(CASE WHEN cn > {hot_factor} * {target_cell_size} THEN cn
+                 ELSE 0 END) / CAST(sum(cn) AS DOUBLE), 6) AS hot_row_share
+FROM counts
+"""
+
+
 def knn_store_inc_edges_sql(
     k: int,
     nprobe: int,

@@ -420,3 +420,28 @@ def test_knn_store_append_drops_null_embeddings(spark, inc_emb, tmp_path):
     assert _edge_rows(g.knn_store_edges(spark, p_a)) == _edge_rows(
         g.knn_store_edges(spark, p_b)
     )
+
+
+def test_knn_store_drift_reports_and_retrain_clears(spark, inc_emb, tmp_path):
+    """The drift report is the when-to-retrain knob: after appends it
+    accounts every served row exactly once (n_rows), flags rows in
+    never-fitted cells as unreachable-by-probing, and a retrain (fresh
+    build over the full corpus) zeroes both drift counters because the
+    codebook now covers every cell."""
+    base = inc_emb.filter(F.col("vec_id") % 4 != 0)
+    batch = inc_emb.filter(F.col("vec_id") % 4 == 0)
+    p = str(tmp_path / "store")
+    g.build_knn_store_inc(spark, base, p, k=3, nprobe=2,
+                          target_cell_size=30)
+    g.append_knn_store(spark, batch, p)
+
+    row = g.knn_store_drift(spark, p).first()
+    assert row.n_rows == inc_emb.count()
+    assert row.new_cells >= 0 and row.rows_new_cells >= 0
+    assert row.max_cell_rows <= row.n_rows
+    assert 0.0 <= row.hot_row_share <= 1.0
+
+    g.build_knn_store_inc(spark, inc_emb, p, k=3, nprobe=2,
+                          target_cell_size=30)
+    row2 = g.knn_store_drift(spark, p).first()
+    assert row2.new_cells == 0 and row2.rows_new_cells == 0
