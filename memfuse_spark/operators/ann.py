@@ -688,11 +688,12 @@ def probe_via_centroids(
     cmat = cmat / cnorm
     npb = min(nprobe, len(probe_cells))
 
+    cells_arr = np.asarray(probe_cells, dtype=object)
+
     def probe_batches(batches):
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            cells_arr = np.asarray(probe_cells, dtype=object)
             q_mat = np.stack(pdf["qvec"].to_numpy()).astype(np.float64)
             qn = np.linalg.norm(q_mat, axis=1, keepdims=True)
             qn[qn == 0] = 1.0

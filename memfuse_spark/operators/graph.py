@@ -185,7 +185,7 @@ def _knn_store_dirs(path: str) -> dict:
         part: os.path.join(path, part)
         for part in (
             "meta", "cfg", "cents", "vecs", "probes",
-            "arcs", "edges", "arcs_delta", "edges_delta",
+            "arcs", "edges", "arcs_delta", "edges_delta", "commits",
         )
     }
 
@@ -197,10 +197,14 @@ def _celled_vectors(
     dim: int,
     id_col: str,
     vec_col: str,
+    max_extra: int,
 ) -> DataFrame:
     """(vec_id, vec array<double>, cell) under the FROZEN quantizer:
     base sign-LSH cell from `num_planes` hyperplanes, extended by the
-    persisted per-cell split config (absent cell → no split)."""
+    persisted per-cell split config (absent cell → no split).
+    ``max_extra`` must come from the store's meta, not the current
+    compile-time constant — it is part of the frozen codebook (the
+    extension-bit budget the persisted __extra values index into)."""
     from memfuse_spark.operators.ann import apply_split_config, lsh_bucket
 
     base = (
@@ -212,8 +216,45 @@ def _celled_vectors(
         .withColumn("cell", lsh_bucket("vec", dim, num_planes))
     )
     return apply_split_config(
-        base, cfg, "vec", dim, num_planes, cell_col="cell"
+        base, cfg, "vec", dim, num_planes, cell_col="cell",
+        max_extra=max_extra,
     )
+
+
+def _committed_gens(spark, path: str) -> list:
+    """Generations whose append COMMITTED (wrote its marker row as the
+    final step). Base state is generation 0. Rows tagged with any other
+    generation are orphans of a crashed append and are invisible to
+    every reader until compaction rewrites the base."""
+    from pyspark.errors import AnalysisException
+
+    dirs = _knn_store_dirs(path)
+    gens = {0}
+    try:
+        gens.update(
+            r["gen"] for r in spark.read.parquet(dirs["commits"]).collect()
+        )
+    except AnalysisException:
+        pass
+    return sorted(gens)
+
+
+def _gen_filtered(spark, directory: str, committed: list) -> DataFrame:
+    return spark.read.parquet(directory).filter(F.col("gen").isin(committed))
+
+
+def knn_store_vecs(spark, path: str) -> DataFrame:
+    """Served celled vectors: base + committed appended batches."""
+    return _gen_filtered(
+        spark, _knn_store_dirs(path)["vecs"], _committed_gens(spark, path)
+    ).select("vec_id", "vec", "cell")
+
+
+def knn_store_probes(spark, path: str) -> DataFrame:
+    """Served frozen probe lists (append-only, committed gens)."""
+    return _gen_filtered(
+        spark, _knn_store_dirs(path)["probes"], _committed_gens(spark, path)
+    ).select("vec_id", "cell")
 
 
 def build_knn_store_inc(
@@ -247,8 +288,9 @@ def build_knn_store_inc(
 
     dirs = _knn_store_dirs(path)
     # a (re)build IS the retrain: it defines a fresh generation-0 state,
-    # so any delta files from a previous store at this path are stale
-    for part in ("arcs_delta", "edges_delta"):
+    # so delta files and commit markers from a previous store at this
+    # path are stale
+    for part in ("arcs_delta", "edges_delta", "commits"):
         shutil.rmtree(dirs[part], ignore_errors=True)
     corpus = embeddings.filter(F.col(vec_col).isNotNull()).select(
         F.col(id_col).alias("vec_id"),
@@ -282,7 +324,7 @@ def build_knn_store_inc(
     ).write.mode("overwrite").parquet(dirs["meta"])
 
     fit_celled = _celled_vectors(
-        fit_df, cfg, num_planes, int(dim), "vec_id", "vec"
+        fit_df, cfg, num_planes, int(dim), "vec_id", "vec", HOT_CELL_MAX_EXTRA
     )
     ivf_centroids(fit_celled, "cell", "vec_id", "vec").write.mode(
         "overwrite"
@@ -291,16 +333,22 @@ def build_knn_store_inc(
     all_celled = (
         fit_celled
         if fit is None
-        else _celled_vectors(corpus, cfg, num_planes, int(dim), "vec_id", "vec")
+        else _celled_vectors(
+            corpus, cfg, num_planes, int(dim), "vec_id", "vec",
+            HOT_CELL_MAX_EXTRA,
+        )
     )
-    all_celled.select("vec_id", "vec", "cell").write.mode(
-        "overwrite"
-    ).parquet(dirs["vecs"])
+    all_celled.select("vec_id", "vec", "cell").withColumn(
+        "gen", F.lit(0)
+    ).write.mode("overwrite").parquet(dirs["vecs"])
     vecs = spark.read.parquet(dirs["vecs"])
 
     cent_rows = sorted(
         spark.read.parquet(dirs["cents"]).collect(), key=lambda r: r["cell"]
     )
+    # one probe lineage, two narrow consumers (the probes table and the
+    # scoring queries) — re-running the vectorized probe matmul beats
+    # the corpus-wide probes⋈vecs shuffle join it replaces
     probed = probe_via_centroids(
         vecs.select(F.col("vec_id").alias("query_id"),
                     F.col("vec").alias("qvec")),
@@ -309,13 +357,12 @@ def build_knn_store_inc(
     )
     probed.select(
         F.col("query_id").alias("vec_id"), "cell"
-    ).write.mode("overwrite").parquet(dirs["probes"])
-    probes = spark.read.parquet(dirs["probes"])
+    ).withColumn("gen", F.lit(0)).write.mode("overwrite").parquet(
+        dirs["probes"]
+    )
 
     members = vecs.select("cell", "vec_id", "vec")
-    queries = probes.join(vecs.select("vec_id", "vec"), "vec_id").select(
-        F.col("vec_id").alias("query_id"), F.col("vec").alias("qvec"), "cell"
-    )
+    queries = probed.select("query_id", "qvec", "cell")
     score_probed_cells(members, queries, k).select(
         F.col("query_id").alias("src"), F.col("vec_id").alias("dst"), "score"
     ).write.mode("overwrite").parquet(dirs["arcs"])
@@ -338,14 +385,24 @@ def build_knn_store_inc(
     edges.write.mode("overwrite").parquet(dirs["edges"])
 
 
-def _next_gen(spark, delta_dir: str) -> int:
+def _next_gen(spark, path: str, committed: list) -> int:
+    """The next append generation: one past every generation PHYSICALLY
+    present in any gen-tagged file — committed or orphaned. A crashed
+    append leaves uncommitted rows under its generation; the retry must
+    not reuse that number (committing it would bless the orphans), so
+    the scan covers all four gen-carrying dirs, not just the markers."""
     from pyspark.errors import AnalysisException
 
-    try:
-        mx = spark.read.parquet(delta_dir).agg(F.max("gen")).first()[0]
-        return int(mx or 0) + 1
-    except AnalysisException:
-        return 1
+    dirs = _knn_store_dirs(path)
+    mx = max(committed)
+    for part in ("vecs", "probes", "arcs_delta", "edges_delta"):
+        try:
+            m = spark.read.parquet(dirs[part]).agg(F.max("gen")).first()[0]
+        except AnalysisException:
+            continue
+        if m is not None:
+            mx = max(mx, int(m))
+    return mx + 1
 
 
 def append_knn_store(
@@ -362,7 +419,17 @@ def append_knn_store(
     against members of R's probed cells only. Fresh arcs and the
     recomputed mutual edges touching R land in gen-tagged delta files;
     FOLLOWS boundary arcs (append-only) join them. Nothing touches the
-    base files — serve masks them (knn_store_arcs/knn_store_edges)."""
+    base files — serve masks them (knn_store_arcs/knn_store_edges).
+
+    Crash safety: each parquet write is individually atomic (Spark's
+    output-commit protocol), and the append's generation only becomes
+    VISIBLE when the final marker row lands in `commits` — readers
+    filter every gen-tagged table to committed generations, so a crash
+    at any earlier point leaves invisible orphan rows that the retry
+    (which takes a fresh generation number past them) and the next
+    compaction clean up. Single concurrent writer, as for every store
+    in this engine."""
+    from memfuse_spark import cache as _cache
     from memfuse_spark.operators.ann import (
         probe_via_centroids, score_probed_cells,
     )
@@ -373,18 +440,26 @@ def append_knn_store(
     cent_rows = sorted(
         spark.read.parquet(dirs["cents"]).collect(), key=lambda r: r["cell"]
     )
-    gen = _next_gen(spark, dirs["arcs_delta"])
+    committed = _committed_gens(spark, path)
+    gen = _next_gen(spark, path, committed)
 
-    # new_celled derives from the CALLER's frame, not from a re-read of
-    # the vecs dir — parquet reads snapshot their file list at read
-    # time, and this lineage stays valid across the appends below
+    # celled ONCE (checkpointed): the batch frame feeds six downstream
+    # consumers, and deriving from the CALLER's frame (not a re-read of
+    # the just-appended vecs dir) keeps the lineage valid across writes
+    _cache.begin("graph.knn_append")
     new_celled = _celled_vectors(
-        new_vecs, cfg, meta["num_planes"], meta["dim"], id_col, vec_col
+        new_vecs, cfg, meta["num_planes"], meta["dim"], id_col, vec_col,
+        meta["max_extra"],
     )
-    new_celled.select("vec_id", "vec", "cell").write.mode("append").parquet(
-        dirs["vecs"]
+    new_celled, _ids = _cache.tracked_local_checkpoint(
+        new_celled, "graph.knn_append"
     )
-    vecs = spark.read.parquet(dirs["vecs"])
+    new_celled.select("vec_id", "vec", "cell").withColumn(
+        "gen", F.lit(gen)
+    ).write.mode("append").parquet(dirs["vecs"])
+    vecs = _gen_filtered(spark, dirs["vecs"], committed + [gen]).select(
+        "vec_id", "vec", "cell"
+    )
     new_ids = new_celled.select("vec_id")
 
     new_probed = probe_via_centroids(
@@ -396,8 +471,12 @@ def append_knn_store(
     )
     new_probed.select(
         F.col("query_id").alias("vec_id"), "cell"
-    ).write.mode("append").parquet(dirs["probes"])
-    probes = spark.read.parquet(dirs["probes"])
+    ).withColumn("gen", F.lit(gen)).write.mode("append").parquet(
+        dirs["probes"]
+    )
+    probes = _gen_filtered(spark, dirs["probes"], committed + [gen]).select(
+        "vec_id", "cell"
+    )
 
     # affected olds: anyone whose frozen probe list contains a cell the
     # batch landed in (minus the batch itself, which is in R anyway)
@@ -424,22 +503,26 @@ def append_knn_store(
         dirs["arcs_delta"]
     )
 
-    # recomputed mutual edges touching R, checked against the post-append
-    # arc state: (u→v) fresh ∧ (v→u) in the served arcs view. Cosine is
-    # symmetric, so either direction's score is the pair weight.
-    arcs_view = knn_store_arcs(spark, path)
+    # recomputed mutual edges touching R, checked against the
+    # post-append arc state: (u→v) fresh ∧ (v→u) in the arcs view. The
+    # pair weight is ALWAYS the (lo→hi) arc's score — the direction the
+    # full build and the oracle use — so parity never depends on two
+    # independent float64 matmul reductions rounding identically.
+    arcs_view = _knn_arcs_view(spark, path, committed + [gen])
     fresh_arcs = spark.read.parquet(dirs["arcs_delta"]).filter(
         F.col("gen") == gen
     )
-    pairs = fresh_arcs.alias("f").join(
+    pair_keys = fresh_arcs.alias("f").join(
         arcs_view.alias("a"),
         (F.col("f.dst") == F.col("a.src")) & (F.col("f.src") == F.col("a.dst")),
         "left_semi",
     ).select(
         F.least("f.src", "f.dst").alias("src"),
         F.greatest("f.src", "f.dst").alias("dst"),
-        F.col("f.score").alias("weight"),
     ).distinct()
+    pairs = pair_keys.join(arcs_view, ["src", "dst"]).select(
+        "src", "dst", F.col("score").alias("weight")
+    )
     sim = pairs.unionByName(
         pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"),
                      "weight")
@@ -447,15 +530,15 @@ def append_knn_store(
 
     # FOLLOWS boundary arcs: consecutive-id pairs with a new endpoint
     all_ids = vecs.select("vec_id")
-    nxt = new_ids.select((F.col("vec_id") + 1).alias("vec_id")).join(
+    as_src = new_ids.select((F.col("vec_id") + 1).alias("vec_id")).join(
         all_ids, "vec_id", "left_semi"
     ).select((F.col("vec_id") - 1).alias("src"), F.col("vec_id").alias("dst"))
-    prv = new_ids.select((F.col("vec_id") - 1).alias("vec_id")).join(
+    as_dst = new_ids.select((F.col("vec_id") - 1).alias("vec_id")).join(
         all_ids, "vec_id", "left_semi"
     ).select(F.col("vec_id").alias("src"), (F.col("vec_id") + 1).alias("dst"))
     # each FOLLOWS arc has a new endpoint, so it cannot already exist in
     # the base or an earlier delta (ids are unique by contract)
-    follows = nxt.unionByName(prv).distinct().select(
+    follows = as_src.unionByName(as_dst).distinct().select(
         "src", "dst", F.lit(1.0).alias("weight"),
         F.lit("FOLLOWS").alias("relation"),
     )
@@ -464,16 +547,25 @@ def append_knn_store(
         "append"
     ).parquet(dirs["edges_delta"])
 
+    # COMMIT: the generation becomes visible only now
+    spark.createDataFrame([(gen,)], "gen int").write.mode("append").parquet(
+        dirs["commits"]
+    )
+
 
 def knn_store_arcs(spark, path: str) -> DataFrame:
     """Served directed top-k arcs: base minus re-keyed srcs, plus each
-    re-keyed src's latest-generation delta rows."""
+    re-keyed src's latest COMMITTED-generation delta rows."""
+    return _knn_arcs_view(spark, path, _committed_gens(spark, path))
+
+
+def _knn_arcs_view(spark, path: str, gens: list) -> DataFrame:
     from pyspark.errors import AnalysisException
 
     dirs = _knn_store_dirs(path)
     base = spark.read.parquet(dirs["arcs"])
     try:
-        delta = spark.read.parquet(dirs["arcs_delta"])
+        delta = _gen_filtered(spark, dirs["arcs_delta"], gens)
     except AnalysisException:
         return base
     latest = delta.groupBy("src").agg(F.max("gen").alias("gen"))
@@ -492,15 +584,16 @@ def knn_store_edges(spark, path: str) -> DataFrame:
     from pyspark.errors import AnalysisException
 
     dirs = _knn_store_dirs(path)
+    committed = _committed_gens(spark, path)
     base = spark.read.parquet(dirs["edges"]).withColumn("gen", F.lit(0))
     try:
-        owner = spark.read.parquet(dirs["arcs_delta"]).groupBy("src").agg(
-            F.max("gen").alias("og")
-        )
+        owner = _gen_filtered(
+            spark, dirs["arcs_delta"], committed
+        ).groupBy("src").agg(F.max("gen").alias("og"))
     except AnalysisException:
         return base.drop("gen")
     try:
-        delta = spark.read.parquet(dirs["edges_delta"])
+        delta = _gen_filtered(spark, dirs["edges_delta"], committed)
     except AnalysisException:
         delta = base.limit(0)
     allrows = base.unionByName(delta)
@@ -545,7 +638,7 @@ def knn_store_drift(spark, path: str, hot_factor: float = 2.0) -> DataFrame:
       the cost regression that the retrain's refreshed split removes.
     """
     meta = spark.read.parquet(_knn_store_dirs(path)["meta"]).first()
-    vecs = spark.read.parquet(_knn_store_dirs(path)["vecs"])
+    vecs = knn_store_vecs(spark, path)
     cents = spark.read.parquet(_knn_store_dirs(path)["cents"])
     counts = vecs.groupBy("cell").agg(F.count(F.lit(1)).alias("cn"))
     fresh = counts.join(cents.select("cell"), "cell", "left_anti")
@@ -589,19 +682,28 @@ def compact_knn_store(spark, path: str) -> dict:
     dirs = _knn_store_dirs(path)
     from pyspark.errors import AnalysisException
 
+    committed = _committed_gens(spark, path)
     counts = {"arcs_delta": 0, "edges_delta": 0}
     try:
-        counts["arcs_delta"] = spark.read.parquet(dirs["arcs_delta"]).count()
+        counts["arcs_delta"] = _gen_filtered(
+            spark, dirs["arcs_delta"], committed
+        ).count()
     except AnalysisException:
         return counts
     try:
-        counts["edges_delta"] = spark.read.parquet(dirs["edges_delta"]).count()
+        counts["edges_delta"] = _gen_filtered(
+            spark, dirs["edges_delta"], committed
+        ).count()
     except AnalysisException:
         pass
     tag = uuid.uuid4().hex[:8]
     for part, view in (
         ("arcs", knn_store_arcs(spark, path)),
         ("edges", knn_store_edges(spark, path)),
+        # fold the append-only tables too: orphan rows from crashed
+        # appends drop out, and the folded rows re-tag as generation 0
+        ("vecs", knn_store_vecs(spark, path).withColumn("gen", F.lit(0))),
+        ("probes", knn_store_probes(spark, path).withColumn("gen", F.lit(0))),
     ):
         tmp = f"{dirs[part]}__tmp_{tag}"
         view.write.mode("overwrite").parquet(tmp)
@@ -609,7 +711,7 @@ def compact_knn_store(spark, path: str) -> dict:
         os.rename(dirs[part], old)
         os.rename(tmp, dirs[part])
         shutil.rmtree(old, ignore_errors=True)
-    for part in ("arcs_delta", "edges_delta"):
+    for part in ("arcs_delta", "edges_delta", "commits"):
         shutil.rmtree(dirs[part], ignore_errors=True)
     return counts
 

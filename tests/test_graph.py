@@ -445,3 +445,41 @@ def test_knn_store_drift_reports_and_retrain_clears(spark, inc_emb, tmp_path):
                           target_cell_size=30)
     row2 = g.knn_store_drift(spark, p).first()
     assert row2.new_cells == 0 and row2.rows_new_cells == 0
+
+
+def test_knn_store_crashed_append_invisible_and_retry_clean(
+    spark, inc_emb, tmp_path
+):
+    """Crash-safety contract: an append's generation is visible only
+    after its commit marker lands. Simulated crash = a completed append
+    whose commits dir is then removed — every reader must serve the
+    PRE-append state; the retry takes a fresh generation past the
+    orphaned rows and converges to the frozen-full-build state, and a
+    compaction folds the orphans away."""
+    import os
+    import shutil
+
+    base = inc_emb.filter(F.col("vec_id") % 4 != 0)
+    batch = inc_emb.filter(F.col("vec_id") % 4 == 0)
+    p = str(tmp_path / "store")
+    g.build_knn_store_inc(spark, base, p, k=3, nprobe=2,
+                          target_cell_size=30)
+    base_edges = _edge_rows(g.knn_store_edges(spark, p))
+
+    g.append_knn_store(spark, batch, p)
+    shutil.rmtree(os.path.join(p, "commits"))  # "crash" before commit
+
+    assert _edge_rows(g.knn_store_edges(spark, p)) == base_edges
+    assert g.knn_store_vecs(spark, p).count() == base.count()
+
+    g.append_knn_store(spark, batch, p)  # retry
+
+    p_full = str(tmp_path / "full")
+    g.build_knn_store_inc(spark, inc_emb, p_full, k=3, nprobe=2,
+                          target_cell_size=30, fit=base)
+    want = _edge_rows(g.knn_store_edges(spark, p_full))
+    assert _edge_rows(g.knn_store_edges(spark, p)) == want
+
+    g.compact_knn_store(spark, p)
+    assert _edge_rows(g.knn_store_edges(spark, p)) == want
+    assert g.knn_store_vecs(spark, p).count() == inc_emb.count()

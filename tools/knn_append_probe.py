@@ -58,7 +58,13 @@ def main() -> int:
     batch = emb.filter(F.col("vec_id") >= cutoff)
 
     path = tempfile.mkdtemp(prefix="mfs_knn_append_probe_")
-    out = {"sf_dir": sf_dir, "n_base": n - batch_n, "n_batch": batch_n}
+    # actual counts, not top-N arithmetic: duplicate ids at the cutoff
+    # or NULL embeddings would otherwise misstate the published sizes
+    out = {
+        "sf_dir": sf_dir,
+        "n_base": base.filter(F.col("embedding").isNotNull()).count(),
+        "n_batch": batch.filter(F.col("embedding").isNotNull()).count(),
+    }
     try:
         t0 = time.monotonic()
         g.build_knn_store_inc(spark, base, path, k=5, nprobe=2)
