@@ -719,6 +719,8 @@ def score_probed_cells(
     probed: DataFrame,
     k: int,
     score_decimals: int = 6,
+    id_type: str | None = None,
+    qid_type: str | None = None,
 ) -> DataFrame:
     """Per-cell scoring as ONE normalized float64 matmul per (cell)
     group — the pairwise_scores_blocked kernel shape. Each cell emits
@@ -766,9 +768,15 @@ def score_probed_cells(
         )
         return out[np.isfinite(out["score"])]
 
+    if id_type is None:
+        id_type = members.schema["vec_id"].dataType.simpleString()
+    if qid_type is None:
+        qid_type = probed.schema["query_id"].dataType.simpleString()
     partials = members.groupBy("cell").cogroup(
         probed.groupBy("cell")
-    ).applyInPandas(score_cell, "query_id long, vec_id long, score double")
+    ).applyInPandas(
+        score_cell, f"query_id {qid_type}, vec_id {id_type}, score double"
+    )
     w_k = Window.partitionBy("query_id").orderBy(
         F.desc("score"), F.asc("vec_id")
     )

@@ -221,6 +221,20 @@ def _celled_vectors(
     )
 
 
+KNN_STORE_CELL_BUCKETS = 64
+
+
+def _cbucket(cell_col) -> "F.Column":
+    """Deterministic cell→directory bucket (xxhash64 is seed-stable
+    across sessions). vecs and probes are PARTITIONED by (gen, cbucket)
+    so an append's candidate lookup prunes its scan to the ≤64 bucket
+    dirs holding the recompute set's probed cells — a literal isin
+    filter collected from the (bounded) needed-cell set, not a join
+    the optimizer may or may not turn into DPP."""
+    c = F.col(cell_col) if isinstance(cell_col, str) else cell_col
+    return F.pmod(F.xxhash64(c), F.lit(KNN_STORE_CELL_BUCKETS))
+
+
 def _committed_gens(spark, path: str) -> list:
     """Generations whose append COMMITTED (wrote its marker row as the
     final step). Base state is generation 0. Rows tagged with any other
@@ -284,14 +298,19 @@ def build_knn_store_inc(
         probe_via_centroids, scaled_num_planes, score_probed_cells,
     )
 
+    import glob
     import shutil
 
     dirs = _knn_store_dirs(path)
     # a (re)build IS the retrain: it defines a fresh generation-0 state,
-    # so delta files and commit markers from a previous store at this
-    # path are stale
+    # so delta files, commit markers and any shadow dirs a crashed
+    # compaction left behind are stale
     for part in ("arcs_delta", "edges_delta", "commits"):
         shutil.rmtree(dirs[part], ignore_errors=True)
+    for leftover in glob.glob(f"{path}/*__tmp_*") + glob.glob(
+        f"{path}/*__old_*"
+    ):
+        shutil.rmtree(leftover, ignore_errors=True)
     corpus = embeddings.filter(F.col(vec_col).isNotNull()).select(
         F.col(id_col).alias("vec_id"),
         F.col(vec_col).cast("array<double>").alias("vec"),
@@ -340,7 +359,11 @@ def build_knn_store_inc(
     )
     all_celled.select("vec_id", "vec", "cell").withColumn(
         "gen", F.lit(0)
-    ).write.mode("overwrite").parquet(dirs["vecs"])
+    ).withColumn("cbucket", _cbucket("cell")).repartition(
+        "cbucket"
+    ).write.partitionBy("gen", "cbucket").mode("overwrite").parquet(
+        dirs["vecs"]
+    )
     vecs = spark.read.parquet(dirs["vecs"])
 
     cent_rows = sorted(
@@ -357,7 +380,9 @@ def build_knn_store_inc(
     )
     probed.select(
         F.col("query_id").alias("vec_id"), "cell"
-    ).withColumn("gen", F.lit(0)).write.mode("overwrite").parquet(
+    ).withColumn("gen", F.lit(0)).withColumn(
+        "cbucket", _cbucket("cell")
+    ).write.partitionBy("gen", "cbucket").mode("overwrite").parquet(
         dirs["probes"]
     )
 
@@ -456,10 +481,11 @@ def append_knn_store(
     )
     new_celled.select("vec_id", "vec", "cell").withColumn(
         "gen", F.lit(gen)
-    ).write.mode("append").parquet(dirs["vecs"])
-    vecs = _gen_filtered(spark, dirs["vecs"], committed + [gen]).select(
-        "vec_id", "vec", "cell"
-    )
+    ).withColumn("cbucket", _cbucket("cell")).write.partitionBy(
+        "gen", "cbucket"
+    ).mode("append").parquet(dirs["vecs"])
+    vecs_raw = _gen_filtered(spark, dirs["vecs"], committed + [gen])
+    vecs = vecs_raw.select("vec_id", "vec", "cell")
     new_ids = new_celled.select("vec_id")
 
     new_probed = probe_via_centroids(
@@ -471,27 +497,46 @@ def append_knn_store(
     )
     new_probed.select(
         F.col("query_id").alias("vec_id"), "cell"
-    ).withColumn("gen", F.lit(gen)).write.mode("append").parquet(
+    ).withColumn("gen", F.lit(gen)).withColumn(
+        "cbucket", _cbucket("cell")
+    ).write.partitionBy("gen", "cbucket").mode("append").parquet(
         dirs["probes"]
     )
-    probes = _gen_filtered(spark, dirs["probes"], committed + [gen]).select(
-        "vec_id", "cell"
-    )
+    probes_raw = _gen_filtered(spark, dirs["probes"], committed + [gen])
+    probes = probes_raw.select("vec_id", "cell")
 
     # affected olds: anyone whose frozen probe list contains a cell the
-    # batch landed in (minus the batch itself, which is in R anyway)
+    # batch landed in (minus the batch itself, which is in R anyway).
+    # The probes scan prunes to the batch cells' partition buckets — a
+    # LITERAL isin over the ≤KNN_STORE_CELL_BUCKETS dir values.
     new_cells = new_celled.select("cell").distinct()
+    new_buckets = [
+        r[0]
+        for r in new_cells.select(_cbucket("cell").alias("b"))
+        .distinct().collect()
+    ]
     affected = (
-        probes.join(new_cells, "cell", "left_semi")
+        probes_raw.filter(F.col("cbucket").isin(new_buckets))
+        .select("vec_id", "cell")
+        .join(new_cells, "cell", "left_semi")
         .select("vec_id").distinct()
         .join(new_ids, "vec_id", "left_anti")
     )
     r_ids = affected.unionByName(new_ids).distinct()
 
+    # R's own probe lists are keyed by vec_id, not cell — that lookup
+    # is the one thin linear scan an append pays
     probes_r = probes.join(r_ids, "vec_id", "left_semi")
     cells_needed = probes_r.select("cell").distinct()
-    members = vecs.join(cells_needed, "cell", "left_semi").select(
-        "cell", "vec_id", "vec"
+    needed_buckets = [
+        r[0]
+        for r in cells_needed.select(_cbucket("cell").alias("b"))
+        .distinct().collect()
+    ]
+    members = (
+        vecs_raw.filter(F.col("cbucket").isin(needed_buckets))
+        .join(cells_needed, "cell", "left_semi")
+        .select("cell", "vec_id", "vec")
     )
     queries = probes_r.join(vecs.select("vec_id", "vec"), "vec_id").select(
         F.col("vec_id").alias("query_id"), F.col("vec").alias("qvec"), "cell"
@@ -640,32 +685,32 @@ def knn_store_drift(spark, path: str, hot_factor: float = 2.0) -> DataFrame:
     meta = spark.read.parquet(_knn_store_dirs(path)["meta"]).first()
     vecs = knn_store_vecs(spark, path)
     cents = spark.read.parquet(_knn_store_dirs(path)["cents"])
-    counts = vecs.groupBy("cell").agg(F.count(F.lit(1)).alias("cn"))
-    fresh = counts.join(cents.select("cell"), "cell", "left_anti")
     hot_cut = float(hot_factor) * meta["target_cell_size"]
-    return (
-        counts.agg(
-            F.sum("cn").cast("long").alias("n_rows"),
-            F.count(F.lit(1)).cast("long").alias("n_cells"),
-            F.max("cn").cast("long").alias("max_cell_rows"),
-            F.sum(F.when(F.col("cn") > hot_cut, F.lit(1)).otherwise(0))
-            .cast("long").alias("hot_cells"),
+    # one LEFT JOIN + one aggregation — the same shape as the SQL twin
+    # (knn_store_drift_sql), so the pair stays structurally comparable
+    flagged = (
+        vecs.groupBy("cell")
+        .agg(F.count(F.lit(1)).alias("cn"))
+        .join(
+            cents.select("cell", F.lit(1).alias("__known")), "cell", "left"
+        )
+        .withColumn("is_new", F.col("__known").isNull())
+    )
+    return flagged.agg(
+        F.sum("cn").cast("long").alias("n_rows"),
+        F.count(F.lit(1)).cast("long").alias("n_cells"),
+        F.sum(F.when(F.col("is_new"), 1).otherwise(0))
+        .cast("long").alias("new_cells"),
+        F.sum(F.when(F.col("is_new"), F.col("cn")).otherwise(0))
+        .cast("long").alias("rows_new_cells"),
+        F.max("cn").cast("long").alias("max_cell_rows"),
+        F.sum(F.when(F.col("cn") > hot_cut, F.lit(1)).otherwise(0))
+        .cast("long").alias("hot_cells"),
+        F.round(
             F.sum(F.when(F.col("cn") > hot_cut, F.col("cn")).otherwise(0))
-            .cast("long").alias("hot_rows"),
-        )
-        .crossJoin(
-            fresh.agg(
-                F.count(F.lit(1)).cast("long").alias("new_cells"),
-                F.coalesce(F.sum("cn"), F.lit(0)).cast("long")
-                .alias("rows_new_cells"),
-            )
-        )
-        .select(
-            "n_rows", "n_cells", "new_cells", "rows_new_cells",
-            "max_cell_rows", "hot_cells",
-            F.round(F.col("hot_rows") / F.col("n_rows"), 6)
-            .alias("hot_row_share"),
-        )
+            / F.sum("cn"),
+            6,
+        ).alias("hot_row_share"),
     )
 
 
@@ -696,17 +741,26 @@ def compact_knn_store(spark, path: str) -> dict:
         ).count()
     except AnalysisException:
         pass
+    def _bucketed(view):
+        return (
+            view.withColumn("gen", F.lit(0))
+            .withColumn("cbucket", _cbucket("cell"))
+            .repartition("cbucket")
+            .write.partitionBy("gen", "cbucket")
+        )
+
     tag = uuid.uuid4().hex[:8]
-    for part, view in (
-        ("arcs", knn_store_arcs(spark, path)),
-        ("edges", knn_store_edges(spark, path)),
+    for part, writer in (
+        ("arcs", knn_store_arcs(spark, path).write),
+        ("edges", knn_store_edges(spark, path).write),
         # fold the append-only tables too: orphan rows from crashed
-        # appends drop out, and the folded rows re-tag as generation 0
-        ("vecs", knn_store_vecs(spark, path).withColumn("gen", F.lit(0))),
-        ("probes", knn_store_probes(spark, path).withColumn("gen", F.lit(0))),
+        # appends drop out, the folded rows re-tag as generation 0, and
+        # the (gen, cbucket) layout is preserved
+        ("vecs", _bucketed(knn_store_vecs(spark, path))),
+        ("probes", _bucketed(knn_store_probes(spark, path))),
     ):
         tmp = f"{dirs[part]}__tmp_{tag}"
-        view.write.mode("overwrite").parquet(tmp)
+        writer.mode("overwrite").parquet(tmp)
         old = f"{dirs[part]}__old_{tag}"
         os.rename(dirs[part], old)
         os.rename(tmp, dirs[part])

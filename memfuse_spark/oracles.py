@@ -979,7 +979,15 @@ def knn_edges_cte(
     (pagerank_sql, kcore_nodes_sql, triangle_counts_sql) composes over
     either store unchanged. ``fit_pred`` switches the underlying chain
     to frozen-quantizer semantics (see mutual_knn_ctes) — the twin of
-    the INCREMENTAL store's served state."""
+    the INCREMENTAL store's served state, whose members are VECTORS:
+    a NULL-embedding row is not in that store at all, so its FOLLOWS
+    arcs are filtered too (the batch store keeps the reference's
+    keep-null-ids FOLLOWS semantics — a deliberate difference)."""
+    follows_where = (
+        "\n  WHERE a.embedding IS NOT NULL AND b.embedding IS NOT NULL"
+        if fit_pred is not None
+        else ""
+    )
     return f"""
 {mutual_knn_ctes(k, nprobe, dim, target_cell_size, fit_pred=fit_pred).strip()},
 mutual AS (
@@ -995,7 +1003,7 @@ edges AS (
   UNION ALL
   SELECT a.vec_id AS src, b.vec_id AS dst, CAST(1.0 AS DOUBLE) AS weight,
          'FOLLOWS' AS relation
-  FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 1
+  FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 1{follows_where}
 )"""
 
 
