@@ -1316,6 +1316,10 @@ def train_classifier(
     from memfuse_spark.operators.dedup import _token_hash32
 
     spark = docs.sparkSession
+    # NOTE: y must NOT ride the explode's projection — project collapse
+    # re-evaluates a same-select quality_expr per EXPLODED row (O(tokens)
+    # per evaluation → O(tokens²) per doc; measured 3× slower). The
+    # labels stay a separate per-row scan joined on doc_id.
     occ = docs.select(
         F.col(id_col).alias("doc_id"),
         F.explode_outer(tokenize(text_col)).alias("tok"),
@@ -1323,49 +1327,70 @@ def train_classifier(
     counts = occ.groupBy(
         "doc_id", (_token_hash32(F.col("tok")) % F.lit(buckets)).alias("bkt")
     ).agg(F.count("*").alias("cnt"))
-    dl = counts.groupBy("doc_id").agg(F.sum("cnt").alias("dl"))
     labels = quality_score(docs, id_col, text_col).select(
         "doc_id",
         F.when(F.col("quality") >= label_threshold, 1.0)
         .otherwise(0.0)
         .alias("y"),
     )
-    base = (
-        counts.join(dl, "doc_id")
+    # One row per DOC with its (bkt, x) features as a sorted array —
+    # built once, persisted, and reused by every GD round. The per-round
+    # work is then z/err as pure per-row expressions plus ONE 64-key
+    # aggregation (explode → groupBy bkt): no per-round groupBy(doc_id)
+    # shuffle and no per-round base⋈err join (the previous shape paid
+    # 3 shuffles + a join per round — 71 stages / 994 tasks for 5 rounds
+    # at sf0.1; this is ~2 stages per round). sort_array makes the
+    # per-doc summation order deterministic (bkt is unique per doc), so
+    # the 6-decimal z rounding sees the same sum every run.
+    docfeat = (
+        counts.groupBy("doc_id")
+        .agg(
+            F.sort_array(F.collect_list(F.struct("bkt", "cnt"))).alias("bc"),
+            F.sum("cnt").alias("dl"),
+        )
         .join(labels, "doc_id")
-        .select("doc_id", "bkt", (F.col("cnt") / F.col("dl")).alias("x"), "y")
+        .select(
+            "doc_id",
+            F.transform(
+                "bc",
+                lambda s: F.struct(
+                    s["bkt"].alias("bkt"),
+                    (s["cnt"] / F.col("dl")).alias("x"),
+                ),
+            ).alias("feats"),
+            "y",
+        )
         .persist()
     )
     try:
-        n = base.select("doc_id").distinct().count()
+        n = docfeat.count()
         w = [0.0] * buckets
         for _ in range(steps):
             arr = F.array(*[F.lit(float(v)) for v in w])
-            z = base.groupBy("doc_id").agg(
-                F.round(
-                    F.sum(F.col("x") * F.element_at(arr, F.col("bkt").cast("int") + 1)),
-                    6,
-                ).alias("z"),
-                F.first("y").alias("y"),
-            )
-            err = z.select(
-                "doc_id",
-                (F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("z"))) - F.col("y")).alias(
-                    "err"
+            z = F.round(
+                F.aggregate(
+                    "feats",
+                    F.lit(0.0),
+                    lambda acc, s: acc
+                    + s["x"] * F.element_at(arr, s["bkt"].cast("int") + 1),
                 ),
+                6,
             )
+            err = F.lit(1.0) / (F.lit(1.0) + F.exp(-z)) - F.col("y")
             grad_rows = (
-                base.join(err, "doc_id")
-                .groupBy("bkt")
+                docfeat.select(err.alias("err"), F.explode("feats").alias("f"))
+                .groupBy(F.col("f.bkt").alias("bkt"))
                 .agg(
-                    F.round(F.sum(F.col("err") * F.col("x")) / F.lit(float(n)), 6).alias("g")
+                    F.round(
+                        F.sum(F.col("err") * F.col("f.x")) / F.lit(float(n)), 6
+                    ).alias("g")
                 )
                 .collect()
             )
             grad = {r.bkt: r.g for r in grad_rows}
             w = [round(v - lr * grad.get(b, 0.0), 6) for b, v in enumerate(w)]
     finally:
-        base.unpersist()
+        docfeat.unpersist()
     return spark.createDataFrame(
         [(b, v) for b, v in enumerate(w)], "bucket int, weight double"
     )
