@@ -4127,24 +4127,23 @@ def q_bm25_stream_index(spark: SparkSession, sf_dir: str) -> DataFrame:
 _VEC_STREAM_STORE: dict[tuple[int, str], str] = {}
 
 
-def q_ann_stream_store(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """STREAMING vector-store ingest, batch twin (streaming.
-    vector_ingest_stream): three md5 epoch slices land under
-    (epoch_id, bucket) partitions — epoch 1 deliberately REPLAYED to
-    prove dynamic-overwrite idempotence — then the partition-pruned
-    LSH top-k serves from the store. Oracle: whole-corpus LSH top-k.
-    Completes the streaming-maintenance triple (postings index /
-    hierarchy / vector store)."""
+def _vec_stream_store(spark: SparkSession, sf_dir: str) -> str:
+    """Build the streaming-maintained VECTOR store artifact ONCE per
+    (session, sf): three md5 epoch slices land under (epoch_id, bucket)
+    partitions — epoch 1 deliberately REPLAYED to prove
+    dynamic-overwrite idempotence. Ingest-time store (the _stream_index
+    twin for vectors) — bench.py warms it in the fixture block so the
+    timed slot measures the SERVE path (the VERDICT r6 #6 split);
+    build cost rides fixture_builds + PLANS.md."""
     import hashlib
     import tempfile
 
-    from memfuse_spark.operators.ann import bucketed_topk
     from memfuse_spark.streaming.buffer import write_vector_epoch
 
-    (emb,) = _tables(spark, sf_dir, "embeddings")
-    qvec = anchor_vector(spark, emb, ANCHOR_VEC_ID)
     key = (id(spark.sparkContext), sf_dir)
     if key not in _VEC_STREAM_STORE:
+        (emb,) = _tables(spark, sf_dir, "embeddings")
+        dim = len(anchor_vector(spark, emb, ANCHOR_VEC_ID))
         tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
         base = os.path.join(tempfile.gettempdir(), "memfuse_vec_stream", tag)
         epoch_of = F.conv(
@@ -4161,12 +4160,29 @@ def q_ann_stream_store(spark: SparkSession, sf_dir: str) -> DataFrame:
                 emb.filter(epoch_of == (e % 3)),
                 base,
                 e % 3,
-                dim=len(qvec),
+                dim=dim,
                 num_planes=4,
             )
         _VEC_STREAM_STORE[key] = os.path.join(base, "vectors")
+    return _VEC_STREAM_STORE[key]
+
+
+def q_ann_stream_store(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING vector-store ingest, batch twin (streaming.
+    vector_ingest_stream): three md5 epoch slices land under
+    (epoch_id, bucket) partitions — epoch 1 deliberately REPLAYED to
+    prove dynamic-overwrite idempotence (built by _vec_stream_store —
+    memoized, charged to fixtures in bench, run inline on first
+    standalone call) — then the partition-pruned LSH top-k serves from
+    the store. Oracle: whole-corpus LSH top-k. Completes the
+    streaming-maintenance triple (postings index / hierarchy / vector
+    store)."""
+    from memfuse_spark.operators.ann import bucketed_topk
+
+    (emb,) = _tables(spark, sf_dir, "embeddings")
+    qvec = anchor_vector(spark, emb, ANCHOR_VEC_ID)
     return bucketed_topk(
-        spark, _VEC_STREAM_STORE[key], qvec, 10, num_planes=4
+        spark, _vec_stream_store(spark, sf_dir), qvec, 10, num_planes=4
     )
 
 
@@ -4996,8 +5012,8 @@ def release_memo_stores(spark: SparkSession, sf_dir: str) -> int:
         n += 1
     for memo in (
         _POSTINGS_IDX, _POSTINGS_IDX_V2, _POSTINGS_IDX_C, _BUCKETED_STORE,
-        _BQ_STORE, _EDGES_STORE, _KNN_EDGES_STORE, _STREAM_IDX,
-        _VEC_STREAM_STORE,
+        _BQ_STORE, _EDGES_STORE, _KNN_EDGES_STORE, _KNN_INC_STORE,
+        _STREAM_IDX, _VEC_STREAM_STORE,
         _BPE_MERGES, _TRAINED_W, _TRAINED_ROWS,
     ):
         if memo.pop(key, None) is not None:

@@ -338,11 +338,21 @@ def main() -> None:
     # the index_compact / ann_store_lifecycle / bm25_stream_index slots
     # time the SERVE path (VERDICT r6 #6; the dup_clusters_inc split
     # from r5)
+    # r10 additions to the fixture block, SAME contract as stream_index
+    # (the slots were added after the r6 split and missed it — their
+    # pre-split numbers are in BENCH_r09/BENCH_DETAIL history and
+    # OPTIMIZATION_r10.md): the vector stream store (_vec_stream_store,
+    # the _stream_index twin) and the incremental kNN store's
+    # build+append (_knn_inc_store). knn_store_append / ann_stream_store
+    # now time the SERVE path; build/append cost stays visible in
+    # fixture_builds and the decade probes (tools/knn_append_probe.py).
     fixture_builds: dict[str, float] = {}
     for fixture_name, builder in (
         ("postings_index_c", entrymod._postings_index_c),
         ("bucketed_store_lc", entrymod._bucketed_store_lc),
         ("stream_index", entrymod._stream_index),
+        ("vec_stream_store", entrymod._vec_stream_store),
+        ("knn_inc_store", entrymod._knn_inc_store),
     ):
         t0 = time.perf_counter()
         builder(spark, sf_dir)

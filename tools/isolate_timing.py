@@ -55,6 +55,8 @@ def main() -> int:
     entrymod._postings_index_c(spark, sf_dir)
     entrymod._bucketed_store_lc(spark, sf_dir)
     entrymod._stream_index(spark, sf_dir)
+    entrymod._vec_stream_store(spark, sf_dir)
+    entrymod._knn_inc_store(spark, sf_dir)
 
     qs = entrymod.queries()
     for name in args:
