@@ -3646,7 +3646,9 @@ def q_dup_clusters_inc(spark: SparkSession, sf_dir: str) -> DataFrame:
     (docs,) = _tables(spark, sf_dir, "documents")
     assign_old, sigs = _dup_base(spark, sf_dir)
     batch_docs = docs.filter(_dc_batch_pred())
-    pairs, _ = incremental_neardup_pairs(batch_docs, docs, sigs)
+    pairs, _ = incremental_neardup_pairs(
+        batch_docs, docs, sigs, shingled=_shingle_store(spark, sf_dir)
+    )
     return merge_dup_clusters(
         assign_old, pairs, batch_docs.select("doc_id")
     )

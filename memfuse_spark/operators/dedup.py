@@ -1175,13 +1175,23 @@ def banded_signatures(
     n: int = SHINGLE_N,
     num_hashes: int = NUM_HASHES,
     bands: int = BANDS,
+    shingled: DataFrame | None = None,
 ) -> DataFrame:
     """(doc_id, band, bucket) — the materializable LSH index rows for a
     corpus slice. Persist this table (bucketed by (band, bucket) at
     scale) and incremental dedup never recomputes old signatures.
+
+    ``shingled=`` is the served-store path: a precomputed
+    (doc_id, shingles) frame for exactly the docs to sign (e.g. the
+    ingest-time shingle store filtered to the batch) — a service that
+    shingles documents at arrival never re-tokenizes them to sign a
+    batch. Identical output as long as the store used the shared
+    shingler (:func:`shingle_sets`).
     """
     rows_per_band = num_hashes // bands
-    sigs = minhash_signature(shingle_sets(docs, id_col, text_col, n), num_hashes)
+    if shingled is None:
+        shingled = shingle_sets(docs, id_col, text_col, n)
+    sigs = minhash_signature(shingled, num_hashes)
     out = None
     for b in range(bands):
         cols = [F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)]
@@ -1201,6 +1211,7 @@ def incremental_neardup_pairs(
     threshold: float = JACCARD_THRESHOLD,
     n: int = SHINGLE_N,
     score_decimals: int = 6,
+    shingled: DataFrame | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Near-dup pairs INVOLVING the new batch, against a prebuilt index.
 
@@ -1217,12 +1228,30 @@ def incremental_neardup_pairs(
 
     Equivalence contract (tested): pairs == the full-corpus
     minhash_lsh_pairs output restricted to pairs touching the batch.
+
+    ``shingled=`` is the served-store path: the ingest-time
+    (doc_id, shingles) table for the FULL corpus. With it, neither the
+    batch signing nor the candidate verification ever re-tokenizes a
+    document — the batch's shingles are an id semi-join into the store,
+    and verification reads the store directly (the "rehydrate from the
+    corpus table" this docstring promises). Without it (None) both are
+    derived from the text columns, for standalone use.
     """
     from memfuse_spark import cache
 
     cache.begin("dedup.incremental")
+    batch_shingled = (
+        shingled.join(
+            new_docs.select(F.col(id_col).alias("doc_id")), "doc_id"
+        )
+        if shingled is not None
+        else None
+    )
     new_bands = cache.scoped_persist(
-        banded_signatures(new_docs, id_col, text_col, n), "dedup.incremental"
+        banded_signatures(
+            new_docs, id_col, text_col, n, shingled=batch_shingled
+        ),
+        "dedup.incremental",
     )
     old = index.select(
         F.col("doc_id").alias("doc_other"), "band", "bucket"
@@ -1242,8 +1271,12 @@ def incremental_neardup_pairs(
         .select(F.col("doc_id").alias("doc_a"), F.col("doc_other").alias("doc_b"))
     )
     cands = vs_old.unionByName(vs_new).distinct()
-    sh = cache.scoped_persist(
-        shingle_sets(all_docs, id_col, text_col, n), "dedup.incremental"
+    sh = (
+        shingled
+        if shingled is not None
+        else cache.scoped_persist(
+            shingle_sets(all_docs, id_col, text_col, n), "dedup.incremental"
+        )
     )
     verified = (
         cands.join(

@@ -863,6 +863,13 @@ def connected_components(
     ).distinct()
     cache.begin("graph.cc")
     spark = edges.sparkSession
+    # Pin the (possibly expensive — e.g. a whole LSH+verify dedup
+    # pipeline) edge plan ONCE: every iteration joins `sym` twice (the
+    # neighbor-min and the changed-count), so an unmaterialized edge
+    # subtree re-executes 2×iterations times — profiled at 87 jobs /
+    # 454 stages for one dup_clusters_inc call before this checkpoint.
+    # Narrow rows (two ids); released by the scope's next begin().
+    sym, _sym_ids = cache.tracked_local_checkpoint(sym, "graph.cc")
     labels, prev_ids = cache.tracked_local_checkpoint(
         sym.select(F.col("a").alias("node")).distinct().withColumn("label", F.col("node")),
         "graph.cc",

@@ -224,6 +224,39 @@ def test_incremental_neardup_matches_full_pipeline(spark):
     assert new_rows.count() == new.count() * 6  # BANDS
 
 
+def test_incremental_neardup_shingled_store_path_identical(spark):
+    """The served-store path (precomputed full-corpus shingle table via
+    ``shingled=``) must produce bit-identical pairs and index rows to
+    the derive-from-text path — the optimization only skips
+    re-tokenization, never changes what is computed."""
+    from memfuse_spark.catalog import load_table
+    from memfuse_spark.operators.dedup import (
+        banded_signatures,
+        incremental_neardup_pairs,
+        shingle_sets,
+    )
+    from tests.conftest import SF_DIR_MED
+
+    docs = load_table(spark, SF_DIR_MED, "documents")
+    old = docs.filter("doc_id < 400")
+    new = docs.filter("doc_id >= 400")
+    index = banded_signatures(old)
+    store = shingle_sets(docs).localCheckpoint(eager=True)
+
+    base_pairs, base_rows = incremental_neardup_pairs(new, docs, index)
+    want_pairs = {(r.doc_a, r.doc_b, r.jaccard) for r in base_pairs.collect()}
+    want_rows = {(r.doc_id, r.band, r.bucket) for r in base_rows.collect()}
+
+    got_pairs_df, got_rows_df = incremental_neardup_pairs(
+        new, docs, index, shingled=store
+    )
+    got_pairs = {(r.doc_a, r.doc_b, r.jaccard) for r in got_pairs_df.collect()}
+    got_rows = {(r.doc_id, r.band, r.bucket) for r in got_rows_df.collect()}
+
+    assert got_pairs == want_pairs and want_pairs
+    assert got_rows == want_rows
+
+
 def test_containment_finds_excerpt_jaccard_misses(spark):
     """A short excerpt inside a long document: containment ~1.0 while
     symmetric Jaccard is far below the near-dup threshold."""
