@@ -229,6 +229,7 @@ def test_incremental_neardup_shingled_store_path_identical(spark):
     ``shingled=``) must produce bit-identical pairs and index rows to
     the derive-from-text path — the optimization only skips
     re-tokenization, never changes what is computed."""
+    from memfuse_spark import cache
     from memfuse_spark.catalog import load_table
     from memfuse_spark.operators.dedup import (
         banded_signatures,
@@ -241,17 +242,28 @@ def test_incremental_neardup_shingled_store_path_identical(spark):
     old = docs.filter("doc_id < 400")
     new = docs.filter("doc_id >= 400")
     index = banded_signatures(old)
-    store = shingle_sets(docs).localCheckpoint(eager=True)
-
-    base_pairs, base_rows = incremental_neardup_pairs(new, docs, index)
-    want_pairs = {(r.doc_a, r.doc_b, r.jaccard) for r in base_pairs.collect()}
-    want_rows = {(r.doc_id, r.band, r.bucket) for r in base_rows.collect()}
-
-    got_pairs_df, got_rows_df = incremental_neardup_pairs(
-        new, docs, index, shingled=store
+    # tracked, not a bare localCheckpoint: an untracked checkpoint's RDD
+    # blocks outlive the test and trip the suite's zero-persistent-RDD
+    # hygiene asserts (test_graph/test_keyword)
+    store, store_ids = cache.tracked_local_checkpoint(
+        shingle_sets(docs), "dedup.test_shingle_store"
     )
-    got_pairs = {(r.doc_a, r.doc_b, r.jaccard) for r in got_pairs_df.collect()}
-    got_rows = {(r.doc_id, r.band, r.bucket) for r in got_rows_df.collect()}
+    try:
+        base_pairs, base_rows = incremental_neardup_pairs(new, docs, index)
+        want_pairs = {
+            (r.doc_a, r.doc_b, r.jaccard) for r in base_pairs.collect()
+        }
+        want_rows = {(r.doc_id, r.band, r.bucket) for r in base_rows.collect()}
+
+        got_pairs_df, got_rows_df = incremental_neardup_pairs(
+            new, docs, index, shingled=store
+        )
+        got_pairs = {
+            (r.doc_a, r.doc_b, r.jaccard) for r in got_pairs_df.collect()
+        }
+        got_rows = {(r.doc_id, r.band, r.bucket) for r in got_rows_df.collect()}
+    finally:
+        cache.unpersist_rdd_ids(spark, store_ids)
 
     assert got_pairs == want_pairs and want_pairs
     assert got_rows == want_rows
