@@ -1307,7 +1307,7 @@ def q_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     (docs,) = _tables(spark, sf_dir, "documents")
     splits = split_assign(docs, SPLIT_WEIGHTS).select("doc_id", "split")
-    pairs = minhash_lsh_pairs(docs)
+    pairs = minhash_lsh_pairs(docs, shingled=_shingle_store(spark, sf_dir))
     joined = (
         pairs.join(
             splits.select(F.col("doc_id").alias("doc_a"), F.col("split").alias("sa")),
@@ -1950,15 +1950,23 @@ def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash+LSH near-dup pairs verified by exact shingle jaccard."""
+    """MinHash+LSH near-dup pairs verified by exact shingle jaccard.
+    Shingle sets served from the ingest-time shingle store (the
+    containment_pairs treatment): the corpus is shingled at arrival,
+    never re-tokenized per dedup query."""
     (docs,) = _tables(spark, sf_dir, "documents")
-    return dedup_ops.minhash_lsh_pairs(docs)
+    return dedup_ops.minhash_lsh_pairs(
+        docs, shingled=_shingle_store(spark, sf_dir)
+    )
 
 
 def q_minhash_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Documents surviving near-dup removal (drop higher id of pair)."""
+    """Documents surviving near-dup removal (drop higher id of pair);
+    pair mining served from the ingest-time shingle store."""
     (docs,) = _tables(spark, sf_dir, "documents")
-    return dedup_ops.minhash_dedup_keep(docs)
+    return dedup_ops.minhash_dedup_keep(
+        docs, shingled=_shingle_store(spark, sf_dir)
+    )
 
 
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1974,9 +1982,10 @@ def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Char-5-gram jaccard over LSH candidate pairs."""
+    """Char-5-gram jaccard over LSH candidate pairs (signatures served
+    from the ingest-time shingle store)."""
     (docs,) = _tables(spark, sf_dir, "documents")
-    sh = dedup_ops.shingle_sets(docs)
+    sh = _shingle_store(spark, sf_dir)
     cands = dedup_ops.lsh_candidate_pairs(dedup_ops.minhash_signature(sh))
     return dedup_ops.ngram_jaccard_pairs(docs, cands)
 
@@ -1992,7 +2001,14 @@ def q_minhash_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     the exact-truth tier unbounded at 100x. Oracle derives the
     identical mod from count(*)."""
     (docs,) = _tables(spark, sf_dir, "documents")
-    return dedup_ops.minhash_recall_audit(dedup_ops.audit_sample_scaled(docs))
+    # serve the sample's shingles from the ingest-time shingle store
+    # (the md5 sample predicate commutes with the row-wise shingler, so
+    # filtering the store IS shingle_sets(sampled docs))
+    mod = dedup_ops.scaled_sample_mod(docs.count())
+    return dedup_ops.minhash_recall_audit(
+        dedup_ops.audit_sample(docs, mod),
+        shingled=dedup_ops.audit_sample(_shingle_store(spark, sf_dir), mod),
+    )
 
 
 LSH_TUNING_CONFIGS = [(6, 2), (4, 3), (3, 4)]  # (bands, rows/band), 12 hashes
@@ -2051,8 +2067,12 @@ def q_dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     threshold+banding. Oracle derives the identical sample mod from
     count(*)."""
     (docs,) = _tables(spark, sf_dir, "documents")
+    # sample's shingles served from the ingest store (see
+    # q_minhash_recall_audit)
+    mod = dedup_ops.scaled_sample_mod(docs.count())
     return dedup_ops.dedup_threshold_sweep(
-        dedup_ops.audit_sample_scaled(docs)
+        dedup_ops.audit_sample(docs, mod),
+        shingled=dedup_ops.audit_sample(_shingle_store(spark, sf_dir), mod),
     )
 
 
@@ -3341,7 +3361,9 @@ def q_corpus_filter_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     g = ta_ops.gopher_quality_flags(docs).select(
         "doc_id", F.col("keep").alias("gopher_ok")
     )
-    kept = dedup_ops.minhash_dedup_keep(docs).withColumn("__k", F.lit(True))
+    kept = dedup_ops.minhash_dedup_keep(
+        docs, shingled=_shingle_store(spark, sf_dir)
+    ).withColumn("__k", F.lit(True))
     base = (
         g.join(per_row, "doc_id")
         .join(kept, "doc_id", "left")
@@ -3549,7 +3571,9 @@ def _dup_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         from memfuse_spark.operators.dedup import dup_clusters
 
         (docs,) = _tables(spark, sf_dir, "documents")
-        _DUP_ASSIGN[key] = dup_clusters(docs).localCheckpoint(eager=True)
+        _DUP_ASSIGN[key] = dup_clusters(
+            docs, shingled=_shingle_store(spark, sf_dir)
+        ).localCheckpoint(eager=True)
     return _DUP_ASSIGN[key]
 
 
@@ -3560,7 +3584,7 @@ def q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from memfuse_spark.operators.dedup import dup_clusters
 
     (docs,) = _tables(spark, sf_dir, "documents")
-    return dup_clusters(docs)
+    return dup_clusters(docs, shingled=_shingle_store(spark, sf_dir))
 
 
 def _dc_batch_pred():
@@ -3904,7 +3928,7 @@ def q_minhash_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
     from memfuse_spark.operators.dedup import minhash_accuracy
 
     (docs,) = _tables(spark, sf_dir, "documents")
-    return minhash_accuracy(docs)
+    return minhash_accuracy(docs, shingled=_shingle_store(spark, sf_dir))
 
 
 def q_source_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:

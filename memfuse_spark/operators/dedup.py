@@ -169,20 +169,35 @@ def minhash_lsh_pairs(
     num_hashes: int = NUM_HASHES,
     bands: int = BANDS,
     score_decimals: int = 6,
+    shingled: DataFrame | None = None,
 ) -> DataFrame:
     """Full near-dup pipeline: LSH candidates verified by exact jaccard.
 
     Returns (doc_a, doc_b, jaccard) for pairs ≥ threshold. The verify
     join rehydrates shingle sets only for candidate ids (a tiny set),
     so full documents are never pairwise-shuffled.
+
+    ``shingled=`` is the served-store path: a precomputed, already
+    materialized (doc_id, shingles) table — the ingest-time shingle
+    store. A dedup service that shingles documents at arrival never
+    re-tokenizes the corpus to mine pairs; identical output as long as
+    the store used the shared shingler (:func:`shingle_sets`).
     """
     from memfuse_spark import cache
 
     # persist: the shingle sets feed the signature build AND both sides
     # of the verify join — without it Spark re-tokenizes the corpus 3×.
     # Scoped: the next minhash query releases this generation (cache.py).
+    # The served store is already checkpointed — reading it three times
+    # costs block reads, so it is NOT re-persisted.
     cache.begin("dedup.shingles")
-    sh = cache.scoped_persist(shingle_sets(docs, id_col, text_col, n), "dedup.shingles")
+    sh = (
+        shingled
+        if shingled is not None
+        else cache.scoped_persist(
+            shingle_sets(docs, id_col, text_col, n), "dedup.shingles"
+        )
+    )
     cands = lsh_candidate_pairs(minhash_signature(sh, num_hashes), bands, num_hashes)
     verified = (
         cands.join(sh.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("shingles", "sh_a"), "doc_a")
@@ -303,6 +318,7 @@ def minhash_recall_audit(
     n: int = SHINGLE_N,
     num_hashes: int = NUM_HASHES,
     bands: int = BANDS,
+    shingled: DataFrame | None = None,
 ) -> DataFrame:
     """Candidate-RECALL audit of the banded MinHash LSH against exact
     shingle-set Jaccard — the dedup twin of evalmetrics.ann_recall_audit
@@ -327,7 +343,16 @@ def minhash_recall_audit(
     side-channel at 100 TB (run it on a per-source sample), not a
     per-ingest pass; candidates reuse the production banding.
     """
-    sh = shingle_sets(docs, id_col, text_col, n)
+    # ``shingled=`` is the served-store path: the shingle frame feeds
+    # BOTH the exact-truth token explode and the signature build (no
+    # CSE across them), so without the store the sample is re-tokenized
+    # twice per audit; with it both consumers read the checkpointed
+    # (doc_id, shingles) rows. Identical output (shared shingler).
+    sh = (
+        shingled
+        if shingled is not None
+        else shingle_sets(docs, id_col, text_col, n)
+    )
     toks = sh.select("doc_id", F.explode("shingles").alias("tok"))
     truth = prefix_filter_pairs(docs, threshold=truth_threshold, toks=toks)
     cands = lsh_candidate_pairs(
@@ -410,6 +435,7 @@ def dedup_threshold_sweep(
     id_col: str = "doc_id",
     text_col: str = "text",
     n: int = SHINGLE_N,
+    shingled: DataFrame | None = None,
 ) -> DataFrame:
     """(threshold, n_pairs, n_docs) — the dedup-threshold SENSITIVITY
     curve: for each candidate jaccard threshold, how many exact
@@ -435,7 +461,14 @@ def dedup_threshold_sweep(
     from memfuse_spark import cache as _cache
 
     ths = sorted(float(t) for t in thresholds)
-    sh = shingle_sets(docs, id_col, text_col, n)
+    # served-store path: see minhash_recall_audit — the sweep's exact
+    # tier reads the ingest-time shingle store instead of re-tokenizing
+    # the sample.
+    sh = (
+        shingled
+        if shingled is not None
+        else shingle_sets(docs, id_col, text_col, n)
+    )
     toks = sh.select("doc_id", F.explode("shingles").alias("tok"))
     pairs = prefix_filter_pairs(docs, threshold=ths[0], toks=toks)
     # the exact tier feeds THREE subplans (pair histogram + both sides
@@ -701,11 +734,16 @@ def minhash_dedup_keep(
     id_col: str = "doc_id",
     text_col: str = "text",
     threshold: float = JACCARD_THRESHOLD,
+    shingled: DataFrame | None = None,
 ) -> DataFrame:
     """Docs surviving near-dup removal: drop the higher id of each
     verified pair ("keep first" — deterministic, no iterative
-    connected components; matches common pipeline practice)."""
-    pairs = minhash_lsh_pairs(docs, id_col, text_col, threshold)
+    connected components; matches common pipeline practice).
+    ``shingled=`` serves the pair mining from the ingest-time shingle
+    store (see :func:`minhash_lsh_pairs`)."""
+    pairs = minhash_lsh_pairs(
+        docs, id_col, text_col, threshold, shingled=shingled
+    )
     drop = pairs.select(F.col("doc_b").alias("doc_id")).distinct()
     return (
         docs.select(F.col(id_col).alias("doc_id"))
@@ -1073,6 +1111,7 @@ def dup_clusters(
     text_col: str = "text",
     threshold: float = JACCARD_THRESHOLD,
     algorithm: str = "min_label",
+    shingled: DataFrame | None = None,
 ) -> DataFrame:
     """(doc_id, component, cluster_size) — full duplicate clusters.
 
@@ -1109,7 +1148,9 @@ def dup_clusters(
     cc = {"min_label": connected_components, "two_phase": connected_components_twophase}[
         algorithm
     ]
-    pairs = minhash_lsh_pairs(docs, id_col, text_col, threshold)
+    pairs = minhash_lsh_pairs(
+        docs, id_col, text_col, threshold, shingled=shingled
+    )
     comp = cc(pairs, "doc_a", "doc_b")
     out = (
         docs.select(F.col(id_col).alias("doc_id"))
@@ -1728,6 +1769,7 @@ def minhash_accuracy(
     text_col: str = "text",
     num_hashes: int = NUM_HASHES,
     n: int = SHINGLE_N,
+    shingled: DataFrame | None = None,
 ) -> DataFrame:
     """(doc_a, doc_b, est_jaccard, exact_jaccard, abs_err) — estimator
     audit for the MinHash tier (the dedup twin of `ann_recall_audit`):
@@ -1744,8 +1786,14 @@ def minhash_accuracy(
     from memfuse_spark import cache
 
     cache.begin("dedup.accuracy")
-    sets = cache.scoped_persist(
-        shingle_sets(docs, id_col, text_col, n), "dedup.accuracy"
+    # served-store path: the already-checkpointed shingle store needs no
+    # re-persist (see minhash_lsh_pairs)
+    sets = (
+        shingled
+        if shingled is not None
+        else cache.scoped_persist(
+            shingle_sets(docs, id_col, text_col, n), "dedup.accuracy"
+        )
     )
     sig = minhash_signature(sets, num_hashes)
     sig = cache.scoped_persist(sig, "dedup.accuracy")

@@ -403,7 +403,12 @@ def bloom_semi_join_stats(
     # shape of a runtime filter: build (tiny agg job), then scan.
     wm = {r["w"]: r["word"] for r in words.collect()}
     dense = [int(wm.get(i, 0)) for i in range(nwords)]
-    bits_lit = F.array(*[F.lit(v).cast("long") for v in dense])
+    # ONE array literal, not F.array(*[F.lit(v) ...]): the per-element
+    # form issued m/64 py4j calls to BUILD the plan (~2s of pure driver
+    # latency at m=65536) and fed codegen a CreateArray with 4×1024
+    # literal children (measured 1.5s Janino compile vs 0.7s; steady-
+    # state row work is identical — a Literal ArrayData either way).
+    bits_lit = F.lit(dense).cast("array<bigint>")
     # probe positions materialized as columns once (guaranteed single
     # md5 evaluation each), then O(1) word lookup + variable-shift mask
     probe_cols = {
@@ -436,7 +441,13 @@ def bloom_semi_join_stats(
     dkeys = keys.select(F.col(key_col).alias(fact_key)).distinct().withColumn(
         "__match", F.lit(1)
     )
-    probed = fact
+    from memfuse_spark.catalog import ensure_parallelism
+
+    # k md5 probes per fact row run inside the scan stage — on a
+    # single-file input that serializes the whole probe pass onto one
+    # core (no-op at scale, where the fact scan has many splits);
+    # projected to the one consumed column before the repartition
+    probed = ensure_parallelism(fact.select(fact_key))
     for name, expr in probe_cols.items():
         probed = probed.withColumn(name, expr)
     return (

@@ -1138,6 +1138,13 @@ def char_entropy(
     per-doc Σ -p·log2 p. Both shuffles key on doc_id(+char); partial
     aggregation makes the map side emit at most |alphabet| rows per doc.
     """
+    from memfuse_spark.catalog import ensure_parallelism
+
+    # the char explode + partial agg run inside the SCAN stage — on a
+    # single-file input that serializes the whole corpus's per-char work
+    # onto one core (no-op at scale, where the scan has many splits);
+    # projected to the two consumed columns before the repartition
+    docs = ensure_parallelism(docs.select(id_col, text_col))
     chars = docs.filter(F.length(F.col(text_col)) > 0).select(
         # the empty-text guard matters: Spark's sequence(1, 0) counts
         # DOWN ([1, 0]) instead of yielding an empty array, which would
