@@ -3803,6 +3803,11 @@ def _cooc_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ui = reservoir_per_group(
         ui, COOC_BASKET_CAP, group_col="u", id_col="item", salt="coocap"
     )
+    # NOTE (r10 negative result): generating the pairs in-array
+    # (groupBy(u) collect_list + nested-transform pair explode, reusing
+    # the cap window's exchange) measured 5x SLOWER than this self-join
+    # — higher-order functions evaluate interpreted per element while
+    # the sort-merge join is whole-stage codegen. Kept as the join.
     a = ui.select("u", F.col("item").alias("item_a"))
     b = ui.select("u", F.col("item").alias("item_b"))
     return (
@@ -4298,7 +4303,12 @@ def q_quota_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     (docs,) = _tables(spark, sf_dir, "documents")
-    first = kw_ops.bm25_topk(docs, QUERY_TEXT, FIRST_STAGE_K)
+    # first stage served from the persistent postings index (identical
+    # scores — shared tokenizer/stats) instead of the ad-hoc path's
+    # full per-query postings build over the corpus
+    first = kw_ops.bm25_topk_from_index(
+        spark, _postings_index(spark, sf_dir), QUERY_TEXT, FIRST_STAGE_K
+    )
     # Broadcast the ≤FIRST_STAGE_K-row first stage into the corpus-sized
     # source lookup — never the reverse (docs is the 10B-row side).
     with_src = docs.select("doc_id", "source").join(

