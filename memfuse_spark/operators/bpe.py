@@ -68,8 +68,15 @@ def bpe_merges(
 
     spark = docs.sparkSession
     cur = docs.select(_to_sep_string(tokenize(text_col)).alias("s")).persist()
-    cur.count()
     merges = []
+    # ONE job per round, not two: round r's replace is left LAZY and
+    # materializes fused into round r+1's pair-count scan (which also
+    # fills r+1's cache) — the standalone per-round count() paid a full
+    # extra corpus pass and job launch just to materialize the rewrite.
+    # The superseded round's cache is released only AFTER the next
+    # round's argmax action has filled the new cache (until then the
+    # lazy persist still reads the previous round's blocks).
+    prev = None
     try:
         for r in range(1, rounds + 1):
             top = (
@@ -78,6 +85,9 @@ def bpe_merges(
                 .limit(1)
                 .collect()
             )
+            if prev is not None:
+                prev.unpersist()
+                prev = None
             if not top:
                 break
             pair, cnt = top[0]["pair"], top[0]["cnt"]
@@ -89,11 +99,11 @@ def bpe_merges(
                     f" '{SEP}{left}{right}{SEP}')"
                 ).alias("s")
             ).persist()
-            nxt.count()
-            cur.unpersist()
-            cur = nxt
+            prev, cur = cur, nxt
     finally:
         cur.unpersist()
+        if prev is not None:
+            prev.unpersist()
     return spark.createDataFrame(
         merges, "rank int, left string, right string, pair_count long"
     )
@@ -381,8 +391,11 @@ def bpe_merges_batched(
 
     spark = docs.sparkSession
     cur = docs.select(_to_sep_string(tokenize(text_col)).alias("s")).persist()
-    cur.count()
     merges = []
+    # one job per round (see bpe_merges): the rewrite stays lazy and
+    # materializes fused into the next round's candidate-count scan;
+    # the superseded cache is released after that scan fills the new one
+    prev = None
     try:
         for _ in range(rounds):
             cands = [
@@ -392,6 +405,9 @@ def bpe_merges_batched(
                 .limit(2 * batch_k)
                 .collect()
             ]
+            if prev is not None:
+                prev.unpersist()
+                prev = None
             picked = _select_disjoint(cands, batch_k)
             if not picked:
                 break
@@ -405,11 +421,11 @@ def bpe_merges_batched(
                     F.lit(f"{SEP}{left}{right}{SEP}"),
                 )
             nxt = cur.select(s.alias("s")).persist()
-            nxt.count()
-            cur.unpersist()
-            cur = nxt
+            prev, cur = cur, nxt
     finally:
         cur.unpersist()
+        if prev is not None:
+            prev.unpersist()
     return spark.createDataFrame(
         merges, "rank int, left string, right string, pair_count long"
     )
