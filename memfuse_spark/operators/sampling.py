@@ -401,7 +401,21 @@ def uniform_negatives(
         .select("item", (F.col("__off") + F.col("__i")).cast("long").alias("idx"))
     )
     n_items = ranked.agg(F.count("*").alias("n"))
-    users = positives.select(F.col(user_col).alias("user")).distinct()
+    # positives feeds BOTH the user universe and the anti-join, and is
+    # typically itself a join (orders ⋈ lineitem here) — Spark does no
+    # CSE across the two consumers, so persist the narrow distinct
+    # (user, item) projection once and derive both from it. Scoped: the
+    # next sampling query releases this generation.
+    from memfuse_spark import cache
+
+    cache.begin("sampling.negatives")
+    pos = cache.scoped_persist(
+        positives.select(
+            F.col(user_col).alias("user"), F.col(item_col).alias("item")
+        ).distinct(),
+        "sampling.negatives",
+    )
+    users = pos.select("user").distinct()
     cand = (
         users.select(
             "user", F.explode(F.sequence(F.lit(1), F.lit(slots))).alias("slot")
@@ -427,13 +441,7 @@ def uniform_negatives(
         .join(F.broadcast(ranked), "idx")
         .select("user", "slot", "item")
     )
-    neg = cand.join(
-        positives.select(
-            F.col(user_col).alias("user"), F.col(item_col).alias("item")
-        ).distinct(),
-        ["user", "item"],
-        "left_anti",
-    )
+    neg = cand.join(pos, ["user", "item"], "left_anti")
     w_dedup = Window.partitionBy("user", "item").orderBy("slot")
     w_rank = Window.partitionBy("user").orderBy("slot")
     return (
