@@ -2524,12 +2524,15 @@ def q_semdedup_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
     from memfuse_spark.operators.textanalysis import hashed_bow_vectors
 
     (docs,) = _tables(spark, sf_dir, "documents")
-    vecs = hashed_bow_vectors(
-        docs, postings=spark.table(_postings_index(spark, sf_dir))
-    )
+    idx = _postings_index(spark, sf_dir)
+    vecs = hashed_bow_vectors(docs, postings=spark.table(idx))
+    # the served index's stats row already holds the vector count
+    # (n_docs = distinct doc_id in postings = hashed-BoW rows), so the
+    # scale rule needs no derive-n materialization of the vectors
+    n = int(spark.table(f"{idx}_stats").select("n_docs").first()[0])
     return semdedup_keep(
         vecs, id_col="doc_id", vec_col="vector", dim=64, num_planes=None,
-        threshold=0.95,
+        threshold=0.95, n_hint=n,
     )
 
 

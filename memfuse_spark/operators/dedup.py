@@ -1969,6 +1969,7 @@ def semdedup_keep(
     num_planes: int | None = 4,
     threshold: float = 0.95,
     target_cell_size: int = 4000,
+    n_hint: int | None = None,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. '23): semantic near-duplicates found in
     EMBEDDING space — paraphrases and re-renderings that shingle-based
@@ -2017,16 +2018,32 @@ def semdedup_keep(
     if scale_mode:
         # the measured design rule (PLANS.md 10x probe): cells grow
         # WITH the corpus so cell size — and the O(cell² · dim)
-        # within-cell pair work — stays ~constant. Checkpoint the
-        # (id, vector) projection FIRST and count the checkpointed
-        # frame, so the expensive input subtree runs exactly once
-        # rather than once for the count and again for the checkpoint
-        # (ADVICE r6). Fixed planes=4 at a 10x corpus measured 14.6x
-        # wall vs 4.06x with this rule.
+        # within-cell pair work — stays ~constant. Fixed planes=4 at a
+        # 10x corpus measured 14.6x wall vs 4.06x with this rule.
+        #
+        # ``n_hint=`` skips the derive-n materialization entirely: a
+        # serving system KNOWS its corpus size from the ingest-time
+        # index's stats row (n_docs = distinct doc_id in postings =
+        # exactly the hashed-BoW vector count), so the vector count
+        # need not be computed from the vectors. Without the hint the
+        # (id, vector) projection is checkpointed FIRST and the
+        # checkpointed frame counted, so the expensive input subtree
+        # runs exactly once rather than once for the count and again
+        # for the checkpoint (ADVICE r6) — but that base checkpoint is
+        # a full extra materialization pass of the corpus vectors at
+        # ANY scale, which the hint removes (the BOW build then runs
+        # exactly once, fused into the cells checkpoint below). A wrong
+        # hint changes every cell key, which the oracle check catches.
         from memfuse_spark.operators.ann import scaled_num_planes
 
-        base, base_ids = _cache.tracked_local_checkpoint(base, "dedup.semdedup")
-        num_planes = scaled_num_planes(base.count(), target_cell_size)
+        if n_hint is not None:
+            num_planes = scaled_num_planes(int(n_hint), target_cell_size)
+            base_ids = None
+        else:
+            base, base_ids = _cache.tracked_local_checkpoint(
+                base, "dedup.semdedup"
+            )
+            num_planes = scaled_num_planes(base.count(), target_cell_size)
     else:
         base_ids = None
 

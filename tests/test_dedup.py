@@ -617,6 +617,56 @@ def test_semdedup_auto_planes_releases_base_checkpoint(spark):
             assert not jmap.containsKey(i), f"base RDD {i} still persistent"
 
 
+def test_semdedup_n_hint_path_identical(spark):
+    """The n_hint served-stats path must produce bit-identical output to
+    the derive-n path (the hint only skips the base checkpoint + count —
+    same plane count, same cell keys, same kernel), and must skip the
+    base checkpoint entirely (no release call for it fires)."""
+    from unittest import mock
+
+    from memfuse_spark import cache
+    from memfuse_spark.operators.dedup import semdedup_keep
+    from memfuse_spark.operators.textanalysis import hashed_bow_vectors
+
+    docs = spark.createDataFrame(
+        [(i, f"some text body number {i} with shared tokens") for i in range(12)],
+        "doc_id long, text string",
+    )
+    emb = hashed_bow_vectors(docs)
+    kwargs = dict(
+        id_col="doc_id", vec_col="vector", dim=64, num_planes=None,
+        threshold=0.95,
+    )
+    released: list[frozenset] = []
+    real = cache.unpersist_rdd_ids
+
+    def spy(sp, ids):
+        released.append(frozenset(ids))
+        return real(sp, ids)
+
+    with mock.patch.object(cache, "unpersist_rdd_ids", side_effect=spy):
+        want = sorted(
+            tuple(r) for r in semdedup_keep(emb, **kwargs).collect()
+        )
+        n_derive_releases = len(released)
+    n = emb.count()
+
+    released.clear()
+    with mock.patch.object(cache, "unpersist_rdd_ids", side_effect=spy):
+        got = sorted(
+            tuple(r)
+            for r in semdedup_keep(emb, n_hint=n, **kwargs).collect()
+        )
+    assert got == want and want
+    # the derive-n path releases base AND pre-split cells checkpoints;
+    # the hint path never creates the base one, so exactly one fewer
+    # supersede-release fires
+    assert len(released) == n_derive_releases - 1, (
+        f"expected one fewer release on the hint path, got "
+        f"{len(released)} vs {n_derive_releases}"
+    )
+
+
 def test_audit_sample_contract_spark_matches_duckdb(spark):
     """VERDICT r7 #7: the audit-sample predicate is a CROSS-ENGINE
     contract — every sampled audit (minhash/simhash recall,
