@@ -321,6 +321,31 @@ def _knowledge_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _KNOW_CORPUS[key]
 
 
+_KNOW_POSTINGS: dict[tuple[int, str], str] = {}
+
+
+def _knowledge_postings(spark: SparkSession, sf_dir: str) -> str:
+    """Term-bucketed postings index over the FULL typed knowledge
+    corpus, built ONCE per (session, sf) — the FTS sibling of the
+    corpus's write-time embeddings (_knowledge_corpus): a store that
+    embeds knowledge at insert also indexes it at insert. Only valid
+    for reads whose include flags select the whole corpus (the stats
+    and df are corpus-wide)."""
+    import hashlib
+    import tempfile
+
+    key = (id(spark.sparkContext), sf_dir)
+    if key not in _KNOW_POSTINGS:
+        tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+        name = f"mfs_know_postings_{tag}"
+        kw_ops.build_postings_index(
+            spark, _knowledge_corpus(spark, sf_dir).select("doc_id", "text"),
+            name, path=os.path.join(tempfile.gettempdir(), "memfuse_idx"),
+        )
+        _KNOW_POSTINGS[key] = name
+    return _KNOW_POSTINGS[key]
+
+
 def q_hybrid_with_knowledge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The reference's include_knowledge=true read path: hybrid fusion
     over the typed chunk ∪ knowledge corpus with the F3 include flags
@@ -344,6 +369,10 @@ def q_hybrid_with_knowledge(spark: SparkSession, sf_dir: str) -> DataFrame:
         rrf_k=RRF_K,
         dim=KNOWLEDGE_EMBED_DIM,
         emb_col="embedding",
+        # the flags select the WHOLE corpus here, so the corpus-wide
+        # ingest-time index serves the keyword branch (identical
+        # stats/df — see _knowledge_postings)
+        postings_index=_knowledge_postings(spark, sf_dir),
     )
 
 
@@ -5052,7 +5081,7 @@ def release_memo_stores(spark: SparkSession, sf_dir: str) -> int:
     for memo in (
         _POSTINGS_IDX, _POSTINGS_IDX_V2, _POSTINGS_IDX_C, _BUCKETED_STORE,
         _BQ_STORE, _EDGES_STORE, _KNN_EDGES_STORE, _KNN_INC_STORE,
-        _STREAM_IDX, _VEC_STREAM_STORE,
+        _STREAM_IDX, _VEC_STREAM_STORE, _KNOW_POSTINGS,
         _BPE_MERGES, _TRAINED_W, _TRAINED_ROWS,
     ):
         if memo.pop(key, None) is not None:

@@ -331,6 +331,7 @@ def main() -> None:
     entrymod._m1_store(spark, sf_dir)
     entrymod._m2_store(spark, sf_dir)
     entrymod._knowledge_corpus(spark, sf_dir)
+    entrymod._knowledge_postings(spark, sf_dir)
     # lifecycle-store builds (compacted v2 index, bucketed vector
     # store, streaming index): build/append/compact is ingest-time work
     # a live service pays at flush, not per query — charge it to the

@@ -365,6 +365,7 @@ def hybrid_retrieval_with_flags(
     rrf_k: float = DEFAULT_RRF_K,
     dim: int = 16,
     emb_col: str | None = None,
+    postings_index: str | None = None,
 ) -> DataFrame:
     """Hybrid retrieval over a TYPED corpus with include-flag filtering
     (reference ``include_messages`` / ``include_knowledge`` /
@@ -398,7 +399,18 @@ def hybrid_retrieval_with_flags(
     vec = tag_store(
         similarity_topk(emb, qvec, fsk, id_col="doc_id"), "vector"
     )
-    kw = tag_store(bm25_topk(allowed, query_text, fsk), "keyword")
+    # ``postings_index`` serves the keyword branch from a prebuilt
+    # corpus-wide index — ONLY valid when ``include_types`` selects the
+    # entire corpus the index was built over (BM25's n_docs/avgdl/df are
+    # corpus-wide stats; a narrower flag set must use the ad-hoc path so
+    # the stats reflect the filtered corpus).
+    if postings_index is not None:
+        kw_raw = bm25_topk_from_index(
+            corpus.sparkSession, postings_index, query_text, fsk
+        )
+    else:
+        kw_raw = bm25_topk(allowed, query_text, fsk)
+    kw = tag_store(kw_raw, "keyword")
     fused = rrf_fusion(
         union_results(vec, kw),
         weights=weights or {"vector": 0.5, "keyword": 0.2},

@@ -48,6 +48,7 @@ def main() -> int:
     entrymod._m1_store(spark, sf_dir)
     entrymod._m2_store(spark, sf_dir)
     entrymod._knowledge_corpus(spark, sf_dir)
+    entrymod._knowledge_postings(spark, sf_dir)
     entrymod._postings_index_c(spark, sf_dir)
     entrymod._bucketed_store_lc(spark, sf_dir)
     entrymod._stream_index(spark, sf_dir)
