@@ -3789,7 +3789,12 @@ def q_doc_keyterms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document keyword extraction: top-3 length-normalized TF-IDF
     terms (per-doc sibling of the c-TF-IDF cluster keywords)."""
     (docs,) = _tables(spark, sf_dir, "documents")
-    return ta_ops.doc_keyterms(docs)
+    idx = _postings_index(spark, sf_dir)
+    return ta_ops.doc_keyterms(
+        docs,
+        index_postings=spark.table(idx),
+        index_stats=spark.table(f"{idx}_stats"),
+    )
 
 
 COOC_BASKET_CAP = 64
@@ -4127,7 +4132,9 @@ def q_late_interaction(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     (docs,) = _tables(spark, sf_dir, "documents")
     qtoks = sorted(set(kw_ops._py_tokenize(QUERY_TEXT)))
-    return late_interaction_topk(docs, qtoks, TOP_K)
+    return late_interaction_topk(
+        docs, qtoks, TOP_K, toks=_prefix_toks(spark, sf_dir)
+    )
 
 
 def q_bm25_v2_topk(spark: SparkSession, sf_dir: str) -> DataFrame:

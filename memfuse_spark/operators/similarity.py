@@ -445,6 +445,7 @@ def late_interaction_topk(
     id_col: str = "doc_id",
     text_col: str = "text",
     score_decimals: int = 6,
+    toks: DataFrame | None = None,
 ) -> DataFrame:
     """ColBERT-style late interaction over per-TOKEN embeddings:
     score(d) = Σ_{q∈Q} max_{t∈d} cos(E(q), E(t)) (Khattab & Zaharia
@@ -473,14 +474,21 @@ def late_interaction_topk(
             "__e", normalize(hash_embedding_raw(F.col("__dig"), dim))
         ).drop("__dig")
 
-    toks = (
-        docs.select(
-            F.col(id_col).alias("doc_id"),
-            F.explode_outer(tokenize(text_col)).alias("tok"),
+    # ``toks=`` is the served-index path: a precomputed DISTINCT
+    # (doc_id, tok) projection (e.g. the persistent postings index,
+    # unique per (doc_id, term) by construction). maxsim is
+    # multiplicity-invariant — max over a doc's token SET — so the
+    # distinct projection is exactly the needed input and a corpus
+    # that already carries an inverted index never re-tokenizes here.
+    if toks is None:
+        toks = (
+            docs.select(
+                F.col(id_col).alias("doc_id"),
+                F.explode_outer(tokenize(text_col)).alias("tok"),
+            )
+            .filter(F.col("tok").isNotNull())
+            .distinct()
         )
-        .filter(F.col("tok").isNotNull())
-        .distinct()
-    )
     vocab = embed(toks.select("tok").distinct(), "tok").select(
         "tok", F.col("__e").alias("te")
     )

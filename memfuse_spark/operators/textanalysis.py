@@ -1036,12 +1036,21 @@ def doc_keyterms(
     id_col: str = "doc_id",
     text_col: str = "text",
     decimals: int = 6,
+    index_postings: DataFrame | None = None,
+    index_stats: DataFrame | None = None,
 ) -> DataFrame:
     """(doc_id, rank, term, score) — per-document keyword extraction:
     the top-n terms by length-normalized TF-IDF, (tf/dl)·ln((N+1)/(df+1))
     (the per-document sibling of c-TF-IDF cluster keywords). One
     postings build + a broadcast df/stats join + a per-doc rank window
     — wordcount-shaped shuffles only.
+
+    ``index_postings=``/``index_stats=`` is the served-index path: the
+    persistent postings table already carries (doc_id, term, tf, dl,
+    df) — df was joined on at BUILD time — and its 1-row stats table
+    carries n_docs, so the per-query postings build, the df
+    aggregation, AND the stats pass all disappear (shared tokenizer ⇒
+    identical scores).
     """
     from pyspark.sql import Window
 
@@ -1053,20 +1062,25 @@ def doc_keyterms(
 
     from memfuse_spark import cache
 
-    # scoped persist: the postings subplan feeds dfs, stats AND the
-    # scoring — without it the tokenize+groupBy runs three times (no
-    # CSE across subplans; the bm25_topk lesson). The scoped registry
-    # releases this generation when the next doc_keyterms call begins
-    # (output is O(docs) rows, so no driver materialization here).
-    cache.begin("textanalysis.keyterms")
-    postings = cache.scoped_persist(
-        build_postings(docs, id_col, text_col), "textanalysis.keyterms"
-    )
-    dfs = document_frequency(postings)
-    stats = corpus_stats(postings)
+    if index_postings is not None and index_stats is not None:
+        scored_src = index_postings.crossJoin(
+            F.broadcast(index_stats.select("n_docs"))
+        )
+    else:
+        # scoped persist: the postings subplan feeds dfs, stats AND the
+        # scoring — without it the tokenize+groupBy runs three times (no
+        # CSE across subplans; the bm25_topk lesson). The scoped registry
+        # releases this generation when the next doc_keyterms call begins
+        # (output is O(docs) rows, so no driver materialization here).
+        cache.begin("textanalysis.keyterms")
+        postings = cache.scoped_persist(
+            build_postings(docs, id_col, text_col), "textanalysis.keyterms"
+        )
+        dfs = document_frequency(postings)
+        stats = corpus_stats(postings)
+        scored_src = postings.join(dfs, "term").crossJoin(F.broadcast(stats))
     scored = (
-        postings.join(dfs, "term")
-        .crossJoin(F.broadcast(stats))
+        scored_src
         .select(
             "doc_id",
             "term",
