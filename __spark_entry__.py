@@ -3827,7 +3827,6 @@ def _cooc_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     most cap²/2 candidates), then per-pair distinct-customer counts.
     One definition keeps both Spark consumers and both DuckDB twins
     replaying the identical cap/salt."""
-    from memfuse_spark import cache as _cache
     from memfuse_spark.operators.sampling import reservoir_per_group
 
     orders, li = _tables(spark, sf_dir, "orders", "lineitem")
@@ -3841,14 +3840,6 @@ def _cooc_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ui = reservoir_per_group(
         ui, COOC_BASKET_CAP, group_col="u", id_col="item", salt="coocap"
     )
-    # Materialize the capped projection ONCE: both self-join sides read
-    # `ui`, and Spark does no CSE across them — unmaterialized, the
-    # orders⋈lineitem join + distinct + cap window runs twice per call.
-    # Narrow (u, item) int rows, executor-side only; the window's hash
-    # partitioning on u survives the checkpoint, so the self-join can
-    # reuse it instead of re-shuffling.
-    _cache.begin("entry.cooc_pairs")
-    ui, _ids = _cache.tracked_local_checkpoint(ui, "entry.cooc_pairs")
     # NOTE (r10 negative result): generating the pairs in-array
     # (groupBy(u) collect_list + nested-transform pair explode, reusing
     # the cap window's exchange) measured 5x SLOWER than this self-join
