@@ -1649,6 +1649,8 @@ def containment_pairs(
     # table (the ingest-time shingle store a dedup service maintains —
     # the _dup_base signature-store sibling); the default derives it
     # from docs for standalone use.
+    from pyspark.sql import Window
+
     cache.begin("dedup.containment")
     if sets is None:
         sets = cache.scoped_persist(
@@ -1657,24 +1659,66 @@ def containment_pairs(
     # (a served store arrives already checkpointed — re-persisting it
     # would duplicate the blocks)
     postings = sets.select(
-        "doc_id", F.explode_outer("shingles").alias("sh")
+        "doc_id",
+        F.size("shingles").alias("sz"),
+        F.explode_outer("shingles").alias("sh"),
     ).filter(F.col("sh").isNotNull())
     rare = (
         postings.groupBy("sh")
         .agg(F.count("*").alias("df"))
         .filter(F.col("df") <= max_df)
-        .select("sh")
     )
+    # Canonical rank (ascending (df, sh) — a GLOBAL total order) of
+    # each rare posting within its doc. All of a doc's rare shingles
+    # precede all its common ones in that order (df ≤ max_df < any
+    # common df), so the rank among rare postings IS the canonical rank
+    # within the full shingle set — no common postings needed.
     # persist: both candidate-join sides read this subtree (no CSE
-    # across self-join branches) — unpersisted, the shingle explode and
-    # the df aggregation execute twice. Rare-posting rows only (df ≤
-    # max_df), so the footprint is the distribution's tail, not the
-    # corpus.
-    rp = cache.scoped_persist(postings.join(rare, "sh"), "dedup.containment")
-    a, b = rp.alias("a"), rp.alias("b")
+    # across self-join branches) — unpersisted, the shingle explode,
+    # the df aggregation and the ranking window execute twice.
+    # Rare-posting rows only (df ≤ max_df), so the footprint is the
+    # distribution's tail, not the corpus.
+    rp = cache.scoped_persist(
+        postings.join(rare, "sh").withColumn(
+            "rnk",
+            F.row_number().over(
+                Window.partitionBy("doc_id").orderBy("df", "sh")
+            ),
+        ),
+        "dedup.containment",
+    )
+    # Prefix + positional candidate pruning (the AllPairs/PPJoin bounds
+    # of prefix_filter_pairs, adapted to containment — EXACT for this
+    # operator's rare-seeded semantics): for any output pair, the
+    # FIRST shared shingle in canonical order (i) has min df among the
+    # shared, and the pair shares a rare shingle, so it is rare; (ii)
+    # lies within A's prefix (containment ≥ t ⟹ B misses at most
+    # |A| − ⌈t·|A|⌉ = prefix−1 of A's shingles, so one of A's first
+    # `prefix` canonical shingles is shared — and if A has fewer rare
+    # shingles than `prefix`, every rare one is already in the prefix);
+    # (iii) satisfies overlap ≤ 1 + min(|A|−rnk_a, |B|−rnk_b) (all
+    # other shared shingles rank after it on BOTH sides). False drops
+    # are impossible; false candidates are verified away below.
+    alpha = F.ceil(F.lit(threshold) * F.col("a.sz"))
     cand = (
-        a.join(b, "sh")
-        .filter(F.col("a.doc_id") != F.col("b.doc_id"))
+        rp.alias("a")
+        .filter(
+            F.col("rnk")
+            <= F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")) + 1
+        )
+        .join(rp.alias("b"), "sh")
+        .filter(
+            (F.col("a.doc_id") != F.col("b.doc_id"))
+            & (F.col("b.sz") >= alpha)
+            & (
+                1
+                + F.least(
+                    F.col("a.sz") - F.col("a.rnk"),
+                    F.col("b.sz") - F.col("b.rnk"),
+                )
+                >= alpha
+            )
+        )
         .select(
             F.col("a.doc_id").alias("inner_doc"),
             F.col("b.doc_id").alias("outer_doc"),
@@ -1692,14 +1736,9 @@ def containment_pairs(
         cand.join(sa, "inner_doc")
         .join(sb, "outer_doc")
         .filter(F.size("sha") > 0)
-        # exact pre-prune before the per-row intersect: |A∩B| ≤ |B|, so
-        # containment ≥ t needs |B| ≥ ⌈t·|A|⌉ — an O(1) size compare
-        # that skips the O(|A|+|B|) hash-set intersect for pairs that
-        # cannot pass (32% of candidates on this corpus). No false
-        # negatives; output identical.
-        .filter(
-            F.size("shb") >= F.ceil(F.lit(threshold) * F.size("sha"))
-        )
+        # (the |B| ≥ ⌈t·|A|⌉ size pre-prune moved INTO the candidate
+        # join above — it now drops rows BEFORE the pair-dedup shuffle,
+        # not just before the intersect)
         .withColumn(
             "containment", F.round(inter / F.size("sha"), 6)
         )
