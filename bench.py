@@ -354,6 +354,13 @@ def main() -> None:
         ("stream_index", entrymod._stream_index),
         ("vec_stream_store", entrymod._vec_stream_store),
         ("knn_inc_store", entrymod._knn_inc_store),
+        # the bounded-degree kNN edge store (r10 build round) missed the
+        # same split: it is a persistent src-bucketed warehouse table
+        # built once at ingest (graph.build_knn_edges_store), but the
+        # first kNN-graph slot in EXTRA order (knn_edges_store) was
+        # paying the build per run. Build cost stays visible here and in
+        # the decade probes; the six knn_graph_* slots now time SERVE.
+        ("knn_edges_store", entrymod._knn_graph_edges),
     ):
         t0 = time.perf_counter()
         builder(spark, sf_dir)

@@ -58,6 +58,7 @@ def main() -> int:
     entrymod._stream_index(spark, sf_dir)
     entrymod._vec_stream_store(spark, sf_dir)
     entrymod._knn_inc_store(spark, sf_dir)
+    entrymod._knn_graph_edges(spark, sf_dir)
 
     qs = entrymod.queries()
     for name in args:

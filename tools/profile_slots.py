@@ -76,6 +76,7 @@ def main() -> int:
     entrymod._stream_index(spark, sf_dir)
     entrymod._vec_stream_store(spark, sf_dir)
     entrymod._knn_inc_store(spark, sf_dir)
+    entrymod._knn_graph_edges(spark, sf_dir)
 
     qs = entrymod.queries()
     print(f"{'query':34} {'t1':>7} {'t2':>7} {'jobs':>5} {'stages':>7} {'tasks':>6}")
