@@ -906,16 +906,32 @@ def mutual_knn_pairs(
         F.col(vec_col).cast("array<double>").alias("vec"),
     )
     knn = score_probed_cells(members, probed, k, score_decimals)
-    fwd = knn.select(
-        F.col("query_id").alias("vec_a"),
-        F.col("vec_id").alias("vec_b"),
-        "score",
-    ).filter(F.col("vec_a") < F.col("vec_b"))
-    rev = knn.select(
-        F.col("vec_id").alias("vec_a"),
-        F.col("query_id").alias("vec_b"),
-    ).filter(F.col("vec_a") < F.col("vec_b"))
-    return fwd.join(rev, ["vec_a", "vec_b"]).orderBy("vec_a", "vec_b")
+    # Mutuality via ONE canonical-pair aggregation instead of a fwd⋈rev
+    # self-join: Spark does no CSE across self-join branches, so the
+    # join form re-executed the whole probe + per-cell matmul kernel —
+    # the dominant cost — once per side, and paid a join shuffle on top.
+    # Each kNN arc votes for its canonical (min, max) pair tagged with
+    # its direction; a pair is mutual iff BOTH directions voted. The
+    # score is direction-symmetric (cosine of the same two vectors,
+    # identical rounding), and (query_id, vec_id) arcs are unique (one
+    # cell owns each member; the top-k window emits each arc once), so
+    # max() over the direction-tagged columns reproduces the join's
+    # fwd-side score exactly.
+    canon = knn.select(
+        F.least("query_id", "vec_id").alias("vec_a"),
+        F.greatest("query_id", "vec_id").alias("vec_b"),
+        F.when(
+            F.col("query_id") < F.col("vec_id"), F.col("score")
+        ).alias("__s_fwd"),
+        F.when(F.col("query_id") > F.col("vec_id"), F.lit(1)).alias("__rev"),
+    )
+    return (
+        canon.groupBy("vec_a", "vec_b")
+        .agg(F.max("__s_fwd").alias("score"), F.max("__rev").alias("__r"))
+        .filter(F.col("score").isNotNull() & F.col("__r").isNotNull())
+        .select("vec_a", "vec_b", "score")
+        .orderBy("vec_a", "vec_b")
+    )
 
 
 def label_outliers(
