@@ -1999,15 +1999,23 @@ def q_minhash_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-document 32-bit tf-weighted simhash."""
+    """Per-document 32-bit tf-weighted simhash (signature served from
+    the persistent postings index: tf-weighted sum over distinct terms
+    ≡ signed sum over occurrences, one md5 per posting row instead of
+    per occurrence, no corpus re-tokenization)."""
     (docs,) = _tables(spark, sf_dir, "documents")
-    return dedup_ops.simhash(docs).orderBy("doc_id")
+    return dedup_ops.simhash(
+        docs, postings=spark.table(_postings_index(spark, sf_dir))
+    ).orderBy("doc_id")
 
 
 def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Simhash near-dup pairs (byte-banded candidates, hamming ≤ 3)."""
+    """Simhash near-dup pairs (byte-banded candidates, hamming ≤ 3;
+    signatures served from the persistent postings index)."""
     (docs,) = _tables(spark, sf_dir, "documents")
-    return dedup_ops.simhash_pairs(docs)
+    return dedup_ops.simhash_pairs(
+        docs, postings=spark.table(_postings_index(spark, sf_dir))
+    )
 
 
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2112,7 +2120,16 @@ def q_simhash_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     sample as minhash_recall_audit — the audit's truth tier is the
     expensive side."""
     (docs,) = _tables(spark, sf_dir, "documents")
-    return dedup_ops.simhash_recall_audit(dedup_ops.audit_sample_scaled(docs))
+    # serve the sample's signatures from the postings index (the md5
+    # sample predicate is row-wise on doc_id, so it commutes with the
+    # posting projection — filter(index) IS postings(sampled docs))
+    mod = dedup_ops.scaled_sample_mod(docs.count())
+    return dedup_ops.simhash_recall_audit(
+        dedup_ops.audit_sample(docs, mod),
+        postings=dedup_ops.audit_sample(
+            spark.table(_postings_index(spark, sf_dir)), mod
+        ),
+    )
 
 
 def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -594,6 +594,7 @@ def simhash_recall_audit(
     bits: int = SIMHASH_BITS,
     band_bits: int = 8,
     truth_band_bits: int = 4,
+    postings: DataFrame | None = None,
 ) -> DataFrame:
     """Recall audit of the production BYTE-banded simhash candidates
     against NIBBLE-banded exact truth — the simhash sibling of
@@ -617,7 +618,8 @@ def simhash_recall_audit(
 
     cache.begin("dedup.simhash_audit")
     sh = cache.scoped_persist(
-        simhash(docs, id_col, text_col, bits), "dedup.simhash_audit"
+        simhash(docs, id_col, text_col, bits, postings=postings),
+        "dedup.simhash_audit",
     )
 
     def banded_pair_ids(width: int) -> DataFrame:
@@ -788,6 +790,7 @@ def simhash(
     text_col: str = "text",
     bits: int = SIMHASH_BITS,
     packed: bool = True,
+    postings: DataFrame | None = None,
 ) -> DataFrame:
     """(doc_id, simhash) — tf-weighted Charikar simhash over tokens.
 
@@ -806,19 +809,36 @@ def simhash(
     corpora that allow longer documents (Gopher caps at 100k) must pass
     ``packed=False`` for the 32-wide-sums variant, or pre-truncate.
     Both paths produce identical values (oracle-checked).
+
+    ``postings=`` is the served-index path: (doc_id, term, tf) rows
+    from the persistent postings index (shared tokenizer). The
+    tf-weighted signed sum over distinct terms equals the signed sum
+    over raw occurrences, so serving costs one md5 per DISTINCT
+    (doc, term) instead of one per token occurrence — and never
+    re-tokenizes the corpus. Values are bit-identical (both paths drop
+    zero-token docs: the index has no row for them, the inner explode
+    emits none).
     """
     from memfuse_spark.catalog import ensure_parallelism
 
-    occ = (
-        ensure_parallelism(docs)
-        .select(F.col(id_col).alias("doc_id"), F.explode(tokenize(text_col)).alias("tok"))
-        .withColumn("th", _token_hash32(F.col("tok")))
-    )
+    if postings is None:
+        occ = (
+            ensure_parallelism(docs)
+            .select(F.col(id_col).alias("doc_id"), F.explode(tokenize(text_col)).alias("tok"))
+            .withColumn("th", _token_hash32(F.col("tok")))
+            .withColumn("w", F.lit(1).cast("bigint"))
+        )
+    else:
+        occ = postings.select(
+            "doc_id",
+            _token_hash32(F.col("term")).alias("th"),
+            F.col("tf").cast("bigint").alias("w"),
+        )
     # single-string expressions: one py4j round-trip per aggregate /
     # one for the whole reconstruction, instead of one per operator node
     if not packed:
         bit_sums = [
-            F.expr(f"sum(IF((shiftright(th, {i}) & 1) = 1, 1, -1))").alias(f"s{i}")
+            F.expr(f"sum(IF((shiftright(th, {i}) & 1) = 1, w, -w))").alias(f"s{i}")
             for i in range(bits)
         ]
         sums = occ.groupBy("doc_id").agg(*bit_sums)
@@ -833,8 +853,8 @@ def simhash(
             for l in range(lanes_per_long)
             if lanes_per_long * j + l < bits
         )
-        packs.append(F.expr(f"sum({terms})").alias(f"p{j}"))
-    sums = occ.groupBy("doc_id").agg(F.count("*").alias("n"), *packs)
+        packs.append(F.expr(f"sum(w * ({terms}))").alias(f"p{j}"))
+    sums = occ.groupBy("doc_id").agg(F.sum("w").alias("n"), *packs)
     sim = " + ".join(
         f"IF(2 * ((p{i // lanes_per_long} >> {16 * (i % lanes_per_long)}) & 65535) > n, {2 ** i}, 0)"
         for i in range(bits)
@@ -848,19 +868,25 @@ def simhash_pairs(
     text_col: str = "text",
     max_hamming: int = 3,
     bits: int = SIMHASH_BITS,
+    postings: DataFrame | None = None,
 ) -> DataFrame:
     """Near-dup pairs by simhash hamming distance ≤ max_hamming.
 
     Scale path: band the hash into 4 bytes — pairs within hamming ≤ 3
     must agree on ≥1 whole byte (pigeonhole), so candidates come from
     4 equi-joins on (byte_index, byte_value), never a cross join.
+    ``postings=`` serves the signature build from the persistent
+    postings index (see :func:`simhash`).
     """
     from memfuse_spark import cache
 
     # persisted: the byte-band union selects from it n_bytes times.
     # Scoped: the next simhash query releases this generation (cache.py).
     cache.begin("dedup.simhash")
-    sh = cache.scoped_persist(simhash(docs, id_col, text_col, bits), "dedup.simhash")
+    sh = cache.scoped_persist(
+        simhash(docs, id_col, text_col, bits, postings=postings),
+        "dedup.simhash",
+    )
     n_bytes = bits // 8
     banded = None
     for i in range(n_bytes):
