@@ -866,3 +866,75 @@ def test_lsh_tuning_closed_form(spark):
     prod = [r for r in rows if (r.bands, r.rows_per_band) == (6, 2)]
     mid = min(prod, key=lambda r: abs(r.s - r.threshold))
     assert 0.3 < mid.p_detect < 0.75
+
+
+def test_simhash_postings_path_identical(spark, docs):
+    """The served-index signature path must be bit-identical to the
+    derive-from-text default: the tf-weighted signed sum over distinct
+    terms equals the signed sum over raw occurrences (r10 optimization
+    #19), for the packed and the wide aggregate alike."""
+    from memfuse_spark.operators.keyword import build_postings
+
+    want = {r.doc_id: r.simhash for r in dedup.simhash(docs).collect()}
+    postings = build_postings(docs)
+    packed = {
+        r.doc_id: r.simhash
+        for r in dedup.simhash(docs, postings=postings).collect()
+    }
+    wide = {
+        r.doc_id: r.simhash
+        for r in dedup.simhash(docs, packed=False, postings=postings).collect()
+    }
+    assert packed == want
+    assert wide == want
+
+
+def test_containment_pruned_candidates_equal_bruteforce(spark):
+    """The r10 prefix + positional candidate pruning must drop no true
+    pair: containment_pairs compared against an unpruned brute force of
+    the operator's rare-seeded semantics (share >= 1 rare shingle AND
+    containment >= t) on a corpus where common boilerplate shingles are
+    above max_df and every doc mixes rare and common shingles."""
+    import itertools
+    import re
+    from collections import Counter
+
+    from memfuse_spark.operators.dedup import containment_pairs
+
+    common = "alpha beta gamma delta epsilon zeta eta theta"
+    rows = []
+    for i in range(12):
+        rows.append((i, f"{common} unique{i} marker{i} token{i} payload{i} end{i}"))
+        # an excerpt of doc i wrapped in the shared boilerplate
+        rows.append((100 + i, f"{common} unique{i} marker{i} token{i}"))
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    t, max_df = 0.6, 6
+    got = {
+        (r.inner_doc, r.outer_doc): r.containment
+        for r in containment_pairs(df, threshold=t, max_df=max_df).collect()
+    }
+
+    def toks(s):
+        return [w for w in re.split(r"[^a-z0-9]+", s.lower()) if w]
+
+    def shingles(s):
+        tk = toks(s)
+        if len(tk) < 3:
+            return {" ".join(tk)} if tk else set()
+        return {" ".join(tk[j:j + 3]) for j in range(len(tk) - 2)}
+
+    sets = {d: shingles(s) for d, s in rows}
+    dfc = Counter(sh for st in sets.values() for sh in st)
+    rare = {sh for sh, c in dfc.items() if c <= max_df}
+    want = {}
+    for a, b in itertools.permutations(sets, 2):
+        sa, sb = sets[a], sets[b]
+        if not sa or not (sa & sb & rare):
+            continue
+        c = round(len(sa & sb) / len(sa), 6)
+        if c >= t:
+            want[(a, b)] = c
+    assert len(want) >= 12  # the excerpts must actually pair up
+    assert set(got) == set(want)
+    for key, val in want.items():
+        assert got[key] == pytest.approx(val, abs=1e-6)
