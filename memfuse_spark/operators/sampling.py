@@ -380,15 +380,22 @@ def uniform_negatives(
     # resample boundaries and misalign __p between the two branches —
     # localCheckpoint truncates lineage so the partitioning is
     # materialized exactly once (lazy: first action triggers it).
+    # scale-adaptive range-partition count (was a fixed 32): the global
+    # rank is partition-boundary-INDEPENDENT by construction (ordered,
+    # non-overlapping ranges + per-partition offsets), so the partition
+    # count is pure parallelism — tie it to the cluster, not a constant
+    # tuned for one box. Results are identical at any count ≥ 1
+    # (oracle-checked at local[8] and the tuned session alike).
+    n_parts = items.sparkSession.sparkContext.defaultParallelism
     cat = (
         items.select(F.col(item_col).alias("item"))
         .distinct()
-        .repartitionByRange(32, "item")
+        .repartitionByRange(n_parts, "item")
         .withColumn("__p", F.spark_partition_id())
         .localCheckpoint(eager=False)
     )
     intra_w = Window.partitionBy("__p").orderBy("item")
-    totals_w = Window.orderBy("__p")  # bounded: ≤ 32 partition-count rows
+    totals_w = Window.orderBy("__p")  # bounded: n_parts partition-count rows
     offsets = (
         cat.groupBy("__p")
         .agg(F.count("*").alias("__c"))
