@@ -903,17 +903,20 @@ def simhash_pairs(
     b = banded.select(
         F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sim_b"), "byte_idx", "byte_val"
     )
-    cands = (
-        a.join(b, ["byte_idx", "byte_val"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b", "sim_a", "sim_b")
-        .distinct()
-    )
+    # hamming is computed MAP-SIDE and filtered BEFORE the pair-dedup
+    # shuffle: candidates that share a byte but sit beyond max_hamming
+    # (most of them) never reach the exchange, and the dedup rows are
+    # (long, long, int) instead of carrying both 64-bit signatures
+    # (the change-#10 audit treatment applied to the production path).
+    # The filter commutes with distinct, and hamming is functionally
+    # dependent on the id pair, so the result is identical.
     ham = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
     return (
-        cands.withColumn("hamming", ham)
+        a.join(b, ["byte_idx", "byte_val"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", ham.alias("hamming"))
         .filter(F.col("hamming") <= max_hamming)
-        .select("doc_a", "doc_b", "hamming")
+        .distinct()
         .orderBy("doc_a", "doc_b")
     )
 
