@@ -4074,13 +4074,15 @@ def q_ltr_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(
             F.array_intersect(
                 F.array_distinct("tk"),
-                F.array(*[F.lit(t) for t in q_terms]),
+                F.lit(list(q_terms)).cast("array<string>"),
             )
         ).cast("long").alias("f_overlap"),
         F.size("tk").cast("long").alias("f_dl"),
         F.round(quality_expr(), 6).alias("f_quality"),
     )
-    q = F.array(*[F.lit(float(x)) for x in qvec])
+    from memfuse_spark.functions.lits import f64_array_lit
+
+    q = f64_array_lit(qvec)
     vecf = cand.join(emb, cand.doc_id == emb.vec_id).select(
         cand.doc_id,
         F.round(cosine_similarity(F.col("embedding"), q), 6).alias("f_vec"),

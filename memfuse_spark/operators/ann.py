@@ -27,6 +27,7 @@ from collections.abc import Sequence
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from memfuse_spark.functions.lits import f64_array_lit
 from memfuse_spark.functions.vector import cosine_similarity, dot
 
 NUM_HYPERPLANES = 8
@@ -282,7 +283,7 @@ def ann_lsh_topk(
         [(list(map(float, qvec)),)], f"qv array<double>"
     )
     qbucket = qdf.select(lsh_bucket("qv", dim, num_planes).alias("b")).first()["b"]
-    q = F.array(*[F.lit(float(x)) for x in qvec])
+    q = f64_array_lit(qvec)
     bucketed = embeddings.withColumn("bucket", lsh_bucket(vec_col, dim, num_planes))
     return (
         bucketed.filter(F.col("bucket") == qbucket)
@@ -324,7 +325,7 @@ def ann_lsh_topk_multiprobe(
         qbucket[:i] + ("1" if qbucket[i] == "0" else "0") + qbucket[i + 1 :]
         for i in range(num_planes)
     ]
-    q = F.array(*[F.lit(float(x)) for x in qvec])
+    q = f64_array_lit(qvec)
     bucketed = embeddings.withColumn("bucket", lsh_bucket(vec_col, dim, num_planes))
     return (
         bucketed.filter(F.col("bucket").isin(probes))
@@ -427,7 +428,7 @@ def bucketed_topk(
     qdf = spark.createDataFrame([(list(map(float, qvec)),)], "qv array<double>")
     qbucket = qdf.select(lsh_bucket("qv", dim, num_planes).alias("b")).first()["b"]
     corpus = spark.read.parquet(path).filter(F.col("bucket") == qbucket)
-    q = F.array(*[F.lit(float(x)) for x in qvec])
+    q = f64_array_lit(qvec)
     return (
         corpus.select(
             id_col,
@@ -582,7 +583,7 @@ def pq_topk(
     for s, book in enumerate(codebooks):
         qs = q[s * d_sub : (s + 1) * d_sub]
         table = ((np.asarray(book) - qs[None, :]) ** 2).sum(1)
-        arr = F.array(*[F.lit(float(x)) for x in table])
+        arr = f64_array_lit(table)
         term = F.element_at(arr, F.col("codes")[s] + 1)
         dist = term if dist is None else dist + term
     return (
@@ -1031,7 +1032,7 @@ def ann_ivf_topk(
     """IVF probe: rank centroids by query similarity, exact-search the
     nprobe best cells only."""
     cents = ivf_centroids(embeddings, cell_col, id_col, vec_col)
-    q = F.array(*[F.lit(float(x)) for x in qvec])
+    q = f64_array_lit(qvec)
     probed = (
         cents.withColumn("__sim", cosine_similarity(F.col("centroid"), q))
         .orderBy(F.desc("__sim"), F.asc("cell"))
@@ -1164,7 +1165,7 @@ def pq_topk_from_labels(
     d_sub = dim // m
     cb = pq_codebooks_from_labels(embeddings, m, dim, cell_col, vec_col)
     codes = pq_encode_from_codebooks(embeddings, cb, m, dim, id_col, vec_col)
-    qfull = F.array(*[F.lit(x) for x in q])
+    qfull = f64_array_lit(q)
     qsub = F.slice(qfull, F.col("s") * d_sub + 1, d_sub)
     tab = cb.select(
         "s",
@@ -1221,7 +1222,7 @@ def ivfpq_topk(
     d_sub = dim // m
 
     cents = ivf_centroids(embeddings, cell_col, id_col, vec_col)
-    qarr = F.array(*[F.lit(x) for x in q])
+    qarr = f64_array_lit(q)
     probed = (
         cents.withColumn("__sim", cosine_similarity(F.col("centroid"), qarr))
         .orderBy(F.desc("__sim"), F.asc("cell"))
@@ -1338,7 +1339,7 @@ def bq_topk(
         .orderBy(F.asc("hamming"), F.asc(id_col))
         .limit(cand_n)
     )
-    score = F.round(cosine_similarity(vec_col, F.array(*[F.lit(float(x)) for x in qvec])), score_decimals)
+    score = F.round(cosine_similarity(vec_col, f64_array_lit(qvec)), score_decimals)
     return (
         cand.select(id_col, score.alias("score"))
         .orderBy(F.desc("score"), F.asc(id_col))
@@ -1442,7 +1443,7 @@ def bq_topk_from_store(
         .select(id_col)
     )
     score = F.round(
-        cosine_similarity(vec_col, F.array(*[F.lit(float(x)) for x in qvec])),
+        cosine_similarity(vec_col, f64_array_lit(qvec)),
         score_decimals,
     )
     return (

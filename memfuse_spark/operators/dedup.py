@@ -1768,10 +1768,16 @@ def containment_pairs(
         # (the |B| ≥ ⌈t·|A|⌉ size pre-prune moved INTO the candidate
         # join above — it now drops rows BEFORE the pair-dedup shuffle,
         # not just before the intersect)
+        # Accept on the UNROUNDED ratio — the DuckDB twin's WHERE uses
+        # the raw ratio too (only the OUTPUT column is rounded), and the
+        # ceil(t·|A|)-based prefix/positional/size pruning above is
+        # raw-ratio semantics: one shared semantics end to end, so a
+        # pair with raw ratio in [t−5e-7, t) that would round up can no
+        # longer slip between pruning and verification (ADVICE r10).
+        .filter(inter / F.size("sha") >= threshold)
         .withColumn(
             "containment", F.round(inter / F.size("sha"), 6)
         )
-        .filter(F.col("containment") >= threshold)
         .select("inner_doc", "outer_doc", "containment")
         .orderBy("inner_doc", "outer_doc")
     )

@@ -403,12 +403,14 @@ def bloom_semi_join_stats(
     # shape of a runtime filter: build (tiny agg job), then scan.
     wm = {r["w"]: r["word"] for r in words.collect()}
     dense = [int(wm.get(i, 0)) for i in range(nwords)]
-    # ONE array literal, not F.array(*[F.lit(v) ...]): the per-element
-    # form issued m/64 py4j calls to BUILD the plan (~2s of pure driver
-    # latency at m=65536) and fed codegen a CreateArray with 4×1024
-    # literal children (measured 1.5s Janino compile vs 0.7s; steady-
-    # state row work is identical — a Literal ArrayData either way).
-    bits_lit = F.lit(dense).cast("array<bigint>")
+    # ONE parsed array literal (functions/lits): F.lit(list) expands to
+    # per-element F.lit py4j calls in pyspark — measured 522 ms of pure
+    # driver latency for the 1024-long mask vs 1.7 ms for the parsed
+    # form (r11) — and the r10 CreateArray→Literal codegen win (1.5s →
+    # 0.7s Janino) is preserved: the parser yields the same Literal.
+    from memfuse_spark.functions.lits import i64_array_lit
+
+    bits_lit = i64_array_lit(dense)
     # probe positions materialized as columns once (guaranteed single
     # md5 evaluation each), then O(1) word lookup + variable-shift mask
     probe_cols = {

@@ -415,7 +415,11 @@ def quality_classifier(
     bucket = _token_hash32(F.col("tok")) % F.lit(buckets)
     if weights is not None:
         assert len(weights) == buckets
-        arr = F.array(*[F.lit(float(w)) for w in weights])
+        # one parsed array literal, not buckets× F.lit py4j calls
+        # (functions/lits); identical row-level semantics
+        from memfuse_spark.functions.lits import f64_array_lit
+
+        arr = f64_array_lit(weights)
         w = F.element_at(arr, (bucket + 1).cast("int"))
     else:
         w = classifier_weight_expr(bucket)
@@ -1334,6 +1338,7 @@ def train_classifier(
 
     The trained vector drops into quality_classifier(weights=...) —
     closing the loop from signal bootstrap to served filter."""
+    from memfuse_spark.functions.lits import f64_array_lit as _f64_lit
     from memfuse_spark.operators.dedup import _token_hash32
 
     spark = docs.sparkSession
@@ -1387,7 +1392,7 @@ def train_classifier(
         n = docfeat.count()
         w = [0.0] * buckets
         for _ in range(steps):
-            arr = F.array(*[F.lit(float(v)) for v in w])
+            arr = _f64_lit(w)
             z = F.round(
                 F.aggregate(
                     "feats",
