@@ -190,9 +190,15 @@ def bpe_token_counts(
     """(doc_id, n_raw_tokens, n_bpe_tokens) — sequence lengths under the
     learned vocabulary vs raw whitespace tokens; the number that actually
     prices a training run (merged tokens shrink sequences)."""
+    from memfuse_spark.catalog import ensure_parallelism
     from memfuse_spark.functions.text import tokenize
 
-    toks = docs.select(
+    # the replace-chain encode runs INSIDE the scan stage, and a small
+    # single-file input arrives as ONE partition — one core would pay
+    # the whole corpus's encode (profiled r11: 2.9s on 4 tasks for the
+    # stats twin). Project to the consumed columns first (§2.3), then
+    # spread; no-op at scale where scans have many splits (§2.5).
+    toks = ensure_parallelism(docs.select(id_col, text_col)).select(
         F.col(id_col).alias("doc_id"), tokenize(text_col).alias("tk")
     )
     return toks.select(
@@ -256,6 +262,11 @@ def token_counter_stats(
     ``heuristic_ratio`` = heuristic/exact is the calibration signal for
     the fallback multiplier. One narrow projection over the corpus —
     no shuffle, no UDF."""
+    from memfuse_spark.catalog import ensure_parallelism
+
+    # same single-file-scan guard as bpe_token_counts: the encode chain
+    # is per-row heavy and otherwise runs on one core (profiled r11)
+    docs = ensure_parallelism(docs.select(id_col, text_col))
     exact = exact_token_count(text_col, merges)
     heur = heuristic_token_count(text_col)
     return docs.select(
