@@ -827,6 +827,7 @@ def mutual_knn_pairs(
     """
     id_type = corpus.schema[id_col].dataType.simpleString()
     empty_schema = f"vec_a {id_type}, vec_b {id_type}, score double"
+    dim_hint: int | None = None  # set when the default-cells branch derives dim
     # a NULL embedding is nobody's neighbor: drop it before anything
     # else (np.stack in the probe would die on a ragged batch, and a
     # NULL row's cosine is NULL on both engines anyway). The SQL twins
@@ -846,6 +847,7 @@ def mutual_knn_pairs(
         ).first()
         if n == 0 or dim is None:
             return corpus.sparkSession.createDataFrame([], empty_schema)
+        dim_hint = int(dim)
         num_planes = scaled_num_planes(n, target_cell_size)
         from memfuse_spark import cache as _cache
 
@@ -893,7 +895,7 @@ def mutual_knn_pairs(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).cast("array<double>").alias("qvec"),
     )
-    cents = ivf_centroids(corpus, cell_col, id_col, vec_col)
+    cents = ivf_centroids(corpus, cell_col, id_col, vec_col, dim=dim_hint)
     cent_rows = sorted(cents.collect(), key=lambda r: r["cell"])
     if not cent_rows:
         return corpus.sparkSession.createDataFrame([], empty_schema)
@@ -979,13 +981,31 @@ def ivf_centroids(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     decimals: int = 6,
+    dim: int | None = None,
 ) -> DataFrame:
     """(cell, centroid) — element-wise mean per cell.
 
-    posexplode → groupBy(cell, pos) avg → re-assemble ordered array.
-    Two narrow shuffles over (cells × dim) rows — independent of corpus
-    row count after the partial agg.
+    With ``dim=`` (callers that know the vector width statically): ONE
+    groupBy(cell) whose aggregate is an array of per-position avgs —
+    a single Exchange of |cells| rows and no row explosion (r11; one
+    parsed expression, so construction stays one py4j call). Each
+    ``avg(v[i])`` ignores NULL elements and missing positions exactly
+    as the explode path's per-(cell,pos) avg does (posexplode emits no
+    row where getItem yields NULL), so the two paths are value-
+    identical; both feed the same round().
+
+    Default (dim unknown): posexplode → groupBy(cell, pos) avg →
+    re-assemble ordered array. Two narrow shuffles over (cells × dim)
+    rows — independent of corpus row count after the partial agg.
     """
+    if dim is not None:
+        comps = ",".join(
+            f"round(avg(cast(`{vec_col}`[{i}] as double)), {decimals})"
+            for i in range(dim)
+        )
+        return embeddings.groupBy(F.col(cell_col).alias("cell")).agg(
+            F.expr(f"array({comps})").alias("centroid")
+        )
     exploded = embeddings.select(
         F.col(cell_col).alias("cell"), F.posexplode(vec_col).alias("pos", "x")
     ).withColumn("x", F.col("x").cast("double"))
@@ -1031,7 +1051,7 @@ def ann_ivf_topk(
 ) -> DataFrame:
     """IVF probe: rank centroids by query similarity, exact-search the
     nprobe best cells only."""
-    cents = ivf_centroids(embeddings, cell_col, id_col, vec_col)
+    cents = ivf_centroids(embeddings, cell_col, id_col, vec_col, dim=len(qvec))
     q = f64_array_lit(qvec)
     probed = (
         cents.withColumn("__sim", cosine_similarity(F.col("centroid"), q))
@@ -1221,7 +1241,7 @@ def ivfpq_topk(
     qnorm = math.sqrt(sum(x * x for x in q))
     d_sub = dim // m
 
-    cents = ivf_centroids(embeddings, cell_col, id_col, vec_col)
+    cents = ivf_centroids(embeddings, cell_col, id_col, vec_col, dim=dim)
     qarr = f64_array_lit(q)
     probed = (
         cents.withColumn("__sim", cosine_similarity(F.col("centroid"), qarr))

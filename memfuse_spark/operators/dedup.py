@@ -2168,15 +2168,17 @@ def semdedup_keep(
             cells, "dedup.semdedup"
         )
         _cache.unpersist_rdd_ids(emb.sparkSession, cells_ids)
-    per_dim = (
-        cells.select("cell", F.posexplode("v").alias("pos", "x"))
-        .groupBy("cell", "pos")
-        .agg(F.avg("x").alias("m"))
-    )
-    cents = (
-        per_dim.groupBy("cell")
-        .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
-        .select("cell", F.transform("pm", lambda s: s["m"]).alias("centroid"))
+    # centroid = per-position avg in ONE groupBy(cell) pass (an array of
+    # dim avg aggregates parsed as one expression): the posexplode →
+    # groupBy(cell,pos) → collect_list re-assembly paid a corpus×dim row
+    # explosion and a second Exchange for the same value (r11; value-
+    # identical — avg over the same multiset, no rounding either way).
+    cents = cells.groupBy("cell").agg(
+        F.expr(
+            "array("
+            + ",".join(f"avg(cast(v[{i}] as double))" for i in range(dim))
+            + ")"
+        ).alias("centroid")
     )
     with_dist = cells.join(F.broadcast(cents), "cell").withColumn(
         "centroid_dist",

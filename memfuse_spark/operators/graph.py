@@ -345,7 +345,7 @@ def build_knn_store_inc(
     fit_celled = _celled_vectors(
         fit_df, cfg, num_planes, int(dim), "vec_id", "vec", HOT_CELL_MAX_EXTRA
     )
-    ivf_centroids(fit_celled, "cell", "vec_id", "vec").write.mode(
+    ivf_centroids(fit_celled, "cell", "vec_id", "vec", dim=int(dim)).write.mode(
         "overwrite"
     ).parquet(dirs["cents"])
 
