@@ -4080,12 +4080,12 @@ def q_ltr_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("tk").cast("long").alias("f_dl"),
         F.round(quality_expr(), 6).alias("f_quality"),
     )
-    from memfuse_spark.functions.lits import f64_array_lit
+    from memfuse_spark.functions.lits import f64_array_sql
 
-    q = f64_array_lit(qvec)
+    q = f64_array_sql(qvec)
     vecf = cand.join(emb, cand.doc_id == emb.vec_id).select(
         cand.doc_id,
-        F.round(cosine_similarity(F.col("embedding"), q), 6).alias("f_vec"),
+        F.round(cosine_similarity("embedding", q), 6).alias("f_vec"),
     )
     out = (
         base.join(vecf, "doc_id", "left")

@@ -26,12 +26,21 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 
+def f64_array_sql(vals: Sequence[float]) -> str:
+    """SQL text of an ``array<double>`` literal for finite floats —
+    for embedding into a larger one-parse expression (e.g. a cosine
+    over a literal query vector)."""
+    fv = [float(v) for v in vals]
+    assert fv and all(math.isfinite(v) for v in fv)
+    return "array(" + ",".join(repr(v) + "D" for v in fv) + ")"
+
+
 def f64_array_lit(vals: Sequence[float]) -> Column:
     """One-call ``array<double>`` literal column for finite floats."""
     fv = [float(v) for v in vals]
     if not fv or not all(math.isfinite(v) for v in fv):
         return F.array(*[F.lit(v) for v in fv]).cast("array<double>")
-    return F.expr("array(" + ",".join(repr(v) + "D" for v in fv) + ")")
+    return F.expr(f64_array_sql(fv))
 
 
 def i64_array_lit(vals: Sequence[int]) -> Column:

@@ -27,7 +27,7 @@ from collections.abc import Sequence
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from memfuse_spark.functions.lits import f64_array_lit
+from memfuse_spark.functions.lits import f64_array_lit, f64_array_sql
 from memfuse_spark.functions.vector import cosine_similarity, dot
 
 NUM_HYPERPLANES = 8
@@ -64,6 +64,15 @@ def _hyperplane(j: int, dim: int) -> Column:
     )
 
 
+def _hyperplane_sql(j: int, dim: int) -> str:
+    """Spark-SQL text of :func:`_hyperplane` — same ops, one parse."""
+    return (
+        f"transform(sequence(0, {dim - 1}), i ->"
+        f" (cast(conv(substring(md5(concat('{j}|', cast(i as string))),1,8)"
+        f",16,10) as double)/4294967295.0D)*2.0D-1.0D)"
+    )
+
+
 def lsh_bucket(
     vec_col: Column | str,
     dim: int,
@@ -73,8 +82,25 @@ def lsh_bucket(
     """Sign-bit bucket string for a vector column. ``plane_offset``
     starts the deterministic hyperplane sequence at plane j=offset —
     the hot-cell split (:func:`split_hot_cells`) extends a cell key
-    with the NEXT planes in the same sequence."""
-    v = F.col(vec_col) if isinstance(vec_col, str) else vec_col
+    with the NEXT planes in the same sequence.
+
+    A STRING ``vec_col`` (a column name) builds the whole bucket as ONE
+    parsed expression — the Column form pays ~78 ms of py4j round-trips
+    PER PLANE at dim 64 (measured r11: 628 ms for 8 planes), a pure
+    query-construction cost. Value-identical: same dot fold over the
+    same md5-derived planes.
+    """
+    if isinstance(vec_col, str):
+        from memfuse_spark.functions.vector import _dot_sql
+
+        v = f"`{vec_col}`" if vec_col.isidentifier() else vec_col
+        bits = "||".join(
+            f"(case when {_dot_sql(v, _hyperplane_sql(j, dim))} > 0"
+            f" then '1' else '0' end)"
+            for j in range(plane_offset, plane_offset + num_planes)
+        )
+        return F.expr(f"({bits})")
+    v = vec_col
     bits = [
         F.when(dot(v, _hyperplane(j, dim)) > 0, F.lit("1")).otherwise(F.lit("0"))
         for j in range(plane_offset, plane_offset + num_planes)
@@ -172,10 +198,10 @@ def apply_split_config(
     until the next retrain/compaction. The left-join/coalesce is
     behavior-identical to the original inner join when cfg was fitted
     on ``df`` itself (every cell is present then)."""
-    v = F.col(vec_col)
     if ext_bits_col is None:
         df = df.withColumn(
-            "__extbits", lsh_bucket(v, dim, max_extra, plane_offset=base_planes)
+            "__extbits",
+            lsh_bucket(vec_col, dim, max_extra, plane_offset=base_planes),
         )
         ext_bits_col = "__extbits"
     return (
@@ -283,13 +309,13 @@ def ann_lsh_topk(
         [(list(map(float, qvec)),)], f"qv array<double>"
     )
     qbucket = qdf.select(lsh_bucket("qv", dim, num_planes).alias("b")).first()["b"]
-    q = f64_array_lit(qvec)
+    q = f64_array_sql([float(x) for x in qvec])
     bucketed = embeddings.withColumn("bucket", lsh_bucket(vec_col, dim, num_planes))
     return (
         bucketed.filter(F.col("bucket") == qbucket)
         .select(
             id_col,
-            F.round(cosine_similarity(F.col(vec_col), q), score_decimals).alias("score"),
+            F.round(cosine_similarity(vec_col, q), score_decimals).alias("score"),
         )
         .orderBy(F.desc("score"), F.asc(id_col))
         .limit(k)
@@ -325,13 +351,13 @@ def ann_lsh_topk_multiprobe(
         qbucket[:i] + ("1" if qbucket[i] == "0" else "0") + qbucket[i + 1 :]
         for i in range(num_planes)
     ]
-    q = f64_array_lit(qvec)
+    q = f64_array_sql([float(x) for x in qvec])
     bucketed = embeddings.withColumn("bucket", lsh_bucket(vec_col, dim, num_planes))
     return (
         bucketed.filter(F.col("bucket").isin(probes))
         .select(
             id_col,
-            F.round(cosine_similarity(F.col(vec_col), q), score_decimals).alias("score"),
+            F.round(cosine_similarity(vec_col, q), score_decimals).alias("score"),
         )
         .orderBy(F.desc("score"), F.asc(id_col))
         .limit(k)
@@ -428,11 +454,11 @@ def bucketed_topk(
     qdf = spark.createDataFrame([(list(map(float, qvec)),)], "qv array<double>")
     qbucket = qdf.select(lsh_bucket("qv", dim, num_planes).alias("b")).first()["b"]
     corpus = spark.read.parquet(path).filter(F.col("bucket") == qbucket)
-    q = f64_array_lit(qvec)
+    q = f64_array_sql([float(x) for x in qvec])
     return (
         corpus.select(
             id_col,
-            F.round(cosine_similarity(F.col(vec_col), q), score_decimals).alias("score"),
+            F.round(cosine_similarity(vec_col, q), score_decimals).alias("score"),
         )
         .orderBy(F.desc("score"), F.asc(id_col))
         .limit(k)
@@ -620,7 +646,7 @@ def ivf_knn_join(
 
     cents = ivf_centroids(corpus, cell_col, id_col, vec_col)
     probe_scored = queries.crossJoin(F.broadcast(cents)).withColumn(
-        "__sim", cosine_similarity(F.col(query_vec_col), F.col("centroid"))
+        "__sim", cosine_similarity(query_vec_col, "centroid")
     )
     w_probe = Window.partitionBy(query_id_col).orderBy(
         F.desc("__sim"), F.asc("cell")
@@ -637,7 +663,7 @@ def ivf_knn_join(
         F.col(query_id_col),
         F.col(id_col),
         F.round(
-            cosine_similarity(F.col(vec_col), F.col(query_vec_col)), score_decimals
+            cosine_similarity(vec_col, query_vec_col), score_decimals
         ).alias("score"),
     )
     w_k = Window.partitionBy(query_id_col).orderBy(F.desc("score"), F.asc(id_col))
@@ -865,11 +891,11 @@ def mutual_knn_pairs(
         corpus = corpus.withColumn(
             "__vd", F.col(vec_col).cast("array<double>")
         ).withColumn(
-            "__cell", lsh_bucket(F.col("__vd"), int(dim), num_planes)
+            "__cell", lsh_bucket("__vd", int(dim), num_planes)
         ).withColumn(
             "__extbits",
             lsh_bucket(
-                F.col("__vd"), int(dim), HOT_CELL_MAX_EXTRA,
+                "__vd", int(dim), HOT_CELL_MAX_EXTRA,
                 plane_offset=num_planes,
             ),
         )
@@ -1027,7 +1053,7 @@ def ivf_assign(
     """Assign each vector to its nearest centroid by cosine (broadcast
     the tiny centroid table; one pass over the corpus)."""
     scored = embeddings.crossJoin(F.broadcast(centroids)).withColumn(
-        "__sim", cosine_similarity(F.col(vec_col), F.col("centroid"))
+        "__sim", cosine_similarity(vec_col, "centroid")
     )
     from pyspark.sql import Window
 
@@ -1052,9 +1078,9 @@ def ann_ivf_topk(
     """IVF probe: rank centroids by query similarity, exact-search the
     nprobe best cells only."""
     cents = ivf_centroids(embeddings, cell_col, id_col, vec_col, dim=len(qvec))
-    q = f64_array_lit(qvec)
+    q = f64_array_sql([float(x) for x in qvec])
     probed = (
-        cents.withColumn("__sim", cosine_similarity(F.col("centroid"), q))
+        cents.withColumn("__sim", cosine_similarity("centroid", q))
         .orderBy(F.desc("__sim"), F.asc("cell"))
         .limit(nprobe)
         .select("cell")
@@ -1065,7 +1091,7 @@ def ann_ivf_topk(
     return (
         candidates.select(
             id_col,
-            F.round(cosine_similarity(F.col(vec_col), q), score_decimals).alias("score"),
+            F.round(cosine_similarity(vec_col, q), score_decimals).alias("score"),
         )
         .orderBy(F.desc("score"), F.asc(id_col))
         .limit(k)
@@ -1244,7 +1270,7 @@ def ivfpq_topk(
     cents = ivf_centroids(embeddings, cell_col, id_col, vec_col, dim=dim)
     qarr = f64_array_lit(q)
     probed = (
-        cents.withColumn("__sim", cosine_similarity(F.col("centroid"), qarr))
+        cents.withColumn("__sim", cosine_similarity("centroid", f64_array_sql(q)))
         .orderBy(F.desc("__sim"), F.asc("cell"))
         .limit(nprobe)
         .select("cell")
@@ -1359,7 +1385,9 @@ def bq_topk(
         .orderBy(F.asc("hamming"), F.asc(id_col))
         .limit(cand_n)
     )
-    score = F.round(cosine_similarity(vec_col, f64_array_lit(qvec)), score_decimals)
+    score = F.round(
+        cosine_similarity(vec_col, f64_array_sql(qvec)), score_decimals
+    )
     return (
         cand.select(id_col, score.alias("score"))
         .orderBy(F.desc("score"), F.asc(id_col))
@@ -1463,7 +1491,7 @@ def bq_topk_from_store(
         .select(id_col)
     )
     score = F.round(
-        cosine_similarity(vec_col, f64_array_lit(qvec)),
+        cosine_similarity(vec_col, f64_array_sql(qvec)),
         score_decimals,
     )
     return (

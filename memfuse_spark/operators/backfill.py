@@ -38,7 +38,7 @@ def backfill_embeddings(
     pending = table.filter(F.col(needs_col) == F.lit(True))
     done = table.filter(~F.coalesce(F.col(needs_col), F.lit(False)))
     if embedder is None:
-        embedded = pending.withColumn(vec_col, hash_embedding(F.col(text_col), dim))
+        embedded = pending.withColumn(vec_col, hash_embedding(text_col, dim))
     else:
         embedded = embedder(pending, text_col)
     embedded = embedded.withColumn(needs_col, F.lit(False))

@@ -992,7 +992,7 @@ def semantic_dedup_pairs(
             "id_a",
             "id_b",
             "cell",
-            F.round(cosine_similarity(F.col("va"), F.col("vb")), score_decimals).alias("cosine"),
+            F.round(cosine_similarity("va", "vb"), score_decimals).alias("cosine"),
         )
     )
     return pairs.filter(F.col("cosine") >= threshold).orderBy("id_a", "id_b")
@@ -2121,7 +2121,7 @@ def semdedup_keep(
     else:
         base_ids = None
 
-    cells = base.withColumn("cell", lsh_bucket(F.col("v"), dim, num_planes))
+    cells = base.withColumn("cell", lsh_bucket("v", dim, num_planes))
     if scale_mode:
         # carry the hot-cell-split extension bits INTO the checkpoint so
         # downstream consumers pay string ops, not 8 more hyperplane
@@ -2131,7 +2131,7 @@ def semdedup_keep(
         cells = cells.withColumn(
             "__extbits",
             lsh_bucket(
-                F.col("v"), dim, HOT_CELL_MAX_EXTRA, plane_offset=num_planes
+                "v", dim, HOT_CELL_MAX_EXTRA, plane_offset=num_planes
             ),
         )
     cells, cells_ids = _cache.tracked_local_checkpoint(cells, "dedup.semdedup")

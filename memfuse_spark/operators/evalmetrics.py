@@ -57,7 +57,7 @@ def exact_topk_batch(
             query_id_col,
             id_col,
             F.round(
-                cosine_similarity(F.col(vec_col), F.col(query_vec_col)),
+                cosine_similarity(vec_col, query_vec_col),
                 score_decimals,
             ).alias("score"),
         )
@@ -90,7 +90,7 @@ def ivf_topk_batch(
 
     cents = ivf_centroids(corpus, cell_col, id_col, vec_col)
     probe_scored = queries.crossJoin(F.broadcast(cents)).withColumn(
-        "__sim", cosine_similarity(F.col(query_vec_col), F.col("centroid"))
+        "__sim", cosine_similarity(query_vec_col, "centroid")
     )
     w_probe = Window.partitionBy(query_id_col).orderBy(
         F.desc("__sim"), F.asc("cell")
@@ -107,7 +107,7 @@ def ivf_topk_batch(
             query_id_col,
             id_col,
             F.round(
-                cosine_similarity(F.col(vec_col), F.col(query_vec_col)),
+                cosine_similarity(vec_col, query_vec_col),
                 score_decimals,
             ).alias("score"),
         )

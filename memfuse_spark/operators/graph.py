@@ -345,10 +345,14 @@ def build_knn_store_inc(
     fit_celled = _celled_vectors(
         fit_df, cfg, num_planes, int(dim), "vec_id", "vec", HOT_CELL_MAX_EXTRA
     )
-    ivf_centroids(fit_celled, "cell", "vec_id", "vec", dim=int(dim)).write.mode(
-        "overwrite"
-    ).parquet(dirs["cents"])
-
+    # Default build (fit == corpus): write the celled vectors FIRST and
+    # derive the centroids from the read-back parquet — the celled
+    # lineage (num_planes + max_extra hyperplane dot products per row)
+    # then evaluates ONCE instead of once for the centroid aggregation
+    # and again for the vecs write (r11; same rows either way, so the
+    # centroid values are identical). With an explicit ``fit`` the
+    # centroids must come from the fit corpus, not the full one — that
+    # path keeps the original order.
     all_celled = (
         fit_celled
         if fit is None
@@ -365,6 +369,10 @@ def build_knn_store_inc(
         dirs["vecs"]
     )
     vecs = spark.read.parquet(dirs["vecs"])
+    cents_src = vecs.select("vec_id", "vec", "cell") if fit is None else fit_celled
+    ivf_centroids(cents_src, "cell", "vec_id", "vec", dim=int(dim)).write.mode(
+        "overwrite"
+    ).parquet(dirs["cents"])
 
     cent_rows = sorted(
         spark.read.parquet(dirs["cents"]).collect(), key=lambda r: r["cell"]

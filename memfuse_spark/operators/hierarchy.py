@@ -19,7 +19,11 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from memfuse_spark.functions.text import tokenize
-from memfuse_spark.functions.vector import hash_embedding_raw, normalize
+from memfuse_spark.functions.vector import (
+    hash_embedding_raw,
+    normalize,
+    normalize_sparksql,
+)
 from memfuse_spark.operators.textanalysis import STOPWORDS
 
 M1_BATCH_SIZE = 5
@@ -122,10 +126,13 @@ def m1_from_m0(
             F.round(F.least(F.col("token_count") / F.lit(200.0), F.lit(1.0)), 6),
         )
         .withColumn("__digest", F.md5("content"))
-        .withColumn("__raw", hash_embedding_raw(F.col("__digest"), dim))
+        .withColumn("__raw", hash_embedding_raw("__digest", dim))
         .withColumn(
             "embedding",
-            F.transform(normalize(F.col("__raw")), lambda x: F.round(x, 6)),
+            F.expr(
+                "transform(" + normalize_sparksql("__raw")
+                + ", x -> round(x, 6))"
+            ),
         )
     )
     return chunks.select(

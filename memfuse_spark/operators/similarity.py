@@ -26,7 +26,7 @@ from collections.abc import Sequence
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from memfuse_spark.functions.lits import f64_array_lit
+from memfuse_spark.functions.lits import f64_array_lit, f64_array_sql
 from memfuse_spark.functions.vector import cosine_similarity, dot, normalize
 
 
@@ -62,8 +62,14 @@ def similarity_topk(
     else:
         # literal query vector: fold its norm on the driver once (same
         # sequential float64 fold the expression would do), so the plan
-        # does 2 array folds per row instead of 4
-        q = _query_vec_lit(qvec)
+        # does 2 array folds per row instead of 4. The whole guarded
+        # score is ONE parsed expression (r11): the Column-API form of
+        # the same tree cost ~180 ms of py4j round-trips per query
+        # construction at dim 64.
+        from memfuse_spark.functions.vector import _dot_sql
+
+        qsql = f64_array_sql([float(x) for x in qvec])
+        vsql = f"`{vec_col}`"
         if metric == "cosine":
             import math
 
@@ -76,14 +82,14 @@ def similarity_topk(
             if qn == 0.0:
                 score = F.lit(0.0)
             else:
-                from memfuse_spark.functions.vector import l2_norm
-
-                nv = l2_norm(F.col(vec_col))
-                score = F.when(
-                    nv > 0, dot(F.col(vec_col), q) / (nv * F.lit(qn))
-                ).otherwise(F.lit(0.0))
+                nv = f"sqrt({_dot_sql(vsql, vsql)})"
+                score = F.expr(
+                    f"case when {nv} > 0 then"
+                    f" {_dot_sql(vsql, qsql)} / ({nv} * {qn!r}D)"
+                    f" else 0.0D end"
+                )
         elif metric == "dot":
-            score = dot(F.col(vec_col), q)
+            score = dot(vsql, qsql)
         else:
             raise ValueError(f"unknown metric: {metric}")
     if score_decimals is not None:
@@ -115,7 +121,7 @@ def similarity_join(
     scored = items.crossJoin(q).select(
         F.col(query_id_col),
         F.col(id_col),
-        F.round(cosine_similarity(F.col(vec_col), F.col(query_vec_col)), score_decimals or 38).alias(
+        F.round(cosine_similarity(vec_col, query_vec_col), score_decimals or 38).alias(
             "score"
         ),
     )
@@ -142,7 +148,7 @@ def neighbors_of_item(
     )
     scored = items.crossJoin(anchor).select(
         F.col(id_col),
-        F.round(cosine_similarity(F.col(vec_col), F.col("__anchor_vec")), score_decimals or 38).alias("score"),
+        F.round(cosine_similarity(vec_col, "__anchor_vec"), score_decimals or 38).alias("score"),
     )
     return (
         scored.filter(F.col(id_col) != anchor_id)
@@ -314,7 +320,7 @@ def hard_negatives(
             "anchor_id",
             F.col(id_col),
             F.round(
-                cosine_similarity(F.col(vec_col), F.col("__qvec")), score_decimals
+                cosine_similarity(vec_col, "__qvec"), score_decimals
             ).alias("score"),
         )
     )
@@ -380,7 +386,9 @@ def centroid_topk(
         cents.select(
             "label",
             F.round(
-                cosine_similarity(F.col("centroid"), _query_vec_lit(qvec)), decimals
+                cosine_similarity(
+                    "centroid", f64_array_sql([float(x) for x in qvec])
+                ), decimals
             ).alias("score"),
             "n",
         )
@@ -410,14 +418,16 @@ def matryoshka_topk(
     With MRL-trained embeddings the prefix is semantically faithful; on
     the synthetic vectors here it is just a deterministic projection —
     the recall/cost trade is measured in tests either way."""
-    q_full = _query_vec_lit(qvec)
-    q_pre = _query_vec_lit(list(qvec)[:prefix_dims])
+    q_full = f64_array_sql([float(x) for x in qvec])
+    q_pre = f64_array_sql([float(x) for x in list(qvec)[:prefix_dims]])
     stage1 = (
         items.select(
             id_col,
             vec_col,
             F.round(
-                cosine_similarity(F.slice(F.col(vec_col), 1, prefix_dims), q_pre),
+                cosine_similarity(
+                    f"slice(`{vec_col}`, 1, {int(prefix_dims)})", q_pre
+                ),
                 decimals,
             ).alias("pre_score"),
         )
@@ -427,7 +437,7 @@ def matryoshka_topk(
     return (
         stage1.select(
             id_col,
-            F.round(cosine_similarity(F.col(vec_col), q_full), decimals).alias(
+            F.round(cosine_similarity(vec_col, q_full), decimals).alias(
                 "score"
             ),
         )
@@ -474,7 +484,7 @@ def late_interaction_topk(
 
     def embed(df, col):
         return df.withColumn("__dig", F.md5(F.col(col))).withColumn(
-            "__e", normalize(hash_embedding_raw(F.col("__dig"), dim))
+            "__e", normalize(hash_embedding_raw("__dig", dim))
         ).drop("__dig")
 
     # ``toks=`` is the served-index path: a precomputed DISTINCT

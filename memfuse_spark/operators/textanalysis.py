@@ -1986,10 +1986,10 @@ def source_centroid_shift(
     per_doc = (
         docs.select(F.col(source_col).alias("source"), F.col(text_col))
         .withColumn("__d", F.md5(text_col))
-        .withColumn("__raw", hash_embedding_raw(F.col("__d"), dim))
+        .withColumn("__raw", hash_embedding_raw("__d", dim))
         .select(
             "source",
-            F.posexplode(normalize(F.col("__raw"))).alias("pos", "x"),
+            F.posexplode(normalize("__raw")).alias("pos", "x"),
         )
     )
     src_pos = per_doc.groupBy("source", "pos").agg(
